@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver-provided parquet fixture tables (TESTDATA.md).
+  *
+  * All reads are plain parquet scans so Catalyst's column pruning and
+  * predicate pushdown reach the file scan (verify via
+  * `.explain("formatted")` → `PushedFilters` / `ReadSchema`).
+  */
+object Tables {
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = read(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = read(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = read(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = read(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 cannot read as
+    * a timestamp; with spark.sql.legacy.parquet.nanosAsLong=true (set in
+    * Verify/Bench/tests) it arrives as Long nanos, which we floor to
+    * microseconds. Day-aligned boundary predicates agree exactly with
+    * DuckDB's nanosecond comparisons under this flooring.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = read(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+}
+
+/** One declared query: a Spark implementation plus (when SQL-expressible)
+  * an equivalent ANSI SQL oracle the driver runs through DuckDB on the
+  * same parquet tables. Column names MUST match between the two — the
+  * driver sorts columns by name before hashing values.
+  */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object QueryDef {
+  def sql(name: String, oracle: String)(run: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, run, Some(oracle))
+  def rowsOnly(name: String)(run: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, run, None)
+}

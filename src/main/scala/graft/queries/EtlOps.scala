@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryDef, Tables => T}
+import graft.operators.Upsert
+
+/** SURVEY.md §2 operator semantics exercised over the driver fixture
+  * tables so each operator class carries a DuckDB-oracle check. The
+  * Square-shaped pipelines themselves (P1-P11/J1-J3/K1-K6 on Square
+  * payloads) live in graft.pipeline and are covered by ScalaTest golden
+  * tests; these queries prove the same relational semantics on data the
+  * oracle can see.
+  */
+object EtlOps {
+
+  // --- j1_first_wins: deterministic first-per-key dedup (SURVEY §2.4 J1,
+  // reference src/etl-square-orders.ts:181-193). Window + row_number, NOT
+  // dropDuplicates (which is not order-stable under repartitioning). ---
+  val j1FirstWins = QueryDef.sql(
+    "j1_first_wins",
+    """SELECT o_custkey, o_orderkey AS first_orderkey, o_orderdate AS first_orderdate FROM (
+      |  SELECT o_custkey, o_orderkey, o_orderdate,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn = 1""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    T.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("first_orderkey"),
+        col("o_orderdate").as("first_orderdate"))
+  }
+
+  // --- j2_flatten: parent⋈child flatten carrying parent columns, with
+  // child validity filter (SURVEY §2.4 J2 + §2.3 P4,
+  // reference src/etl-square-orders.ts:197-213). Inner join drops
+  // childless parents = the reference's skip-missing-order semantics. ---
+  val j2Flatten = QueryDef.sql(
+    "j2_flatten",
+    """SELECT o_orderkey, o_custkey, o_orderdate, l_linenumber, l_partkey, l_quantity,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_quantity > 0 AND l_partkey IS NOT NULL
+      |  AND o_orderdate >= TIMESTAMP '1997-06-01'""".stripMargin) { (s, d) =>
+    val ord = T.orders(s, d).filter(col("o_orderdate") >= to_timestamp(lit("1997-06-01")))
+    val li = T.lineitem(s, d).filter(col("l_quantity") > 0 && col("l_partkey").isNotNull)
+    ord.join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("l_linenumber"), col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice").cast("decimal(12,2)").cast("double").as("price"))
+  }
+
+  // --- j3_lookup: fact→dimension left broadcast join, missing parent →
+  // nulls (SURVEY §2.4 J3, reference src/etl-square-catalog.ts:134-168) ---
+  val j3Lookup = QueryDef.sql(
+    "j3_lookup",
+    """SELECT p_brand, count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+      |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand""".stripMargin) { (s, d) =>
+    T.lineitem(s, d)
+      .join(broadcast(T.part(s, d)), col("l_partkey") === col("p_partkey"), "left")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("qty"))
+  }
+
+  // --- p2_time_window: incremental lookback-window predicate (SURVEY §2.3
+  // P2, reference src/etl-square-payments.ts:18-25) — pushed to the scan. ---
+  val p2TimeWindow = QueryDef.sql(
+    "p2_time_window",
+    """SELECT event_id, user_id, event_type, value
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'""".stripMargin) { (s, d) =>
+    T.events(s, d)
+      .filter(col("ts") >= to_timestamp(lit("2024-01-10")) && col("ts") < to_timestamp(lit("2024-01-20")))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+  }
+
+  // --- p4_cast_validate: numeric-string parse + validity filter; garbage
+  // casts to NULL and is dropped, never thrown (SURVEY §2.3 P4/P8,
+  // reference src/etl-square-orders.ts:61-68). regexp_extract works
+  // identically in Spark and DuckDB here (group 0, first match). ---
+  val p4CastValidate = QueryDef.sql(
+    "p4_cast_validate",
+    """SELECT event_id, event_type, CAST(regexp_extract(props, '[0-9]+') AS BIGINT) AS k
+      |FROM events
+      |WHERE CAST(regexp_extract(props, '[0-9]+') AS BIGINT) IS NOT NULL
+      |  AND CAST(regexp_extract(props, '[0-9]+') AS BIGINT) > 0""".stripMargin) { (s, d) =>
+    val k = regexp_extract(col("props"), "[0-9]+", 0).cast("bigint")
+    T.events(s, d)
+      .select(col("event_id"), col("event_type"), k.as("k"))
+      .filter(col("k").isNotNull && col("k") > 0)
+  }
+
+  // --- p10_defaults_concat: constant-column injection, coalesce
+  // defaulting, null-skipping concat (SURVEY §2.3 P3/P9/P10,
+  // reference src/etl-square-locations.ts:29-53) ---
+  val p10DefaultsConcat = QueryDef.sql(
+    "p10_defaults_concat",
+    """SELECT 'tenant-1' AS tenant_id, c_custkey,
+      |  coalesce(nullif(c_mktsegment, 'HOUSEHOLD'), 'UNKNOWN') AS segment,
+      |  concat_ws(', ', c_name, nullif(c_mktsegment, 'HOUSEHOLD'), n_name) AS label
+      |FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey""".stripMargin) { (s, d) =>
+    T.customer(s, d)
+      .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"), "left")
+      .select(
+        lit("tenant-1").as("tenant_id"),
+        col("c_custkey"),
+        coalesce(nullif(col("c_mktsegment"), lit("HOUSEHOLD")), lit("UNKNOWN")).as("segment"),
+        concat_ws(", ", col("c_name"), nullif(col("c_mktsegment"), lit("HOUSEHOLD")), col("n_name")).as("label"))
+  }
+
+  // --- k1_upsert_merge: ON CONFLICT DO UPDATE semantics as a relational
+  // merge (SURVEY §2.2 K1-K6): delta (a re-pulled lookback window with
+  // updated values) wins over base on the key; disjoint base rows pass
+  // through. Runs the actual Upsert.merge operator. ---
+  val k1UpsertMerge = QueryDef.sql(
+    "k1_upsert_merge",
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, 'RERUN' AS o_orderpriority
+      |FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01'
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      |FROM orders
+      |WHERE o_orderdate < TIMESTAMP '1997-06-01'
+      |  AND o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-06-01')""".stripMargin) { (s, d) =>
+    val base = T.orders(s, d)
+    val delta = base
+      .filter(col("o_orderdate") >= to_timestamp(lit("1997-06-01")))
+      .withColumn("o_orderpriority", lit("RERUN"))
+    Upsert.merge(base, delta, Seq("o_orderkey"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    j1FirstWins, j2Flatten, j3Lookup, p2TimeWindow, p4CastValidate,
+    p10DefaultsConcat, k1UpsertMerge)
+}

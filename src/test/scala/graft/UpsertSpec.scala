@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.Upsert
+
+/** K1-K6 correctness contract (SURVEY.md §2.2): keyed upsert is
+  * idempotent and last-write-wins; at-least-once input ⇒ effectively-once
+  * table.
+  */
+class UpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tempDir(): String =
+    Files.createTempDirectory("graft-upsert").toString + "/t"
+
+  test("merge: delta wins on conflict, base passes through") {
+    val base = Seq((1, "a", 10), (2, "b", 20), (3, "c", 30)).toDF("k", "name", "v")
+    val delta = Seq((2, "b2", 99), (4, "d", 40)).toDF("k", "name", "v")
+    val out = Upsert.merge(base, delta, Seq("k")).orderBy("k")
+      .as[(Int, String, Int)].collect().toSeq
+    assert(out === Seq((1, "a", 10), (2, "b2", 99), (3, "c", 30), (4, "d", 40)))
+  }
+
+  test("upsertParquet is idempotent: upsert(d); upsert(d) == upsert(d)") {
+    val path = tempDir()
+    val d1 = Seq((1, "a", 1), (2, "b", 2)).toDF("k", "name", "v")
+    Upsert.upsertParquet(spark, path, d1, Seq("k"))
+    Upsert.upsertParquet(spark, path, d1, Seq("k"))
+    val out = spark.read.parquet(path).orderBy("k").as[(Int, String, Int)].collect().toSeq
+    assert(out === Seq((1, "a", 1), (2, "b", 2)))
+  }
+
+  test("upsertParquet overlapping windows reprocess == single processing") {
+    val path = tempDir()
+    // run 1: keys 1-4; run 2 re-processes 3-4 (overlap) + new 5-6, new values win
+    val run1 = Seq((1, 1), (2, 1), (3, 1), (4, 1)).toDF("k", "v")
+    val run2 = Seq((3, 2), (4, 2), (5, 2), (6, 2)).toDF("k", "v")
+    Upsert.upsertParquet(spark, path, run1, Seq("k"))
+    Upsert.upsertParquet(spark, path, run2, Seq("k"))
+    val out = spark.read.parquet(path).orderBy("k").as[(Int, Int)].collect().toSeq
+    assert(out === Seq((1, 1), (2, 1), (3, 2), (4, 2), (5, 2), (6, 2)))
+  }
+
+  test("partitioned upsert rewrites only affected partitions") {
+    val path = tempDir()
+    val run1 = Seq((1, "p1", 1), (2, "p1", 1), (3, "p2", 1)).toDF("k", "part", "v")
+    Upsert.upsertParquet(spark, path, run1, Seq("k"), partitionBy = Seq("part"))
+    val p2FilesBefore = new java.io.File(s"$path/part=p2").listFiles().map(_.getName).toSet
+    val run2 = Seq((1, "p1", 9)).toDF("k", "part", "v")
+    Upsert.upsertParquet(spark, path, run2, Seq("k"), partitionBy = Seq("part"))
+    val p2FilesAfter = new java.io.File(s"$path/part=p2").listFiles().map(_.getName).toSet
+    assert(p2FilesBefore === p2FilesAfter, "untouched partition must not be rewritten")
+    val out = spark.read.parquet(path).orderBy("k")
+      .select($"k", $"part", $"v").as[(Int, String, Int)].collect().toSeq
+    assert(out === Seq((1, "p1", 9), (2, "p1", 1), (3, "p2", 1)))
+  }
+
+  test("latestPerKey collapses delta versions deterministically") {
+    val delta = Seq((1, 10, "old"), (1, 20, "new"), (2, 5, "only")).toDF("k", "ver", "val")
+    val out = Upsert.latestPerKey(delta, Seq("k"), "ver").orderBy("k")
+      .as[(Int, Int, String)].collect().toSeq
+    assert(out === Seq((1, 20, "new"), (2, 5, "only")))
+  }
+}
