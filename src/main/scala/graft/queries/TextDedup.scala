@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryDef, Tables => T}
+import graft.functions.TextFns
+
+/** Text analysis + deduplication operators over the `documents` table —
+  * the training-data-pipeline surface (BASELINE.json north star).
+  *
+  * Scale notes (100 TB):
+  *   - Everything before a groupBy/join is a narrow codegen'd projection
+  *     (tokens/shingles as array columns — no explode until a shuffle is
+  *     actually needed).
+  *   - d2 caps shingle document-frequency before the self-join; without
+  *     the cap one hot shingle appearing in k docs contributes k² join
+  *     rows — the classic near-dup blowup.
+  *   - d3 is MinHash+LSH banding: candidate generation is a self-join on
+  *     (band, signature) buckets — O(candidates), never all-pairs.
+  *     MinHash signatures are computed as array expressions per row (no
+  *     shuffle at all until the bucket join).
+  */
+object TextDedup {
+
+  private val stopEn = Seq("the", "a", "and", "of", "to", "is", "in")
+  private val stopEs = Seq("el", "la", "los", "de", "y", "que")
+  private val stopDe = Seq("der", "die", "das", "und", "ist", "von")
+  private val stopFr = Seq("le", "les", "des", "et", "est", "une")
+
+  private def toks: Column = TextFns.tokens(col("text"))
+
+  private val sqlToks = """string_split_regex(trim(text), '\s+')"""
+  private def sqlStopHits(words: Seq[String]): String = {
+    val lst = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter($sqlToks, t -> list_contains([$lst], t)))"
+  }
+
+  // --- t1_token_stats: token counting (whitespace + BPE-ish regex) ---
+  val t1TokenStats = QueryDef.sql(
+    "t1_token_stats",
+    s"""SELECT doc_id, lang,
+       |  length(text) AS len_chars,
+       |  len($sqlToks) AS n_tokens,
+       |  len(list_distinct($sqlToks)) AS n_distinct_tokens,
+       |  CAST(len(list_distinct($sqlToks)) AS DOUBLE) / len($sqlToks) AS ttr,
+       |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_subwords
+       |FROM documents""".stripMargin) { (s, d) =>
+    T.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      length(col("text")).as("len_chars"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      (size(array_distinct(toks)).cast("double") / size(toks)).as("ttr"),
+      TextFns.subwordCount(col("text")).as("n_subwords"))
+  }
+
+  // --- t2_quality_score: length/punct/stopword-ratio quality heuristic ---
+  val t2QualityScore = QueryDef.sql(
+    "t2_quality_score",
+    s"""SELECT doc_id,
+       |  length(text) AS len_chars,
+       |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+       |  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+       |  CAST(${sqlStopHits(stopEn)} AS DOUBLE) / len($sqlToks) AS stop_ratio,
+       |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) * 0.5
+       |    + (1 - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text)) * 0.3
+       |    + CAST(${sqlStopHits(stopEn)} AS DOUBLE) / len($sqlToks) * 0.2 AS quality
+       |FROM documents""".stripMargin) { (s, d) =>
+    val alphaR = TextFns.alphaChars(col("text")).cast("double") / length(col("text"))
+    val punctR = TextFns.punctChars(col("text")).cast("double") / length(col("text"))
+    val stopR  = TextFns.stopwordHits(toks, stopEn).cast("double") / size(toks)
+    T.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).as("len_chars"),
+      alphaR.as("alpha_ratio"),
+      punctR.as("punct_ratio"),
+      stopR.as("stop_ratio"),
+      (alphaR * 0.5 + (lit(1) - punctR) * 0.3 + stopR * 0.2).as("quality"))
+  }
+
+  // --- t3_lang_id: stopword-hit n-gram heuristic language ID ---
+  val t3LangId = QueryDef.sql(
+    "t3_lang_id",
+    s"""SELECT doc_id, lang,
+       |  CASE
+       |    WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+       |    WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+       |    WHEN de >= fr AND de > 0 THEN 'de'
+       |    WHEN fr > 0 THEN 'fr'
+       |    ELSE 'und' END AS lang_pred
+       |FROM (SELECT doc_id, lang,
+       |  ${sqlStopHits(stopEn)} AS en, ${sqlStopHits(stopEs)} AS es,
+       |  ${sqlStopHits(stopDe)} AS de, ${sqlStopHits(stopFr)} AS fr
+       |FROM documents) h""".stripMargin) { (s, d) =>
+    val h = T.documents(s, d).select(
+      col("doc_id"), col("lang"),
+      TextFns.stopwordHits(toks, stopEn).as("en"),
+      TextFns.stopwordHits(toks, stopEs).as("es"),
+      TextFns.stopwordHits(toks, stopDe).as("de"),
+      TextFns.stopwordHits(toks, stopFr).as("fr"))
+    h.select(col("doc_id"), col("lang"),
+      when(col("en") >= col("es") && col("en") >= col("de") && col("en") >= col("fr") && col("en") > 0, "en")
+        .when(col("es") >= col("de") && col("es") >= col("fr") && col("es") > 0, "es")
+        .when(col("de") >= col("fr") && col("de") > 0, "de")
+        .when(col("fr") > 0, "fr")
+        .otherwise("und").as("lang_pred"))
+  }
+
+  // --- t4_fingerprint: normalized + prefix document fingerprints ---
+  val t4Fingerprint = QueryDef.sql(
+    "t4_fingerprint",
+    s"""SELECT doc_id,
+       |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       |  md5(array_to_string(($sqlToks)[1:10], ' ')) AS prefix_fp
+       |FROM documents""".stripMargin) { (s, d) =>
+    T.documents(s, d).select(
+      col("doc_id"),
+      TextFns.fingerprint(col("text")).as("fp"),
+      TextFns.prefixFingerprint(col("text"), 10).as("prefix_fp"))
+  }
+
+  // --- d1_exact_dedup: exact dedup by normalized-text hash, min-id wins ---
+  val d1ExactDedup = QueryDef.sql(
+    "d1_exact_dedup",
+    s"""SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       |  min(doc_id) AS survivor, count(*) AS n_copies
+       |FROM documents
+       |GROUP BY fp""".stripMargin) { (s, d) =>
+    T.documents(s, d)
+      .groupBy(TextFns.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("survivor"), count(lit(1)).as("n_copies"))
+  }
+
+  /** Distinct word-3-gram shingles per doc (shared by d2/d3). */
+  private def shingleRows(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(TextFns.shingles(toks, 3))).as("s"))
+
+  private val sqlShingles =
+    s"""sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |  FROM (SELECT doc_id, $sqlToks AS t FROM documents) toks,
+       |  LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r)""".stripMargin
+
+  // --- d2_ngram_jaccard: n-gram Jaccard near-dup pairs, DF-capped join ---
+  val d2NgramJaccard = QueryDef.sql(
+    "d2_ngram_jaccard",
+    s"""WITH $sqlShingles,
+       |keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50),
+       |shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep ON sh.s = keep.s),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+       |pairs AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+       |          FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY a.doc_id, b.doc_id)
+       |SELECT p.d1, p.d2, CAST(p.inter AS DOUBLE) / (s1.sz + s2.sz - p.inter) AS jaccard
+       |FROM pairs p JOIN sizes s1 ON p.d1 = s1.doc_id JOIN sizes s2 ON p.d2 = s2.doc_id
+       |WHERE CAST(p.inter AS DOUBLE) / (s1.sz + s2.sz - p.inter) >= 0.8""".stripMargin) { (s, d) =>
+    val sh = shingleRows(s, d)
+    val keep = sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= 50).select("s")
+    val shf = sh.join(keep, "s")
+    val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairs = shf.as("a").join(shf.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("inter"))
+    val jac = col("inter").cast("double") /
+      (col("s1.sz") + col("s2.sz") - col("inter"))
+    pairs
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .filter(jac >= 0.8)
+      .select(col("d1"), col("d2"), jac.as("jaccard"))
+  }
+
+  // --- d3_minhash_lsh: MinHash signatures + LSH banding (4 bands × 4 rows),
+  // candidates from bucket join, verified with exact Jaccard ---
+  val d3MinhashLsh = QueryDef.sql(
+    "d3_minhash_lsh",
+    s"""WITH $sqlShingles,
+       |mh AS (SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || s)) AS mh
+       |       FROM sh, LATERAL (SELECT unnest(range(0, 16)) AS seed) q
+       |       GROUP BY doc_id, seed),
+       |bands AS (SELECT doc_id, seed // 4 AS band, md5(string_agg(mh, '|' ORDER BY seed)) AS sig
+       |          FROM mh GROUP BY doc_id, seed // 4),
+       |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |         FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY a.doc_id, b.doc_id)
+       |SELECT c.d1, c.d2, CAST(i.i AS DOUBLE) / (s1.sz + s2.sz - i.i) AS jaccard
+       |FROM cand c
+       |JOIN inter i ON c.d1 = i.d1 AND c.d2 = i.d2
+       |JOIN sizes s1 ON c.d1 = s1.doc_id
+       |JOIN sizes s2 ON c.d2 = s2.doc_id
+       |WHERE CAST(i.i AS DOUBLE) / (s1.sz + s2.sz - i.i) >= 0.7""".stripMargin) { (s, d) =>
+    // MinHash signatures as pure array expressions — zero shuffle per doc.
+    val shArr = T.documents(s, d)
+      .select(col("doc_id"), array_distinct(TextFns.shingles(toks, 3)).as("shs"))
+      .filter(size(col("shs")) > 0)
+    val withMh = (0 until 16).foldLeft(shArr) { (df, k) =>
+      df.withColumn(s"mh$k", TextFns.minhash(col("shs"), k))
+    }
+    val bandCols = (0 until 4).map { b =>
+      md5(concat_ws("|", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*)).as(s"band$b")
+    }
+    val sig = withMh.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until 4).map(b => col(s"band$b")): _*)).as(Seq("band", "sig")))
+    val cand = sig.as("x").join(sig.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    // Exact-Jaccard verification of candidates only.
+    val sh = shingleRows(s, d)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("i"))
+    val jac = col("i").cast("double") / (col("s1.sz") + col("s2.sz") - col("i"))
+    cand
+      .join(inter, Seq("d1", "d2"))
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .filter(jac >= 0.7)
+      .select(col("d1"), col("d2"), jac.as("jaccard"))
+  }
+
+  // --- d4_simhash: 32-dim SimHash signature over the token multiset ---
+  val d4Simhash = QueryDef.sql(
+    "d4_simhash",
+    s"""WITH tok AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+       |bits AS (SELECT doc_id, pos,
+       |           sum(CASE WHEN substr(md5(tok), pos, 1) IN ('8','9','a','b','c','d','e','f')
+       |               THEN 1 ELSE -1 END) AS s
+       |         FROM tok, LATERAL (SELECT unnest(range(1, 33)) AS pos) p
+       |         GROUP BY doc_id, pos)
+       |SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY pos) AS simhash
+       |FROM bits GROUP BY doc_id""".stripMargin) { (s, d) =>
+    val bits = T.documents(s, d)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .select(col("doc_id"), explode(sequence(lit(1), lit(32))).as("pos"), md5(col("tok")).as("h"))
+      .select(col("doc_id"), col("pos"),
+        when(expr("substring(h, pos, 1)").isin("89abcdef".map(_.toString): _*), 1)
+          .otherwise(-1).as("b"))
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(sum(col("b")).as("s"))
+    bits.groupBy(col("doc_id")).agg(
+      expr("array_join(transform(array_sort(collect_list(struct(pos, CASE WHEN s > 0 THEN '1' ELSE '0' END AS bit))), x -> x.bit), '')")
+        .as("simhash"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    t1TokenStats, t2QualityScore, t3LangId, t4Fingerprint,
+    d1ExactDedup, d2NgramJaccard, d3MinhashLsh, d4Simhash)
+}
