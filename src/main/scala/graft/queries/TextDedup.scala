@@ -135,7 +135,8 @@ object TextDedup {
   /** Distinct word-3-gram shingles per doc (shared by d2/d3). */
   private def shingleRows(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
-      .select(col("doc_id"), explode(array_distinct(TextFns.shingles(toks, 3))).as("s"))
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.shinglesRegex(col("text"), 3))).as("s"))
 
   private val sqlShingles =
     s"""sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
@@ -155,9 +156,11 @@ object TextDedup {
        |SELECT p.d1, p.d2, CAST(p.inter AS DOUBLE) / (s1.sz + s2.sz - p.inter) AS jaccard
        |FROM pairs p JOIN sizes s1 ON p.d1 = s1.doc_id JOIN sizes s2 ON p.d2 = s2.doc_id
        |WHERE CAST(p.inter AS DOUBLE) / (s1.sz + s2.sz - p.inter) >= 0.8""".stripMargin) { (s, d) =>
-    val sh = shingleRows(s, d)
+    // sh/shf feed several downstream subplans; persist them so the
+    // shingle explode (interpreted HOFs) runs once, not once per branch.
+    val sh = shingleRows(s, d).persist()
     val keep = sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= 50).select("s")
-    val shf = sh.join(keep, "s")
+    val shf = sh.join(keep, "s").persist()
     val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val pairs = shf.as("a").join(shf.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -194,26 +197,41 @@ object TextDedup {
        |JOIN sizes s1 ON c.d1 = s1.doc_id
        |JOIN sizes s2 ON c.d2 = s2.doc_id
        |WHERE CAST(i.i AS DOUBLE) / (s1.sz + s2.sz - i.i) >= 0.7""".stripMargin) { (s, d) =>
-    // MinHash signatures as pure array expressions — zero shuffle per doc.
-    val shArr = T.documents(s, d)
-      .select(col("doc_id"), array_distinct(TextFns.shingles(toks, 3)).as("shs"))
-      .filter(size(col("shs")) > 0)
-    val withMh = (0 until 16).foldLeft(shArr) { (df, k) =>
-      df.withColumn(s"mh$k", TextFns.minhash(col("shs"), k))
-    }
-    val bandCols = (0 until 4).map { b =>
-      md5(concat_ws("|", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*)).as(s"band$b")
-    }
-    val sig = withMh.select(col("doc_id") +: bandCols: _*)
-      .select(col("doc_id"),
-        posexplode(array((0 until 4).map(b => col(s"band$b")): _*)).as(Seq("band", "sig")))
+    // MinHash via explode + map-side-combined min aggregate: the md5 stays
+    // inside whole-stage codegen (array higher-order functions don't), and
+    // the shuffle carries only |docs| × 16 partial minima, not the
+    // exploded shingle×seed rows.
+    // Persist + eager-materialize: the shingle frame feeds both the
+    // signature pipeline and the verification branch; populating the cache
+    // lazily inside the first big job measured ~3× slower than building it
+    // up front.
+    val shBase = shingleRows(s, d).persist()
+    shBase.count()
+    val mh = shBase
+      .select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("seed"), col("s"))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("s")))).as("mh"))
+    val sig = mh
+      .groupBy(col("doc_id"), expr("seed div 4").as("band"))
+      .agg(md5(expr(
+        "array_join(transform(array_sort(collect_list(named_struct('seed', seed, 'mh', mh))), x -> x.mh), '|')"))
+        .as("sig"))
+      // sig feeds both sides of the bucket self-join; persist the tiny
+      // signature set (|docs| × 4 rows) so the pipeline runs once.
+      .persist()
     val cand = sig.as("x").join(sig.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-    // Exact-Jaccard verification of candidates only.
-    val sh = shingleRows(s, d)
+      .persist()
+    // Exact-Jaccard verification of candidates only: semi-join the shingle
+    // rows down to candidate docs before the pair join — verification cost
+    // is O(candidates), not O(all overlapping pairs). At 100 TB this is
+    // the difference between LSH working and LSH being pointless.
+    val candIds = cand.select(col("d1").as("doc_id"))
+      .union(cand.select(col("d2").as("doc_id"))).distinct()
+    val sh = shBase.join(broadcast(candIds), Seq("doc_id"), "left_semi")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
