@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables => T}
+
+/** Event-stream analytics in their batch form — the same logical
+  * transforms graft.streaming.EventStreams runs incrementally with
+  * watermarks. Timestamps are second-truncated up front on both engines
+  * so µs(Spark)/ns(DuckDB) precision differences cannot shift a window or
+  * session boundary.
+  */
+object Events {
+
+  // --- e1_windowed_agg: tumbling-window (hourly) aggregation — the batch
+  // equivalent of the streaming windowed count (SURVEY §2.7) ---
+  val e1WindowedAgg = QueryDef.sql(
+    "e1_windowed_agg",
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY date_trunc('hour', ts), event_type""".stripMargin) { (s, d) =>
+    T.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("total_value"))
+  }
+
+  // --- e2_sessionization: 30-minute-gap sessions per user via the
+  // built-in session_window (batch mode); the oracle re-states the same
+  // semantics with lag + cumulative sum (new session iff gap >= 30min,
+  // matching session_window's half-open [start, start+gap) merge rule) ---
+  val e2Sessionization = QueryDef.sql(
+    "e2_sessionization",
+    """WITH x AS (
+      |  SELECT user_id, event_id, date_trunc('second', ts) AS tss, value FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, tss, value,
+      |    CASE WHEN lag(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) IS NULL
+      |           OR tss - lag(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM x),
+      |s AS (
+      |  SELECT user_id, tss, value,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tss, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS sess_no
+      |  FROM f)
+      |SELECT user_id, min(tss) AS sess_start, max(tss) AS sess_end,
+      |  count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+      |FROM s GROUP BY user_id, sess_no""".stripMargin) { (s, d) =>
+    T.events(s, d)
+      .select(col("user_id"), date_trunc("second", col("ts")).as("tss"), col("value"))
+      .groupBy(session_window(col("tss"), "30 minutes"), col("user_id"))
+      .agg(
+        min(col("tss")).as("sess_start"),
+        max(col("tss")).as("sess_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("total_value"))
+      .select(col("user_id"), col("sess_start"), col("sess_end"),
+        col("n_events"), col("total_value"))
+  }
+
+  // --- e3_event_funnel: per-user signup→purchase conversion lag — joins a
+  // stream to itself on user with an ordering predicate ---
+  val e3EventFunnel = QueryDef.sql(
+    "e3_event_funnel",
+    """WITH s AS (SELECT user_id, min(date_trunc('second', ts)) AS first_signup
+      |           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |p AS (SELECT user_id, date_trunc('second', ts) AS pts FROM events WHERE event_type = 'purchase')
+      |SELECT s.user_id, s.first_signup, min(p.pts) AS first_purchase_after
+      |FROM s JOIN p ON p.user_id = s.user_id AND p.pts >= s.first_signup
+      |GROUP BY s.user_id, s.first_signup""".stripMargin) { (s, d) =>
+    val ev = T.events(s, d)
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(min(date_trunc("second", col("ts"))).as("first_signup"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), date_trunc("second", col("ts")).as("pts"))
+    signups.join(purchases,
+        col("p_user") === col("user_id") && col("pts") >= col("first_signup"))
+      .groupBy(col("user_id"), col("first_signup"))
+      .agg(min(col("pts")).as("first_purchase_after"))
+  }
+
+  val all: Seq[QueryDef] = Seq(e1WindowedAgg, e2Sessionization, e3EventFunnel)
+}

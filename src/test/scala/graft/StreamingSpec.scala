@@ -1,0 +1,94 @@
+package graft
+
+import java.sql.Timestamp
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, Session}
+
+/** Structured Streaming coverage: streaming results must equal their
+  * batch equivalents, and the streaming upsert sink must be idempotent
+  * across micro-batches.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(1700000000000L + minutes * 60000)
+
+  test("streaming windowed counts == batch groupBy on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts(0), 1, "view", 10.0), Event(2, ts(10), 1, "view", 5.0),
+      Event(3, ts(61), 2, "buy", 20.0), Event(4, ts(65), 1, "view", 1.5),
+      Event(5, ts(130), 2, "buy", 2.25))
+    input.addData(events: _*)
+    val q = EventStreams.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("wc").outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val got = spark.table("wc").orderBy("hour", "event_type")
+      .as[(Timestamp, String, Long, Double)].collect().toSeq
+    val exp = events.toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("total_value"))
+      .select(col("window.start"), col("event_type"), col("n"), col("total_value"))
+      .orderBy("start", "event_type")
+      .as[(Timestamp, String, Long, Double)].collect().toSeq
+    assert(got === exp)
+    assert(got.map(_._3).sum === events.size)
+  }
+
+  test("stateful sessionization emits gap-closed sessions, matches session_window batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // user 1: two sessions (gap 45min between m10 and m55); user 2: one session
+    val batch1 = Seq(
+      Event(1, ts(0), 1, "view", 1.0), Event(2, ts(10), 1, "view", 2.0),
+      Event(3, ts(5), 2, "buy", 3.0))
+    val batch2 = Seq(
+      Event(4, ts(55), 1, "view", 4.0),
+      // far-future event pushes the watermark past every earlier session
+      Event(99, ts(10000), 9, "tick", 0.0))
+    val q = EventStreams.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      input.addData(batch1: _*); q.processAllAvailable()
+      input.addData(batch2: _*); q.processAllAvailable()
+      // one more empty-ish batch so timeout for the last sessions fires
+      input.addData(Event(100, ts(20000), 9, "tick", 0.0)); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess").as[Session].collect()
+      .map(s => (s.user_id, s.sess_start, s.sess_end, s.n_events, s.total_value)).toSet
+    // sessions closed by watermark: user1 [m0,m10] (2 ev, 3.0), user1 [m55,m55]
+    // (1 ev, 4.0), user2 [m5,m5] (1 ev, 3.0), user9 [m10000] closed by m20000
+    assert(got.contains((1L, ts(0), ts(10), 2L, 3.0)))
+    assert(got.contains((1L, ts(55), ts(55), 1L, 4.0)))
+    assert(got.contains((2L, ts(5), ts(5), 1L, 3.0)))
+    // batch equivalence via session_window over the same closed range
+    val all = (batch1 ++ batch2.take(1)).toDF()
+    val exp = all.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"), count(lit(1)).as("n"), sum("value").as("v"))
+      .select(col("user_id"), col("s"), col("e"), col("n"), col("v"))
+      .as[(Long, Timestamp, Timestamp, Long, Double)].collect().toSet
+    assert(exp.subsetOf(got.map(t => (t._1, t._2, t._3, t._4, t._5))))
+  }
+
+  test("streaming upsert sink: duplicate keys across micro-batches collapse to latest") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, String)] // key, version, value
+    val path = Files.createTempDirectory("graft-stream-upsert").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    val q = EventStreams.upsertSink(
+      input.toDF().toDF("k", "ver", "v"), path, Seq("k"), "ver", ckpt)
+    try {
+      input.addData((1L, 1L, "a1"), (2L, 1L, "b1")); q.processAllAvailable()
+      // batch 2 re-delivers key 1 (older AND newer version) + new key 3
+      input.addData((1L, 3L, "a3"), (1L, 2L, "a2"), (3L, 1L, "c1")); q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(path).orderBy("k")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(out === Seq((1L, 3L, "a3"), (2L, 1L, "b1"), (3L, 1L, "c1")))
+  }
+}
