@@ -14,14 +14,16 @@ import graft.{QueryDef, Tables => T}
   * candidate side stays partitioned; only the query set moves.
   *
   * v2 is the scale path: random-hyperplane LSH. Bucket signatures are
-  * computed per-row against constant (folded) sign vectors derived from
-  * md5 — deterministic, so the DuckDB oracle reproduces them bit-for-bit.
+  * computed per-row against constant sign vectors derived from md5 —
+  * deterministic, so the DuckDB oracle reproduces them bit-for-bit.
   * Search cost drops from O(N) to O(bucket).
   *
-  * Oracle parity: embedding floats are quantized to DECIMAL(10,6) and all
-  * dot/norm sums run in exact decimal (order-independent); only the final
-  * cosine division happens in double (single IEEE op — identical in both
-  * engines).
+  * Oracle parity + speed: embedding floats are quantized ONCE to
+  * fixed-point micro-units (double → DECIMAL(10,6) → ×1e6 → BIGINT —
+  * identical rounding in both engines), then every dot/norm is an exact
+  * integer sum (order-independent, no Decimal allocation in the hot
+  * loop; |dot| ≤ 64·10⁷·10⁷ < 2⁶³). Only the final cosine runs in
+  * double, with the same expression shape on both engines.
   */
 object Similarity {
 
@@ -36,31 +38,81 @@ object Similarity {
   private val nPlanes = 8
   private val dim = 64
 
-  /** Exact decimal dot product of two float-array columns. */
-  private def dotDec(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> CAST(CAST(x AS DOUBLE) AS DECIMAL(10,6)) * CAST(CAST(y AS DOUBLE) AS DECIMAL(10,6))), CAST(0 AS DECIMAL(37,12)), (acc, v) -> CAST(acc + v AS DECIMAL(37,12)))")
+  /** Quantize a float array column to fixed-point micro-unit longs. */
+  private def quantize(arr: String): Column =
+    expr(s"transform($arr, x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(10,6)) * 1000000 AS BIGINT))")
 
+  /** Exact integer dot product of two quantized long-array columns. */
+  private def dotQ(a: String, b: String): Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+
+  /** cosine from integer dot/norms: same expression shape in the oracle. */
   private def cosine: Column =
-    col("dot").cast("double") /
-      (sqrt(col("nx").cast("double")) * sqrt(col("ny").cast("double")))
+    (col("dot").cast("double") / lit(1e12)) /
+      (sqrt(col("nx").cast("double") / lit(1e12)) * sqrt(col("ny").cast("double") / lit(1e12)))
 
-  /** Attach `bucket` to a frame holding `embedding`. */
-  private def bucketed(df: DataFrame, embedding: String): DataFrame = {
-    val withSigns = (0 until nPlanes).foldLeft(df) { (acc, p) =>
-      acc.withColumn(s"__signs$p", array((1 to dim).map(d => lit(sign(p, d))): _*))
-    }
-    val withProj = (0 until nPlanes).foldLeft(withSigns) { (acc, p) =>
+  private val sqlQuantU = "CAST(CAST(CAST(u.x AS DOUBLE) AS DECIMAL(10,6)) * 1000000 AS BIGINT)"
+  private val sqlQuantV = "CAST(CAST(CAST(u.y AS DOUBLE) AS DECIMAL(10,6)) * 1000000 AS BIGINT)"
+
+  private val sqlDots =
+    s"""dots AS (SELECT qid, cid,
+       |    sum($sqlQuantU * $sqlQuantV) AS dot,
+       |    sum($sqlQuantU * $sqlQuantU) AS nx,
+       |    sum($sqlQuantV * $sqlQuantV) AS ny
+       |  FROM u GROUP BY qid, cid),
+       |scored AS (SELECT qid, cid,
+       |    (CAST(dot AS DOUBLE) / 1e12) /
+       |      (sqrt(CAST(nx AS DOUBLE) / 1e12) * sqrt(CAST(ny AS DOUBLE) / 1e12)) AS cosine
+       |  FROM dots)""".stripMargin
+
+  private val sqlTopk =
+    """SELECT qid, cid, cosine, rank FROM (
+      |  SELECT qid, cid, cosine,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+      |  FROM scored) t
+      |WHERE rank <= 10""".stripMargin
+
+  /** Score a (qid, cid, qeq, ceq) frame and keep cosine top-10 per query. */
+  private def scoreTopk(pairs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+    pairs
+      .withColumn("dot", dotQ("qeq", "ceq"))
+      .withColumn("nx", dotQ("qeq", "qeq"))
+      .withColumn("ny", dotQ("ceq", "ceq"))
+      .withColumn("cosine", cosine)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("cid"), col("cosine"), col("rank"))
+  }
+
+  /** Attach LSH `bucket` to a frame holding quantized array `q`:
+    * 8 hyperplane projections against constant ±1 sign vectors (exact
+    * integer sums), bucket = the 8-bit sign pattern. */
+  private def bucketed(df: DataFrame, q: String): DataFrame = {
+    val withProj = (0 until nPlanes).foldLeft(df) { (acc, p) =>
       acc.withColumn(s"__proj$p", expr(
-        s"aggregate(zip_with($embedding, __signs$p, (x, s) -> CAST(CAST(x AS DOUBLE) AS DECIMAL(10,6)) * s), CAST(0 AS DECIMAL(37,12)), (acc, v) -> CAST(acc + v AS DECIMAL(37,12)))"))
+        s"aggregate(zip_with($q, array(${(1 to dim).map(d => sign(p, d)).mkString(",")}), (x, s) -> x * s), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
     }
     withProj
       .withColumn("bucket", concat((0 until nPlanes).map(p =>
         when(col(s"__proj$p") > 0, "1").otherwise("0")): _*))
-      .drop(((0 until nPlanes).map(p => s"__signs$p") ++ (0 until nPlanes).map(p => s"__proj$p")): _*)
+      .drop((0 until nPlanes).map(p => s"__proj$p"): _*)
   }
 
-  private val sqlDot =
-    "sum(CAST(CAST(u.x AS DOUBLE) AS DECIMAL(10,6)) * CAST(CAST(u.y AS DOUBLE) AS DECIMAL(10,6)))"
+  private val sqlSigns =
+    """signs AS (SELECT p, dim,
+      |    CASE WHEN substr(md5(CAST(p AS VARCHAR) || '-' || CAST(dim AS VARCHAR)), 1, 1)
+      |      IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END AS sgn
+      |  FROM (SELECT unnest(range(0, 8)) AS p) planes,
+      |       (SELECT unnest(range(1, 65)) AS dim) dims)""".stripMargin
+
+  private val sqlBuckets =
+    s"""uv AS (SELECT vec_id, unnest(embedding) AS x, unnest(range(1, 65)) AS dim FROM embeddings),
+       |proj AS (SELECT vec_id, p,
+       |    sum(CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(10,6)) * 1000000 AS BIGINT) * sgn) AS pr
+       |  FROM uv JOIN signs USING (dim) GROUP BY vec_id, p),
+       |buckets AS (SELECT vec_id, string_agg(CASE WHEN pr > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+       |  FROM proj GROUP BY vec_id)""".stripMargin
 
   // --- v1_knn_bruteforce: exact cosine top-10 per query vector ---
   val v1KnnBruteforce = QueryDef.sql(
@@ -68,124 +120,61 @@ object Similarity {
     s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
        |pr AS (SELECT qid, c.vec_id AS cid, qe, c.embedding AS ce FROM q, embeddings c WHERE c.vec_id <> qid),
        |u AS (SELECT qid, cid, unnest(qe) AS x, unnest(ce) AS y FROM pr),
-       |dots AS (SELECT qid, cid,
-       |    sum(CAST(CAST(u.x AS DOUBLE) AS DECIMAL(10,6)) * CAST(CAST(u.y AS DOUBLE) AS DECIMAL(10,6))) AS dot,
-       |    sum(CAST(CAST(u.x AS DOUBLE) AS DECIMAL(10,6)) * CAST(CAST(u.x AS DOUBLE) AS DECIMAL(10,6))) AS nx,
-       |    sum(CAST(CAST(u.y AS DOUBLE) AS DECIMAL(10,6)) * CAST(CAST(u.y AS DOUBLE) AS DECIMAL(10,6))) AS ny
-       |  FROM u GROUP BY qid, cid),
-       |scored AS (SELECT qid, cid,
-       |    CAST(dot AS DOUBLE) / (sqrt(CAST(nx AS DOUBLE)) * sqrt(CAST(ny AS DOUBLE))) AS cosine
-       |  FROM dots)
-       |SELECT qid, cid, cosine, rank FROM (
-       |  SELECT qid, cid, cosine,
-       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
-       |  FROM scored) t
-       |WHERE rank <= 10""".stripMargin) { (s, d) =>
-    val emb = T.embeddings(s, d)
+       |$sqlDots
+       |$sqlTopk""".stripMargin) { (s, d) =>
+    val emb = T.embeddings(s, d).withColumn("q", quantize("embedding"))
     val q = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("cid") =!= col("qid"))
-      .withColumn("dot", dotDec("qe", "ce"))
-      .withColumn("nx", dotDec("qe", "qe"))
-      .withColumn("ny", dotDec("ce", "ce"))
-      .withColumn("cosine", cosine)
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
-      .select(col("qid"), col("cid"), col("cosine"), col("rank"))
+      .select(col("vec_id").as("qid"), col("q").as("qeq"))
+    val c = emb.select(col("vec_id").as("cid"), col("q").as("ceq"))
+    scoreTopk(c.crossJoin(broadcast(q)).filter(col("cid") =!= col("qid")))
   }
 
   // --- v2_ann_lsh: hyperplane-LSH bucketed ANN, exact rescoring in-bucket ---
   val v2AnnLsh = QueryDef.sql(
-    "v2_ann_lsh", {
-      val signCase =
-        """CASE WHEN substr(md5(CAST(p AS VARCHAR) || '-' || CAST(dim AS VARCHAR)), 1, 1)
-          |  IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END""".stripMargin
-      s"""WITH signs AS (SELECT p, dim, $signCase AS sgn
-         |  FROM (SELECT unnest(range(0, $nPlanes)) AS p) planes,
-         |       (SELECT unnest(range(1, ${dim + 1})) AS dim) dims),
-         |uv AS (SELECT vec_id, unnest(embedding) AS x, unnest(range(1, ${dim + 1})) AS dim FROM embeddings),
-         |proj AS (SELECT vec_id, p, sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(10,6)) * sgn) AS pr
-         |         FROM uv JOIN signs USING (dim) GROUP BY vec_id, p),
-         |buckets AS (SELECT vec_id, string_agg(CASE WHEN pr > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
-         |            FROM proj GROUP BY vec_id),
-         |q AS (SELECT e.vec_id AS qid, e.embedding AS qe, b.bucket
-         |      FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id WHERE e.vec_id < 5),
-         |cand AS (SELECT q.qid, e.vec_id AS cid, q.qe, e.embedding AS ce
-         |         FROM q JOIN buckets b ON q.bucket = b.bucket
-         |         JOIN embeddings e ON e.vec_id = b.vec_id
-         |         WHERE e.vec_id <> q.qid),
-         |u AS (SELECT qid, cid, unnest(qe) AS x, unnest(ce) AS y FROM cand),
-         |dots AS (SELECT qid, cid,
-         |    sum(CAST(CAST(u.x AS DOUBLE) AS DECIMAL(10,6)) * CAST(CAST(u.y AS DOUBLE) AS DECIMAL(10,6))) AS dot,
-         |    sum(CAST(CAST(u.x AS DOUBLE) AS DECIMAL(10,6)) * CAST(CAST(u.x AS DOUBLE) AS DECIMAL(10,6))) AS nx,
-         |    sum(CAST(CAST(u.y AS DOUBLE) AS DECIMAL(10,6)) * CAST(CAST(u.y AS DOUBLE) AS DECIMAL(10,6))) AS ny
-         |  FROM u GROUP BY qid, cid),
-         |scored AS (SELECT qid, cid,
-         |    CAST(dot AS DOUBLE) / (sqrt(CAST(nx AS DOUBLE)) * sqrt(CAST(ny AS DOUBLE))) AS cosine
-         |  FROM dots)
-         |SELECT qid, cid, cosine, rank FROM (
-         |  SELECT qid, cid, cosine,
-         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
-         |  FROM scored) t
-         |WHERE rank <= 10""".stripMargin
-    }) { (s, d) =>
-    val emb = bucketed(T.embeddings(s, d), "embedding")
+    "v2_ann_lsh",
+    s"""WITH $sqlSigns,
+       |$sqlBuckets,
+       |q AS (SELECT e.vec_id AS qid, e.embedding AS qe, b.bucket
+       |      FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id WHERE e.vec_id < 5),
+       |cand AS (SELECT q.qid, e.vec_id AS cid, q.qe, e.embedding AS ce
+       |         FROM q JOIN buckets b ON q.bucket = b.bucket
+       |         JOIN embeddings e ON e.vec_id = b.vec_id
+       |         WHERE e.vec_id <> q.qid),
+       |u AS (SELECT qid, cid, unnest(qe) AS x, unnest(ce) AS y FROM cand),
+       |$sqlDots
+       |$sqlTopk""".stripMargin) { (s, d) =>
+    val emb = bucketed(T.embeddings(s, d).withColumn("q", quantize("embedding")), "q")
+      .persist()
     val q = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
-    val c = emb.select(col("vec_id").as("cid"), col("embedding").as("ce"), col("bucket"))
-    val scored = c.join(broadcast(q), "bucket")
-      .filter(col("cid") =!= col("qid"))
-      .withColumn("dot", dotDec("qe", "ce"))
-      .withColumn("nx", dotDec("qe", "qe"))
-      .withColumn("ny", dotDec("ce", "ce"))
-      .withColumn("cosine", cosine)
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
-      .select(col("qid"), col("cid"), col("cosine"), col("rank"))
+      .select(col("vec_id").as("qid"), col("q").as("qeq"), col("bucket"))
+    val c = emb.select(col("vec_id").as("cid"), col("q").as("ceq"), col("bucket"))
+    scoreTopk(c.join(broadcast(q), "bucket").filter(col("cid") =!= col("qid")))
   }
 
   // --- v3_embedding_neardup: all-pairs near-duplicate detection via LSH
-  // buckets (cosine ≥ 0.4 within bucket; the fixture embeddings have no planted near-dups — max all-pairs cosine ≈ 0.51 — so the threshold is set where signal exists) — dedup by embedding similarity ---
+  // buckets (cosine ≥ 0.4 within bucket; the fixture embeddings have no
+  // planted near-dups — max all-pairs cosine ≈ 0.51 — so the threshold
+  // sits where signal exists) ---
   val v3EmbeddingNeardup = QueryDef.sql(
-    "v3_embedding_neardup", {
-      val signCase =
-        """CASE WHEN substr(md5(CAST(p AS VARCHAR) || '-' || CAST(dim AS VARCHAR)), 1, 1)
-          |  IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END""".stripMargin
-      s"""WITH signs AS (SELECT p, dim, $signCase AS sgn
-         |  FROM (SELECT unnest(range(0, $nPlanes)) AS p) planes,
-         |       (SELECT unnest(range(1, ${dim + 1})) AS dim) dims),
-         |uv AS (SELECT vec_id, unnest(embedding) AS x, unnest(range(1, ${dim + 1})) AS dim FROM embeddings),
-         |proj AS (SELECT vec_id, p, sum(CAST(CAST(x AS DOUBLE) AS DECIMAL(10,6)) * sgn) AS pr
-         |         FROM uv JOIN signs USING (dim) GROUP BY vec_id, p),
-         |buckets AS (SELECT vec_id, string_agg(CASE WHEN pr > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
-         |            FROM proj GROUP BY vec_id),
-         |pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2, ea.embedding AS qe, eb.embedding AS ce
-         |          FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |          JOIN embeddings ea ON ea.vec_id = a.vec_id
-         |          JOIN embeddings eb ON eb.vec_id = b.vec_id),
-         |u AS (SELECT id1, id2, unnest(qe) AS x, unnest(ce) AS y FROM pairs),
-         |dots AS (SELECT id1, id2,
-         |    sum(CAST(CAST(u.x AS DOUBLE) AS DECIMAL(10,6)) * CAST(CAST(u.y AS DOUBLE) AS DECIMAL(10,6))) AS dot,
-         |    sum(CAST(CAST(u.x AS DOUBLE) AS DECIMAL(10,6)) * CAST(CAST(u.x AS DOUBLE) AS DECIMAL(10,6))) AS nx,
-         |    sum(CAST(CAST(u.y AS DOUBLE) AS DECIMAL(10,6)) * CAST(CAST(u.y AS DOUBLE) AS DECIMAL(10,6))) AS ny
-         |  FROM u GROUP BY id1, id2)
-         |SELECT id1, id2,
-         |  CAST(dot AS DOUBLE) / (sqrt(CAST(nx AS DOUBLE)) * sqrt(CAST(ny AS DOUBLE))) AS cosine
-         |FROM dots
-         |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(nx AS DOUBLE)) * sqrt(CAST(ny AS DOUBLE))) >= 0.4""".stripMargin
-    }) { (s, d) =>
-    val emb = bucketed(T.embeddings(s, d), "embedding")
-    val a = emb.select(col("vec_id").as("id1"), col("embedding").as("qe"), col("bucket"))
-    val b = emb.select(col("vec_id").as("id2"), col("embedding").as("ce"), col("bucket"))
+    "v3_embedding_neardup",
+    s"""WITH $sqlSigns,
+       |$sqlBuckets,
+       |pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2, ea.embedding AS qe, eb.embedding AS ce
+       |          FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |          JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |          JOIN embeddings eb ON eb.vec_id = b.vec_id),
+       |u AS (SELECT id1 AS qid, id2 AS cid, unnest(qe) AS x, unnest(ce) AS y FROM pairs),
+       |$sqlDots
+       |SELECT qid AS id1, cid AS id2, cosine FROM scored WHERE cosine >= 0.4""".stripMargin) { (s, d) =>
+    val emb = bucketed(T.embeddings(s, d).withColumn("q", quantize("embedding")), "q")
+      .persist()
+    val a = emb.select(col("vec_id").as("id1"), col("q").as("qeq"), col("bucket"))
+    val b = emb.select(col("vec_id").as("id2"), col("q").as("ceq"), col("bucket"))
     a.join(b, Seq("bucket"))
       .filter(col("id1") < col("id2"))
-      .withColumn("dot", dotDec("qe", "ce"))
-      .withColumn("nx", dotDec("qe", "qe"))
-      .withColumn("ny", dotDec("ce", "ce"))
+      .withColumn("dot", dotQ("qeq", "ceq"))
+      .withColumn("nx", dotQ("qeq", "qeq"))
+      .withColumn("ny", dotQ("ceq", "ceq"))
       .withColumn("cosine", cosine)
       .filter(col("cosine") >= 0.4)
       .select(col("id1"), col("id2"), col("cosine"))

@@ -180,11 +180,13 @@ object TextDedup {
   val d3MinhashLsh = QueryDef.sql(
     "d3_minhash_lsh",
     s"""WITH $sqlShingles,
-       |mh AS (SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || s)) AS mh
-       |       FROM sh, LATERAL (SELECT unnest(range(0, 16)) AS seed) q
-       |       GROUP BY doc_id, seed),
-       |bands AS (SELECT doc_id, seed // 4 AS band, md5(string_agg(mh, '|' ORDER BY seed)) AS sig
-       |          FROM mh GROUP BY doc_id, seed // 4),
+       |mh AS (SELECT doc_id, k, j, min(substr(md5(CAST(k AS VARCHAR) || ':' || s), 1 + 8 * j, 8)) AS mh
+       |       FROM sh,
+       |       LATERAL (SELECT unnest(range(0, 4)) AS k) kk,
+       |       LATERAL (SELECT unnest(range(0, 4)) AS j) jj
+       |       GROUP BY doc_id, k, j),
+       |bands AS (SELECT doc_id, k AS band, md5(string_agg(mh, '|' ORDER BY j)) AS sig
+       |          FROM mh GROUP BY doc_id, k),
        |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
        |         FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
@@ -207,15 +209,21 @@ object TextDedup {
     // up front.
     val shBase = shingleRows(s, d).persist()
     shBase.count()
-    val mh = shBase
-      .select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("seed"), col("s"))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("s")))).as("mh"))
-    val sig = mh
-      .groupBy(col("doc_id"), expr("seed div 4").as("band"))
-      .agg(md5(expr(
-        "array_join(transform(array_sort(collect_list(named_struct('seed', seed, 'mh', mh))), x -> x.mh), '|')"))
-        .as("sig"))
+    // 16 MinHash values from only 4 md5 calls per shingle: each 32-hex
+    // digest md5(k:s) is split into four 8-hex chunks, each a valid
+    // independent min-hash. All 16 minima are codegen'd min-aggregates
+    // over ONE shuffle whose payload is |docs| × 16 values regardless of
+    // shingle count (partial minima combine map-side).
+    val mhAggs = for (k <- 0 until 4; j <- 0 until 4) yield
+      min(substring(md5(concat(lit(s"$k:"), col("s"))), 1 + 8 * j, 8)).as(s"mh${k}_$j")
+    val sigRow = shBase.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+    // band k = the 4 chunk-minima of digest k, in chunk order — identical
+    // banding to the SQL oracle's string_agg(... ORDER BY j).
+    val bandCols = (0 until 4).map { k =>
+      md5(concat_ws("|", (0 until 4).map(j => col(s"mh${k}_$j")): _*))
+    }
+    val sig = sigRow
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
       // sig feeds both sides of the bucket self-join; persist the tiny
       // signature set (|docs| × 4 rows) so the pipeline runs once.
       .persist()
@@ -257,17 +265,20 @@ object TextDedup {
        |         GROUP BY doc_id, pos)
        |SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY pos) AS simhash
        |FROM bits GROUP BY doc_id""".stripMargin) { (s, d) =>
-    val bits = T.documents(s, d)
-      .select(col("doc_id"), explode(toks).as("tok"))
-      .select(col("doc_id"), explode(sequence(lit(1), lit(32))).as("pos"), md5(col("tok")).as("h"))
-      .select(col("doc_id"), col("pos"),
-        when(expr("substring(h, pos, 1)").isin("89abcdef".map(_.toString): _*), 1)
-          .otherwise(-1).as("b"))
-      .groupBy(col("doc_id"), col("pos"))
-      .agg(sum(col("b")).as("s"))
-    bits.groupBy(col("doc_id")).agg(
-      expr("array_join(transform(array_sort(collect_list(struct(pos, CASE WHEN s > 0 THEN '1' ELSE '0' END AS bit))), x -> x.bit), '')")
-        .as("simhash"))
+    // 32 bit-position sums as 32 codegen'd aggregates over one shuffle of
+    // |docs| × 32 partials — no position explosion (the naive pos-explode
+    // form materializes tokens × 32 rows and was 12s at sf0.1; this is
+    // the same math in one pass).
+    val hexHigh = "89abcdef".map(_.toString)
+    val tok = T.documents(s, d)
+      .select(col("doc_id"), explode(toks).as("t"))
+      .select(col("doc_id"), md5(col("t")).as("h"))
+    val bitAggs = (1 to 32).map(p =>
+      sum(when(substring(col("h"), p, 1).isin(hexHigh: _*), 1).otherwise(-1)).as(s"s$p"))
+    tok.groupBy(col("doc_id"))
+      .agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("doc_id"),
+        concat((1 to 32).map(p => when(col(s"s$p") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 
   val all: Seq[QueryDef] = Seq(
