@@ -1,0 +1,39 @@
+package graft
+
+import graft.functions.ArrayDotProduct
+import org.apache.spark.sql.functions._
+
+/** Native codegen'd expression + fast-path/exact-path agreement. */
+class ExtrasSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ArrayDotProduct: interpreted and codegen paths agree, nulls propagate") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.5f, -1.5f), Array(2.0f, 2.0f))).toDF("a", "b")
+    val got = df.select(ArrayDotProduct.dotF($"a", $"b").as("d")).as[Double].collect().toSeq
+    assert(got === Seq(32.0, -2.0))
+    val withNull = df.select(ArrayDotProduct.dotF(lit(null).cast("array<float>"), $"b").as("d"))
+    assert(withNull.filter($"d".isNotNull).count() === 0)
+  }
+
+  test("v4 fast KNN ranks agree with oracle-gated v1 quantized KNN") {
+    val fast = SparkEntry.queries("v4_knn_fast")(spark, sfDir)
+      .select("qid", "cid", "rank").as[(Long, Long, Int)].collect().toSet
+    val exact = SparkEntry.queries("v1_knn_bruteforce")(spark, sfDir)
+      .select("qid", "cid", "rank").as[(Long, Long, Int)].collect().toSet
+    // identical neighbor sets per query; ranks may only differ on
+    // quantization-level near-ties
+    val fastSets = fast.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val exactSets = exact.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(fastSets === exactSets)
+  }
+
+  test("sql1_shared_dialect: one SQL text serves Spark and the oracle") {
+    val q = SparkEntry.registry.find(_.name == "sql1_shared_dialect").get
+    assert(q.oracle.isDefined)
+    val df = q.run(spark, sfDir)
+    assert(df.columns.toSet === Set("hour", "event_type", "n", "total_value"))
+    assert(df.count() > 0)
+  }
+}
