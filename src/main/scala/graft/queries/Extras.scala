@@ -78,5 +78,16 @@ object Extras {
       .select(col("qid"), col("cid"), col("cosine"), col("rank"))
   }
 
-  val all: Seq[QueryDef] = Seq(a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast)
+  // --- a15_approx_sketch: approximate distinct/percentile sketches —
+  // partition-local sketches merged at the driver (the 100 TB path for
+  // cardinality/quantiles). Sketch internals differ across engines, so
+  // this is a rows-only check; ExtrasSpec bounds the error vs exact.
+  val a15ApproxSketch = QueryDef.rowsOnly("a15_approx_sketch") { (s, d) =>
+    T.lineitem(s, d).groupBy(col("l_returnflag")).agg(
+      approx_count_distinct(col("l_partkey")).as("approx_parts"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
+      count(lit(1)).as("n"))
+  }
+
+  val all: Seq[QueryDef] = Seq(a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch)
 }

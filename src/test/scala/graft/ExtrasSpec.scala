@@ -29,6 +29,18 @@ class ExtrasSpec extends SparkSpec {
     assert(fastSets === exactSets)
   }
 
+  test("a15 approx sketches land within 5% of exact") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("a15_approx_sketch")(spark, sfDir)
+      .select("l_returnflag", "approx_parts").as[(String, Long)].collect().toMap
+    val exact = graft.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag")).agg(countDistinct(col("l_partkey")).as("d"))
+      .select("l_returnflag", "d").as[(String, Long)].collect().toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k) - ex).toDouble / ex < 0.05, s"$k: approx=${approx(k)} exact=$ex")
+    }
+  }
+
   test("sql1_shared_dialect: one SQL text serves Spark and the oracle") {
     val q = SparkEntry.registry.find(_.name == "sql1_shared_dialect").get
     assert(q.oracle.isDefined)
