@@ -89,5 +89,90 @@ object Extras {
       count(lit(1)).as("n"))
   }
 
-  val all: Seq[QueryDef] = Seq(a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch)
+  // --- a16_window_suite: ranking/navigation/frame window coverage ---
+  val a16WindowSuite = QueryDef.sql(
+    "a16_window_suite",
+    """SELECT o_orderkey, o_custkey,
+      |  dense_rank() OVER w AS drk,
+      |  ntile(4) OVER w AS quartile,
+      |  lead(o_orderkey) OVER w AS next_ok,
+      |  first_value(o_orderkey) OVER w AS first_ok,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving3
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    T.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      dense_rank().over(w).as("drk"),
+      ntile(4).over(w).as("quartile"),
+      lead(col("o_orderkey"), 1).over(w).as("next_ok"),
+      first_value(col("o_orderkey")).over(w).as("first_ok"),
+      sum(col("o_totalprice").cast("decimal(14,2)"))
+        .over(w.rowsBetween(-2, Window.currentRow)).cast("double").as("moving3"))
+  }
+
+  // --- a17_scalar_suite: string/date/numeric scalar function surface ---
+  val a17ScalarSuite = QueryDef.sql(
+    "a17_scalar_suite",
+    """SELECT p_partkey,
+      |  upper(p_brand) AS brand_u,
+      |  substring(p_name, 1, 8) AS name8,
+      |  length(p_name) AS name_len,
+      |  replace(p_type, ' ', '_') AS type_u,
+      |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4,
+      |  strpos(p_name, 'a') AS first_a,
+      |  abs(p_size - 25) AS size_dist,
+      |  greatest(p_size, 10) AS size_floor,
+      |  round(CAST(p_retailprice AS DECIMAL(12,2)) / 100, 1) AS price_h
+      |FROM part""".stripMargin) { (s, d) =>
+    T.part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      substring(col("p_name"), 1, 8).as("name8"),
+      length(col("p_name")).as("name_len"),
+      translate(col("p_type"), " ", "_").as("type_u"),
+      lpad(col("p_size").cast("string"), 4, "0").as("size4"),
+      instr(col("p_name"), "a").as("first_a"),
+      abs(col("p_size") - 25).as("size_dist"),
+      greatest(col("p_size"), lit(10)).as("size_floor"),
+      round(col("p_retailprice").cast("decimal(12,2)") / 100, 1).cast("double").as("price_h"))
+  }
+
+  // --- a18_date_suite: calendar arithmetic ---
+  val a18DateSuite = QueryDef.sql(
+    "a18_date_suite",
+    """SELECT o_orderkey,
+      |  year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS dd,
+      |  o_orderdate + INTERVAL 30 DAY AS due_date,
+      |  date_trunc('month', o_orderdate) AS month_start
+      |FROM orders WHERE year(o_orderdate) = 1997""".stripMargin) { (s, d) =>
+    T.orders(s, d)
+      .filter(year(col("o_orderdate")) === 1997)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dd"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("due_date"),
+        date_trunc("month", col("o_orderdate")).as("month_start"))
+  }
+
+  // --- a19_grouping_sets: explicit grouping-sets lattice ---
+  val a19GroupingSets = QueryDef.sql(
+    "a19_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin) { (s, d) =>
+    T.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
+    a16WindowSuite, a17ScalarSuite, a18DateSuite, a19GroupingSets)
 }
