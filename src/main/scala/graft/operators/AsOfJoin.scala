@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of (point-in-time) join: for every left row, attach the columns of
+  * the latest right row with the same key and `rightTs <= leftTs`
+  * (inclusive). Spark has no built-in as-of join; rather than a custom
+  * SparkPlan, this composes built-ins per the extension preference order
+  * (SURVEY.md: compose > Expression > Strategy): both sides are unioned
+  * into one stream, ONE shuffle on (key), and a running `last(_, ignore
+  * nulls)` window carries the most recent right values forward onto each
+  * left row.
+  *
+  * Cost at scale: a single hash partition by key + in-partition sort —
+  * strictly cheaper than the naive range-join (which explodes to
+  * O(left×right) pairs per key before aggregation). Equal timestamps:
+  * right rows sort before left rows, so a right row at exactly leftTs
+  * matches (same inclusive rule as DuckDB/Pandas ASOF).
+  */
+object AsOfJoin {
+
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String): DataFrame = {
+    val rightCols = right.columns.filter(c => c != key && c != rightTs).toSeq
+    val leftCols = left.columns.toSeq
+    require(rightCols.intersect(leftCols).isEmpty,
+      s"right columns ${rightCols.intersect(leftCols)} collide with left")
+
+    val l = leftCols.foldLeft(left)((df, _) => df)
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    val lPadded = rightCols.foldLeft(l)((df, c) =>
+      df.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+
+    val r = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+      .drop(rightTs)
+    val rPadded = leftCols.filterNot(_ == key).foldLeft(r)((df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+
+    val unioned = lPadded.select((leftCols ++ rightCols ++ Seq("__ts", "__side")).map(col): _*)
+      .unionByName(rPadded.select((leftCols ++ rightCols ++ Seq("__ts", "__side")).map(col): _*))
+
+    val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightCols.foldLeft(unioned)((df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+
+    carried.filter(col("__side") === 1).drop("__ts", "__side")
+  }
+}

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables => T}
+import graft.operators.AsOfJoin
 
 /** Event-stream analytics in their batch form — the same logical
   * transforms graft.streaming.EventStreams runs incrementally with
@@ -83,5 +84,27 @@ object Events {
       .agg(min(col("pts")).as("first_purchase_after"))
   }
 
-  val all: Seq[QueryDef] = Seq(e1WindowedAgg, e2Sessionization, e3EventFunnel)
+  // --- e4_asof_join: point-in-time join — each purchase matched to the
+  // most recent signup (same user, signup_ts <= purchase_ts). Spark side
+  // is the composed single-shuffle AsOfJoin operator; DuckDB states it
+  // natively with ASOF LEFT JOIN. Timestamps compared at µs (Spark's
+  // native precision; the oracle casts ns→µs, which floors identically).
+  val e4AsofJoin = QueryDef.sql(
+    "e4_asof_join",
+    """WITH p AS (SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+      |           FROM events WHERE event_type = 'purchase'),
+      |s AS (SELECT event_id AS signup_id, user_id, CAST(ts AS TIMESTAMP) AS sts
+      |      FROM events WHERE event_type = 'signup')
+      |SELECT p.purchase_id, p.user_id, s.signup_id
+      |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.pts >= s.sts""".stripMargin) { (sp, d) =>
+    val ev = T.events(sp, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("sts"), col("event_id").as("signup_id"))
+    AsOfJoin.asofJoin(purchases, signups, "user_id", "pts", "sts")
+      .select(col("purchase_id"), col("user_id"), col("signup_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin)
 }
