@@ -172,7 +172,25 @@ object Extras {
       .agg(count(lit(1)).as("n"))
   }
 
+  // --- sql2_correlated_subquery: correlated scalar subqueries (TPC-H
+  // Q17 shape, avg-threshold rewritten multiplicatively so the decimal
+  // arithmetic stays exact) — the SAME text runs on Spark SQL and DuckDB.
+  private val correlatedSql =
+    """SELECT count(*) AS n,
+      |  CAST(sum(CAST(l1.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM lineitem l1
+      |WHERE 5 * CAST(l1.l_quantity AS DECIMAL(12,2)) *
+      |        (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+      |      < (SELECT sum(CAST(l2.l_quantity AS DECIMAL(12,2)))
+      |         FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin
+
+  val sql2CorrelatedSubquery = QueryDef.sql("sql2_correlated_subquery", correlatedSql) { (s, d) =>
+    T.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(correlatedSql)
+  }
+
   val all: Seq[QueryDef] = Seq(
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
-    a16WindowSuite, a17ScalarSuite, a18DateSuite, a19GroupingSets)
+    a16WindowSuite, a17ScalarSuite, a18DateSuite, a19GroupingSets,
+    sql2CorrelatedSubquery)
 }
