@@ -1,0 +1,124 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables => T}
+
+/** Canonical TPC-H-shaped analytics (adapted to the fixture schema) —
+  * breadth for the "every query a user runs today" bar. All measure
+  * arithmetic is exact-decimal; ratios are a single double division of
+  * two exact sums (IEEE-identical across engines).
+  */
+object TpchShapes {
+
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+  private val one = lit(1).cast("decimal(4,2)")
+
+  // --- q4_order_priority: EXISTS + count by priority (TPC-H Q4 shape) ---
+  val q4OrderPriority = QueryDef.sql(
+    "q4_order_priority",
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+    val ord = T.orders(s, d).filter(
+      col("o_orderdate") >= to_timestamp(lit("1995-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1995-04-01")))
+    val li = T.lineitem(s, d)
+    ord.join(li,
+        ord("o_orderkey") === li("l_orderkey") && li("l_shipdate") > ord("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  // --- q7_volume_shipping: revenue between two customer nations by year
+  // (TPC-H Q7 shape, adapted: no supplier nation on lineitem here) ---
+  val q7VolumeShipping = QueryDef.sql(
+    "q7_volume_shipping",
+    """SELECT n_name, year(l_shipdate) AS l_year,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS volume
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE n_name IN ('CHINA', 'FRANCE')
+      |  AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+      |GROUP BY n_name, year(l_shipdate)""".stripMargin) { (s, d) =>
+    val li = T.lineitem(s, d).filter(
+      col("l_shipdate").between(to_timestamp(lit("1995-01-01")), to_timestamp(lit("1996-12-31"))))
+    li.join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(T.nation(s, d).filter(col("n_name").isin("CHINA", "FRANCE"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - col("l_discount").cast("decimal(4,2)")))
+        .cast("double").as("volume"))
+  }
+
+  // --- q12_shipmode: CASE-bucketed counts (TPC-H Q12 shape, using
+  // linestatus as the mode surrogate) ---
+  val q12Shipmode = QueryDef.sql(
+    "q12_shipmode",
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+    val li = T.lineitem(s, d).filter(
+      col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    T.orders(s, d).join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(high, 1).otherwise(0)).as("high_line_count"),
+        sum(when(!high, 1).otherwise(0)).as("low_line_count"))
+  }
+
+  // --- q14_promo_ratio: conditional-revenue ratio (TPC-H Q14 shape) —
+  // 100 * promo / total as ONE double division of two exact decimal sums ---
+  val q14PromoRatio = QueryDef.sql(
+    "q14_promo_ratio",
+    """SELECT CAST(100 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%%'
+      |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      |    ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
+      |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS DOUBLE) AS promo_revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin
+      .replace("%%", "%")) { (s, d) =>
+    val li = T.lineitem(s, d).filter(
+      col("l_shipdate") >= to_timestamp(lit("1995-09-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1995-10-01")))
+    val rev = dec(col("l_extendedprice")) * (one - col("l_discount").cast("decimal(4,2)"))
+    li.join(broadcast(T.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100) * sum(when(col("p_type").like("PROMO%"), rev)
+          .otherwise(lit(0).cast("decimal(16,4)"))).cast("double")
+        / sum(rev).cast("double")).cast("double").as("promo_revenue"))
+  }
+
+  // --- q19_disjunctive: OR-of-ANDs predicate (TPC-H Q19 shape) — tests
+  // disjunctive pushdown/CNF handling ---
+  val q19Disjunctive = QueryDef.sql(
+    "q19_disjunctive",
+    """SELECT count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1 AND l_quantity <= 30)
+      |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 10 AND l_quantity <= 40)
+      |   OR (p_brand = 'Brand#33' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 20 AND l_quantity <= 50)""".stripMargin) { (s, d) =>
+    val cond =
+      (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) && col("l_quantity").between(1, 30)) ||
+      (col("p_brand") === "Brand#22" && col("p_size").between(10, 30) && col("l_quantity").between(10, 40)) ||
+      (col("p_brand") === "Brand#33" && col("p_size").between(20, 50) && col("l_quantity").between(20, 50))
+    T.lineitem(s, d)
+      .join(broadcast(T.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(count(lit(1)).as("n"), sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q4OrderPriority, q7VolumeShipping, q12Shipmode, q14PromoRatio, q19Disjunctive)
+}
