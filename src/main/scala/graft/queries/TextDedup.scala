@@ -156,11 +156,14 @@ object TextDedup {
        |SELECT p.d1, p.d2, CAST(p.inter AS DOUBLE) / (s1.sz + s2.sz - p.inter) AS jaccard
        |FROM pairs p JOIN sizes s1 ON p.d1 = s1.doc_id JOIN sizes s2 ON p.d2 = s2.doc_id
        |WHERE CAST(p.inter AS DOUBLE) / (s1.sz + s2.sz - p.inter) >= 0.8""".stripMargin) { (s, d) =>
-    // sh/shf feed several downstream subplans; persist them so the
-    // shingle explode (interpreted HOFs) runs once, not once per branch.
-    val sh = shingleRows(s, d).persist()
+    // Shingles are hashed to 64-bit longs right after extraction: every
+    // downstream shuffle/join carries 8-byte keys instead of ~25-byte
+    // strings (collision odds over 16k shingles ~1e-11; the oracle uses
+    // the strings and must agree, which doubles as a collision check).
+    // Regex shingling is cheap enough to recompute per branch — no cache.
+    val sh = shingleRows(s, d).select(col("doc_id"), xxhash64(col("s")).as("s"))
     val keep = sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= 50).select("s")
-    val shf = sh.join(keep, "s").persist()
+    val shf = sh.join(keep, "s")
     val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val pairs = shf.as("a").join(shf.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -203,12 +206,7 @@ object TextDedup {
     // inside whole-stage codegen (array higher-order functions don't), and
     // the shuffle carries only |docs| × 16 partial minima, not the
     // exploded shingle×seed rows.
-    // Persist + eager-materialize: the shingle frame feeds both the
-    // signature pipeline and the verification branch; populating the cache
-    // lazily inside the first big job measured ~3× slower than building it
-    // up front.
-    val shBase = shingleRows(s, d).persist()
-    shBase.count()
+    val shBase = shingleRows(s, d)
     // 16 MinHash values from only 4 md5 calls per shingle: each 32-hex
     // digest md5(k:s) is split into four 8-hex chunks, each a valid
     // independent min-hash. All 16 minima are codegen'd min-aggregates
@@ -239,7 +237,8 @@ object TextDedup {
     // the difference between LSH working and LSH being pointless.
     val candIds = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2").as("doc_id"))).distinct()
-    val sh = shBase.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    val sh = shBase.select(col("doc_id"), xxhash64(col("s")).as("s"))
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
