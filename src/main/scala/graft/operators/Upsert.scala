@@ -28,6 +28,17 @@ object Upsert {
     d.unionByName(base.join(d.select(keys.map(col).toIndexedSeq: _*).distinct(), keys, "left_anti"))
   }
 
+  /** Schema-evolving merge: the result schema is the union of base and
+    * delta columns; rows from the side missing a column get NULL there
+    * (additive evolution only — the common case for feeds that grow
+    * fields over time). Delta still wins on key conflicts.
+    */
+  def mergeEvolve(base: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    val baseKeep = base.join(
+      delta.select(keys.map(col).toIndexedSeq: _*).distinct(), keys, "left_anti")
+    delta.unionByName(baseKeep, allowMissingColumns = true)
+  }
+
   /** Collapse a delta that may carry several versions of one key to the
     * latest version per key, deterministically: greatest `versionCol`,
     * ties broken by the remaining columns' order. The reference's analog

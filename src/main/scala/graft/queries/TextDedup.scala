@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryDef, Tables => T}
 import graft.functions.TextFns
+import graft.operators.Profiler
 
 /** Text analysis + deduplication operators over the `documents` table —
   * the training-data-pipeline surface (BASELINE.json north star).
@@ -280,7 +281,22 @@ object TextDedup {
         concat((1 to 32).map(p => when(col(s"s$p") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 
+
+  // --- t5_profile: one-pass column profiling (data-quality primitive).
+  // Oracle restricted to int/string columns (double→string rendering is
+  // engine-specific); the operator itself profiles any schema. ---
+  val t5Profile = QueryDef.sql(
+    "t5_profile", {
+      def row(c: String) =
+        s"""SELECT '$c' AS "column", count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_val, CAST(max($c) AS VARCHAR) AS max_val FROM customer""".stripMargin
+      Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment").map(row).mkString("\nUNION ALL\n")
+    }) { (s, d) =>
+    Profiler.profile(T.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment")))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    t1TokenStats, t2QualityScore, t3LangId, t4Fingerprint,
+    t1TokenStats, t2QualityScore, t3LangId, t4Fingerprint, t5Profile,
     d1ExactDedup, d2NgramJaccard, d3MinhashLsh, d4Simhash)
 }

@@ -85,6 +85,16 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Streaming exact dedup: drop re-deliveries of the same id while the
+    * event's time is within the watermark — state is bounded by the
+    * watermark horizon instead of growing forever (the streaming form of
+    * d1 exact dedup; at-least-once sources ⇒ exactly-once rows).
+    */
+  def dedupWithinWatermark(events: DataFrame, idCol: String, lateness: String): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Streaming keyed upsert: each micro-batch is collapsed to its latest
     * version per key and merged into the parquet table — the streaming
     * form of K1-K6 (at-least-once micro-batches ⇒ effectively-once

@@ -75,6 +75,22 @@ class StreamingSpec extends SparkSpec {
     assert(exp.subsetOf(got.map(t => (t._1, t._2, t._3, t._4, t._5))))
   }
 
+  test("dedupWithinWatermark drops re-delivered ids across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.dedupWithinWatermark(input.toDF(), "event_id", "1 hour")
+      .writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    try {
+      input.addData(Event(1, ts(0), 1, "view", 1.0), Event(2, ts(1), 1, "view", 2.0))
+      q.processAllAvailable()
+      // batch 2 re-delivers event 1 (at-least-once source) + a new event
+      input.addData(Event(1, ts(0), 1, "view", 1.0), Event(3, ts(2), 1, "view", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup").select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L))
+  }
+
   test("streaming upsert sink: duplicate keys across micro-batches collapse to latest") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, String)] // key, version, value

@@ -56,6 +56,14 @@ class UpsertSpec extends SparkSpec {
     assert(out === Seq((1, "p1", 9), (2, "p1", 1), (3, "p2", 1)))
   }
 
+  test("mergeEvolve: additive schema evolution, nulls for the missing side") {
+    val base = Seq((1, "a"), (2, "b")).toDF("k", "name")
+    val delta = Seq((2, "b2", "new"), (3, "c", "x")).toDF("k", "name", "extra")
+    val out = Upsert.mergeEvolve(base, delta, Seq("k")).orderBy("k")
+      .as[(Int, String, Option[String])].collect().toSeq
+    assert(out === Seq((1, "a", None), (2, "b2", Some("new")), (3, "c", Some("x"))))
+  }
+
   test("latestPerKey collapses delta versions deterministically") {
     val delta = Seq((1, 10, "old"), (1, 20, "new"), (2, 5, "only")).toDF("k", "ver", "val")
     val out = Upsert.latestPerKey(delta, Seq("k"), "ver").orderBy("k")
