@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.SupportsPushDownLimit
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -40,6 +41,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *     .schema(schema).option("path", dir).load()
   * }}}
   */
+object PagedJsonSource {
+  /** Test observability: pages planned by the most recent scan. */
+  @volatile var lastPlannedPages: Int = -1
+}
+
 class PagedJsonSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     graft.model.SquareSchemas.payment // default entity; pass .schema(...) to override
@@ -63,12 +69,20 @@ final class PagedTable(dir: String, schema: StructType) extends Table with Suppo
 }
 
 final class PagedScanBuilder(dir: String, fullSchema: StructType)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var minBound: Option[String] = None // inclusive lower created_at
   private var maxBound: Option[String] = None // inclusive upper created_at
+  private var limit: Option[Int] = None
+
+  /** Limit pushdown: with per-page row counts in the manifest, planning
+    * stops adding pages once the cumulative count covers the limit.
+    * Partial push — Spark re-applies the exact limit on top. */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed: Boolean = true
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val accepted = mutable.ArrayBuffer.empty[Filter]
@@ -93,7 +107,7 @@ final class PagedScanBuilder(dir: String, fullSchema: StructType)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new PagedScan(dir, required, minBound, maxBound)
+  override def build(): Scan = new PagedScan(dir, required, minBound, maxBound, limit)
 }
 
 final case class PagePartition(file: String) extends InputPartition
@@ -102,7 +116,8 @@ final class PagedScan(
     dir: String,
     requiredSchema: StructType,
     minBound: Option[String],
-    maxBound: Option[String]) extends Scan with Batch {
+    maxBound: Option[String],
+    limit: Option[Int] = None) extends Scan with Batch {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
@@ -117,15 +132,31 @@ final class PagedScan(
     val mapper = new ObjectMapper()
     val manifest = java.nio.file.Files.readAllLines(
       java.nio.file.Paths.get(dir, "manifest.jsonl")).asScala
-    manifest.flatMap { line =>
+    val inWindow = manifest.flatMap { line =>
       val n = mapper.readTree(line)
       val file = n.get("file").asText()
       val pageMin = n.get("min_created_at").asText()
       val pageMax = n.get("max_created_at").asText()
+      val rows = Option(n.get("rows")).map(_.asLong())
       val overlaps =
         minBound.forall(b => pageMax >= b) && maxBound.forall(b => pageMin <= b)
-      if (overlaps) Some(PagePartition(s"$dir/$file")) else None
-    }.toArray
+      if (overlaps) Some((PagePartition(s"$dir/$file"), rows)) else None
+    }
+    // limit pushdown: stop once known page row counts cover the limit
+    // (only when every kept page declares rows; unknown counts disable it)
+    val kept: Seq[InputPartition] = limit match {
+      case Some(l) if inWindow.nonEmpty && inWindow.forall(_._2.isDefined) =>
+        var cum = 0L
+        val buf = mutable.ArrayBuffer.empty[InputPartition]
+        val it = inWindow.iterator
+        while (cum < l && it.hasNext) {
+          val (p, r) = it.next(); buf += p; cum += r.get
+        }
+        buf.toSeq
+      case _ => inWindow.map(_._1).toSeq
+    }
+    PagedJsonSource.lastPlannedPages = kept.size
+    kept.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

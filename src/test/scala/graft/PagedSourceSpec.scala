@@ -23,9 +23,9 @@ class PagedSourceSpec extends SparkSpec {
     page("page-2.jsonl", Seq(
       """{"id":"p5","created_at":"2024-03-05T00:00:00Z","total_money":{"amount":500,"currency":"USD"}}"""))
     Files.write(Paths.get(dir, "manifest.jsonl"), Seq(
-      """{"file":"page-0.jsonl","min_created_at":"2024-01-05T00:00:00Z","max_created_at":"2024-01-10T00:00:00Z"}""",
-      """{"file":"page-1.jsonl","min_created_at":"2024-02-05T00:00:00Z","max_created_at":"2024-02-10T00:00:00Z"}""",
-      """{"file":"page-2.jsonl","min_created_at":"2024-03-05T00:00:00Z","max_created_at":"2024-03-05T00:00:00Z"}"""
+      """{"file":"page-0.jsonl","min_created_at":"2024-01-05T00:00:00Z","max_created_at":"2024-01-10T00:00:00Z","rows":2}""",
+      """{"file":"page-1.jsonl","min_created_at":"2024-02-05T00:00:00Z","max_created_at":"2024-02-10T00:00:00Z","rows":2}""",
+      """{"file":"page-2.jsonl","min_created_at":"2024-03-05T00:00:00Z","max_created_at":"2024-03-05T00:00:00Z","rows":1}"""
     ).mkString("\n").getBytes)
     dir
   }
@@ -67,6 +67,17 @@ class PagedSourceSpec extends SparkSpec {
     val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
     assert(df.columns.toSeq === Seq("id"))
     assert(df.count() === 5)
+  }
+
+  test("limit pushdown stops planning pages once counts cover the limit") {
+    import graft.sources.dsv2.PagedJsonSource
+    assert(read().limit(2).collect().length === 2)
+    assert(PagedJsonSource.lastPlannedPages === 1, "2 rows fit in page-0 alone")
+    assert(read().limit(3).collect().length === 3)
+    assert(PagedJsonSource.lastPlannedPages === 2)
+    // limit larger than the feed keeps everything and returns all rows
+    assert(read().limit(100).collect().length === 5)
+    assert(PagedJsonSource.lastPlannedPages === 3)
   }
 
   test("retry slot: transient failures recover with backoff") {

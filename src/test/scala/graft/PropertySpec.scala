@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.Upsert
+
+/** Property-based checks (SURVEY.md §5.4): upsert algebra and explode
+  * conservation over generated inputs, deterministic seeds.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val params = Gen.Parameters.default
+
+  private def rows(seed: Long, n: Int): List[(Int, Int)] =
+    Gen.listOfN(n, Gen.zip(Gen.choose(0, 20), Gen.choose(0, 1000)))
+      .pureApply(params, Seed(seed)).map { case (k, v) => (k, v) }
+
+  test("upsert idempotence: merge(merge(b,d),d) == merge(b,d) for random frames") {
+    for (seed <- 1L to 8L) {
+      val base = rows(seed, 30).toDF("k", "v").groupBy("k").agg(max("v").as("v"))
+      def delta = rows(seed + 100, 15).toDF("k", "v").groupBy("k").agg(max("v").as("v"))
+      // NOTE: re-applying the same DATA, via a fresh frame — reusing one
+      // DataFrame object on both sides of its own merge output trips a
+      // Spark attribute-resolution internal error (lineage self-reference)
+      val once = Upsert.merge(base, delta, Seq("k"))
+      val twice = Upsert.merge(once, delta, Seq("k"))
+      assert(twice.exceptAll(once).count() === 0 && once.exceptAll(twice).count() === 0,
+        s"seed=$seed not idempotent")
+    }
+  }
+
+  test("upsert commutativity for key-disjoint deltas") {
+    for (seed <- 1L to 8L) {
+      val base = rows(seed, 30).toDF("k", "v").groupBy("k").agg(max("v").as("v"))
+      def d1 = rows(seed + 200, 12).map { case (k, v) => (k * 2, v) }      // even keys
+        .toDF("k", "v").groupBy("k").agg(max("v").as("v"))
+      def d2 = rows(seed + 300, 12).map { case (k, v) => (k * 2 + 1, v) } // odd keys
+        .toDF("k", "v").groupBy("k").agg(max("v").as("v"))
+      val ab = Upsert.merge(Upsert.merge(base, d1, Seq("k")), d2, Seq("k"))
+      val ba = Upsert.merge(Upsert.merge(base, d2, Seq("k")), d1, Seq("k"))
+      assert(ab.exceptAll(ba).count() === 0 && ba.exceptAll(ab).count() === 0,
+        s"seed=$seed not commutative for disjoint deltas")
+    }
+  }
+
+  test("merged table is always key-unique and delta values win") {
+    for (seed <- 1L to 8L) {
+      val base = rows(seed, 40).toDF("k", "v").groupBy("k").agg(max("v").as("v"))
+      def delta = rows(seed + 400, 20).toDF("k", "v").groupBy("k").agg(max("v").as("v"))
+      val merged = Upsert.merge(base, delta, Seq("k"))
+      assert(merged.groupBy("k").count().filter($"count" > 1).count() === 0)
+      val deltaMap = delta.as[(Int, Int)].collect().toMap
+      val got = merged.as[(Int, Int)].collect().toMap
+      deltaMap.foreach { case (k, v) => assert(got(k) === v, s"seed=$seed delta must win on $k") }
+    }
+  }
+
+  test("explode conserves rows: output count == sum of array sizes") {
+    for (seed <- 1L to 8L) {
+      val arrays = Gen.listOfN(25, Gen.listOf(Gen.alphaStr))
+        .pureApply(params, Seed(seed))
+      val df = arrays.zipWithIndex.map { case (a, i) => (i, a) }.toDF("id", "arr")
+      val expected = arrays.map(_.size).sum
+      assert(df.select(explode($"arr")).count() === expected)
+      // explode_outer preserves empty-array parents as null rows
+      assert(df.select(explode_outer($"arr")).count() ===
+        expected + arrays.count(_.isEmpty))
+    }
+  }
+
+  test("overlapping-window reprocessing == single full-window processing") {
+    for (seed <- 1L to 5L) {
+      val data = rows(seed, 50).zipWithIndex
+        .map { case ((k, v), i) => (i, k, v) }.toDF("id", "k", "v")
+      val full = Upsert.merge(data.limit(0), data, Seq("id"))
+      // two overlapping halves upserted sequentially
+      val w1 = data.filter($"id" < 35)
+      val w2 = data.filter($"id" >= 20)
+      val stepped = Upsert.merge(Upsert.merge(data.limit(0), w1, Seq("id")), w2, Seq("id"))
+      assert(stepped.exceptAll(full).count() === 0 && full.exceptAll(stepped).count() === 0)
+    }
+  }
+}
