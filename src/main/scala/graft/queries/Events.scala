@@ -29,8 +29,10 @@ object Events {
 
   // --- e2_sessionization: 30-minute-gap sessions per user via the
   // built-in session_window (batch mode); the oracle re-states the same
-  // semantics with lag + cumulative sum (new session iff gap >= 30min,
-  // matching session_window's half-open [start, start+gap) merge rule) ---
+  // semantics with lag + cumulative sum. Session boundary rule: Spark's
+  // session_window MERGES an event arriving exactly at last_ts + gap
+  // (session end is inclusive), so a new session starts iff gap > 30min
+  // strictly — verified at sf0.1 where an exact 30:00 gap exists. ---
   val e2Sessionization = QueryDef.sql(
     "e2_sessionization",
     """WITH x AS (
@@ -38,7 +40,7 @@ object Events {
       |f AS (
       |  SELECT user_id, event_id, tss, value,
       |    CASE WHEN lag(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) IS NULL
-      |           OR tss - lag(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) >= INTERVAL 30 MINUTE
+      |           OR tss - lag(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) > INTERVAL 30 MINUTE
       |         THEN 1 ELSE 0 END AS new_sess
       |  FROM x),
       |s AS (

@@ -4,6 +4,8 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
 import graft.operators.Upsert
 
 /** Structured Streaming re-expression of the reference's incremental
@@ -63,7 +65,7 @@ object EventStreams {
       sorted.foreach { e =>
         val t = e.ts.getTime
         cur match {
-          case Some(s) if t - s.last < gapMs =>
+          case Some(s) if t - s.last <= gapMs => // inclusive: same rule as session_window
             cur = Some(SessState(s.start, math.max(s.last, t), s.n + 1, s.total + e.value))
           case Some(s) =>
             out ::= Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
@@ -94,6 +96,35 @@ object EventStreams {
     events
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(idCol)
+
+  /** Incremental batch run (the reference's hourly cron re-expressed):
+    * process exactly the feed files that arrived since the last run —
+    * Trigger.AvailableNow drains available input then stops, and the
+    * checkpoint remembers consumed files, so each invocation is one
+    * incremental batch with exactly-once table semantics via the keyed
+    * upsert. Call it from any scheduler; reprocessing is impossible
+    * (checkpoint) AND harmless (upsert).
+    */
+  def runIncremental(
+      spark: SparkSession,
+      feedDir: String,
+      schema: StructType,
+      tablePath: String,
+      keys: Seq[String],
+      versionCol: String,
+      checkpoint: String): Unit = {
+    val stream = spark.readStream.schema(schema).parquet(feedDir)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val latest = Upsert.latestPerKey(batch, keys, versionCol)
+        Upsert.upsertParquet(batch.sparkSession, tablePath, latest, keys)
+      }
+      .start()
+    q.awaitTermination()
+  }
 
   /** Streaming keyed upsert: each micro-batch is collapsed to its latest
     * version per key and merged into the parquet table — the streaming

@@ -91,6 +91,30 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Seq(1L, 2L, 3L))
   }
 
+  test("runIncremental: each invocation processes only newly-arrived files") {
+    import org.apache.spark.sql.types._
+    val feed = Files.createTempDirectory("incr-feed").toString
+    val table = Files.createTempDirectory("incr-table").toString + "/t"
+    val ckpt = Files.createTempDirectory("incr-ckpt").toString
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("ver", LongType), StructField("v", StringType)))
+    def drop(name: String, rows: Seq[(Long, Long, String)]): Unit =
+      rows.toDF("k", "ver", "v").coalesce(1).write.parquet(s"$feed/$name")
+    // run 1: initial batch
+    drop("b1", Seq((1L, 1L, "a1"), (2L, 1L, "b1")))
+    EventStreams.runIncremental(spark, feed + "/*", schema, table, Seq("k"), "ver", ckpt)
+    assert(spark.read.parquet(table).count() === 2)
+    // run 2: only the new file is consumed (checkpoint remembers b1);
+    // key 1 re-delivered with a newer version + new key 3
+    drop("b2", Seq((1L, 2L, "a2"), (3L, 1L, "c1")))
+    EventStreams.runIncremental(spark, feed + "/*", schema, table, Seq("k"), "ver", ckpt)
+    val out = spark.read.parquet(table).orderBy("k").as[(Long, Long, String)].collect().toSeq
+    assert(out === Seq((1L, 2L, "a2"), (2L, 1L, "b1"), (3L, 1L, "c1")))
+    // run 3: nothing new — table unchanged
+    EventStreams.runIncremental(spark, feed + "/*", schema, table, Seq("k"), "ver", ckpt)
+    assert(spark.read.parquet(table).orderBy("k").as[(Long, Long, String)].collect().toSeq === out)
+  }
+
   test("streaming upsert sink: duplicate keys across micro-batches collapse to latest") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, String)] // key, version, value
