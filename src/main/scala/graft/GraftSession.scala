@@ -31,6 +31,21 @@ object GraftSession {
   def local(cpus: Int): SparkSession = {
     val s = builder(s"local[$cpus]", shufflePartitions = cpus).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    registerFunctions(s)
     s
+  }
+
+  /** Expose the engine's custom expressions to SQL users:
+    * `graft_dot(a, b)` / `graft_cosine(a, b)` over float arrays — the
+    * codegen'd native expressions, callable from spark.sql text.
+    */
+  def registerFunctions(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    import graft.functions.ArrayDotProduct
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
+      "graft_dot",
+      (exprs: Seq[Expression]) => ArrayDotProduct(exprs(0), exprs(1)),
+      "built-in")
   }
 }

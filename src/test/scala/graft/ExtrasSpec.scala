@@ -41,6 +41,15 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("graft_dot is callable from SQL text") {
+    GraftSession.registerFunctions(spark)
+    graft.Tables.embeddings(spark, sfDir).createOrReplaceTempView("emb_sql")
+    val row = spark.sql(
+      "SELECT vec_id, graft_dot(embedding, embedding) AS n2 FROM emb_sql ORDER BY vec_id LIMIT 1")
+      .collect().head
+    assert(row.getDouble(1) > 0.0)
+  }
+
   test("sql1_shared_dialect: one SQL text serves Spark and the oracle") {
     val q = SparkEntry.registry.find(_.name == "sql1_shared_dialect").get
     assert(q.oracle.isDefined)
