@@ -232,24 +232,24 @@ object TextDedup {
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
       .persist()
-    // Exact-Jaccard verification of candidates only: semi-join the shingle
-    // rows down to candidate docs before the pair join — verification cost
-    // is O(candidates), not O(all overlapping pairs). At 100 TB this is
-    // the difference between LSH working and LSH being pointless.
+    // Exact-Jaccard verification of candidates only: shingle SETS for the
+    // few candidate docs are carried as array columns onto each candidate
+    // pair and intersected in place — no self-join, no size lookup joins.
+    // Verification cost is O(|candidate pairs| × shingles-per-doc); at
+    // 100 TB this is the difference between LSH working and LSH being
+    // pointless.
     val candIds = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2").as("doc_id"))).distinct()
-    val sh = shBase.select(col("doc_id"), xxhash64(col("s")).as("s"))
+    val shSets = T.documents(s, d)
+      .select(col("doc_id"),
+        array_distinct(TextFns.shinglesRegex(col("text"), 3)).as("shs"))
       .join(broadcast(candIds), Seq("doc_id"), "left_semi")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("i"))
-    val jac = col("i").cast("double") / (col("s1.sz") + col("s2.sz") - col("i"))
-    cand
-      .join(inter, Seq("d1", "d2"))
-      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
-      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+    val withSets = cand
+      .join(shSets.select(col("doc_id").as("d1"), col("shs").as("shs1")), Seq("d1"))
+      .join(shSets.select(col("doc_id").as("d2"), col("shs").as("shs2")), Seq("d2"))
+    val inter = size(array_intersect(col("shs1"), col("shs2")))
+    val jac = inter.cast("double") / (size(col("shs1")) + size(col("shs2")) - inter)
+    withSets
       .filter(jac >= 0.7)
       .select(col("d1"), col("d2"), jac.as("jaccard"))
   }
