@@ -119,6 +119,76 @@ object TpchShapes {
       .agg(count(lit(1)).as("n"), sum(dec(col("l_extendedprice"))).cast("double").as("revenue"))
   }
 
+  // --- q2_best_supplier: per-part best supplier by acctbal (TPC-H Q2
+  // shape: correlated max → window max + equality filter) ---
+  val q2BestSupplier = QueryDef.sql(
+    "q2_best_supplier",
+    """WITH links AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      |ranked AS (
+      |  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal,
+      |    max(s_acctbal) OVER (PARTITION BY p_partkey) AS best_bal
+      |  FROM part
+      |  JOIN links ON p_partkey = l_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  WHERE p_size <= 10)
+      |SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal
+      |FROM ranked WHERE s_acctbal = best_bal""".stripMargin) { (s, d) =>
+    val links = T.lineitem(s, d).select(col("l_partkey"), col("l_suppkey")).distinct()
+    val joined = T.part(s, d).filter(col("p_size") <= 10)
+      .join(links, col("p_partkey") === col("l_partkey"))
+      .join(T.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("p_partkey"))
+    joined
+      .withColumn("best_bal", max(col("s_acctbal")).over(w))
+      .filter(col("s_acctbal") === col("best_bal"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"), col("s_acctbal"))
+  }
+
+  // --- q9_profit: profit by supplier nation and year (TPC-H Q9 shape;
+  // cost surrogate = quantity × retail price, all exact decimal) ---
+  val q9Profit = QueryDef.sql(
+    "q9_profit",
+    """SELECT n_name, year(l_shipdate) AS o_year,
+      |  CAST(sum(
+      |    CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      |    - CAST(l_quantity AS DECIMAL(12,2)) * CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.01 AS DECIMAL(4,2))
+      |  ) AS DOUBLE) AS profit
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name, year(l_shipdate)""".stripMargin) { (s, d) =>
+    val rev = dec(col("l_extendedprice")) * (one - col("l_discount").cast("decimal(4,2)"))
+    val cost = dec(col("l_quantity")) * dec(col("p_retailprice")) * lit(0.01).cast("decimal(4,2)")
+    T.lineitem(s, d)
+      .join(broadcast(T.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(T.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(T.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("l_shipdate")).as("o_year"))
+      .agg(sum(rev - cost).cast("double").as("profit"))
+  }
+
+  // --- q20_semi_chain: nested semi-join chain (TPC-H Q20 shape):
+  // suppliers who shipped a 'b%'-named part in 1996 ---
+  val q20SemiChain = QueryDef.sql(
+    "q20_semi_chain",
+    """SELECT s_suppkey, s_name FROM supplier
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_suppkey = s_suppkey
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |    AND EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey AND p_name LIKE 'b%'))""".stripMargin) { (s, d) =>
+    val parts = T.part(s, d).filter(col("p_name").like("b%"))
+    val li96 = T.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+      .join(parts, col("l_partkey") === col("p_partkey"), "left_semi")
+    T.supplier(s, d)
+      .join(li96, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q4OrderPriority, q7VolumeShipping, q12Shipmode, q14PromoRatio, q19Disjunctive)
+    q4OrderPriority, q7VolumeShipping, q12Shipmode, q14PromoRatio, q19Disjunctive,
+    q2BestSupplier, q9Profit, q20SemiChain)
 }
