@@ -189,8 +189,36 @@ object Extras {
     s.sql(correlatedSql)
   }
 
+  // --- a4b_topk_agg: top-5 per segment via the bounded TopKRowsAggregator
+  // (partial per-partition top-k — shuffle carries ≤k rows per group per
+  // task, unlike the full window sort). Same oracle as a4_window_topk:
+  // the two implementations must agree exactly. ---
+  val a4bTopkAgg = QueryDef.sql(
+    "a4b_topk_agg",
+    """SELECT c_custkey, c_name, c_mktsegment, c_acctbal, rn FROM (
+      |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+      |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |  FROM customer) t
+      |WHERE rn <= 5""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val ds = T.customer(s, d)
+      .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"), col("c_name"))
+      .as[(String, Double, Long, String)]
+    ds.groupByKey(_._1)
+      .mapValues(t => (t._2, t._3, t._4))
+      .agg(new graft.functions.TopKRowsAggregator(5).toColumn.name("top"))
+      .toDF("c_mktsegment", "top")
+      .select(col("c_mktsegment"), posexplode(col("top")).as(Seq("pos", "r")))
+      .select(
+        col("r._2").as("c_custkey"),
+        col("r._3").as("c_name"),
+        col("c_mktsegment"),
+        col("r._1").as("c_acctbal"),
+        (col("pos") + 1).cast("int").as("rn"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
     a16WindowSuite, a17ScalarSuite, a18DateSuite, a19GroupingSets,
-    sql2CorrelatedSubquery)
+    sql2CorrelatedSubquery, a4bTopkAgg)
 }
