@@ -108,5 +108,28 @@ object Events {
       .select(col("purchase_id"), col("user_id"), col("signup_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin)
+  // --- e4b_asof_native: the same point-in-time join through the custom
+  // LogicalPlan + Strategy + AsOfJoinExec physical operator (single
+  // merge pass over co-partitioned sorted children). Shares e4's native
+  // DuckDB ASOF oracle: the custom operator must match bit-for-bit. ---
+  val e4bAsofNative = QueryDef.sql(
+    "e4b_asof_native",
+    """WITH p AS (SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+      |           FROM events WHERE event_type = 'purchase'),
+      |s AS (SELECT event_id AS signup_id, user_id, CAST(ts AS TIMESTAMP) AS sts
+      |      FROM events WHERE event_type = 'signup')
+      |SELECT p.purchase_id, p.user_id, s.signup_id
+      |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.pts >= s.sts""".stripMargin) { (sp, d) =>
+    val ev = T.events(sp, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("sts"), col("event_id").as("signup_id"))
+    graft.plans.AsOfJoinNative
+      .asofJoin(purchases, signups, "user_id", "s_user", "pts", "sts")
+      .select(col("purchase_id"), col("user_id"), col("signup_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative)
 }
