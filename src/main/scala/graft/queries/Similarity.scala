@@ -35,8 +35,13 @@ object Similarity {
   private def sign(plane: Int, dim: Int): Int =
     if (md5Hex(s"$plane-$dim").charAt(0) < '8') 1 else -1
 
-  private val nPlanes = 8
+  private val nPlanes = 8   // single-table signature width (near-dup use)
   private val dim = 64
+  // multi-table ANN: L narrower tables, candidates unioned across tables.
+  // Plane p of table t uses the global plane index t*tablePlanes + p, so
+  // table 0 reuses the first 4 single-table hyperplanes.
+  private val nTables = 8
+  private val tablePlanes = 4
 
   /** Quantize a float array column to fixed-point micro-unit longs. */
   private def quantize(arr: String): Column =
@@ -99,12 +104,40 @@ object Similarity {
       .drop((0 until nPlanes).map(p => s"__proj$p"): _*)
   }
 
+  /** Attach per-table LSH buckets: bucket_t = sign pattern of planes
+    * [t*tablePlanes, (t+1)*tablePlanes). */
+  private def multiBucketed(df: DataFrame, q: String): DataFrame = {
+    val withProj = (0 until nTables * tablePlanes).foldLeft(df) { (acc, p) =>
+      acc.withColumn(s"__proj$p", expr(
+        s"aggregate(zip_with($q, array(${(1 to dim).map(d => sign(p, d)).mkString(",")}), (x, s) -> x * s), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+    }
+    val withBuckets = (0 until nTables).foldLeft(withProj) { (acc, t) =>
+      acc.withColumn(s"bucket$t", concat((0 until tablePlanes).map(p =>
+        when(col(s"__proj${t * tablePlanes + p}") > 0, "1").otherwise("0")): _*))
+    }
+    withBuckets.drop((0 until nTables * tablePlanes).map(p => s"__proj$p"): _*)
+  }
+
   private val sqlSigns =
     """signs AS (SELECT p, dim,
       |    CASE WHEN substr(md5(CAST(p AS VARCHAR) || '-' || CAST(dim AS VARCHAR)), 1, 1)
       |      IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END AS sgn
       |  FROM (SELECT unnest(range(0, 8)) AS p) planes,
       |       (SELECT unnest(range(1, 65)) AS dim) dims)""".stripMargin
+
+  private val sqlMultiBuckets =
+    s"""signs AS (SELECT p, dim,
+       |    CASE WHEN substr(md5(CAST(p AS VARCHAR) || '-' || CAST(dim AS VARCHAR)), 1, 1)
+       |      IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END AS sgn
+       |  FROM (SELECT unnest(range(0, ${nTables * tablePlanes})) AS p) planes,
+       |       (SELECT unnest(range(1, 65)) AS dim) dims),
+       |uv AS (SELECT vec_id, unnest(embedding) AS x, unnest(range(1, 65)) AS dim FROM embeddings),
+       |proj AS (SELECT vec_id, p,
+       |    sum(CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(10,6)) * 1000000 AS BIGINT) * sgn) AS pr
+       |  FROM uv JOIN signs USING (dim) GROUP BY vec_id, p),
+       |buckets AS (SELECT vec_id, p // $tablePlanes AS tbl,
+       |    string_agg(CASE WHEN pr > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+       |  FROM proj GROUP BY vec_id, p // $tablePlanes)""".stripMargin
 
   private val sqlBuckets =
     s"""uv AS (SELECT vec_id, unnest(embedding) AS x, unnest(range(1, 65)) AS dim FROM embeddings),
@@ -129,26 +162,40 @@ object Similarity {
     scoreTopk(c.crossJoin(broadcast(q)).filter(col("cid") =!= col("qid")))
   }
 
-  // --- v2_ann_lsh: hyperplane-LSH bucketed ANN, exact rescoring in-bucket ---
+  // --- v2_ann_lsh: multi-table hyperplane LSH ANN (8 tables × 4 planes,
+  // candidates unioned across tables, exact rescoring). One coarse table
+  // measured recall@10 = 0 on these near-orthogonal embeddings (top-10
+  // cosine ≈ 0.3 ⇒ per-plane collision ≈ 0.6, 0.6⁸ ≈ 0.017/table);
+  // narrower tables × more of them is the standard recall/cost dial. ---
   val v2AnnLsh = QueryDef.sql(
     "v2_ann_lsh",
-    s"""WITH $sqlSigns,
-       |$sqlBuckets,
-       |q AS (SELECT e.vec_id AS qid, e.embedding AS qe, b.bucket
+    s"""WITH $sqlMultiBuckets,
+       |q AS (SELECT e.vec_id AS qid, e.embedding AS qe, b.tbl, b.bucket
        |      FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id WHERE e.vec_id < 5),
-       |cand AS (SELECT q.qid, e.vec_id AS cid, q.qe, e.embedding AS ce
-       |         FROM q JOIN buckets b ON q.bucket = b.bucket
-       |         JOIN embeddings e ON e.vec_id = b.vec_id
-       |         WHERE e.vec_id <> q.qid),
-       |u AS (SELECT qid, cid, unnest(qe) AS x, unnest(ce) AS y FROM cand),
+       |cand AS (SELECT DISTINCT q.qid, b.vec_id AS cid
+       |         FROM q JOIN buckets b ON q.tbl = b.tbl AND q.bucket = b.bucket
+       |         WHERE b.vec_id <> q.qid),
+       |pairs AS (SELECT c.qid, c.cid, eq.embedding AS qe, ec.embedding AS ce
+       |          FROM cand c
+       |          JOIN embeddings eq ON eq.vec_id = c.qid
+       |          JOIN embeddings ec ON ec.vec_id = c.cid),
+       |u AS (SELECT qid, cid, unnest(qe) AS x, unnest(ce) AS y FROM pairs),
        |$sqlDots
        |$sqlTopk""".stripMargin) { (s, d) =>
-    val emb = bucketed(T.embeddings(s, d).withColumn("q", quantize("embedding")), "q")
+    val emb = multiBucketed(T.embeddings(s, d).withColumn("q", quantize("embedding")), "q")
       .persist()
-    val q = emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("q").as("qeq"), col("bucket"))
-    val c = emb.select(col("vec_id").as("cid"), col("q").as("ceq"), col("bucket"))
-    scoreTopk(c.join(broadcast(q), "bucket").filter(col("cid") =!= col("qid")))
+    val melted = emb.select(col("vec_id"), col("q"),
+      posexplode(array((0 until nTables).map(t => col(s"bucket$t")): _*)).as(Seq("tbl", "bucket")))
+    val qSide = melted.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
+    val cand = melted.select(col("vec_id").as("cid"), col("tbl"), col("bucket"))
+      .join(broadcast(qSide), Seq("tbl", "bucket"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid")).distinct()
+    val vecs = emb.select(col("vec_id"), col("q"))
+    scoreTopk(cand
+      .join(vecs.select(col("vec_id").as("qid"), col("q").as("qeq")), Seq("qid"))
+      .join(vecs.select(col("vec_id").as("cid"), col("q").as("ceq")), Seq("cid")))
   }
 
   // --- v3_embedding_neardup: all-pairs near-duplicate detection via LSH

@@ -41,6 +41,15 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
+  test("multi-table LSH ANN recall@10 is at least 50% of brute-force truth") {
+    val truth = SparkEntry.queries("v1_knn_bruteforce")(spark, sfDir)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val ann = SparkEntry.queries("v2_ann_lsh")(spark, sfDir)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = (truth & ann).size.toDouble / truth.size
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
   test("graft_dot is callable from SQL text") {
     GraftSession.registerFunctions(spark)
     graft.Tables.embeddings(spark, sfDir).createOrReplaceTempView("emb_sql")
