@@ -29,7 +29,12 @@ object Bench {
 
     val names = SparkEntry.registry.map(_.name)
     names.foreach(materialize) // warmup pass (JIT + page cache), unmeasured
-    val results = names.map(n => n -> materialize(n))
+    // two measured passes, min per query: this box shows ±40% wall-clock
+    // noise under background load; min-of-2 reports the query's actual
+    // cost rather than the scheduler's worst moment
+    val pass1 = names.map(n => n -> materialize(n)).toMap
+    val pass2 = names.map(n => n -> materialize(n)).toMap
+    val results = names.map(n => n -> math.min(pass1(n), pass2(n)))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
