@@ -297,7 +297,37 @@ object TextDedup {
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment")))
   }
 
+  // --- t6_hash_sample: deterministic ~10% corpus sample — md5-threshold
+  // on the id, reproducible across runs/engines (rand() is neither) ---
+  val t6HashSample = QueryDef.sql(
+    "t6_hash_sample",
+    """SELECT doc_id, lang FROM documents
+      |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19'""".stripMargin) { (s, d) =>
+    T.documents(s, d)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) <= "19")
+      .select(col("doc_id"), col("lang"))
+  }
+
+  // --- t7_stratified_sample: fixed-size per-language sample, ordered by
+  // id hash (unbiased within stratum, fully deterministic) ---
+  val t7StratifiedSample = QueryDef.sql(
+    "t7_stratified_sample",
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn <= 20""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    T.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("doc_id"), col("lang"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     t1TokenStats, t2QualityScore, t3LangId, t4Fingerprint, t5Profile,
+    t6HashSample, t7StratifiedSample,
     d1ExactDedup, d2NgramJaccard, d3MinhashLsh, d4Simhash)
 }
