@@ -40,12 +40,17 @@ object GraftSession {
     * codegen'd native expressions, callable from spark.sql text.
     */
   def registerFunctions(spark: SparkSession): Unit = {
-    import org.apache.spark.sql.catalyst.expressions.Expression
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
     import graft.functions.ArrayDotProduct
     val registry = spark.sessionState.functionRegistry
+    // Casting to array<float> up front makes graft_dot usable on
+    // array<double> SQL literals (a float→float cast is simplified away);
+    // non-castable inputs still fail analysis with a cast error.
+    def toFloatArray(e: Expression): Expression = Cast(e, ArrayType(FloatType))
     registry.createOrReplaceTempFunction(
       "graft_dot",
-      (exprs: Seq[Expression]) => ArrayDotProduct(exprs(0), exprs(1)),
+      (exprs: Seq[Expression]) => ArrayDotProduct(toFloatArray(exprs(0)), toFloatArray(exprs(1))),
       "built-in")
   }
 }

@@ -15,28 +15,44 @@ import org.apache.spark.sql.functions._
   */
 object TextFns {
 
+  /** All-whitespace trim: Spark's trim() only strips spaces, so a
+    * trailing newline/tab would survive it — and then leak an empty
+    * token out of split() (which keeps trailing empties) or a trailing
+    * space out of normalized(). */
+  private def wsTrimmed(text: Column): Column =
+    regexp_replace(text, "^\\s+|\\s+$", "")
+
   /** Whitespace-normalized lowercase text: the canonical form for exact
     * dedup fingerprints. */
   def normalized(text: Column): Column =
-    regexp_replace(lower(trim(text)), "\\s+", " ")
+    regexp_replace(lower(wsTrimmed(text)), "\\s+", " ")
 
   /** Whitespace tokens of the trimmed text. */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+  def tokens(text: Column): Column = split(wsTrimmed(text), "\\s+")
 
   /** Word n-gram shingles, space-joined: the unit for Jaccard/MinHash
-    * near-dup detection. slice() is 1-based. */
+    * near-dup detection. slice() is 1-based. Docs shorter than n tokens
+    * yield an empty set (sequence(1, 0) counts DOWN, so the short case
+    * must be guarded, not clamped). */
   def shingles(toks: Column, n: Int): Column =
-    transform(
-      sequence(lit(1), greatest(size(toks) - lit(n - 1), lit(0))),
-      i => array_join(slice(toks, i, lit(n)), " "))
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
 
   /** Word n-gram shingles via a zero-width lookahead regex anchored at
     * token starts — one codegen'd expression, measured ~11× faster than
     * the higher-order-function formulation (HOFs are interpreted).
     * Produces the same shingle set as [[shingles]].
+    *
+    * The lookahead matches a single literal space between tokens, so the
+    * input is whitespace-collapsed (case-preserving — NOT [[normalized]],
+    * which lowercases) first: newlines/tabs/runs of spaces then yield the
+    * same shingles as the tokens()-based form and the SQL oracles.
     */
   def shinglesRegex(text: Column, n: Int): Column =
-    regexp_extract_all(trim(text),
+    regexp_extract_all(regexp_replace(wsTrimmed(text), "\\s+", " "),
       lit("(?<![^\\s])(?=(\\S+(?: \\S+){" + (n - 1) + "}))"), lit(1))
 
   /** Exact-dedup fingerprint: md5 of the normalized text. */

@@ -32,27 +32,37 @@ object AsOfJoin {
     require(rightCols.intersect(leftCols).isEmpty,
       s"right columns ${rightCols.intersect(leftCols)} collide with left")
 
-    val l = leftCols.foldLeft(left)((df, _) => df)
+    // All right columns travel as ONE struct carried by a single
+    // last(ignoreNulls) — carrying each column independently would let a
+    // NULL field of the true matching row leak the previous row's value
+    // and mix columns from different right rows (DuckDB ASOF is
+    // whole-row). The struct itself is never null for right rows, so
+    // ignoreNulls skips exactly the left rows.
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(right.schema.fieldIndex(c))))
+
+    val lPadded = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
-    val lPadded = rightCols.foldLeft(l)((df, c) =>
-      df.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+      .withColumn("__r", lit(null).cast(rStructType))
 
     val r = right
       .withColumn("__ts", col(rightTs))
       .withColumn("__side", lit(0))
+      .withColumn("__r", struct(rightCols.map(col): _*))
       .drop(rightTs)
     val rPadded = leftCols.filterNot(_ == key).foldLeft(r)((df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
 
-    val unioned = lPadded.select((leftCols ++ rightCols ++ Seq("__ts", "__side")).map(col): _*)
-      .unionByName(rPadded.select((leftCols ++ rightCols ++ Seq("__ts", "__side")).map(col): _*))
+    val sel = (leftCols ++ Seq("__r", "__ts", "__side")).map(col)
+    val unioned = lPadded.select(sel: _*).unionByName(rPadded.select(sel: _*))
 
     val w = Window.partitionBy(col(key)).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(unioned)((df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    val carried = unioned
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
 
-    carried.filter(col("__side") === 1).drop("__ts", "__side")
+    carried.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ rightCols.map(c => col(s"__r.$c").as(c)): _*)
   }
 }

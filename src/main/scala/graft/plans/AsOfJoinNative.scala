@@ -89,7 +89,14 @@ case class AsOfJoinExec(
       val rTs = UnsafeProjection.create(Seq(rTsExpr), rOut)
       val nullRight = new GenericInternalRow(rOut.length)
       val joined = new JoinedRow
-      val output = UnsafeProjection.create(lOut ++ rOut, lOut ++ rOut)
+      // Bind right attributes nullable: unmatched left rows project
+      // nullRight, and without the null checks non-nullable right columns
+      // would surface as 0/false instead of NULL. BindReferences takes
+      // nullability from the INPUT schema attribute, so the input side
+      // must be marked nullable too.
+      val rOutNullable = rOut.map(_.withNullability(true))
+      val output = UnsafeProjection.create(
+        lOut ++ rOutNullable, lOut ++ rOutNullable)
 
       new Iterator[InternalRow] {
         private var rHead: InternalRow = _          // next unconsumed right row
@@ -101,8 +108,12 @@ case class AsOfJoinExec(
         private def advanceRight(): Unit =
           if (rIt.hasNext) {
             rHead = rIt.next().copy()
-            rHeadKey = rKey(rHead).get(0, rKeyExpr.dataType)
-            rHeadTs = rTs(rHead).get(0, rTsExpr.dataType)
+            // UnsafeProjection reuses its buffer: for non-primitive key
+            // types .get() returns a view into it, which the next
+            // advanceRight() overwrites — copy the values out so
+            // matchedKey stays valid across iterations.
+            rHeadKey = InternalRow.copyValue(rKey(rHead).get(0, rKeyExpr.dataType))
+            rHeadTs = InternalRow.copyValue(rTs(rHead).get(0, rTsExpr.dataType))
           } else rHead = null
 
         advanceRight()

@@ -25,6 +25,21 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("L-nomatch") === null) // key with no right rows
   }
 
+  test("whole-row carry: NULL field of the matching right row stays NULL") {
+    // Regression: carrying each right column with its own
+    // last(ignoreNulls) let a NULL in the true matching row leak the
+    // previous row's value (and mix columns across right rows).
+    val left = Seq((1L, ts(30), "L")).toDF("k", "lts", "lval")
+    val right = Seq(
+      (1L, ts(10), Option("R1"), Option(5L)),
+      (1L, ts(25), Option.empty[String], Option(7L))) // the true match; rval NULL
+      .toDF("k", "rts", "rval", "rx")
+    val row = AsOfJoin.asofJoin(left, right, "k", "lts", "rts")
+      .select("rval", "rx").collect().head
+    assert(row.isNullAt(0), "NULL field of matched row must not leak the prior row's value")
+    assert(row.getLong(1) === 7L)
+  }
+
   test("asof join is repartition-stable") {
     val left = (1 to 500).map(i => (i % 7L, ts(i), s"L$i")).toDF("k", "lts", "lval")
     val right = (1 to 100).map(i => (i % 7L, ts(i * 3), s"R$i")).toDF("k", "rts", "rval")

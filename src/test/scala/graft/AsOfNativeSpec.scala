@@ -48,6 +48,34 @@ class AsOfNativeSpec extends SparkSpec {
     assert(composed.exceptAll(native).count() === 0)
   }
 
+  test("string keys: matchedKey survives buffer reuse across advanceRight") {
+    // Regression: matchedKey used to store a UTF8String VIEW into the
+    // reused UnsafeProjection buffer; consuming the next right row (a
+    // different key) overwrote it, so later left rows of the same key
+    // lost their valid match. Needs a right row of key B to be read
+    // between two left rows of key A.
+    val left = Seq(
+      ("aa", ts(10), "L1"), ("aa", ts(20), "L2"), ("bb", ts(50), "L3"))
+      .toDF("k", "lts", "lval")
+    val right = Seq(
+      ("aa", ts(5), "RA"), ("bb", ts(7), "RB"))
+      .toDF("rk", "rts", "rval")
+    val out = AsOfJoinNative.asofJoin(left, right, "k", "rk", "lts", "rts")
+      .select("lval", "rval").as[(String, String)].collect().toMap
+    assert(out === Map("L1" -> "RA", "L2" -> "RA", "L3" -> "RB"))
+  }
+
+  test("unmatched left rows get NULL (not 0/false) for non-nullable right columns") {
+    val left = Seq((1L, ts(10), "hit"), (2L, ts(10), "miss")).toDF("k", "lts", "lval")
+    val right = Seq((1L, ts(5), 42L, true)).toDF("rk", "rts", "rnum", "rflag")
+    val rows = AsOfJoinNative.asofJoin(left, right, "k", "rk", "lts", "rts")
+      .select("lval", "rnum", "rflag").collect()
+    val byVal = rows.map(r => r.getString(0) -> r).toMap
+    assert(byVal("hit").getLong(1) === 42L && byVal("hit").getBoolean(2) === true)
+    assert(byVal("miss").isNullAt(1), "unmatched long must be NULL, not 0")
+    assert(byVal("miss").isNullAt(2), "unmatched boolean must be NULL, not false")
+  }
+
   test("plans as AsOfJoinExec with hash exchanges and in-partition sorts") {
     val left = Seq((1L, ts(1), "x")).toDF("k", "lts", "v")
     val right = Seq((1L, ts(0), "y")).toDF("rk", "rts", "w")

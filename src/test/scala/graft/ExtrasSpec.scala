@@ -59,6 +59,20 @@ class ExtrasSpec extends SparkSpec {
     assert(row.getDouble(1) > 0.0)
   }
 
+  test("graft_dot implicit-casts array<double> and skips null elements") {
+    GraftSession.registerFunctions(spark)
+    // array<double> input: ImplicitCastInputTypes inserts array<float>
+    // cast — previously doubles were silently read as floats (garbage)
+    val d = spark.sql("SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .as[Double].collect().head
+    assert(d === 11.0)
+    // null elements contribute 0, not garbage
+    val n = spark.sql(
+      "SELECT graft_dot(array(CAST(1 AS FLOAT), NULL), array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d")
+      .as[Double].collect().head
+    assert(n === 3.0)
+  }
+
   test("sql1_shared_dialect: one SQL text serves Spark and the oracle") {
     val q = SparkEntry.registry.find(_.name == "sql1_shared_dialect").get
     assert(q.oracle.isDefined)
