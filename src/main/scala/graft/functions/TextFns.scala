@@ -15,20 +15,21 @@ import org.apache.spark.sql.functions._
   */
 object TextFns {
 
-  /** All-whitespace trim: Spark's trim() only strips spaces, so a
-    * trailing newline/tab would survive it — and then leak an empty
-    * token out of split() (which keeps trailing empties) or a trailing
-    * space out of normalized(). */
-  private def wsTrimmed(text: Column): Column =
-    regexp_replace(text, "^\\s+|\\s+$", "")
+  /** Single-space-collapsed, edge-trimmed text: ONE regex pass (collapse
+    * every whitespace run to one space) + a cheap non-regex trim of the
+    * now-single-space edges. Spark's trim() only strips spaces, so
+    * trimming before collapsing would leave \n/\t edges behind — and
+    * split() keeps trailing empties, leaking an empty token. */
+  private def wsCollapsed(text: Column): Column =
+    trim(regexp_replace(text, "\\s+", " "))
 
   /** Whitespace-normalized lowercase text: the canonical form for exact
     * dedup fingerprints. */
   def normalized(text: Column): Column =
-    regexp_replace(lower(wsTrimmed(text)), "\\s+", " ")
+    lower(wsCollapsed(text))
 
   /** Whitespace tokens of the trimmed text. */
-  def tokens(text: Column): Column = split(wsTrimmed(text), "\\s+")
+  def tokens(text: Column): Column = split(wsCollapsed(text), " ")
 
   /** Word n-gram shingles, space-joined: the unit for Jaccard/MinHash
     * near-dup detection. slice() is 1-based. Docs shorter than n tokens
@@ -52,7 +53,7 @@ object TextFns {
     * same shingles as the tokens()-based form and the SQL oracles.
     */
   def shinglesRegex(text: Column, n: Int): Column =
-    regexp_extract_all(regexp_replace(wsTrimmed(text), "\\s+", " "),
+    regexp_extract_all(wsCollapsed(text),
       lit("(?<![^\\s])(?=(\\S+(?: \\S+){" + (n - 1) + "}))"), lit(1))
 
   /** Exact-dedup fingerprint: md5 of the normalized text. */

@@ -5,6 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryDef, Tables => T}
+import graft.functions.{ArrayLongDot, ArrayLshBuckets}
 
 /** Similarity search over the `embeddings` table (Array[Float], dim 64).
   *
@@ -39,17 +40,26 @@ object Similarity {
   private val dim = 64
   // multi-table ANN: L narrower tables, candidates unioned across tables.
   // Plane p of table t uses the global plane index t*tablePlanes + p, so
-  // table 0 reuses the first 4 single-table hyperplanes.
-  private val nTables = 8
-  private val tablePlanes = 4
+  // table 0 reuses the first 4 single-table hyperplanes. L is the recall
+  // dial: each extra table adds an independent chance to catch a true
+  // neighbor (miss rate decays geometrically in L).
+  private[graft] val nTables = 28
+  private[graft] val tablePlanes = 4
+
+  /** The deterministic ±1 hyperplane matrix for the given global plane
+    * indices (rows = planes, cols = dims). */
+  private def signMatrix(planes: Range): Seq[Seq[Int]] =
+    planes.map(p => (1 to dim).map(d => sign(p, d)))
 
   /** Quantize a float array column to fixed-point micro-unit longs. */
   private def quantize(arr: String): Column =
     expr(s"transform($arr, x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(10,6)) * 1000000 AS BIGINT))")
 
-  /** Exact integer dot product of two quantized long-array columns. */
+  /** Exact integer dot product of two quantized long-array columns — the
+    * codegen'd native kernel (the interpreted aggregate/zip_with HOF form
+    * was the round-1 hot spot; same integer math, same oracle). */
   private def dotQ(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    ArrayLongDot.dotQ(col(a), col(b))
 
   /** cosine from integer dot/norms: same expression shape in the oracle. */
   private def cosine: Column =
@@ -77,8 +87,8 @@ object Similarity {
       |  FROM scored) t
       |WHERE rank <= 10""".stripMargin
 
-  /** Score a (qid, cid, qeq, ceq) frame and keep cosine top-10 per query. */
-  private def scoreTopk(pairs: DataFrame): DataFrame = {
+  /** Score a (qid, cid, qeq, ceq) frame and keep cosine top-k per query. */
+  private def scoreTopk(pairs: DataFrame, k: Int = 10): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
     pairs
       .withColumn("dot", dotQ("qeq", "ceq"))
@@ -86,36 +96,43 @@ object Similarity {
       .withColumn("ny", dotQ("ceq", "ceq"))
       .withColumn("cosine", cosine)
       .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 10)
+      .filter(col("rank") <= k)
       .select(col("qid"), col("cid"), col("cosine"), col("rank"))
   }
 
-  /** Attach LSH `bucket` to a frame holding quantized array `q`:
+  /** Attach LSH `bucket` (int id) to a frame holding quantized array `q`:
     * 8 hyperplane projections against constant ±1 sign vectors (exact
-    * integer sums), bucket = the 8-bit sign pattern. */
-  private def bucketed(df: DataFrame, q: String): DataFrame = {
-    val withProj = (0 until nPlanes).foldLeft(df) { (acc, p) =>
-      acc.withColumn(s"__proj$p", expr(
-        s"aggregate(zip_with($q, array(${(1 to dim).map(d => sign(p, d)).mkString(",")}), (x, s) -> x * s), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-    }
-    withProj
-      .withColumn("bucket", concat((0 until nPlanes).map(p =>
-        when(col(s"__proj$p") > 0, "1").otherwise("0")): _*))
-      .drop((0 until nPlanes).map(p => s"__proj$p"): _*)
-  }
+    * integer sums), bucket = the 8-bit sign pattern. One codegen'd
+    * native-expression pass computes every plane. */
+  private def bucketed(df: DataFrame, q: String): DataFrame =
+    df.withColumn("bucket",
+      element_at(ArrayLshBuckets.buckets(col(q), signMatrix(0 until nPlanes), nPlanes), 1))
 
-  /** Attach per-table LSH buckets: bucket_t = sign pattern of planes
-    * [t*tablePlanes, (t+1)*tablePlanes). */
-  private def multiBucketed(df: DataFrame, q: String): DataFrame = {
-    val withProj = (0 until nTables * tablePlanes).foldLeft(df) { (acc, p) =>
-      acc.withColumn(s"__proj$p", expr(
-        s"aggregate(zip_with($q, array(${(1 to dim).map(d => sign(p, d)).mkString(",")}), (x, s) -> x * s), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
-    }
-    val withBuckets = (0 until nTables).foldLeft(withProj) { (acc, t) =>
-      acc.withColumn(s"bucket$t", concat((0 until tablePlanes).map(p =>
-        when(col(s"__proj${t * tablePlanes + p}") > 0, "1").otherwise("0")): _*))
-    }
-    withBuckets.drop((0 until nTables * tablePlanes).map(p => s"__proj$p"): _*)
+  /** Reusable ANN operator: cosine top-k of `queryPred`-selected vectors
+    * against the whole frame, via multi-table hyperplane LSH candidates +
+    * exact rescoring. `emb0` must carry (vec_id, embedding). At cluster
+    * scale the bucket join shuffles only (id, table, bucket) triples;
+    * vectors are joined back for rescoring on the candidate set alone. */
+  private[graft] def annTopK(
+      emb0: DataFrame,
+      queryPred: Column,
+      nT: Int,
+      tp: Int,
+      k: Int): DataFrame = {
+    val emb = emb0.withColumn("q", quantize("embedding"))
+    val melted = emb.select(col("vec_id"),
+      posexplode(ArrayLshBuckets.buckets(col("q"), signMatrix(0 until nT * tp), tp))
+        .as(Seq("tbl", "bucket")))
+    val qSide = melted.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
+    val cand = melted.select(col("vec_id").as("cid"), col("tbl"), col("bucket"))
+      .join(broadcast(qSide), Seq("tbl", "bucket"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid")).distinct()
+    val vecs = emb.select(col("vec_id"), col("q"))
+    scoreTopk(cand
+      .join(vecs.select(col("vec_id").as("qid"), col("q").as("qeq")), Seq("qid"))
+      .join(vecs.select(col("vec_id").as("cid"), col("q").as("ceq")), Seq("cid")), k)
   }
 
   private val sqlSigns =
@@ -162,11 +179,15 @@ object Similarity {
     scoreTopk(c.crossJoin(broadcast(q)).filter(col("cid") =!= col("qid")))
   }
 
-  // --- v2_ann_lsh: multi-table hyperplane LSH ANN (8 tables × 4 planes,
+  // --- v2_ann_lsh: multi-table hyperplane LSH ANN (nTables × tablePlanes,
   // candidates unioned across tables, exact rescoring). One coarse table
   // measured recall@10 = 0 on these near-orthogonal embeddings (top-10
   // cosine ≈ 0.3 ⇒ per-plane collision ≈ 0.6, 0.6⁸ ≈ 0.017/table);
-  // narrower tables × more of them is the standard recall/cost dial. ---
+  // narrower tables × more of them is the standard recall/cost dial —
+  // per-table hit ≈ 0.6⁴ ≈ 0.13, so miss@L ≈ 0.87^L: L=28 ⇒ ~2% miss.
+  // The fixture's near-orthogonal embeddings are LSH's worst geometry, so
+  // high recall costs a large candidate set here; on real clustered
+  // embeddings the same machinery prunes far harder. ---
   val v2AnnLsh = QueryDef.sql(
     "v2_ann_lsh",
     s"""WITH $sqlMultiBuckets,
@@ -182,20 +203,7 @@ object Similarity {
        |u AS (SELECT qid, cid, unnest(qe) AS x, unnest(ce) AS y FROM pairs),
        |$sqlDots
        |$sqlTopk""".stripMargin) { (s, d) =>
-    val emb = multiBucketed(T.embeddings(s, d).withColumn("q", quantize("embedding")), "q")
-      .persist()
-    val melted = emb.select(col("vec_id"), col("q"),
-      posexplode(array((0 until nTables).map(t => col(s"bucket$t")): _*)).as(Seq("tbl", "bucket")))
-    val qSide = melted.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
-    val cand = melted.select(col("vec_id").as("cid"), col("tbl"), col("bucket"))
-      .join(broadcast(qSide), Seq("tbl", "bucket"))
-      .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), col("cid")).distinct()
-    val vecs = emb.select(col("vec_id"), col("q"))
-    scoreTopk(cand
-      .join(vecs.select(col("vec_id").as("qid"), col("q").as("qeq")), Seq("qid"))
-      .join(vecs.select(col("vec_id").as("cid"), col("q").as("ceq")), Seq("cid")))
+    annTopK(T.embeddings(s, d), col("vec_id") < 5, nTables, tablePlanes, 10)
   }
 
   // --- v3_embedding_neardup: all-pairs near-duplicate detection via LSH
@@ -213,8 +221,10 @@ object Similarity {
        |u AS (SELECT id1 AS qid, id2 AS cid, unnest(qe) AS x, unnest(ce) AS y FROM pairs),
        |$sqlDots
        |SELECT qid AS id1, cid AS id2, cosine FROM scored WHERE cosine >= 0.4""".stripMargin) { (s, d) =>
+    // No persist: the codegen'd projections are cheap enough to
+    // recompute, and the self-join's identical sides share one shuffle
+    // via ReusedExchange — nothing is left cached after the query.
     val emb = bucketed(T.embeddings(s, d).withColumn("q", quantize("embedding")), "q")
-      .persist()
     val a = emb.select(col("vec_id").as("id1"), col("q").as("qeq"), col("bucket"))
     val b = emb.select(col("vec_id").as("id2"), col("q").as("ceq"), col("bucket"))
     a.join(b, Seq("bucket"))

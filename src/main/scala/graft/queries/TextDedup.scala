@@ -31,10 +31,11 @@ object TextDedup {
 
   private def toks: Column = TextFns.tokens(col("text"))
 
-  // All-whitespace trim to mirror TextFns.wsTrimmed (trim() in both
-  // engines strips only spaces, and split keeps trailing empties).
-  private val sqlWsTrim = """regexp_replace(text, '^\s+|\s+$', '', 'g')"""
-  private val sqlToks = s"""string_split_regex($sqlWsTrim, '\\s+')"""
+  // Collapse-then-trim to mirror TextFns.wsCollapsed (trim() in both
+  // engines strips only spaces, and split keeps trailing empties; one
+  // regex pass, then a cheap space trim).
+  private val sqlWsCollapsed = """trim(regexp_replace(text, '\s+', ' ', 'g'))"""
+  private val sqlToks = s"string_split($sqlWsCollapsed, ' ')"
   private def sqlStopHits(words: Seq[String]): String = {
     val lst = words.map(w => s"'$w'").mkString(", ")
     s"len(list_filter($sqlToks, t -> list_contains([$lst], t)))"
@@ -115,7 +116,7 @@ object TextDedup {
   val t4Fingerprint = QueryDef.sql(
     "t4_fingerprint",
     s"""SELECT doc_id,
-       |  md5(regexp_replace(lower($sqlWsTrim), '\\s+', ' ', 'g')) AS fp,
+       |  md5(lower($sqlWsCollapsed)) AS fp,
        |  md5(array_to_string(($sqlToks)[1:10], ' ')) AS prefix_fp
        |FROM documents""".stripMargin) { (s, d) =>
     T.documents(s, d).select(
@@ -127,7 +128,7 @@ object TextDedup {
   // --- d1_exact_dedup: exact dedup by normalized-text hash, min-id wins ---
   val d1ExactDedup = QueryDef.sql(
     "d1_exact_dedup",
-    s"""SELECT md5(regexp_replace(lower($sqlWsTrim), '\\s+', ' ', 'g')) AS fp,
+    s"""SELECT md5(lower($sqlWsCollapsed)) AS fp,
        |  min(doc_id) AS survivor, count(*) AS n_copies
        |FROM documents
        |GROUP BY fp""".stripMargin) { (s, d) =>

@@ -41,13 +41,30 @@ class ExtrasSpec extends SparkSpec {
     }
   }
 
-  test("multi-table LSH ANN recall@10 is at least 50% of brute-force truth") {
+  test("multi-table LSH ANN recall@10 is at least 90% of brute-force truth") {
     val truth = SparkEntry.queries("v1_knn_bruteforce")(spark, sfDir)
       .select("qid", "cid").as[(Long, Long)].collect().toSet
     val ann = SparkEntry.queries("v2_ann_lsh")(spark, sfDir)
       .select("qid", "cid").as[(Long, Long)].collect().toSet
     val recall = (truth & ann).size.toDouble / truth.size
-    assert(recall >= 0.5, s"recall=$recall")
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
+  test("ArraySignedProjections agrees with the interpreted HOF formulation") {
+    import graft.functions.ArraySignedProjections
+    val signs = Seq(Seq(1, -1, 1, -1), Seq(-1, -1, 1, 1), Seq(1, 1, 1, 1))
+    val df = Seq(
+      (Array(3L, 5L, -2L, 7L)),
+      (Array(0L, 0L, 0L, 0L)),
+      (Array(1000000L, -1000000L, 999999L, 1L))).toDF("q")
+    val hof = signs.zipWithIndex.map { case (s, i) =>
+      expr(s"aggregate(zip_with(q, array(${s.mkString(",")}), (x, s) -> x * s), CAST(0 AS BIGINT), (acc, v) -> acc + v)").as(s"p$i")
+    }
+    val native = df.select(ArraySignedProjections.project($"q", signs).as("ps"), expr("q"))
+      .select((signs.indices.map(i => element_at($"ps", i + 1).as(s"n$i")) :+ $"q"): _*)
+    val both = df.select(hof: _*).collect().map(_.toSeq) zip
+      native.select(signs.indices.map(i => col(s"n$i")): _*).collect().map(_.toSeq)
+    both.foreach { case (h, n) => assert(h === n) }
   }
 
   test("graft_dot is callable from SQL text") {
