@@ -44,6 +44,24 @@ import org.apache.spark.unsafe.types.UTF8String
 object PagedJsonSource {
   /** Test observability: pages planned by the most recent scan. */
   @volatile var lastPlannedPages: Int = -1
+
+  private[dsv2] def isHttp(path: String): Boolean =
+    path.startsWith("http://") || path.startsWith("https://")
+
+  /** Fetcher for a path: HTTP (with forwarded headers) or local file,
+    * both wrapped in the bounded-backoff retry slot. */
+  private[dsv2] def fetcherFor(path: String, headers: Map[String, String]): PageFetcher =
+    new RetryingFetcher(
+      if (isHttp(path)) new HttpPageFetcher(headers) else new LocalFileFetcher)
+
+  /** `header.`-prefixed table options become HTTP request headers (e.g.
+    * `option("header.Authorization", "Bearer ...")` — the analog of the
+    * reference's bearer-token header, src/square.ts:62-66). */
+  private[dsv2] def headerOptions(props: java.util.Map[String, String]): Map[String, String] =
+    props.asScala.collect {
+      case (k, v) if k.toLowerCase(java.util.Locale.ROOT).startsWith("header.") =>
+        k.substring("header.".length) -> v
+    }.toMap
 }
 
 class PagedJsonSource extends TableProvider {
@@ -54,21 +72,28 @@ class PagedJsonSource extends TableProvider {
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new PagedTable(properties.get("path"), schema)
+    new PagedTable(properties.get("path"), schema,
+      PagedJsonSource.headerOptions(properties))
 
   override def supportsExternalMetadata(): Boolean = true
 }
 
-final class PagedTable(dir: String, schema: StructType) extends Table with SupportsRead {
+final class PagedTable(
+    dir: String,
+    schema: StructType,
+    headers: Map[String, String]) extends Table with SupportsRead {
   override def name(): String = s"paged-json `$dir`"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedScanBuilder(dir, schema)
+    new PagedScanBuilder(dir, schema, headers)
 }
 
-final class PagedScanBuilder(dir: String, fullSchema: StructType)
+final class PagedScanBuilder(
+    dir: String,
+    fullSchema: StructType,
+    headers: Map[String, String])
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
 
@@ -107,7 +132,8 @@ final class PagedScanBuilder(dir: String, fullSchema: StructType)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new PagedScan(dir, required, minBound, maxBound, limit)
+  override def build(): Scan =
+    new PagedScan(dir, required, minBound, maxBound, limit, headers)
 }
 
 final case class PagePartition(file: String) extends InputPartition
@@ -117,7 +143,8 @@ final class PagedScan(
     requiredSchema: StructType,
     minBound: Option[String],
     maxBound: Option[String],
-    limit: Option[Int] = None) extends Scan with Batch {
+    limit: Option[Int] = None,
+    headers: Map[String, String] = Map.empty) extends Scan with Batch {
 
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
@@ -130,8 +157,13 @@ final class PagedScan(
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val mapper = new ObjectMapper()
-    val manifest = java.nio.file.Files.readAllLines(
-      java.nio.file.Paths.get(dir, "manifest.jsonl")).asScala
+    // The manifest travels the same fetcher path as the pages, so an
+    // HTTP feed's manifest gets the identical retry/429/auth handling.
+    val manifest =
+      if (PagedJsonSource.isHttp(dir))
+        PagedJsonSource.fetcherFor(dir, headers).open(s"$dir/manifest.jsonl").toSeq
+      else java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(dir, "manifest.jsonl")).asScala
     val inWindow = manifest.flatMap { line =>
       val n = mapper.readTree(line)
       val file = n.get("file").asText()
@@ -160,12 +192,14 @@ final class PagedScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PagedReaderFactory(requiredSchema)
+    new PagedReaderFactory(requiredSchema, headers)
 }
 
 /** Executor-side page fetch slot. `open` is one "HTTP page request";
   * [[RetryingFetcher]] adds the bounded-backoff retry the reference
-  * hardcodes as a 10s sleep on 429. */
+  * hardcodes as a 10s sleep on 429. [[HttpPageFetcher]] is the
+  * production implementation; [[LocalFileFetcher]] serves file feeds
+  * and tests. */
 trait PageFetcher extends Serializable {
   def open(file: String): Iterator[String]
 }
@@ -175,6 +209,11 @@ final class LocalFileFetcher extends PageFetcher {
     java.nio.file.Files.readAllLines(java.nio.file.Paths.get(file)).asScala.iterator
 }
 
+/** Bounded retry around a fetcher, with the reference's failure split
+  * (src/square.ts:69-80): 429 → wait (server's Retry-After when given,
+  * else exponential backoff) and re-request; transport IOExceptions →
+  * exponential backoff; any other HTTP failure (PageFetchFailedException
+  * is not an IOException) → fail fast, no retry. */
 final class RetryingFetcher(
     inner: PageFetcher,
     maxAttempts: Int = 5,
@@ -184,7 +223,10 @@ final class RetryingFetcher(
     while (true) {
       try return inner.open(file)
       catch {
-        case e: java.io.IOException if attempt < maxAttempts - 1 =>
+        case RateLimitedException(retryAfterMs, _) if attempt < maxAttempts - 1 =>
+          attempt += 1
+          Thread.sleep(retryAfterMs.getOrElse(baseBackoffMs * (1L << (attempt - 1))))
+        case _: java.io.IOException if attempt < maxAttempts - 1 =>
           attempt += 1
           Thread.sleep(baseBackoffMs * (1L << (attempt - 1)))
       }
@@ -193,11 +235,14 @@ final class RetryingFetcher(
   }
 }
 
-final class PagedReaderFactory(requiredSchema: StructType)
+final class PagedReaderFactory(
+    requiredSchema: StructType,
+    headers: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[PagePartition].file
-    new PagedReader(file, requiredSchema, new RetryingFetcher(new LocalFileFetcher))
+    new PagedReader(file, requiredSchema,
+      PagedJsonSource.fetcherFor(file, headers))
   }
 }
 

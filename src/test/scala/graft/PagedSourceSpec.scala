@@ -107,4 +107,203 @@ class PagedSourceSpec extends SparkSpec {
     assert(rows.count() === 5)
     assert(rows.filter(col("amount") === 200L).count() === 1) // amount_money fallback
   }
+
+  // ---------------- HTTP: mock server, 429s, fail-fast, cursors --------
+
+  import java.net.InetSocketAddress
+  import java.util.concurrent.ConcurrentHashMap
+  import java.util.concurrent.atomic.AtomicInteger
+  import com.sun.net.httpserver.{HttpExchange, HttpServer}
+  import graft.sources.HttpCursorSource
+  import graft.sources.dsv2.{HttpPageFetcher, PageFetchFailedException, RateLimitedException, RetryingFetcher}
+
+  /** Mock feed server: serves the local fixture pages over HTTP, 429s the
+    * FIRST request to every page path (with Retry-After: 0), requires the
+    * auth header when told to, and exposes a cursor-chained endpoint. */
+  private class MockFeed {
+    val hits = new ConcurrentHashMap[String, AtomicInteger]()
+    val server: HttpServer = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    @volatile var requireAuth = false
+    @volatile var rateLimitFirstHit = true
+
+    private def respond(x: HttpExchange, status: Int, body: String,
+        extra: Map[String, String] = Map.empty): Unit = {
+      extra.foreach { case (k, v) => x.getResponseHeaders.set(k, v) }
+      val bytes = body.getBytes("UTF-8")
+      x.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) x.getResponseBody.write(bytes)
+      x.close()
+    }
+
+    server.createContext("/feed/", { x =>
+      val path = x.getRequestURI.getPath
+      val n = hits.computeIfAbsent(path, _ => new AtomicInteger()).incrementAndGet()
+      if (requireAuth && x.getRequestHeaders.getFirst("Authorization") != "Bearer tok")
+        respond(x, 401, """{"error":"unauthorized"}""")
+      else if (rateLimitFirstHit && n == 1)
+        respond(x, 429, "slow down", Map("Retry-After" -> "0"))
+      else {
+        val file = java.nio.file.Paths.get(feedDir, path.stripPrefix("/feed/"))
+        if (java.nio.file.Files.exists(file))
+          respond(x, 200, new String(java.nio.file.Files.readAllBytes(file), "UTF-8"))
+        else respond(x, 404, "no such page")
+      }
+    })
+
+    server.createContext("/broken", { x =>
+      hits.computeIfAbsent("/broken", _ => new AtomicInteger()).incrementAndGet()
+      respond(x, 500, """{"error":"boom"}""")
+    })
+
+    // three cursor-chained pages, Square-response-shaped
+    server.createContext("/payments", { x =>
+      val q = Option(x.getRequestURI.getQuery).getOrElse("")
+      val params = q.split("&").filter(_.nonEmpty)
+        .map(_.split("=", 2)).map(a => a(0) -> java.net.URLDecoder.decode(a(1), "UTF-8")).toMap
+      val n = hits.computeIfAbsent("/payments@" + params.getOrElse("cursor", ""),
+        _ => new AtomicInteger()).incrementAndGet()
+      if (rateLimitFirstHit && params.get("cursor").contains("c2") && n == 1)
+        respond(x, 429, "slow down", Map("Retry-After" -> "0"))
+      else if (!params.contains("begin_time"))
+        respond(x, 400, """{"error":"begin_time required"}""")
+      else params.get("cursor") match {
+        case None =>
+          respond(x, 200, """{"payments":[{"id":"p1","amount":1},{"id":"p2","amount":2}],"cursor":"c2"}""")
+        case Some("c2") =>
+          respond(x, 200, """{"payments":[{"id":"p3","amount":3}],"cursor":"c3"}""")
+        case Some("c3") =>
+          respond(x, 200, """{"payments":[]}""")
+        case Some(other) =>
+          respond(x, 400, s"""{"error":"bad cursor $other"}""")
+      }
+    })
+
+    server.start()
+    def base: String = s"http://127.0.0.1:${server.getAddress.getPort}"
+    def stop(): Unit = server.stop(0)
+  }
+
+  test("HTTP feed: DSv2 scan over the mock server with injected 429s on every page") {
+    val feed = new MockFeed
+    try {
+      val df = spark.read
+        .format("graft.sources.dsv2.PagedJsonSource")
+        .schema(SquareSchemas.payment)
+        .option("path", s"${feed.base}/feed")
+        .load()
+      // every path (manifest + 3 pages) got a 429 first; retries recover
+      assert(df.count() === 5)
+      assert(feed.hits.get("/feed/manifest.jsonl").get() >= 2)
+      assert(feed.hits.get("/feed/page-0.jsonl").get() >= 2)
+    } finally feed.stop()
+  }
+
+  test("HTTP feed: planning-time pruning fetches only overlapping pages") {
+    val feed = new MockFeed
+    feed.rateLimitFirstHit = false
+    try {
+      val df = spark.read
+        .format("graft.sources.dsv2.PagedJsonSource")
+        .schema(SquareSchemas.payment)
+        .option("path", s"${feed.base}/feed")
+        .load()
+        .filter(col("created_at") >= "2024-02-01T00:00:00Z" &&
+          col("created_at") < "2024-03-01T00:00:00Z")
+      // no orderBy: range partitioning samples the source, re-fetching pages
+      assert(df.select("id").collect().map(_.getString(0)).sorted.toSeq === Seq("p3", "p4"))
+      assert(feed.hits.get("/feed/page-1.jsonl").get() === 1)
+      assert(!feed.hits.containsKey("/feed/page-0.jsonl"), "pruned page must never be fetched")
+      assert(!feed.hits.containsKey("/feed/page-2.jsonl"), "pruned page must never be fetched")
+    } finally feed.stop()
+  }
+
+  test("HTTP feed: auth headers forwarded from header.* options") {
+    val feed = new MockFeed
+    feed.requireAuth = true
+    feed.rateLimitFirstHit = false
+    try {
+      val unauthed = spark.read
+        .format("graft.sources.dsv2.PagedJsonSource")
+        .schema(SquareSchemas.payment)
+        .option("path", s"${feed.base}/feed")
+        .load()
+      val e = intercept[Exception] { unauthed.count() }
+      def rootCauses(t: Throwable): Seq[Throwable] =
+        Seq(t) ++ Option(t.getCause).toSeq.flatMap(rootCauses)
+      assert(rootCauses(e).exists {
+        case PageFetchFailedException(401, _, _) => true
+        case _ => false
+      }, s"expected fail-fast 401, got $e")
+
+      val authed = spark.read
+        .format("graft.sources.dsv2.PagedJsonSource")
+        .schema(SquareSchemas.payment)
+        .option("path", s"${feed.base}/feed")
+        .option("header.Authorization", "Bearer tok")
+        .load()
+      assert(authed.count() === 5)
+    } finally feed.stop()
+  }
+
+  test("429 retries with backoff; other HTTP failures fail fast") {
+    val feed = new MockFeed
+    try {
+      // direct fetcher probe: first hit 429s (Retry-After: 0), then serves
+      val fetcher = new RetryingFetcher(new HttpPageFetcher(), maxAttempts = 3, baseBackoffMs = 1)
+      val lines = fetcher.open(s"${feed.base}/feed/page-2.jsonl").toSeq
+      assert(lines.size === 1)
+      assert(feed.hits.get("/feed/page-2.jsonl").get() === 2)
+
+      // 500 must NOT be retried: exactly one request, error carries status+body
+      val calls0 = Option(feed.hits.get("/broken")).map(_.get()).getOrElse(0)
+      val e = intercept[PageFetchFailedException] {
+        fetcher.open(s"${feed.base}/broken")
+      }
+      assert(e.status === 500 && e.getMessage.contains("boom"))
+      assert(feed.hits.get("/broken").get() === calls0 + 1, "fail-fast means no retry")
+
+      // a 429 that never clears exhausts maxAttempts and surfaces
+      feed.server.createContext("/always429",
+        { x => x.getResponseHeaders.set("Retry-After", "0")
+          x.sendResponseHeaders(429, -1); x.close() })
+      intercept[RateLimitedException] {
+        new RetryingFetcher(new HttpPageFetcher(), maxAttempts = 2, baseBackoffMs = 1)
+          .open(s"${feed.base}/always429")
+      }
+    } finally feed.stop()
+  }
+
+  test("cursor-paginated REST: chains cursors, pushes the time window, rides out 429s") {
+    val feed = new MockFeed
+    try {
+      import org.apache.spark.sql.types._
+      val itemSchema = StructType(Seq(
+        StructField("id", StringType), StructField("amount", LongType)))
+      val df = HttpCursorSource.read(
+        spark, s"${feed.base}/payments", "payments", itemSchema,
+        params = Map("begin_time" -> "2024-01-01T00:00:00Z", "sort_order" -> "ASC"),
+        baseBackoffMs = 1)
+      val got = df.orderBy("id").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got === Seq(("p1", 1L), ("p2", 2L), ("p3", 3L)))
+      // page 2 (cursor=c2) was 429'd once and retried
+      assert(feed.hits.get("/payments@c2").get() === 2)
+      // empty terminal page (cursor=c3, no next cursor) ends the walk
+      assert(feed.hits.get("/payments@c3").get() === 1)
+    } finally feed.stop()
+  }
+
+  test("cursor-paginated REST: server 400 fails fast through the walk") {
+    val feed = new MockFeed
+    feed.rateLimitFirstHit = false
+    try {
+      import org.apache.spark.sql.types._
+      val itemSchema = StructType(Seq(StructField("id", StringType)))
+      val e = intercept[PageFetchFailedException] {
+        HttpCursorSource.read(
+          spark, s"${feed.base}/payments", "payments", itemSchema,
+          params = Map.empty, baseBackoffMs = 1) // missing begin_time → 400
+      }
+      assert(e.status === 400)
+    } finally feed.stop()
+  }
 }
