@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.DriverManager
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.JdbcUpsert
+
+/** JDBC upsert sink against embedded Derby (in /opt/spark/jars — Spark
+  * ships it for the Hive metastore): real MERGE round-trips, idempotence,
+  * update-vs-insert split, nulls, and the Postgres ON CONFLICT text shape
+  * matching the reference loader.
+  */
+class JdbcUpsertSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dbDir =
+    java.nio.file.Files.createTempDirectory("graft-derby").resolve("db").toString
+  private lazy val url = s"jdbc:derby:$dbDir;create=true"
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType),
+    StructField("amount", DoubleType)))
+
+  private def tableRows(table: String): Set[(Long, String, Option[Double])] = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement().executeQuery(s"SELECT id, name, amount FROM $table")
+      val buf = scala.collection.mutable.Set.empty[(Long, String, Option[Double])]
+      while (rs.next()) {
+        val amt = rs.getDouble(3)
+        val amtOpt = if (rs.wasNull()) None else Some(amt) // wasNull = LAST read
+        buf += ((rs.getLong(1), rs.getString(2), amtOpt))
+      }
+      buf.toSet
+    } finally conn.close()
+  }
+
+  test("upsert round-trip: insert, idempotent repeat, keyed update") {
+    JdbcUpsert.createTableIfMissing(url, "t_pay", schema, Seq("id"))
+    val d1 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "amount")
+
+    JdbcUpsert.upsertJdbc(d1, url, "t_pay", Seq("id"))
+    val afterFirst = tableRows("t_pay")
+    assert(afterFirst === Set((1L, "a", Some(10.0)), (2L, "b", Some(20.0)), (3L, "c", Some(30.0))))
+
+    // idempotence: same delta again changes nothing
+    JdbcUpsert.upsertJdbc(d1, url, "t_pay", Seq("id"))
+    assert(tableRows("t_pay") === afterFirst)
+
+    // overlapping delta: key 2 updated, key 4 inserted, others untouched
+    val d2 = Seq((2L, "b2", 21.0), (4L, "d", 40.0)).toDF("id", "name", "amount")
+    JdbcUpsert.upsertJdbc(d2, url, "t_pay", Seq("id"))
+    assert(tableRows("t_pay") === Set(
+      (1L, "a", Some(10.0)), (2L, "b2", Some(21.0)),
+      (3L, "c", Some(30.0)), (4L, "d", Some(40.0))))
+  }
+
+  test("NULL fields bind and update correctly") {
+    JdbcUpsert.createTableIfMissing(url, "t_null", schema, Seq("id"))
+    val d = Seq((1L, Option("x"), Option(1.5)), (2L, Option.empty[String], Option.empty[Double]))
+      .toDF("id", "name", "amount")
+    JdbcUpsert.upsertJdbc(d, url, "t_null", Seq("id"))
+    assert(tableRows("t_null") === Set((1L, "x", Some(1.5)), (2L, null, None)))
+    // updating a present value to NULL sticks (no last-value leak)
+    val d2 = Seq((1L, Option.empty[String], Option(2.5))).toDF("id", "name", "amount")
+    JdbcUpsert.upsertJdbc(d2, url, "t_null", Seq("id"))
+    assert(tableRows("t_null") === Set((1L, null, Some(2.5)), (2L, null, None)))
+  }
+
+  test("many partitions, composite keys, small batches") {
+    val schema2 = StructType(Seq(
+      StructField("tenant", StringType, nullable = false),
+      StructField("id", LongType, nullable = false),
+      StructField("v", LongType)))
+    JdbcUpsert.createTableIfMissing(url, "t_comp", schema2, Seq("tenant", "id"))
+    val big = (1 to 500).map(i => (s"t${i % 3}", i.toLong, i.toLong))
+      .toDF("tenant", "id", "v").repartition(8)
+    JdbcUpsert.upsertJdbc(big, url, "t_comp", Seq("tenant", "id"), batchSize = 32)
+    // second pass with doubled values: pure update, row count stable
+    val again = (1 to 500).map(i => (s"t${i % 3}", i.toLong, i * 2L))
+      .toDF("tenant", "id", "v").repartition(8)
+    JdbcUpsert.upsertJdbc(again, url, "t_comp", Seq("tenant", "id"), batchSize = 32)
+    val conn = DriverManager.getConnection(url)
+    try {
+      val rs = conn.createStatement()
+        .executeQuery("SELECT count(*), sum(v) FROM t_comp")
+      rs.next()
+      assert(rs.getLong(1) === 500L)
+      assert(rs.getLong(2) === (1 to 500).map(_ * 2L).sum)
+    } finally conn.close()
+  }
+
+  test("Postgres dialect emits the reference's ON CONFLICT statement shape") {
+    val sql = JdbcUpsert.PostgresOnConflict.upsertSql("pos.pos_payments", schema, Seq("id"))
+    // reference: src/etl-square-payments.ts:63-94
+    assert(sql.contains("INSERT INTO pos.pos_payments (id, name, amount)"))
+    assert(sql.contains("ON CONFLICT (id)"))
+    assert(sql.contains("DO UPDATE SET name = EXCLUDED.name, amount = EXCLUDED.amount"))
+    assert(sql.count(_ == '?') === 3)
+    // key-only schema degrades to DO NOTHING
+    val keyOnly = StructType(Seq(StructField("id", LongType, nullable = false)))
+    assert(JdbcUpsert.PostgresOnConflict.upsertSql("t", keyOnly, Seq("id")).contains("DO NOTHING"))
+  }
+}
