@@ -53,8 +53,21 @@ object Upsert {
   /** Upsert `delta` into the parquet table at `path` (creating it if
     * absent). When `partitionBy` is set, only partitions present in the
     * delta are read+rewritten (dynamic overwrite); unpartitioned tables
-    * are rewritten whole via write-temp-then-swap for atomicity without a
-    * transaction log (SURVEY.md §7.4 hard part #1).
+    * are rewritten whole via a staged write + atomic-swap protocol
+    * (SURVEY.md §7.4 hard part #1).
+    *
+    * Crash safety without a transaction log: every merge result is fully
+    * durable on disk (a staged parquet write with its `_SUCCESS` marker)
+    * BEFORE the live table is touched — there is no state in which the
+    * table's only copy is executor memory (the round-1
+    * `localCheckpoint(true)` pinned the entire merged table in block
+    * storage: lethal at 100 TB, and lost on any executor death). The
+    * unpartitioned swap (`path` → `path__old`, `path__new` → `path`,
+    * drop `__old`) has two crash windows, both recovered by
+    * [[recoverSwap]] on the next call: roll FORWARD when `__new` is
+    * complete and the table vanished mid-swap, roll BACK to `__old`
+    * otherwise. A crash before the swap leaves the old table intact and
+    * the job retryable — and the keyed upsert makes retries idempotent.
     */
   def upsertParquet(
       spark: SparkSession,
@@ -64,6 +77,7 @@ object Upsert {
       partitionBy: Seq[String] = Nil): Unit = {
     val fsPath = new org.apache.hadoop.fs.Path(path)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, path)
     val exists = fs.exists(fsPath)
 
     if (!exists) {
@@ -73,24 +87,65 @@ object Upsert {
     }
 
     if (partitionBy.nonEmpty) {
-      // Only touch partitions the delta lands in.
+      // Only touch partitions the delta lands in. The merge is staged to
+      // disk first (not localCheckpoint: disk-backed, sized by the
+      // affected partitions only), then read back for the dynamic
+      // overwrite so the table is never read and rewritten in one job.
       val affected = delta.select(partitionBy.map(col).toIndexedSeq: _*).distinct()
       val base = spark.read.parquet(path).join(broadcast(affected), partitionBy, "left_semi")
-      val merged = merge(base, delta, keys).localCheckpoint(true)
-      merged.write
+      val stage = new org.apache.hadoop.fs.Path(path + "__stage")
+      fs.delete(stage, true)
+      merge(base, delta, keys).write.mode(SaveMode.Overwrite).parquet(stage.toString)
+      spark.read.parquet(stage.toString).write
         .mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partitionBy: _*)
         .parquet(path)
+      fs.delete(stage, true)
     } else {
+      val newP = new org.apache.hadoop.fs.Path(path + "__new")
+      val oldP = new org.apache.hadoop.fs.Path(path + "__old")
+      fs.delete(newP, true)
+      fs.delete(oldP, true)
       val base = spark.read.parquet(path)
-      // localCheckpoint materializes the merge before we clobber its input.
-      val merged = merge(base, delta, keys).localCheckpoint(true)
-      val tmp = new org.apache.hadoop.fs.Path(path + "__tmp_upsert")
-      fs.delete(tmp, true)
-      merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      fs.delete(fsPath, true)
-      fs.rename(tmp, fsPath)
+      // Stage the full merge durably BEFORE touching the live table.
+      merge(base, delta, keys).write.mode(SaveMode.Overwrite).parquet(newP.toString)
+      // Swap. Directory renames are atomic on HDFS-like filesystems.
+      if (!fs.rename(fsPath, oldP))
+        throw new java.io.IOException(s"swap failed: $fsPath -> $oldP")
+      if (!fs.rename(newP, fsPath)) {
+        fs.rename(oldP, fsPath) // restore; __new remains for inspection
+        throw new java.io.IOException(s"swap failed: $newP -> $fsPath")
+      }
+      fs.delete(oldP, true)
+    }
+  }
+
+  /** Heal an interrupted unpartitioned swap. States and actions:
+    *   - table present: any `__new`/`__old` leftovers are from a crash
+    *     before the swap started or after it finished — garbage, drop
+    *     them (the interrupted upsert simply retries);
+    *   - table missing, `__new` complete (`_SUCCESS`): the crash hit
+    *     between the two renames; the merge was durable — roll FORWARD;
+    *   - table missing, `__new` unusable: roll BACK to `__old`.
+    */
+  private[graft] def recoverSwap(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val newP = new org.apache.hadoop.fs.Path(path + "__new")
+    val oldP = new org.apache.hadoop.fs.Path(path + "__old")
+    if (!fs.exists(fsPath)) {
+      val newComplete =
+        fs.exists(new org.apache.hadoop.fs.Path(newP, "_SUCCESS"))
+      if (newComplete) {
+        if (!fs.rename(newP, fsPath))
+          throw new java.io.IOException(s"swap recovery failed: $newP -> $fsPath")
+        fs.delete(oldP, true)
+      } else if (fs.exists(oldP)) {
+        if (!fs.rename(oldP, fsPath))
+          throw new java.io.IOException(s"swap recovery failed: $oldP -> $fsPath")
+        fs.delete(newP, true)
+      }
     }
   }
 }

@@ -56,6 +56,77 @@ class UpsertSpec extends SparkSpec {
     assert(out === Seq((1, "p1", 9), (2, "p1", 1), (3, "p2", 1)))
   }
 
+  // ---- crash injection: every interruption point of the unpartitioned
+  // swap (stage write → rename path→__old → rename __new→path → drop
+  // __old) must leave a recoverable table; retrying the upsert converges.
+
+  private def fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+  private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+  private def readTable(path: String) =
+    spark.read.parquet(path).orderBy("k").as[(Int, Int)].collect().toSeq
+
+  /** Build the table {1→1, 2→1}, then fabricate the on-disk state of a
+    * crash at the given step of upserting delta {2→9, 3→9}. */
+  private def crashState(step: String): (String, org.apache.spark.sql.DataFrame) = {
+    val path = tempDir()
+    val d1 = Seq((1, 1), (2, 1)).toDF("k", "v")
+    Upsert.upsertParquet(spark, path, d1, Seq("k"))
+    val delta = Seq((2, 9), (3, 9)).toDF("k", "v")
+    // stage the merge exactly as upsertParquet does
+    val merged = Upsert.merge(spark.read.parquet(path), delta, Seq("k"))
+    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path + "__new")
+    step match {
+      case "after-stage" => // crash before any rename: table untouched
+      case "mid-swap" =>    // crash between the two renames: table gone
+        assert(fs.rename(hp(path), hp(path + "__old")))
+      case "before-cleanup" => // crash after swap, __old left behind
+        assert(fs.rename(hp(path), hp(path + "__old")))
+        assert(fs.rename(hp(path + "__new"), hp(path)))
+    }
+    (path, delta)
+  }
+
+  test("crash after staged write: old table intact, retry converges") {
+    val (path, delta) = crashState("after-stage")
+    assert(readTable(path) === Seq((1, 1), (2, 1)), "live table must be untouched")
+    Upsert.upsertParquet(spark, path, delta, Seq("k")) // the retry
+    assert(readTable(path) === Seq((1, 1), (2, 9), (3, 9)))
+  }
+
+  test("crash mid-swap: durable __new rolls FORWARD, nothing lost") {
+    val (path, delta) = crashState("mid-swap")
+    assert(!fs.exists(hp(path)), "precondition: table dir gone mid-swap")
+    Upsert.upsertParquet(spark, path, delta, Seq("k")) // retry heals then applies
+    assert(readTable(path) === Seq((1, 1), (2, 9), (3, 9)))
+    assert(!fs.exists(hp(path + "__new")) && !fs.exists(hp(path + "__old")))
+  }
+
+  test("crash mid-swap with unusable __new rolls BACK to __old") {
+    val (path, _) = crashState("mid-swap")
+    // corrupt the staged result: drop its _SUCCESS marker
+    fs.delete(hp(path + "__new/_SUCCESS"), false)
+    Upsert.recoverSwap(fs, path)
+    assert(readTable(path) === Seq((1, 1), (2, 1)), "rollback restores the pre-upsert table")
+  }
+
+  test("crash before cleanup: swap done, leftover __old is dropped on retry") {
+    val (path, delta) = crashState("before-cleanup")
+    assert(readTable(path) === Seq((1, 1), (2, 9), (3, 9)), "swap already landed")
+    Upsert.upsertParquet(spark, path, delta, Seq("k")) // idempotent retry
+    assert(readTable(path) === Seq((1, 1), (2, 9), (3, 9)))
+    assert(!fs.exists(hp(path + "__old")))
+  }
+
+  test("upsert plans contain no localCheckpoint / memory-pinned scan") {
+    val path = tempDir()
+    Upsert.upsertParquet(spark, path, Seq((1, 1)).toDF("k", "v"), Seq("k"))
+    Upsert.upsertParquet(spark, path, Seq((2, 2)).toDF("k", "v"), Seq("k"))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "upsert must not pin RDDs in executor storage")
+    assert(readTable(path) === Seq((1, 1), (2, 2)))
+  }
+
   test("mergeEvolve: additive schema evolution, nulls for the missing side") {
     val base = Seq((1, "a"), (2, "b")).toDF("k", "name")
     val delta = Seq((2, "b2", "new"), (3, "c", "x")).toDF("k", "name", "extra")
