@@ -7,12 +7,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns for training-data pipelines: image/audio/video as
   * opaque `binary` columns plus typed metadata, processed with
   * iterator-to-iterator `mapPartitions` over typed Datasets — the
-  * Scala-native analog of Python's `mapInPandas` batch UDFs. The
-  * Spark-side plumbing (schema, partitioning, batch shape, lazy
-  * iterators) is real and tested; the actual codec work is STUBBED
-  * behind [[StubCodec]] because no image/audio libraries exist in this
-  * environment — swap that one object for a JNI/javacv codec in a real
-  * deployment, nothing else changes.
+  * Scala-native analog of Python's `mapInPandas` batch UDFs.
+  *
+  * Codec status: IMAGES are real — [[ImageCodec]] decodes, resizes and
+  * feature-extracts PNG/JPEG/GIF/BMP via the JDK's `javax.imageio`
+  * (headless, zero added dependencies). Audio/video stay STUBBED behind
+  * [[StubCodec]] (no A/V libraries exist in this environment) — swap
+  * that one object for a javacv/ffmpeg binding in a real deployment,
+  * nothing else changes.
   *
   * Scale design:
   *   - decode cost dominates at 100 TB; [[repartitionForDecode]] spreads
@@ -36,11 +38,80 @@ object Multimodal {
   final case class Frame(
       asset_id: Long, frame_no: Int, ts_ms: Long, bytes: Array[Byte])
 
-  /** ======== STUB ========
+  /** Real image codec on the JDK's `javax.imageio` — no external
+    * dependency, headless-safe (BufferedImage rasters never touch a
+    * display). Deterministic: pixel math only, and the PNG encoder
+    * writes no timestamps. Undecodable bytes yield None/empty — a
+    * 100 TB corpus always carries some corrupt assets, and one bad file
+    * must not kill a stage. */
+  object ImageCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    def decode(bytes: Array[Byte]): Option[BufferedImage] =
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+
+    /** (width, height) of the encoded image, if decodable. */
+    def dimensions(bytes: Array[Byte]): Option[(Int, Int)] =
+      decode(bytes).map(img => (img.getWidth, img.getHeight))
+
+    /** Real resize: decode → bilinear-draw onto a w×h raster → PNG. */
+    def resizePng(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      decode(bytes).map { img =>
+        val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+
+    /** Real pixel features: [meanR, meanG, meanB, meanLuma, aspect] ++
+      * a 16-bin normalized luminance histogram, truncated/zero-padded to
+      * `dims`. All values in [0, 1] except aspect (w/h). */
+    def pixelFeatures(bytes: Array[Byte], dims: Int): Array[Float] =
+      decode(bytes) match {
+        case None => Array.empty[Float]
+        case Some(img) =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          var (sr, sg, sb, sl) = (0.0, 0.0, 0.0, 0.0)
+          val hist = new Array[Float](16)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              val luma = 0.299 * r + 0.587 * g + 0.114 * b
+              sr += r; sg += g; sb += b; sl += luma
+              hist(math.min(15, (luma / 16).toInt)) += 1f
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w * h).toFloat
+          val base = Array(
+            (sr / n / 255.0).toFloat, (sg / n / 255.0).toFloat,
+            (sb / n / 255.0).toFloat, (sl / n / 255.0).toFloat,
+            w.toFloat / h.toFloat) ++ hist.map(_ / n)
+          java.util.Arrays.copyOf(base, dims)
+      }
+  }
+
+  /** ======== STUB (audio/video only) ========
     * Deterministic fake codec: derives "decoded" content from an md5 of
     * the bytes. A real deployment replaces exactly this object with a
-    * codec-backed implementation (e.g. javacv / TwelveMonkeys); all
-    * dataset-level operators below are codec-agnostic.
+    * codec-backed implementation (e.g. javacv/ffmpeg); all dataset-level
+    * operators below are codec-agnostic. Images do NOT go through this —
+    * see [[ImageCodec]].
     */
   object StubCodec {
     private def digest(bytes: Array[Byte], salt: String): Array[Byte] = {
@@ -72,26 +143,53 @@ object Multimodal {
     ds.repartition(n, col("asset_id"))
 
   /** Batched decode + feature extraction (mapInPandas analog): one lazy
-    * iterator per partition, codec state initialized once per task. */
+    * iterator per partition, codec state initialized once per task.
+    * Images get REAL pixel features via [[ImageCodec]]; audio/video fall
+    * back to the stub until a real A/V codec is plugged in. */
   def extractFeatures(ds: Dataset[MediaAsset], dims: Int): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      // real impl: initialize the codec HERE, once per partition
+      // real impl detail: per-partition block so any heavier codec state
+      // (readers, native contexts) initializes once per task
       it.map { a =>
-        MediaFeatures(a.asset_id, a.kind, a.bytes.length.toLong,
-          StubCodec.features(a.bytes, dims))
+        val feat =
+          if (a.kind == "image") ImageCodec.pixelFeatures(a.bytes, dims)
+          else StubCodec.features(a.bytes, dims)
+        MediaFeatures(a.asset_id, a.kind, a.bytes.length.toLong, feat)
       }
     }
   }
 
-  /** Image resize: new payload + updated metadata, non-images unchanged. */
+  /** Image resize: REAL decode + bilinear rescale + PNG re-encode via
+    * [[ImageCodec]]; undecodable images and non-images pass through
+    * unchanged. */
   def resizeImages(ds: Dataset[MediaAsset], w: Int, h: Int): Dataset[MediaAsset] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.map {
         case a if a.kind == "image" =>
-          a.copy(bytes = StubCodec.resize(a.bytes, w, h),
-            meta = a.meta.copy(width = w, height = h))
+          ImageCodec.resizePng(a.bytes, w, h) match {
+            case Some(resized) =>
+              a.copy(bytes = resized,
+                meta = a.meta.copy(mime = "image/png", width = w, height = h))
+            case None => a // corrupt asset: pass through, don't kill the stage
+          }
+        case other => other
+      }
+    }
+  }
+
+  /** Probe real decoded dimensions into the metadata (images only) —
+    * catches feeds whose declared metadata lies about the payload. */
+  def probeImageDims(ds: Dataset[MediaAsset]): Dataset[MediaAsset] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map {
+        case a if a.kind == "image" =>
+          ImageCodec.dimensions(a.bytes) match {
+            case Some((w, h)) => a.copy(meta = a.meta.copy(width = w, height = h))
+            case None => a
+          }
         case other => other
       }
     }
@@ -109,21 +207,51 @@ object Multimodal {
     }
   }
 
+  /** Deterministic real PNG: a w×h gradient raster derived from `seed`.
+    * Pixel math only — no timestamps, no randomness — so the same seed
+    * always encodes the same image. */
+  def syntheticPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((seed * 31 + x * 7 + y * 13) % 256).toInt & 0xff
+        val g = ((seed * 17 + x * 3 + y * 5) % 256).toInt & 0xff
+        val b = ((seed * 7 + x * 11 + y * 2) % 256).toInt & 0xff
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Synthesize a deterministic media table from ids — test and demo
-    * input without real media files. */
+    * input without real media files. Image assets carry REAL encoded
+    * PNGs (decodable by [[ImageCodec]]); audio/video carry opaque
+    * payloads for the stub. */
   def synthesize(spark: SparkSession, ids: Seq[Long]): Dataset[MediaAsset] = {
     import spark.implicits._
     ids.map { id =>
       val kind = (id % 3) match {
         case 0 => "image"; case 1 => "audio"; case _ => "video"
       }
-      val bytes = Array.tabulate[Byte](64 + (id % 32).toInt)(i => ((id * 31 + i) % 127).toByte)
-      val meta = kind match {
-        case "image" => MediaMeta("image/png", 640, 480, 0, 0L)
-        case "audio" => MediaMeta("audio/wav", 0, 0, 16000, 2000L + id % 1000)
-        case _       => MediaMeta("video/mp4", 1280, 720, 0, 3000L + (id % 5) * 1000)
+      kind match {
+        case "image" =>
+          val (w, h) = (16 + (id % 4).toInt * 4, 12 + (id % 3).toInt * 4)
+          MediaAsset(id, kind, syntheticPng(id, w, h),
+            MediaMeta("image/png", w, h, 0, 0L))
+        case "audio" =>
+          val bytes = Array.tabulate[Byte](64 + (id % 32).toInt)(i => ((id * 31 + i) % 127).toByte)
+          MediaAsset(id, kind, bytes, MediaMeta("audio/wav", 0, 0, 16000, 2000L + id % 1000))
+        case _ =>
+          val bytes = Array.tabulate[Byte](64 + (id % 32).toInt)(i => ((id * 31 + i) % 127).toByte)
+          MediaAsset(id, kind, bytes, MediaMeta("video/mp4", 1280, 720, 0, 3000L + (id % 5) * 1000))
       }
-      MediaAsset(id, kind, bytes, meta)
     }.toDS()
   }
 }

@@ -27,25 +27,83 @@ class MultimodalSpec extends SparkSpec {
     val rows = feats.collect()
     assert(rows.length === 30)
     assert(rows.forall(_.feature.length === 16))
-    assert(rows.forall(_.feature.forall(v => v >= -1.0f && v < 1.0f)))
+    val byKind = rows.groupBy(_.kind)
+    // audio/video ride the stub: pseudo-activations in [-1, 1)
+    (byKind("audio") ++ byKind("video")).foreach(r =>
+      assert(r.feature.forall(v => v >= -1.0f && v < 1.0f)))
+    // images carry REAL pixel statistics: channel/luma means in [0, 1]
+    byKind("image").foreach { r =>
+      assert(r.feature.take(4).forall(v => v >= 0.0f && v <= 1.0f), r.asset_id)
+    }
     // determinism: rerun produces identical vectors
     val again = Multimodal.extractFeatures(assets, dims = 16).collect()
       .map(r => r.asset_id -> r.feature.toSeq).toMap
     assert(rows.forall(r => again(r.asset_id) == r.feature.toSeq))
   }
 
-  test("resize touches only images and updates metadata + payload") {
+  test("synthetic PNGs are real: ImageIO decodes them at declared dims") {
+    assets.filter(_.kind == "image").collect().foreach { a =>
+      val dims = ImageCodec.dimensions(a.bytes)
+      assert(dims === Some((a.meta.width, a.meta.height)),
+        s"asset ${a.asset_id}: decoded $dims, declared ${(a.meta.width, a.meta.height)}")
+    }
+  }
+
+  test("resize really re-rasterizes: output decodes at the target size") {
     val before = assets.collect().map(a => a.asset_id -> a).toMap
     val resized = Multimodal.resizeImages(assets, 224, 224).collect()
     resized.foreach { a =>
       if (a.kind == "image") {
         assert(a.meta.width === 224 && a.meta.height === 224)
         assert(!java.util.Arrays.equals(a.bytes, before(a.asset_id).bytes))
+        // the decisive check: the resized payload is a real PNG of 224x224
+        assert(ImageCodec.dimensions(a.bytes) === Some((224, 224)))
       } else {
         assert(a.meta === before(a.asset_id).meta)
         assert(java.util.Arrays.equals(a.bytes, before(a.asset_id).bytes))
       }
     }
+  }
+
+  test("pixel features reflect actual pixel content") {
+    import java.awt.image.BufferedImage
+    def solidPng(rgb: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val red = ImageCodec.pixelFeatures(solidPng(0xff0000, 20, 10), 21)
+    assert(math.abs(red(0) - 1.0f) < 0.01f, "mean R of a red image is 1")
+    assert(red(1) < 0.01f && red(2) < 0.01f, "mean G/B of a red image are 0")
+    assert(math.abs(red(4) - 2.0f) < 0.01f, "aspect ratio 20/10 = 2")
+    val white = ImageCodec.pixelFeatures(solidPng(0xffffff, 8, 8), 21)
+    assert(math.abs(white(3) - 1.0f) < 0.01f, "mean luma of white is 1")
+    assert(math.abs(white(20) - 1.0f) < 0.01f, "all luma mass in the top histogram bin")
+    val black = ImageCodec.pixelFeatures(solidPng(0x000000, 8, 8), 21)
+    assert(black(3) < 0.01f, "mean luma of black is 0")
+    assert(math.abs(black(5) - 1.0f) < 0.01f, "all luma mass in the bottom bin")
+  }
+
+  test("corrupt image bytes degrade gracefully, not fatally") {
+    val junk = Array.tabulate[Byte](100)(i => (i * 7).toByte)
+    assert(ImageCodec.dimensions(junk) === None)
+    assert(ImageCodec.pixelFeatures(junk, 8).isEmpty)
+    assert(ImageCodec.resizePng(junk, 10, 10) === None)
+    // through the distributed operator: corrupt asset passes through
+    val bad = Seq(MediaAsset(99L, "image", junk, MediaMeta("image/png", 5, 5, 0, 0L))).toDS()
+    val out = Multimodal.resizeImages(bad, 10, 10).collect().head
+    assert(java.util.Arrays.equals(out.bytes, junk), "undecodable image passes through")
+    val feats = Multimodal.extractFeatures(bad, 8).collect().head
+    assert(feats.feature.isEmpty)
+  }
+
+  test("probeImageDims corrects lying metadata from the real payload") {
+    val lying = Seq(MediaAsset(7L, "image",
+      Multimodal.syntheticPng(7L, 24, 16), MediaMeta("image/png", 999, 999, 0, 0L))).toDS()
+    val probed = Multimodal.probeImageDims(lying).collect().head
+    assert(probed.meta.width === 24 && probed.meta.height === 16)
   }
 
   test("frame sampling: one row per interval, videos only, lazy flatMap") {
