@@ -106,9 +106,11 @@ object Extras {
   // the 100 TB path for cardinality/quantiles. Sketch INTERNALS differ
   // across engines, but a sketch's portable contract is its error bound:
   // the query emits the exact aggregates (oracle-recomputed in DuckDB)
-  // plus within-ε booleans comparing Spark's sketches to Spark's exact
-  // values; the oracle pins those booleans to TRUE. A sketch drifting
-  // out of bounds is a hash mismatch — a real gate, not rows-only. ---
+  // plus within-ε booleans — the distinct sketch vs the exact distinct
+  // count, and the approx median vs its TRUE percentile rank (a second
+  // cheap conditional-agg pass; an exact percentile would buffer every
+  // group's values). The oracle pins the booleans TRUE, so a sketch
+  // drifting out of bounds is a hash mismatch — a real gate. ---
   val a15ApproxSketch = QueryDef.sql(
     "a15_approx_sketch",
     """SELECT l_returnflag, count(*) AS n,
@@ -116,16 +118,24 @@ object Extras {
       |  TRUE AS parts_within_5pct,
       |  TRUE AS median_within_5pct
       |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
-    T.lineitem(s, d).groupBy(col("l_returnflag")).agg(
+    val li = T.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_partkey"), col("l_extendedprice"))
+    val sketched = li.groupBy(col("l_returnflag")).agg(
       count(lit(1)).as("n"),
       countDistinct(col("l_partkey")).as("exact_parts"),
       approx_count_distinct(col("l_partkey")).as("ad"),
-      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("ap"),
-      expr("percentile(l_extendedprice, 0.5)").as("xp"))
-      .select(col("l_returnflag"), col("n"), col("exact_parts"),
-        (abs(col("ad") - col("exact_parts")).cast("double") / col("exact_parts") <= 0.05)
-          .as("parts_within_5pct"),
-        (abs(col("ap") - col("xp")) / col("xp") <= 0.05).as("median_within_5pct"))
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("ap"))
+    // true percentile rank of the approx median: F(ap) must be ~0.5
+    val rank = li
+      .join(broadcast(sketched.select(col("l_returnflag"), col("ap"))), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg((sum(when(col("l_extendedprice") <= col("ap"), 1L).otherwise(0L))
+        .cast("double") / count(lit(1))).as("rk"))
+    sketched.join(rank, Seq("l_returnflag")).select(
+      col("l_returnflag"), col("n"), col("exact_parts"),
+      (abs(col("ad") - col("exact_parts")).cast("double") / col("exact_parts") <= 0.05)
+        .as("parts_within_5pct"),
+      (col("rk") >= 0.45 && col("rk") <= 0.55).as("median_within_5pct"))
   }
 
   // --- a16_window_suite: ranking/navigation/frame window coverage ---
@@ -228,10 +238,12 @@ object Extras {
     s.sql(correlatedSql)
   }
 
-  // --- a4b_topk_agg: top-5 per segment via the bounded TopKRowsAggregator
-  // (partial per-partition top-k — shuffle carries ≤k rows per group per
-  // task, unlike the full window sort). Same oracle as a4_window_topk:
-  // the two implementations must agree exactly. ---
+  // --- a4b_topk_agg: top-5 per segment via the bounded generic
+  // TopKRowsAggregator (partial per-partition top-k — shuffle carries
+  // ≤k rows per group per task, unlike the full window sort). The
+  // DESC-value/ASC-id rule lives in the Ordering, matching the window
+  // form's ORDER BY c_acctbal DESC, c_custkey. Same oracle as
+  // a4_window_topk: the two implementations must agree exactly. ---
   val a4bTopkAgg = QueryDef.sql(
     "a4b_topk_agg",
     """SELECT c_custkey, c_name, c_mktsegment, c_acctbal, rn FROM (
@@ -240,19 +252,22 @@ object Extras {
       |  FROM customer) t
       |WHERE rn <= 5""".stripMargin) { (s, d) =>
     import s.implicits._
+    implicit val keyOrd: Ordering[(Double, Long)] =
+      Ordering.Tuple2(Ordering[Double].reverse, Ordering[Long])
     val ds = T.customer(s, d)
       .select(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"), col("c_name"))
       .as[(String, Double, Long, String)]
     ds.groupByKey(_._1)
-      .mapValues(t => (t._2, t._3, t._4))
-      .agg(new graft.functions.TopKRowsAggregator(5).toColumn.name("top"))
+      .mapValues(t => ((t._2, t._3), t._4))
+      .agg(new graft.functions.TopKRowsAggregator[(Double, Long), String](5)
+        .toColumn.name("top"))
       .toDF("c_mktsegment", "top")
       .select(col("c_mktsegment"), posexplode(col("top")).as(Seq("pos", "r")))
       .select(
-        col("r._2").as("c_custkey"),
-        col("r._3").as("c_name"),
+        col("r._1._2").as("c_custkey"),
+        col("r._2").as("c_name"),
         col("c_mktsegment"),
-        col("r._1").as("c_acctbal"),
+        col("r._1._1").as("c_acctbal"),
         (col("pos") + 1).cast("int").as("rn"))
   }
 

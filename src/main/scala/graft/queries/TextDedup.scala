@@ -227,15 +227,15 @@ object TextDedup {
     }
     val sig = sigRow
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
-      // sig feeds both sides of the bucket self-join; persist the tiny
-      // signature set (|docs| × 4 rows) so the pipeline runs once.
-      .persist()
+    // No persist: the self-join's two sides are the identical plan, so
+    // they share one shuffle via ReusedExchange; cand is recomputed for
+    // the candidate-id semi-join (tiny) rather than left cached past the
+    // query (round-1 leaked both frames into the session cache).
     val cand = sig.as("x").join(sig.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
       .distinct()
-      .persist()
     // Exact-Jaccard verification of candidates only: shingle SETS for the
     // few candidate docs are carried as array columns onto each candidate
     // pair and intersected in place — no self-join, no size lookup joins.

@@ -24,6 +24,13 @@ class RegistrySpec extends SparkSpec {
       // Column names must be lowercase + distinct for oracle hash parity.
       val cols = df.columns.toSeq
       assert(cols.distinct.size === cols.size, s"duplicate columns in ${q.name}: $cols")
+      // Cache hygiene: no query may leak persisted frames into a
+      // long-lived session (round 1 leaked d3/v2/v3's buckets; the bench
+      // only survived by calling clearCache after every query).
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"${q.name} left frames in the session cache")
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        s"${q.name} left persistent RDDs behind")
     }
   }
 }
