@@ -207,23 +207,21 @@ object TextDedup {
        |JOIN sizes s1 ON c.d1 = s1.doc_id
        |JOIN sizes s2 ON c.d2 = s2.doc_id
        |WHERE CAST(i.i AS DOUBLE) / (s1.sz + s2.sz - i.i) >= 0.7""".stripMargin) { (s, d) =>
-    // MinHash via explode + map-side-combined min aggregate: the md5 stays
-    // inside whole-stage codegen (array higher-order functions don't), and
-    // the shuffle carries only |docs| × 16 partial minima, not the
-    // exploded shingle×seed rows.
-    val shBase = shingleRows(s, d)
-    // 16 MinHash values from only 4 md5 calls per shingle: each 32-hex
-    // digest md5(k:s) is split into four 8-hex chunks, each a valid
-    // independent min-hash. All 16 minima are codegen'd min-aggregates
-    // over ONE shuffle whose payload is |docs| × 16 values regardless of
-    // shingle count (partial minima combine map-side).
-    val mhAggs = for (k <- 0 until 4; j <- 0 until 4) yield
-      min(substring(md5(concat(lit(s"$k:"), col("s"))), 1 + 8 * j, 8)).as(s"mh${k}_$j")
-    val sigRow = shBase.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+    // MinHash signatures per row via the native MinHash16 kernel: the
+    // whole 16-value signature (4 md5 streams × 4 hex chunks, chunk
+    // minima over the shingle set) is computed in ONE pass over each
+    // document's shingle array — no explode, no signature shuffle at all
+    // (round 1 exploded shingles and min-aggregated 16 columns back).
+    // Empty shingle sets are filtered like the oracle's unnest drops them.
+    val sigRow = T.documents(s, d)
+      .select(col("doc_id"),
+        array_distinct(TextFns.shinglesRegex(col("text"), 3)).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("doc_id"), graft.functions.MinHash16.of(col("shs")).as("mh"))
     // band k = the 4 chunk-minima of digest k, in chunk order — identical
     // banding to the SQL oracle's string_agg(... ORDER BY j).
     val bandCols = (0 until 4).map { k =>
-      md5(concat_ws("|", (0 until 4).map(j => col(s"mh${k}_$j")): _*))
+      md5(concat_ws("|", (0 until 4).map(j => element_at(col("mh"), k * 4 + j + 1)): _*))
     }
     val sig = sigRow
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
@@ -269,21 +267,13 @@ object TextDedup {
        |         GROUP BY doc_id, pos)
        |SELECT doc_id, string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY pos) AS simhash
        |FROM bits GROUP BY doc_id""".stripMargin) { (s, d) =>
-    // 32 bit-position sums as 32 codegen'd aggregates over one shuffle of
-    // |docs| × 32 partials — no position explosion (the naive pos-explode
-    // form materializes tokens × 32 rows and was 12s at sf0.1; this is
-    // the same math in one pass).
-    // high nibble ⇔ hex char in '8'..'f' ⇔ ascii >= 56 ('8') — one
-    // integer compare per bit position instead of an 8-way string isin
-    val tok = T.documents(s, d)
-      .select(col("doc_id"), explode(toks).as("t"))
-      .select(col("doc_id"), md5(col("t")).as("h"))
-    val bitAggs = (1 to 32).map(p =>
-      sum(when(ascii(substring(col("h"), p, 1)) >= 56, 1).otherwise(-1)).as(s"s$p"))
-    tok.groupBy(col("doc_id"))
-      .agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col("doc_id"),
-        concat((1 to 32).map(p => when(col(s"s$p") > 0, "1").otherwise("0")): _*).as("simhash"))
+    // Whole signature per row via the native SimHash32 kernel: one pass
+    // over the token array computes all 32 bit-position sums — NO
+    // explode, NO shuffle (round 1 exploded tokens and ran 32 aggregates
+    // over |docs|×32 partials; the naive pos-explode before that was 12s
+    // at sf0.1). Same ±1-per-hex-nibble math as the oracle.
+    T.documents(s, d)
+      .select(col("doc_id"), graft.functions.SimHash32.of(toks).as("simhash"))
   }
 
 

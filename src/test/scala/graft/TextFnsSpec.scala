@@ -29,6 +29,47 @@ class TextFnsSpec extends SparkSpec {
     }
   }
 
+  test("SimHash32 kernel == aggregate formulation") {
+    import graft.functions.SimHash32
+    val docs = Seq(
+      "alpha beta gamma delta alpha",
+      "one",
+      "repeated repeated repeated",
+      "the quick brown fox").toDF("text")
+    val toks = TextFns.tokens(col("text"))
+    val native = docs.select(SimHash32.of(toks).as("sh")).as[String].collect().toSeq
+    // reference formulation: explode + 32 positional ±1 sums
+    val tok = docs.withColumn("id", monotonically_increasing_id())
+      .select(col("id"), explode(toks).as("t"))
+      .select(col("id"), md5(col("t")).as("h"))
+    val bitAggs = (1 to 32).map(p =>
+      sum(when(ascii(substring(col("h"), p, 1)) >= 56, 1).otherwise(-1)).as(s"s$p"))
+    val agg = tok.groupBy(col("id")).agg(bitAggs.head, bitAggs.tail: _*)
+      .orderBy("id")
+      .select(concat((1 to 32).map(p => when(col(s"s$p") > 0, "1").otherwise("0")): _*))
+      .as[String].collect().toSeq
+    assert(native === agg)
+  }
+
+  test("MinHash16 kernel == min-aggregate formulation") {
+    import graft.functions.MinHash16
+    val docs = Seq(
+      "a b c d e f g h i j",
+      "lorem ipsum dolor sit amet consectetur",
+      "x y z x y z x y z").toDF("text")
+    val shs = array_distinct(TextFns.shinglesRegex(col("text"), 3))
+    val native = docs.select(MinHash16.of(shs).as("mh")).as[Seq[String]].collect().toSeq
+    val exploded = docs.withColumn("id", monotonically_increasing_id())
+      .select(col("id"), explode(shs).as("s"))
+    val mhAggs = for (k <- 0 until 4; j <- 0 until 4) yield
+      min(substring(md5(concat(lit(s"$k:"), col("s"))), 1 + 8 * j, 8)).as(s"mh${k}_$j")
+    val agg = exploded.groupBy(col("id")).agg(mhAggs.head, mhAggs.tail: _*)
+      .orderBy("id")
+      .select(array((for (k <- 0 until 4; j <- 0 until 4) yield col(s"mh${k}_$j")): _*))
+      .as[Seq[String]].collect().toSeq
+    assert(native === agg)
+  }
+
   test("fingerprint is whitespace- and case-insensitive") {
     val fps = Seq("Hello  World", "hello world", "hello\nworld\t")
       .toDF("text").select(TextFns.fingerprint(col("text")))
