@@ -34,4 +34,20 @@ class ObservabilitySpec extends SparkSpec {
     ledger.record("payments", w2, rows = 0, status = "failed")
     assert(!ledger.alreadyCompleted("payments", w2))
   }
+
+  test("run ledger: concurrent records never collide on identity") {
+    val path = java.nio.file.Files.createTempDirectory("ledger").toString + "/l"
+    val ledger = new RunLedger(spark, path)
+    val w = TimeWindow("2024-01-01T00:00:00Z", "2024-01-02T00:00:00Z")
+    // the old run_seq = count() scheme handed concurrent writers the
+    // same sequence number; run_id must stay unique under parallelism
+    val threads = (1 to 6).map { i =>
+      new Thread(() => ledger.record(s"p$i", w, rows = i.toLong))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(ledger.entries.count() === 6, "no record may be lost under concurrency")
+    assert(ledger.entries.select("run_id").distinct().count() === 6)
+    (1 to 6).foreach(i => assert(ledger.alreadyCompleted(s"p$i", w)))
+  }
 }
