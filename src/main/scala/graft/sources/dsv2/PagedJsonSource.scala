@@ -85,7 +85,7 @@ final class PagedTable(
   override def name(): String = s"paged-json `$dir`"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PagedScanBuilder(dir, schema, headers)
 }
@@ -193,6 +193,70 @@ final class PagedScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PagedReaderFactory(requiredSchema, headers)
+
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new PagedMicroBatchStream(dir, requiredSchema, minBound, maxBound, headers)
+}
+
+/** Streaming offset = number of manifest pages consumed. The feed is
+  * append-only (new pages land at the manifest tail — the incremental
+  * analog of the reference's cursor advancing), so a page index is a
+  * complete, replayable position. */
+final case class PageOffset(pages: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json: String = s"""{"pages":$pages}"""
+}
+
+/** Micro-batch stream over the paged feed: each batch covers the
+  * manifest lines appended since the last committed offset, one input
+  * partition per page (parsed on executors, same reader as the batch
+  * path). Pages whose created_at range misses the pushed time window are
+  * planned away but still advance the offset — pruning never stalls
+  * progress. Exactly-once comes from Structured Streaming's offset log:
+  * a replayed batch re-reads the same page range.
+  */
+final class PagedMicroBatchStream(
+    dir: String,
+    requiredSchema: StructType,
+    minBound: Option[String],
+    maxBound: Option[String],
+    headers: Map[String, String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val mapper = new ObjectMapper()
+
+  private def manifestLines(): Seq[String] =
+    (if (PagedJsonSource.isHttp(dir))
+      PagedJsonSource.fetcherFor(dir, headers).open(s"$dir/manifest.jsonl").toSeq
+    else java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, "manifest.jsonl")).asScala.toSeq)
+      .filter(_.nonEmpty)
+
+  override def initialOffset(): Offset = PageOffset(0)
+  override def latestOffset(): Offset = PageOffset(manifestLines().size)
+  override def deserializeOffset(json: String): Offset =
+    PageOffset(mapper.readTree(json).get("pages").asInt())
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[PageOffset].pages
+    val to = end.asInstanceOf[PageOffset].pages
+    manifestLines().slice(from, to).flatMap { line =>
+      val n = mapper.readTree(line)
+      val overlaps =
+        minBound.forall(b => n.get("max_created_at").asText() >= b) &&
+          maxBound.forall(b => n.get("min_created_at").asText() <= b)
+      if (overlaps) Some(PagePartition(s"$dir/${n.get("file").asText()}"))
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PagedReaderFactory(requiredSchema, headers)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** Executor-side page fetch slot. `open` is one "HTTP page request";

@@ -108,6 +108,60 @@ class PagedSourceSpec extends SparkSpec {
     assert(rows.filter(col("amount") === 200L).count() === 1) // amount_money fallback
   }
 
+  // ---------------- streaming: micro-batch over the growing feed -------
+
+  test("micro-batch stream: incremental pages across restarts, exactly-once offsets") {
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.streaming.Trigger
+    // fresh copy of the fixture feed we can append to
+    val dir = Files.createTempDirectory("paged-stream").toString
+    Seq("page-0.jsonl", "page-1.jsonl", "page-2.jsonl", "manifest.jsonl").foreach { f =>
+      Files.copy(Paths.get(feedDir, f), Paths.get(dir, f))
+    }
+    val ckpt = Files.createTempDirectory("paged-ckpt").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String])]
+
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .format("graft.sources.dsv2.PagedJsonSource")
+        .schema(SquareSchemas.payment)
+        .option("path", dir)
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          val ids = batch.select("id").collect().map(_.getString(0)).sorted.toSeq
+          seen.synchronized { seen += ((id, ids)) }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+    }
+
+    runOnce()
+    assert(seen.flatMap(_._2).sorted === Seq("p1", "p2", "p3", "p4", "p5"),
+      s"first run must drain the whole feed: $seen")
+
+    // feed grows: a new page lands at the manifest tail
+    Files.write(Paths.get(dir, "page-3.jsonl"), Seq(
+      """{"id":"p6","created_at":"2024-04-01T00:00:00Z","total_money":{"amount":600,"currency":"USD"}}"""
+    ).mkString("\n").getBytes)
+    val manifest = new String(Files.readAllBytes(Paths.get(dir, "manifest.jsonl")), "UTF-8")
+    Files.write(Paths.get(dir, "manifest.jsonl"), (manifest +
+      "\n" + """{"file":"page-3.jsonl","min_created_at":"2024-04-01T00:00:00Z","max_created_at":"2024-04-01T00:00:00Z","rows":1}""").getBytes)
+
+    val before = seen.size
+    runOnce() // restart from the checkpoint: only the new page flows
+    val newRows = seen.drop(before).flatMap(_._2)
+    assert(newRows === Seq("p6"), s"restart must read ONLY the appended page, got $newRows")
+
+    // third run with nothing new: no rows
+    val before2 = seen.size
+    runOnce()
+    assert(seen.drop(before2).flatMap(_._2).isEmpty, "no new pages -> no rows")
+  }
+
   // ---------------- HTTP: mock server, 429s, fail-fast, cursors --------
 
   import java.net.InetSocketAddress
