@@ -188,7 +188,191 @@ object TpchShapes {
       .select(col("s_suppkey"), col("s_name"))
   }
 
+  // --- q3_shipping_priority: top-10 unshipped-revenue orders (Q3) ---
+  val q3ShippingPriority = QueryDef.sql(
+    "q3_shipping_priority",
+    """SELECT l_orderkey,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1996-03-15' AND l_shipdate > TIMESTAMP '1996-03-15'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+    val rev = dec(col("l_extendedprice")) * (one - col("l_discount").cast("decimal(4,2)"))
+    T.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(T.orders(s, d).filter(col("o_orderdate") < to_timestamp(lit("1996-03-15"))),
+        col("c_custkey") === col("o_custkey"))
+      .join(T.lineitem(s, d).filter(col("l_shipdate") > to_timestamp(lit("1996-03-15"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(rev).cast("double").as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  // --- q5_local_supplier: revenue where customer and supplier share a
+  // nation, by nation within one region (Q5) ---
+  val q5LocalSupplier = QueryDef.sql(
+    "q5_local_supplier",
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name""".stripMargin) { (s, d) =>
+    val rev = dec(col("l_extendedprice")) * (one - col("l_discount").cast("decimal(4,2)"))
+    T.customer(s, d)
+      .join(T.orders(s, d).filter(
+        col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01"))),
+        col("c_custkey") === col("o_custkey"))
+      .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(T.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(T.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(T.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(rev).cast("double").as("revenue"))
+  }
+
+  // --- q6_forecast_revenue: single filter-aggregate (Q6) — the purest
+  // pushdown test: every predicate must reach the parquet scan ---
+  val q6ForecastRevenue = QueryDef.sql(
+    "q6_forecast_revenue",
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin) { (s, d) =>
+    T.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * col("l_discount").cast("decimal(4,2)"))
+        .cast("double").as("revenue"))
+  }
+
+  // --- q8_market_share: one nation's share of regional revenue by year
+  // (Q8 shape) — ratio of two exact sums per group ---
+  val q8MarketShare = QueryDef.sql(
+    "q8_market_share",
+    """SELECT o_year,
+      |  CAST(CAST(sum(CASE WHEN n_name = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(16,4)) END) AS DOUBLE)
+      |    / CAST(sum(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+      |FROM (
+      |  SELECT year(o_orderdate) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS volume,
+      |    n_name
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01') t
+      |GROUP BY o_year""".stripMargin) { (s, d) =>
+    val vol = dec(col("l_extendedprice")) * (one - col("l_discount").cast("decimal(4,2)"))
+    val base = T.lineitem(s, d)
+      .join(T.orders(s, d).filter(
+        col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(T.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(T.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(T.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(year(col("o_orderdate")).as("o_year"), vol.as("volume"), col("n_name"))
+    base.groupBy(col("o_year"))
+      .agg((sum(when(col("n_name") === "NATION_3", col("volume"))
+          .otherwise(lit(0).cast("decimal(16,4)"))).cast("double")
+        / sum(col("volume")).cast("double")).cast("double").as("mkt_share"))
+  }
+
+  // --- q10_returned_items: top-20 customers by returned revenue (Q10) ---
+  val q10ReturnedItems = QueryDef.sql(
+    "q10_returned_items",
+    """SELECT c_custkey, c_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  c_acctbal, n_name
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
+    val rev = dec(col("l_extendedprice")) * (one - col("l_discount").cast("decimal(4,2)"))
+    T.customer(s, d)
+      .join(T.orders(s, d).filter(
+        col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-04-01"))),
+        col("c_custkey") === col("o_custkey"))
+      .join(T.lineitem(s, d).filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(rev).cast("double").as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  // --- q13_cust_distribution: histogram of per-customer order counts
+  // (Q13) — LEFT OUTER with an ON-clause filter, zero bucket included ---
+  val q13CustDistribution = QueryDef.sql(
+    "q13_cust_distribution",
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey) t
+      |GROUP BY c_count""".stripMargin) { (s, d) =>
+    val c = T.customer(s, d)
+    val o = T.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey") && col("o_orderpriority") =!= "1-URGENT",
+        "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  // --- q18_large_volume: orders whose total quantity tops 300 (Q18) —
+  // HAVING over an exact decimal sum ---
+  val q18LargeVolume = QueryDef.sql(
+    "q18_large_volume",
+    """SELECT c_custkey, o_orderkey, o_orderdate,
+      |  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 300""".stripMargin) { (s, d) =>
+    T.customer(s, d)
+      .join(T.orders(s, d), col("c_custkey") === col("o_custkey"))
+      .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+      .agg(sum(dec(col("l_quantity"))).as("q"))
+      .filter(col("q") > 300)
+      .select(col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice").cast("double").as("o_totalprice"),
+        col("q").cast("double").as("total_qty"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q4OrderPriority, q7VolumeShipping, q12Shipmode, q14PromoRatio, q19Disjunctive,
-    q2BestSupplier, q9Profit, q20SemiChain)
+    q2BestSupplier, q9Profit, q20SemiChain,
+    q3ShippingPriority, q5LocalSupplier, q6ForecastRevenue, q8MarketShare,
+    q10ReturnedItems, q13CustDistribution, q18LargeVolume)
 }
