@@ -370,9 +370,78 @@ object TpchShapes {
         col("q").cast("double").as("total_qty"))
   }
 
+  // --- q15_top_supplier: supplier(s) with max quarterly revenue (Q15:
+  // the view + scalar-subquery max, restated as a window max) ---
+  val q15TopSupplier = QueryDef.sql(
+    "q15_top_supplier",
+    """WITH rev AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+      |FROM supplier JOIN rev ON s_suppkey = supplier_no
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""".stripMargin) { (s, d) =>
+    val rev = T.lineitem(s, d)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - col("l_discount").cast("decimal(4,2)")))
+        .as("total_revenue"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    rev.withColumn("best", max(col("total_revenue")).over(w))
+      .filter(col("total_revenue") === col("best"))
+      .join(broadcast(T.supplier(s, d)), col("supplier_no") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_revenue").cast("double").as("total_revenue"))
+  }
+
+  // --- q16_parts_supplier: distinct supplier counts by part attributes
+  // with a NOT IN exclusion (Q16 shape on the lineitem link) ---
+  val q16PartsSupplier = QueryDef.sql(
+    "q16_parts_supplier",
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM part JOIN (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      |  ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#11' AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      |GROUP BY p_brand, p_type, p_size""".stripMargin) { (s, d) =>
+    val ps = T.lineitem(s, d).select(col("l_partkey"), col("l_suppkey")).distinct()
+    T.part(s, d)
+      .filter(col("p_brand") =!= "Brand#11" &&
+        col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+      .join(ps, col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  // --- q22_global_sales: above-average-balance customers with no orders
+  // (Q22 shape: scalar-subquery average + anti join) ---
+  val q22GlobalSales = QueryDef.sql(
+    "q22_global_sales",
+    """WITH avg_bal AS (
+      |  SELECT avg(CAST(c_acctbal AS DECIMAL(12,2))) AS a FROM customer WHERE c_acctbal > 0),
+      |eligible AS (
+      |  SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+      |  FROM customer WHERE CAST(c_acctbal AS DECIMAL(12,2)) > (SELECT a FROM avg_bal))
+      |SELECT c_nationkey, count(*) AS numcust, CAST(sum(bal) AS DOUBLE) AS totacctbal
+      |FROM eligible
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_nationkey""".stripMargin) { (s, d) =>
+    val cust = T.customer(s, d).withColumn("bal", dec(col("c_acctbal")))
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg(avg(col("bal")).as("a"))
+    val eligible = cust.join(broadcast(avgBal)).filter(col("bal") > col("a"))
+    eligible
+      .join(T.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"), sum(col("bal")).cast("double").as("totacctbal"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q4OrderPriority, q7VolumeShipping, q12Shipmode, q14PromoRatio, q19Disjunctive,
     q2BestSupplier, q9Profit, q20SemiChain,
     q3ShippingPriority, q5LocalSupplier, q6ForecastRevenue, q8MarketShare,
-    q10ReturnedItems, q13CustDistribution, q18LargeVolume)
+    q10ReturnedItems, q13CustDistribution, q18LargeVolume,
+    q15TopSupplier, q16PartsSupplier, q22GlobalSales)
 }
