@@ -56,4 +56,38 @@ class PlanSpec extends SparkSpec {
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
     assert(!readSchema.contains("props"), s"props should be pruned: $readSchema")
   }
+
+  test("q6: every predicate reaches the parquet scan (the pure-pushdown query)") {
+    val p = planOf("q6_forecast_revenue")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,"), "shipdate lower bound not pushed")
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"), s"discount bound not pushed:\n$p")
+    assert(p.contains("LessThan(l_quantity,24"), "quantity bound not pushed")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_returnflag") && !readSchema.contains("l_orderkey"),
+      s"column pruning failed: $readSchema")
+  }
+
+  test("signature kernels run inside whole-stage codegen, no explode stage") {
+    val d4 = planOf("d4_simhash")
+    assert(d4.contains("simhash32"), s"native kernel missing from d4 plan:\n$d4")
+    assert(!d4.contains("Generate"), "d4 must not explode tokens")
+    assert(!d4.contains("Exchange"), "d4 signature computation must not shuffle")
+    assert(d4.contains("[codegen id :"), "d4 must be inside whole-stage codegen")
+    val d3 = planOf("d3_minhash_lsh")
+    assert(d3.contains("minhash16"), s"native kernel missing from d3 plan:\n$d3")
+  }
+
+  test("v2 ANN: bucket join broadcasts the query side; buckets via native kernel") {
+    val p = planOf("v2_ann_lsh")
+    assert(p.contains("array_lsh_buckets"), s"native bucket kernel missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "query side of the bucket join must broadcast")
+  }
+
+  test("q5/q9: dimension joins broadcast in the multi-join TPC-H shapes") {
+    Seq("q5_local_supplier", "q9_profit").foreach { q =>
+      val p = planOf(q)
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, s"$q dims must broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+  }
 }
