@@ -35,22 +35,37 @@ object GraftSession {
     s
   }
 
-  /** Expose the engine's custom expressions to SQL users:
-    * `graft_dot(a, b)` / `graft_cosine(a, b)` over float arrays — the
-    * codegen'd native expressions, callable from spark.sql text.
+  /** Expose the engine's custom codegen'd expressions to SQL users:
+    *   - `graft_dot(a, b)` — float-array dot product;
+    *   - `graft_dot_q(a, b)` — exact long-array dot product;
+    *   - `graft_simhash32(tokens)` — 32-bit SimHash signature string;
+    *   - `graft_minhash16(shingles)` — 16 MinHash chunk-minima.
     */
   def registerFunctions(spark: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
-    import org.apache.spark.sql.types.{ArrayType, FloatType}
-    import graft.functions.ArrayDotProduct
+    import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+    import graft.functions.{ArrayDotProduct, ArrayLongDot, MinHash16, SimHash32}
     val registry = spark.sessionState.functionRegistry
     // Casting to array<float> up front makes graft_dot usable on
     // array<double> SQL literals (a float→float cast is simplified away);
     // non-castable inputs still fail analysis with a cast error.
     def toFloatArray(e: Expression): Expression = Cast(e, ArrayType(FloatType))
+    def toLongArray(e: Expression): Expression = Cast(e, ArrayType(LongType))
     registry.createOrReplaceTempFunction(
       "graft_dot",
       (exprs: Seq[Expression]) => ArrayDotProduct(toFloatArray(exprs(0)), toFloatArray(exprs(1))),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_dot_q",
+      (exprs: Seq[Expression]) => ArrayLongDot(toLongArray(exprs(0)), toLongArray(exprs(1))),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_simhash32",
+      (exprs: Seq[Expression]) => SimHash32(exprs.head),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_minhash16",
+      (exprs: Seq[Expression]) => MinHash16(exprs.head),
       "built-in")
   }
 }

@@ -94,6 +94,17 @@ class ExtrasSpec extends SparkSpec {
     assert(n === 3.0)
   }
 
+  test("kernel functions are callable from SQL text") {
+    GraftSession.registerFunctions(spark)
+    val r = spark.sql(
+      """SELECT graft_dot_q(array(2L, 3L), array(10L, 100L)) AS dq,
+        |  graft_simhash32(array('alpha', 'beta')) AS sh,
+        |  graft_minhash16(array('a b c', 'b c d')) AS mh""".stripMargin).collect().head
+    assert(r.getLong(0) === 320L)
+    assert(r.getString(1).length === 32 && r.getString(1).forall(c => c == '0' || c == '1'))
+    assert(r.getSeq[String](2).size === 16)
+  }
+
   test("sql1_shared_dialect: one SQL text serves Spark and the oracle") {
     val q = SparkEntry.registry.find(_.name == "sql1_shared_dialect").get
     assert(q.oracle.isDefined)

@@ -162,6 +162,39 @@ class PagedSourceSpec extends SparkSpec {
     assert(seen.drop(before2).flatMap(_._2).isEmpty, "no new pages -> no rows")
   }
 
+  test("end-to-end: streaming feed -> payments transform -> upserted table") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("sq-feed").toString
+    Seq("page-0.jsonl", "page-1.jsonl", "page-2.jsonl", "manifest.jsonl").foreach { f =>
+      Files.copy(Paths.get(feedDir, f), Paths.get(dir, f))
+    }
+    val table = Files.createTempDirectory("sq-table").toString + "/pos_payments"
+    val ckpt = Files.createTempDirectory("sq-ckpt").toString
+
+    graft.streaming.SquareFeedStream
+      .paymentsStream(spark, dir, table, ckpt).awaitTermination()
+    val t1 = spark.read.parquet(table)
+    assert(t1.count() === 5)
+    assert(t1.filter(col("payment_id") === "p1").select("amount").head().getLong(0) === 100L)
+
+    // the feed grows with an UPDATED p1 (amount 111) and a new p6;
+    // the next incremental run must upsert, not append
+    Files.write(Paths.get(dir, "page-3.jsonl"), Seq(
+      """{"id":"p1","created_at":"2024-01-05T00:00:00Z","total_money":{"amount":111,"currency":"USD"}}""",
+      """{"id":"p6","created_at":"2024-04-01T00:00:00Z","total_money":{"amount":600,"currency":"USD"}}"""
+    ).mkString("\n").getBytes)
+    val manifest = new String(Files.readAllBytes(Paths.get(dir, "manifest.jsonl")), "UTF-8")
+    Files.write(Paths.get(dir, "manifest.jsonl"), (manifest +
+      "\n" + """{"file":"page-3.jsonl","min_created_at":"2024-01-05T00:00:00Z","max_created_at":"2024-04-01T00:00:00Z","rows":2}""").getBytes)
+
+    graft.streaming.SquareFeedStream
+      .paymentsStream(spark, dir, table, ckpt).awaitTermination()
+    val t2 = spark.read.parquet(table)
+    assert(t2.count() === 6, "p6 inserted, p1 updated in place — no duplicates")
+    assert(t2.filter(col("payment_id") === "p1").select("amount").head().getLong(0) === 111L,
+      "the re-fed payment must win by key, reference ON CONFLICT semantics")
+  }
+
   // ---------------- HTTP: mock server, 429s, fail-fast, cursors --------
 
   import java.net.InetSocketAddress
