@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table maintenance for incrementally-upserted parquet tables. Hourly
+  * keyed upserts (the reference's cadence) accrete one small file set
+  * per run; at 100 TB that turns scans into metadata storms (task per
+  * tiny file, footer reads dominating). Compaction + clustering are the
+  * two levers:
+  *
+  *   - [[compact]] rewrites a table into ~`targetBytesPerFile` files via
+  *     the same crash-safe staged-swap protocol as the upsert (an
+  *     interrupted compaction can never lose the table; recovery is
+  *     [[Upsert.recoverSwap]]);
+  *   - [[compactPartitioned]] compacts only the partitions whose file
+  *     count exceeds a threshold — O(fragmented partitions), not
+  *     O(table), the only form that scales;
+  *   - [[clusterBy]] additionally sorts by the given columns during the
+  *     rewrite, so parquet row-group min/max stats become selective and
+  *     filters on those columns skip whole files/row groups.
+  */
+object Maintenance {
+
+  final case class TableStats(files: Long, bytes: Long, avgFileBytes: Long)
+
+  def stats(spark: SparkSession, path: String): TableStats = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var files = 0L
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) { files += 1; bytes += f.getLen }
+    }
+    TableStats(files, bytes, if (files == 0) 0 else bytes / files)
+  }
+
+  private def targetFileCount(bytes: Long, targetBytesPerFile: Long): Int =
+    math.max(1, math.ceil(bytes.toDouble / targetBytesPerFile).toInt)
+
+  /** Crash-safe whole-table compaction (unpartitioned tables). */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      targetBytesPerFile: Long = 128L << 20): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Upsert.recoverSwap(fs, path)
+    val n = targetFileCount(stats(spark, path).bytes, targetBytesPerFile)
+    Upsert.stagedRewrite(spark, path)(_.repartition(n))
+  }
+
+  /** Crash-safe compaction + clustering: the rewrite range-partitions and
+    * sorts by `cols`, so row-group min/max stats on those columns become
+    * disjoint and selective — the data-skipping lever for the scan-heavy
+    * queries (filters on the cluster columns read a fraction of files). */
+  def clusterBy(
+      spark: SparkSession,
+      path: String,
+      cols: Seq[String],
+      targetBytesPerFile: Long = 128L << 20): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Upsert.recoverSwap(fs, path)
+    val n = targetFileCount(stats(spark, path).bytes, targetBytesPerFile)
+    Upsert.stagedRewrite(spark, path) { df =>
+      df.repartitionByRange(n, cols.map(col): _*)
+        .sortWithinPartitions(cols.map(col): _*)
+    }
+  }
+
+  /** Compact only fragmented partitions of a partitioned table: each
+    * partition directory with more than `maxFilesPerPartition` files is
+    * rewritten in place via dynamic partition overwrite. Untouched
+    * partitions keep their files byte-for-byte. */
+  def compactPartitioned(
+      spark: SparkSession,
+      path: String,
+      partitionBy: Seq[String],
+      maxFilesPerPartition: Int = 8,
+      targetBytesPerFile: Long = 128L << 20): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // partition dirs = depth-|partitionBy| subdirectories (hive layout)
+    def partitions(dir: org.apache.hadoop.fs.Path, depth: Int): Seq[org.apache.hadoop.fs.Path] =
+      if (depth == 0) Seq(dir)
+      else fs.listStatus(dir).filter(_.isDirectory)
+        .flatMap(s => partitions(s.getPath, depth - 1)).toSeq
+    val fragmented = partitions(root, partitionBy.length).filter { p =>
+      fs.listStatus(p).count(f => f.getPath.getName.endsWith(".parquet")) > maxFilesPerPartition
+    }
+    if (fragmented.nonEmpty) {
+      // ONE job for every fragmented partition: read just those dirs
+      // (basePath keeps the partition columns), hash-repartition on the
+      // partition columns so each partition lands in one task → one
+      // file, stage, then dynamic-overwrite only those partitions.
+      val df = spark.read.option("basePath", path)
+        .parquet(fragmented.map(_.toString): _*)
+      val stage = new org.apache.hadoop.fs.Path(path + "__stage")
+      fs.delete(stage, true)
+      df.repartition(fragmented.size, partitionBy.map(col): _*)
+        .write.mode(SaveMode.Overwrite).parquet(stage.toString)
+      spark.read.parquet(stage.toString).write
+        .mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionBy: _*)
+        .parquet(path)
+      fs.delete(stage, true)
+    }
+    fragmented.map(_.toString)
+  }
+}

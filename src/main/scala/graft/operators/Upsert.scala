@@ -103,22 +103,35 @@ object Upsert {
         .parquet(path)
       fs.delete(stage, true)
     } else {
-      val newP = new org.apache.hadoop.fs.Path(path + "__new")
-      val oldP = new org.apache.hadoop.fs.Path(path + "__old")
-      fs.delete(newP, true)
-      fs.delete(oldP, true)
-      val base = spark.read.parquet(path)
-      // Stage the full merge durably BEFORE touching the live table.
-      merge(base, delta, keys).write.mode(SaveMode.Overwrite).parquet(newP.toString)
-      // Swap. Directory renames are atomic on HDFS-like filesystems.
-      if (!fs.rename(fsPath, oldP))
-        throw new java.io.IOException(s"swap failed: $fsPath -> $oldP")
-      if (!fs.rename(newP, fsPath)) {
-        fs.rename(oldP, fsPath) // restore; __new remains for inspection
-        throw new java.io.IOException(s"swap failed: $newP -> $fsPath")
-      }
-      fs.delete(oldP, true)
+      stagedRewrite(spark, path) { base => merge(base, delta, keys) }
     }
+  }
+
+  /** Crash-safe full rewrite of an unpartitioned parquet table: stage
+    * `rewrite(currentTable)` durably at `path__new`, then atomically
+    * swap (`path` → `path__old`, `__new` → `path`, drop `__old`).
+    * Interrupted swaps heal via [[recoverSwap]] on the next call. Shared
+    * by the keyed upsert and table maintenance (compaction/clustering).
+    */
+  private[graft] def stagedRewrite(
+      spark: SparkSession, path: String)(rewrite: DataFrame => DataFrame): Unit = {
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val newP = new org.apache.hadoop.fs.Path(path + "__new")
+    val oldP = new org.apache.hadoop.fs.Path(path + "__old")
+    fs.delete(newP, true)
+    fs.delete(oldP, true)
+    // Stage the full result durably BEFORE touching the live table.
+    rewrite(spark.read.parquet(path))
+      .write.mode(SaveMode.Overwrite).parquet(newP.toString)
+    // Swap. Directory renames are atomic on HDFS-like filesystems.
+    if (!fs.rename(fsPath, oldP))
+      throw new java.io.IOException(s"swap failed: $fsPath -> $oldP")
+    if (!fs.rename(newP, fsPath)) {
+      fs.rename(oldP, fsPath) // restore; __new remains for inspection
+      throw new java.io.IOException(s"swap failed: $newP -> $fsPath")
+    }
+    fs.delete(oldP, true)
   }
 
   /** Heal an interrupted unpartitioned swap. States and actions:

@@ -1,0 +1,116 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.{Maintenance, Upsert}
+
+/** Table maintenance: compaction shrinks file counts without changing
+  * data, clustering makes row-group stats selective, partitioned
+  * compaction touches only fragmented partitions, and an interrupted
+  * compaction recovers through the shared swap protocol.
+  */
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String = {
+    val path = Files.createTempDirectory("maint").toString + "/t"
+    // ten incremental upserts -> ten file sets (the hourly-run pathology)
+    (0 until 10).foreach { i =>
+      val delta = ((i * 100) until ((i + 1) * 100)).map(k => (k.toLong, s"v$k")).toDF("k", "v")
+      Upsert.upsertParquet(spark, path, delta, Seq("k"))
+    }
+    path
+  }
+
+  test("compact: same data, far fewer files, crash-safe protocol") {
+    val path = freshTable()
+    val before = Maintenance.stats(spark, path)
+    val dataBefore = spark.read.parquet(path).orderBy("k").collect().toSeq
+    Maintenance.compact(spark, path, targetBytesPerFile = 1L << 30)
+    val after = Maintenance.stats(spark, path)
+    assert(after.files < before.files, s"files ${before.files} -> ${after.files}")
+    assert(after.files === 1, "1 GiB target on a tiny table compacts to one file")
+    assert(spark.read.parquet(path).orderBy("k").collect().toSeq === dataBefore)
+  }
+
+  test("clusterBy: per-file min/max stats become disjoint (data skipping)") {
+    val path = Files.createTempDirectory("maint").toString + "/t"
+    // write 8 files, each containing the FULL key range (worst case for
+    // min/max stats: every file overlaps every key filter)
+    (0 until 8).foreach { i =>
+      (0 until 1000).map(k => (k.toLong, i.toLong)).toDF("k", "run")
+        .coalesce(1).write.mode("append").parquet(path)
+    }
+    // read the k column's min/max straight from the parquet footers —
+    // the stats the reader's row-group skipping actually consults
+    def kRanges(): Seq[(Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      new java.io.File(path).listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+        .map { f =>
+          val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getPath),
+            spark.sparkContext.hadoopConfiguration))
+          try {
+            val stats = r.getFooter.getBlocks.asScala
+              .map(_.getColumns.asScala.find(_.getPath.toDotString == "k").get.getStatistics)
+            (stats.map(_.genericGetMin.asInstanceOf[Long]).min,
+              stats.map(_.genericGetMax.asInstanceOf[Long]).max)
+          } finally r.close()
+        }
+    }
+    val before = kRanges()
+    assert(before.size === 8 && before.forall(r => r._1 == 0L && r._2 == 999L),
+      s"unclustered: every file spans the whole key range: $before")
+    Maintenance.clusterBy(spark, path, Seq("k"), targetBytesPerFile = 8192)
+    val after = kRanges().sorted
+    assert(after.size > 1, s"need multiple files to demonstrate skipping: $after")
+    // pairwise disjoint ranges: a point filter overlaps exactly one file
+    after.sliding(2).foreach { case Seq((_, hi), (lo, _)) =>
+      assert(hi < lo, s"file ranges overlap after clustering: $after")
+    }
+    val hits = after.count { case (lo, hi) => lo <= 42L && 42L <= hi }
+    assert(hits === 1, s"k=42 must fall in exactly one file's range: $after")
+    // data intact
+    assert(spark.read.parquet(path).count() === 8000)
+  }
+
+  test("compactPartitioned: only fragmented partitions are rewritten") {
+    val path = Files.createTempDirectory("maint").toString + "/t"
+    // partition p=a fragmented (10 appends), p=b written once
+    (0 until 10).foreach { i =>
+      Seq((i.toLong, "a")).toDF("k", "p")
+        .write.mode("append").partitionBy("p").parquet(path)
+    }
+    Seq((100L, "b"), (101L, "b")).toDF("k", "p")
+      .write.mode("append").partitionBy("p").parquet(path)
+    val bFilesBefore = new java.io.File(s"$path/p=b").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val rewritten = Maintenance.compactPartitioned(spark, path, Seq("p"), maxFilesPerPartition = 4)
+    assert(rewritten.size === 1 && rewritten.head.endsWith("p=a"))
+    val aFiles = new java.io.File(s"$path/p=a").listFiles()
+      .map(_.getName).count(_.endsWith(".parquet"))
+    assert(aFiles === 1, s"fragmented partition must compact to one file, got $aFiles")
+    val bFilesAfter = new java.io.File(s"$path/p=b").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(bFilesAfter === bFilesBefore, "healthy partition must keep its files byte-for-byte")
+    assert(spark.read.parquet(path).count() === 12)
+  }
+
+  test("interrupted compaction recovers like an interrupted upsert") {
+    val path = freshTable()
+    val dataBefore = spark.read.parquet(path).orderBy("k").collect().toSeq
+    // fabricate the mid-swap crash state: staged __new complete, table renamed away
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(path).repartition(1)
+      .write.parquet(path + "__new")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "__old")))
+    // next maintenance call heals (roll forward to the compacted copy)
+    Maintenance.compact(spark, path, targetBytesPerFile = 1L << 30)
+    assert(spark.read.parquet(path).orderBy("k").collect().toSeq === dataBefore)
+    assert(Maintenance.stats(spark, path).files === 1)
+  }
+}
