@@ -237,5 +237,54 @@ object Similarity {
       .select(col("id1"), col("id2"), col("cosine"))
   }
 
+  // ------------- persistent ANN index (build / append / query) ---------
+  // The production shape of v2: bucket signatures are computed ONCE per
+  // vector at ingest and persisted; queries join their own buckets
+  // against the index and rescore only the candidates. Append-only like
+  // IncrementalDedup's state (new vectors are new rows; lazy readers
+  // keep a stable file snapshot), clustered by (tbl, bucket) so
+  // bucket-selective scans skip row groups.
+
+  /** (vec_id, tbl, bucket, q) rows for an embeddings frame. */
+  private def indexRows(emb: DataFrame, nT: Int, tp: Int): DataFrame =
+    emb.withColumn("q", quantize("embedding"))
+      .select(col("vec_id"), col("q"),
+        posexplode(ArrayLshBuckets.buckets(col("q"), signMatrix(0 until nT * tp), tp))
+          .as(Seq("tbl", "bucket")))
+
+  /** Create the index from `emb` (vec_id, embedding), replacing any
+    * existing index at `path`. */
+  def buildIndex(
+      spark: SparkSession, path: String, emb: DataFrame,
+      nT: Int = nTables, tp: Int = tablePlanes): Unit =
+    indexRows(emb, nT, tp)
+      .repartitionByRange(col("tbl"), col("bucket"))
+      .sortWithinPartitions(col("tbl"), col("bucket"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Append new vectors to an existing index (no rewrite of old rows). */
+  def appendToIndex(
+      spark: SparkSession, path: String, emb: DataFrame,
+      nT: Int = nTables, tp: Int = tablePlanes): Unit =
+    indexRows(emb, nT, tp).write.mode("append").parquet(path)
+
+  /** Cosine top-k of `queries` (qid, embedding) against the indexed
+    * corpus: candidates from bucket collisions, exact fixed-point
+    * rescoring — O(candidates), never a corpus scan. */
+  def queryIndex(
+      spark: SparkSession, path: String, queries: DataFrame, k: Int,
+      nT: Int = nTables, tp: Int = tablePlanes): DataFrame = {
+    val idx = spark.read.parquet(path)
+    val qRows = indexRows(queries.select(col("qid").as("vec_id"), col("embedding")), nT, tp)
+      .select(col("vec_id").as("qid"), col("q").as("qeq"), col("tbl"), col("bucket"))
+    val cand = idx
+      .join(broadcast(qRows.select(col("qid"), col("qeq"), col("tbl"), col("bucket"))),
+        Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qeq"), col("vec_id").as("cid"), col("q").as("ceq"))
+      .dropDuplicates("qid", "cid")
+    scoreTopk(cand, k)
+  }
+
   val all: Seq[QueryDef] = Seq(v1KnnBruteforce, v2AnnLsh, v3EmbeddingNeardup)
 }

