@@ -10,11 +10,12 @@ import org.apache.spark.sql.functions._
   * Scala-native analog of Python's `mapInPandas` batch UDFs.
   *
   * Codec status: IMAGES are real — [[ImageCodec]] decodes, resizes and
-  * feature-extracts PNG/JPEG/GIF/BMP via the JDK's `javax.imageio`
-  * (headless, zero added dependencies). Audio/video stay STUBBED behind
-  * [[StubCodec]] (no A/V libraries exist in this environment) — swap
-  * that one object for a javacv/ffmpeg binding in a real deployment,
-  * nothing else changes.
+  * feature-extracts PNG/JPEG/GIF/BMP via the JDK's `javax.imageio` —
+  * and AUDIO is real — [[AudioCodec]] decodes WAV/AIFF PCM via
+  * `javax.sound.sampled` (both headless, zero added dependencies).
+  * Only VIDEO stays STUBBED behind [[StubCodec]] (no video libraries
+  * exist in this environment) — swap that one object for a
+  * javacv/ffmpeg binding in a real deployment, nothing else changes.
   *
   * Scale design:
   *   - decode cost dominates at 100 TB; [[repartitionForDecode]] spreads
@@ -106,12 +107,101 @@ object Multimodal {
       }
   }
 
-  /** ======== STUB (audio/video only) ========
+  /** Real audio codec on the JDK's `javax.sound.sampled` — WAV/AIFF PCM
+    * decode with zero added dependencies. Deterministic sample math;
+    * undecodable bytes yield None/empty like [[ImageCodec]]. */
+  object AudioCodec {
+    import javax.sound.sampled.AudioSystem
+
+    final case class AudioInfo(
+        sampleRateHz: Int, channels: Int, frames: Long, durationMs: Long)
+
+    /** Decode to 16-bit samples (first channel) + stream info. */
+    def decode(bytes: Array[Byte]): Option[(AudioInfo, Array[Short])] =
+      try {
+        val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val frames = in.getFrameLength
+          val info = AudioInfo(
+            fmt.getSampleRate.toInt, fmt.getChannels, frames,
+            (frames * 1000L / math.max(1, fmt.getSampleRate.toInt)))
+          val data = in.readAllBytes()
+          val bytesPerSample = fmt.getSampleSizeInBits / 8
+          val frameSize = fmt.getFrameSize
+          val n = (data.length / frameSize).toInt
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            val off = i * frameSize // first channel only
+            out(i) =
+              if (bytesPerSample == 2) {
+                if (fmt.isBigEndian)
+                  (((data(off) & 0xff) << 8) | (data(off + 1) & 0xff)).toShort
+                else
+                  (((data(off + 1) & 0xff) << 8) | (data(off) & 0xff)).toShort
+              } else ((data(off) & 0xff) - 128 << 8).toShort // 8-bit unsigned
+            i += 1
+          }
+          Some((info, out))
+        } finally in.close()
+      } catch { case _: Exception => None }
+
+    /** Real audio features: [rms, zero-crossing rate, peak, duration_s]
+      * zero-padded/truncated to `dims`; [] when undecodable. */
+    def features(bytes: Array[Byte], dims: Int): Array[Float] =
+      decode(bytes) match {
+        case None => Array.empty[Float]
+        case Some((info, samples)) =>
+          if (samples.isEmpty) java.util.Arrays.copyOf(new Array[Float](4), dims)
+          else {
+            var sumSq = 0.0
+            var zc = 0
+            var peak = 0
+            var i = 0
+            while (i < samples.length) {
+              val s = samples(i).toInt
+              sumSq += s.toDouble * s
+              if (math.abs(s) > peak) peak = math.abs(s)
+              if (i > 0 && ((s >= 0) != (samples(i - 1) >= 0))) zc += 1
+              i += 1
+            }
+            val base = Array(
+              (math.sqrt(sumSq / samples.length) / 32768.0).toFloat,
+              zc.toFloat / samples.length,
+              peak / 32768.0f,
+              info.durationMs / 1000.0f)
+            java.util.Arrays.copyOf(base, dims)
+          }
+      }
+
+    /** Deterministic real PCM WAV: mono 16-bit sine at `hz`. */
+    def synthesizeWav(hz: Double, ms: Int, sampleRate: Int = 8000): Array[Byte] = {
+      val n = sampleRate * ms / 1000
+      val samples = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val v = (math.sin(2 * math.Pi * hz * i / sampleRate) * 16384).toInt
+        samples(2 * i) = (v & 0xff).toByte
+        samples(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(samples), fmt, n.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+  }
+
+  /** ======== STUB (video only) ========
     * Deterministic fake codec: derives "decoded" content from an md5 of
     * the bytes. A real deployment replaces exactly this object with a
     * codec-backed implementation (e.g. javacv/ffmpeg); all dataset-level
-    * operators below are codec-agnostic. Images do NOT go through this —
-    * see [[ImageCodec]].
+    * operators below are codec-agnostic. Images go through [[ImageCodec]]
+    * and audio through [[AudioCodec]] — both real, JDK-only.
     */
   object StubCodec {
     private def digest(bytes: Array[Byte], salt: String): Array[Byte] = {
@@ -152,9 +242,11 @@ object Multimodal {
       // real impl detail: per-partition block so any heavier codec state
       // (readers, native contexts) initializes once per task
       it.map { a =>
-        val feat =
-          if (a.kind == "image") ImageCodec.pixelFeatures(a.bytes, dims)
-          else StubCodec.features(a.bytes, dims)
+        val feat = a.kind match {
+          case "image" => ImageCodec.pixelFeatures(a.bytes, dims)
+          case "audio" => AudioCodec.features(a.bytes, dims)
+          case _ => StubCodec.features(a.bytes, dims)
+        }
         MediaFeatures(a.asset_id, a.kind, a.bytes.length.toLong, feat)
       }
     }
@@ -246,8 +338,9 @@ object Multimodal {
           MediaAsset(id, kind, syntheticPng(id, w, h),
             MediaMeta("image/png", w, h, 0, 0L))
         case "audio" =>
-          val bytes = Array.tabulate[Byte](64 + (id % 32).toInt)(i => ((id * 31 + i) % 127).toByte)
-          MediaAsset(id, kind, bytes, MediaMeta("audio/wav", 0, 0, 16000, 2000L + id % 1000))
+          val ms = (200 + (id % 5) * 100).toInt
+          val bytes = AudioCodec.synthesizeWav(220.0 + (id % 8) * 55.0, ms)
+          MediaAsset(id, kind, bytes, MediaMeta("audio/wav", 0, 0, 8000, ms.toLong))
         case _ =>
           val bytes = Array.tabulate[Byte](64 + (id % 32).toInt)(i => ((id * 31 + i) % 127).toByte)
           MediaAsset(id, kind, bytes, MediaMeta("video/mp4", 1280, 720, 0, 3000L + (id % 5) * 1000))

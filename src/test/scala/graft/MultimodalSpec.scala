@@ -28,9 +28,14 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.length === 30)
     assert(rows.forall(_.feature.length === 16))
     val byKind = rows.groupBy(_.kind)
-    // audio/video ride the stub: pseudo-activations in [-1, 1)
-    (byKind("audio") ++ byKind("video")).foreach(r =>
+    // video rides the stub: pseudo-activations in [-1, 1)
+    byKind("video").foreach(r =>
       assert(r.feature.forall(v => v >= -1.0f && v < 1.0f)))
+    // audio carries REAL signal stats: rms/zcr/peak in [0, 1], then zeros
+    byKind("audio").foreach { r =>
+      assert(r.feature.take(3).forall(v => v >= 0.0f && v <= 1.0f), r.asset_id)
+      assert(r.feature(0) > 0.1f, s"sine rms must be well above zero: ${r.asset_id}")
+    }
     // images carry REAL pixel statistics: channel/luma means in [0, 1]
     byKind("image").foreach { r =>
       assert(r.feature.take(4).forall(v => v >= 0.0f && v <= 1.0f), r.asset_id)
@@ -97,6 +102,24 @@ class MultimodalSpec extends SparkSpec {
     assert(java.util.Arrays.equals(out.bytes, junk), "undecodable image passes through")
     val feats = Multimodal.extractFeatures(bad, 8).collect().head
     assert(feats.feature.isEmpty)
+  }
+
+  test("audio codec decodes real WAV: stream info and content-sensitive features") {
+    val wav = Multimodal.AudioCodec.synthesizeWav(440.0, ms = 500)
+    val Some((info, samples)) = Multimodal.AudioCodec.decode(wav)
+    assert(info.sampleRateHz === 8000 && info.channels === 1)
+    assert(info.durationMs === 500 && samples.length === 4000)
+    val f440 = Multimodal.AudioCodec.features(wav, 4)
+    // 16384-amplitude sine: rms = 0.5/sqrt(2) ~ 0.354; zcr ~ 2f/sr
+    assert(math.abs(f440(0) - 0.354f) < 0.01f, s"rms ${f440(0)}")
+    assert(math.abs(f440(1) - 2 * 440.0f / 8000) < 0.01f, s"zcr ${f440(1)}")
+    // higher frequency -> higher zero-crossing rate
+    val f880 = Multimodal.AudioCodec.features(
+      Multimodal.AudioCodec.synthesizeWav(880.0, ms = 500), 4)
+    assert(f880(1) > f440(1) * 1.5f)
+    // corrupt bytes degrade gracefully
+    assert(Multimodal.AudioCodec.decode(Array.tabulate[Byte](50)(_.toByte)) === None)
+    assert(Multimodal.AudioCodec.features(Array.tabulate[Byte](50)(_.toByte), 4).isEmpty)
   }
 
   test("probeImageDims corrects lying metadata from the real payload") {
