@@ -359,12 +359,19 @@ object TpchShapes {
       |JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
       |HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 300""".stripMargin) { (s, d) =>
-    T.customer(s, d)
-      .join(T.orders(s, d), col("c_custkey") === col("o_custkey"))
-      .join(T.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
-      .groupBy(col("c_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
+    // Pre-aggregate lineitem by orderkey with the HAVING filter FIRST:
+    // the >300 survivor set is a tiny fraction of orders, so the joins
+    // above it move almost nothing — vs shuffling the full 3-way join
+    // product before aggregating. o_orderkey is the orders PK, so the
+    // extra grouping columns of the SQL form are functionally dependent
+    // and the per-orderkey aggregate is already the final grain.
+    val bigOrders = T.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
       .agg(sum(dec(col("l_quantity"))).as("q"))
       .filter(col("q") > 300)
+    T.orders(s, d)
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(T.customer(s, d), col("c_custkey") === col("o_custkey"))
       .select(col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
         col("o_totalprice").cast("double").as("o_totalprice"),
         col("q").cast("double").as("total_qty"))
@@ -389,9 +396,11 @@ object TpchShapes {
       .groupBy(col("l_suppkey").as("supplier_no"))
       .agg(sum(dec(col("l_extendedprice")) * (one - col("l_discount").cast("decimal(4,2)")))
         .as("total_revenue"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy()
-    rev.withColumn("best", max(col("total_revenue")).over(w))
-      .filter(col("total_revenue") === col("best"))
+    // Scalar max as a 1-row aggregate broadcast back onto rev (q22's
+    // pattern) — a partition-less window would funnel every supplier's
+    // row through one task to compute the same value.
+    val best = rev.agg(max(col("total_revenue")).as("best"))
+    rev.join(broadcast(best), col("total_revenue") === col("best"))
       .join(broadcast(T.supplier(s, d)), col("supplier_no") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         col("total_revenue").cast("double").as("total_revenue"))

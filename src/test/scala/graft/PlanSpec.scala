@@ -83,6 +83,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "query side of the bucket join must broadcast")
   }
 
+  test("registry-wide: no query plans a partition-less window (single-task funnel)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
+      val bad = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      if (bad.nonEmpty) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"partition-less window (all rows shuffle to ONE task) in: ${offenders.mkString(", ")}")
+  }
+
+  test("q15: global max is a scalar aggregate broadcast back, not a window") {
+    val p = planOf("q15_top_supplier")
+    assert(!p.contains("Window"), s"q15 must not use a window for the global max:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"scalar max + supplier dim must both broadcast:\n$p")
+  }
+
+  test("q18: lineitem pre-aggregates below the joins (no aggregate above a join)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val plan = SparkEntry.queries("q18_large_volume")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val aggAboveJoin = plan.collect {
+      case a: Aggregate if a.find(_.isInstanceOf[Join]).isDefined => a
+    }
+    assert(aggAboveJoin.isEmpty,
+      s"q18 aggregate must sit below the joins, not above the join product:\n$plan")
+  }
+
   test("q5/q9: dimension joins broadcast in the multi-join TPC-H shapes") {
     Seq("q5_local_supplier", "q9_profit").foreach { q =>
       val p = planOf(q)
