@@ -1,0 +1,66 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.multimodal.Multimodal
+
+/** Oracle-gated multimodal coverage (SURVEY §2: multimodal columns).
+  *
+  * The registered query decodes a deterministic synthesized media table
+  * (real PNGs via `javax.imageio`, real PCM WAVs via `javax.sound`) with
+  * the REAL codecs and emits exact-integer facts about the decoded
+  * payloads; the DuckDB oracle recomputes those facts analytically from
+  * the synthesis formulas (`Multimodal.synthesize`) with generate_series
+  * pixel/sample grids — fully independent of the JVM codecs. A decode
+  * regression (wrong raster, wrong endianness, wrong header parse)
+  * hash-mismatches immediately.
+  *
+  * Sample math parity: Scala builds samples as
+  * `(math.sin(2*Pi*hz*i/8000) * 16384).toInt` — the oracle mirrors the
+  * exact double-op order (`sin(2*pi()*hz*i/8000)`) and truncation
+  * (`trunc`, not round), so both engines quantize identical doubles.
+  */
+object Media {
+
+  val m1MediaFeatures = QueryDef.sql(
+    "m1_media_features",
+    """WITH ids AS (SELECT id FROM generate_series(0,59) t(id)),
+      |img AS (SELECT id, 16 + (id%4)*4 AS w, 12 + (id%3)*4 AS h FROM ids WHERE id%3=0),
+      |px AS (
+      |  SELECT i.id,
+      |    sum((i.id*31 + 7*xs.x + 13*ys.y) % 256) AS sum_r,
+      |    sum((i.id*17 + 3*xs.x + 5*ys.y) % 256) AS sum_g,
+      |    sum((i.id*7 + 11*xs.x + 2*ys.y) % 256) AS sum_b
+      |  FROM img i, generate_series(0,27) xs(x), generate_series(0,11) ys(y)
+      |  WHERE xs.x < i.w AND ys.y < i.h
+      |  GROUP BY i.id),
+      |aud AS (SELECT id, 220 + (id%8)*55 AS hz, 200 + (id%5)*100 AS ms FROM ids WHERE id%3=1),
+      |smp AS (
+      |  SELECT a.id, gs.i,
+      |    CAST(trunc(sin(2*pi()*a.hz*gs.i/8000) * 16384) AS BIGINT) AS v
+      |  FROM aud a, generate_series(0,4799) gs(i) WHERE gs.i < 8*a.ms),
+      |lagd AS (SELECT id, i, v, lag(v) OVER (PARTITION BY id ORDER BY i) AS prev FROM smp),
+      |astats AS (
+      |  SELECT id, count(*) AS frames, sum(v) AS sample_sum,
+      |    sum(CASE WHEN i>0 AND ((v>=0) != (prev>=0)) THEN 1 ELSE 0 END) AS zcr
+      |  FROM lagd GROUP BY id)
+      |SELECT i.id AS asset_id, 'image' AS kind, i.w AS img_w, i.h AS img_h,
+      |  p.sum_r, p.sum_g, p.sum_b,
+      |  NULL AS sr_hz, NULL AS frames, NULL AS duration_ms,
+      |  NULL AS zcr, NULL AS sample_sum, NULL AS payload_bytes
+      |FROM img i JOIN px p ON i.id = p.id
+      |UNION ALL
+      |SELECT a.id, 'audio', NULL, NULL, NULL, NULL, NULL,
+      |  8000, s.frames, a.ms, s.zcr, s.sample_sum, 44 + 2*s.frames
+      |FROM aud a JOIN astats s ON a.id = s.id
+      |UNION ALL
+      |SELECT id, 'video', NULL, NULL, NULL, NULL, NULL,
+      |  NULL, NULL, NULL, NULL, NULL, 64 + id%32
+      |FROM ids WHERE id%3=2""".stripMargin) { (s, _) =>
+    Multimodal.decodeAudit(
+      Multimodal.repartitionForDecode(Multimodal.synthesize(s, 0L until 60L), 8))
+      .toDF()
+  }
+
+  val all: Seq[QueryDef] = Seq(m1MediaFeatures)
+}

@@ -122,6 +122,28 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.AudioCodec.features(Array.tabulate[Byte](50)(_.toByte), 4).isEmpty)
   }
 
+
+  test("decodeAudit: exact-integer decode evidence per kind, corrupt-safe") {
+    val audit = Multimodal.decodeAudit(assets).collect().map(a => a.asset_id -> a).toMap
+    // image rows carry decoded dims + pixel sums, nothing audio-shaped
+    val img = audit(0L)
+    assert(img.img_w === Some(16L) && img.img_h === Some(12L))
+    assert(img.sum_r.exists(_ > 0) && img.zcr.isEmpty && img.payload_bytes.isEmpty)
+    // audio rows carry header + sample facts; duration matches synthesis
+    val aud = audit(1L)
+    assert(aud.sr_hz === Some(8000L) && aud.duration_ms === Some(300L))
+    assert(aud.frames === Some(2400L) && aud.zcr.exists(_ > 0))
+    assert(aud.payload_bytes === Some(44L + 2L * 2400L), "44-byte WAV header + 16-bit mono PCM")
+    // video rows are opaque: only payload length observable
+    val vid = audit(2L)
+    assert(vid.payload_bytes === Some(64L + 2L) && vid.img_w.isEmpty && vid.frames.isEmpty)
+    // corrupt bytes of a decodable kind degrade to an all-null audit row
+    val junk = Seq(MediaAsset(99L, "image", Array.tabulate[Byte](40)(_.toByte),
+      MediaMeta("image/png", 5, 5, 0, 0L))).toDS()
+    val bad = Multimodal.decodeAudit(junk).collect().head
+    assert(bad.img_w.isEmpty && bad.sum_r.isEmpty)
+  }
+
   test("probeImageDims corrects lying metadata from the real payload") {
     val lying = Seq(MediaAsset(7L, "image",
       Multimodal.syntheticPng(7L, 24, 16), MediaMeta("image/png", 999, 999, 0, 0L))).toDS()
