@@ -14,9 +14,12 @@ import graft.functions.{MinHash16, TextFns}
   * State under `statePath` — APPEND-ONLY parquet tables:
   *   - `fingerprints` (fp, doc_id): exact-dedup index — one row per
   *     distinct normalized text, first-seen doc wins;
-  *   - `signatures` (doc_id, band, sig, shs): MinHash LSH index — 4
-  *     band rows per doc + the shingle set for exact verification of
-  *     band-collision candidates.
+  *   - `signatures` (doc_id, band, sig): MinHash LSH index — 4 slim
+  *     band rows per doc;
+  *   - `doc_shingles` (doc_id, shs): each doc's shingle set stored ONCE,
+  *     joined only for exact verification of band-collision candidates
+  *     (the same fetch-on-candidates shape as TextDedup d3) — band rows
+  *     stay a few bytes wide, and collisions never ship shingle arrays.
   *
   * Append-only is load-bearing twice over: the returned novel/duplicate
   * frames lazily read the index, and appends never invalidate those
@@ -87,6 +90,7 @@ object IncrementalDedup {
       docs: DataFrame,
       threshold: Double = 0.7): DedupResult = {
     val sigTable = s"$statePath/signatures"
+    val shsTable = s"$statePath/doc_shingles"
 
     val withShs = docs.select(col("doc_id"),
       array_distinct(TextFns.shinglesRegex(col("text"), 3)).as("shs"))
@@ -95,31 +99,46 @@ object IncrementalDedup {
     val bandCols = (0 until 4).map { k =>
       md5(concat_ws("|", (0 until 4).map(j => element_at(col("mh"), k * 4 + j + 1)): _*))
     }
+    // slim band rows: shingle sets never ride the LSH join (stored once
+    // in doc_shingles, fetched below for verified candidates only)
     val newSigs = withMh
-      .select(col("doc_id"), col("shs"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
 
     val indexSigs =
       if (emptyState(spark, sigTable)) newSigs.limit(0)
       else spark.read.parquet(sigTable)
 
-    // candidates: new docs vs (index ∪ earlier-in-batch docs); the
-    // batch self-join keeps doc_id < partner to stay one-directional
+    // candidate PAIRS from band collisions (slim: ids only); distinct
+    // collapses multi-band collisions before any shingle array moves
     val vsIndex = newSigs.as("n")
       .join(indexSigs.as("o"),
         col("n.band") === col("o.band") && col("n.sig") === col("o.sig") &&
           col("n.doc_id") =!= col("o.doc_id")) // replay-safe
-      .select(col("n.doc_id").as("doc_id"), col("o.doc_id").as("matched_doc_id"),
-        col("n.shs").as("shs1"), col("o.shs").as("shs2"))
+      .select(col("n.doc_id").as("doc_id"), col("o.doc_id").as("matched_doc_id"))
     val vsBatch = newSigs.as("a")
       .join(newSigs.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") > col("b.doc_id")) // later doc dupes the earlier
-      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("matched_doc_id"),
-        col("a.shs").as("shs1"), col("b.shs").as("shs2"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("matched_doc_id"))
+    val pairs = vsIndex.unionByName(vsBatch).distinct()
+
+    // fetch shingle sets for candidates only: batch side from lineage,
+    // partner side from (batch ∪ doc_shingles) semi-joined to the
+    // candidate partner ids — replayed appends deduped at candidate size
+    val allShs = withShs.unionByName(
+      if (emptyState(spark, shsTable)) withShs.limit(0)
+      else spark.read.parquet(shsTable))
+    val partnerShs = allShs
+      .join(pairs.select(col("matched_doc_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .dropDuplicates("doc_id")
 
     val inter = size(array_intersect(col("shs1"), col("shs2")))
     val jac = inter.cast("double") / (size(col("shs1")) + size(col("shs2")) - inter)
-    val duplicates = vsIndex.unionByName(vsBatch).distinct()
+    val duplicates = pairs
+      .join(withShs.select(col("doc_id"), col("shs").as("shs1")), Seq("doc_id"))
+      .join(partnerShs.select(col("doc_id").as("matched_doc_id"), col("shs").as("shs2")),
+        Seq("matched_doc_id"))
       .withColumn("jaccard", jac)
       .filter(col("jaccard") >= threshold)
       .select(col("doc_id"), col("matched_doc_id"), col("jaccard"))
@@ -130,8 +149,16 @@ object IncrementalDedup {
       .filter(col("__rn") === 1).drop("__rn")
 
     val novel = docs.join(duplicates.select("doc_id"), Seq("doc_id"), "left_anti")
-    val novelSigs = newSigs.join(novel.select("doc_id"), Seq("doc_id"), "left_semi")
-    novelSigs.select("doc_id", "band", "sig", "shs")
+    // doc_shingles first: a doc with shingles but no band rows is merely
+    // invisible to candidates until replay; band rows without shingles
+    // would form pairs that the inner verification join drops — both
+    // windows replay-safe, the former cheaper
+    val novelIds = novel.select("doc_id")
+    withShs.join(novelIds, Seq("doc_id"), "left_semi")
+      .select("doc_id", "shs")
+      .write.mode(SaveMode.Append).parquet(shsTable)
+    newSigs.join(novelIds, Seq("doc_id"), "left_semi")
+      .select("doc_id", "band", "sig")
       .write.mode(SaveMode.Append).parquet(sigTable)
     DedupResult(novel, duplicates)
   }

@@ -59,6 +59,13 @@ class IncrementalDedupSpec extends SparkSpec {
     val sigs = spark.read.parquet(s"$state/signatures")
     assert(sigs.select("doc_id").distinct().as[Long].collect().toSet === Set(1L, 2L, 4L, 12L))
     assert(sigs.count() === 16)
+    // band rows are slim — shingle sets live ONCE per doc in doc_shingles
+    assert(sigs.columns.toSet === Set("doc_id", "band", "sig"),
+      "signatures must not carry shingle arrays")
+    val shs = spark.read.parquet(s"$state/doc_shingles")
+    assert(shs.columns.toSet === Set("doc_id", "shs"))
+    assert(shs.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 4L, 12L),
+      "exactly one shingle row per novel doc")
   }
 
   test("near-dup incremental replay is stable") {
