@@ -54,6 +54,15 @@ object PagedJsonSource {
     new RetryingFetcher(
       if (isHttp(path)) new HttpPageFetcher(headers) else new LocalFileFetcher)
 
+  /** Manifest lines for a feed dir (HTTP or local), blank lines dropped —
+    * an appended manifest with a stray empty line must not break either
+    * the batch or the streaming path. */
+  private[dsv2] def manifestLines(dir: String, headers: Map[String, String]): Seq[String] =
+    (if (isHttp(dir)) fetcherFor(dir, headers).open(s"$dir/manifest.jsonl").toSeq
+    else java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, "manifest.jsonl")).asScala.toSeq)
+      .filter(_.trim.nonEmpty)
+
   /** `header.`-prefixed table options become HTTP request headers (e.g.
     * `option("header.Authorization", "Bearer ...")` — the analog of the
     * reference's bearer-token header, src/square.ts:62-66). */
@@ -159,11 +168,7 @@ final class PagedScan(
     val mapper = new ObjectMapper()
     // The manifest travels the same fetcher path as the pages, so an
     // HTTP feed's manifest gets the identical retry/429/auth handling.
-    val manifest =
-      if (PagedJsonSource.isHttp(dir))
-        PagedJsonSource.fetcherFor(dir, headers).open(s"$dir/manifest.jsonl").toSeq
-      else java.nio.file.Files.readAllLines(
-        java.nio.file.Paths.get(dir, "manifest.jsonl")).asScala
+    val manifest = PagedJsonSource.manifestLines(dir, headers)
     val inWindow = manifest.flatMap { line =>
       val n = mapper.readTree(line)
       val file = n.get("file").asText()
@@ -228,11 +233,7 @@ final class PagedMicroBatchStream(
   private val mapper = new ObjectMapper()
 
   private def manifestLines(): Seq[String] =
-    (if (PagedJsonSource.isHttp(dir))
-      PagedJsonSource.fetcherFor(dir, headers).open(s"$dir/manifest.jsonl").toSeq
-    else java.nio.file.Files.readAllLines(
-      java.nio.file.Paths.get(dir, "manifest.jsonl")).asScala.toSeq)
-      .filter(_.nonEmpty)
+    PagedJsonSource.manifestLines(dir, headers)
 
   override def initialOffset(): Offset = PageOffset(0)
   override def latestOffset(): Offset = PageOffset(manifestLines().size)
@@ -277,11 +278,17 @@ final class LocalFileFetcher extends PageFetcher {
   * (src/square.ts:69-80): 429 → wait (server's Retry-After when given,
   * else exponential backoff) and re-request; transport IOExceptions →
   * exponential backoff; any other HTTP failure (PageFetchFailedException
-  * is not an IOException) → fail fast, no retry. */
+  * is not an IOException) → fail fast, no retry.
+  *
+  * Every sleep — including a server-supplied Retry-After — is capped at
+  * `maxWaitMs`: a buggy or hostile server sending `Retry-After: 86400`
+  * must not pin an executor task (or the driver, for manifest/cursor
+  * fetches) for a day per attempt. */
 final class RetryingFetcher(
     inner: PageFetcher,
     maxAttempts: Int = 5,
-    baseBackoffMs: Long = 100) extends PageFetcher {
+    baseBackoffMs: Long = 100,
+    maxWaitMs: Long = 60000) extends PageFetcher {
   def open(file: String): Iterator[String] = {
     var attempt = 0
     while (true) {
@@ -289,10 +296,11 @@ final class RetryingFetcher(
       catch {
         case RateLimitedException(retryAfterMs, _) if attempt < maxAttempts - 1 =>
           attempt += 1
-          Thread.sleep(retryAfterMs.getOrElse(baseBackoffMs * (1L << (attempt - 1))))
+          Thread.sleep(math.min(
+            retryAfterMs.getOrElse(baseBackoffMs * (1L << (attempt - 1))), maxWaitMs))
         case _: java.io.IOException if attempt < maxAttempts - 1 =>
           attempt += 1
-          Thread.sleep(baseBackoffMs * (1L << (attempt - 1)))
+          Thread.sleep(math.min(baseBackoffMs * (1L << (attempt - 1)), maxWaitMs))
       }
     }
     throw new IllegalStateException("unreachable")

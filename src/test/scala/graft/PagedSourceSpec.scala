@@ -379,6 +379,80 @@ class PagedSourceSpec extends SparkSpec {
     } finally feed.stop()
   }
 
+  test("cursor walk spills pages to files: O(1) driver memory over a many-page feed") {
+    import org.apache.spark.sql.types._
+    import graft.sources.dsv2.PageFetcher
+    val nPages = 50
+    // mock a long cursor chain without a network: page i carries one item
+    val chain: PageFetcher = (url: String) => {
+      val cur = url.split("cursor=").drop(1).headOption.map(_.takeWhile(_ != '&'))
+      val i = cur.map(_.stripPrefix("c").toInt).getOrElse(0)
+      val next = if (i < nPages - 1) s""","cursor":"c${i + 1}"""" else ""
+      Iterator(s"""{"items":[{"id":"doc$i","v":$i}]$next}""")
+    }
+    val spill = Files.createTempDirectory("cursor-spill").toString
+    val itemSchema = StructType(Seq(
+      StructField("id", StringType), StructField("v", LongType)))
+    val df = HttpCursorSource.read(
+      spark, "http://mock/feed", "items", itemSchema,
+      fetcher = Some(chain), spillDir = Some(spill))
+    // every page landed as its own file BEFORE the DataFrame is consumed —
+    // the driver held one body at a time, and executors parse the files
+    assert(new java.io.File(spill).listFiles().count(_.getName.startsWith("page-")) === nPages)
+    assert(df.count() === nPages)
+    assert(df.agg(sum(col("v"))).head.getLong(0) === (0 until nPages).sum.toLong)
+  }
+
+  test("cursor walk guards: cycling cursors and maxPages fail fast, never loop") {
+    import org.apache.spark.sql.types._
+    import graft.sources.dsv2.PageFetcher
+    val itemSchema = StructType(Seq(StructField("id", StringType)))
+    val echo: PageFetcher = // server echoes the same cursor forever
+      (_: String) => Iterator("""{"items":[],"cursor":"same"}""")
+    val e1 = intercept[IllegalStateException] {
+      HttpCursorSource.read(spark, "http://mock/echo", "items", itemSchema,
+        fetcher = Some(echo))
+    }
+    assert(e1.getMessage.contains("twice"))
+    val endless: PageFetcher = { (url: String) =>
+      val i = url.split("cursor=c").drop(1).headOption.map(_.toInt).getOrElse(0)
+      Iterator(s"""{"items":[],"cursor":"c${i + 1}"}""")
+    }
+    val e2 = intercept[IllegalStateException] {
+      HttpCursorSource.read(spark, "http://mock/endless", "items", itemSchema,
+        fetcher = Some(endless), maxPages = 7)
+    }
+    assert(e2.getMessage.contains("maxPages=7"))
+  }
+
+  test("Retry-After is capped: a hostile day-long header cannot pin the task") {
+    import graft.sources.dsv2.{PageFetcher, RateLimitedException, RetryingFetcher}
+    var calls = 0
+    val hostile: PageFetcher = { (_: String) =>
+      calls += 1
+      if (calls == 1) throw RateLimitedException(Some(86400000L), "slow down")
+      Iterator("ok")
+    }
+    val t0 = System.nanoTime()
+    val out = new RetryingFetcher(hostile, maxAttempts = 3, baseBackoffMs = 1,
+      maxWaitMs = 50).open("x").toSeq
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(out === Seq("ok"))
+    assert(elapsedMs < 5000, s"Retry-After must be capped at maxWaitMs, slept ${elapsedMs}ms")
+  }
+
+  test("batch scan tolerates blank manifest lines (appended-feed stray newline)") {
+    val dir = Files.createTempDirectory("paged-feed-blank").toString
+    Files.write(Paths.get(dir, "page-0.jsonl"),
+      """{"id":"p1","created_at":"2024-01-05T00:00:00Z"}""".getBytes)
+    Files.write(Paths.get(dir, "manifest.jsonl"),
+      ("""{"file":"page-0.jsonl","min_created_at":"2024-01-05T00:00:00Z","max_created_at":"2024-01-05T00:00:00Z","rows":1}""" +
+        "\n\n").getBytes) // trailing blank line, as an append with extra newline leaves
+    val df = spark.read.format("graft.sources.dsv2.PagedJsonSource")
+      .schema(SquareSchemas.payment).option("path", dir).load()
+    assert(df.select("id").collect().map(_.getString(0)).toSeq === Seq("p1"))
+  }
+
   test("cursor-paginated REST: server 400 fails fast through the walk") {
     val feed = new MockFeed
     feed.rateLimitFirstHit = false
