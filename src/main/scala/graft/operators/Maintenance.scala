@@ -83,6 +83,10 @@ object Maintenance {
       targetBytesPerFile: Long = 128L << 20): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // heal a prior interrupted compaction FIRST: a complete leftover
+    // stage is rolled forward (partitions may be partially deleted and
+    // the stage holds their only full copy), an incomplete one discarded
+    Upsert.recoverPartitionedStage(spark, path, partitionBy)
     // partition dirs = depth-|partitionBy| subdirectories (hive layout)
     def partitions(dir: org.apache.hadoop.fs.Path, depth: Int): Seq[org.apache.hadoop.fs.Path] =
       if (depth == 0) Seq(dir)
@@ -102,12 +106,7 @@ object Maintenance {
       fs.delete(stage, true)
       df.repartition(fragmented.size, partitionBy.map(col): _*)
         .write.mode(SaveMode.Overwrite).parquet(stage.toString)
-      spark.read.parquet(stage.toString).write
-        .mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partitionBy: _*)
-        .parquet(path)
-      fs.delete(stage, true)
+      Upsert.applyPartitionedStage(spark, path, partitionBy)
     }
     fragmented.map(_.toString)
   }

@@ -66,7 +66,11 @@ object Upsert {
     * drop `__old`) has two crash windows, both recovered by
     * [[recoverSwap]] on the next call: roll FORWARD when `__new` is
     * complete and the table vanished mid-swap, roll BACK to `__old`
-    * otherwise. A crash before the swap leaves the old table intact and
+    * otherwise. The partitioned path's crash window (mid dynamic
+    * overwrite, affected partitions partially deleted) is healed by
+    * [[recoverPartitionedStage]]: a complete `__stage` is the only full
+    * copy of those partitions and is rolled FORWARD, never deleted
+    * first. A crash before either apply leaves the old table intact and
     * the job retryable — and the keyed upsert makes retries idempotent.
     */
   def upsertParquet(
@@ -78,6 +82,7 @@ object Upsert {
     val fsPath = new org.apache.hadoop.fs.Path(path)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverSwap(fs, path)
+    if (partitionBy.nonEmpty) recoverPartitionedStage(spark, path, partitionBy)
     val exists = fs.exists(fsPath)
 
     if (!exists) {
@@ -96,14 +101,48 @@ object Upsert {
       val stage = new org.apache.hadoop.fs.Path(path + "__stage")
       fs.delete(stage, true)
       merge(base, delta, keys).write.mode(SaveMode.Overwrite).parquet(stage.toString)
-      spark.read.parquet(stage.toString).write
-        .mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partitionBy: _*)
-        .parquet(path)
-      fs.delete(stage, true)
+      applyPartitionedStage(spark, path, partitionBy)
     } else {
       stagedRewrite(spark, path) { base => merge(base, delta, keys) }
+    }
+  }
+
+  /** Apply a durably-staged merged partition set (`path__stage`, complete
+    * with `_SUCCESS`) to the live table via dynamic partition overwrite,
+    * then drop the stage. The stage holds the FULL merged content of
+    * every affected partition, so re-applying after any crash is
+    * idempotent — which is what makes [[recoverPartitionedStage]]'s
+    * roll-forward safe at every interruption point of the overwrite.
+    */
+  private[graft] def applyPartitionedStage(
+      spark: SparkSession, path: String, partitionBy: Seq[String]): Unit = {
+    val stage = new org.apache.hadoop.fs.Path(path + "__stage")
+    val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(stage.toString).write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionBy: _*)
+      .parquet(path)
+    // only after the overwrite commits is the stage disposable
+    fs.delete(stage, true)
+  }
+
+  /** Heal an interrupted PARTITIONED stage-then-overwrite. A crash mid
+    * dynamic overwrite leaves affected partitions partially deleted while
+    * `path__stage` still holds their only complete merged copy — so a
+    * complete stage (`_SUCCESS` present) is rolled FORWARD by re-applying
+    * the overwrite, never deleted first. An incomplete stage (crash
+    * during the stage write) is discarded: the live table was not yet
+    * touched and the interrupted run simply retries.
+    */
+  private[graft] def recoverPartitionedStage(
+      spark: SparkSession, path: String, partitionBy: Seq[String]): Unit = {
+    val stage = new org.apache.hadoop.fs.Path(path + "__stage")
+    val fs = stage.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(stage)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(stage, "_SUCCESS")))
+        applyPartitionedStage(spark, path, partitionBy)
+      else fs.delete(stage, true)
     }
   }
 

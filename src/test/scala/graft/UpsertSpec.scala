@@ -56,6 +56,60 @@ class UpsertSpec extends SparkSpec {
     assert(out === Seq((1, "p1", 9), (2, "p1", 1), (3, "p2", 1)))
   }
 
+  // ---- crash injection, partitioned path: stage write → dynamic
+  // overwrite → drop stage. A complete stage must roll FORWARD (it can
+  // hold the only copy of partially-deleted partitions); an incomplete
+  // stage is discarded with the table untouched.
+
+  /** Partitioned table {1,2→p1, 3→p2} plus a fabricated crash state of
+    * upserting delta {(1,p1,9)}: the merged p1 content staged durably,
+    * the overwrite at the given progress. */
+  private def partitionedCrashState(step: String): (String, org.apache.spark.sql.DataFrame) = {
+    val path = tempDir()
+    val run1 = Seq((1, "p1", 1), (2, "p1", 1), (3, "p2", 1)).toDF("k", "part", "v")
+    Upsert.upsertParquet(spark, path, run1, Seq("k"), partitionBy = Seq("part"))
+    val delta = Seq((1, "p1", 9)).toDF("k", "part", "v")
+    // stage = full merged content of the affected partition, durable
+    Seq((1, "p1", 9), (2, "p1", 1)).toDF("k", "part", "v")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path + "__stage")
+    step match {
+      case "staged" => // crash before the overwrite touched the table
+      case "mid-overwrite" => // worst case: partition deleted, stage is its only copy
+        fs.delete(hp(s"$path/part=p1"), true)
+      case "incomplete-stage" => // crash during the stage write itself
+        fs.delete(hp(path + "__stage/_SUCCESS"), false)
+    }
+    (path, delta)
+  }
+
+  private def readPartitioned(path: String) =
+    spark.read.parquet(path).orderBy("k")
+      .select($"k", $"part", $"v").as[(Int, String, Int)].collect().toSeq
+
+  test("partitioned crash after staging: retry converges, no duplicate effects") {
+    val (path, delta) = partitionedCrashState("staged")
+    Upsert.upsertParquet(spark, path, delta, Seq("k"), partitionBy = Seq("part"))
+    assert(readPartitioned(path) === Seq((1, "p1", 9), (2, "p1", 1), (3, "p2", 1)))
+    assert(!fs.exists(hp(path + "__stage")))
+  }
+
+  test("partitioned crash mid-overwrite: stage is the partition's only copy and rolls FORWARD") {
+    val (path, delta) = partitionedCrashState("mid-overwrite")
+    // the damaged table is missing partition p1 entirely at this point
+    assert(!fs.exists(hp(s"$path/part=p1")))
+    Upsert.upsertParquet(spark, path, delta, Seq("k"), partitionBy = Seq("part"))
+    assert(readPartitioned(path) === Seq((1, "p1", 9), (2, "p1", 1), (3, "p2", 1)),
+      "rows absent from the delta must survive via the staged copy")
+    assert(!fs.exists(hp(path + "__stage")))
+  }
+
+  test("partitioned crash during stage write: incomplete stage discarded, base intact") {
+    val (path, delta) = partitionedCrashState("incomplete-stage")
+    Upsert.upsertParquet(spark, path, delta, Seq("k"), partitionBy = Seq("part"))
+    assert(readPartitioned(path) === Seq((1, "p1", 9), (2, "p1", 1), (3, "p2", 1)))
+    assert(!fs.exists(hp(path + "__stage")))
+  }
+
   // ---- crash injection: every interruption point of the unpartitioned
   // swap (stage write → rename path→__old → rename __new→path → drop
   // __old) must leave a recoverable table; retrying the upsert converges.
