@@ -29,12 +29,13 @@ object Bench {
 
     val names = SparkEntry.registry.map(_.name)
     names.foreach(materialize) // warmup pass (JIT + page cache), unmeasured
-    // two measured passes, min per query: this box shows ±40% wall-clock
-    // noise under background load; min-of-2 reports the query's actual
-    // cost rather than the scheduler's worst moment
-    val pass1 = names.map(n => n -> materialize(n)).toMap
-    val pass2 = names.map(n => n -> materialize(n)).toMap
-    val results = names.map(n => n -> math.min(pass1(n), pass2(n)))
+    // three measured passes interleaved whole-registry (not 3× back-to-
+    // back per query), min per query: this box shows ±40% wall-clock
+    // noise under background load; the min across spread-out samples
+    // reports the query's actual cost rather than the scheduler's worst
+    // moment, and keeps round-over-round deltas meaningful
+    val passes = (1 to 3).map(_ => names.map(n => n -> materialize(n)).toMap)
+    val results = names.map(n => n -> passes.map(_(n)).min)
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -134,4 +134,38 @@ class SkewEvidenceSpec extends SparkSpec {
     val worstStage = listener.byStage.values.map(_.sum).max
     assert(worstStage < 45000, s"a stage shuffled $worstStage records — DF cap not effective")
   }
+
+  test("post-AQE executed plans: q5/q9 keep broadcasts at runtime, no straggler") {
+    // PlanSpec reads pre-execution estimates; this guards what AQE
+    // actually RAN: the final adaptive plan still broadcasts the dims
+    // (no runtime demotion to sort-merge) and no task dominated the
+    // shuffle reads.
+    Seq("q5_local_supplier", "q9_profit").foreach { q =>
+      val listener = new ShuffleReadListener
+      spark.sparkContext.addSparkListener(listener)
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      try {
+        // collect() executes the dataset's OWN QueryExecution; anything
+        // else leaves df.queryExecution.executedPlan unfinalized
+        df.collect()
+      } finally spark.sparkContext.removeSparkListener(listener)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"$q: AQE plan not finalized:\n$plan")
+      assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+        s"$q: final adaptive plan lost its broadcast joins:\n$plan")
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q: final plan degraded to a nested-loop/cartesian join")
+      awaitListenerQuiesce(listener)
+      // straggler check on stages that moved real data (tiny test-SF
+      // stages with a handful of rows are noise, not evidence)
+      listener.byStage.foreach { case (stage, recs) =>
+        if (recs.sum > 1000 && recs.size >= 4) {
+          val mx = recs.max.toDouble
+          val mean = recs.sum.toDouble / recs.size
+          assert(mx / math.max(mean, 1.0) < 16.0,
+            s"$q stage $stage: one task read $mx of ${recs.sum} records (mean $mean)")
+        }
+      }
+    }
+  }
 }
