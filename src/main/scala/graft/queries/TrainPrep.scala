@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryDef, Tables => T}
+import graft.functions.TextFns
+
+/** Training-data preparation operators beyond dedup/quality: the steps
+  * that turn a cleaned corpus into model-ready batches, each oracle-gated
+  * on the documents table.
+  *
+  *   - t8: GPT-style concat-and-chunk sequence packing (token-budget
+  *     context windows);
+  *   - t9: corpus n-gram statistics (the classic massive-shuffle op,
+  *     shaped for map-side partial aggregation);
+  *   - t10: PII redaction (emails/IPv4/intl phones) with match counts —
+  *     regex classes chosen to evaluate identically under Java regex and
+  *     RE2 (no backreferences, no lookaround);
+  *   - d5: eval-set contamination screening by n-gram overlap — the
+  *     decontamination gate every pretraining corpus needs.
+  */
+object TrainPrep {
+
+  private val sqlWsCollapsed = """trim(regexp_replace(text, '\s+', ' ', 'g'))"""
+  private val sqlToks = s"string_split($sqlWsCollapsed, ' ')"
+
+  // --- t8_pack_sequences: concatenate-then-chunk packing. Documents are
+  // concatenated in deterministic order and cut every `budget` tokens;
+  // a doc's pack is the chunk its first token falls in. Packing is a
+  // sequential discipline, so it runs per (lang, shard) stratum: the
+  // running sum is a window over each stratum, shard count scales with
+  // the cluster, and no stratum ever funnels the corpus through one
+  // task (the registry-wide no-partition-less-window guard applies). ---
+  val t8PackSequences = QueryDef.sql(
+    "t8_pack_sequences",
+    s"""WITH d AS (SELECT doc_id, lang, doc_id % 8 AS shard,
+       |  len($sqlToks) AS n_tokens FROM documents),
+       |c AS (SELECT doc_id, lang, shard, n_tokens,
+       |  COALESCE(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+       |  FROM d)
+       |SELECT doc_id, lang, shard, n_tokens,
+       |  CAST(prior // 512 AS BIGINT) AS pack_id,
+       |  CAST(prior % 512 AS BIGINT) AS pack_offset
+       |FROM c""".stripMargin) { (s, d) =>
+    val budget = 512L
+    val docs = T.documents(s, d).select(
+      col("doc_id"), col("lang"), (col("doc_id") % 8).as("shard"),
+      size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("prior", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+        floor(col("prior") / budget).as("pack_id"),
+        (col("prior") % budget).as("pack_offset"))
+  }
+
+  // --- t9_ngram_counts: global top-20 bigrams. explode → partial-agg
+  // combine map-side → one shuffle on the 8-byte... here the bigram
+  // string itself (the oracle needs the text); TakeOrdered handles the
+  // final top-k without a single-partition sort. ---
+  val t9NgramCounts = QueryDef.sql(
+    "t9_ngram_counts",
+    s"""WITH bg AS (SELECT t[i] || ' ' || t[i+1] AS ngram
+       |  FROM (SELECT $sqlToks AS t FROM documents) toks,
+       |  LATERAL (SELECT unnest(range(1, len(t))) AS i) r)
+       |SELECT ngram, count(*) AS n FROM bg
+       |GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""".stripMargin) { (s, d) =>
+    T.documents(s, d)
+      .select(explode(TextFns.shinglesRegex(col("text"), 2)).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(20)
+  }
+
+  // --- t10_redact_pii: scrub emails / IPv4 / international phone
+  // numbers, reporting per-doc match counts. The corpus is synthetic, so
+  // PII is planted deterministically from doc_id with identical string
+  // construction in both engines — every doc exercises every pattern.
+  // DuckDB's regexp_replace needs the 'g' flag to match Spark's
+  // replace-all semantics. ---
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val phonePat = "\\+\\d{7,15}"
+
+  val t10RedactPii = QueryDef.sql(
+    "t10_redact_pii",
+    s"""WITH seeded AS (SELECT doc_id,
+       |  text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com or +1415555' ||
+       |  CAST(1000 + doc_id % 9000 AS VARCHAR) || ' host 10.0.' ||
+       |  CAST(doc_id % 256 AS VARCHAR) || '.7' AS t FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(t, '$emailPat')) AS n_emails,
+       |  len(regexp_extract_all(t, '$ipPat')) AS n_ips,
+       |  len(regexp_extract_all(t, '$phonePat')) AS n_phones,
+       |  regexp_replace(regexp_replace(regexp_replace(t,
+       |    '$emailPat', '<EMAIL>', 'g'), '$ipPat', '<IP>', 'g'),
+       |    '$phonePat', '<PHONE>', 'g') AS redacted
+       |FROM seeded""".stripMargin) { (s, d) =>
+    val seeded = T.documents(s, d).select(col("doc_id"),
+      concat(col("text"), lit(" reach user"), col("doc_id").cast("string"),
+        lit("@example.com or +1415555"),
+        (lit(1000) + col("doc_id") % 9000).cast("string"),
+        lit(" host 10.0."), (col("doc_id") % 256).cast("string"), lit(".7")).as("t"))
+    seeded.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("t"), lit(emailPat), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("t"), lit(ipPat), lit(0))).as("n_ips"),
+      size(regexp_extract_all(col("t"), lit(phonePat), lit(0))).as("n_phones"),
+      regexp_replace(regexp_replace(regexp_replace(col("t"),
+        emailPat, "<EMAIL>"), ipPat, "<IP>"), phonePat, "<PHONE>").as("redacted"))
+  }
+
+  // --- d5_contamination: fraction of each doc's distinct 3-gram shingles
+  // that appear anywhere in the eval set (docs with doc_id % 97 == 0 —
+  // the stand-in for a benchmark suite). The eval shingle universe is
+  // tiny relative to the corpus, so it BROADCASTS: per-doc cost is a
+  // hashed semi-join probe, never a corpus-scale shuffle. Shingles are
+  // hashed to 8-byte longs Spark-side (the string-based oracle doubles
+  // as a collision check, as in d2). ---
+  val d5Contamination = QueryDef.sql(
+    "d5_contamination",
+    s"""WITH sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |  FROM (SELECT doc_id, $sqlToks AS t FROM documents) toks,
+       |  LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+       |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+       |scored AS (
+       |  SELECT sh.doc_id, count(*) AS n_shingles,
+       |    CAST(sum(CASE WHEN ev.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+       |  FROM sh LEFT JOIN ev ON sh.s = ev.s
+       |  WHERE sh.doc_id % 97 <> 0
+       |  GROUP BY sh.doc_id)
+       |SELECT doc_id, n_shingles, n_overlap,
+       |  CAST(n_overlap AS DOUBLE) / n_shingles AS contamination
+       |FROM scored""".stripMargin) { (s, d) =>
+    val sh = T.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.shinglesRegex(col("text"), 3))).as("str"))
+      .select(col("doc_id"), xxhash64(col("str")).as("s"))
+    val ev = sh.filter(col("doc_id") % 97 === 0).select(col("s")).distinct()
+    sh.filter(col("doc_id") % 97 =!= 0).as("sh")
+      .join(broadcast(ev.withColumn("hit", lit(1))).as("ev"),
+        col("sh.s") === col("ev.s"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0))).as("n_overlap"))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("n_shingles")).as("contamination"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    t8PackSequences, t9NgramCounts, t10RedactPii, d5Contamination)
+}

@@ -112,6 +112,13 @@ class PlanSpec extends SparkSpec {
       s"q18 aggregate must sit below the joins, not above the join product:\n$plan")
   }
 
+  test("d5: the eval-set shingle universe broadcasts; corpus side never shuffles for it") {
+    val p = planOf("d5_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval shingles must broadcast for the contamination probe:\n$p")
+    assert(p.contains("xxhash64"), "shingles must be hashed to 8-byte keys before the join")
+  }
+
   test("q5/q9: dimension joins broadcast in the multi-join TPC-H shapes") {
     Seq("q5_local_supplier", "q9_profit").foreach { q =>
       val p = planOf(q)
