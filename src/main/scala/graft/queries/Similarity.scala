@@ -237,6 +237,72 @@ object Similarity {
       .select(col("id1"), col("id2"), col("cosine"))
   }
 
+  // --- v5_ann_ivf: IVF-Flat with a sampled coarse quantizer — the
+  // cell-partitioned alternative to v2's hyperplane LSH. Centroids are a
+  // deterministic sample of the corpus (vec_id % 37; k-means init IS a
+  // sample, and skipping Lloyd iterations keeps every arithmetic step
+  // exact-integer → bit-reproducible by the SQL oracle). Build: one
+  // linear pass scores every vector against the broadcast centroids and
+  // keeps the argmax cell. Query: probe the nprobe nearest cells, rescore
+  // only their members exactly. At cluster scale cells are the storage
+  // clustering key (like the persistent index's (tbl, bucket)), the
+  // centroid set stays broadcast-sized (production samples ~√N), and
+  // search cost is O(corpus/k × nprobe) instead of O(corpus). ---
+  val v5AnnIvf = QueryDef.sql(
+    "v5_ann_ivf",
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id % 37 = 0),
+       |apairs AS (SELECT e.vec_id AS qid, c.cent_id AS cid, e.embedding AS qe, c.ce
+       |           FROM embeddings e, cents c),
+       |au AS (SELECT qid, cid, unnest(qe) AS x, unnest(ce) AS y FROM apairs),
+       |adots AS (SELECT qid, cid,
+       |    sum($sqlQuantU * $sqlQuantV) AS dot,
+       |    sum($sqlQuantU * $sqlQuantU) AS nx,
+       |    sum($sqlQuantV * $sqlQuantV) AS ny
+       |  FROM au u GROUP BY qid, cid),
+       |aranked AS (SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY
+       |      (CAST(dot AS DOUBLE) / 1e12) /
+       |        (sqrt(CAST(nx AS DOUBLE) / 1e12) * sqrt(CAST(ny AS DOUBLE) / 1e12)) DESC,
+       |      cid) AS rank
+       |  FROM adots),
+       |cells AS (SELECT qid AS vec_id, cid AS cell FROM aranked WHERE rank = 1),
+       |probes AS (SELECT qid, cid AS cell FROM aranked WHERE qid < 5 AND rank <= 3),
+       |cand AS (SELECT DISTINCT p.qid, cl.vec_id AS cid
+       |         FROM probes p JOIN cells cl ON p.cell = cl.cell
+       |         WHERE cl.vec_id <> p.qid),
+       |pairs AS (SELECT c.qid, c.cid, eq.embedding AS qe, ec.embedding AS ce
+       |          FROM cand c
+       |          JOIN embeddings eq ON eq.vec_id = c.qid
+       |          JOIN embeddings ec ON ec.vec_id = c.cid),
+       |u AS (SELECT qid, cid, unnest(qe) AS x, unnest(ce) AS y FROM pairs),
+       |$sqlDots
+       |$sqlTopk""".stripMargin) { (s, d) =>
+    val emb = T.embeddings(s, d).withColumn("q", quantize("embedding"))
+    val cents = emb.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("cid"), col("q").as("ceq"))
+    // build/probe scoring: every vector × broadcast centroid set, exact
+    // integer dots inside codegen — one linear pass, no shuffle of vectors
+    val ranked = emb.select(col("vec_id").as("qid"), col("q").as("qeq"))
+      .crossJoin(broadcast(cents))
+      .withColumn("dot", dotQ("qeq", "ceq"))
+      .withColumn("nx", dotQ("qeq", "qeq"))
+      .withColumn("ny", dotQ("ceq", "ceq"))
+      .withColumn("cosine", cosine)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))))
+    val cells = ranked.filter(col("rank") === 1)
+      .select(col("qid").as("vec_id"), col("cid").as("cell"))
+    val probes = ranked.filter(col("qid") < 5 && col("rank") <= 3)
+      .select(col("qid"), col("cid").as("cell"))
+    val cand = cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid")).distinct()
+    val vecs = emb.select(col("vec_id"), col("q"))
+    scoreTopk(cand
+      .join(vecs.select(col("vec_id").as("qid"), col("q").as("qeq")), Seq("qid"))
+      .join(vecs.select(col("vec_id").as("cid"), col("q").as("ceq")), Seq("cid")), 10)
+  }
+
   // ------------- persistent ANN index (build / append / query) ---------
   // The production shape of v2: bucket signatures are computed ONCE per
   // vector at ingest and persisted; queries join their own buckets
@@ -286,5 +352,5 @@ object Similarity {
     scoreTopk(cand, k)
   }
 
-  val all: Seq[QueryDef] = Seq(v1KnnBruteforce, v2AnnLsh, v3EmbeddingNeardup)
+  val all: Seq[QueryDef] = Seq(v1KnnBruteforce, v2AnnLsh, v3EmbeddingNeardup, v5AnnIvf)
 }

@@ -54,6 +54,19 @@ class ExtrasSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall=$recall")
   }
 
+  test("IVF ANN: real pruning with useful recall against brute-force truth") {
+    val truth = SparkEntry.queries("v1_knn_bruteforce")(spark, sfDir)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val ivf = SparkEntry.queries("v5_ann_ivf")(spark, sfDir)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    val recall = (truth & ivf).size.toDouble / truth.size
+    // nprobe=3 of ~14 cells on near-orthogonal fixtures: the probe set
+    // covers ~21% of the corpus, so recall well above that fraction
+    // demonstrates the cells actually concentrate true neighbors
+    assert(recall >= 0.3, s"recall=$recall")
+    assert(ivf.size === truth.size, "IVF must still return a full top-10 per query")
+  }
+
   test("ArraySignedProjections agrees with the interpreted HOF formulation") {
     import graft.functions.ArraySignedProjections
     val signs = Seq(Seq(1, -1, 1, -1), Seq(-1, -1, 1, 1), Seq(1, 1, 1, 1))

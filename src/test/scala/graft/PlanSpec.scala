@@ -119,6 +119,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("xxhash64"), "shingles must be hashed to 8-byte keys before the join")
   }
 
+  test("v5 IVF: centroid set and probe set broadcast; assignment is one linear pass") {
+    val p = planOf("v5_ann_ivf")
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r.findAllIn(p).nonEmpty ||
+      p.contains("BroadcastExchange"),
+      s"centroids must broadcast for the assignment pass:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"assignment must broadcast, not shuffle a cartesian:\n$p")
+  }
+
   test("q5/q9: dimension joins broadcast in the multi-join TPC-H shapes") {
     Seq("q5_local_supplier", "q9_profit").foreach { q =>
       val p = planOf(q)
