@@ -162,4 +162,27 @@ object IncrementalDedup {
       .write.mode(SaveMode.Append).parquet(sigTable)
     DedupResult(novel, duplicates)
   }
+
+  /** Streaming near-dup filter: every micro-batch of (doc_id, text) is
+    * deduped against the persistent index (and itself) via
+    * [[dedupeNearIncrement]]; novel docs land under
+    * `novelPath/batch=<id>`. Replay-safe end to end: the index append is
+    * replay-stable (self-matches excluded), and the per-batch OVERWRITE
+    * of the batch's own output directory makes the novel sink idempotent
+    * under foreachBatch's at-least-once contract. */
+  def streamingNearDedup(
+      docs: DataFrame,
+      statePath: String,
+      novelPath: String,
+      checkpoint: String,
+      threshold: Double = 0.7): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val r = dedupeNearIncrement(batch.sparkSession, statePath, batch, threshold)
+        r.novel.write.mode(SaveMode.Overwrite)
+          .parquet(s"$novelPath/batch=$batchId")
+        ()
+      }
+      .start()
 }

@@ -150,6 +150,39 @@ object TrainPrep {
         (col("n_overlap").cast("double") / col("n_shingles")).as("contamination"))
   }
 
+  // --- t11_unigram_logprob: language-model quality proxy — per-doc mean
+  // unigram log-probability under the corpus's own unigram distribution
+  // (the cheap stand-in for KenLM perplexity filtering). Two shuffles:
+  // vocabulary count, then the token→frequency join (zipf-hot tokens are
+  // exactly what AQE's skew split handles; the corpus total rides a
+  // broadcast scalar, q22's pattern). Oracle parity: each token's ln() is
+  // quantized to DECIMAL(8,5) BEFORE summation — the per-doc sum is then
+  // exact and order-independent, immune to double-summation ordering and
+  // to 1-ulp libm differences between engines. ---
+  val t11UnigramLogprob = QueryDef.sql(
+    "t11_unigram_logprob",
+    s"""WITH toks AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+       |vocab AS (SELECT tok, count(*) AS tf FROM toks GROUP BY tok),
+       |tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS n FROM vocab),
+       |lp AS (SELECT t.doc_id,
+       |    CAST(ln(CAST(v.tf AS DOUBLE) / tot.n) AS DECIMAL(8,5)) AS l
+       |  FROM toks t JOIN vocab v USING (tok), tot)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(sum(l) AS DOUBLE) / count(*) AS logprob
+       |FROM lp GROUP BY doc_id""".stripMargin) { (s, d) =>
+    val toks = T.documents(s, d)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val tot = vocab.agg(sum(col("tf")).cast("double").as("n"))
+    toks.join(vocab, "tok")
+      .join(broadcast(tot))
+      .withColumn("l", log(col("tf").cast("double") / col("n")).cast("decimal(8,5)"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("l")).cast("double") / count(lit(1))).as("logprob"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    t8PackSequences, t9NgramCounts, t10RedactPii, d5Contamination)
+    t8PackSequences, t9NgramCounts, t10RedactPii, d5Contamination,
+    t11UnigramLogprob)
 }

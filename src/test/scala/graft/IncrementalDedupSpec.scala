@@ -68,6 +68,26 @@ class IncrementalDedupSpec extends SparkSpec {
       "exactly one shingle row per novel doc")
   }
 
+  test("streaming near-dup: micro-batches dedupe against the growing index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val state = Files.createTempDirectory("stream-dedup-state").toString
+    val novel = Files.createTempDirectory("stream-dedup-novel").toString
+    val ckpt = Files.createTempDirectory("stream-dedup-ckpt").toString
+    val q = IncrementalDedup.streamingNearDedup(
+      input.toDF().toDF("doc_id", "text"), state, novel, ckpt)
+    try {
+      day1.as[(Long, String)].collect().foreach(r => input.addData(r))
+      q.processAllAvailable() // batch 0: 3 dupes within the batch handled
+      day2.as[(Long, String)].collect().foreach(r => input.addData(r))
+      q.processAllAvailable() // batch 1: 10/11 dupe day-1 docs via the INDEX
+    } finally q.stop()
+    val out = spark.read.parquet(novel).select("doc_id").as[Long].collect().toSet
+    assert(out === Set(1L, 2L, 4L, 12L),
+      "novel output = day-1 survivors + the only truly novel day-2 doc")
+  }
+
   test("near-dup incremental replay is stable") {
     val state = Files.createTempDirectory("dedup-state").toString
     IncrementalDedup.dedupeNearIncrement(spark, state, day1)
