@@ -256,6 +256,42 @@ object TextDedup {
       .select(col("d1"), col("d2"), jac.as("jaccard"))
   }
 
+  // --- d6_dedup_clusters: connected components over the d3 near-dup
+  // pairs — pair lists don't dedupe a corpus; transitive CLUSTERS with
+  // one survivor each do (A~B, B~C must collapse to one keeper even when
+  // A~C was never emitted). Spark side: min-label propagation to
+  // fixpoint. The edge set is staged to disk once (it is the small
+  // output of d3, not the corpus) so iterations never recompute the LSH
+  // lineage, and each round is one join + aggregate on the label frame —
+  // the standard O(log n)-round CC shape; at larger diameters the same
+  // loop periodically re-stages labels to keep lineage flat. The oracle
+  // computes the same components via a recursive-CTE transitive closure
+  // (exact but quadratic — viable only at oracle scale, which is the
+  // point of the iterative formulation). Labels converge to the unique
+  // per-component minimum doc_id, so the result is iteration-order
+  // independent. ---
+  val d6DedupClusters = QueryDef.sql(
+    "d6_dedup_clusters",
+    "WITH RECURSIVE d3p AS (SELECT d1, d2 FROM (\n" + d3MinhashLsh.oracle.get +
+      """
+        |) t),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM d3p UNION SELECT d2, d1 FROM d3p),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach(a, b) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS doc_id, min(b) AS cluster_id, a = min(b) AS survivor
+        |FROM reach GROUP BY a""".stripMargin) { (s, d) =>
+    val stage = java.nio.file.Files.createTempDirectory("d6-edges").toString
+    d3MinhashLsh.run(s, d)
+      .select(col("d1").as("a"), col("d2").as("b"))
+      .write.mode("overwrite").parquet(stage)
+    graft.operators.Components.connectedComponents(s.read.parquet(stage))
+      .select(col("id").as("doc_id"), col("cluster_id"),
+        (col("id") === col("cluster_id")).as("survivor"))
+  }
+
   // --- d4_simhash: 32-dim SimHash signature over the token multiset ---
   val d4Simhash = QueryDef.sql(
     "d4_simhash",
@@ -323,5 +359,5 @@ object TextDedup {
   val all: Seq[QueryDef] = Seq(
     t1TokenStats, t2QualityScore, t3LangId, t4Fingerprint, t5Profile,
     t6HashSample, t7StratifiedSample,
-    d1ExactDedup, d2NgramJaccard, d3MinhashLsh, d4Simhash)
+    d1ExactDedup, d2NgramJaccard, d3MinhashLsh, d4Simhash, d6DedupClusters)
 }

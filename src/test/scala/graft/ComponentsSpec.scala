@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.Components
+
+/** Connected components: transitivity, cycles, disjoint clusters, and
+  * the label restaging path for deeper graphs.
+  */
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)],
+      stage: Option[String] = None, restageEvery: Int = 10): Map[Long, Long] =
+    Components.connectedComponents(
+      edges.toDF("a", "b"), stagePath = stage, restageEvery = restageEvery)
+      .as[(Long, Long)].collect().toMap
+
+  test("transitive chain collapses without a direct edge") {
+    // 1-2, 2-3: no (1,3) pair was ever emitted, yet one cluster results
+    assert(cc(Seq((1L, 2L), (2L, 3L))) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("disjoint clusters, cycles, and unordered edges label independently") {
+    val labels = cc(Seq((5L, 4L), (4L, 5L), (9L, 7L), (7L, 8L), (8L, 9L), (2L, 1L)))
+    assert(labels === Map(4L -> 4L, 5L -> 4L, 7L -> 7L, 8L -> 7L, 9L -> 7L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("long path converges through periodic label restaging") {
+    val stage = java.nio.file.Files.createTempDirectory("cc-stage").toString
+    val path = (1L until 12L).map(i => (i, i + 1)) // diameter 11 > restageEvery
+    val labels = cc(path, stage = Some(stage), restageEvery = 3)
+    assert(labels.values.toSet === Set(1L), "one component, min-id label")
+    assert(labels.keySet === (1L to 12L).toSet)
+  }
+
+  test("empty edge set yields an empty labeling, no iteration blowup") {
+    assert(cc(Seq.empty) === Map.empty)
+  }
+}
