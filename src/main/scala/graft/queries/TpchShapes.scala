@@ -447,10 +447,45 @@ object TpchShapes {
       .agg(count(lit(1)).as("numcust"), sum(col("bal")).cast("double").as("totacctbal"))
   }
 
+  // --- q17_small_quantity: revenue from below-average-quantity line
+  // items of selected parts (Q17's correlated-average shape, restated on
+  // the fixture schema: no p_container, so brand + size select parts).
+  // The correlated `l_quantity < 0.2 * avg(l_quantity per part)` is
+  // de-correlated into a per-part (sum, count) aggregate and compared
+  // multiplicatively — `5 * qty * cnt < sum` — so the predicate is exact
+  // decimal/integer arithmetic on BOTH engines (a divided average would
+  // hit double-rounding at the comparison boundary). Plan: the part
+  // filter broadcasts, lineitem is semi-restricted FIRST, and the
+  // per-part aggregate runs over the restricted rows only — at scale the
+  // correlated aggregate is computed for selected parts, not the corpus.
+  val q17SmallQuantity = QueryDef.sql(
+    "q17_small_quantity",
+    """WITH sel AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13' AND p_size <= 20),
+      |lp AS (SELECT l_partkey, l_quantity, l_extendedprice
+      |       FROM lineitem JOIN sel ON l_partkey = p_partkey),
+      |pq AS (SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq, count(*) AS cnt
+      |       FROM lp GROUP BY l_partkey)
+      |SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+      |FROM lp l JOIN pq ON l.l_partkey = pq.l_partkey
+      |WHERE CAST(l.l_quantity AS DECIMAL(12,2)) * 5 * pq.cnt < pq.sq""".stripMargin) { (s, d) =>
+    val sel = T.part(s, d)
+      .filter(col("p_brand") === "Brand#13" && col("p_size") <= 20)
+      .select(col("p_partkey"))
+    val lp = T.lineitem(s, d)
+      .join(broadcast(sel), col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val pq = lp.groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_quantity"))).as("sq"), count(lit(1)).as("cnt"))
+    lp.join(pq, Seq("l_partkey"))
+      .filter(dec(col("l_quantity")) * 5 * col("cnt") < col("sq"))
+      .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0)
+        .cast("double").as("avg_yearly"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q4OrderPriority, q7VolumeShipping, q12Shipmode, q14PromoRatio, q19Disjunctive,
     q2BestSupplier, q9Profit, q20SemiChain,
     q3ShippingPriority, q5LocalSupplier, q6ForecastRevenue, q8MarketShare,
     q10ReturnedItems, q13CustDistribution, q18LargeVolume,
-    q15TopSupplier, q16PartsSupplier, q22GlobalSales)
+    q15TopSupplier, q16PartsSupplier, q22GlobalSales, q17SmallQuantity)
 }

@@ -182,7 +182,35 @@ object TrainPrep {
         (sum(col("l")).cast("double") / count(lit(1))).as("logprob"))
   }
 
+  // --- t12_repetition: within-document repetition signals (the Gopher-
+  // rule quality filters): bigram duplicate ratio and the hottest
+  // bigram's count. Distinct counts stay inside codegen'd array
+  // expressions; the per-doc hottest-bigram count explodes and
+  // aggregates with map-side combine (grouped by (doc, bigram) — never
+  // a global hot key). ---
+  val t12Repetition = QueryDef.sql(
+    "t12_repetition",
+    s"""WITH bg AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS ngram
+       |  FROM (SELECT doc_id, $sqlToks AS t FROM documents) toks,
+       |  LATERAL (SELECT unnest(range(1, len(t))) AS i) r),
+       |per AS (SELECT doc_id, ngram, count(*) AS c FROM bg GROUP BY doc_id, ngram)
+       |SELECT doc_id,
+       |  CAST(sum(c) AS BIGINT) AS n_bigrams,
+       |  count(*) AS n_distinct_bigrams,
+       |  1.0 - CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS dup_ratio,
+       |  CAST(max(c) AS BIGINT) AS max_bigram_count
+       |FROM per GROUP BY doc_id""".stripMargin) { (s, d) =>
+    T.documents(s, d)
+      .select(col("doc_id"), explode(TextFns.shinglesRegex(col("text"), 2)).as("ngram"))
+      .groupBy(col("doc_id"), col("ngram")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        (lit(1.0) - count(lit(1)).cast("double") / sum(col("c"))).as("dup_ratio"),
+        max(col("c")).as("max_bigram_count"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     t8PackSequences, t9NgramCounts, t10RedactPii, d5Contamination,
-    t11UnigramLogprob)
+    t11UnigramLogprob, t12Repetition)
 }
