@@ -278,18 +278,9 @@ object Similarity {
        |$sqlDots
        |$sqlTopk""".stripMargin) { (s, d) =>
     val emb = T.embeddings(s, d).withColumn("q", quantize("embedding"))
-    val cents = emb.filter(col("vec_id") % 37 === 0)
-      .select(col("vec_id").as("cid"), col("q").as("ceq"))
-    // build/probe scoring: every vector × broadcast centroid set, exact
-    // integer dots inside codegen — one linear pass, no shuffle of vectors
-    val ranked = emb.select(col("vec_id").as("qid"), col("q").as("qeq"))
-      .crossJoin(broadcast(cents))
-      .withColumn("dot", dotQ("qeq", "ceq"))
-      .withColumn("nx", dotQ("qeq", "qeq"))
-      .withColumn("ny", dotQ("ceq", "ceq"))
-      .withColumn("cosine", cosine)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))))
+    val cents = ivfCentroids(emb)
+    val ranked = rankAgainstCentroids(
+      emb.select(col("vec_id").as("qid"), col("q").as("qeq")), cents)
     val cells = ranked.filter(col("rank") === 1)
       .select(col("qid").as("vec_id"), col("cid").as("cell"))
     val probes = ranked.filter(col("qid") < 5 && col("rank") <= 3)
@@ -301,6 +292,59 @@ object Similarity {
     scoreTopk(cand
       .join(vecs.select(col("vec_id").as("qid"), col("q").as("qeq")), Seq("qid"))
       .join(vecs.select(col("vec_id").as("cid"), col("q").as("ceq")), Seq("cid")), 10)
+  }
+
+  /** The deterministic sampled coarse quantizer shared by v5 and the
+    * persistent IVF index (production swaps in ~√N sampling or k-means
+    * centroids — everything downstream is centroid-agnostic). */
+  private def ivfCentroids(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("cid"), col("q").as("ceq"))
+
+  /** Rank `vecs` (qid, qeq) against the broadcast centroid set (cid,
+    * ceq) by exact-integer cosine: one linear codegen'd pass, no shuffle
+    * of the vector side. */
+  private def rankAgainstCentroids(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("dot", dotQ("qeq", "ceq"))
+      .withColumn("nx", dotQ("qeq", "qeq"))
+      .withColumn("ny", dotQ("ceq", "ceq"))
+      .withColumn("cosine", cosine)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))))
+
+  /** Build a persistent IVF index at `path`: `centroids` (the coarse
+    * quantizer's vectors) + `cells` (vec_id, cell, q) clustered by cell
+    * so a probe's members are a row-group-skipping range scan. */
+  def buildIvfIndex(spark: SparkSession, path: String, emb0: DataFrame): Unit = {
+    val emb = emb0.withColumn("q", quantize("embedding"))
+    val cents = ivfCentroids(emb)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    rankAgainstCentroids(emb.select(col("vec_id").as("qid"), col("q").as("qeq")), cents)
+      .filter(col("rank") === 1)
+      .select(col("qid").as("vec_id"), col("cid").as("cell"), col("qeq").as("q"))
+      .repartitionByRange(col("cell"))
+      .sortWithinPartitions(col("cell"))
+      .write.mode("overwrite").parquet(s"$path/cells")
+  }
+
+  /** Cosine top-k of `queries` (qid, embedding) against the IVF index:
+    * probe the `nprobe` nearest cells, rescore members exactly —
+    * O(corpus/k × nprobe) per query, never a corpus scan. */
+  def queryIvfIndex(
+      spark: SparkSession, path: String, queries: DataFrame,
+      k: Int, nprobe: Int = 3): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val cells = spark.read.parquet(s"$path/cells")
+    val q = queries.select(col("qid"), quantize("embedding").as("qeq"))
+    val probes = rankAgainstCentroids(q, cents)
+      .filter(col("rank") <= nprobe)
+      .select(col("qid"), col("qeq"), col("cid").as("cell"))
+    scoreTopk(cells
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qeq"), col("vec_id").as("cid"), col("q").as("ceq"))
+      .dropDuplicates("qid", "cid"), k)
   }
 
   // ------------- persistent ANN index (build / append / query) ---------

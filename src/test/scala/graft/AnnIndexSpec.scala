@@ -49,4 +49,20 @@ class AnnIndexSpec extends SparkSpec {
     val res = Similarity.queryIndex(spark, path, queries, k = 10)
     assert(res.count() === 50) // 5 queries x top-10
   }
+
+  test("IVF index query == one-shot v5 IVF on the same corpus") {
+    val path = Files.createTempDirectory("ivf").toString + "/idx"
+    Similarity.buildIvfIndex(spark, path, emb)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val fromIndex = Similarity.queryIvfIndex(spark, path, queries, k = 10)
+      .select("qid", "cid", "rank").as[(Long, Long, Int)].collect().toSet
+    val oneShot = SparkEntry.queries("v5_ann_ivf")(spark, sfDir)
+      .select("qid", "cid", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(fromIndex === oneShot)
+    // the cells table is clustered: each parquet file covers a narrow
+    // cell range, so probes are range scans
+    val cells = spark.read.parquet(s"$path/cells")
+    assert(cells.columns.toSet === Set("vec_id", "cell", "q"))
+  }
 }
