@@ -128,6 +128,30 @@ class PlanSpec extends SparkSpec {
       s"assignment must broadcast, not shuffle a cartesian:\n$p")
   }
 
+  test("q17: part filter semi-restricts lineitem; aggregates are partial+final") {
+    val p = planOf("q17_small_quantity")
+    assert(p.contains("LeftSemi"), s"lineitem must be semi-restricted by the part filter:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "the filtered part side must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "per-part agg must map-side combine")
+  }
+
+  test("t8 packing: one shuffle (the stratum window), nothing else moves") {
+    val p = planOf("t8_pack_sequences")
+    assert(p.contains("Window"), s"packing is a window cumsum:\n$p")
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size === 1,
+      s"only the (lang, shard) stratum shuffle is allowed:\n$p")
+  }
+
+  test("t9/t12: n-gram aggregation combines map-side; t9 top-k avoids a global sort") {
+    val t9 = planOf("t9_ngram_counts")
+    assert("HashAggregate".r.findAllIn(t9).size >= 2, "bigram counts must partial-agg")
+    assert(t9.contains("TakeOrderedAndProject"),
+      s"global top-k must be TakeOrdered, not sort-the-world:\n$t9")
+    val t12 = planOf("t12_repetition")
+    assert("HashAggregate".r.findAllIn(t12).size >= 2, "per-doc stats must partial-agg")
+  }
+
   test("q5/q9: dimension joins broadcast in the multi-join TPC-H shapes") {
     Seq("q5_local_supplier", "q9_profit").foreach { q =>
       val p = planOf(q)
