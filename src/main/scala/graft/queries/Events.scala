@@ -130,6 +130,33 @@ object Events {
       .select(col("purchase_id"), col("user_id"), col("signup_id"))
   }
 
+  // --- e5_props_extract: semi-structured JSON payload extraction — the
+  // schema-on-read path every event feed needs (props arrives as a JSON
+  // string; no schema migration when producers add keys). Spark's
+  // get_json_object is a codegen'd path expression — the extraction
+  // rides inside the scan's project, no UDF, and column pruning still
+  // reaches the parquet scan for the other columns. Aggregates run
+  // exact (BIGINT sum, DECIMAL value sum). ---
+  val e5PropsExtract = QueryDef.sql(
+    "e5_props_extract",
+    """SELECT event_type,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+      |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY event_type""".stripMargin) { (s, d) =>
+    T.events(s, d)
+      .select(col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("total_value"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative)
+    e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
+    e5PropsExtract)
 }
