@@ -356,8 +356,30 @@ object TextDedup {
       .select(col("doc_id"), col("lang"))
   }
 
+  // --- t13_rebalance_mix: data-mixture rebalancing — per-language
+  // quotas (the training-mix dial: upweight en, cap the rest) filled by
+  // deterministic hash rank, so the sample is unbiased within stratum,
+  // reproducible across runs, and naturally capped by availability.
+  // Same one-shuffle window shape as t7, variable quota per stratum. ---
+  val t13RebalanceMix = QueryDef.sql(
+    "t13_rebalance_mix",
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents) t
+      |WHERE rn <= CASE lang WHEN 'en' THEN 80 ELSE 30 END""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    T.documents(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= when(col("lang") === "en", 80).otherwise(30))
+      .select(col("doc_id"), col("lang"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     t1TokenStats, t2QualityScore, t3LangId, t4Fingerprint, t5Profile,
     t6HashSample, t7StratifiedSample,
-    d1ExactDedup, d2NgramJaccard, d3MinhashLsh, d4Simhash, d6DedupClusters)
+    d1ExactDedup, d2NgramJaccard, d3MinhashLsh, d4Simhash, d6DedupClusters,
+    t13RebalanceMix)
 }

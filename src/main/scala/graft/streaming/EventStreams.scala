@@ -97,6 +97,28 @@ object EventStreams {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Watermarked stream-stream interval join: pair each left event with
+    * right events for the same key whose time falls in
+    * [left.ts, left.ts + within]. Both sides carry watermarks and the
+    * join condition bounds event time in BOTH directions, so Spark can
+    * expire buffered state once the watermark passes the interval — the
+    * state-bounded form of attribution joins (view→purchase within N
+    * minutes). Columns are returned prefixed `l_`/`r_` to stay
+    * unambiguous. */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      within: String = "10 minutes",
+      lateness: String = "30 minutes"): DataFrame = {
+    val l = left.columns.foldLeft(left)((df, c) => df.withColumnRenamed(c, s"l_$c"))
+      .withWatermark(s"l_ts", lateness)
+    val r = right.columns.foldLeft(right)((df, c) => df.withColumnRenamed(c, s"r_$c"))
+      .withWatermark(s"r_ts", lateness)
+    l.join(r, expr(
+      s"l_$key = r_$key AND r_ts >= l_ts AND r_ts <= l_ts + interval $within"))
+  }
+
   /** Incremental batch run (the reference's hourly cron re-expressed):
     * process exactly the feed files that arrived since the last run —
     * Trigger.AvailableNow drains available input then stops, and the

@@ -115,6 +115,34 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(table).orderBy("k").as[(Long, Long, String)].collect().toSeq === out)
   }
 
+  test("stream-stream interval join == batch interval join (view→buy attribution)") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val viewRows = Seq(
+      Event(1, ts(0), 1, "view", 0), Event(2, ts(5), 2, "view", 0),
+      Event(3, ts(40), 1, "view", 0))
+    val buyRows = Seq(
+      Event(10, ts(8), 1, "buy", 9.5),   // within 10m of view 1
+      Event(11, ts(30), 2, "buy", 3.0),  // too late for view 2
+      Event(12, ts(44), 1, "buy", 7.0))  // within 10m of view 3 (not view 1)
+    val joined = EventStreams.intervalJoin(views.toDF(), buys.toDF(), "user_id")
+      .select(col("l_event_id"), col("r_event_id"))
+    val q = joined.writeStream.format("memory").queryName("ij").outputMode("append").start()
+    try {
+      views.addData(viewRows: _*)
+      buys.addData(buyRows: _*)
+      q.processAllAvailable()
+      // advance both watermarks so buffered pairs flush
+      views.addData(Event(99, ts(600), 9, "view", 0))
+      buys.addData(Event(98, ts(600), 9, "buy", 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ij").as[(Long, Long)].collect().toSet - ((99L, 98L))
+    assert(got === Set((1L, 10L), (3L, 12L)),
+      "attribution pairs only within the interval, per user")
+  }
+
   test("streaming upsert sink: duplicate keys across micro-batches collapse to latest") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, String)] // key, version, value
