@@ -210,7 +210,36 @@ object TrainPrep {
         max(col("c")).as("max_bigram_count"))
   }
 
+  // --- t14_normalize_text: Unicode NFC canonicalization + markup
+  // stripping — visually-identical strings with decomposed combining
+  // marks must hash identically before any fingerprint/dedup step.
+  // Spark side runs the codegen'd [[graft.functions.NfcNormalize]]
+  // expression (no UDF, stays in the fused stage); the oracle uses
+  // DuckDB's nfc_normalize. Non-NFC content and markup are planted
+  // deterministically (the fixture corpus is ASCII) so every row
+  // exercises both transforms. ---
+  val t14NormalizeText = QueryDef.sql(
+    "t14_normalize_text",
+    """WITH seeded AS (SELECT doc_id,
+      |  text || ' <b>bold</b> caf' || 'e' || chr(769) AS t FROM documents)
+      |SELECT doc_id,
+      |  length(t) AS raw_len,
+      |  length(nfc_normalize(t)) AS nfc_len,
+      |  length(regexp_replace(nfc_normalize(t), '<[^>]+>', '', 'g')) AS clean_len,
+      |  nfc_normalize(t) <> t AS nfc_changed
+      |FROM seeded""".stripMargin) { (s, d) =>
+    import graft.functions.NfcNormalize
+    val seeded = T.documents(s, d).select(col("doc_id"),
+      concat(col("text"), lit(" <b>bold</b> caf"), lit("e\u0301")).as("t"))
+    seeded.select(
+      col("doc_id"),
+      length(col("t")).as("raw_len"),
+      length(NfcNormalize.of(col("t"))).as("nfc_len"),
+      length(regexp_replace(NfcNormalize.of(col("t")), "<[^>]+>", "")).as("clean_len"),
+      (NfcNormalize.of(col("t")) =!= col("t")).as("nfc_changed"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     t8PackSequences, t9NgramCounts, t10RedactPii, d5Contamination,
-    t11UnigramLogprob, t12Repetition)
+    t11UnigramLogprob, t12Repetition, t14NormalizeText)
 }

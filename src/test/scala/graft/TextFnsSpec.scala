@@ -76,4 +76,25 @@ class TextFnsSpec extends SparkSpec {
       .as[String].collect().toSet
     assert(fps.size === 1)
   }
+
+  test("nfc_normalize: decomposed marks compose, NFC input passes through, codegen'd") {
+    import graft.functions.NfcNormalize
+    val df = Seq("cafe\u0301", "caf\u00e9", "plain ascii", null)
+      .toDF("t").select(NfcNormalize.of(col("t")).as("n"), col("t"))
+    val rows = df.collect()
+    assert(rows(0).getString(0) === "caf\u00e9", "decomposed e + U+0301 composes")
+    assert(rows(0).getString(0) === rows(1).getString(0),
+      "both encodings canonicalize to the same string (dedup-safe)")
+    assert(rows(2).getString(0) === "plain ascii")
+    assert(rows(3).isNullAt(0), "null in, null out")
+    // the expression must run inside whole-stage codegen, not as a UDF
+    // (a literal frame constant-folds away — use a non-foldable source)
+    val live = spark.range(4)
+      .select(NfcNormalize.of(concat(col("id").cast("string"), lit("e\u0301"))).as("n"))
+    assert(live.as[String].collect().toSeq === (0 until 4).map(i => s"$i\u00e9"))
+    val plan = live.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("nfc_normalize") && plan.contains("[codegen id :"),
+      s"nfc_normalize must be codegen'd:\n$plan")
+  }
 }
