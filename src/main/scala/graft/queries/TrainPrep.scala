@@ -239,6 +239,96 @@ object TrainPrep {
       (NfcNormalize.of(col("t")) =!= col("t")).as("nfc_changed"))
   }
 
+  /** End-to-end pretraining-corpus preparation — the composed pipeline a
+    * user actually runs, chaining the oracle-gated pieces:
+    *
+    *   1. normalize (NFC canonicalization — codegen'd);
+    *   2. quality gate (alpha-ratio heuristic, t2's signal);
+    *   3. exact dedup (first-wins on normalized-text fingerprint);
+    *   4. near-dup clusters (MinHash LSH pairs → connected components →
+    *      min-id survivor per cluster, d3+d6);
+    *   5. contamination screen vs an eval id set (d5's broadcast probe);
+    *   6. mixture rebalancing by per-language quota (t13's hash rank);
+    *   7. sequence packing into `budget`-token windows (t8).
+    *
+    * Returns the packed survivor corpus: (doc_id, lang, n_tokens,
+    * pack_id, pack_offset). Each stage only shrinks the frame before the
+    * next (filters first, pairwise work on survivors only), and every
+    * shuffle is on a bounded key set — the composition inherits each
+    * operator's 100 TB shape.
+    */
+  def prepareCorpus(
+      spark: SparkSession,
+      dir: String,
+      evalIds: Column => Column = _ % 97 === 0,
+      minAlphaRatio: Double = 0.5,
+      maxContamination: Double = 0.5,
+      quota: Column = when(col("lang") === "en", 80).otherwise(30),
+      budget: Long = 512L): DataFrame = {
+    import graft.functions.NfcNormalize
+    val docs = T.documents(spark, dir).select(col("doc_id"), col("lang"),
+      NfcNormalize.of(col("text")).as("text"))
+
+    // 2. quality gate — cheap narrow projection, drops rows before any join
+    val quality = docs.filter(
+      TextFns.alphaChars(col("text")).cast("double") / length(col("text")) >= minAlphaRatio)
+
+    // 3. exact dedup, first doc_id wins per fingerprint
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val exact = quality
+      .withColumn("fp", TextFns.fingerprint(col("text")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("fp", "__rn")
+
+    // 4. near-dup clusters on the exact-survivors, keep min-id per cluster
+    val sh = exact.select(col("doc_id"),
+        explode(array_distinct(TextFns.shinglesRegex(col("text"), 3))).as("str"))
+      .select(col("doc_id"), xxhash64(col("str")).as("s"))
+    val mh = exact
+      .select(col("doc_id"), array_distinct(TextFns.shinglesRegex(col("text"), 3)).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .select(col("doc_id"), graft.functions.MinHash16.of(col("shs")).as("mh"))
+    val bandCols = (0 until 4).map { k =>
+      md5(concat_ws("|", (0 until 4).map(j => element_at(col("mh"), k * 4 + j + 1)): _*))
+    }
+    val sig = mh.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
+    val pairs = sig.as("x").join(sig.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    val clusters = graft.operators.Components.connectedComponents(pairs)
+    val nearDupLosers = clusters.filter(col("id") =!= col("cluster_id")).select(col("id"))
+    val deduped = exact.join(nearDupLosers, exact("doc_id") === nearDupLosers("id"), "left_anti")
+
+    // 5. contamination screen: drop docs overlapping the eval set too much
+    val ev = sh.filter(evalIds(col("doc_id"))).select("s").distinct()
+    val contaminated = sh.filter(!evalIds(col("doc_id")))
+      .join(broadcast(ev.withColumn("hit", lit(1))), Seq("s"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))).as("c"))
+      .filter(col("c") > maxContamination).select("doc_id")
+    val screened = deduped
+      .filter(!evalIds(col("doc_id"))) // eval docs never train
+      .join(contaminated, Seq("doc_id"), "left_anti")
+
+    // 6. rebalance to the target mixture by deterministic hash rank
+    val wq = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val mixed = screened.withColumn("__rn", row_number().over(wq))
+      .filter(col("__rn") <= quota).drop("__rn")
+
+    // 7. pack into budget-token context windows per (lang, shard)
+    val wp = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    mixed
+      .select(col("doc_id"), col("lang"), (col("doc_id") % 8).as("shard"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("prior", coalesce(sum(col("n_tokens")).over(wp), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        floor(col("prior") / budget).as("pack_id"),
+        (col("prior") % budget).as("pack_offset"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     t8PackSequences, t9NgramCounts, t10RedactPii, d5Contamination,
     t11UnigramLogprob, t12Repetition, t14NormalizeText)

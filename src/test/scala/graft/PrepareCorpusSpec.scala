@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{TrainPrep, TextDedup}
+
+/** End-to-end corpus preparation: the composed pipeline's invariants on
+  * the real fixture corpus — every stage's contract must survive
+  * composition, not just hold in isolation.
+  */
+class PrepareCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val out = TrainPrep.prepareCorpus(spark, sfDir)
+  private lazy val rows = out.collect()
+
+  test("survivors are unique, non-eval, and quota-bounded per language") {
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length === ids.length, "no doc appears twice")
+    assert(ids.forall(_ % 97 != 0), "eval docs never reach the training corpus")
+    val perLang = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    perLang.foreach { case (lang, n) =>
+      val cap = if (lang == "en") 80 else 30
+      assert(n <= cap, s"$lang exceeded its quota: $n > $cap")
+    }
+    assert(rows.nonEmpty, "the fixture corpus must yield survivors")
+  }
+
+  test("no exact duplicates survive (fingerprint check on the output ids)") {
+    val survivors = out.select("doc_id")
+    val fps = Tables.documents(spark, sfDir)
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .select(graft.functions.TextFns.fingerprint(col("text")).as("fp"))
+      .groupBy("fp").count().filter(col("count") > 1).count()
+    assert(fps === 0, "two surviving docs share a fingerprint")
+  }
+
+  test("near-dup clusters kept exactly one member") {
+    // recompute the near-dup pairs over the corpus; no surviving pair
+    // may have BOTH endpoints in the output
+    val pairs = TextDedup.d3MinhashLsh.run(spark, sfDir)
+      .select(col("d1"), col("d2")).as[(Long, Long)].collect()
+    val kept = rows.map(_.getLong(0)).toSet
+    pairs.foreach { case (a, b) =>
+      assert(!(kept(a) && kept(b)), s"near-dup pair ($a, $b) both survived")
+    }
+  }
+
+  test("packing invariants: offsets inside the budget, packs dense per stratum") {
+    rows.foreach { r =>
+      val off = r.getLong(4)
+      assert(off >= 0 && off < 512, s"pack_offset $off outside [0, 512)")
+    }
+    // within each (lang, pack) the offsets are strictly increasing in doc order
+    rows.groupBy(r => (r.getString(1), r.getLong(0) % 8, r.getLong(3))).foreach {
+      case (_, group) =>
+        val sorted = group.sortBy(_.getLong(0))
+        val offs = sorted.map(_.getLong(4))
+        assert(offs === offs.sorted, "offsets must be monotone within a pack")
+    }
+  }
+}
