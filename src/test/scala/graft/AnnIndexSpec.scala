@@ -65,4 +65,35 @@ class AnnIndexSpec extends SparkSpec {
     val cells = spark.read.parquet(s"$path/cells")
     assert(cells.columns.toSet === Set("vec_id", "cell", "q"))
   }
+
+  test("streaming ingest: vectors appended per micro-batch equal a one-shot build") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val grown = Files.createTempDirectory("ann-stream").toString + "/idx"
+    val whole = Files.createTempDirectory("ann-stream").toString + "/idx"
+    Similarity.buildIndex(spark, whole, emb)
+    // seed with the even half, stream the odd half in two micro-batches
+    Similarity.buildIndex(spark, grown, emb.filter(col("vec_id") % 2 === 0))
+    val odd = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect()
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .option("checkpointLocation", Files.createTempDirectory("ann-ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Similarity.appendToIndex(spark, grown, batch); ()
+      }.start()
+    try {
+      val (h1, h2) = odd.splitAt(odd.length / 2)
+      input.addData(h1.toSeq: _*); q.processAllAvailable()
+      input.addData(h2.toSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val a = Similarity.queryIndex(spark, whole, queries, k = 10)
+      .select("qid", "cid", "rank").as[(Long, Long, Int)].collect().toSet
+    val g = Similarity.queryIndex(spark, grown, queries, k = 10)
+      .select("qid", "cid", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(g === a, "streamed index must answer identically to the one-shot build")
+  }
 }

@@ -82,4 +82,34 @@ class PropertySpec extends SparkSpec {
       assert(stepped.exceptAll(full).count() === 0 && full.exceptAll(stepped).count() === 0)
     }
   }
+
+  test("connected components == union-find reference on random graphs") {
+    // in-memory union-find as the independent oracle
+    def unionFind(nodes: Set[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map(nodes.map(n => n -> n).toSeq: _*)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      nodes.map(n => n -> find(n)).toMap
+    }
+    for (seed <- 1L to 6L) {
+      val edges = Gen.listOfN(25, Gen.zip(Gen.choose(0L, 18L), Gen.choose(0L, 18L)))
+        .pureApply(params, Seed(seed))
+        .filter { case (a, b) => a != b }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      val expected = unionFind(nodes, edges)
+      val got = graft.operators.Components
+        .connectedComponents(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === expected, s"seed=$seed: CC disagrees with union-find")
+    }
+  }
 }
