@@ -156,7 +156,47 @@ object Events {
         sum(col("value").cast("decimal(14,2)")).cast("double").as("total_value"))
   }
 
+  // --- e6_anomaly_flags: per-type z-score anomaly counting. Variance is
+  // derived from EXACT decimal sums (Σv, Σv² — order-independent,
+  // shuffle-safe) and only then computed in double with the identical
+  // expression shape on both engines, so the |v-mean| > 3σ boundary
+  // decides the same way bit-for-bit. A naive stddev_samp would
+  // accumulate doubles in partition order and diverge between engines.
+  // Two passes: tiny per-type stats broadcast back onto the events. ---
+  val e6AnomalyFlags = QueryDef.sql(
+    "e6_anomaly_flags",
+    """WITH st AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS sv,
+      |    CAST(sum(CAST(value AS DECIMAL(14,2)) * CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS svv
+      |  FROM events GROUP BY event_type),
+      |stats AS (
+      |  SELECT event_type, n, sv / n AS mean_value,
+      |    sqrt((svv - sv * sv / n) / (n - 1)) AS sd_value
+      |  FROM st)
+      |SELECT s.event_type, s.n, s.mean_value, s.sd_value,
+      |  CAST(sum(CASE WHEN abs(CAST(e.value AS DOUBLE) - s.mean_value) > 3 * s.sd_value
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+      |FROM events e JOIN stats s ON e.event_type = s.event_type
+      |GROUP BY s.event_type, s.n, s.mean_value, s.sd_value""".stripMargin) { (s, d) =>
+    val ev = T.events(s, d)
+    val dec = col("value").cast("decimal(14,2)")
+    val st = ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec).cast("double").as("sv"),
+        sum(dec * dec).cast("double").as("svv"))
+      .select(col("event_type"), col("n"),
+        (col("sv") / col("n")).as("mean_value"),
+        sqrt((col("svv") - col("sv") * col("sv") / col("n")) / (col("n") - 1)).as("sd_value"))
+    ev.join(broadcast(st), Seq("event_type"))
+      .groupBy(col("event_type"), col("n"), col("mean_value"), col("sd_value"))
+      .agg(sum(when(abs(col("value").cast("double") - col("mean_value")) >
+        lit(3) * col("sd_value"), 1).otherwise(0)).as("n_anomalies"))
+      .select(col("event_type"), col("n"), col("mean_value"), col("sd_value"),
+        col("n_anomalies"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
-    e5PropsExtract)
+    e5PropsExtract, e6AnomalyFlags)
 }
