@@ -45,6 +45,14 @@ class PrepareCorpusSpec extends SparkSpec {
     }
   }
 
+  test("the composed pipeline is deterministic end to end") {
+    val again = TrainPrep.prepareCorpus(spark, sfDir).collect()
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(again.map(key).toSet === rows.map(key).toSet,
+      "re-running the pipeline must reproduce the exact same packed corpus")
+  }
+
   test("packing invariants: offsets inside the budget, packs dense per stratum") {
     rows.foreach { r =>
       val off = r.getLong(4)
