@@ -218,10 +218,14 @@ object TextDedup {
         array_distinct(TextFns.shinglesRegex(col("text"), 3)).as("shs"))
       .filter(size(col("shs")) > 0)
       .select(col("doc_id"), graft.functions.MinHash16.of(col("shs")).as("mh"))
-    // band k = the 4 chunk-minima of digest k, in chunk order — identical
-    // banding to the SQL oracle's string_agg(... ORDER BY j).
+    // band k = the 4 chunk-minima of digest k, in chunk order. The band
+    // signature only ever feeds an equality join (candidates are then
+    // exact-Jaccard verified), so ANY injective-enough hash of the
+    // 4-tuple yields the oracle's equality classes; xxhash64 over the
+    // four chunks gives an 8-byte shuffle key instead of the oracle's
+    // 32-char md5 string — same candidates, ~4× smaller join state.
     val bandCols = (0 until 4).map { k =>
-      md5(concat_ws("|", (0 until 4).map(j => element_at(col("mh"), k * 4 + j + 1)): _*))
+      xxhash64((0 until 4).map(j => element_at(col("mh"), k * 4 + j + 1)): _*)
     }
     val sig = sigRow
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
@@ -242,10 +246,13 @@ object TextDedup {
     // pointless.
     val candIds = cand.select(col("d1").as("doc_id"))
       .union(cand.select(col("d2").as("doc_id"))).distinct()
+    // Semi-join FIRST, shingle second: the regex re-shingling pass runs
+    // only over the few candidate docs, not the whole corpus (Catalyst
+    // will not hoist an expensive projection above a join on its own).
     val shSets = T.documents(s, d)
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         array_distinct(TextFns.shinglesRegex(col("text"), 3)).as("shs"))
-      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
     val withSets = cand
       .join(shSets.select(col("doc_id").as("d1"), col("shs").as("shs1")), Seq("d1"))
       .join(shSets.select(col("doc_id").as("d2"), col("shs").as("shs2")), Seq("d2"))
