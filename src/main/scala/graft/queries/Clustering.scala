@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables => T}
+
+/** Distributed k-means over the embeddings table, plus SemDeDup-style
+  * semantic deduplication on top of the learned cells.
+  *
+  * Scale design: the classic Spark k-means shape. Centroids are the only
+  * driver-sized state (k rows, broadcast every round); each Lloyd round
+  * is one broadcast-join linear pass for assignment (no shuffle of the
+  * vector side) plus one partial-aggregated (cell, dim) shuffle for the
+  * recenter — map-side combine reduces the shuffle to k×dim partials per
+  * task regardless of corpus size. Nothing is ever collected.
+  *
+  * Oracle parity (the same exact-integer discipline as Similarity):
+  * cosine is scale-invariant, so assigning against the rounded integer
+  * MEAN is the same computation both engines can reproduce bit-exactly —
+  * member vectors are quantized to micro-unit longs, per-dimension sums
+  * are exact integer aggregates, and the rounded centroid component
+  * `(s - ((s % n) + n) % n) div n` is an exact floor division expressed
+  * identically in Spark and DuckDB (the adjusted numerator is exactly
+  * divisible, so trunc-vs-floor division differences cannot bite). Only
+  * the final cosine comparison runs in double, with the identical
+  * expression shape on both sides (the e6/v5 precedent).
+  */
+object Clustering {
+
+  private val dim = 64
+
+  /** Exact floor division `s div n` (n > 0) with identical semantics in
+    * Spark and DuckDB: the numerator is lowered to the nearest multiple
+    * of n first, so the (truncating) integer division is exact. */
+  private def sqlFloorDiv(s: String, n: String): String =
+    s"(($s) - ((($s) % ($n)) + ($n)) % ($n)) div ($n)"
+
+  /** Initial centroids: the deterministic vec_id % 37 corpus sample
+    * (k-means init IS a sample; same quantizer seed as v5's IVF). */
+  private def initCentroids(embq: DataFrame): DataFrame =
+    embq.filter(col("vec_id") % 37 === 0)
+      .select(col("vec_id").as("cell"), col("q").as("ceq"))
+
+  /** Assign every vector to its argmax-cosine centroid: one broadcast
+    * linear pass, exact-integer dots, ties broken by cell id. */
+  private def assign(embq: DataFrame, cents: DataFrame): DataFrame =
+    embq.crossJoin(broadcast(cents))
+      .withColumn("dot", Similarity.dotQ("q", "ceq"))
+      .withColumn("nx", Similarity.dotQ("q", "q"))
+      .withColumn("ny", Similarity.dotQ("ceq", "ceq"))
+      .withColumn("cosine", Similarity.cosine)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("cell"))))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cell"))
+
+  /** Rebuild centroids as the rounded integer mean of each cell's
+    * members. The (cell, dim) aggregate partial-aggregates before its
+    * one shuffle; the per-cell array rebuild touches only k rows, so the
+    * interpreted transform/collect_list there is free. */
+  private def recenter(embq: DataFrame, asg: DataFrame): DataFrame =
+    asg.join(embq, Seq("vec_id"))
+      .select(col("cell"), posexplode(col("q")).as(Seq("i", "x")))
+      .groupBy(col("cell"), col("i"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .withColumn("c", expr(sqlFloorDiv("s", "n")))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("i"), col("c")))).as("sc"))
+      .select(col("cell"), expr("transform(sc, p -> p.c)").as("ceq"))
+
+  /** k-means cell per vector after `iters` Lloyd rounds (library entry;
+    * c1 registers iters = 2). Returns (vec_id, cell). */
+  def kmeansAssign(embq: DataFrame, iters: Int): DataFrame = {
+    var cents = initCentroids(embq)
+    for (_ <- 0 until iters) cents = recenter(embq, assign(embq, cents))
+    assign(embq, cents)
+  }
+
+  // ---------------- SQL oracle (DuckDB), composable pieces ------------
+
+  /** Quantize a scalar float expression to micro-unit BIGINT — identical
+    * rounding to Similarity's array quantizer. */
+  private def sqlQuant(x: String): String =
+    s"CAST(CAST(CAST($x AS DOUBLE) AS DECIMAL(10,6)) * 1000000 AS BIGINT)"
+
+  private val sqlCos =
+    """(CAST(dot AS DOUBLE) / 1e12) /
+      |  (sqrt(CAST(nx AS DOUBLE) / 1e12) * sqrt(CAST(ny AS DOUBLE) / 1e12))""".stripMargin
+
+  /** One SQL assignment round: embeddings × `cents` (cell, ce BIGINT[])
+    * → (vec_id, cell) argmax cosine, named `out`. */
+  private def sqlAssign(cents: String, out: String): String =
+    s"""p_$out AS (SELECT e.vec_id, c.cell, e.embedding AS qe, c.ce
+       |  FROM embeddings e, $cents c),
+       |u_$out AS (SELECT vec_id, cell, unnest(qe) AS x, unnest(ce) AS y FROM p_$out),
+       |d_$out AS (SELECT vec_id, cell, sum(${sqlQuant("x")} * y) AS dot,
+       |    sum(${sqlQuant("x")} * ${sqlQuant("x")}) AS nx, sum(y * y) AS ny
+       |  FROM u_$out GROUP BY vec_id, cell),
+       |r_$out AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY $sqlCos DESC, cell) AS rk FROM d_$out),
+       |$out AS (SELECT vec_id, cell FROM r_$out WHERE rk = 1)""".stripMargin
+
+  /** One SQL recenter round: assignment `asg` → centroids named `out`
+    * (cell, ce BIGINT[]), via exact integer sums + exact floor div. */
+  private def sqlRecenter(asg: String, out: String): String =
+    s"""s_$out AS (SELECT a.cell, r.i, sum(${sqlQuant("e.embedding[r.i]")}) AS s, count(*) AS n
+       |  FROM $asg a, embeddings e, LATERAL (SELECT unnest(range(1, ${dim + 1})) AS i) r
+       |  WHERE e.vec_id = a.vec_id
+       |  GROUP BY a.cell, r.i),
+       |$out AS (SELECT cell, list(${sqlFloorDiv("s", "n").replace(" div ", " // ")} ORDER BY i) AS ce
+       |  FROM s_$out GROUP BY cell)""".stripMargin
+
+  /** Full 2-round Lloyd SQL ending in assignment `a2` (vec_id, cell). */
+  private[queries] val sqlKmeansA2 =
+    s"""c0 AS (SELECT vec_id AS cell, list(${sqlQuant("x")} ORDER BY i) AS ce
+       |  FROM (SELECT vec_id, e.embedding[r.i] AS x, r.i
+       |        FROM embeddings e, LATERAL (SELECT unnest(range(1, ${dim + 1})) AS i) r
+       |        WHERE vec_id % 37 = 0) t
+       |  GROUP BY vec_id),
+       |${sqlAssign("c0", "a0")},
+       |${sqlRecenter("a0", "c1")},
+       |${sqlAssign("c1", "a1")},
+       |${sqlRecenter("a1", "c2")},
+       |${sqlAssign("c2", "a2")}""".stripMargin
+
+  // --- c1_kmeans: cell assignment + cell size after 2 Lloyd rounds ---
+  val c1Kmeans = QueryDef.sql(
+    "c1_kmeans",
+    s"""WITH $sqlKmeansA2,
+       |sizes AS (SELECT cell, count(*) AS cell_n FROM a2 GROUP BY cell)
+       |SELECT a.vec_id, a.cell, s.cell_n FROM a2 a JOIN sizes s USING (cell)""".stripMargin) {
+    (s, d) =>
+    val embq = T.embeddings(s, d)
+      .select(col("vec_id"), Similarity.quantize("embedding").as("q"))
+    val asg = kmeansAssign(embq, 2)
+    val sizes = asg.groupBy(col("cell")).agg(count(lit(1)).as("cell_n"))
+    asg.join(broadcast(sizes), Seq("cell"))
+      .select(col("vec_id"), col("cell"), col("cell_n"))
+  }
+
+  // --- d7_semantic_dedup: SemDeDup — near-duplicate screening INSIDE
+  // k-means cells. Pairwise exact cosine runs only within a cell (the
+  // cluster step is what makes all-pairs tractable at corpus scale:
+  // quadratic cost is bounded per cell, never global), and of each
+  // over-threshold pair the larger vec_id is dropped. One-shot greedy —
+  // a vector survives iff no smaller-id near-duplicate shares its cell —
+  // so the output is deterministic and SQL-expressible without
+  // iteration. ---
+  val d7SemanticDedup = QueryDef.sql(
+    "d7_semantic_dedup",
+    s"""WITH asg AS (SELECT vec_id, cell FROM (WITH $sqlKmeansA2
+       |    SELECT vec_id, cell FROM a2) t),
+       |pr AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |         ea.embedding AS qe, eb.embedding AS ce
+       |       FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |       JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |       JOIN embeddings eb ON eb.vec_id = b.vec_id),
+       |u AS (SELECT id1, id2, unnest(qe) AS x, unnest(ce) AS y FROM pr),
+       |dts AS (SELECT id1, id2, sum(${Similarity.sqlQuantU} * ${Similarity.sqlQuantV}) AS dot,
+       |    sum(${Similarity.sqlQuantU} * ${Similarity.sqlQuantU}) AS nx,
+       |    sum(${Similarity.sqlQuantV} * ${Similarity.sqlQuantV}) AS ny
+       |  FROM u GROUP BY id1, id2),
+       |dropped AS (SELECT DISTINCT id2 AS vec_id FROM dts WHERE $sqlCos >= 0.3)
+       |SELECT a.vec_id, a.cell, d.vec_id IS NULL AS kept
+       |FROM asg a LEFT JOIN dropped d ON a.vec_id = d.vec_id""".stripMargin) { (s, d) =>
+    val embq = T.embeddings(s, d)
+      .select(col("vec_id"), Similarity.quantize("embedding").as("q"))
+    val asg = kmeansAssign(embq, 2)
+    val withV = asg.join(embq, Seq("vec_id"))
+    // identical-plan self-join sides share one shuffle via ReusedExchange
+    val a = withV.select(col("cell"), col("vec_id").as("id1"), col("q").as("qeq"))
+    val b = withV.select(col("cell"), col("vec_id").as("id2"), col("q").as("ceq"))
+    val dropped = a.join(b, Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("dot", Similarity.dotQ("qeq", "ceq"))
+      .withColumn("nx", Similarity.dotQ("qeq", "qeq"))
+      .withColumn("ny", Similarity.dotQ("ceq", "ceq"))
+      .withColumn("cosine", Similarity.cosine)
+      .filter(col("cosine") >= 0.3)
+      .select(col("id2").as("vec_id")).distinct()
+    asg.join(dropped.withColumn("drp", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("drp").isNull.as("kept"))
+  }
+
+  val all: Seq[QueryDef] = Seq(c1Kmeans, d7SemanticDedup)
+}

@@ -52,22 +52,22 @@ object Similarity {
     planes.map(p => (1 to dim).map(d => sign(p, d)))
 
   /** Quantize a float array column to fixed-point micro-unit longs. */
-  private def quantize(arr: String): Column =
+  private[queries] def quantize(arr: String): Column =
     expr(s"transform($arr, x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(10,6)) * 1000000 AS BIGINT))")
 
   /** Exact integer dot product of two quantized long-array columns — the
     * codegen'd native kernel (the interpreted aggregate/zip_with HOF form
     * was the round-1 hot spot; same integer math, same oracle). */
-  private def dotQ(a: String, b: String): Column =
+  private[queries] def dotQ(a: String, b: String): Column =
     ArrayLongDot.dotQ(col(a), col(b))
 
   /** cosine from integer dot/norms: same expression shape in the oracle. */
-  private def cosine: Column =
+  private[queries] def cosine: Column =
     (col("dot").cast("double") / lit(1e12)) /
       (sqrt(col("nx").cast("double") / lit(1e12)) * sqrt(col("ny").cast("double") / lit(1e12)))
 
-  private val sqlQuantU = "CAST(CAST(CAST(u.x AS DOUBLE) AS DECIMAL(10,6)) * 1000000 AS BIGINT)"
-  private val sqlQuantV = "CAST(CAST(CAST(u.y AS DOUBLE) AS DECIMAL(10,6)) * 1000000 AS BIGINT)"
+  private[queries] val sqlQuantU = "CAST(CAST(CAST(u.x AS DOUBLE) AS DECIMAL(10,6)) * 1000000 AS BIGINT)"
+  private[queries] val sqlQuantV = "CAST(CAST(CAST(u.y AS DOUBLE) AS DECIMAL(10,6)) * 1000000 AS BIGINT)"
 
   private val sqlDots =
     s"""dots AS (SELECT qid, cid,

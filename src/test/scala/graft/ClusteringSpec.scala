@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Clustering, Similarity}
+import graft.{Tables => T}
+
+/** k-means + SemDeDup invariants beyond the DuckDB hash gate. */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val c1 = Clustering.c1Kmeans.run(spark, sfDir).cache()
+  private lazy val d7 = Clustering.d7SemanticDedup.run(spark, sfDir).cache()
+
+  test("every vector is assigned to exactly one cell") {
+    val n = T.embeddings(spark, sfDir).count()
+    assert(c1.count() === n)
+    assert(c1.select("vec_id").distinct().count() === n)
+  }
+
+  test("cell labels come from the deterministic init sample and sizes sum to N") {
+    val cells = c1.select("cell").distinct().as[Long].collect()
+    assert(cells.forall(_ % 37 === 0))
+    val sized = c1.select("cell", "cell_n").distinct()
+      .agg(sum("cell_n")).as[Long].head()
+    assert(sized === T.embeddings(spark, sfDir).count())
+  }
+
+  test("Lloyd rounds do not degrade the clustering objective (mean cosine to centroid)") {
+    // mean cosine-to-assigned-centroid after 2 rounds >= after 0 rounds
+    // (cosine to the rounded integer mean; rounding noise is << the gap)
+    def objective(iters: Int): Double = {
+      val embq = T.embeddings(spark, sfDir)
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(10,6)) * 1000000 AS BIGINT))").as("q"))
+      val asg = Clustering.kmeansAssign(embq, iters)
+      // recompute cosine of each vector to its cell's final centroid via
+      // the member-sum (cosine is scale-invariant: mean ≡ sum)
+      val sums = asg.join(embq, Seq("vec_id"))
+        .select(col("cell"), posexplode(col("q")).as(Seq("i", "x")))
+        .groupBy("cell", "i").agg(sum("x").as("s"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("i"), col("s")))).as("sc"))
+        .select(col("cell"), expr("transform(sc, p -> p.s)").as("ceq"))
+      asg.join(embq, Seq("vec_id")).join(sums, Seq("cell"))
+        .select(
+          (graft.functions.ArrayLongDot.dotQ(col("q"), col("ceq")).cast("double") /
+            (sqrt(graft.functions.ArrayLongDot.dotQ(col("q"), col("q")).cast("double")) *
+             sqrt(graft.functions.ArrayLongDot.dotQ(col("ceq"), col("ceq")).cast("double")))).as("cos"))
+        .agg(avg("cos")).as[Double].head()
+    }
+    assert(objective(2) >= objective(0) - 1e-9)
+  }
+
+  test("d7 drops exactly the vectors with a smaller-id in-cell near-duplicate") {
+    // brute-force recompute at sf0.001: for every same-cell pair with
+    // cosine >= 0.3, the larger id must be dropped; everything else kept
+    val emb = T.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(10,6)) * 1000000 AS BIGINT))").as("q"))
+    val asg = d7.select("vec_id", "cell")
+    val v = asg.join(emb, Seq("vec_id"))
+    val expectDropped = v.as("a").join(v.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(
+        (graft.functions.ArrayLongDot.dotQ(col("a.q"), col("b.q")).cast("double") / lit(1e12)) /
+          (sqrt(graft.functions.ArrayLongDot.dotQ(col("a.q"), col("a.q")).cast("double") / lit(1e12)) *
+           sqrt(graft.functions.ArrayLongDot.dotQ(col("b.q"), col("b.q")).cast("double") / lit(1e12))) >= 0.3)
+      .select(col("b.vec_id")).distinct().as[Long].collect().toSet
+    val gotDropped = d7.filter(!col("kept")).select("vec_id").as[Long].collect().toSet
+    assert(gotDropped === expectDropped)
+    assert(d7.count() === T.embeddings(spark, sfDir).count())
+  }
+
+  test("cleanup leaves no cached frames") {
+    c1.unpersist(); d7.unpersist()
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+}
