@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryDef, Tables => T}
-import graft.operators.Upsert
+import graft.operators.{IncrementalAgg, Scd2, Upsert}
 
 /** SURVEY.md §2 operator semantics exercised over the driver fixture
   * tables so each operator class carries a DuckDB-oracle check. The
@@ -131,7 +131,80 @@ object EtlOps {
     Upsert.merge(base, delta, Seq("o_orderkey"))
   }
 
+  // --- k7_scd2: Type-2 slowly-changing-dimension history over the
+  // events change log (user_id's tracked state = event_type + value),
+  // built INCREMENTALLY: the first half of the month seeds the history
+  // via Scd2.fromChangeLog, the second half lands as a delta batch via
+  // Scd2.applyDelta (touching only affected keys). The oracle builds the
+  // same history in ONE window pass over the whole log — so the hash gate
+  // proves the incremental merge is exactly equivalent to a full rebuild,
+  // including change collapse across the batch boundary and close-out of
+  // superseded open rows. Output instants truncate to seconds (nanos-vs-
+  // micros parquet parity); ordering uses the raw instants. ---
+  val k7Scd2 = QueryDef.sql(
+    "k7_scd2",
+    """WITH ordered AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pt,
+      |    lag(value)      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+      |  FROM events),
+      |changes AS (
+      |  SELECT user_id, ts, event_id, event_type, value FROM ordered
+      |  WHERE pt IS DISTINCT FROM event_type OR pv IS DISTINCT FROM value),
+      |hist AS (
+      |  SELECT user_id, event_type, value, ts AS vf,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+      |  FROM changes)
+      |SELECT user_id, event_type, value,
+      |  date_trunc('second', vf) AS valid_from,
+      |  date_trunc('second', vt) AS valid_to,
+      |  vt IS NULL AS is_current
+      |FROM hist""".stripMargin) { (s, d) =>
+    val ev = T.events(s, d)
+    val split = to_timestamp(lit("2024-01-16"))
+    val key = Seq("user_id"); val order = Seq("ts", "event_id")
+    val attrs = Seq("event_type", "value")
+    val hist = Scd2.fromChangeLog(ev.filter(col("ts") < split), key, order, attrs, "ts")
+    Scd2.applyDelta(hist, ev.filter(col("ts") >= split), key, order, attrs, "ts")
+      .select(col("user_id"), col("event_type"), col("value"),
+        date_trunc("second", col("valid_from")).as("valid_from"),
+        date_trunc("second", col("valid_to")).as("valid_to"),
+        col("is_current"))
+  }
+
+  // --- k8_incr_agg: incremental materialized-aggregate maintenance —
+  // per-supplier revenue stats kept as mergeable partials (count / exact
+  // DECIMAL sum / min / max), seeded from pre-1999 lineitem and folded
+  // forward with the post-1999 delta via IncrementalAgg.merge. The
+  // oracle recomputes from scratch over the whole table: the hash gate
+  // proves partial-merge ≡ full recompute (exact decimal sums make the
+  // merge batching-independent; avg is derived at read time because avg
+  // partials don't merge). ---
+  val k8IncrAgg = QueryDef.sql(
+    "k8_incr_agg",
+    """SELECT l_suppkey, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  CAST(min(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS min_rev,
+      |  CAST(max(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS max_rev,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) / count(*) AS DOUBLE) AS avg_rev
+      |FROM lineitem GROUP BY l_suppkey""".stripMargin) { (s, d) =>
+    val li = T.lineitem(s, d)
+    val split = to_timestamp(lit("1999-01-01"))
+    val rev = col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1).cast("decimal(4,2)") - col("l_discount").cast("decimal(4,2)"))
+    val key = Seq("l_suppkey")
+    val state = IncrementalAgg.partials(li.filter(col("l_shipdate") < split), key, rev)
+    val merged = IncrementalAgg.merge(
+      state, IncrementalAgg.partials(li.filter(col("l_shipdate") >= split), key, rev))
+    IncrementalAgg.finish(merged)
+      .select(col("l_suppkey"), col("n"),
+        col("s").cast("double").as("revenue"),
+        col("mn").cast("double").as("min_rev"),
+        col("mx").cast("double").as("max_rev"),
+        col("avg").cast("double").as("avg_rev"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     j1FirstWins, j2Flatten, j3Lookup, p2TimeWindow, p4CastValidate,
-    p10DefaultsConcat, k1UpsertMerge)
+    p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg)
 }

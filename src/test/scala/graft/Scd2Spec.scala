@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{IncrementalAgg, Scd2}
+
+/** SCD2 history maintenance + incremental aggregate state: edge
+  * semantics beyond the k7/k8 DuckDB hash gates. */
+class Scd2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private val key = Seq("id"); private val order = Seq("ts", "seq")
+  private val attrs = Seq("st")
+
+  private def log(rows: (Long, String, Long, String)*): DataFrame =
+    rows.map { case (id, t, seq, st) => (id, ts(t), seq, st) }
+      .toDF("id", "ts", "seq", "st")
+
+  private def build(df: DataFrame) = Scd2.fromChangeLog(df, key, order, attrs, "ts")
+
+  private def rows(df: DataFrame): Set[(Long, String, Timestamp, Option[Timestamp], Boolean)] =
+    df.select(col("id"), col("st"), col("valid_from"), col("valid_to"), col("is_current"))
+      .as[(Long, String, Timestamp, Option[Timestamp], Boolean)].collect().toSet
+
+  test("fromChangeLog collapses unchanged consecutive rows and versions changes") {
+    val h = build(log(
+      (1, "2024-01-01 00:00:00", 1, "A"),
+      (1, "2024-01-02 00:00:00", 2, "A"), // no change → collapsed
+      (1, "2024-01-03 00:00:00", 3, "B"),
+      (2, "2024-01-01 12:00:00", 4, "X")))
+    assert(rows(h) === Set(
+      (1L, "A", ts("2024-01-01 00:00:00"), Some(ts("2024-01-03 00:00:00")), false),
+      (1L, "B", ts("2024-01-03 00:00:00"), None, true),
+      (2L, "X", ts("2024-01-01 12:00:00"), None, true)))
+  }
+
+  test("applyDelta closes open rows, collapses across the batch boundary, admits new keys") {
+    val hist = build(log((1, "2024-01-01 00:00:00", 1, "A"), (2, "2024-01-01 00:00:00", 2, "X")))
+    val out = Scd2.applyDelta(hist, log(
+      (1, "2024-01-05 00:00:00", 5, "A"),  // same attrs as open row → collapsed
+      (1, "2024-01-06 00:00:00", 6, "B"),  // real change → closes A
+      (3, "2024-01-07 00:00:00", 7, "N")), // brand-new key
+      key, order, attrs, "ts")
+    assert(rows(out) === Set(
+      (1L, "A", ts("2024-01-01 00:00:00"), Some(ts("2024-01-06 00:00:00")), false),
+      (1L, "B", ts("2024-01-06 00:00:00"), None, true),
+      (2L, "X", ts("2024-01-01 00:00:00"), None, true),   // untouched key
+      (3L, "N", ts("2024-01-07 00:00:00"), None, true)))
+  }
+
+  test("two sequential deltas equal the one-shot history (associativity)") {
+    val all = log(
+      (1, "2024-01-01 00:00:00", 1, "A"), (1, "2024-01-02 00:00:00", 2, "B"),
+      (1, "2024-01-03 00:00:00", 3, "B"), (1, "2024-01-04 00:00:00", 4, "C"),
+      (2, "2024-01-02 00:00:00", 5, "P"), (2, "2024-01-05 00:00:00", 6, "Q"))
+    val oneShot = build(all)
+    val d1 = all.filter(col("ts") < lit(ts("2024-01-03 00:00:00")))
+    val d2 = all.filter(col("ts") >= lit(ts("2024-01-03 00:00:00")) &&
+      col("ts") < lit(ts("2024-01-05 00:00:00")))
+    val d3 = all.filter(col("ts") >= lit(ts("2024-01-05 00:00:00")))
+    val incr = Scd2.applyDelta(
+      Scd2.applyDelta(build(d1), d2, key, order, attrs, "ts"),
+      d3, key, order, attrs, "ts")
+    assert(rows(incr) === rows(oneShot))
+  }
+
+  test("incremental aggregate state merges to the full recompute under any batching") {
+    val df = (1 to 100).map(i => (i % 7, i.toDouble)).toDF("k", "v")
+    val v = col("v").cast("decimal(12,2)")
+    val full = IncrementalAgg.partials(df, Seq("k"), v)
+    val batched = Seq(0, 1, 2).map(b => IncrementalAgg.partials(df.filter(col("v") % 3 === b), Seq("k"), v))
+      .reduce(IncrementalAgg.merge)
+    val a = IncrementalAgg.finish(full).orderBy("k").collect().toSeq
+    val bRows = IncrementalAgg.finish(batched).orderBy("k").collect().toSeq
+    assert(a === bRows)
+  }
+}
