@@ -196,7 +196,36 @@ object Events {
         col("n_anomalies"))
   }
 
+  // --- e7_cohort_retention: weekly cohort retention matrix — each user
+  // joins the cohort of their first-seen week; each (cohort, week) cell
+  // counts distinct active users, with the share of the cohort still
+  // active as a ratio. Two aggregates + one key-aligned join; week
+  // truncation is ISO-Monday in both engines, and flooring nanos→µs
+  // cannot move a week boundary. ---
+  val e7CohortRetention = QueryDef.sql(
+    "e7_cohort_retention",
+    """WITH firstw AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+      |  FROM events GROUP BY user_id),
+      |cs AS (SELECT cohort, count(*) AS cohort_n FROM firstw GROUP BY cohort),
+      |act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+      |SELECT f.cohort, a.wk, count(*) AS n_active,
+      |  CAST(count(*) AS DOUBLE) / any_value(cs.cohort_n) AS retention
+      |FROM act a JOIN firstw f ON a.user_id = f.user_id
+      |JOIN cs ON cs.cohort = f.cohort
+      |GROUP BY f.cohort, a.wk""".stripMargin) { (s, d) =>
+    val ev = T.events(s, d)
+    val firstw = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+    val cs = firstw.groupBy(col("cohort")).agg(count(lit(1)).as("cohort_n"))
+    val act = ev.select(col("user_id"), date_trunc("week", col("ts")).as("wk")).distinct()
+    act.join(firstw, Seq("user_id"))
+      .join(broadcast(cs), Seq("cohort"))
+      .groupBy(col("cohort"), col("wk"))
+      .agg(count(lit(1)).as("n_active"),
+        (count(lit(1)).cast("double") / first(col("cohort_n"))).as("retention"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
-    e5PropsExtract, e6AnomalyFlags)
+    e5PropsExtract, e6AnomalyFlags, e7CohortRetention)
 }

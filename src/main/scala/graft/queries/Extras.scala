@@ -271,8 +271,33 @@ object Extras {
         (col("pos") + 1).cast("int").as("rn"))
   }
 
+  // --- a20_histogram: equi-width histogram with data-driven bounds —
+  // the profiling workhorse. min/max are a 1-row scalar aggregate
+  // broadcast onto the scan (q22's pattern; never a global sort or a
+  // single-partition window), bin edges are derived in identical double
+  // expression shape on both engines, and the top edge clamps into the
+  // last bin. ---
+  val a20Histogram = QueryDef.sql(
+    "a20_histogram",
+    """WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders)
+      |SELECT bin, count(*) AS n, any_value(lo + bin * (hi - lo) / 20) AS bin_lo
+      |FROM (SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 20)) AS BIGINT), 19) AS bin,
+      |             lo, hi
+      |      FROM orders, mm) t
+      |GROUP BY bin""".stripMargin) { (s, d) =>
+    val mm = T.orders(s, d)
+      .agg(min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+    T.orders(s, d).crossJoin(broadcast(mm))
+      .select(least(floor((col("o_totalprice") - col("lo")) /
+          ((col("hi") - col("lo")) / lit(20))).cast("long"), lit(19L)).as("bin"),
+        col("lo"), col("hi"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        first(col("lo") + col("bin") * (col("hi") - col("lo")) / lit(20)).as("bin_lo"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
     a16WindowSuite, a17ScalarSuite, a18DateSuite, a19GroupingSets,
-    sql2CorrelatedSubquery, a4bTopkAgg)
+    sql2CorrelatedSubquery, a4bTopkAgg, a20Histogram)
 }

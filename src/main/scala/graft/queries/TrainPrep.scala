@@ -329,7 +329,41 @@ object TrainPrep {
         (col("prior") % budget).as("pack_offset"))
   }
 
+  // --- t16_temperature_mix: temperature-scaled language mixture — the
+  // standard multilingual-training resampler (weights ∝ n_lang^(1/T),
+  // here T=2 i.e. sqrt: low-resource languages are upsampled relative
+  // to their share). Quotas are computed FROM the corpus (t13's quotas
+  // were fixed constants), the scalar normalizer broadcasts (q22
+  // pattern — never a single-partition window), and per-language
+  // selection is the deterministic md5 hash rank. floor() keeps the
+  // quota boundary exact-integer on both engines. ---
+  val t16TemperatureMix = QueryDef.sql(
+    "t16_temperature_mix",
+    """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      |tot AS (SELECT sum(sqrt(CAST(n AS DOUBLE))) AS z FROM counts),
+      |quota AS (SELECT lang, CAST(floor(sqrt(CAST(n AS DOUBLE)) / z * 200) AS BIGINT) AS q
+      |          FROM counts, tot),
+      |ranked AS (SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |SELECT r.doc_id, r.lang FROM ranked r JOIN quota ON r.lang = quota.lang
+      |WHERE r.rn <= quota.q""".stripMargin) { (s, d) =>
+    val docs = T.documents(s, d)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum(sqrt(col("n").cast("double"))).as("z"))
+    val quota = counts.crossJoin(broadcast(tot))
+      .select(col("lang"),
+        floor(sqrt(col("n").cast("double")) / col("z") * lit(200)).cast("long").as("q"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.withColumn("rn", row_number().over(w))
+      .join(broadcast(quota), Seq("lang"))
+      .filter(col("rn") <= col("q"))
+      .select(col("doc_id"), col("lang"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     t8PackSequences, t9NgramCounts, t10RedactPii, d5Contamination,
-    t11UnigramLogprob, t12Repetition, t14NormalizeText)
+    t11UnigramLogprob, t12Repetition, t14NormalizeText, t16TemperatureMix)
 }
