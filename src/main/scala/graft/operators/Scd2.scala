@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Slowly-changing-dimension Type-2 history maintenance — the warehouse
   * counterpart of the reference's keyed upserts (SURVEY §2.2): instead
@@ -84,4 +85,35 @@ object Scd2 {
       key, order, attrs, validCol)
     untouched.unionByName(closed.unionByName(rebuilt))
   }
+
+  /** Maintain an SCD2 history table at `path` from a micro-batched
+    * change stream: each batch folds in via [[applyDelta]] under
+    * Upsert's crash-safe staged swap. Replaying a committed batch after
+    * a checkpoint rollback is harmless — a replayed row carries the same
+    * attrs as the (now open) version it already created, so the
+    * change-collapse filter drops it and the history is unchanged. */
+  def streamingScd2(
+      stream: DataFrame,
+      path: String,
+      key: Seq[String],
+      order: Seq[String],
+      attrs: Seq[String],
+      validCol: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val fsPath = new org.apache.hadoop.fs.Path(path)
+        val fs = fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        Upsert.recoverSwap(fs, path)
+        if (!fs.exists(fsPath))
+          fromChangeLog(batch, key, order, attrs, validCol)
+            .write.mode(SaveMode.Overwrite).parquet(path)
+        else
+          Upsert.stagedRewrite(s, path)(
+            base => applyDelta(base, batch, key, order, attrs, validCol))
+        ()
+      }
+      .start()
 }
