@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryDef, Tables => T}
-import graft.operators.{IncrementalAgg, Scd2, Upsert}
+import graft.operators.{IncrementalAgg, Scd2, SnapshotDiff, Upsert}
 
 /** SURVEY.md §2 operator semantics exercised over the driver fixture
   * tables so each operator class carries a DuckDB-oracle check. The
@@ -204,7 +204,40 @@ object EtlOps {
         col("avg").cast("double").as("avg_rev"))
   }
 
+  // --- k9_snapshot_diff: keyed change-data-capture between two table
+  // snapshots (added / removed / changed; unchanged rows filtered — the
+  // diff output is delta-sized). Snapshot A drops keys ≡0 mod 11,
+  // snapshot B drops keys ≡0 mod 13 and rewrites recent priorities, so
+  // all three change classes occur. One co-partitioned full outer join —
+  // the minimal movement any diff can do. ---
+  val k9SnapshotDiff = QueryDef.sql(
+    "k9_snapshot_diff",
+    """WITH a AS (SELECT * FROM orders WHERE o_orderkey % 11 <> 0),
+      |b AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+      |        CASE WHEN o_orderdate >= TIMESTAMP '1997-06-01' THEN 'RERUN'
+      |             ELSE o_orderpriority END AS o_orderpriority
+      |      FROM orders WHERE o_orderkey % 13 <> 0)
+      |SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+      |  CASE WHEN a.o_orderkey IS NULL THEN 'added'
+      |       WHEN b.o_orderkey IS NULL THEN 'removed'
+      |       ELSE 'changed' END AS change_type
+      |FROM a FULL JOIN b ON a.o_orderkey = b.o_orderkey
+      |WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+      |  OR a.o_custkey IS DISTINCT FROM b.o_custkey
+      |  OR a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+      |  OR a.o_totalprice IS DISTINCT FROM b.o_totalprice
+      |  OR a.o_orderdate IS DISTINCT FROM b.o_orderdate
+      |  OR a.o_orderpriority IS DISTINCT FROM b.o_orderpriority""".stripMargin) { (s, d) =>
+    val orders = T.orders(s, d)
+    val snapA = orders.filter(col("o_orderkey") % 11 =!= 0)
+    val snapB = orders.filter(col("o_orderkey") % 13 =!= 0)
+      .withColumn("o_orderpriority",
+        when(col("o_orderdate") >= to_timestamp(lit("1997-06-01")), lit("RERUN"))
+          .otherwise(col("o_orderpriority")))
+    SnapshotDiff.diff(snapA, snapB, Seq("o_orderkey"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     j1FirstWins, j2Flatten, j3Lookup, p2TimeWindow, p4CastValidate,
-    p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg)
+    p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff)
 }

@@ -119,6 +119,18 @@ class Scd2Spec extends SparkSpec {
       === full.orderBy("k").collect().toSeq)
   }
 
+  test("snapshot diff classifies adds/removes/changes and treats null attrs null-safely") {
+    import graft.operators.SnapshotDiff
+    val a = Seq((1L, Some("x")), (2L, None: Option[String]), (3L, Some("z")), (4L, Some("w")))
+      .toDF("k", "v")
+    val b = Seq((2L, None: Option[String]), (3L, Some("Z")), (4L, Some("w")), (5L, Some("n")))
+      .toDF("k", "v")
+    val got = SnapshotDiff.diff(a, b, Seq("k"))
+      .as[(Long, String)].collect().toSet
+    // 2: null==null → unchanged (absent); 4: equal → absent
+    assert(got === Set((1L, "removed"), (3L, "changed"), (5L, "added")))
+  }
+
   test("incremental aggregate state merges to the full recompute under any batching") {
     val df = (1 to 100).map(i => (i % 7, i.toDouble)).toDF("k", "v")
     val v = col("v").cast("decimal(12,2)")
