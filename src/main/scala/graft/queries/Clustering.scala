@@ -77,6 +77,29 @@ object Clustering {
     assign(embq, cents)
   }
 
+  // ---------------- persistent model (train / save / assign) ----------
+  // The production shape: centroids are trained once on a corpus sample
+  // and persisted (k rows — trivially small); any later batch, stream,
+  // or other cluster assigns against the saved model with one broadcast
+  // linear pass and zero recomputation of the training lineage.
+
+  /** Train on `emb0` (vec_id, embedding) and persist the centroid table
+    * at `path`. */
+  def trainKmeans(emb0: DataFrame, path: String, iters: Int = 2): Unit = {
+    val embq = emb0.select(col("vec_id"), Similarity.quantize("embedding").as("q"))
+    var cents = initCentroids(embq)
+    for (_ <- 0 until iters) cents = recenter(embq, assign(embq, cents))
+    cents.write.mode("overwrite").parquet(path)
+  }
+
+  /** Assign `emb0` (vec_id, embedding) against the saved model — the
+    * same argmax-cosine pass training used, so assigning the training
+    * corpus reproduces `kmeansAssign` exactly. */
+  def assignWithModel(spark: SparkSession, path: String, emb0: DataFrame): DataFrame =
+    assign(
+      emb0.select(col("vec_id"), Similarity.quantize("embedding").as("q")),
+      spark.read.parquet(path))
+
   // ---------------- SQL oracle (DuckDB), composable pieces ------------
 
   /** Quantize a scalar float expression to micro-unit BIGINT — identical

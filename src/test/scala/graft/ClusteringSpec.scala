@@ -71,6 +71,18 @@ class ClusteringSpec extends SparkSpec {
     assert(d7.count() === T.embeddings(spark, sfDir).count())
   }
 
+  test("persistent model: saved centroids assign the training corpus identically") {
+    val path = java.nio.file.Files.createTempDirectory("kmeans-model").toString + "/m"
+    val emb0 = T.embeddings(spark, sfDir).select("vec_id", "embedding")
+    Clustering.trainKmeans(emb0, path, iters = 2)
+    val viaModel = Clustering.assignWithModel(spark, path, emb0)
+      .as[(Long, Long)].collect().toMap
+    val inFlight = c1.select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(viaModel === inFlight)
+    // model is k rows — broadcastable by construction
+    assert(spark.read.parquet(path).count() <= 64)
+  }
+
   test("cleanup leaves no cached frames") {
     c1.unpersist(); d7.unpersist()
     assert(spark.sharedState.cacheManager.isEmpty)

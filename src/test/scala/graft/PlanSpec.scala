@@ -159,4 +159,46 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
     }
   }
+
+  test("c1/d7: k-means centroids broadcast every round; in-cell self-join is a hash join") {
+    Seq("c1_kmeans", "d7_semantic_dedup").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"$q centroid set must broadcast for the assignment pass:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q assignment must broadcast the k-row side, never shuffle a cartesian:\n$p")
+    }
+    // the SemDeDup pairwise stage must join on cell, not window/sort globally
+    val d7 = planOf("d7_semantic_dedup")
+    assert(!d7.contains("GlobalLimit"), "d7 must not rank globally")
+  }
+
+  test("t16/a20: data-driven quotas and histogram bounds are scalar broadcasts") {
+    Seq("t16_temperature_mix", "a20_histogram").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin") ||
+        p.contains("BroadcastExchange"),
+        s"$q scalar aggregate must broadcast back onto the scan:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product")
+    }
+  }
+
+  test("k8: both increments partial-aggregate before their single shuffle; merge adds one more") {
+    val p = planOf("k8_incr_agg")
+    // 2 increments × (partial+final) + merge (partial+final) = ≥6 HashAggregates
+    assert("HashAggregate".r.findAllIn(p).size >= 6,
+      s"k8 partials must map-side combine at every level:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("k9: the snapshot diff is exactly one co-partitioned join, nothing else moves") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val plan = SparkEntry.queries("k9_snapshot_diff")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    assert(plan.collect { case j: Join => j }.size === 1,
+      s"k9 must be one keyed full-outer join:\n$plan")
+    val p = planOf("k9_snapshot_diff")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"k9 must not fall back to a non-keyed join:\n$p")
+  }
 }
