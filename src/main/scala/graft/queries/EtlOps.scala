@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryDef, Tables => T}
-import graft.operators.{IncrementalAgg, Scd2, SnapshotDiff, Upsert}
+import graft.operators.{IncrementalAgg, RangeJoin, Scd2, SnapshotDiff, Upsert}
 
 /** SURVEY.md §2 operator semantics exercised over the driver fixture
   * tables so each operator class carries a DuckDB-oracle check. The
@@ -237,7 +237,33 @@ object EtlOps {
     SnapshotDiff.diff(snapA, snapB, Seq("o_orderkey"))
   }
 
+  // --- j4_range_join: point-in-interval join against OVERLAPPING price
+  // bands (stride 250, width 500 — every order lands in exactly two
+  // bands) via the binned equi-join rewrite. A naive BETWEEN join is a
+  // nested loop; RangeJoin's bin grid turns it into a hash join both
+  // sides shuffle into co-partitioned — the rewrite is physical only,
+  // so the DuckDB oracle can use the naive BETWEEN join and must agree
+  // row-for-row. ---
+  val j4RangeJoin = QueryDef.sql(
+    "j4_range_join",
+    """WITH bands AS (SELECT i AS band,
+      |    CAST(i * 250 AS DOUBLE) AS lo, CAST(i * 250 + 500 AS DOUBLE) AS hi
+      |  FROM (SELECT unnest(range(0, 2001)) AS i) t)
+      |SELECT b.band, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice <= b.hi
+      |GROUP BY b.band""".stripMargin) { (s, d) =>
+    val bands = s.range(0, 2001).select(col("id").as("band"),
+      (col("id") * 250).cast("double").as("lo"),
+      (col("id") * 250 + 500).cast("double").as("hi"))
+    RangeJoin.pointInInterval(T.orders(s, d), "o_totalprice", bands, "lo", "hi", 500.0)
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     j1FirstWins, j2Flatten, j3Lookup, p2TimeWindow, p4CastValidate,
-    p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff)
+    p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff,
+    j4RangeJoin)
 }

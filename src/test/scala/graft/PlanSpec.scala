@@ -191,6 +191,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("j4: the range join is a hash equi-join on the bin grid, never a nested loop") {
+    val p = planOf("j4_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the binned rewrite must remove the nested-loop range join:\n$p")
+    assert(p.contains("Join") || p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"j4 must still be a join:\n$p")
+  }
+
   test("k9: the snapshot diff is exactly one co-partitioned join, nothing else moves") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val plan = SparkEntry.queries("k9_snapshot_diff")(spark, sfDir)

@@ -131,6 +131,20 @@ class Scd2Spec extends SparkSpec {
     assert(got === Set((1L, "removed"), (3L, "changed"), (5L, "added")))
   }
 
+  test("range join matches nested-loop semantics: inclusive bounds, overlaps, bin edges") {
+    import graft.operators.RangeJoin
+    val pts = Seq((1L, 0.0), (2L, 10.0), (3L, 10.5), (4L, 25.0), (5L, -3.0)).toDF("pid", "v")
+    val ivs = Seq((100L, 0.0, 10.0), (101L, 10.0, 20.0), (102L, -5.0, 30.0)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(pts, "v", ivs, "lo", "hi", binWidth = 4.0)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (p, v) <- Seq((1L, 0.0), (2L, 10.0), (3L, 10.5), (4L, 25.0), (5L, -3.0))
+      (i, lo, hi) <- Seq((100L, 0.0, 10.0), (101L, 10.0, 20.0), (102L, -5.0, 30.0))
+      if v >= lo && v <= hi
+    } yield (p, i)).toSet
+    assert(got === want)   // incl. v=10.0 in BOTH bands and negative-value bins
+  }
+
   test("incremental aggregate state merges to the full recompute under any batching") {
     val df = (1 to 100).map(i => (i % 7, i.toDouble)).toDF("k", "v")
     val v = col("v").cast("decimal(12,2)")
