@@ -312,17 +312,24 @@ object TpchShapes {
       |GROUP BY c_custkey, c_name, c_acctbal, n_name
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, d) =>
     val rev = dec(col("l_extendedprice")) * (one - col("l_discount").cast("decimal(4,2)"))
-    T.customer(s, d)
+    // Pre-aggregate revenue per customer KEY below the customer join
+    // (the q18 lesson): the grouping attrs (c_name, c_acctbal, n_name)
+    // are functionally dependent on c_custkey, so grouping by the key
+    // alone is value-identical — and the customer table's strings never
+    // ride through the big lineitem⋈orders shuffle. The per-customer
+    // aggregate is tiny, so AQE broadcasts it onto customer.
+    val perCust = T.lineitem(s, d).filter(col("l_returnflag") === "R")
       .join(T.orders(s, d).filter(
         col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
           col("o_orderdate") < to_timestamp(lit("1996-04-01"))),
-        col("c_custkey") === col("o_custkey"))
-      .join(T.lineitem(s, d).filter(col("l_returnflag") === "R"),
         col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(rev).as("rev"))
+    perCust
+      .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
-      .agg(sum(rev).cast("double").as("revenue"))
-      .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"), col("n_name"))
+      .select(col("c_custkey"), col("c_name"),
+        col("rev").cast("double").as("revenue"), col("c_acctbal"), col("n_name"))
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
   }

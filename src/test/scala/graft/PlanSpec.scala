@@ -160,6 +160,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q10: revenue pre-aggregates by key below the customer join (no strings in the agg)") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val plan = SparkEntry.queries("q10_returned_items")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val aggsWithCustomerAttrs = plan.collect {
+      case a: Aggregate if a.references.exists(r =>
+        Set("c_name", "c_acctbal", "n_name").contains(r.name)) => a
+    }
+    assert(aggsWithCustomerAttrs.isEmpty,
+      s"q10 must aggregate on the key alone, attaching customer attrs after:\n$plan")
+  }
+
   test("c1/d7: k-means centroids broadcast every round; in-cell self-join is a hash join") {
     Seq("c1_kmeans", "d7_semantic_dedup").foreach { q =>
       val p = planOf(q)
