@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryDef, Tables => T}
-import graft.functions.{ArrayLongDot, ArrayLshBuckets}
+import graft.functions.{ArrayLongDot, ArrayLshBuckets, ArraySignedProjections}
 
 /** Similarity search over the `embeddings` table (Array[Float], dim 64).
   *
@@ -396,5 +396,33 @@ object Similarity {
     scoreTopk(cand, k)
   }
 
-  val all: Seq[QueryDef] = Seq(v1KnnBruteforce, v2AnnLsh, v3EmbeddingNeardup, v5AnnIvf)
+  // --- v6_random_projection: Johnson-Lindenstrauss dimensionality
+  // reduction, 64 → 16 dims against the deterministic ±1 hyperplane
+  // matrix — the standard embedding-compression step before indexing or
+  // clustering at corpus scale (16 ints/vector instead of 64 floats).
+  // All 16 projections are exact integer sums computed by the codegen'd
+  // ArraySignedProjections kernel in ONE pass per row (no per-plane
+  // recompute, no shuffle); the posexplode only unpivots the finished
+  // 16-value array into the hashable long-format output. ---
+  val v6RandomProjection = QueryDef.sql(
+    "v6_random_projection",
+    s"""WITH signs AS (SELECT p, dim,
+       |    CASE WHEN substr(md5(CAST(p AS VARCHAR) || '-' || CAST(dim AS VARCHAR)), 1, 1)
+       |      IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END AS sgn
+       |  FROM (SELECT unnest(range(0, 16)) AS p) planes,
+       |       (SELECT unnest(range(1, 65)) AS dim) dims),
+       |uv AS (SELECT vec_id, unnest(embedding) AS x, unnest(range(1, 65)) AS dim FROM embeddings)
+       |SELECT vec_id, p AS j,
+       |  CAST(sum(CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(10,6)) * 1000000 AS BIGINT) * sgn) AS BIGINT) AS pr
+       |FROM uv JOIN signs USING (dim)
+       |GROUP BY vec_id, p""".stripMargin) { (s, d) =>
+    T.embeddings(s, d)
+      .select(col("vec_id"), quantize("embedding").as("q"))
+      .select(col("vec_id"),
+        posexplode(ArraySignedProjections.project(col("q"), signMatrix(0 until 16)))
+          .as(Seq("j", "pr")))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    v1KnnBruteforce, v2AnnLsh, v3EmbeddingNeardup, v5AnnIvf, v6RandomProjection)
 }

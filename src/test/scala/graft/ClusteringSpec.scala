@@ -83,6 +83,35 @@ class ClusteringSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() <= 64)
   }
 
+  test("v6 JL projection roughly preserves pairwise cosine ordering (correlation > 0.4)") {
+    // Johnson-Lindenstrauss sanity: for the first 30 vectors, pairwise
+    // cosine in 16-dim projected space should correlate with the true
+    // 64-dim cosine. ±1 projections at k=16 carry ~1/√k ≈ 0.25 distance
+    // error on near-orthogonal random vectors, which caps the observable
+    // correlation near ~0.5 — pin clearly above chance, below the cap.
+    val proj = graft.queries.Similarity.v6RandomProjection.run(spark, sfDir)
+      .filter(col("vec_id") < 30)
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("j"), col("pr")))).as("sc"))
+      .select(col("vec_id"), expr("transform(sc, p -> CAST(p.pr AS DOUBLE))").as("v"))
+      .as[(Long, Seq[Double])].collect().toMap
+    val orig = T.embeddings(spark, sfDir).filter(col("vec_id") < 30)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap.map { case (k, v) => k -> v.map(_.toDouble) }
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val ids = orig.keys.toSeq.sorted
+    val pairs = for (i <- ids; jj <- ids if i < jj) yield (cos(orig(i), orig(jj)), cos(proj(i), proj(jj)))
+    val (xs, ys) = pairs.unzip
+    val n = xs.size.toDouble
+    val (mx, my) = (xs.sum / n, ys.sum / n)
+    val r = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum /
+      (math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum) * math.sqrt(ys.map(y => (y - my) * (y - my)).sum))
+    assert(r > 0.4, s"JL correlation too weak: $r")
+  }
+
   test("cleanup leaves no cached frames") {
     c1.unpersist(); d7.unpersist()
     assert(spark.sharedState.cacheManager.isEmpty)
