@@ -147,6 +147,24 @@ object Clustering {
        |${sqlRecenter("a1", "c2")},
        |${sqlAssign("c2", "a2")}""".stripMargin
 
+  /** SemDeDup screening as a reusable operator: the vec_ids to DROP —
+    * every vector with a smaller-id near-duplicate (cosine >= tau) in
+    * its k-means cell. Pairwise cost is bounded per cell. */
+  def semanticDropIds(embq: DataFrame, iters: Int, tau: Double): DataFrame = {
+    val asg = kmeansAssign(embq, iters)
+    val withV = asg.join(embq, Seq("vec_id"))
+    val a = withV.select(col("cell"), col("vec_id").as("id1"), col("q").as("qeq"))
+    val b = withV.select(col("cell"), col("vec_id").as("id2"), col("q").as("ceq"))
+    a.join(b, Seq("cell"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("dot", Similarity.dotQ("qeq", "ceq"))
+      .withColumn("nx", Similarity.dotQ("qeq", "qeq"))
+      .withColumn("ny", Similarity.dotQ("ceq", "ceq"))
+      .withColumn("cosine", Similarity.cosine)
+      .filter(col("cosine") >= tau)
+      .select(col("id2").as("vec_id")).distinct()
+  }
+
   // --- c1_kmeans: cell assignment + cell size after 2 Lloyd rounds ---
   val c1Kmeans = QueryDef.sql(
     "c1_kmeans",
@@ -190,18 +208,7 @@ object Clustering {
     val embq = T.embeddings(s, d)
       .select(col("vec_id"), Similarity.quantize("embedding").as("q"))
     val asg = kmeansAssign(embq, 2)
-    val withV = asg.join(embq, Seq("vec_id"))
-    // identical-plan self-join sides share one shuffle via ReusedExchange
-    val a = withV.select(col("cell"), col("vec_id").as("id1"), col("q").as("qeq"))
-    val b = withV.select(col("cell"), col("vec_id").as("id2"), col("q").as("ceq"))
-    val dropped = a.join(b, Seq("cell"))
-      .filter(col("id1") < col("id2"))
-      .withColumn("dot", Similarity.dotQ("qeq", "ceq"))
-      .withColumn("nx", Similarity.dotQ("qeq", "qeq"))
-      .withColumn("ny", Similarity.dotQ("ceq", "ceq"))
-      .withColumn("cosine", Similarity.cosine)
-      .filter(col("cosine") >= 0.3)
-      .select(col("id2").as("vec_id")).distinct()
+    val dropped = semanticDropIds(embq, 2, 0.3)
     asg.join(dropped.withColumn("drp", lit(1)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("drp").isNull.as("kept"))
   }

@@ -247,6 +247,10 @@ object TrainPrep {
     *   3. exact dedup (first-wins on normalized-text fingerprint);
     *   4. near-dup clusters (MinHash LSH pairs → connected components →
     *      min-id survivor per cluster, d3+d6);
+    *   4b. OPTIONAL semantic dedup (SemDeDup, d7): when an embeddings
+    *      frame (vec_id = doc_id, embedding) is supplied, survivors with
+    *      a smaller-id in-k-means-cell near-duplicate (cosine >= semTau)
+    *      are dropped; docs without an embedding pass through;
     *   5. contamination screen vs an eval id set (d5's broadcast probe);
     *   6. mixture rebalancing by per-language quota (t13's hash rank);
     *   7. sequence packing into `budget`-token windows (t8).
@@ -264,7 +268,9 @@ object TrainPrep {
       minAlphaRatio: Double = 0.5,
       maxContamination: Double = 0.5,
       quota: Column = when(col("lang") === "en", 80).otherwise(30),
-      budget: Long = 512L): DataFrame = {
+      budget: Long = 512L,
+      embeddings: Option[DataFrame] = None,
+      semTau: Double = 0.3): DataFrame = {
     import graft.functions.NfcNormalize
     val docs = T.documents(spark, dir).select(col("doc_id"), col("lang"),
       NfcNormalize.of(col("text")).as("text"))
@@ -298,7 +304,20 @@ object TrainPrep {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
     val clusters = graft.operators.Components.connectedComponents(pairs)
     val nearDupLosers = clusters.filter(col("id") =!= col("cluster_id")).select(col("id"))
-    val deduped = exact.join(nearDupLosers, exact("doc_id") === nearDupLosers("id"), "left_anti")
+    val deduped0 = exact.join(nearDupLosers, exact("doc_id") === nearDupLosers("id"), "left_anti")
+
+    // 4b. optional SemDeDup: embedding-space near-dups within k-means
+    // cells (d7's operator), restricted to surviving docs that have an
+    // embedding; docs without one pass through untouched
+    val deduped = embeddings match {
+      case None => deduped0
+      case Some(emb0) =>
+        val embq = emb0
+          .join(deduped0.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+          .select(col("vec_id"), Similarity.quantize("embedding").as("q"))
+        deduped0.join(Clustering.semanticDropIds(embq, 2, semTau),
+          deduped0("doc_id") === col("vec_id"), "left_anti")
+    }
 
     // 5. contamination screen: drop docs overlapping the eval set too much
     val ev = sh.filter(evalIds(col("doc_id"))).select("s").distinct()

@@ -53,6 +53,28 @@ class PrepareCorpusSpec extends SparkSpec {
       "re-running the pipeline must reproduce the exact same packed corpus")
   }
 
+  test("optional SemDeDup stage: drops exactly the embedding near-dups, rest unchanged") {
+    // vec_id = doc_id convention: every doc in the embeddings frame is
+    // screened; docs without an embedding must pass through untouched
+    // unbind the mixture quota so the comparison isn't blurred by
+    // rank-shift refills (dropping a doc lets the next hash-rank in)
+    val noQuota = lit(1000000)
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val withSem = TrainPrep.prepareCorpus(spark, sfDir, quota = noQuota, embeddings = Some(emb))
+      .select("doc_id").as[Long].collect().toSet
+    val without = TrainPrep.prepareCorpus(spark, sfDir, quota = noQuota)
+      .select("doc_id").as[Long].collect().toSet
+    assert(withSem.subsetOf(without))
+    // the screen can only remove docs that actually have an embedding
+    val embIds = emb.select("vec_id").as[Long].collect().toSet
+    val dropped = without -- withSem
+    assert(dropped.subsetOf(embIds))
+    // and with no embeddings supplied the stage is the identity
+    assert(TrainPrep.prepareCorpus(spark, sfDir, quota = noQuota, embeddings = None)
+      .select("doc_id").as[Long].collect().toSet === without)
+  }
+
   test("packing invariants: offsets inside the budget, packs dense per stratum") {
     rows.foreach { r =>
       val off = r.getLong(4)
