@@ -70,10 +70,26 @@ object Clustering {
       .select(col("cell"), expr("transform(sc, p -> p.c)").as("ceq"))
 
   /** k-means cell per vector after `iters` Lloyd rounds (library entry;
-    * c1 registers iters = 2). Returns (vec_id, cell). */
+    * c1 registers iters = 2). Returns (vec_id, cell).
+    *
+    * Each round's centroid table (k rows) is staged to a temp parquet
+    * between rounds: without the stage, round r's broadcast re-executes
+    * every previous round's whole DAG (lineage deepens exponentially
+    * with iters); with it, every round is exactly one linear pass over
+    * the corpus plus one k×dim write. This is the DataFrame analog of
+    * MLlib collecting centroids to the driver each round — but nothing
+    * larger than k rows ever leaves the executors. */
   def kmeansAssign(embq: DataFrame, iters: Int): DataFrame = {
+    val spark = embq.sparkSession
     var cents = initCentroids(embq)
-    for (_ <- 0 until iters) cents = recenter(embq, assign(embq, cents))
+    if (iters > 0) {
+      val stage = java.nio.file.Files.createTempDirectory("kmeans-rounds").toString
+      for (r <- 0 until iters) {
+        recenter(embq, assign(embq, cents))
+          .write.mode("overwrite").parquet(s"$stage/round=$r")
+        cents = spark.read.parquet(s"$stage/round=$r")
+      }
+    }
     assign(embq, cents)
   }
 
@@ -150,8 +166,13 @@ object Clustering {
   /** SemDeDup screening as a reusable operator: the vec_ids to DROP —
     * every vector with a smaller-id near-duplicate (cosine >= tau) in
     * its k-means cell. Pairwise cost is bounded per cell. */
-  def semanticDropIds(embq: DataFrame, iters: Int, tau: Double): DataFrame = {
-    val asg = kmeansAssign(embq, iters)
+  def semanticDropIds(embq: DataFrame, iters: Int, tau: Double): DataFrame =
+    dropFromAssignment(kmeansAssign(embq, iters), embq, tau)
+
+  /** The pairwise screen given an existing cell assignment (lets a
+    * caller that also needs the assignment run k-means once). */
+  private[queries] def dropFromAssignment(
+      asg: DataFrame, embq: DataFrame, tau: Double): DataFrame = {
     val withV = asg.join(embq, Seq("vec_id"))
     val a = withV.select(col("cell"), col("vec_id").as("id1"), col("q").as("qeq"))
     val b = withV.select(col("cell"), col("vec_id").as("id2"), col("q").as("ceq"))
@@ -208,7 +229,7 @@ object Clustering {
     val embq = T.embeddings(s, d)
       .select(col("vec_id"), Similarity.quantize("embedding").as("q"))
     val asg = kmeansAssign(embq, 2)
-    val dropped = semanticDropIds(embq, 2, 0.3)
+    val dropped = dropFromAssignment(asg, embq, 0.3)
     asg.join(dropped.withColumn("drp", lit(1)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("drp").isNull.as("kept"))
   }
