@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables => T}
 import graft.operators.AsOfJoin
@@ -225,7 +227,76 @@ object Events {
         (count(lit(1)).cast("double") / first(col("cohort_n"))).as("retention"))
   }
 
+  // --- e8_rfm_segments: RFM (recency / frequency / monetary) user
+  // segmentation into quartile BANDS — the classic lifecycle-marketing
+  // aggregate. Both the anchor date and the per-metric band bounds are
+  // 1-row scalar broadcasts (q22/a20 pattern): a rank-based ntile would
+  // be a partition-less window — the single-task funnel the registry
+  // guard bans — so segments are equi-width bands over the metric's
+  // observed range, identical double expression shape on both engines. ---
+  val e8RfmSegments = QueryDef.sql(
+    "e8_rfm_segments",
+    """WITH anchor AS (SELECT CAST(max(ts) AS DATE) AS a FROM events),
+      |rfm AS (SELECT user_id,
+      |    date_diff('day', CAST(max(ts) AS DATE), any_value(a.a)) AS r_days,
+      |    count(*) AS f,
+      |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS m
+      |  FROM events, anchor a GROUP BY user_id),
+      |mm AS (SELECT min(r_days) AS rlo, max(r_days) AS rhi, min(f) AS flo, max(f) AS fhi,
+      |              min(m) AS mlo, max(m) AS mhi FROM rfm)
+      |SELECT user_id, r_days, f, m,
+      |  CASE WHEN rhi = rlo THEN 1 ELSE least(CAST(floor((r_days - rlo) / ((rhi - rlo) / 4.0)) AS BIGINT), 3) + 1 END AS r_seg,
+      |  CASE WHEN fhi = flo THEN 1 ELSE least(CAST(floor((f - flo) / ((fhi - flo) / 4.0)) AS BIGINT), 3) + 1 END AS f_seg,
+      |  CASE WHEN mhi = mlo THEN 1 ELSE least(CAST(floor((m - mlo) / ((mhi - mlo) / 4.0)) AS BIGINT), 3) + 1 END AS m_seg
+      |FROM rfm, mm""".stripMargin) { (s, d) =>
+    val ev = T.events(s, d)
+    val anchor = ev.agg(max(col("ts")).cast("date").as("a"))
+    val rfm = ev.crossJoin(broadcast(anchor))
+      .groupBy(col("user_id"))
+      .agg(
+        datediff(first(col("a")), max(col("ts")).cast("date")).as("r_days"),
+        count(lit(1)).as("f"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("m"))
+    val mm = rfm.agg(
+      min(col("r_days")).as("rlo"), max(col("r_days")).as("rhi"),
+      min(col("f")).as("flo"), max(col("f")).as("fhi"),
+      min(col("m")).as("mlo"), max(col("m")).as("mhi"))
+    def seg(x: Column, lo: Column, hi: Column): Column =
+      when(hi === lo, lit(1L)).otherwise(
+        least(floor((x - lo) / ((hi - lo) / lit(4.0))).cast("long"), lit(3L)) + 1)
+    rfm.crossJoin(broadcast(mm))
+      .select(col("user_id"), col("r_days"), col("f"), col("m"),
+        seg(col("r_days"), col("rlo"), col("rhi")).as("r_seg"),
+        seg(col("f"), col("flo"), col("fhi")).as("f_seg"),
+        seg(col("m"), col("mlo"), col("mhi")).as("m_seg"))
+  }
+
+  // --- e9_transition_matrix: first-order Markov transitions between
+  // event types per user session stream — (src, dst, count, probability
+  // conditioned on src). One window for the lead, one aggregate; the
+  // conditional probability is a window over the (tiny) transition
+  // matrix itself. ---
+  val e9TransitionMatrix = QueryDef.sql(
+    "e9_transition_matrix",
+    """WITH seq AS (SELECT event_type AS src,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      |  FROM events)
+      |SELECT src, dst, count(*) AS n,
+      |  CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY src) AS p
+      |FROM seq WHERE dst IS NOT NULL
+      |GROUP BY src, dst""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    T.events(s, d)
+      .select(col("event_type").as("src"), lead(col("event_type"), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("src"))))
+  }
+
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
-    e5PropsExtract, e6AnomalyFlags, e7CohortRetention)
+    e5PropsExtract, e6AnomalyFlags, e7CohortRetention, e8RfmSegments,
+    e9TransitionMatrix)
 }

@@ -382,7 +382,26 @@ object TrainPrep {
       .select(col("doc_id"), col("lang"))
   }
 
+  // --- t17_feature_hashing: hashing-trick document vectors — the
+  // model-free way to get documents into the vector operators (v1-v6):
+  // every token hashes into one of 16 md5 buckets, per-(doc, bucket)
+  // counts form a sparse bag-of-words embedding in long format. One
+  // explode + one partial-aggregated shuffle; bucket ids are hex chars
+  // so both engines agree without any hex→int conversion. ---
+  val t17FeatureHashing = QueryDef.sql(
+    "t17_feature_hashing",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS t
+      |  FROM documents)
+      |SELECT doc_id, substr(md5(t), 1, 1) AS b, count(*) AS cnt
+      |FROM tok GROUP BY doc_id, b""".stripMargin) { (s, d) =>
+    T.documents(s, d)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), substring(md5(col("t")), 1, 1).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     t8PackSequences, t9NgramCounts, t10RedactPii, d5Contamination,
-    t11UnigramLogprob, t12Repetition, t14NormalizeText, t16TemperatureMix)
+    t11UnigramLogprob, t12Repetition, t14NormalizeText, t16TemperatureMix,
+    t17FeatureHashing)
 }
