@@ -116,6 +116,24 @@ object Clustering {
       emb0.select(col("vec_id"), Similarity.quantize("embedding").as("q")),
       spark.read.parquet(path))
 
+  /** Route a micro-batched embedding stream through the saved model:
+    * each batch is one broadcast assignment pass, landed under
+    * `outPath/batch=N` with per-batch overwrite so at-least-once replay
+    * stays idempotent (the streamingNearDedup sink recipe). */
+  def streamingAssign(
+      stream: DataFrame,
+      modelPath: String,
+      outPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        assignWithModel(batch.sparkSession, modelPath, batch)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$batchId")
+        ()
+      }
+      .start()
+
   // ---------------- SQL oracle (DuckDB), composable pieces ------------
 
   /** Quantize a scalar float expression to micro-unit BIGINT — identical

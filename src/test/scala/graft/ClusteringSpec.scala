@@ -83,6 +83,28 @@ class ClusteringSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() <= 64)
   }
 
+  test("streaming assignment routes batches through the saved model identically") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("kmeans-stream").toString
+    val model = s"$tmp/model"
+    val emb0 = T.embeddings(spark, sfDir).select("vec_id", "embedding")
+    Clustering.trainKmeans(emb0, model, iters = 2)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = Clustering.streamingAssign(
+      input.toDF().toDF("vec_id", "embedding"), model, s"$tmp/out", s"$tmp/ckpt")
+    val rows = emb0.as[(Long, Array[Float])].collect()
+    input.addData(rows.take(10).toSeq); q.processAllAvailable()
+    input.addData(rows.slice(10, 25).toSeq); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.read.parquet(s"$tmp/out/batch=0", s"$tmp/out/batch=1")
+      .as[(Long, Long)].collect().toMap
+    val direct = Clustering.assignWithModel(spark, model,
+        emb0.filter(col("vec_id").isin(rows.take(25).map(_._1).toIndexedSeq: _*)))
+      .as[(Long, Long)].collect().toMap
+    assert(streamed === direct)
+  }
+
   test("v6 JL projection roughly preserves pairwise cosine ordering (correlation > 0.4)") {
     // Johnson-Lindenstrauss sanity: for the first 30 vectors, pairwise
     // cosine in 16-dim projected space should correlate with the true

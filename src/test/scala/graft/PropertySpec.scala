@@ -112,4 +112,49 @@ class PropertySpec extends SparkSpec {
       assert(got === expected, s"seed=$seed: CC disagrees with union-find")
     }
   }
+
+  test("SCD2: incremental applyDelta equals one-shot history for random logs and splits") {
+    import graft.operators.Scd2
+    val key = Seq("id"); val order = Seq("t", "seq"); val attrs = Seq("st")
+    for (seed <- 1L to 6L) {
+      // random change log: few keys, few states → plenty of collapses
+      val raw = Gen.listOfN(40, Gen.zip(Gen.choose(1, 5), Gen.choose(0, 99), Gen.choose(0, 3)))
+        .pureApply(params, Seed(seed))
+        .zipWithIndex
+        .map { case ((id, t, st), i) => (id.toLong, t.toLong, i.toLong, s"S$st") }
+      val log = raw.toDF("id", "t", "seq", "st")
+      val oneShot = Scd2.fromChangeLog(log, key, order, attrs, "t")
+      // split into three forward-only batches by time
+      val cut1 = 33L; val cut2 = 66L
+      val incr = Scd2.applyDelta(
+        Scd2.applyDelta(
+          Scd2.fromChangeLog(log.filter(col("t") < cut1), key, order, attrs, "t"),
+          log.filter(col("t") >= cut1 && col("t") < cut2), key, order, attrs, "t"),
+        log.filter(col("t") >= cut2), key, order, attrs, "t")
+      assert(incr.exceptAll(oneShot).count() === 0 && oneShot.exceptAll(incr).count() === 0,
+        s"seed=$seed: incremental SCD2 diverges from one-shot rebuild")
+    }
+  }
+
+  test("range join equals the nested-loop join for random points/intervals/widths") {
+    import graft.operators.RangeJoin
+    for (seed <- 1L to 6L) {
+      val pts = Gen.listOfN(60, Gen.choose(-50.0, 50.0)).pureApply(params, Seed(seed))
+        .zipWithIndex.map { case (v, i) => (i.toLong, math.rint(v * 4) / 4) }
+        .toDF("pid", "v")
+      val ivs = Gen.listOfN(25, Gen.zip(Gen.choose(-50.0, 50.0), Gen.choose(0.0, 30.0)))
+        .pureApply(params, Seed(seed + 50))
+        .zipWithIndex.map { case ((lo, span), i) =>
+          (i.toLong, math.rint(lo * 4) / 4, math.rint((lo + span) * 4) / 4) }
+        .toDF("iid", "lo", "hi")
+      val width = Seq(0.25, 1.0, 7.5)(seed.toInt % 3)
+      val got = RangeJoin.pointInInterval(pts, "v", ivs, "lo", "hi", width)
+        .select("pid", "iid")
+      val want = pts.crossJoin(ivs)
+        .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+        .select("pid", "iid")
+      assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0,
+        s"seed=$seed width=$width: binned range join diverges from nested loop")
+    }
+  }
 }
