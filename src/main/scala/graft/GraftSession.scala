@@ -39,7 +39,8 @@ object GraftSession {
     *   - `graft_dot(a, b)` — float-array dot product;
     *   - `graft_dot_q(a, b)` — exact long-array dot product;
     *   - `graft_simhash32(tokens)` — 32-bit SimHash signature string;
-    *   - `graft_minhash16(shingles)` — 16 MinHash chunk-minima.
+    *   - `graft_minhash16(shingles)` — 16 MinHash chunk-minima;
+    *   - `graft_nfc(text)` — Unicode NFC normalization.
     */
   def registerFunctions(spark: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
@@ -66,6 +67,10 @@ object GraftSession {
     registry.createOrReplaceTempFunction(
       "graft_minhash16",
       (exprs: Seq[Expression]) => MinHash16(exprs.head),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_nfc",
+      (exprs: Seq[Expression]) => graft.functions.NfcNormalizeExpr(exprs.head),
       "built-in")
   }
 }

@@ -116,6 +116,9 @@ class ExtrasSpec extends SparkSpec {
     assert(r.getLong(0) === 320L)
     assert(r.getString(1).length === 32 && r.getString(1).forall(c => c == '0' || c == '1'))
     assert(r.getSeq[String](2).size === 16)
+    // NFC: decomposed e + combining acute composes to a single char
+    val n = spark.sql("SELECT graft_nfc('café') AS t").collect().head.getString(0)
+    assert(n === "café")
   }
 
   test("sql1_shared_dialect: one SQL text serves Spark and the oracle") {
