@@ -41,4 +41,28 @@ object RangeJoin {
       .filter(col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
       .drop("__bin")
   }
+
+  /** Join rows of `a` and `b` whose intervals overlap
+    * (`alo <= bhi && blo <= ahi`, inclusive), via the same bin grid.
+    * Both sides explode onto their covered bins; a pair that shares
+    * several bins is emitted exactly once WITHOUT a distinct: the pair
+    * is owned by the first bin both intervals cover — the later of the
+    * two start bins — so no dedup shuffle is ever needed. Column names
+    * must be disjoint across `a` and `b`. */
+  def intervalOverlap(
+      a: DataFrame, aloCol: String, ahiCol: String,
+      b: DataFrame, bloCol: String, bhiCol: String,
+      binWidth: Double): DataFrame = {
+    def binned(df: DataFrame, lo: String, hi: String) =
+      df.withColumn("__bin",
+        explode(sequence(
+          floor(col(lo) / lit(binWidth)).cast("long"),
+          floor(col(hi) / lit(binWidth)).cast("long"))))
+    binned(a, aloCol, ahiCol).join(binned(b, bloCol, bhiCol), Seq("__bin"))
+      .filter(col(aloCol) <= col(bhiCol) && col(bloCol) <= col(ahiCol))
+      .filter(col("__bin") === greatest(
+        floor(col(aloCol) / lit(binWidth)).cast("long"),
+        floor(col(bloCol) / lit(binWidth)).cast("long")))
+      .drop("__bin")
+  }
 }

@@ -262,8 +262,39 @@ object EtlOps {
         sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"))
   }
 
+  // --- j5_interval_overlap: interval×interval overlap join — per-user
+  // daily click activity windows against the (small) error windows of
+  // users 0-9, on hour-wide epoch bins. Same binned rewrite as j4 but
+  // BOTH sides explode, and each overlapping pair is owned by exactly
+  // one bin (the later start bin) so the result needs no dedup shuffle.
+  // The oracle runs the naive quadratic overlap join. ---
+  val j5IntervalOverlap = QueryDef.sql(
+    "j5_interval_overlap",
+    """WITH a AS (SELECT user_id AS ua, CAST(ts AS DATE) AS day,
+      |    CAST(floor(min(date_part('epoch', ts))) AS BIGINT) AS alo,
+      |    CAST(floor(max(date_part('epoch', ts))) AS BIGINT) AS ahi
+      |  FROM events WHERE event_type = 'click' GROUP BY ua, day),
+      |b AS (SELECT user_id AS ub, CAST(ts AS DATE) AS bday,
+      |    CAST(floor(min(date_part('epoch', ts))) AS BIGINT) AS blo,
+      |    CAST(floor(max(date_part('epoch', ts))) AS BIGINT) AS bhi
+      |  FROM events WHERE event_type = 'error' AND user_id < 10 GROUP BY ub, bday)
+      |SELECT ua, ub, count(*) AS n_overlaps
+      |FROM a JOIN b ON alo <= bhi AND blo <= ahi
+      |GROUP BY ua, ub""".stripMargin) { (s, d) =>
+    val ev = T.events(s, d)
+    val a = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id").as("ua"), col("ts").cast("date").as("day"))
+      .agg(min(unix_timestamp(col("ts"))).as("alo"), max(unix_timestamp(col("ts"))).as("ahi"))
+    val b = ev.filter(col("event_type") === "error" && col("user_id") < 10)
+      .groupBy(col("user_id").as("ub"), col("ts").cast("date").as("bday"))
+      .agg(min(unix_timestamp(col("ts"))).as("blo"), max(unix_timestamp(col("ts"))).as("bhi"))
+    RangeJoin.intervalOverlap(a, "alo", "ahi", b, "blo", "bhi", binWidth = 3600.0)
+      .groupBy(col("ua"), col("ub"))
+      .agg(count(lit(1)).as("n_overlaps"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     j1FirstWins, j2Flatten, j3Lookup, p2TimeWindow, p4CastValidate,
     p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff,
-    j4RangeJoin)
+    j4RangeJoin, j5IntervalOverlap)
 }

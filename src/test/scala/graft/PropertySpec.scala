@@ -157,4 +157,26 @@ class PropertySpec extends SparkSpec {
         s"seed=$seed width=$width: binned range join diverges from nested loop")
     }
   }
+
+  test("interval overlap join: exactly one output row per overlapping pair, any width") {
+    import graft.operators.RangeJoin
+    for (seed <- 1L to 6L) {
+      def mk(off: Long, n: Int, pre: String) =
+        Gen.listOfN(n, Gen.zip(Gen.choose(-40.0, 40.0), Gen.choose(0.0, 25.0)))
+          .pureApply(params, Seed(seed + off)).zipWithIndex
+          .map { case ((lo, span), i) => (i.toLong, math.rint(lo * 2) / 2, math.rint((lo + span) * 2) / 2) }
+      val a = mk(0, 30, "a").toDF("aid", "alo", "ahi")
+      val b = mk(70, 20, "b").toDF("bid", "blo", "bhi")
+      val width = Seq(0.5, 3.0, 11.0)(seed.toInt % 3)
+      val got = RangeJoin.intervalOverlap(a, "alo", "ahi", b, "blo", "bhi", width)
+        .select("aid", "bid")
+      val want = a.crossJoin(b)
+        .filter(col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+        .select("aid", "bid")
+      // exceptAll is multiset difference: proves no pair is missing AND
+      // none is duplicated by multi-bin collisions
+      assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0,
+        s"seed=$seed width=$width: interval overlap diverges from nested loop")
+    }
+  }
 }

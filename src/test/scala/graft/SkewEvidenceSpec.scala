@@ -168,4 +168,18 @@ class SkewEvidenceSpec extends SparkSpec {
       }
     }
   }
+
+  test("post-AQE executed plan: c1 k-means assignment broadcasts survive runtime") {
+    // every Lloyd round's centroid side must still be a broadcast in
+    // the plan AQE actually ran — a runtime demotion to a shuffled
+    // cartesian would be the classic k-means scale killer
+    val df = SparkEntry.queries("c1_kmeans")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), s"c1: AQE plan not finalized:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"c1: final adaptive plan lost the centroid broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"c1: final plan degraded to a shuffled cartesian:\n$plan")
+  }
 }
