@@ -295,8 +295,36 @@ object Events {
         sum(col("n")).over(Window.partitionBy(col("src"))))
   }
 
+  // --- e10_rolling_dau: trailing-7-day distinct active users per day —
+  // the rolling-distinct metric every activity dashboard needs and the
+  // one a windowed count CANNOT express (distinct doesn't decompose
+  // over sliding frames). Scale rewrite: each (day, user) contributes
+  // itself to the 7 target days it covers via a 7-row explode — all
+  // joins equi, distinct handled by one (day, user) aggregate, never a
+  // non-equi BETWEEN join (which Spark would nested-loop). The oracle
+  // runs the naive BETWEEN join. ---
+  val e10RollingDau = QueryDef.sql(
+    "e10_rolling_dau",
+    """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |days AS (SELECT DISTINCT day FROM du)
+      |SELECT CAST(d.day AS TIMESTAMP) AS day, count(DISTINCT u.user_id) AS dau7
+      |FROM days d JOIN du u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      |GROUP BY d.day""".stripMargin) { (s, d) =>
+    val du = T.events(s, d)
+      .select(col("ts").cast("date").as("day"), col("user_id")).distinct()
+    val days = du.select(col("day")).distinct()
+    du.select(col("day"), col("user_id"), explode(sequence(lit(0), lit(6))).as("off"))
+      .select(date_add(col("day"), col("off")).as("day"), col("user_id"))
+      .join(days, Seq("day"), "left_semi")   // trim the +6 tail to real days
+      .distinct()
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("dau7"))
+      // date → timestamp for render parity with the oracle's DATE column
+      .select(col("day").cast("timestamp").as("day"), col("dau7"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
     e5PropsExtract, e6AnomalyFlags, e7CohortRetention, e8RfmSegments,
-    e9TransitionMatrix)
+    e9TransitionMatrix, e10RollingDau)
 }

@@ -211,6 +211,14 @@ class PlanSpec extends SparkSpec {
       s"j4 must still be a join:\n$p")
   }
 
+  test("j5/e10: interval and sliding-window joins stay equi — never a nested loop") {
+    Seq("j5_interval_overlap", "e10_rolling_dau").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q must rewrite its non-equi predicate into an equi join:\n$p")
+    }
+  }
+
   test("k9: the snapshot diff is exactly one co-partitioned join, nothing else moves") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     val plan = SparkEntry.queries("k9_snapshot_diff")(spark, sfDir)
