@@ -133,7 +133,14 @@ object TpchShapes {
       |  WHERE p_size <= 10)
       |SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal
       |FROM ranked WHERE s_acctbal = best_bal""".stripMargin) { (s, d) =>
-    val links = T.lineitem(s, d).select(col("l_partkey"), col("l_suppkey")).distinct()
+    // Semi-restrict the pair projection by the (broadcast) filtered part
+    // set BEFORE the distinct: the distinct's shuffle then carries only
+    // small-part pairs instead of every (partkey, suppkey) in lineitem —
+    // the q17 pattern applied to q2's heaviest exchange.
+    val smallParts = T.part(s, d).filter(col("p_size") <= 10).select(col("p_partkey"))
+    val links = T.lineitem(s, d)
+      .join(broadcast(smallParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
     val joined = T.part(s, d).filter(col("p_size") <= 10)
       .join(links, col("p_partkey") === col("l_partkey"))
       .join(T.supplier(s, d), col("l_suppkey") === col("s_suppkey"))

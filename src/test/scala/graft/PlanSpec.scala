@@ -211,6 +211,13 @@ class PlanSpec extends SparkSpec {
       s"j4 must still be a join:\n$p")
   }
 
+  test("q2: the pair distinct is semi-restricted by the filtered part set") {
+    val p = planOf("q2_best_supplier")
+    assert(p.contains("LeftSemi"),
+      s"q2's distinct must only shuffle small-part pairs:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "the filtered part side must broadcast")
+  }
+
   test("j5/e10: interval and sliding-window joins stay equi — never a nested loop") {
     Seq("j5_interval_overlap", "e10_rolling_dau").foreach { q =>
       val p = planOf(q)
