@@ -294,7 +294,12 @@ object TextDedup {
     d3MinhashLsh.run(s, d)
       .select(col("d1").as("a"), col("d2").as("b"))
       .write.mode("overwrite").parquet(stage)
-    graft.operators.Components.connectedComponents(s.read.parquet(stage))
+    // labels restage EVERY round: the label table is candidate-sized
+    // (tiny), so a per-round parquet round-trip is cheaper than
+    // re-executing the deepening join lineage twice per iteration
+    graft.operators.Components.connectedComponents(
+        s.read.parquet(stage),
+        restageEvery = 1, stagePath = Some(s"$stage/labels"))
       .select(col("id").as("doc_id"), col("cluster_id"),
         (col("id") === col("cluster_id")).as("survivor"))
   }
