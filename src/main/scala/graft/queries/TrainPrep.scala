@@ -400,8 +400,55 @@ object TrainPrep {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  // --- t18_doc_knn: model-free similar-document search — t17's hashed
+  // count vectors scored by cosine via an INVERTED-INDEX join (sparse
+  // dot product: pairs meet only on shared buckets, missing buckets
+  // contribute zero exactly as the math says). The query side (docs
+  // 0-4) broadcasts; counts are integers so dot and norms are exact;
+  // only the final cosine is double, same expression shape both
+  // engines. Top-3 per query, unique tie-break. ---
+  val t18DocKnn = QueryDef.sql(
+    "t18_doc_knn",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS t
+      |  FROM documents),
+      |v AS (SELECT doc_id, substr(md5(t), 1, 1) AS b, count(*) AS cnt
+      |  FROM tok GROUP BY doc_id, b),
+      |norms AS (SELECT doc_id, CAST(sum(cnt * cnt) AS BIGINT) AS n2 FROM v GROUP BY doc_id),
+      |dots AS (SELECT q.doc_id AS qid, c.doc_id AS cid, CAST(sum(q.cnt * c.cnt) AS BIGINT) AS dot
+      |  FROM v q JOIN v c ON q.b = c.b AND q.doc_id < 5 AND c.doc_id <> q.doc_id
+      |  GROUP BY qid, cid),
+      |scored AS (SELECT qid, cid,
+      |    CAST(dot AS DOUBLE) / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS cosine
+      |  FROM dots JOIN norms nq ON nq.doc_id = qid JOIN norms nc ON nc.doc_id = cid)
+      |SELECT qid, cid, cosine, rank FROM (
+      |  SELECT qid, cid, cosine,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+      |  FROM scored) t
+      |WHERE rank <= 3""".stripMargin) { (s, d) =>
+    val v = T.documents(s, d)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), substring(md5(col("t")), 1, 1).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val norms = v.groupBy(col("doc_id")).agg(sum(col("cnt") * col("cnt")).as("n2"))
+    val q = v.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("b"), col("cnt").as("qcnt"))
+    val dots = v.join(broadcast(q), Seq("b"))
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy(col("qid"), col("doc_id").as("cid"))
+      .agg(sum(col("qcnt") * col("cnt")).as("dot"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+    dots
+      .join(norms.select(col("doc_id").as("qid"), col("n2").as("nq")), Seq("qid"))
+      .join(norms.select(col("doc_id").as("cid"), col("n2").as("nc")), Seq("cid"))
+      .withColumn("cosine", col("dot").cast("double") /
+        (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("cid"), col("cosine"), col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     t8PackSequences, t9NgramCounts, t10RedactPii, d5Contamination,
     t11UnigramLogprob, t12Repetition, t14NormalizeText, t16TemperatureMix,
-    t17FeatureHashing)
+    t17FeatureHashing, t18DocKnn)
 }
