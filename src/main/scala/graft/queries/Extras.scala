@@ -296,8 +296,40 @@ object Extras {
         first(col("lo") + col("bin") * (col("hi") - col("lo")) / lit(20)).as("bin_lo"))
   }
 
+  // --- a21_exact_median: EXACT per-group median at scale — never a
+  // global sort of raw rows. Rows first collapse to (group, value,
+  // count) — bounded by the value domain, not the row count — then a
+  // group-partitioned cumulative count finds the smallest value
+  // covering half the group (lower median: deterministic and
+  // integer-exact on both engines, unlike interpolating percentile
+  // implementations which disagree across engines). a15's sketches are
+  // the approximate path; this is the exact one. ---
+  val a21ExactMedian = QueryDef.sql(
+    "a21_exact_median",
+    """WITH vc AS (SELECT l_returnflag, l_quantity AS v, count(*) AS c
+      |  FROM lineitem GROUP BY l_returnflag, v),
+      |tot AS (SELECT l_returnflag, CAST(sum(c) AS BIGINT) AS n FROM vc GROUP BY l_returnflag),
+      |cum AS (SELECT l_returnflag, v,
+      |    CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY v) AS BIGINT) AS cc
+      |  FROM vc)
+      |SELECT cum.l_returnflag, min(v) AS median_qty
+      |FROM cum JOIN tot USING (l_returnflag)
+      |WHERE 2 * cc >= n
+      |GROUP BY cum.l_returnflag""".stripMargin) { (s, d) =>
+    val vc = T.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_quantity").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val tot = vc.groupBy(col("l_returnflag")).agg(sum(col("c")).as("n"))
+    val cum = vc.withColumn("cc", sum(col("c")).over(
+      Window.partitionBy(col("l_returnflag")).orderBy(col("v"))))
+    cum.join(broadcast(tot), Seq("l_returnflag"))
+      .filter(lit(2) * col("cc") >= col("n"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("v")).as("median_qty"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
     a16WindowSuite, a17ScalarSuite, a18DateSuite, a19GroupingSets,
-    sql2CorrelatedSubquery, a4bTopkAgg, a20Histogram)
+    sql2CorrelatedSubquery, a4bTopkAgg, a20Histogram, a21ExactMedian)
 }

@@ -119,6 +119,44 @@ class Scd2Spec extends SparkSpec {
       === full.orderBy("k").collect().toSeq)
   }
 
+  test("streaming fold heals a crash caught mid-swap before applying the next batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("iagg-crash").toString
+    val path = s"$root/state"
+    // seed a committed state, then simulate the mid-swap crash window:
+    // live table gone, the durably staged result (with _SUCCESS) at __new
+    val seeded = IncrementalAgg.partials(
+        Seq((1, 10.0), (2, 5.0)).toDF("k", "v"), Seq("k"), col("v").cast("decimal(12,2)"))
+      .withColumn("last_batch", lit(0L))
+    seeded.write.parquet(s"${path}__new")
+    assert(new java.io.File(s"${path}__new/_SUCCESS").exists)
+    assert(!new java.io.File(path).exists)
+    val input = MemoryStream[(Int, Double)]
+    val q = IncrementalAgg.streamingFold(
+      input.toDF().toDF("k", "v"), path, Seq("k"), col("v").cast("decimal(12,2)"), s"$root/ckpt")
+    input.addData((1, 2.5)); q.processAllAvailable(); q.stop()
+    // recovery rolled __new forward, then batch 0 of the NEW stream...
+    // careful: the fresh checkpoint restarts batch ids at 0, which the
+    // seeded watermark (0) marks as replayed — so the state must be
+    // exactly the recovered seed, proving both the roll-forward AND the
+    // replay guard engaged
+    val got = spark.read.parquet(path)
+    assert(!new java.io.File(s"${path}__new").exists)
+    assert(got.drop("last_batch").orderBy("k").collect().toSeq
+      === seeded.drop("last_batch").orderBy("k").collect().toSeq)
+    // a later batch id folds normally on top of the recovered state
+    val input2 = MemoryStream[(Int, Double)]
+    val q2 = IncrementalAgg.streamingFold(
+      input2.toDF().toDF("k", "v"), path, Seq("k"), col("v").cast("decimal(12,2)"), s"$root/ckpt2")
+    input2.addData((3, 7.0)); q2.processAllAvailable()  // replayed id 0 → skipped
+    input2.addData((3, 7.0)); q2.processAllAvailable()  // id 1 > 0 → folds
+    q2.stop()
+    val fin = spark.read.parquet(path).filter(col("k") === 3)
+      .select("n").as[Long].collect()
+    assert(fin.toSeq === Seq(1L))
+  }
+
   test("snapshot diff classifies adds/removes/changes and treats null attrs null-safely") {
     import graft.operators.SnapshotDiff
     val a = Seq((1L, Some("x")), (2L, None: Option[String]), (3L, Some("z")), (4L, Some("w")))
