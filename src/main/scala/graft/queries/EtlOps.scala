@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryDef, Tables => T}
-import graft.operators.{IncrementalAgg, RangeJoin, Scd2, SnapshotDiff, Upsert}
+import graft.operators.{FuzzyJoin, IncrementalAgg, RangeJoin, Scd2, SnapshotDiff, Upsert}
 
 /** SURVEY.md §2 operator semantics exercised over the driver fixture
   * tables so each operator class carries a DuckDB-oracle check. The
@@ -293,8 +293,36 @@ object EtlOps {
       .agg(count(lit(1)).as("n_overlaps"))
   }
 
+  // --- j6_fuzzy_match: approximate string-match join (entity
+  // resolution) — a small probe set of part names matched against the
+  // odd-key master side by character-3-gram Jaccard >= 0.5, via the
+  // inverted-index equi-join (never a string-distance nested loop).
+  // The oracle decomposes grams with a DuckDB list comprehension and
+  // runs the same set algebra. ---
+  val j6FuzzyMatch = QueryDef.sql(
+    "j6_fuzzy_match",
+    """WITH ga AS (SELECT DISTINCT p_partkey AS ka, q FROM (
+      |    SELECT p_partkey, unnest([substr(p_name, i, 3) for i in range(1, len(p_name) - 1)]) AS q
+      |    FROM part WHERE p_partkey %% 397 = 0 AND len(p_name) >= 3) t),
+      |gb AS (SELECT DISTINCT p_partkey AS kb, q FROM (
+      |    SELECT p_partkey, unnest([substr(p_name, i, 3) for i in range(1, len(p_name) - 1)]) AS q
+      |    FROM part WHERE p_partkey %% 2 = 1 AND len(p_name) >= 3) t),
+      |sa AS (SELECT ka, count(*) AS ca FROM ga GROUP BY ka),
+      |sb AS (SELECT kb, count(*) AS cb FROM gb GROUP BY kb),
+      |inter AS (SELECT ka, kb, count(*) AS i FROM ga JOIN gb USING (q) GROUP BY ka, kb)
+      |SELECT ka, kb, CAST(i AS DOUBLE) / (ca + cb - i) AS jaccard
+      |FROM inter JOIN sa USING (ka) JOIN sb USING (kb)
+      |WHERE CAST(i AS DOUBLE) / (ca + cb - i) >= 0.5""".stripMargin
+      .replace("%%", "%")) { (s, d) =>
+    val part = T.part(s, d)
+    FuzzyJoin.qgramJoin(
+      part.filter(col("p_partkey") % 397 === 0), "p_partkey", "p_name",
+      part.filter(col("p_partkey") % 2 === 1), "p_partkey", "p_name",
+      n = 3, threshold = 0.5)
+  }
+
   val all: Seq[QueryDef] = Seq(
     j1FirstWins, j2Flatten, j3Lookup, p2TimeWindow, p4CastValidate,
     p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff,
-    j4RangeJoin, j5IntervalOverlap)
+    j4RangeJoin, j5IntervalOverlap, j6FuzzyMatch)
 }
