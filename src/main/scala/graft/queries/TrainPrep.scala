@@ -447,8 +447,39 @@ object TrainPrep {
       .select(col("qid"), col("cid"), col("cosine"), col("rank"))
   }
 
+  // --- d8_verbatim_leak: EXACT-substring eval contamination — the
+  // complement of d5's shingle-overlap screen: d5 scores fuzzy overlap,
+  // this one catches verbatim leaks (an eval doc's canonical 20-char
+  // prefix appearing inside a training doc). The probe set is tiny and
+  // broadcasts; the corpus side is one codegen'd contains() pass per
+  // probe — the deliberate broadcast-nested-loop shape (like v1's
+  // brute-force baseline): every doc genuinely must be tested against
+  // every probe. Spark instr ≡ DuckDB strpos. ---
+  val d8VerbatimLeak = QueryDef.sql(
+    "d8_verbatim_leak",
+    """WITH ev AS (SELECT doc_id AS eval_id,
+      |    substr(trim(regexp_replace(text, '\s+', ' ', 'g')), 1, 20) AS probe
+      |  FROM documents
+      |  WHERE doc_id %% 97 = 0 AND len(trim(regexp_replace(text, '\s+', ' ', 'g'))) >= 20)
+      |SELECT d.doc_id, e.eval_id
+      |FROM documents d, ev e
+      |WHERE d.doc_id %% 97 <> 0
+      |  AND strpos(trim(regexp_replace(d.text, '\s+', ' ', 'g')), e.probe) > 0""".stripMargin
+      .replace("%%", "%")) { (s, d) =>
+    val canon = trim(regexp_replace(col("text"), "\\s+", " "))
+    val probes = T.documents(s, d)
+      .filter(col("doc_id") % 97 === 0 && length(canon) >= 20)
+      .select(col("doc_id").as("eval_id"), substring(canon, 1, 20).as("probe"))
+    T.documents(s, d)
+      .filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), canon.as("t"))
+      .crossJoin(broadcast(probes))
+      .filter(instr(col("t"), col("probe")) > 0)
+      .select(col("doc_id"), col("eval_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     t8PackSequences, t9NgramCounts, t10RedactPii, d5Contamination,
     t11UnigramLogprob, t12Repetition, t14NormalizeText, t16TemperatureMix,
-    t17FeatureHashing, t18DocKnn)
+    t17FeatureHashing, t18DocKnn, d8VerbatimLeak)
 }
