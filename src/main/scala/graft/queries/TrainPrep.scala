@@ -252,6 +252,9 @@ object TrainPrep {
     *      a smaller-id in-k-means-cell near-duplicate (cosine >= semTau)
     *      are dropped; docs without an embedding pass through;
     *   5. contamination screen vs an eval id set (d5's broadcast probe);
+    *   5b. verbatim-leak screen (d8's exact complement): training docs
+    *      containing an eval doc's `verbatimProbeLen`-char prefix
+    *      verbatim are dropped (0 disables);
     *   6. mixture rebalancing by per-language quota (t13's hash rank);
     *   7. sequence packing into `budget`-token windows (t8).
     *
@@ -270,7 +273,8 @@ object TrainPrep {
       quota: Column = when(col("lang") === "en", 80).otherwise(30),
       budget: Long = 512L,
       embeddings: Option[DataFrame] = None,
-      semTau: Double = 0.3): DataFrame = {
+      semTau: Double = 0.3,
+      verbatimProbeLen: Int = 20): DataFrame = {
     import graft.functions.NfcNormalize
     val docs = T.documents(spark, dir).select(col("doc_id"), col("lang"),
       NfcNormalize.of(col("text")).as("text"))
@@ -326,9 +330,23 @@ object TrainPrep {
       .groupBy(col("doc_id"))
       .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1))).as("c"))
       .filter(col("c") > maxContamination).select("doc_id")
-    val screened = deduped
+    val screened0 = deduped
       .filter(!evalIds(col("doc_id"))) // eval docs never train
       .join(contaminated, Seq("doc_id"), "left_anti")
+
+    // 5b. verbatim-leak screen: eval prefix probes broadcast, one
+    // contains() pass over the survivors (d8's shape)
+    val screened =
+      if (verbatimProbeLen <= 0) screened0
+      else {
+        val probes = docs.filter(evalIds(col("doc_id")))
+          .filter(length(col("text")) >= verbatimProbeLen)
+          .select(substring(col("text"), 1, verbatimProbeLen).as("__probe")).distinct()
+        val leaky = screened0.crossJoin(broadcast(probes))
+          .filter(instr(col("text"), col("__probe")) > 0)
+          .select(col("doc_id")).distinct()
+        screened0.join(leaky, Seq("doc_id"), "left_anti")
+      }
 
     // 6. rebalance to the target mixture by deterministic hash rank
     val wq = Window.partitionBy(col("lang"))
