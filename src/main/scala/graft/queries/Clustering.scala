@@ -44,7 +44,7 @@ object Clustering {
 
   /** Assign every vector to its argmax-cosine centroid: one broadcast
     * linear pass, exact-integer dots, ties broken by cell id. */
-  private def assign(embq: DataFrame, cents: DataFrame): DataFrame =
+  private[queries] def assign(embq: DataFrame, cents: DataFrame): DataFrame =
     embq.crossJoin(broadcast(cents))
       .withColumn("dot", Similarity.dotQ("q", "ceq"))
       .withColumn("nx", Similarity.dotQ("q", "q"))
@@ -59,7 +59,7 @@ object Clustering {
     * members. The (cell, dim) aggregate partial-aggregates before its
     * one shuffle; the per-cell array rebuild touches only k rows, so the
     * interpreted transform/collect_list there is free. */
-  private def recenter(embq: DataFrame, asg: DataFrame): DataFrame =
+  private[queries] def recenter(embq: DataFrame, asg: DataFrame): DataFrame =
     asg.join(embq, Seq("vec_id"))
       .select(col("cell"), posexplode(col("q")).as(Seq("i", "x")))
       .groupBy(col("cell"), col("i"))
@@ -147,7 +147,7 @@ object Clustering {
 
   /** One SQL assignment round: embeddings × `cents` (cell, ce BIGINT[])
     * → (vec_id, cell) argmax cosine, named `out`. */
-  private def sqlAssign(cents: String, out: String): String =
+  private[queries] def sqlAssign(cents: String, out: String): String =
     s"""p_$out AS (SELECT e.vec_id, c.cell, e.embedding AS qe, c.ce
        |  FROM embeddings e, $cents c),
        |u_$out AS (SELECT vec_id, cell, unnest(qe) AS x, unnest(ce) AS y FROM p_$out),
@@ -160,7 +160,7 @@ object Clustering {
 
   /** One SQL recenter round: assignment `asg` → centroids named `out`
     * (cell, ce BIGINT[]), via exact integer sums + exact floor div. */
-  private def sqlRecenter(asg: String, out: String): String =
+  private[queries] def sqlRecenter(asg: String, out: String): String =
     s"""s_$out AS (SELECT a.cell, r.i, sum(${sqlQuant("e.embedding[r.i]")}) AS s, count(*) AS n
        |  FROM $asg a, embeddings e, LATERAL (SELECT unnest(range(1, ${dim + 1})) AS i) r
        |  WHERE e.vec_id = a.vec_id
@@ -252,5 +252,30 @@ object Clustering {
       .select(col("vec_id"), col("cell"), col("drp").isNull.as("kept"))
   }
 
-  val all: Seq[QueryDef] = Seq(c1Kmeans, d7SemanticDedup)
+  // --- v7_nearest_centroid: nearest-centroid (Rocchio) classification —
+  // the supervised twin of c1: per-label centroids are the rounded
+  // integer means of each label's members (one partial-aggregated
+  // shuffle), every vector is then assigned to its argmax-cosine label
+  // centroid (one broadcast pass), and the output is the confusion
+  // matrix (label, pred, n). Exercises the fixture's `label` column and
+  // the exact-integer centroid algebra on a supervised task. ---
+  val v7NearestCentroid = QueryDef.sql(
+    "v7_nearest_centroid",
+    s"""WITH ${sqlRecenter("(SELECT vec_id, label AS cell FROM embeddings)", "lc")},
+       |${sqlAssign("lc", "pred")}
+       |SELECT e.label, p.cell AS pred, count(*) AS n
+       |FROM pred p JOIN embeddings e ON e.vec_id = p.vec_id
+       |GROUP BY e.label, pred""".stripMargin) { (s, d) =>
+    val emb = T.embeddings(s, d)
+    val embq = emb.select(col("vec_id"), Similarity.quantize("embedding").as("q"))
+    val labelAsg = emb.select(col("vec_id"), col("label").cast("long").as("cell"))
+    val cents = recenter(embq, labelAsg)
+    assign(embq, cents)
+      .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy(col("label"), col("cell"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("label"), col("cell").as("pred"), col("n"))
+  }
+
+  val all: Seq[QueryDef] = Seq(c1Kmeans, d7SemanticDedup, v7NearestCentroid)
 }

@@ -496,8 +496,42 @@ object TrainPrep {
       .select(col("doc_id"), col("eval_id"))
   }
 
+  // --- t19_tfidf: top-3 TF-IDF terms per document — the classic
+  // keyword-extraction op. Term frequencies and document frequencies
+  // are two partial-aggregated integer aggregates; N broadcasts as a
+  // scalar; the score (tf · ln(N/df)) runs in double with the identical
+  // expression shape on both engines, ties broken by term. The df join
+  // keys on the term — hot stopword terms are AQE-skew territory, and
+  // the per-doc ranking window is partitioned (never global). ---
+  val t19Tfidf = QueryDef.sql(
+    "t19_tfidf",
+    s"""WITH tok AS (SELECT doc_id, unnest($sqlToks) AS t FROM documents),
+       |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY doc_id, t),
+       |dfx AS (SELECT t, CAST(count(*) AS BIGINT) AS dfc FROM tf GROUP BY t),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+       |SELECT doc_id, t AS term, score, rank FROM (
+       |  SELECT tf.doc_id, tf.t,
+       |    CAST(c AS DOUBLE) * ln(CAST(n AS DOUBLE) / CAST(dfc AS DOUBLE)) AS score,
+       |    row_number() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY CAST(c AS DOUBLE) * ln(CAST(n AS DOUBLE) / CAST(dfc AS DOUBLE)) DESC, tf.t) AS rank
+       |  FROM tf JOIN dfx USING (t), nn) s
+       |WHERE rank <= 3""".stripMargin) { (s, d) =>
+    val docs = T.documents(s, d)
+    val tok = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
+    val tf = tok.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+    val dfx = tf.groupBy(col("t")).agg(count(lit(1)).as("dfc"))
+    val nn = docs.agg(count(lit(1)).as("n"))
+    val score = col("c").cast("double") * log(col("n").cast("double") / col("dfc").cast("double"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(score.desc, col("t"))
+    tf.join(dfx, Seq("t")).crossJoin(broadcast(nn))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("t").as("term"), col("score"), col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     t8PackSequences, t9NgramCounts, t10RedactPii, d5Contamination,
     t11UnigramLogprob, t12Repetition, t14NormalizeText, t16TemperatureMix,
-    t17FeatureHashing, t18DocKnn, d8VerbatimLeak)
+    t17FeatureHashing, t18DocKnn, d8VerbatimLeak, t19Tfidf)
 }
