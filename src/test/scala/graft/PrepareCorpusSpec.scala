@@ -75,6 +75,29 @@ class PrepareCorpusSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet === without)
   }
 
+  test("verbatim screen (5b) drops exactly the docs containing an eval prefix") {
+    val noQuota = lit(1000000)
+    val withScreen = TrainPrep.prepareCorpus(spark, sfDir, quota = noQuota)
+      .select("doc_id").as[Long].collect().toSet
+    val without = TrainPrep.prepareCorpus(spark, sfDir, quota = noQuota, verbatimProbeLen = 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(withScreen.subsetOf(without))
+    // every dropped doc really contains some eval doc's canonical prefix
+    val dropped = without -- withScreen
+    if (dropped.nonEmpty) {
+      import graft.functions.NfcNormalize
+      val docs = graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), NfcNormalize.of(col("text")).as("text"))
+      val probes = docs.filter(col("doc_id") % 97 === 0 && length(col("text")) >= 20)
+        .select(substring(col("text"), 1, 20).as("p")).as[String].collect()
+      val leaky = docs.filter(col("doc_id").isin(dropped.toSeq: _*))
+        .as[(Long, String)].collect()
+      leaky.foreach { case (id, t) =>
+        assert(probes.exists(t.contains), s"doc $id dropped without a matching eval prefix")
+      }
+    }
+  }
+
   test("packing invariants: offsets inside the budget, packs dense per stratum") {
     rows.foreach { r =>
       val off = r.getLong(4)
