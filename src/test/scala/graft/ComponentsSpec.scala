@@ -24,6 +24,23 @@ class ComponentsSpec extends SparkSpec {
     assert(labels === Map(4L -> 4L, 5L -> 4L, 7L -> 7L, 8L -> 7L, 9L -> 7L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("pointer jumping matches plain propagation and converges in log rounds on a 64-chain") {
+    val stage = java.nio.file.Files.createTempDirectory("cc-jump").toString
+    val chain = (1L until 64L).map(i => (i, i + 1)) // diameter 63
+    // maxIters = 10 < diameter: only the halving shortcut can converge —
+    // correct labels out of this budget PROVE the log-round behavior
+    val jumped = Components.connectedComponentsJump(
+        chain.toDF("a", "b"), stage, maxIters = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(jumped === (1L to 64L).map(_ -> 1L).toMap)
+    // equivalence with the plain algorithm on a branchy graph
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 10L), (3L, 7L))
+    val stage2 = java.nio.file.Files.createTempDirectory("cc-jump2").toString
+    val a = Components.connectedComponentsJump(edges.toDF("a", "b"), stage2)
+      .as[(Long, Long)].collect().toMap
+    assert(a === cc(edges))
+  }
+
   test("long path converges through periodic label restaging") {
     val stage = java.nio.file.Files.createTempDirectory("cc-stage").toString
     val path = (1L until 12L).map(i => (i, i + 1)) // diameter 11 > restageEvery

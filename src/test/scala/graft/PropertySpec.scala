@@ -110,6 +110,11 @@ class PropertySpec extends SparkSpec {
         .connectedComponents(edges.toDF("a", "b"))
         .as[(Long, Long)].collect().toMap
       assert(got === expected, s"seed=$seed: CC disagrees with union-find")
+      val stage = java.nio.file.Files.createTempDirectory(s"cc-jump-$seed").toString
+      val jumped = graft.operators.Components
+        .connectedComponentsJump(edges.toDF("a", "b"), stage)
+        .as[(Long, Long)].collect().toMap
+      assert(jumped === expected, s"seed=$seed: pointer-jump CC disagrees with union-find")
     }
   }
 
