@@ -28,9 +28,10 @@ object IncrementalAgg {
         min(value).as("mn"),
         max(value).as("mx"))
 
-  /** Merge two state tables (associative + commutative). */
-  def merge(state: DataFrame, delta: DataFrame): DataFrame = {
-    val key = state.columns.filterNot(Set("n", "s", "mn", "mx"))
+  /** Merge two state tables (associative + commutative). Key columns are
+    * explicit — inferring them by excluding the reserved state names
+    * would silently corrupt a merge whose key is itself named n/s/mn/mx. */
+  def merge(state: DataFrame, delta: DataFrame, key: Seq[String]): DataFrame =
     state.unionByName(delta)
       .groupBy(key.map(col).toIndexedSeq: _*)
       .agg(
@@ -38,6 +39,18 @@ object IncrementalAgg {
         sum(col("s")).as("s"),
         min(col("mn")).as("mn"),
         max(col("mx")).as("mx"))
+
+  /** Convenience overload inferring the keys as every non-state column;
+    * rejects states whose key columns collide with the reserved names
+    * (n / s / mn / mx) — those callers must pass keys explicitly. */
+  def merge(state: DataFrame, delta: DataFrame): DataFrame = {
+    val reserved = Set("n", "s", "mn", "mx")
+    val key = state.columns.filterNot(reserved).toSeq
+    require(
+      key.size + reserved.size == state.columns.length,
+      s"state columns ${state.columns.mkString(",")} collide with reserved " +
+        "n/s/mn/mx — use merge(state, delta, key) with explicit keys")
+    merge(state, delta, key)
   }
 
   /** Read view over a state table: final aggregates incl. derived avg. */
@@ -46,12 +59,13 @@ object IncrementalAgg {
 
   /** Maintain the aggregate state table at `path` from a micro-batched
     * stream. Merging is NOT idempotent (a replayed batch would double
-    * count), so the state rows carry the id of the last folded batch —
-    * the standard foreachBatch transactional-sink recipe: a batch with
-    * id <= the stored watermark is a committed replay and is skipped;
-    * the fold itself runs under the crash-safe staged swap, so the
-    * batch-id watermark and the merged counts commit atomically
-    * together. */
+    * count), so the state rows carry a [[ReplayGuard]] marker — the id
+    * of the last folded batch plus the checkpoint's durable run id: a
+    * batch already folded by THIS run (same run id, batchId <= stored
+    * watermark) is a committed replay and is skipped, while a fresh
+    * checkpoint (batch ids restart at 0) is recognized by its new run id
+    * and folds normally. The fold runs under the crash-safe staged swap,
+    * so the watermark and the merged counts commit atomically together. */
   def streamingFold(
       stream: DataFrame,
       path: String,
@@ -65,17 +79,15 @@ object IncrementalAgg {
         val fsPath = new org.apache.hadoop.fs.Path(path)
         val fs = fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         Upsert.recoverSwap(fs, path)
+        val run = ReplayGuard.runId(fs, checkpoint)
         if (!fs.exists(fsPath))
-          partials(batch, key, value).withColumn("last_batch", lit(batchId))
+          ReplayGuard.stamp(partials(batch, key, value), run, batchId)
             .write.mode(SaveMode.Overwrite).parquet(path)
-        else {
-          val applied = s.read.parquet(path)
-            .agg(max(col("last_batch"))).head().getLong(0)
-          if (applied < batchId)
-            Upsert.stagedRewrite(s, path)(base =>
-              merge(base.drop("last_batch"), partials(batch, key, value))
-                .withColumn("last_batch", lit(batchId)))
-        }
+        else if (!ReplayGuard.isReplay(s.read.parquet(path), run, batchId))
+          Upsert.stagedRewrite(s, path)(base =>
+            ReplayGuard.stamp(
+              merge(ReplayGuard.strip(base), partials(batch, key, value), key),
+              run, batchId))
         ()
       }
       .start()

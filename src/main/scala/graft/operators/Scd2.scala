@@ -88,10 +88,17 @@ object Scd2 {
 
   /** Maintain an SCD2 history table at `path` from a micro-batched
     * change stream: each batch folds in via [[applyDelta]] under
-    * Upsert's crash-safe staged swap. Replaying a committed batch after
-    * a checkpoint rollback is harmless — a replayed row carries the same
-    * attrs as the (now open) version it already created, so the
-    * change-collapse filter drops it and the history is unchanged. */
+    * Upsert's crash-safe staged swap.
+    *
+    * Replay safety is NOT structural: a redelivered batch holding >= 2
+    * changes for one key would re-create the closed versions the first
+    * delivery already produced (they ride through `closed` verbatim AND
+    * get rebuilt from the replayed delta), duplicating history rows. So
+    * the history rows carry a [[ReplayGuard]] marker — last folded batch
+    * id plus the checkpoint's durable run id, committed atomically with
+    * the fold by the staged swap — and a batch already folded by this
+    * run is skipped outright. A fresh checkpoint (ids restart at 0) is
+    * recognized by its new run id and folds normally. */
   def streamingScd2(
       stream: DataFrame,
       path: String,
@@ -102,17 +109,21 @@ object Scd2 {
       checkpoint: String): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val fsPath = new org.apache.hadoop.fs.Path(path)
         val fs = fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         Upsert.recoverSwap(fs, path)
+        val run = ReplayGuard.runId(fs, checkpoint)
         if (!fs.exists(fsPath))
-          fromChangeLog(batch, key, order, attrs, validCol)
+          ReplayGuard.stamp(
+            fromChangeLog(batch, key, order, attrs, validCol), run, batchId)
             .write.mode(SaveMode.Overwrite).parquet(path)
-        else
-          Upsert.stagedRewrite(s, path)(
-            base => applyDelta(base, batch, key, order, attrs, validCol))
+        else if (!ReplayGuard.isReplay(s.read.parquet(path), run, batchId))
+          Upsert.stagedRewrite(s, path)(base =>
+            ReplayGuard.stamp(
+              applyDelta(ReplayGuard.strip(base), batch, key, order, attrs, validCol),
+              run, batchId))
         ()
       }
       .start()

@@ -78,12 +78,20 @@ object Clustering {
     * with iters); with it, every round is exactly one linear pass over
     * the corpus plus one k×dim write. This is the DataFrame analog of
     * MLlib collecting centroids to the driver each round — but nothing
-    * larger than k rows ever leaves the executors. */
-  def kmeansAssign(embq: DataFrame, iters: Int): DataFrame = {
+    * larger than k rows ever leaves the executors.
+    *
+    * `stagePath` must be cluster-visible (shared FS) on a multi-node
+    * cluster — the local-temp-dir default only works in local mode
+    * (same contract as Components.connectedComponentsJump). */
+  def kmeansAssign(
+      embq: DataFrame,
+      iters: Int,
+      stagePath: Option[String] = None): DataFrame = {
     val spark = embq.sparkSession
     var cents = initCentroids(embq)
     if (iters > 0) {
-      val stage = java.nio.file.Files.createTempDirectory("kmeans-rounds").toString
+      val stage = stagePath.getOrElse(
+        java.nio.file.Files.createTempDirectory("kmeans-rounds").toString)
       for (r <- 0 until iters) {
         recenter(embq, assign(embq, cents))
           .write.mode("overwrite").parquet(s"$stage/round=$r")

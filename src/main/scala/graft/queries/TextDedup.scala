@@ -224,6 +224,12 @@ object TextDedup {
     // 4-tuple yields the oracle's equality classes; xxhash64 over the
     // four chunks gives an 8-byte shuffle key instead of the oracle's
     // 32-char md5 string — same candidates, ~4× smaller join state.
+    // Parity caveat: this makes oracle agreement probabilistic, not
+    // bit-exact — a 64-bit band-hash collision (~2^-64 per pair) could
+    // admit a candidate the md5-banded oracle never generates; if such a
+    // pair also cleared the exact-Jaccard threshold the outputs would
+    // diverge. Accepted risk; widen to a 128-bit hash if strict
+    // bit-parity ever becomes a stated invariant.
     val bandCols = (0 until 4).map { k =>
       xxhash64((0 until 4).map(j => element_at(col("mh"), k * 4 + j + 1)): _*)
     }

@@ -100,23 +100,64 @@ class Scd2Spec extends SparkSpec {
     input.addData((1, 10.0), (2, 5.0)); q.processAllAvailable()
     input.addData((1, 2.5), (3, 1.0)); q.processAllAvailable()
     q.stop()
-    val got = spark.read.parquet(path).drop("last_batch")
+    val got = spark.read.parquet(path).drop("last_batch", "run_id")
     val full = IncrementalAgg.partials(
       Seq((1, 10.0), (2, 5.0), (1, 2.5), (3, 1.0)).toDF("k", "v"),
       Seq("k"), col("v").cast("decimal(12,2)"))
     assert(got.orderBy("k").collect().toSeq === full.orderBy("k").collect().toSeq)
-    // replay guard: bump the stored watermark; the next batch id (< 99)
-    // must be treated as a committed replay and leave the state alone
-    val bumped = spark.read.parquet(path).withColumn("last_batch", lit(99L))
+    val st = spark.read.parquet(path)
+    // replay guard, legacy run-less state: bump the stored watermark and
+    // strip run_id; the next batch id (<= 99) is a committed replay
     val tmp = Files.createTempDirectory("iagg-bump").toString + "/state"
-    bumped.write.parquet(tmp)
+    st.withColumn("last_batch", lit(99L)).drop("run_id").write.parquet(tmp)
     val input2 = MemoryStream[(Int, Double)]
     val ckpt2 = Files.createTempDirectory("iagg-ckpt2").toString
     val q2 = IncrementalAgg.streamingFold(
       input2.toDF().toDF("k", "v"), tmp, Seq("k"), col("v").cast("decimal(12,2)"), ckpt2)
     input2.addData((1, 1000.0)); q2.processAllAvailable(); q2.stop()
-    assert(spark.read.parquet(tmp).drop("last_batch").orderBy("k").collect().toSeq
+    assert(spark.read.parquet(tmp).drop("last_batch", "run_id").orderBy("k").collect().toSeq
       === full.orderBy("k").collect().toSeq)
+    // run-id guard: the same inflated watermark stamped by ANOTHER run
+    // must NOT swallow a fresh checkpoint's batch 0 — new run id ⇒ the
+    // batch is genuinely new work and folds
+    val tmp3 = Files.createTempDirectory("iagg-newrun").toString + "/state"
+    st.withColumn("last_batch", lit(99L)).write.parquet(tmp3)
+    val input3 = MemoryStream[(Int, Double)]
+    val ckpt3 = Files.createTempDirectory("iagg-ckpt3").toString
+    val q3 = IncrementalAgg.streamingFold(
+      input3.toDF().toDF("k", "v"), tmp3, Seq("k"), col("v").cast("decimal(12,2)"), ckpt3)
+    input3.addData((1, 1000.0)); q3.processAllAvailable(); q3.stop()
+    assert(spark.read.parquet(tmp3).filter(col("k") === 1)
+      .select("n").as[Long].head() === 3L)
+  }
+
+  test("streaming SCD2 skips a redelivered batch (crash between swap and checkpoint commit)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val path = Files.createTempDirectory("scd2-replay").toString + "/hist"
+    val ckpt = Files.createTempDirectory("scd2-replay-ckpt").toString
+    val input = MemoryStream[(Long, Timestamp, Long, String)]
+    val df = input.toDF().toDF("id", "ts", "seq", "st")
+    val q = Scd2.streamingScd2(df, path, key, order, attrs, "ts", ckpt)
+    input.addData((1L, ts("2024-01-01 00:00:00"), 1L, "A"))
+    q.processAllAvailable()
+    // batch 1 holds TWO changes for key 1 — the case where replay is NOT
+    // structurally harmless: redelivery would re-create the closed B row
+    // on top of the copy carried through `closed`
+    input.addData(
+      (1L, ts("2024-01-02 00:00:00"), 2L, "B"),
+      (1L, ts("2024-01-03 00:00:00"), 3L, "C"))
+    q.processAllAvailable(); q.stop()
+    val expect = rows(spark.read.parquet(path))
+    assert(spark.read.parquet(path).count() === 3)
+    // crash window: the fold committed (swap done) but the checkpoint did
+    // not — drop the batch-1 commit marker so restart redelivers batch 1
+    assert(new java.io.File(s"$ckpt/commits/1").delete())
+    new java.io.File(s"$ckpt/commits/.1.crc").delete() // checksum shadow
+    val q2 = Scd2.streamingScd2(df, path, key, order, attrs, "ts", ckpt)
+    q2.processAllAvailable(); q2.stop()
+    assert(rows(spark.read.parquet(path)) === expect)
+    assert(spark.read.parquet(path).count() === 3) // A, B, C — each exactly once
   }
 
   test("streaming fold heals a crash caught mid-swap before applying the next batch") {
@@ -138,7 +179,8 @@ class Scd2Spec extends SparkSpec {
     input.addData((1, 2.5)); q.processAllAvailable(); q.stop()
     // recovery rolled __new forward, then batch 0 of the NEW stream...
     // careful: the fresh checkpoint restarts batch ids at 0, which the
-    // seeded watermark (0) marks as replayed — so the state must be
+    // seeded RUN-LESS watermark (0, legacy semantics) marks as replayed
+    // — so the state must be
     // exactly the recovered seed, proving both the roll-forward AND the
     // replay guard engaged
     val got = spark.read.parquet(path)
