@@ -47,4 +47,33 @@ object FuzzyJoin {
       .filter(jac >= threshold)
       .select(col("ka"), col("kb"), jac.as("jaccard"))
   }
+
+  /** (ka, kb, dist) for pairs sharing >= `minShared` distinct n-grams
+    * whose Levenshtein distance is <= `maxDist`.
+    *
+    * The quadratic edit-distance kernel (O(|s|·|t|) per pair) runs ONLY
+    * on inverted-index candidates, after the free length prefilter
+    * (|len(a) − len(b)| > maxDist implies dist > maxDist) — at corpus
+    * scale the candidate generation is the same hash-join shape as
+    * [[qgramJoin]] and the expensive verify touches a vanishing fraction
+    * of the cross product. `a` is the probe side (small, broadcast). */
+  def editDistanceJoin(
+      a: DataFrame, aKey: String, aText: String,
+      b: DataFrame, bKey: String, bText: String,
+      n: Int, minShared: Int, maxDist: Int): DataFrame = {
+    val ga = grams(a, aKey, aText, n, "ka")
+    val gb = grams(b, bKey, bText, n, "kb")
+    val cand = gb.join(broadcast(ga), Seq("q"))
+      .groupBy(col("ka"), col("kb"))
+      .agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >= minShared)
+      .select(col("ka"), col("kb"))
+    cand
+      .join(broadcast(a.select(col(aKey).as("ka"), col(aText).as("__ta"))), Seq("ka"))
+      .join(b.select(col(bKey).as("kb"), col(bText).as("__tb")), Seq("kb"))
+      .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("ka"), col("kb"), col("dist"))
+  }
 }

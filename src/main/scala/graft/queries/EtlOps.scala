@@ -321,8 +321,34 @@ object EtlOps {
       n = 3, threshold = 0.5)
   }
 
+  // --- j7_edit_distance: edit-distance join — j6's inverted-index
+  // candidates (>= 8 shared 3-grams) refined by exact Levenshtein <= 4.
+  // The O(|s|·|t|) distance kernel runs only on candidates that also
+  // clear the free length prefilter; DuckDB's levenshtein and Spark's
+  // are both the unit-cost classic, so the gate is an exact match. ---
+  val j7EditDistance = QueryDef.sql(
+    "j7_edit_distance",
+    """WITH ga AS (SELECT DISTINCT p_partkey AS ka, q FROM (
+      |    SELECT p_partkey, unnest([substr(p_name, i, 3) for i in range(1, len(p_name) - 1)]) AS q
+      |    FROM part WHERE p_partkey %% 397 = 0 AND len(p_name) >= 3) t),
+      |gb AS (SELECT DISTINCT p_partkey AS kb, q FROM (
+      |    SELECT p_partkey, unnest([substr(p_name, i, 3) for i in range(1, len(p_name) - 1)]) AS q
+      |    FROM part WHERE p_partkey %% 2 = 1 AND len(p_name) >= 3) t),
+      |cand AS (SELECT ka, kb FROM ga JOIN gb USING (q) GROUP BY ka, kb HAVING count(*) >= 8)
+      |SELECT c.ka, c.kb, levenshtein(a.p_name, b.p_name) AS dist
+      |FROM cand c JOIN part a ON a.p_partkey = c.ka JOIN part b ON b.p_partkey = c.kb
+      |WHERE abs(len(a.p_name) - len(b.p_name)) <= 4
+      |  AND levenshtein(a.p_name, b.p_name) <= 4""".stripMargin
+      .replace("%%", "%")) { (s, d) =>
+    val part = T.part(s, d)
+    FuzzyJoin.editDistanceJoin(
+      part.filter(col("p_partkey") % 397 === 0), "p_partkey", "p_name",
+      part.filter(col("p_partkey") % 2 === 1), "p_partkey", "p_name",
+      n = 3, minShared = 8, maxDist = 4)
+  }
+
   val all: Seq[QueryDef] = Seq(
     j1FirstWins, j2Flatten, j3Lookup, p2TimeWindow, p4CastValidate,
     p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff,
-    j4RangeJoin, j5IntervalOverlap, j6FuzzyMatch)
+    j4RangeJoin, j5IntervalOverlap, j6FuzzyMatch, j7EditDistance)
 }

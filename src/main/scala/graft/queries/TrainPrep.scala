@@ -150,6 +150,54 @@ object TrainPrep {
         (col("n_overlap").cast("double") / col("n_shingles")).as("contamination"))
   }
 
+  // --- d9_bloom_screen: Bloom-filter contamination screen — d5's exact
+  // semi-join replaced by a 65536-bit filter over the eval shingles that
+  // rides the plan as ONE literal: the corpus-side test is a pure
+  // map-side projection (k=2 md5 positions → 2 array lookups), no join
+  // or shuffle of the corpus at all. False positives are deterministic
+  // (md5 positions, no RNG), so the oracle reproduces the exact same
+  // flagged set — n_exact_hits = 0 rows ARE the FPs, visible and gated.
+  // At 100 TB this is the screen you run FIRST; the exact join (d5)
+  // runs only on the tiny flagged remainder. ---
+  val d9BloomScreen = QueryDef.sql(
+    "d9_bloom_screen",
+    s"""WITH sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |  FROM (SELECT doc_id, $sqlToks AS t FROM documents) toks,
+       |  LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+       |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+       |occ AS (SELECT DISTINCT p FROM (
+       |    SELECT CAST(concat('0x', substr(md5('0:' || s), 1, 4)) AS BIGINT) AS p FROM ev
+       |    UNION ALL
+       |    SELECT CAST(concat('0x', substr(md5('1:' || s), 1, 4)) AS BIGINT) FROM ev) u),
+       |hits AS (SELECT c.doc_id,
+       |    CASE WHEN o0.p IS NOT NULL AND o1.p IS NOT NULL THEN 1 ELSE 0 END AS bh,
+       |    CASE WHEN e.s IS NOT NULL THEN 1 ELSE 0 END AS eh
+       |  FROM (SELECT doc_id, s,
+       |      CAST(concat('0x', substr(md5('0:' || s), 1, 4)) AS BIGINT) AS p0,
+       |      CAST(concat('0x', substr(md5('1:' || s), 1, 4)) AS BIGINT) AS p1
+       |    FROM sh WHERE doc_id % 97 <> 0) c
+       |  LEFT JOIN occ o0 ON c.p0 = o0.p
+       |  LEFT JOIN occ o1 ON c.p1 = o1.p
+       |  LEFT JOIN ev e ON c.s = e.s)
+       |SELECT doc_id, count(*) AS n_shingles,
+       |  CAST(sum(bh) AS BIGINT) AS n_bloom_hits, CAST(sum(eh) AS BIGINT) AS n_exact_hits
+       |FROM hits GROUP BY doc_id HAVING sum(bh) > 0""".stripMargin) { (s, d) =>
+    import graft.operators.BloomScreen
+    val sh = T.documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.shinglesRegex(col("text"), 3))).as("s"))
+    val ev = sh.filter(col("doc_id") % 97 === 0).select(col("s")).distinct()
+    val bits = BloomScreen.buildBits(ev, "s", k = 2)
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .withColumn("bh", when(BloomScreen.hit(bits, col("s"), k = 2), 1).otherwise(0))
+      .join(broadcast(ev.withColumn("ex", lit(1))), Seq("s"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("bh")).as("n_bloom_hits"),
+        sum(coalesce(col("ex"), lit(0))).as("n_exact_hits"))
+      .filter(col("n_bloom_hits") > 0)
+  }
+
   // --- t11_unigram_logprob: language-model quality proxy — per-doc mean
   // unigram log-probability under the corpus's own unigram distribution
   // (the cheap stand-in for KenLM perplexity filtering). Two shuffles:
@@ -400,6 +448,35 @@ object TrainPrep {
       .select(col("doc_id"), col("lang"))
   }
 
+  // --- t20_weighted_sample: weighted Bernoulli sampling — every doc is
+  // kept with probability proportional to its length (the standard
+  // size-proportional corpus sampler; expected sample ≈ 100 docs at any
+  // scale). The uniform draw is the first 32 md5 bits of the doc id as
+  // an EXACT double in [0,1) (v/2^32 — both numerator and denominator
+  // are dyadic, so the division is lossless and the keep decision is
+  // bit-identical on both engines; Spark conv(hex) ≡ DuckDB
+  // CAST('0x…')). One scan + one broadcast scalar — no shuffle of the
+  // corpus at all, embarrassingly parallel at 100 TB. ---
+  val t20WeightedSample = QueryDef.sql(
+    "t20_weighted_sample",
+    """WITH tot AS (SELECT sum(n_chars) AS w FROM documents),
+      |s AS (SELECT doc_id, n_chars,
+      |    CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+      |      / CAST(4294967296 AS DOUBLE) AS u,
+      |    CAST(100 * n_chars AS DOUBLE) / CAST(w AS DOUBLE) AS p
+      |  FROM documents, tot)
+      |SELECT doc_id, n_chars, u, p FROM s WHERE u < p""".stripMargin) { (s, d) =>
+    val docs = T.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val tot = docs.agg(sum(col("n_chars")).as("w"))
+    docs.crossJoin(broadcast(tot))
+      .withColumn("u", expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)" +
+          " / CAST(4294967296 AS DOUBLE)"))
+      .withColumn("p", expr("CAST(100 * n_chars AS DOUBLE) / CAST(w AS DOUBLE)"))
+      .filter(col("u") < col("p"))
+      .select(col("doc_id"), col("n_chars"), col("u"), col("p"))
+  }
+
   // --- t17_feature_hashing: hashing-trick document vectors — the
   // model-free way to get documents into the vector operators (v1-v6):
   // every token hashes into one of 16 md5 buckets, per-(doc, bucket)
@@ -533,5 +610,6 @@ object TrainPrep {
   val all: Seq[QueryDef] = Seq(
     t8PackSequences, t9NgramCounts, t10RedactPii, d5Contamination,
     t11UnigramLogprob, t12Repetition, t14NormalizeText, t16TemperatureMix,
-    t17FeatureHashing, t18DocKnn, d8VerbatimLeak, t19Tfidf)
+    t17FeatureHashing, t18DocKnn, d8VerbatimLeak, t19Tfidf,
+    t20WeightedSample, d9BloomScreen)
 }

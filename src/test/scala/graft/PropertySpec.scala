@@ -184,4 +184,53 @@ class PropertySpec extends SparkSpec {
         s"seed=$seed width=$width: interval overlap diverges from nested loop")
     }
   }
+
+  test("edit-distance join equals the nested loop under the same candidate rule") {
+    import graft.operators.FuzzyJoin
+    val vocab = Vector("alpha", "alpina", "alphas", "beta", "betta", "gamma",
+      "gamba", "delta", "delts", "omega")
+    for (seed <- 1L to 6L) {
+      def mk(off: Long, n: Int) =
+        Gen.listOfN(n, Gen.zip(Gen.choose(0, vocab.size - 1), Gen.choose(0, vocab.size - 1)))
+          .pureApply(params, Seed(seed + off)).zipWithIndex
+          .map { case ((i, j), id) => (id.toLong, vocab(i) + " " + vocab(j)) }
+      val a = mk(0, 8).toDF("ka", "ta")
+      val b = mk(50, 25).map { case (k, t) => (k + 1000, t) }.toDF("kb", "tb")
+      val got = FuzzyJoin.editDistanceJoin(a, "ka", "ta", b, "kb", "tb",
+        n = 3, minShared = 3, maxDist = 4).select("ka", "kb", "dist")
+      // nested-loop truth with the IDENTICAL candidate semantics (shared
+      // distinct 3-grams >= 3) — proves the inverted index loses nothing
+      val want = a.crossJoin(b)
+        .withColumn("shared", size(array_intersect(
+          expr("array_distinct(transform(sequence(1, greatest(length(ta) - 2, 0)), i -> substring(ta, i, 3)))"),
+          expr("array_distinct(transform(sequence(1, greatest(length(tb) - 2, 0)), i -> substring(tb, i, 3)))"))))
+        .filter(col("shared") >= 3)
+        .withColumn("dist", levenshtein(col("ta"), col("tb")))
+        .filter(col("dist") <= 4)
+        .select("ka", "kb", "dist")
+      assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0,
+        s"seed=$seed: edit-distance join diverges from nested loop")
+    }
+  }
+
+  test("bloom screen has no false negatives and FPs are deterministic") {
+    import graft.operators.BloomScreen
+    for (seed <- 1L to 4L) {
+      val all = Gen.listOfN(400, Gen.choose(0, 100000))
+        .pureApply(params, Seed(seed)).distinct.map(i => s"value-$i")
+      val (ref, rest) = all.splitAt(40)
+      val refDf = ref.toDF("s")
+      val bits = BloomScreen.buildBits(refDf, "s", k = 2)
+      // every reference member MUST hit (no false negatives, ever)
+      val misses = refDf.filter(!BloomScreen.hit(bits, col("s"), k = 2)).count()
+      assert(misses === 0, s"seed=$seed: bloom false negative")
+      // the flagged subset of non-members is a deterministic function of
+      // the data — two independent builds agree exactly
+      val bits2 = BloomScreen.buildBits(ref.toDF("s"), "s", k = 2)
+      val restDf = rest.toDF("s")
+      val f1 = restDf.filter(BloomScreen.hit(bits, col("s"), k = 2)).collect().toSet
+      val f2 = restDf.filter(BloomScreen.hit(bits2, col("s"), k = 2)).collect().toSet
+      assert(f1 === f2)
+    }
+  }
 }
