@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Weighted PageRank over a directed edge list — iterative graph
+  * centrality as pure DataFrame algebra.
+  *
+  * Scale design: each round is ONE equi-join of the edge list with the
+  * (node-sized) rank table plus one partial-aggregated shuffle on dst —
+  * the rank and degree tables are broadcast-or-shuffle joined by
+  * Catalyst as their size dictates, nothing is ever collected, and hot
+  * destination nodes are ordinary AQE skew territory. Rank lineage
+  * deepens by one join per round, so long runs stage through
+  * `stagePath` (the kmeans/CC recipe).
+  *
+  * Determinism: ranks live in exact scaled-integer space (`scale`
+  * micro-units). Every step is integer multiply + truncating division
+  * on non-negative values, so iteration order, partitioning, and engine
+  * cannot perturb a single unit — a SQL oracle reproduces the ranks
+  * bit-for-bit (g1's gate). Bound: `r * w` must fit in a BIGINT —
+  * r <= scale, so per-edge weights must stay below 2^63/scale (9.2e6 at
+  * the default scale; pre-normalize heavier weights or lower `scale`).
+  *
+  * Dangling nodes (no out-edges) keep receiving the teleport share but
+  * redistribute nothing — the standard simplification; total mass then
+  * decays slightly, which is irrelevant for ranking.
+  */
+object PageRank {
+
+  /** (id, r) after `iters` rounds, r in `scale` micro-units.
+    * `edges` columns: src, dst, w (positive integer weight). */
+  def ranks(
+      edges: DataFrame,
+      iters: Int,
+      scale: Long = 1000000000000L,
+      stagePath: Option[String] = None): DataFrame = {
+    val spark = edges.sparkSession
+    val nodes = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id"))).distinct()
+    val nTot = nodes.agg(count(lit(1)).as("n_nodes"))
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    var r = nodes.crossJoin(broadcast(nTot))
+      .select(col("id"), expr(s"$scale div n_nodes").as("r"))
+    for (i <- 1 to iters) {
+      val contrib = edges
+        .join(outw, Seq("src"))
+        .join(r.select(col("id").as("src"), col("r")), Seq("src"))
+        .select(col("dst"), expr("(r * w) div wout").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      r = nodes
+        .join(contrib.select(col("dst").as("id"), col("s")), Seq("id"), "left_outer")
+        .crossJoin(broadcast(nTot))
+        .select(col("id"), expr(
+          s"((15 * $scale) div 100) div n_nodes + (85 * coalesce(s, 0)) div 100").as("r"))
+      stagePath.foreach { p =>
+        val dir = s"$p/rank-$i"
+        r.write.mode("overwrite").parquet(dir)
+        r = spark.read.parquet(dir)
+      }
+    }
+    r
+  }
+
+  /** The same computation as unrolled ANSI SQL CTEs (DuckDB oracle):
+    * emits `e` (from `edgesCte`), nodes/nt/ow, then c1/r1 … c$iters/
+    * r$iters. The final rank table is `r$iters` (id, r). */
+  def sqlRanks(edgesCte: String, iters: Int, scale: Long = 1000000000000L): String = {
+    val header =
+      s"""e AS ($edgesCte),
+         |nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e) u),
+         |nt AS (SELECT count(*) AS n_nodes FROM nodes),
+         |ow AS (SELECT src, sum(w) AS wout FROM e GROUP BY src),
+         |r0 AS (SELECT id, $scale // n_nodes AS r FROM nodes, nt)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst, CAST(sum((p.r * e.w) // ow.wout) AS BIGINT) AS s
+         |  FROM e JOIN ow USING (src) JOIN r${i - 1} p ON p.id = e.src GROUP BY e.dst),
+         |r$i AS (SELECT n.id,
+         |    ((15 * $scale) // 100) // nt.n_nodes + (85 * coalesce(c$i.s, 0)) // 100 AS r
+         |  FROM nodes n LEFT JOIN c$i ON c$i.dst = n.id, nt)""".stripMargin
+    }
+    (header +: rounds).mkString(",\n")
+  }
+}

@@ -52,4 +52,32 @@ class ComponentsSpec extends SparkSpec {
   test("empty edge set yields an empty labeling, no iteration blowup") {
     assert(cc(Seq.empty) === Map.empty)
   }
+
+  test("pagerank: symmetric cycle is uniform, sinks drain mass, staging changes nothing") {
+    import graft.operators.PageRank
+    import org.apache.spark.sql.functions.col
+    val scale = 1000000000000L
+    // 4-cycle with equal weights: perfect symmetry ⇒ every node keeps
+    // exactly the uniform rank at every round (integer division included)
+    val cyc = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "d", 1L), ("d", "a", 1L))
+      .toDF("src", "dst", "w")
+    val rc = PageRank.ranks(cyc, iters = 3).as[(String, Long)].collect().toMap
+    val unit = scale / 4
+    assert(rc.values.toSet === Set(15L * scale / 100 / 4 + 85L * unit / 100),
+      "cycle fixpoint after round 1")
+    // star into a sink: the sink must out-rank the spokes, and total mass
+    // stays <= scale (truncation + dangling only ever lose units)
+    val star = Seq(("s1", "hub", 1L), ("s2", "hub", 1L), ("s3", "hub", 1L))
+      .toDF("src", "dst", "w")
+    val rs = PageRank.ranks(star, iters = 3).as[(String, Long)].collect().toMap
+    assert(rs("hub") > rs("s1") && rs("s1") === rs("s2"))
+    assert(rs.values.sum <= scale)
+    // staged and unstaged runs are bit-identical
+    val stage = java.nio.file.Files.createTempDirectory("pr-stage").toString
+    val staged = PageRank.ranks(star, iters = 3, stagePath = Some(stage))
+      .as[(String, Long)].collect().toMap
+    assert(staged === rs)
+    // ranks are non-negative and node set is preserved
+    assert(PageRank.ranks(cyc, iters = 1).filter(col("r") < 0).isEmpty)
+  }
 }
