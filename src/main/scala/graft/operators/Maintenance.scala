@@ -71,6 +71,57 @@ object Maintenance {
     }
   }
 
+  /** Morton (Z-order) code column `__z` over `cols`: each column is
+    * normalized to `bits` equal-width buckets from its own min/max (one
+    * tiny agg pass — bounded output, never corpus-sized) and the bucket
+    * bits are interleaved. Nearby points in ANY of the dimensions land
+    * near each other in z, which is what makes multi-column box
+    * predicates skippable — a lexicographic sort only ever prunes on
+    * its leading column. Pure codegen'd integer expression per row. */
+  def withZorder(df: DataFrame, cols: Seq[String], bits: Int = 8): DataFrame = {
+    require(cols.nonEmpty && bits * cols.length <= 62, "z code must fit a long")
+    val bexprs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+    val bounds = df.agg(bexprs.head, bexprs.tail: _*).head()
+    var out = df
+    cols.zipWithIndex.foreach { case (c, d) =>
+      val mn = bounds.getDouble(2 * d)
+      val mx = bounds.getDouble(2 * d + 1)
+      val span = if (mx > mn) mx - mn else 1.0
+      out = out.withColumn(s"__b$d",
+        least(lit((1 << bits) - 1), greatest(lit(0),
+          floor((col(c).cast("double") - lit(mn)) / lit(span) * lit(1 << bits)).cast("int"))))
+    }
+    val terms = for (i <- 0 until bits; d <- cols.indices)
+      yield s"shiftleft(shiftright(__b$d, $i) & 1, ${i * cols.length + d})"
+    out.withColumn("__z", expr(terms.mkString("CAST(", " + ", " AS BIGINT)")))
+      .drop(cols.indices.map(d => s"__b$d"): _*)
+  }
+
+  /** Crash-safe compaction + Z-ORDER clustering: the rewrite range-
+    * partitions and sorts by the interleaved code, so row-group min/max
+    * stats become selective on EVERY clustered column at once — the
+    * layout for tables filtered by multi-dimensional boxes (time ×
+    * tenant, lat × lon, x × y), where [[clusterBy]]'s lexicographic
+    * order prunes only the leading column. */
+  def zorderBy(
+      spark: SparkSession,
+      path: String,
+      cols: Seq[String],
+      bits: Int = 8,
+      targetBytesPerFile: Long = 128L << 20): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Upsert.recoverSwap(fs, path)
+    val n = targetFileCount(stats(spark, path).bytes, targetBytesPerFile)
+    Upsert.stagedRewrite(spark, path) { df =>
+      withZorder(df, cols, bits)
+        .repartitionByRange(n, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+    }
+  }
+
   /** Compact only fragmented partitions of a partitioned table: each
     * partition directory with more than `maxFilesPerPartition` files is
     * rewritten in place via dynamic partition overwrite. Untouched

@@ -76,6 +76,56 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() === 8000)
   }
 
+  test("zorderBy: 2-D box predicates skip more files than lexicographic clustering") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    // 64×64 grid scattered over 8 files (worst case: every file spans
+    // the full range of both columns)
+    val pts = for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong)
+    def writeScattered(path: String): Unit =
+      (0 until 8).foreach { i =>
+        pts.filter { case (x, y) => (x * 64 + y) % 8 == i }
+          .toDF("x", "y").coalesce(1).write.mode("append").parquet(path)
+      }
+    // per-file (min,max) of both columns straight from the footers
+    def ranges(path: String): Seq[((Long, Long), (Long, Long))] =
+      new java.io.File(path).listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+        .map { f =>
+          val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getPath),
+            spark.sparkContext.hadoopConfiguration))
+          try {
+            def mm(c: String) = {
+              val st = r.getFooter.getBlocks.asScala
+                .map(_.getColumns.asScala.find(_.getPath.toDotString == c).get.getStatistics)
+              (st.map(_.genericGetMin.asInstanceOf[Long]).min,
+                st.map(_.genericGetMax.asInstanceOf[Long]).max)
+            }
+            (mm("x"), mm("y"))
+          } finally r.close()
+        }
+    // a 16×16 corner box — the multi-dimensional predicate shape
+    def boxHits(path: String): Int = ranges(path).count {
+      case ((xlo, xhi), (ylo, yhi)) => xlo <= 15 && 0 <= xhi && ylo <= 15 && 0 <= yhi
+    }
+    val zpath = Files.createTempDirectory("maint").toString + "/z"
+    val lpath = Files.createTempDirectory("maint").toString + "/l"
+    writeScattered(zpath); writeScattered(lpath)
+    Maintenance.zorderBy(spark, zpath, Seq("x", "y"), bits = 6, targetBytesPerFile = 1024)
+    Maintenance.clusterBy(spark, lpath, Seq("x", "y"), targetBytesPerFile = 1024)
+    val (zn, ln) = (ranges(zpath).size, ranges(lpath).size)
+    assert(zn >= 8 && ln >= 8, s"need real file counts to compare: z=$zn lex=$ln")
+    val (zh, lh) = (boxHits(zpath), boxHits(lpath))
+    // lexicographic: x prunes but every surviving file spans all of y;
+    // z-order: the box is a z-prefix quadrant → a fraction of files
+    assert(zh < lh, s"z-order must beat lexicographic on the box: z=$zh lex=$lh")
+    assert(zh <= math.max(2, zn / 4), s"box should touch a small fraction: $zh of $zn")
+    // layout change only — the data is intact
+    assert(spark.read.parquet(zpath).orderBy("x", "y").collect().toSeq
+      === pts.toDF("x", "y").orderBy("x", "y").collect().toSeq)
+  }
+
   test("compactPartitioned: only fragmented partitions are rewritten") {
     val path = Files.createTempDirectory("maint").toString + "/t"
     // partition p=a fragmented (10 appends), p=b written once
