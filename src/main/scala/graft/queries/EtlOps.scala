@@ -347,8 +347,54 @@ object EtlOps {
       n = 3, minShared = 8, maxDist = 4)
   }
 
+  // --- er1_entity_clusters: end-to-end entity resolution — fuzzy
+  // self-match (3-gram Jaccard >= 0.6 over the inverted index, never a
+  // distance nested loop) feeds connected components, so transitive
+  // matches (A~B, B~C) collapse to ONE entity even when A~C was never
+  // emitted; unmatched records stay their own entity. The canonical id
+  // is the component minimum — deterministic, so the recursive-CTE
+  // oracle reproduces it exactly. The d6 pipeline shape on an entity
+  // table instead of a near-dup corpus. ---
+  val er1EntityClusters = QueryDef.sql(
+    "er1_entity_clusters",
+    """WITH RECURSIVE g AS (SELECT DISTINCT p_partkey AS k, q FROM (
+      |    SELECT p_partkey, unnest([substr(p_name, i, 3) for i in range(1, len(p_name) - 1)]) AS q
+      |    FROM part WHERE p_partkey %% 23 = 0 AND len(p_name) >= 3) t),
+      |sz AS (SELECT k, count(*) AS c FROM g GROUP BY k),
+      |pr AS (SELECT a.k AS ka, b.k AS kb, count(*) AS i
+      |       FROM g a JOIN g b ON a.q = b.q AND a.k < b.k GROUP BY a.k, b.k),
+      |ed0 AS (SELECT ka, kb FROM pr JOIN sz sa ON sa.k = pr.ka JOIN sz sb ON sb.k = pr.kb
+      |        WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.6),
+      |edges AS (SELECT ka AS a, kb AS b FROM ed0 UNION SELECT kb, ka FROM ed0),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges),
+      |reach(a, b) AS (SELECT id, id FROM nodes
+      |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |lbl AS (SELECT a AS k, min(b) AS cid FROM reach GROUP BY a)
+      |SELECT p.p_partkey, coalesce(l.cid, p.p_partkey) AS entity_id,
+      |  coalesce(l.cid, p.p_partkey) = p.p_partkey AS canonical
+      |FROM part p LEFT JOIN lbl l ON l.k = p.p_partkey
+      |WHERE p.p_partkey %% 23 = 0""".stripMargin
+      .replace("%%", "%")) { (s, d) =>
+    val sub = T.part(s, d).filter(col("p_partkey") % 23 === 0)
+    val pairs = FuzzyJoin.qgramJoin(
+      sub, "p_partkey", "p_name", sub, "p_partkey", "p_name", n = 3, threshold = 0.6)
+      .filter(col("ka") < col("kb"))
+    val stage = java.nio.file.Files.createTempDirectory("er1-edges").toString
+    pairs.select(col("ka").as("a"), col("kb").as("b"))
+      .write.mode("overwrite").parquet(stage)
+    val cc = graft.operators.Components.connectedComponents(
+      s.read.parquet(stage), restageEvery = 1, stagePath = Some(s"$stage/labels"))
+    sub.select(col("p_partkey"))
+      .join(cc.select(col("id").as("p_partkey"), col("cluster_id")),
+        Seq("p_partkey"), "left_outer")
+      .select(col("p_partkey"),
+        coalesce(col("cluster_id"), col("p_partkey")).as("entity_id"))
+      .withColumn("canonical", col("entity_id") === col("p_partkey"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     j1FirstWins, j2Flatten, j3Lookup, p2TimeWindow, p4CastValidate,
     p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff,
-    j4RangeJoin, j5IntervalOverlap, j6FuzzyMatch, j7EditDistance)
+    j4RangeJoin, j5IntervalOverlap, j6FuzzyMatch, j7EditDistance,
+    er1EntityClusters)
 }
