@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables => T}
-import graft.operators.HllSketch
+import graft.functions.TextFns
+import graft.operators.{CountMin, HllSketch}
 
 /** Registered queries over the mergeable HLL distinct sketch
   * (operators.HllSketch). Both gates are EXACT hash matches — the
@@ -56,5 +57,41 @@ object Sketches {
       HllSketch.merge(pre, post, Seq("l_suppkey")), Seq("l_suppkey"))
   }
 
-  val all: Seq[QueryDef] = Seq(a22HllDistinct, k10HllMerge)
+  // --- a23_cms_freq: Count-Min frequency estimates for the corpus's 20
+  // most frequent tokens, next to the exact counts. The Spark side
+  // builds the sketch as a MERGE of two half-corpus sketches while the
+  // oracle sketches in one pass — the hash match proves counter-merge ≡
+  // one-shot AND pins every md5 collision in the estimates (est_n >=
+  // exact_n, bit-identical overshoot). At 100 TB the sketch is the 8 KB
+  // answer to "how often does X occur" without a vocabulary-sized
+  // state. ---
+  private val sqlWsCollapsed = """trim(regexp_replace(text, '\s+', ' ', 'g'))"""
+  private val sqlToks = s"string_split($sqlWsCollapsed, ' ')"
+
+  val a23CmsFreq = QueryDef.sql(
+    "a23_cms_freq",
+    s"""WITH toks AS (SELECT unnest($sqlToks) AS t FROM documents),
+       |cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS exact_n FROM toks GROUP BY t),
+       |pos AS (SELECT t, exact_n, j,
+       |    CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || ':' || t), 1, 2)) AS BIGINT) AS p
+       |  FROM cnt, LATERAL (SELECT unnest(range(0, ${CountMin.depth})) AS j) r),
+       |counters AS (SELECT j, p, CAST(sum(exact_n) AS BIGINT) AS c FROM pos GROUP BY j, p),
+       |est AS (SELECT t, min(coalesce(c.c, 0)) AS est_n
+       |  FROM pos LEFT JOIN counters c ON c.j = pos.j AND c.p = pos.p GROUP BY t),
+       |top AS (SELECT t, exact_n FROM cnt ORDER BY exact_n DESC, t LIMIT 20)
+       |SELECT top.t AS token, top.exact_n, est.est_n
+       |FROM top JOIN est ON est.t = top.t""".stripMargin) { (s, d) =>
+    val docs = T.documents(s, d)
+    val toks = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
+    val cms = CountMin.merge(
+      CountMin.sketch(toks.filter(col("doc_id") % 2 === 0), col("t")),
+      CountMin.sketch(toks.filter(col("doc_id") % 2 =!= 0), col("t")))
+    val cnt = toks.groupBy(col("t")).agg(count(lit(1)).as("exact_n"))
+    val top = cnt.orderBy(col("exact_n").desc, col("t")).limit(20)
+    CountMin.lookup(cms, top, "t")
+      .join(top, Seq("t"))
+      .select(col("t").as("token"), col("exact_n"), col("est_n"))
+  }
+
+  val all: Seq[QueryDef] = Seq(a22HllDistinct, k10HllMerge, a23CmsFreq)
 }

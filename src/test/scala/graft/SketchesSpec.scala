@@ -37,6 +37,28 @@ class SketchesSpec extends SparkSpec {
     assert(twice.exceptAll(full).isEmpty && full.exceptAll(twice).isEmpty)
   }
 
+  test("count-min never underestimates, merge equals one-shot, unseen keys hit empty cells") {
+    import graft.operators.CountMin
+    val vals = (1 to 5000).map(i => s"tok${i % 700}").toDF("v")
+    val full = CountMin.sketch(vals, col("v"))
+    // merge of disjoint halves == one-shot sketch, exactly
+    val m = CountMin.merge(
+      CountMin.sketch((1 to 2500).map(i => s"tok${i % 700}").toDF("v"), col("v")),
+      CountMin.sketch((2501 to 5000).map(i => s"tok${i % 700}").toDF("v"), col("v")))
+    assert(m.exceptAll(full).isEmpty && full.exceptAll(m).isEmpty)
+    // every estimate >= the true count (the one-sided CMS guarantee)
+    val truth = vals.groupBy(col("v")).agg(count(lit(1)).as("n"))
+    val bad = CountMin.lookup(full, truth.select("v"), "v")
+      .join(truth, Seq("v")).filter(col("est_n") < col("n")).count()
+    assert(bad === 0, "CMS must never underestimate")
+    // a sketch over FEW values leaves empty cells: unseen keys that hit
+    // one estimate 0 (left-join semantics; inner join would inflate)
+    val tiny = CountMin.sketch(Seq("a", "b", "c").toDF("v"), col("v"))
+    val unseen = (1 to 300).map(i => s"zz$i").toDF("v")
+    val zeroes = CountMin.lookup(tiny, unseen, "v").filter(col("est_n") === 0).count()
+    assert(zeroes > 250, s"most unseen keys must estimate 0 on a sparse sketch, got $zeroes")
+  }
+
   test("streaming HLL fold equals the full recompute and skips a committed replay") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
