@@ -328,8 +328,42 @@ object Extras {
       .agg(min(col("v")).as("median_qty"))
   }
 
+  // --- a24_pareto_front: 2-D skyline (maximize p_retailprice AND p_size;
+  // a part survives iff no other part is >= in both dims and > in one).
+  // The naive skyline is an O(n²) dominance self-join; the scale shape
+  // here collapses the corpus to a per-size max-price table FIRST (≤ the
+  // size domain, ~50 rows regardless of corpus size), derives each
+  // size's "best strictly-larger-size price" from that tiny table (a
+  // bounded 50×50 non-equi join — constant cost at any scale), then
+  // broadcasts both back over the data: one partial-aggregate shuffle of
+  // (size, max) pairs + two broadcast probes, never a row-level self-join.
+  // Dominance decomposition: dominated ⟺ same-size max beats your price
+  // (M(s) > r) OR some strictly-larger size reaches your price (G(s) ≥ r). ---
+  val a24ParetoFront = QueryDef.sql(
+    "a24_pareto_front",
+    """SELECT p_partkey, p_size, p_retailprice
+      |FROM part p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part q
+      |  WHERE q.p_size >= p.p_size AND q.p_retailprice >= p.p_retailprice
+      |    AND (q.p_size > p.p_size OR q.p_retailprice > p.p_retailprice))""".stripMargin) { (s, d) =>
+    val parts = T.part(s, d).select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+    val m = parts.groupBy(col("p_size")).agg(max(col("p_retailprice")).as("m"))
+    val g = m.as("a")
+      .join(m.as("b"), col("b.p_size") > col("a.p_size"), "left_outer")
+      .groupBy(col("a.p_size").as("p_size"))
+      .agg(max(col("b.m")).as("g"))
+    parts
+      .join(broadcast(m), Seq("p_size"))
+      .join(broadcast(g), Seq("p_size"))
+      .filter(col("p_retailprice") === col("m") &&
+        (col("g").isNull || col("p_retailprice") > col("g")))
+      .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
     a16WindowSuite, a17ScalarSuite, a18DateSuite, a19GroupingSets,
-    sql2CorrelatedSubquery, a4bTopkAgg, a20Histogram, a21ExactMedian)
+    sql2CorrelatedSubquery, a4bTopkAgg, a20Histogram, a21ExactMedian,
+    a24ParetoFront)
 }

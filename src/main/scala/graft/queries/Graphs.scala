@@ -36,5 +36,55 @@ object Graphs {
         expr("CAST(r AS DOUBLE) / CAST(1000000000000 AS DOUBLE)").as("pr"))
   }
 
-  val all: Seq[QueryDef] = Seq(g1Pagerank)
+  // --- g2_triangle_count: triangle counting over the part co-purchase
+  // graph (parts co-occurring in one order, normalized u<v, distinct).
+  // The Spark plan uses DEGREE-ORIENTED wedges — every edge points from
+  // its lower-(degree,id) endpoint to the higher, so each triangle is
+  // generated exactly once at its minimum vertex and the wedge fan-out
+  // per node is bounded by O(√E) even on power-law graphs (the classic
+  // MapReduce triangle algorithm; a naive 3-way self-join explodes on
+  // hub nodes). All joins are equi-joins (src for wedges, (b,c) for
+  // closure) — shuffles, never nested loops. The oracle counts the same
+  // triangles by the simpler a<b<c formulation: orientation changes the
+  // plan, not the count. ---
+  val g2TriangleCount = QueryDef.sql(
+    "g2_triangle_count",
+    """WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (SELECT DISTINCT x.p AS u, y.p AS v FROM it x JOIN it y ON x.o = y.o AND x.p < y.p),
+      |tri AS (SELECT count(*) AS n_triangles
+      |  FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |nn AS (SELECT count(DISTINCT n) AS n_nodes
+      |  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) z),
+      |ne AS (SELECT count(*) AS n_edges FROM e)
+      |SELECT n_nodes, n_edges, n_triangles FROM nn, ne, tri""".stripMargin) { (s, d) =>
+    val it = T.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e = it.as("x").join(it.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
+    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
+    val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(fwd, col("u")).otherwise(col("v")).as("src"),
+      when(fwd, col("v")).otherwise(col("u")).as("dst"),
+      when(fwd, col("dv")).otherwise(col("du")).as("ddeg"))
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.ddeg") < col("e2.ddeg") ||
+            (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.dst").as("b"), col("e2.dst").as("c"))
+    val tri = wedges
+      .join(oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nn = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .agg(count_distinct(col("n")).as("n_nodes"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    nn.crossJoin(ne).crossJoin(tri)
+  }
+
+  val all: Seq[QueryDef] = Seq(g1Pagerank, g2TriangleCount)
 }

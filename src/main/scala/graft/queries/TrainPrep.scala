@@ -607,9 +607,98 @@ object TrainPrep {
       .select(col("doc_id"), col("t").as("term"), col("score"), col("rank"))
   }
 
+  // --- t21_chunk_overlap: fixed-window overlapping character chunking —
+  // the step that turns cleaned documents into retrieval/context windows
+  // (chunk size 120, stride 90 → 30-char overlap so no boundary loses
+  // context). Pure per-row codegen work: sequence → posexplode →
+  // substring, NO shuffle anywhere — at 100 TB this is a map-only pass
+  // whose output partitioning inherits the input's. Complements t8
+  // (token packing): t8 packs whole docs into budgets, t21 splits long
+  // docs into overlapping windows. ---
+  val t21ChunkOverlap = QueryDef.sql(
+    "t21_chunk_overlap",
+    """SELECT doc_id, CAST(o // 90 AS BIGINT) AS chunk_id, o AS chunk_off,
+      |  substr(text, CAST(o + 1 AS BIGINT), 120) AS chunk,
+      |  len(substr(text, CAST(o + 1 AS BIGINT), 120)) AS chunk_len
+      |FROM (SELECT doc_id, text, len(text) AS n FROM documents WHERE len(text) > 0) d,
+      |LATERAL (SELECT CAST(unnest(range(0, n, 90)) AS BIGINT) AS o) r""".stripMargin) { (s, d) =>
+    val win = 120; val stride = 90
+    T.documents(s, d)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), (length(col("text")) - 1).cast("long"),
+          lit(stride.toLong))).as("chunk_off"))
+      .select(col("doc_id"),
+        (col("chunk_off") / stride).cast("long").as("chunk_id"),
+        col("chunk_off"),
+        expr(s"substring(text, CAST(chunk_off + 1 AS INT), $win)").as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")).cast("long"))
+  }
+
+  // --- d10_containment_pairs: PAIRWISE benchmark decontamination — for
+  // each (corpus doc, eval doc) pair, the fraction of the EVAL doc's
+  // distinct 3-gram shingles contained in the corpus doc (asymmetric
+  // containment |E∩C|/|E|, the measure that catches a benchmark quoted
+  // inside a larger page where symmetric Jaccard stays low). d5 screens
+  // against the eval UNION; this attributes contamination to a specific
+  // benchmark item. As with t10's seeded PII, contamination is INJECTED
+  // deterministically (every 31st corpus doc quotes a 150-char prefix of
+  // one of eval docs 0/97/194) so the flagged set is non-empty and the
+  // 0.25 threshold provably separates it from natural background overlap
+  // (seeded ≥ 0.45, background ≤ 0.06 on the fixtures). Scale shape: the
+  // eval side is tiny and BROADCASTS twice (shingle probe + size lookup);
+  // the corpus is touched once, shuffled only by (corpus_doc, eval_doc)
+  // pair for the overlap count — bounded by matches, not corpus size. ---
+  val d10ContainmentPairs = QueryDef.sql(
+    "d10_containment_pairs",
+    s"""WITH evsrc AS (SELECT doc_id AS eid, text AS etext FROM documents
+       |  WHERE doc_id IN (0, 97, 194)),
+       |corp AS (SELECT d.doc_id,
+       |    CASE WHEN d.doc_id % 97 <> 0 AND d.doc_id % 31 = 0 AND e.etext IS NOT NULL
+       |         THEN d.text || ' ' || substr(e.etext, 1, 150) ELSE d.text END AS text
+       |  FROM documents d LEFT JOIN evsrc e ON e.eid = 97 * (d.doc_id % 3)),
+       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |  FROM (SELECT doc_id, $sqlToks AS t FROM corp) toks,
+       |  LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+       |ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 97 = 0),
+       |evn AS (SELECT eval_id, count(*) AS n_ev FROM ev GROUP BY eval_id),
+       |ov AS (SELECT sh.doc_id, ev.eval_id, count(*) AS n_common
+       |  FROM sh JOIN ev ON sh.s = ev.s
+       |  WHERE sh.doc_id % 97 <> 0
+       |  GROUP BY sh.doc_id, ev.eval_id)
+       |SELECT ov.doc_id, ov.eval_id, n_common, n_ev,
+       |  CAST(n_common AS DOUBLE) / n_ev AS containment
+       |FROM ov JOIN evn USING (eval_id)
+       |WHERE 4 * n_common >= n_ev""".stripMargin) { (s, d) =>
+    val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+    val evsrc = docs.filter(col("doc_id").isin(0L, 97L, 194L))
+      .select(col("doc_id").as("eid"), col("text").as("etext"))
+    val corp = docs
+      .join(broadcast(evsrc), col("eid") === lit(97) * (col("doc_id") % 3), "left_outer")
+      .select(col("doc_id"),
+        when(col("doc_id") % 97 =!= 0 && col("doc_id") % 31 === 0 && col("etext").isNotNull,
+          concat(col("text"), lit(" "), substring(col("etext"), 1, 150)))
+          .otherwise(col("text")).as("text"))
+    val sh = corp
+      .select(col("doc_id"),
+        explode(array_distinct(TextFns.shinglesRegex(col("text"), 3))).as("str"))
+      .select(col("doc_id"), xxhash64(col("str")).as("s"))
+    val ev = sh.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("eval_id"), col("s"))
+    val evn = ev.groupBy(col("eval_id")).agg(count(lit(1)).as("n_ev"))
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(ev), Seq("s"))
+      .groupBy(col("doc_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(evn), Seq("eval_id"))
+      .filter(lit(4) * col("n_common") >= col("n_ev"))
+      .select(col("doc_id"), col("eval_id"), col("n_common"), col("n_ev"),
+        (col("n_common").cast("double") / col("n_ev")).as("containment"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     t8PackSequences, t9NgramCounts, t10RedactPii, d5Contamination,
     t11UnigramLogprob, t12Repetition, t14NormalizeText, t16TemperatureMix,
     t17FeatureHashing, t18DocKnn, d8VerbatimLeak, t19Tfidf,
-    t20WeightedSample, d9BloomScreen)
+    t20WeightedSample, d9BloomScreen, t21ChunkOverlap, d10ContainmentPairs)
 }
