@@ -423,6 +423,100 @@ object Similarity {
           .as(Seq("j", "pr")))
   }
 
+  // --- v8_mmr_rerank: Maximal-Marginal-Relevance diverse top-3 for the
+  // query vector (vec_id 0) — greedy picks maximizing
+  // λ·rel(c) − (1−λ)·max_{s∈picked} sim(c,s), λ=0.7. The retrieval flow
+  // this models: an ANN pass yields a relevance shortlist, then MMR
+  // reranks the SHORTLIST for diversity — so the unrolled greedy rounds
+  // here run on the top-50 shortlist (TakeOrdered top-M, never a global
+  // sort shuffle), and each round is one broadcast of the single picked
+  // vector against ≤50 rows. All relevances/similarities are cosines in
+  // the shared fixed-point formulation — integer dots, one double
+  // division shape — so both engines pick identical argmaxes and the
+  // hash gate pins all three greedy rounds end-to-end. ---
+  private def simAgainst(df: DataFrame, vec: String, out: String): DataFrame =
+    df.withColumn("dot", dotQ("q", vec))
+      .withColumn("nx", dotQ("q", "q"))
+      .withColumn("ny", dotQ(vec, vec))
+      .withColumn(out, cosine)
+      .drop("dot", "nx", "ny", vec)
+
+  val v8MmrRerank = QueryDef.sql(
+    "v8_mmr_rerank",
+    s"""WITH qp AS (SELECT c.vec_id AS cid, q.embedding AS qe, c.embedding AS ce
+       |  FROM embeddings q, embeddings c WHERE q.vec_id = 0 AND c.vec_id <> 0),
+       |relu AS (SELECT cid, unnest(qe) AS x, unnest(ce) AS y FROM qp),
+       |reld AS (SELECT cid,
+       |    sum($sqlQuantU * $sqlQuantV) AS dot,
+       |    sum($sqlQuantU * $sqlQuantU) AS nx,
+       |    sum($sqlQuantV * $sqlQuantV) AS ny
+       |  FROM relu u GROUP BY cid),
+       |rel AS (SELECT cid, (CAST(dot AS DOUBLE) / 1e12) /
+       |    (sqrt(CAST(nx AS DOUBLE) / 1e12) * sqrt(CAST(ny AS DOUBLE) / 1e12)) AS rel
+       |  FROM reld),
+       |short AS (SELECT r.cid, r.rel, e.embedding
+       |  FROM rel r JOIN embeddings e ON e.vec_id = r.cid
+       |  ORDER BY r.rel DESC, r.cid LIMIT 50),
+       |p1 AS (SELECT cid, rel, embedding FROM short ORDER BY rel DESC, cid LIMIT 1),
+       |s1u AS (SELECT s.cid, unnest(s.embedding) AS x, unnest(p.embedding) AS y
+       |  FROM short s, p1 p WHERE s.cid <> p.cid),
+       |s1d AS (SELECT cid,
+       |    sum($sqlQuantU * $sqlQuantV) AS dot,
+       |    sum($sqlQuantU * $sqlQuantU) AS nx,
+       |    sum($sqlQuantV * $sqlQuantV) AS ny
+       |  FROM s1u u GROUP BY cid),
+       |m2 AS (SELECT s.cid, s.rel, s.embedding,
+       |    (CAST(dot AS DOUBLE) / 1e12) /
+       |      (sqrt(CAST(nx AS DOUBLE) / 1e12) * sqrt(CAST(ny AS DOUBLE) / 1e12)) AS sim1
+       |  FROM short s JOIN s1d USING (cid)),
+       |m2s AS (SELECT cid, rel, embedding, sim1,
+       |    CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE) * sim1 AS mmr FROM m2),
+       |p2 AS (SELECT cid, rel, mmr, embedding FROM m2s ORDER BY mmr DESC, cid LIMIT 1),
+       |s2u AS (SELECT m.cid, unnest(m.embedding) AS x, unnest(p.embedding) AS y
+       |  FROM m2s m, p2 p WHERE m.cid <> p.cid),
+       |s2d AS (SELECT cid,
+       |    sum($sqlQuantU * $sqlQuantV) AS dot,
+       |    sum($sqlQuantU * $sqlQuantU) AS nx,
+       |    sum($sqlQuantV * $sqlQuantV) AS ny
+       |  FROM s2u u GROUP BY cid),
+       |m3 AS (SELECT m.cid, m.rel,
+       |    CAST(0.7 AS DOUBLE) * m.rel - CAST(0.3 AS DOUBLE) * greatest(m.sim1,
+       |      (CAST(dot AS DOUBLE) / 1e12) /
+       |        (sqrt(CAST(nx AS DOUBLE) / 1e12) * sqrt(CAST(ny AS DOUBLE) / 1e12))) AS mmr
+       |  FROM m2s m JOIN s2d USING (cid)),
+       |p3 AS (SELECT cid, rel, mmr FROM m3 ORDER BY mmr DESC, cid LIMIT 1)
+       |SELECT CAST(1 AS INT) AS rank, cid AS vec_id, rel AS relevance,
+       |  CAST(0.7 AS DOUBLE) * rel AS mmr FROM p1
+       |UNION ALL SELECT 2, cid, rel, mmr FROM p2
+       |UNION ALL SELECT 3, cid, rel, mmr FROM p3""".stripMargin) { (s, d) =>
+    val emb = T.embeddings(s, d).withColumn("q", quantize("embedding"))
+    val qv = emb.filter(col("vec_id") === 0).select(col("q").as("qq"))
+    val rel = simAgainst(
+      emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv)), "qq", "rel")
+      .select(col("vec_id"), col("q"), col("rel"))
+    val short = rel.orderBy(col("rel").desc, col("vec_id")).limit(50)
+    val p1 = short.orderBy(col("rel").desc, col("vec_id")).limit(1)
+    val s1 = simAgainst(
+      short.crossJoin(broadcast(p1.select(col("vec_id").as("pid"), col("q").as("pq"))))
+        .filter(col("vec_id") =!= col("pid")).drop("pid"), "pq", "sim1")
+      .withColumn("mmr",
+        lit(0.7) * col("rel") - lit(0.3) * col("sim1"))
+    val p2 = s1.orderBy(col("mmr").desc, col("vec_id")).limit(1)
+    val s2 = simAgainst(
+      s1.crossJoin(broadcast(p2.select(col("vec_id").as("pid"), col("q").as("pq"))))
+        .filter(col("vec_id") =!= col("pid")).drop("pid"), "pq", "sim2")
+      .withColumn("mmr",
+        lit(0.7) * col("rel") - lit(0.3) * greatest(col("sim1"), col("sim2")))
+    val p3 = s2.orderBy(col("mmr").desc, col("vec_id")).limit(1)
+    p1.select(lit(1).as("rank"), col("vec_id"), col("rel").as("relevance"),
+        (lit(0.7) * col("rel")).as("mmr"))
+      .unionAll(p2.select(lit(2).as("rank"), col("vec_id"),
+        col("rel").as("relevance"), col("mmr")))
+      .unionAll(p3.select(lit(3).as("rank"), col("vec_id"),
+        col("rel").as("relevance"), col("mmr")))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    v1KnnBruteforce, v2AnnLsh, v3EmbeddingNeardup, v5AnnIvf, v6RandomProjection)
+    v1KnnBruteforce, v2AnnLsh, v3EmbeddingNeardup, v5AnnIvf, v6RandomProjection,
+    v8MmrRerank)
 }

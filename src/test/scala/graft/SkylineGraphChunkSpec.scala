@@ -71,6 +71,38 @@ class SkylineGraphChunkSpec extends SparkSpec {
     }
   }
 
+  test("v8 MMR picks equal a driver-side greedy recomputation") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        r.getLong(0) -> r.getSeq[Float](1).map { f =>
+          new JBD(f.toDouble).setScale(6, RoundingMode.HALF_UP)
+            .movePointRight(6).longValueExact()
+        }.toArray
+      }.toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      (dot.toDouble / 1e12) / (math.sqrt(na.toDouble / 1e12) * math.sqrt(nb.toDouble / 1e12))
+    }
+    val q = emb(0L)
+    val rel = emb.collect { case (id, v) if id != 0L => id -> cos(v, q) }
+    val short = rel.toSeq.sortBy { case (id, r) => (-r, id) }.take(50)
+    val p1 = short.head._1
+    val m2 = short.filter(_._1 != p1).map { case (id, r) =>
+      (id, r, cos(emb(id), emb(p1))) }
+    val p2 = m2.map { case (id, r, s1) => (id, 0.7 * r - 0.3 * s1) }
+      .minBy { case (id, m) => (-m, id) }._1
+    val p3 = m2.filter(_._1 != p2).map { case (id, r, s1) =>
+        (id, 0.7 * r - 0.3 * math.max(s1, cos(emb(id), emb(p2)))) }
+      .minBy { case (id, m) => (-m, id) }._1
+    val got = queries.Similarity.v8MmrRerank.run(spark, sfDir)
+      .orderBy("rank").collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(got === Seq(p1, p2, p3))
+    assert(got.distinct.size === 3)
+  }
+
   test("d10 flags exactly the seeded quoting docs with high containment") {
     // sf0.001 has only eval doc 0, so seeding applies to doc_id%31==0 &&
     // doc_id%3==0 — run on sf0.01 where all three eval sources exist
