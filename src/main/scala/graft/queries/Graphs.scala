@@ -68,21 +68,31 @@ object Graphs {
       .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
       .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
     val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
-    val oriented = withDeg.select(
-      when(fwd, col("u")).otherwise(col("v")).as("src"),
-      when(fwd, col("v")).otherwise(col("u")).as("dst"),
-      when(fwd, col("dv")).otherwise(col("du")).as("ddeg"))
-    val wedges = oriented.as("e1").join(oriented.as("e2"),
-        col("e1.src") === col("e2.src") &&
-          (col("e1.ddeg") < col("e2.ddeg") ||
-            (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst"))))
-      .select(col("e1.dst").as("b"), col("e2.dst").as("c"))
-    val tri = wedges
-      .join(oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
-      .agg(count(lit(1)).as("n_triangles"))
-    val nn = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+    // Stage oriented edges ONCE (d6's discipline): the edge-building
+    // lineage (order self-join + 2 distincts + degree joins) must not
+    // re-execute for each of the three consumers below.
+    val stage = java.nio.file.Files.createTempDirectory("g2-edges").toString
+    withDeg.select(
+        when(fwd, col("u")).otherwise(col("v")).as("src"),
+        when(fwd, col("v")).otherwise(col("u")).as("dst"))
+      .write.mode("overwrite").parquet(stage)
+    val oriented = s.read.parquet(stage)
+    // Per-edge adjacency intersection instead of wedge materialization:
+    // tri(u→v) = |N⁺(u) ∩ N⁺(v)| — the intersect runs in-place inside
+    // codegen per edge row, so the O(Σ outdeg²) wedge set (40M rows at
+    // sf0.1) never hits a shuffle; only |E| rows carrying neighbor
+    // arrays move. Each triangle a<b<c (by the degree order) is counted
+    // exactly once, at edge (a,b) via common out-neighbor c.
+    val adj = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    val tri = oriented
+      .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"), "left_outer")
+      .select(coalesce(size(array_intersect(col("nu"), col("nv"))), lit(0)).as("t"))
+      .agg(sum(col("t")).cast("long").as("n_triangles"))
+    val nn = oriented.select(col("src").as("n")).unionAll(oriented.select(col("dst").as("n")))
       .agg(count_distinct(col("n")).as("n_nodes"))
-    val ne = e.agg(count(lit(1)).as("n_edges"))
+    val ne = oriented.agg(count(lit(1)).as("n_edges"))
     nn.crossJoin(ne).crossJoin(tri)
   }
 

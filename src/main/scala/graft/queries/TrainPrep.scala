@@ -696,9 +696,40 @@ object TrainPrep {
         (col("n_common").cast("double") / col("n_ev")).as("containment"))
   }
 
+  // --- t22_jsonl_ingest: the JSONL corpus path — LLM training corpora
+  // arrive as newline-delimited JSON, not parquet. The query round-trips
+  // documents through a real JSONL write + schema'd read (explicit
+  // schema: at 100 TB you never pay a second inference pass over the
+  // files), then aggregates per lang with a content fingerprint: an
+  // order-independent SUM of per-doc md5-prefix integers over `text`.
+  // The oracle computes the same aggregate from the parquet directly, so
+  // the hash match proves the JSONL encode/decode is LOSSLESS on every
+  // document (any escaping/unicode mangling shifts the fingerprint). ---
+  val t22JsonlIngest = QueryDef.sql(
+    "t22_jsonl_ingest",
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(sum(len(text)) AS BIGINT) AS sum_text_len,
+      |  CAST(sum(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS text_fingerprint
+      |FROM documents
+      |GROUP BY lang""".stripMargin) { (s, d) =>
+    val stage = java.nio.file.Files.createTempDirectory("t22-jsonl").toString
+    T.documents(s, d).write.mode("overwrite").json(stage)
+    s.read
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .json(stage)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text")).cast("long")).as("sum_text_len"),
+        sum(expr("CAST(conv(substring(md5(text), 1, 8), 16, 10) AS BIGINT)"))
+          .as("text_fingerprint"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     t8PackSequences, t9NgramCounts, t10RedactPii, d5Contamination,
     t11UnigramLogprob, t12Repetition, t14NormalizeText, t16TemperatureMix,
     t17FeatureHashing, t18DocKnn, d8VerbatimLeak, t19Tfidf,
-    t20WeightedSample, d9BloomScreen, t21ChunkOverlap, d10ContainmentPairs)
+    t20WeightedSample, d9BloomScreen, t21ChunkOverlap, d10ContainmentPairs,
+    t22JsonlIngest)
 }

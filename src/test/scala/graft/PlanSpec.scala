@@ -236,4 +236,45 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"k9 must not fall back to a non-keyed join:\n$p")
   }
+
+  test("k11: the year predicate prunes partitions at the scan, not per-row") {
+    val p = planOf("k11_partitioned_prune")
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("o_year") && pf.contains("1997"),
+      s"year predicate must land in PartitionFilters:\n$p")
+  }
+
+  test("t21 chunking is map-only: no exchange anywhere in the plan") {
+    val p = planOf("t21_chunk_overlap")
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+  }
+
+  test("d10: both eval-side joins broadcast; corpus never builds a hash table") {
+    val p = planOf("d10_containment_pairs")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"eval shingles and eval sizes must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d10 must stay equi:\n$p")
+  }
+
+  test("g2: triangle counting stays equi — no wedge cartesian beyond scalar assembly") {
+    val p = planOf("g2_triangle_count")
+    assert(!p.contains("CartesianProduct"), s"g2 must join on keys only:\n$p")
+    // exactly two nested-loop joins: the 1-row × 1-row × 1-row scalar
+    // assembly of (n_nodes, n_edges, n_triangles); none may touch edges
+    // (FormattedMode lists each operator once in the tree and once in
+    // the detail section — count the numbered detail entries)
+    assert("""\(\d+\) BroadcastNestedLoopJoin""".r.findAllIn(p).size === 2,
+      s"only the scalar-assembly crossJoins may nested-loop:\n$p")
+  }
+
+  test("a24: skyline never self-joins the data; thresholds broadcast back") {
+    val p = planOf("a24_pareto_front")
+    // the only joins allowed are the tiny per-size threshold tables
+    // coming back over the data as broadcasts
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"per-size max and strictly-larger-best must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"a24 must not shuffle-join the raw data:\n$p")
+  }
 }
