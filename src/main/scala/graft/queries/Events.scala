@@ -323,8 +323,49 @@ object Events {
       .select(col("day").cast("timestamp").as("day"), col("dau7"))
   }
 
+  // --- e11_stream_windows: STRUCTURED STREAMING under the hash gate —
+  // not a batch equivalent like e1-e10 but an actual streaming run: the
+  // events land in a feed directory, a watermarked file-source stream
+  // aggregates daily windows per event type under Trigger.AvailableNow,
+  // and each micro-batch lands through the keyed-upsert sink
+  // (EventStreams.upsertSink's foreachBatch shape — at-least-once
+  // micro-batches ⇒ effectively-once table). The returned frame is the
+  // upserted TABLE, so the oracle's batch GROUP BY gates the whole
+  // streaming path end-to-end: source → watermark → stateful window agg
+  // → sink. At scale this is the same pipeline pointed at an arriving
+  // directory with a persistent checkpoint; AvailableNow drains and
+  // stops, a cron re-invocation processes only new files. ---
+  val e11StreamWindows = QueryDef.sql(
+    "e11_stream_windows",
+    """SELECT date_trunc('day', ts) AS window_start, event_type, count(*) AS n
+      |FROM events
+      |GROUP BY date_trunc('day', ts), event_type""".stripMargin) { (s, d) =>
+    val root = java.nio.file.Files.createTempDirectory("e11-stream").toString
+    val feed = s"$root/feed"; val state = s"$root/state"; val ckpt = s"$root/ckpt"
+    T.events(s, d).select(col("ts"), col("event_type")).write.parquet(feed)
+    val stream = s.readStream
+      .schema("ts TIMESTAMP, event_type STRING")
+      .parquet(feed)
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+    val q = agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.Upsert.upsertParquet(batch.sparkSession, state, batch,
+          Seq("window_start", "event_type"))
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(state).select(col("window_start"), col("event_type"), col("n"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
     e5PropsExtract, e6AnomalyFlags, e7CohortRetention, e8RfmSegments,
-    e9TransitionMatrix, e10RollingDau)
+    e9TransitionMatrix, e10RollingDau, e11StreamWindows)
 }
