@@ -43,17 +43,23 @@ object Clustering {
       .select(col("vec_id").as("cell"), col("q").as("ceq"))
 
   /** Assign every vector to its argmax-cosine centroid: one broadcast
-    * linear pass, exact-integer dots, ties broken by cell id. */
+    * linear pass, exact-integer dots, ties broken by cell id.
+    *
+    * The self-norms are hoisted out of the pair space — `nx` once per
+    * vector, `ny` once per centroid (bit-identical: integer dots) — so
+    * each of the |corpus|×k pairs costs ONE kernel dot, not three. The
+    * argmax itself is a `max(struct(cosine, -cell))` hash aggregate:
+    * partial-aggregated map-side (each task emits one candidate per
+    * vector it holds), where the former row_number window had to
+    * shuffle+sort the full pair space. */
   private[queries] def assign(embq: DataFrame, cents: DataFrame): DataFrame =
-    embq.crossJoin(broadcast(cents))
+    embq.withColumn("nx", Similarity.dotQ("q", "q"))
+      .crossJoin(broadcast(cents.withColumn("ny", Similarity.dotQ("ceq", "ceq"))))
       .withColumn("dot", Similarity.dotQ("q", "ceq"))
-      .withColumn("nx", Similarity.dotQ("q", "q"))
-      .withColumn("ny", Similarity.dotQ("ceq", "ceq"))
       .withColumn("cosine", Similarity.cosine)
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("cell"))))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cell"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cosine"), (-col("cell")).as("nc"))).as("best"))
+      .select(col("vec_id"), (-col("best.nc")).as("cell"))
 
   /** Rebuild centroids as the rounded integer mean of each cell's
     * members. The (cell, dim) aggregate partial-aggregates before its
@@ -199,14 +205,17 @@ object Clustering {
     * caller that also needs the assignment run k-means once). */
   private[queries] def dropFromAssignment(
       asg: DataFrame, embq: DataFrame, tau: Double): DataFrame = {
+    // self-norm computed once per vector BEFORE the quadratic in-cell
+    // self-join, so each pair costs one kernel dot instead of three
     val withV = asg.join(embq, Seq("vec_id"))
-    val a = withV.select(col("cell"), col("vec_id").as("id1"), col("q").as("qeq"))
-    val b = withV.select(col("cell"), col("vec_id").as("id2"), col("q").as("ceq"))
+      .withColumn("nq", Similarity.dotQ("q", "q"))
+    val a = withV.select(col("cell"), col("vec_id").as("id1"),
+      col("q").as("qeq"), col("nq").as("nx"))
+    val b = withV.select(col("cell"), col("vec_id").as("id2"),
+      col("q").as("ceq"), col("nq").as("ny"))
     a.join(b, Seq("cell"))
       .filter(col("id1") < col("id2"))
       .withColumn("dot", Similarity.dotQ("qeq", "ceq"))
-      .withColumn("nx", Similarity.dotQ("qeq", "qeq"))
-      .withColumn("ny", Similarity.dotQ("ceq", "ceq"))
       .withColumn("cosine", Similarity.cosine)
       .filter(col("cosine") >= tau)
       .select(col("id2").as("vec_id")).distinct()

@@ -433,9 +433,47 @@ object EtlOps {
     s.read.parquet(stage.toString)
   }
 
+  // --- k12_time_travel: versioned snapshots + time travel
+  // (graft.operators.Versioned — Iceberg-style manifests with
+  // file-level reuse across versions). The query commits orders as
+  // version 1, merges a keyed price-correction delta as version 2
+  // (only the delta's partition is rewritten; the manifest carries
+  // every other partition forward untouched), then reads BOTH versions
+  // back as-of and reports the changed keys with old and new price.
+  // The oracle recomputes the expected change set from the base table,
+  // so the hash gate covers commit → manifest → as-of read for both
+  // versions end-to-end: any corruption of either snapshot breaks the
+  // join. At 100 TB the commit is O(delta partition), time travel is a
+  // manifest lookup, and expired generations reclaim via
+  // Versioned.expire. ---
+  val k12TimeTravel = QueryDef.sql(
+    "k12_time_travel",
+    """SELECT o_orderkey,
+      |  o_totalprice AS old_price,
+      |  o_totalprice + 1000 AS new_price
+      |FROM orders
+      |WHERE o_orderstatus = 'O' AND o_orderkey % 7 = 0""".stripMargin) { (s, d) =>
+    import graft.operators.Versioned
+    val root = java.nio.file.Files.createTempDirectory("k12-versions").toString
+    val tbl = s"$root/orders_v"
+    val base = T.orders(s, d)
+    Versioned.commit(s, tbl, base, "o_orderstatus", Seq("o_orderkey"))
+    val delta = base
+      .filter(col("o_orderstatus") === "O" && col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+    Versioned.commit(s, tbl, delta, "o_orderstatus", Seq("o_orderkey"))
+    val v1 = Versioned.readAsOf(s, tbl, 1)
+      .select(col("o_orderkey"), col("o_totalprice").as("old_price"))
+    val v2 = Versioned.readAsOf(s, tbl, 2)
+      .select(col("o_orderkey"), col("o_totalprice").as("new_price"))
+    v1.join(v2, Seq("o_orderkey"))
+      .filter(col("old_price") =!= col("new_price"))
+      .select(col("o_orderkey"), col("old_price"), col("new_price"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     j1FirstWins, j2Flatten, j3Lookup, p2TimeWindow, p4CastValidate,
     p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff,
     j4RangeJoin, j5IntervalOverlap, j6FuzzyMatch, j7EditDistance,
-    er1EntityClusters, k11PartitionedPrune)
+    er1EntityClusters, k11PartitionedPrune, k12TimeTravel)
 }

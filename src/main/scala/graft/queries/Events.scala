@@ -364,8 +364,63 @@ object Events {
     s.read.parquet(state).select(col("window_start"), col("event_type"), col("n"))
   }
 
+  // --- e12_stream_stream_join: STRUCTURED STREAMING stream-stream
+  // interval join under the hash gate — click→purchase attribution:
+  // every purchase matches every click by the same user in the
+  // preceding 6 hours. Two watermarked file-source streams interval-
+  // join in append mode and land through Spark's exactly-once file
+  // sink (manifest-committed); the returned frame is the sink table
+  // read back THROUGH that manifest, so the oracle's batch interval
+  // join gates source → watermark → join state → sink end-to-end.
+  // Scale design: this is the production attribution topology — both
+  // sides hash-partition on user_id (equi part of the condition), join
+  // state is watermark-bounded (clicks retained watermark + 6 h,
+  // purchases watermark only), inner-join matches emit eagerly so
+  // latency doesn't wait on state expiry, and each micro-batch's files
+  // commit atomically via the sink manifest. The oracle compares on
+  // microsecond-floored timestamps (epoch_ns // 1000) to mirror the
+  // nanos→micros flooring Tables.events applies on read. ---
+  val e12StreamStreamJoin = QueryDef.sql(
+    "e12_stream_stream_join",
+    """WITH v AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase')
+      |SELECT v.event_id AS click_id, p.event_id AS purchase_id, v.user_id
+      |FROM v JOIN p ON v.user_id = p.user_id
+      |  AND epoch_ns(p.ts) // 1000 >= epoch_ns(v.ts) // 1000
+      |  AND epoch_ns(p.ts) // 1000 < epoch_ns(v.ts) // 1000 + 21600000000""".stripMargin) { (s, d) =>
+    val root = java.nio.file.Files.createTempDirectory("e12-stream").toString
+    val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    T.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .write.parquet(feed)
+    def side(tpe: String) = s.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING")
+      .parquet(feed)
+      .filter(col("event_type") === tpe)
+    val clicks = side("click")
+      .select(col("event_id").as("click_id"), col("ts").as("cts"), col("user_id"))
+      .withWatermark("cts", "1 hour")
+    val purchases = side("purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("pts"), col("user_id").as("p_user"))
+      .withWatermark("pts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("pts") >= col("cts") &&
+        col("pts") < col("cts") + expr("INTERVAL 6 HOURS"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"))
+    val q = joined.writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out).select(col("click_id"), col("purchase_id"), col("user_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
     e5PropsExtract, e6AnomalyFlags, e7CohortRetention, e8RfmSegments,
-    e9TransitionMatrix, e10RollingDau, e11StreamWindows)
+    e9TransitionMatrix, e10RollingDau, e11StreamWindows, e12StreamStreamJoin)
 }

@@ -361,9 +361,63 @@ object Extras {
       .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
   }
 
+  // --- a25_weighted_median: EXACT per-supplier quantity-weighted median
+  // price — a21's cumulative-count recipe generalized to arbitrary
+  // weights. Rows collapse to (supplier, price, weight-sum) first (one
+  // partial-aggregated shuffle), the cumulative weight runs per-supplier
+  // (group-partitioned window, never partition-less), and all weight
+  // arithmetic is exact DECIMAL so the 2·cw ≥ tw threshold is bit-equal
+  // on both engines; only the selected price itself is a double. ---
+  val a25WeightedMedian = QueryDef.sql(
+    "a25_weighted_median",
+    """WITH gv AS (SELECT l_suppkey, l_extendedprice AS v,
+      |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS w
+      |  FROM lineitem GROUP BY l_suppkey, v),
+      |tot AS (SELECT l_suppkey, sum(w) AS tw FROM gv GROUP BY l_suppkey),
+      |cum AS (SELECT l_suppkey, v,
+      |    sum(w) OVER (PARTITION BY l_suppkey ORDER BY v) AS cw FROM gv)
+      |SELECT cum.l_suppkey, min(v) AS wmedian_price
+      |FROM cum JOIN tot USING (l_suppkey)
+      |WHERE 2 * cw >= tw
+      |GROUP BY cum.l_suppkey""".stripMargin) { (s, d) =>
+    val gv = T.lineitem(s, d)
+      .groupBy(col("l_suppkey"), col("l_extendedprice").as("v"))
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("w"))
+    val tot = gv.groupBy(col("l_suppkey")).agg(sum(col("w")).as("tw"))
+    val cum = gv.withColumn("cw", sum(col("w")).over(
+      Window.partitionBy(col("l_suppkey")).orderBy(col("v"))))
+    cum.join(broadcast(tot), Seq("l_suppkey"))
+      .filter(lit(2) * col("cw") >= col("tw"))
+      .groupBy(col("l_suppkey"))
+      .agg(min(col("v")).as("wmedian_price"))
+  }
+
+  // --- a26_group_mode: per-customer modal order priority with a
+  // deterministic tie-break (higher count, then lexicographically
+  // smallest priority). Two hash aggregates, both partial-aggregated:
+  // (customer, priority) counts, then a min(struct(-n, priority))
+  // argmin per customer — no window, no sort shuffle, so the mode of a
+  // billion-customer table costs exactly two map-side-combined
+  // shuffles. ---
+  val a26GroupMode = QueryDef.sql(
+    "a26_group_mode",
+    """WITH c AS (SELECT o_custkey, o_orderpriority, count(*) AS n
+      |  FROM orders GROUP BY o_custkey, o_orderpriority)
+      |SELECT o_custkey, o_orderpriority AS mode_priority, n
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |        ORDER BY n DESC, o_orderpriority) AS rk FROM c)
+      |WHERE rk = 1""".stripMargin) { (s, d) =>
+    T.orders(s, d)
+      .groupBy(col("o_custkey"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("o_custkey"))
+      .agg(min(struct((-col("n")).as("nn"), col("o_orderpriority").as("p"))).as("b"))
+      .select(col("o_custkey"), col("b.p").as("mode_priority"), (-col("b.nn")).as("n"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
     a16WindowSuite, a17ScalarSuite, a18DateSuite, a19GroupingSets,
     sql2CorrelatedSubquery, a4bTopkAgg, a20Histogram, a21ExactMedian,
-    a24ParetoFront)
+    a24ParetoFront, a25WeightedMedian, a26GroupMode)
 }
