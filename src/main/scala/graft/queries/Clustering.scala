@@ -201,12 +201,13 @@ object Clustering {
   def semanticDropIds(embq: DataFrame, iters: Int, tau: Double): DataFrame =
     dropFromAssignment(kmeansAssign(embq, iters), embq, tau)
 
-  /** The pairwise screen given an existing cell assignment (lets a
-    * caller that also needs the assignment run k-means once). */
-  private[queries] def dropFromAssignment(
+  /** All in-cell near-duplicate pairs (id1 < id2, cosine ≥ tau) given a
+    * cell assignment — the shared edge generator for d7's screen and
+    * g3's similarity graph. The self-norm is computed once per vector
+    * BEFORE the quadratic in-cell self-join, so each pair costs one
+    * kernel dot instead of three. */
+  private[queries] def nearDupPairs(
       asg: DataFrame, embq: DataFrame, tau: Double): DataFrame = {
-    // self-norm computed once per vector BEFORE the quadratic in-cell
-    // self-join, so each pair costs one kernel dot instead of three
     val withV = asg.join(embq, Seq("vec_id"))
       .withColumn("nq", Similarity.dotQ("q", "q"))
     val a = withV.select(col("cell"), col("vec_id").as("id1"),
@@ -218,8 +219,14 @@ object Clustering {
       .withColumn("dot", Similarity.dotQ("qeq", "ceq"))
       .withColumn("cosine", Similarity.cosine)
       .filter(col("cosine") >= tau)
-      .select(col("id2").as("vec_id")).distinct()
+      .select(col("id1"), col("id2"))
   }
+
+  /** The pairwise screen given an existing cell assignment (lets a
+    * caller that also needs the assignment run k-means once). */
+  private[queries] def dropFromAssignment(
+      asg: DataFrame, embq: DataFrame, tau: Double): DataFrame =
+    nearDupPairs(asg, embq, tau).select(col("id2").as("vec_id")).distinct()
 
   // --- c1_kmeans: cell assignment + cell size after 2 Lloyd rounds ---
   val c1Kmeans = QueryDef.sql(
@@ -244,11 +251,11 @@ object Clustering {
   // a vector survives iff no smaller-id near-duplicate shares its cell —
   // so the output is deterministic and SQL-expressible without
   // iteration. ---
-  val d7SemanticDedup = QueryDef.sql(
-    "d7_semantic_dedup",
-    s"""WITH asg AS (SELECT vec_id, cell FROM (WITH $sqlKmeansA2
-       |    SELECT vec_id, cell FROM a2) t),
-       |pr AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+  /** CTE chain `pr`/`u`/`dts` → `npairs` (id1, id2): the in-cell pairs
+    * with cosine ≥ tau, expecting an `asg` (vec_id, cell) CTE upstream —
+    * the SQL twin of [[nearDupPairs]]. */
+  private[queries] def sqlNearDupPairs(tau: String): String =
+    s"""pr AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
        |         ea.embedding AS qe, eb.embedding AS ce
        |       FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
        |       JOIN embeddings ea ON ea.vec_id = a.vec_id
@@ -258,7 +265,14 @@ object Clustering {
        |    sum(${Similarity.sqlQuantU} * ${Similarity.sqlQuantU}) AS nx,
        |    sum(${Similarity.sqlQuantV} * ${Similarity.sqlQuantV}) AS ny
        |  FROM u GROUP BY id1, id2),
-       |dropped AS (SELECT DISTINCT id2 AS vec_id FROM dts WHERE $sqlCos >= 0.3)
+       |npairs AS (SELECT id1, id2 FROM dts WHERE $sqlCos >= $tau)""".stripMargin
+
+  val d7SemanticDedup = QueryDef.sql(
+    "d7_semantic_dedup",
+    s"""WITH asg AS (SELECT vec_id, cell FROM (WITH $sqlKmeansA2
+       |    SELECT vec_id, cell FROM a2) t),
+       |${sqlNearDupPairs("0.3")},
+       |dropped AS (SELECT DISTINCT id2 AS vec_id FROM npairs)
        |SELECT a.vec_id, a.cell, d.vec_id IS NULL AS kept
        |FROM asg a LEFT JOIN dropped d ON a.vec_id = d.vec_id""".stripMargin) { (s, d) =>
     val embq = T.embeddings(s, d)

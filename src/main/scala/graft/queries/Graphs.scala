@@ -96,5 +96,51 @@ object Graphs {
     nn.crossJoin(ne).crossJoin(tri)
   }
 
-  val all: Seq[QueryDef] = Seq(g1Pagerank, g2TriangleCount)
+  /** One SQL label-propagation round: labels `prev` → labels `l$r`
+    * (same clamped-majority semantics as operators.LabelProp). */
+  private def sqlLpRound(prev: String, r: Int): String =
+    s"""n$r AS (SELECT e.src AS id, l.label, count(*) AS c
+       |  FROM edges e JOIN $prev l ON l.id = e.dst GROUP BY e.src, l.label),
+       |m$r AS (SELECT id, label FROM (SELECT *, row_number() OVER (PARTITION BY id
+       |    ORDER BY c DESC, label) AS rk FROM n$r) WHERE rk = 1),
+       |l$r AS (SELECT id, label FROM $prev UNION ALL
+       |  SELECT m.id, m.label FROM m$r m WHERE m.id NOT IN (SELECT id FROM $prev))""".stripMargin
+
+  // --- g3_label_prop: semi-supervised label propagation over the
+  // semantic-similarity graph (d7's in-cell near-dup pairs as
+  // undirected edges), seeded with every 5th vector's true label and
+  // spread for 2 clamped-majority rounds (operators.LabelProp). The
+  // unrolled SQL oracle replays both rounds CTE-by-CTE, so an
+  // iterative transductive-learning pass sits under the exact hash
+  // gate. Scale: edge generation is cell-bounded (d7's argument), each
+  // round is an equi-join + two partial aggregates, labels stage to
+  // parquet between rounds — no lineage growth, no windows over the
+  // pair space. ---
+  val g3LabelProp = QueryDef.sql(
+    "g3_label_prop",
+    s"""WITH asg AS (SELECT vec_id, cell FROM (WITH ${Clustering.sqlKmeansA2}
+       |    SELECT vec_id, cell FROM a2) t),
+       |${Clustering.sqlNearDupPairs("0.3")},
+       |edges AS (SELECT id1 AS src, id2 AS dst FROM npairs
+       |  UNION ALL SELECT id2 AS src, id1 AS dst FROM npairs),
+       |l0 AS (SELECT vec_id AS id, label FROM embeddings WHERE vec_id % 5 = 0),
+       |${sqlLpRound("l0", 1)},
+       |${sqlLpRound("l1", 2)}
+       |SELECT e.vec_id, l.label FROM embeddings e LEFT JOIN l2 l ON l.id = e.vec_id""".stripMargin) {
+    (s, d) =>
+    val emb = T.embeddings(s, d)
+    val embq = emb.select(col("vec_id"), Similarity.quantize("embedding").as("q"))
+    val asg = Clustering.kmeansAssign(embq, 2)
+    val pairs = Clustering.nearDupPairs(asg, embq, 0.3)
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionAll(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+    val seeds = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("id"), col("label"))
+    val lab = graft.operators.LabelProp.propagate(edges, seeds, rounds = 2)
+    emb.select(col("vec_id"))
+      .join(lab.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"))
+  }
+
+  val all: Seq[QueryDef] = Seq(g1Pagerank, g2TriangleCount, g3LabelProp)
 }
