@@ -38,6 +38,7 @@ object GraftSession {
   /** Expose the engine's custom codegen'd expressions to SQL users:
     *   - `graft_dot(a, b)` — float-array dot product;
     *   - `graft_dot_q(a, b)` — exact long-array dot product;
+    *   - `graft_l2_q(a, b)` — exact long-array squared-L2 distance;
     *   - `graft_simhash32(tokens)` — 32-bit SimHash signature string;
     *   - `graft_minhash16(shingles)` — 16 MinHash chunk-minima;
     *   - `graft_nfc(text)` — Unicode NFC normalization.
@@ -45,7 +46,7 @@ object GraftSession {
   def registerFunctions(spark: SparkSession): Unit = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
     import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
-    import graft.functions.{ArrayDotProduct, ArrayLongDot, MinHash16, SimHash32}
+    import graft.functions.{ArrayDotProduct, ArrayLongDot, ArrayLongL2, MinHash16, SimHash32}
     val registry = spark.sessionState.functionRegistry
     // Casting to array<float> up front makes graft_dot usable on
     // array<double> SQL literals (a float→float cast is simplified away);
@@ -59,6 +60,10 @@ object GraftSession {
     registry.createOrReplaceTempFunction(
       "graft_dot_q",
       (exprs: Seq[Expression]) => ArrayLongDot(toLongArray(exprs(0)), toLongArray(exprs(1))),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_l2_q",
+      (exprs: Seq[Expression]) => ArrayLongL2(toLongArray(exprs(0)), toLongArray(exprs(1))),
       "built-in")
     registry.createOrReplaceTempFunction(
       "graft_simhash32",

@@ -251,3 +251,71 @@ object ArrayLongDot {
   def dotQ(a: Column, b: Column): Column =
     columnOf(ArrayLongDot(expressionOf(a), expressionOf(b)))
 }
+
+/** Exact integer squared-L2 distance of two `array<bigint>` columns —
+  * the product-quantization assignment kernel (v9). Overflow-safe for
+  * the quantization in use: |x−y| ≤ 2·10⁷ per element, ≤ 64 dims ⇒
+  * |Σ(x−y)²| ≤ 64·4·10¹⁴ < 2⁶³. Element pairs with a null side
+  * contribute 0 (ArrayLongDot's convention).
+  */
+case class ArrayLongL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "array_l2_q"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint>, array<bigint>), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val dv = x.getLong(i) - y.getLong(i)
+        acc += dv * dv
+      }
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val dv = ctx.freshName("dv")
+      s"""
+         |int $n = $a.numElements() < $b.numElements() ? $a.numElements() : $b.numElements();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    long $dv = $a.getLong($i) - $b.getLong($i);
+         |    $acc += $dv * $dv;
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayLongL2 =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayLongL2 {
+  def l2Q(a: Column, b: Column): Column =
+    columnOf(ArrayLongL2(expressionOf(a), expressionOf(b)))
+}

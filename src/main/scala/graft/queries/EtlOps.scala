@@ -471,9 +471,34 @@ object EtlOps {
       .select(col("o_orderkey"), col("old_price"), col("new_price"))
   }
 
+  // --- k13_schema_evolution: additive schema evolution through the
+  // keyed upsert (Upsert.mergeEvolve) — the feed-grows-a-field case
+  // every long-lived pipeline hits: the delta carries a column the base
+  // table never had, the merged table's schema is the union, and
+  // pre-existing rows surface NULL there. Delta still wins on key
+  // collisions. The oracle reconstructs the evolved table from the
+  // base fixture, so the hash gate pins both the union schema and the
+  // NULL backfill semantics. Same scale shape as k1 (one anti-join +
+  // union — no shuffle beyond the key join). ---
+  val k13SchemaEvolution = QueryDef.sql(
+    "k13_schema_evolution",
+    """SELECT o_orderkey, o_totalprice, o_orderpriority
+      |FROM orders WHERE o_orderkey % 5 = 0
+      |UNION ALL
+      |SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR)
+      |FROM orders WHERE o_orderkey % 5 <> 0""".stripMargin) { (s, d) =>
+    import graft.operators.Upsert
+    val orders = T.orders(s, d)
+    val base = orders.select(col("o_orderkey"), col("o_totalprice"))
+    val delta = orders.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    Upsert.mergeEvolve(base, delta, Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     j1FirstWins, j2Flatten, j3Lookup, p2TimeWindow, p4CastValidate,
     p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff,
     j4RangeJoin, j5IntervalOverlap, j6FuzzyMatch, j7EditDistance,
-    er1EntityClusters, k11PartitionedPrune, k12TimeTravel)
+    er1EntityClusters, k11PartitionedPrune, k12TimeTravel, k13SchemaEvolution)
 }

@@ -516,7 +516,59 @@ object Similarity {
         col("rel").as("relevance"), col("mmr")))
   }
 
+  // --- v9_pq_codes: product-quantization encoding — THE embedding-
+  // storage lever at corpus scale: 64 float32 (256 B) compress to 8
+  // byte-sized codebook ids + an exact integer reconstruction error.
+  // The vector splits into 8 subspaces of 8 dims; each subvector maps
+  // to its nearest codebook entry (deterministic sampled codebook,
+  // vec_id % 23 — the IVF/k-means init discipline) by squared-L2 over
+  // quantized integers, so assignment is EXACT integer arithmetic end
+  // to end (the codegen'd ArrayLongL2 kernel; ties break to the
+  // smaller cell). Scale shape: codebook broadcasts (8×|sample| rows),
+  // the corpus side is one linear pass (explode ×8 — map-side, no
+  // shuffle), and the argmin is a partial-aggregated min(struct) hash
+  // aggregate — never a window over the pair space. An ADC search over
+  // the codes needs only the 8-byte codes + the broadcast codebook:
+  // the 100 TB corpus never rereads its float vectors. ---
+  private val sqlPqQuant =
+    "CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(10,6)) * 1000000 AS BIGINT)"
+  val v9PqCodes = QueryDef.sql(
+    "v9_pq_codes",
+    s"""WITH q AS (SELECT vec_id,
+       |    list_transform(embedding, x -> $sqlPqQuant) AS q FROM embeddings),
+       |sub AS (SELECT vec_id, r.s, q[r.s*8+1 : r.s*8+8] AS sq
+       |        FROM q, LATERAL (SELECT unnest(range(0, 8)) AS s) r),
+       |cent AS (SELECT vec_id AS cell, s, sq AS cq FROM sub WHERE vec_id % 23 = 0),
+       |u AS (SELECT v.vec_id, v.s, c.cell, unnest(v.sq) AS x, unnest(c.cq) AS y
+       |      FROM sub v JOIN cent c ON c.s = v.s),
+       |l2s AS (SELECT vec_id, s, cell, CAST(sum((x - y)*(x - y)) AS BIGINT) AS l2
+       |        FROM u GROUP BY vec_id, s, cell),
+       |best AS (SELECT vec_id, s, cell, l2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY l2, cell) AS rk
+       |    FROM l2s) t
+       |  WHERE rk = 1)
+       |SELECT vec_id, CAST(sum(l2) AS BIGINT) AS err,
+       |${(0 to 7).map(i => s"  CAST(min(CASE WHEN s=$i THEN cell END) AS BIGINT) AS c$i")
+          .mkString(",\n")}
+       |FROM best GROUP BY vec_id""".stripMargin) { (s, d) =>
+    val embq = T.embeddings(s, d)
+      .select(col("vec_id"), quantize("embedding").as("q"))
+    val subs = embq
+      .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("sub"), col("q"))
+      .select(col("vec_id"), col("sub"), expr("slice(q, sub*8+1, 8)").as("sq"))
+    val cents = subs.filter(col("vec_id") % 23 === 0)
+      .select(col("vec_id").as("cell"), col("sub"), col("sq").as("cq"))
+    val best = subs.join(broadcast(cents), Seq("sub"))
+      .withColumn("l2", graft.functions.ArrayLongL2.l2Q(col("sq"), col("cq")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("l2"), col("cell"))).as("b"))
+    val codeAggs = sum(col("b.l2")).cast("long").as("err") +:
+      (0 to 7).map(i => min(when(col("sub") === i, col("b.cell"))).as(s"c$i"))
+    best.groupBy(col("vec_id"))
+      .agg(codeAggs.head, codeAggs.tail: _*)
+  }
+
   val all: Seq[QueryDef] = Seq(
     v1KnnBruteforce, v2AnnLsh, v3EmbeddingNeardup, v5AnnIvf, v6RandomProjection,
-    v8MmrRerank)
+    v8MmrRerank, v9PqCodes)
 }

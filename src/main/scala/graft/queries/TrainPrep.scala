@@ -726,10 +726,70 @@ object TrainPrep {
           .as("text_fingerprint"))
   }
 
+  // --- t23_sentence_stats: sentence segmentation + per-document
+  // sentence-shape signals (count, longest, mean length) — the quality
+  // dimension t1/t2's token stats don't see (wall-of-text vs properly
+  // punctuated prose). Split on terminal punctuation runs + whitespace;
+  // the pattern stays inside both engines' regex subset (no lookbehind
+  // — DuckDB is RE2). Map-side explode + one partial-aggregated
+  // (doc_id) aggregate: a linear pass at any corpus size. ---
+  val t23SentenceStats = QueryDef.sql(
+    "t23_sentence_stats",
+    """SELECT doc_id, count(*) AS n_sentences,
+      |  CAST(max(len(s)) AS BIGINT) AS max_sentence_len,
+      |  CAST(sum(len(s)) AS BIGINT) AS sum_sentence_len,
+      |  CAST(sum(len(s)) AS DOUBLE) / count(*) AS mean_sentence_len
+      |FROM (SELECT doc_id, unnest(string_split_regex(text, '[.!?]+\s+')) AS s
+      |      FROM documents)
+      |WHERE len(s) > 0
+      |GROUP BY doc_id""".stripMargin) { (s, d) =>
+    T.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "[.!?]+\\s+")).as("sn"))
+      .filter(length(col("sn")) > 0)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sentences"),
+        max(length(col("sn"))).cast("long").as("max_sentence_len"),
+        sum(length(col("sn"))).cast("long").as("sum_sentence_len"),
+        (sum(length(col("sn"))).cast("double") / count(lit(1))).as("mean_sentence_len"))
+  }
+
+  // --- t25_data_cards: per-(source, lang) dataset cards — the corpus
+  // composition summary every training-mix decision starts from: doc
+  // counts, size totals, short-doc contamination share, and each
+  // slice's fraction of the whole corpus. Two partial-aggregated hash
+  // aggregates plus one broadcast scalar; the card of a 100 TB corpus
+  // is one linear pass. ---
+  val t25DataCards = QueryDef.sql(
+    "t25_data_cards",
+    """WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+      |SELECT source, lang,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+      |  CAST(max(n_chars) AS BIGINT) AS max_chars,
+      |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars,
+      |  CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+      |  CAST(count(*) AS DOUBLE) / CAST(n AS DOUBLE) AS corpus_share
+      |FROM documents, tot
+      |GROUP BY source, lang, n""".stripMargin) { (s, d) =>
+    val docs = T.documents(s, d)
+    val tot = docs.agg(count(lit(1)).as("n"))
+    docs.crossJoin(broadcast(tot))
+      .groupBy(col("source"), col("lang"), col("n"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        min(col("n_chars")).cast("long").as("min_chars"),
+        max(col("n_chars")).cast("long").as("max_chars"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("mean_chars"),
+        sum(when(col("n_chars") < 100, 1).otherwise(0)).cast("long").as("n_short"),
+        (count(lit(1)).cast("double") / col("n").cast("double")).as("corpus_share"))
+      .drop("n")
+  }
+
   val all: Seq[QueryDef] = Seq(
     t8PackSequences, t9NgramCounts, t10RedactPii, d5Contamination,
     t11UnigramLogprob, t12Repetition, t14NormalizeText, t16TemperatureMix,
     t17FeatureHashing, t18DocKnn, d8VerbatimLeak, t19Tfidf,
     t20WeightedSample, d9BloomScreen, t21ChunkOverlap, d10ContainmentPairs,
-    t22JsonlIngest)
+    t22JsonlIngest, t23SentenceStats, t25DataCards)
 }

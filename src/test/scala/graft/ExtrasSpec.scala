@@ -111,11 +111,13 @@ class ExtrasSpec extends SparkSpec {
     GraftSession.registerFunctions(spark)
     val r = spark.sql(
       """SELECT graft_dot_q(array(2L, 3L), array(10L, 100L)) AS dq,
+        |  graft_l2_q(array(2L, 3L), array(10L, 100L)) AS l2,
         |  graft_simhash32(array('alpha', 'beta')) AS sh,
         |  graft_minhash16(array('a b c', 'b c d')) AS mh""".stripMargin).collect().head
     assert(r.getLong(0) === 320L)
-    assert(r.getString(1).length === 32 && r.getString(1).forall(c => c == '0' || c == '1'))
-    assert(r.getSeq[String](2).size === 16)
+    assert(r.getLong(1) === 64L + 9409L) // (2-10)² + (3-100)²
+    assert(r.getString(2).length === 32 && r.getString(2).forall(c => c == '0' || c == '1'))
+    assert(r.getSeq[String](3).size === 16)
     // NFC: decomposed e + combining acute composes to a single char
     val n = spark.sql("SELECT graft_nfc('café') AS t").collect().head.getString(0)
     assert(n === "café")
