@@ -496,9 +496,37 @@ object EtlOps {
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
   }
 
+  // --- k14_bucketed_join: bucketed co-located join — the OTHER dominant
+  // 100 TB layout lever next to k11's partition pruning: both sides land
+  // bucketed+sorted on the join key ONCE at write time, so every later
+  // join/agg on that key plans with ZERO shuffle exchanges on the fact
+  // sides (BucketingTopKSpec pins the no-Exchange plan property; this
+  // query pins the numbers). The only shuffle left is the final tiny
+  // per-priority aggregate. The oracle joins the unbucketed fixtures —
+  // the hash match proves the bucketed layout is lossless. ---
+  val k14BucketedJoin = QueryDef.sql(
+    "k14_bucketed_join",
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+    import graft.operators.Bucketing
+    Bucketing.writeBucketed(
+      T.orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+      "k14_ord", "o_orderkey", 16)
+    Bucketing.writeBucketed(
+      T.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice")),
+      "k14_li", "o_orderkey", 16)
+    Bucketing.colocatedJoin(s, "k14_ord", "k14_li", "o_orderkey")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("total"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     j1FirstWins, j2Flatten, j3Lookup, p2TimeWindow, p4CastValidate,
     p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff,
     j4RangeJoin, j5IntervalOverlap, j6FuzzyMatch, j7EditDistance,
-    er1EntityClusters, k11PartitionedPrune, k12TimeTravel, k13SchemaEvolution)
+    er1EntityClusters, k11PartitionedPrune, k12TimeTravel, k13SchemaEvolution,
+    k14BucketedJoin)
 }

@@ -532,9 +532,11 @@ object Similarity {
   // the 100 TB corpus never rereads its float vectors. ---
   private val sqlPqQuant =
     "CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(10,6)) * 1000000 AS BIGINT)"
-  val v9PqCodes = QueryDef.sql(
-    "v9_pq_codes",
-    s"""WITH q AS (SELECT vec_id,
+
+  /** Shared SQL CTE chain `q`/`sub`/`cent`/`u`/`l2s` → `best`
+    * (vec_id, s, cell, l2): the PQ subspace assignment (v9/v10). */
+  private val sqlPqBest =
+    s"""q AS (SELECT vec_id,
        |    list_transform(embedding, x -> $sqlPqQuant) AS q FROM embeddings),
        |sub AS (SELECT vec_id, r.s, q[r.s*8+1 : r.s*8+8] AS sq
        |        FROM q, LATERAL (SELECT unnest(range(0, 8)) AS s) r),
@@ -546,29 +548,93 @@ object Similarity {
        |best AS (SELECT vec_id, s, cell, l2 FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY l2, cell) AS rk
        |    FROM l2s) t
-       |  WHERE rk = 1)
+       |  WHERE rk = 1)""".stripMargin
+
+  /** (vec_id, sub, sq): quantized 8-dim subvectors, one row per
+    * (vector, subspace) — map-side explode, no shuffle. */
+  private def pqSubs(s: SparkSession, d: String): DataFrame =
+    T.embeddings(s, d)
+      .select(col("vec_id"), quantize("embedding").as("q"))
+      .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("sub"), col("q"))
+      .select(col("vec_id"), col("sub"), expr("slice(q, sub*8+1, 8)").as("sq"))
+
+  /** (cell, sub, cq): the deterministic sampled codebook. */
+  private def pqCents(subs: DataFrame): DataFrame =
+    subs.filter(col("vec_id") % 23 === 0)
+      .select(col("vec_id").as("cell"), col("sub"), col("sq").as("cq"))
+
+  /** (vec_id, sub, cell, l2): each subvector's nearest codebook entry
+    * by exact integer squared-L2 (ArrayLongL2 kernel), ties to the
+    * smaller cell — broadcast codebook, partial-aggregated argmin. */
+  private def pqBest(subs: DataFrame, cents: DataFrame): DataFrame =
+    subs.join(broadcast(cents), Seq("sub"))
+      .withColumn("l2", graft.functions.ArrayLongL2.l2Q(col("sq"), col("cq")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(col("l2"), col("cell"))).as("b"))
+      .select(col("vec_id"), col("sub"), col("b.cell").as("cell"), col("b.l2").as("l2"))
+
+  val v9PqCodes = QueryDef.sql(
+    "v9_pq_codes",
+    s"""WITH $sqlPqBest
        |SELECT vec_id, CAST(sum(l2) AS BIGINT) AS err,
        |${(0 to 7).map(i => s"  CAST(min(CASE WHEN s=$i THEN cell END) AS BIGINT) AS c$i")
           .mkString(",\n")}
        |FROM best GROUP BY vec_id""".stripMargin) { (s, d) =>
-    val embq = T.embeddings(s, d)
-      .select(col("vec_id"), quantize("embedding").as("q"))
-    val subs = embq
-      .select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("sub"), col("q"))
-      .select(col("vec_id"), col("sub"), expr("slice(q, sub*8+1, 8)").as("sq"))
-    val cents = subs.filter(col("vec_id") % 23 === 0)
-      .select(col("vec_id").as("cell"), col("sub"), col("sq").as("cq"))
-    val best = subs.join(broadcast(cents), Seq("sub"))
-      .withColumn("l2", graft.functions.ArrayLongL2.l2Q(col("sq"), col("cq")))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min(struct(col("l2"), col("cell"))).as("b"))
-    val codeAggs = sum(col("b.l2")).cast("long").as("err") +:
-      (0 to 7).map(i => min(when(col("sub") === i, col("b.cell"))).as(s"c$i"))
+    val subs = pqSubs(s, d)
+    val best = pqBest(subs, pqCents(subs))
+    val codeAggs = sum(col("l2")).cast("long").as("err") +:
+      (0 to 7).map(i => min(when(col("sub") === i, col("cell"))).as(s"c$i"))
     best.groupBy(col("vec_id"))
       .agg(codeAggs.head, codeAggs.tail: _*)
   }
 
+  // --- v10_pq_adc: asymmetric-distance search over the PQ codes — the
+  // query path that completes v9: each query subvector's distance to
+  // every codebook entry is precomputed into a lookup table (LUT:
+  // |queries|×8×|codebook| rows — driver/broadcast-sized), and the
+  // corpus is scanned via its CODES alone (8 small ints per vector):
+  // approx distance = Σ_s LUT[q, s, code_s(x)]. All-integer arithmetic
+  // end to end, so the oracle reproduces the ranking bit-exactly. At
+  // 100 TB this is the PQ payoff: search touches the code table (32×
+  // smaller than the floats) plus one broadcast LUT, one partial-
+  // aggregated sum, and a per-query top-k window — the float vectors
+  // are never reread. ---
+  val v10PqAdc = QueryDef.sql(
+    "v10_pq_adc",
+    s"""WITH $sqlPqBest,
+       |qs AS (SELECT vec_id AS qid, s, sq FROM sub WHERE vec_id < 3),
+       |ul AS (SELECT q.qid, q.s, c.cell, unnest(q.sq) AS x, unnest(c.cq) AS y
+       |       FROM qs q JOIN cent c ON c.s = q.s),
+       |lut AS (SELECT qid, s, cell, CAST(sum((x - y)*(x - y)) AS BIGINT) AS ld
+       |        FROM ul GROUP BY qid, s, cell),
+       |adc AS (SELECT l.qid, b.vec_id, CAST(sum(l.ld) AS BIGINT) AS adist
+       |        FROM best b JOIN lut l ON l.s = b.s AND l.cell = b.cell
+       |        WHERE b.vec_id <> l.qid
+       |        GROUP BY l.qid, b.vec_id)
+       |SELECT qid, vec_id, adist, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rank
+       |  FROM adc) t
+       |WHERE rank <= 10""".stripMargin) { (s, d) =>
+    val subs = pqSubs(s, d)
+    val cents = pqCents(subs)
+    val best = pqBest(subs, cents)
+    val qs = subs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("sub"), col("sq").as("qq"))
+    val lut = qs.join(broadcast(cents), Seq("sub"))
+      .withColumn("ld", graft.functions.ArrayLongL2.l2Q(col("qq"), col("cq")))
+      .select(col("qid"), col("sub"), col("cell"), col("ld"))
+    val adc = best.join(broadcast(lut), Seq("sub", "cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("ld")).cast("long").as("adist"))
+    adc
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("vec_id"), col("adist"), col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     v1KnnBruteforce, v2AnnLsh, v3EmbeddingNeardup, v5AnnIvf, v6RandomProjection,
-    v8MmrRerank, v9PqCodes)
+    v8MmrRerank, v9PqCodes, v10PqAdc)
 }
