@@ -40,10 +40,24 @@ object Bench {
     val passes = (1 to 3).map(_ => names.map(n => n -> materialize(n)).toMap)
     val results = names.map(n => n -> passes.map(_(n)).min)
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def line(entries: Seq[(String, Double)], extra: String): String = {
+      val qs = entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec"$extra,"queries":$qs,"sf":"$sfDir"}"""
+    }
+    // Full record first (for humans reading the complete log) …
+    println(line(results, ""))
+    // … then a compact line sized to survive the harness's 2000-byte log
+    // tail: the slowest queries are kept (they carry the optimization
+    // signal); the omitted fast ones are summarized by count + total.
+    val budget = 1700
+    val bySlowest = results.sortBy(-_._2)
+    val kept = bySlowest
+      .scanLeft(("", 0.0, 60)) { case ((_, _, acc), (k, v)) => (k, v, acc + k.length + 15) }
+      .drop(1).takeWhile(_._3 <= budget).map(t => (t._1, t._2))
+      .sortBy(_._1)
+    println(line(kept, s""","n_queries":${results.size}"""))
     spark.stop()
   }
 }

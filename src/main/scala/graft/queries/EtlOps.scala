@@ -523,10 +523,54 @@ object EtlOps {
         sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("total"))
   }
 
+  // --- k15_cdc_apply: fold an ordered change feed (upserts + deletes,
+  // multiple changes per key) into a base snapshot — the generalization
+  // of the reference's per-run keyed upsert (which never deletes and
+  // carries one change per key: /root/reference/src/etl-square-payments
+  // .ts:59-95) to a real CDC contract (operators.Cdc). Feed synthesized
+  // deterministically from orders: seq-1 price corrections on keys %3=0
+  // (keys %4=3 are absent from the snapshot, so those arrive as inserts),
+  // then seq-2 deletes on keys %6=0 — exercising last-wins, insert-via-
+  // update, delete, and carry-through in one gate. Scale: one key
+  // shuffle of snapshot ∪ feed (the keyed-merge minimum), top-1 window
+  // per key. ---
+  val k15CdcApply = QueryDef.sql(
+    "k15_cdc_apply",
+    """WITH snap AS (
+      |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(14,2)) AS price,
+      |    'I' AS op, 0 AS seq
+      |  FROM orders WHERE o_orderkey % 4 <> 3),
+      |feed AS (
+      |  SELECT o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(14,2)) + 5 AS DECIMAL(14,2)) AS price,
+      |    'U' AS op, 1 AS seq
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, CAST(NULL AS DECIMAL(14,2)), 'D', 2
+      |  FROM orders WHERE o_orderkey % 6 = 0),
+      |u AS (SELECT * FROM snap UNION ALL SELECT * FROM feed),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rk
+      |      FROM u)
+      |SELECT o_orderkey, CAST(price AS DOUBLE) AS price
+      |FROM r WHERE rk = 1 AND op <> 'D'""".stripMargin) { (s, d) =>
+    val orders = T.orders(s, d)
+    val snapshot = orders.filter(col("o_orderkey") % 4 =!= 3)
+      .select(col("o_orderkey"), col("o_totalprice").cast("decimal(14,2)").as("price"))
+    val feed = orders.filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(14,2)") + 5).cast("decimal(14,2)").as("price"),
+        lit("U").as("op"), lit(1L).as("seq"))
+      .unionByName(orders.filter(col("o_orderkey") % 6 === 0)
+        .select(col("o_orderkey"), lit(null).cast("decimal(14,2)").as("price"),
+          lit("D").as("op"), lit(2L).as("seq")))
+    graft.operators.Cdc(snapshot, feed, Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("price").cast("double").as("price"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     j1FirstWins, j2Flatten, j3Lookup, p2TimeWindow, p4CastValidate,
     p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff,
     j4RangeJoin, j5IntervalOverlap, j6FuzzyMatch, j7EditDistance,
     er1EntityClusters, k11PartitionedPrune, k12TimeTravel, k13SchemaEvolution,
-    k14BucketedJoin)
+    k14BucketedJoin, k15CdcApply)
 }

@@ -419,8 +419,43 @@ object Events {
     s.read.parquet(out).select(col("click_id"), col("purchase_id"), col("user_id"))
   }
 
+  // --- e13_conversion_lag: per-user view→purchase conversion latency —
+  // the funnel-TIMING complement to e3's funnel counts: first view per
+  // user, first purchase AT OR AFTER that view, lag in whole minutes.
+  // Shape at scale: two narrow filtered aggregates on user_id (partial
+  // agg before each exchange) + one equi-join — no windows over the
+  // event stream, no self-join of the raw table. Second-truncated
+  // timestamps on both engines (e2's discipline) so ns/µs precision
+  // can't shift a lag. ---
+  val e13ConversionLag = QueryDef.sql(
+    "e13_conversion_lag",
+    """WITH x AS (SELECT user_id, event_type, date_trunc('second', ts) AS tss FROM events),
+      |v AS (SELECT user_id, min(tss) AS first_view FROM x
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |p AS (SELECT x.user_id, v.first_view, min(x.tss) AS first_purchase
+      |      FROM x JOIN v ON x.user_id = v.user_id
+      |      WHERE x.event_type = 'purchase' AND x.tss >= v.first_view
+      |      GROUP BY x.user_id, v.first_view)
+      |SELECT user_id, first_view, first_purchase,
+      |  date_diff('second', first_view, first_purchase) // 60 AS lag_minutes
+      |FROM p""".stripMargin) { (s, d) =>
+    val x = T.events(s, d)
+      .select(col("user_id"), col("event_type"), date_trunc("second", col("ts")).as("tss"))
+    val v = x.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tss")).as("first_view"))
+    x.filter(col("event_type") === "purchase")
+      .join(v, Seq("user_id"))
+      .filter(col("tss") >= col("first_view"))
+      .groupBy(col("user_id"), col("first_view"))
+      .agg(min(col("tss")).as("first_purchase"))
+      .select(col("user_id"), col("first_view"), col("first_purchase"),
+        expr("(unix_timestamp(first_purchase) - unix_timestamp(first_view)) div 60")
+          .as("lag_minutes"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
     e5PropsExtract, e6AnomalyFlags, e7CohortRetention, e8RfmSegments,
-    e9TransitionMatrix, e10RollingDau, e11StreamWindows, e12StreamStreamJoin)
+    e9TransitionMatrix, e10RollingDau, e11StreamWindows, e12StreamStreamJoin,
+    e13ConversionLag)
 }

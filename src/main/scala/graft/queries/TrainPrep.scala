@@ -786,10 +786,33 @@ object TrainPrep {
       .drop("n")
   }
 
+  // --- t15_leak_safe_split: train/val/test assignment keyed on the
+  // CONTENT fingerprint, not the row id — exact duplicates must land in
+  // the same split or held-out data leaks into training verbatim (the
+  // split-time complement of d5/d8's contamination screens). Bucket =
+  // first byte of md5(text): < 0xcc → train (~80%), < 0xe6 → val
+  // (~10%), else test; deterministic across engines, runs, and
+  // cluster sizes (rand() is none of those). Scale: a narrow
+  // projection — no shuffle, no state; the split of a 100 TB corpus is
+  // one codegen'd map stage. ---
+  val t15LeakSafeSplit = QueryDef.sql(
+    "t15_leak_safe_split",
+    """SELECT doc_id, md5(text) AS fp,
+      |  CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+      |       WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents""".stripMargin) { (s, d) =>
+    T.documents(s, d).select(
+      col("doc_id"), md5(col("text")).as("fp"),
+      when(substring(md5(col("text")), 1, 2) < "cc", "train")
+        .when(substring(md5(col("text")), 1, 2) < "e6", "val")
+        .otherwise("test").as("split"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     t8PackSequences, t9NgramCounts, t10RedactPii, d5Contamination,
-    t11UnigramLogprob, t12Repetition, t14NormalizeText, t16TemperatureMix,
-    t17FeatureHashing, t18DocKnn, d8VerbatimLeak, t19Tfidf,
-    t20WeightedSample, d9BloomScreen, t21ChunkOverlap, d10ContainmentPairs,
-    t22JsonlIngest, t23SentenceStats, t25DataCards)
+    t11UnigramLogprob, t12Repetition, t14NormalizeText, t15LeakSafeSplit,
+    t16TemperatureMix, t17FeatureHashing, t18DocKnn, d8VerbatimLeak,
+    t19Tfidf, t20WeightedSample, d9BloomScreen, t21ChunkOverlap,
+    d10ContainmentPairs, t22JsonlIngest, t23SentenceStats, t25DataCards)
 }
