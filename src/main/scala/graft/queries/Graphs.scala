@@ -142,5 +142,51 @@ object Graphs {
       .select(col("vec_id"), col("label"))
   }
 
-  val all: Seq[QueryDef] = Seq(g1Pagerank, g2TriangleCount, g3LabelProp)
+  /** One unrolled SQL BFS relaxation: labels `prev` → labels `r$r`.
+    * Expanding ALL labeled nodes (not just the frontier) is min-
+    * equivalent to operators.Bfs's frontier-only expansion — settled
+    * nodes re-yield distances their neighbors already have. */
+  private def sqlBfsRound(prev: String, r: Int): String =
+    s"""r$r AS (SELECT id, min(dist) AS dist FROM (
+       |  SELECT id, dist FROM $prev
+       |  UNION ALL
+       |  SELECT e.v AS id, l.dist + 1 AS dist FROM $prev l JOIN edges e ON e.u = l.id) t
+       |GROUP BY id)""".stripMargin
+
+  // --- g4_shortest_path: multi-source depth-bounded BFS over the part
+  // co-purchase graph (g2's edge set, undirected): exact hop distance
+  // from the seed parts (p % 97 = 0), 3 rounds. The Spark side runs
+  // operators.Bfs — frontier-only expansion, per-round parquet-staged
+  // labels — while the oracle unrolls three full relaxations (min-
+  // equivalent); hop metrics can't pointer-jump (shortcuts change the
+  // metric), so a depth budget is the scale-honest contract. Per round:
+  // one frontier ⋈ edges equi-join + partial-agg min — work tracks the
+  // frontier's incident edges, never the whole graph. ---
+  val g4ShortestPath = QueryDef.sql(
+    "g4_shortest_path",
+    s"""WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e0 AS (SELECT DISTINCT x.p AS u, y.p AS v FROM it x JOIN it y ON x.o = y.o AND x.p < y.p),
+       |edges AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+       |l0 AS (SELECT DISTINCT p AS id, 0 AS dist FROM it WHERE p % 97 = 0),
+       |${sqlBfsRound("l0", 1)},
+       |${sqlBfsRound("r1", 2)},
+       |${sqlBfsRound("r2", 3)}
+       |SELECT id AS part_id, dist FROM r3""".stripMargin) { (s, d) =>
+    val it = T.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e0 = it.as("x").join(it.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("u"), col("y.p").as("v")).distinct()
+    // materialize edges once (Components/g2 discipline): BFS rounds must
+    // not re-execute the order self-join lineage
+    val stage = java.nio.file.Files.createTempDirectory("g4-bfs").toString
+    e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      .write.mode("overwrite").parquet(s"$stage/edges")
+    val edges = s.read.parquet(s"$stage/edges")
+    val seeds = it.filter(col("p") % 97 === 0).select(col("p").as("id"))
+    graft.operators.Bfs.distances(edges, seeds, rounds = 3, s"$stage/labels")
+      .select(col("id").as("part_id"), col("dist"))
+  }
+
+  val all: Seq[QueryDef] = Seq(g1Pagerank, g2TriangleCount, g3LabelProp, g4ShortestPath)
 }

@@ -634,7 +634,66 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("adist"), col("rank"))
   }
 
+  // --- v11_sq8_knn: scalar-quantized (SQ8) exact-ranking kNN — the
+  // SIMPLE compression lever next to v9's PQ: each dimension maps to a
+  // byte code 0..255 against the corpus per-dimension [min, max] range,
+  // shrinking the scan side 4× (float32 → uint8) while keeping distances
+  // integer-exact OVER THE CODES (so the oracle reproduces the ranking
+  // bit-for-bit; quantization error vs true floats is the documented
+  // trade). Shape at scale: per-dim stats are one partial-aggregated
+  // pass collapsing to 64 rows (map-side combine makes the ×64
+  // posexplode free of shuffle volume), the 1-row (mins, maxs) arrays
+  // broadcast onto a single codegen'd encode pass, and search is v1's
+  // broadcast-queries × partitioned-candidates scan with the integer-L2
+  // kernel — reading codes, never floats. ---
+  val v11Sq8Knn = QueryDef.sql(
+    "v11_sq8_knn",
+    """WITH uv AS (SELECT vec_id, unnest(embedding) AS x, unnest(range(0, 64)) AS i
+      |           FROM embeddings),
+      |st AS (SELECT i, min(CAST(x AS DOUBLE)) AS mn, max(CAST(x AS DOUBLE)) AS mx
+      |       FROM uv GROUP BY i),
+      |codes AS (SELECT vec_id, i,
+      |    CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+      |         ELSE least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+      |           CAST(floor((CAST(x AS DOUBLE) - mn) * 255.0 / (mx - mn)) AS BIGINT))) END AS c
+      |  FROM uv JOIN st USING (i)),
+      |carr AS (SELECT vec_id, list(c ORDER BY i) AS code FROM codes GROUP BY vec_id),
+      |q AS (SELECT vec_id AS qid, code AS qc FROM carr WHERE vec_id < 5),
+      |pr AS (SELECT qid, c.vec_id AS cid, qc, c.code AS cc FROM q, carr c WHERE c.vec_id <> qid),
+      |u AS (SELECT qid, cid, unnest(qc) AS x, unnest(cc) AS y FROM pr),
+      |dist AS (SELECT qid, cid, CAST(sum((x - y) * (x - y)) AS BIGINT) AS d2
+      |         FROM u GROUP BY qid, cid)
+      |SELECT qid, cid, d2, rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY d2, cid) AS rank
+      |  FROM dist) t
+      |WHERE rank <= 10""".stripMargin) { (s, d) =>
+    val emb = T.embeddings(s, d)
+    val st = emb.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+    val stRow = st.agg(
+      expr("transform(array_sort(collect_list(struct(i, mn))), e -> e.mn)").as("mns"),
+      expr("transform(array_sort(collect_list(struct(i, mx))), e -> e.mx)").as("mxs"))
+    val coded = emb.crossJoin(broadcast(stRow)).select(col("vec_id"),
+      expr("""transform(embedding, (x, i) ->
+          CASE WHEN element_at(mxs, i + 1) = element_at(mns, i + 1) THEN CAST(0 AS BIGINT)
+               ELSE least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+                 CAST(floor((CAST(x AS DOUBLE) - element_at(mns, i + 1)) * 255.0 /
+                   (element_at(mxs, i + 1) - element_at(mns, i + 1))) AS BIGINT))) END)""")
+        .as("code"))
+    val q = coded.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("code").as("qc"))
+    coded.select(col("vec_id").as("cid"), col("code").as("cc"))
+      .crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("d2", graft.functions.ArrayLongL2.l2Q(col("qc"), col("cc")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d2"), col("cid"))))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("cid"), col("d2"), col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     v1KnnBruteforce, v2AnnLsh, v3EmbeddingNeardup, v5AnnIvf, v6RandomProjection,
-    v8MmrRerank, v9PqCodes, v10PqAdc)
+    v8MmrRerank, v9PqCodes, v10PqAdc, v11Sq8Knn)
 }

@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.Bfs
+
+/** Depth-bounded multi-source BFS: exact hop distances, frontier-only
+  * expansion, depth budget, unreachable nodes absent. */
+class BfsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bfs(edges: Seq[(Long, Long)], seeds: Seq[Long], rounds: Int): Map[Long, Int] = {
+    val stage = java.nio.file.Files.createTempDirectory("bfs-spec").toString
+    val undirected = edges ++ edges.map { case (u, v) => (v, u) }
+    Bfs.distances(undirected.toDF("u", "v"), seeds.toDF("id"), rounds, stage)
+      .as[(Long, Int)].collect().toMap
+  }
+
+  test("chain distances are exact hop counts up to the depth budget") {
+    // 1-2-3-4-5-6, seed 1, 3 rounds: node 5 is 4 hops away — outside budget
+    val chain = (1L until 6L).map(i => (i, i + 1))
+    assert(bfs(chain, Seq(1L), 3) === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
+  test("multi-source: every node takes the distance to its NEAREST seed") {
+    // 1-2-3-4-5, seeds {1, 5}: 3 is 2 hops from both; 2 and 4 are 1 hop
+    val chain = (1L until 5L).map(i => (i, i + 1))
+    assert(bfs(chain, Seq(1L, 5L), 3) ===
+      Map(1L -> 0, 5L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
+  }
+
+  test("disconnected nodes never appear; isolated seeds appear at dist 0") {
+    val out = bfs(Seq((1L, 2L), (8L, 9L)), Seq(1L, 7L), 2)
+    assert(out === Map(1L -> 0, 7L -> 0, 2L -> 1)) // 8, 9 unreachable
+  }
+
+  test("a cycle does not inflate distances (min wins over the long way)") {
+    // square 1-2-3-4-1, seed 1: node 3 is 2 hops either way
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(bfs(sq, Seq(1L), 4) === Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
+  }
+}
