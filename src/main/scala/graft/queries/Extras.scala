@@ -415,9 +415,47 @@ object Extras {
       .select(col("o_custkey"), col("b.p").as("mode_priority"), (-col("b.nn")).as("n"))
   }
 
+  // --- a27_exact_corr: per-group Pearson correlation from EXACT sums —
+  // the builtin corr() aggregates doubles in partition order, so its
+  // last bits are nondeterministic across engines AND across runs of the
+  // same engine at different parallelism; here the six sufficient
+  // statistics (n, Σx, Σy, Σx², Σy², Σxy) accumulate as exact DECIMALs
+  // (order-independent), and only the final closed-form division runs in
+  // double with the identical expression on both engines. One
+  // partial-aggregated shuffle to 3 rows — the statistic of a trillion-
+  // row table costs one map-side-combined pass. ---
+  val a27ExactCorr = QueryDef.sql(
+    "a27_exact_corr",
+    """WITH s AS (SELECT l_returnflag,
+      |    count(*) AS n,
+      |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+      |    sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy,
+      |    sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |     sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price
+      |FROM s""".stripMargin) { (s, d) =>
+    val x = col("l_quantity").cast("decimal(12,2)")
+    val y = col("l_extendedprice").cast("decimal(12,2)")
+    val st = T.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+    def dbl(c: String) = col(c).cast("double")
+    st.select(col("l_returnflag"), col("n"),
+      ((dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy")) /
+        (sqrt(dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx")) *
+          sqrt(dbl("n") * dbl("syy") - dbl("sy") * dbl("sy")))).as("corr_qty_price"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
     a16WindowSuite, a17ScalarSuite, a18DateSuite, a19GroupingSets,
     sql2CorrelatedSubquery, a4bTopkAgg, a20Histogram, a21ExactMedian,
-    a24ParetoFront, a25WeightedMedian, a26GroupMode)
+    a24ParetoFront, a25WeightedMedian, a26GroupMode, a27ExactCorr)
 }

@@ -207,5 +207,49 @@ object Graphs {
       .select(col("id").as("part_id"), col("dist"))
   }
 
-  val all: Seq[QueryDef] = Seq(g1Pagerank, g2TriangleCount, g3LabelProp, g4ShortestPath)
+  // --- g5_assortativity: degree assortativity of the co-purchase graph
+  // — Pearson correlation of endpoint degrees over directed edge
+  // instances (Newman's r): do hubs connect to hubs? a27's exact-sums
+  // discipline on a graph statistic: degrees and all six sufficient
+  // statistics are exact integer aggregates (order-independent), only
+  // the closed-form division runs in double, identical expression both
+  // engines. Shape: one degree aggregate + two equi-joins of the edge
+  // list against the (node-sized, broadcastable) degree table + one
+  // partial-aggregated reduction to a single row. ---
+  val g5Assortativity = QueryDef.sql(
+    "g5_assortativity",
+    """WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e0 AS (SELECT DISTINCT x.p AS u, y.p AS v FROM it x JOIN it y ON x.o = y.o AND x.p < y.p),
+      |edges AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+      |deg AS (SELECT u AS nid, count(*) AS dg FROM edges GROUP BY u),
+      |p AS (SELECT a.dg AS dx, b.dg AS dy
+      |      FROM edges e JOIN deg a ON a.nid = e.u JOIN deg b ON b.nid = e.v),
+      |s AS (SELECT count(*) AS n_dir_edges,
+      |    sum(dx) AS sx, sum(dy) AS sy,
+      |    sum(dx * dx) AS sxx, sum(dy * dy) AS syy, sum(dx * dy) AS sxy
+      |  FROM p)
+      |SELECT n_dir_edges,
+      |  (CAST(n_dir_edges AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (sqrt(CAST(n_dir_edges AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |     sqrt(CAST(n_dir_edges AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS assortativity
+      |FROM s""".stripMargin) { (s, d) =>
+    val e0 = coPurchaseEdges(s, d)
+    val edges = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+    val deg = edges.groupBy(col("u").as("nid")).agg(count(lit(1)).as("dg"))
+    val p = edges
+      .join(broadcast(deg.select(col("nid").as("u"), col("dg").as("dx"))), Seq("u"))
+      .join(broadcast(deg.select(col("nid").as("v"), col("dg").as("dy"))), Seq("v"))
+    val st = p.agg(count(lit(1)).as("n_dir_edges"),
+      sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+      sum(col("dx") * col("dx")).as("sxx"), sum(col("dy") * col("dy")).as("syy"),
+      sum(col("dx") * col("dy")).as("sxy"))
+    def dbl(c: String) = col(c).cast("double")
+    st.select(col("n_dir_edges"),
+      ((dbl("n_dir_edges") * dbl("sxy") - dbl("sx") * dbl("sy")) /
+        (sqrt(dbl("n_dir_edges") * dbl("sxx") - dbl("sx") * dbl("sx")) *
+          sqrt(dbl("n_dir_edges") * dbl("syy") - dbl("sy") * dbl("sy")))).as("assortativity"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    g1Pagerank, g2TriangleCount, g3LabelProp, g4ShortestPath, g5Assortativity)
 }

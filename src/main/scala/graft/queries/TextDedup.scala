@@ -411,9 +411,38 @@ object TextDedup {
       .select(col("doc_id"), col("lang"))
   }
 
+  // --- d11_cluster_survivor: survivorship SELECTION over d6's dup
+  // clusters — d6 keeps the min-id member; real pipelines keep the BEST
+  // member (here: most content, n_chars, ties to the smaller doc_id) so
+  // dedup doesn't discard the richest copy. Composes the materialized
+  // pair table → connected components → per-cluster argmax: the ranking
+  // window partitions by cluster_id (cluster-sized tasks, never global),
+  // and the documents join touches only clustered docs (a left-semi-
+  // pruned fraction of the corpus). ---
+  val d11ClusterSurvivor = QueryDef.sql(
+    "d11_cluster_survivor",
+    s"""WITH d6r AS (SELECT doc_id, cluster_id FROM (${d6DedupClusters.oracle.get}) t),
+       |m AS (SELECT d.doc_id, d.cluster_id, doc.n_chars
+       |      FROM d6r d JOIN documents doc USING (doc_id)),
+       |r AS (SELECT *,
+       |    row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rk,
+       |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+       |  FROM m)
+       |SELECT cluster_id, doc_id AS keeper_id, n_members, n_chars AS keeper_chars
+       |FROM r WHERE rk = 1""".stripMargin) { (s, d) =>
+    val cl = d6DedupClusters.run(s, d).select(col("doc_id"), col("cluster_id"))
+    val m = cl.join(T.documents(s, d).select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+    val w = Window.partitionBy(col("cluster_id"))
+    m.withColumn("rk", row_number().over(w.orderBy(col("n_chars").desc, col("doc_id"))))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keeper_id"),
+        col("n_members"), col("n_chars").as("keeper_chars"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     t1TokenStats, t2QualityScore, t3LangId, t4Fingerprint, t5Profile,
     t6HashSample, t7StratifiedSample,
     d1ExactDedup, d2NgramJaccard, d3MinhashLsh, d4Simhash, d6DedupClusters,
-    t13RebalanceMix)
+    d11ClusterSurvivor, t13RebalanceMix)
 }

@@ -809,10 +809,61 @@ object TrainPrep {
         .otherwise("test").as("split"))
   }
 
+  // --- t24_bigram_pmi: corpus collocations by pointwise mutual
+  // information — PMI(x,y) = ln(c_xy·N² / (B·c_x·c_y)), the standard
+  // collocation score over exact integer counts (bigram count c_xy,
+  // unigram counts c_x/c_y, totals N/B). t11's parity discipline: the
+  // only transcendental, ln(), runs once per surviving bigram on an
+  // exact rational and is quantized to DECIMAL(8,5) before the ORDER BY,
+  // so 1-ulp libm differences between engines cannot reorder the top-k
+  // (ties break on the ngram). Shape: two token-level hash aggregates
+  // (both map-side combined), two vocab equi-joins on the c_xy table
+  // (already collapsed to distinct bigrams, ≥5 occurrences), scalar
+  // totals ride a broadcast — no windows, no self-joins. ---
+  val t24BigramPmi = QueryDef.sql(
+    "t24_bigram_pmi",
+    s"""WITH bg AS (SELECT t[i] AS w1, t[i+1] AS w2, t[i] || ' ' || t[i+1] AS ngram
+       |  FROM (SELECT doc_id, $sqlToks AS t FROM documents) toks,
+       |  LATERAL (SELECT unnest(range(1, len(t))) AS i) r),
+       |cxy AS (SELECT ngram, w1, w2, count(*) AS nxy FROM bg
+       |        GROUP BY ngram, w1, w2 HAVING count(*) >= 5),
+       |tok AS (SELECT unnest($sqlToks) AS tok FROM documents),
+       |cx AS (SELECT tok, count(*) AS nx FROM tok GROUP BY tok),
+       |tots AS (SELECT CAST((SELECT count(*) FROM tok) AS DOUBLE) AS n,
+       |                CAST((SELECT count(*) FROM bg) AS DOUBLE) AS b),
+       |pmi AS (SELECT c.ngram, c.nxy,
+       |    CAST(ln(CAST(c.nxy AS DOUBLE) * n * n / (b * CAST(a.nx AS DOUBLE) * CAST(y.nx AS DOUBLE))) AS DECIMAL(8,5)) AS pv
+       |  FROM cxy c JOIN cx a ON a.tok = c.w1 JOIN cx y ON y.tok = c.w2, tots)
+       |SELECT ngram, nxy, CAST(pv AS DOUBLE) AS pmi FROM pmi
+       |ORDER BY pv DESC, ngram LIMIT 20""".stripMargin) { (s, d) =>
+    val docs = T.documents(s, d)
+    val bg = docs.select(explode(TextFns.shinglesRegex(col("text"), 2)).as("ngram"))
+    val cxy = bg.groupBy(col("ngram")).agg(count(lit(1)).as("nxy"))
+      .filter(col("nxy") >= 5)
+      .withColumn("w1", element_at(split(col("ngram"), " "), 1))
+      .withColumn("w2", element_at(split(col("ngram"), " "), 2))
+    val tok = docs.select(explode(TextFns.tokens(col("text"))).as("tok"))
+    val cx = tok.groupBy(col("tok")).agg(count(lit(1)).as("nx"))
+    val tots = tok.agg(count(lit(1)).cast("double").as("n"))
+      .crossJoin(bg.agg(count(lit(1)).cast("double").as("b")))
+    cxy
+      .join(cx.select(col("tok").as("w1"), col("nx").as("nx1")), Seq("w1"))
+      .join(cx.select(col("tok").as("w2"), col("nx").as("nx2")), Seq("w2"))
+      .crossJoin(broadcast(tots))
+      .withColumn("pv",
+        log(col("nxy").cast("double") * col("n") * col("n") /
+          (col("b") * col("nx1").cast("double") * col("nx2").cast("double")))
+          .cast("decimal(8,5)"))
+      .orderBy(col("pv").desc, col("ngram"))
+      .limit(20)
+      .select(col("ngram"), col("nxy"), col("pv").cast("double").as("pmi"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     t8PackSequences, t9NgramCounts, t10RedactPii, d5Contamination,
     t11UnigramLogprob, t12Repetition, t14NormalizeText, t15LeakSafeSplit,
     t16TemperatureMix, t17FeatureHashing, t18DocKnn, d8VerbatimLeak,
     t19Tfidf, t20WeightedSample, d9BloomScreen, t21ChunkOverlap,
-    d10ContainmentPairs, t22JsonlIngest, t23SentenceStats, t25DataCards)
+    d10ContainmentPairs, t22JsonlIngest, t23SentenceStats, t24BigramPmi,
+    t25DataCards)
 }
