@@ -567,10 +567,32 @@ object EtlOps {
       .select(col("o_orderkey"), col("price").cast("double").as("price"))
   }
 
+  // --- k16_compaction_gate: small-file compaction under the hash gate —
+  // the table lands as 64 fragment files (the streaming/incremental-
+  // ingest pathology: file count grows with batch count, scans drown in
+  // open() calls), Maintenance.compact crash-safely rewrites it to the
+  // target file size, and the aggregate over the compacted table must
+  // hash-match the oracle's view of the original fixture — proving the
+  // rewrite lossless. MaintenanceSpec pins the file-count and crash-
+  // recovery properties; this pins the data. ---
+  val k16CompactionGate = QueryDef.sql(
+    "k16_compaction_gate",
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+    val tbl = java.nio.file.Files.createTempDirectory("k16-compact").toString + "/orders"
+    T.orders(s, d).repartition(64).write.mode("overwrite").parquet(tbl)
+    graft.operators.Maintenance.compact(s, tbl)
+    s.read.parquet(tbl)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("total"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     j1FirstWins, j2Flatten, j3Lookup, p2TimeWindow, p4CastValidate,
     p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff,
     j4RangeJoin, j5IntervalOverlap, j6FuzzyMatch, j7EditDistance,
     er1EntityClusters, k11PartitionedPrune, k12TimeTravel, k13SchemaEvolution,
-    k14BucketedJoin, k15CdcApply)
+    k14BucketedJoin, k15CdcApply, k16CompactionGate)
 }

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables => T}
@@ -453,9 +453,64 @@ object Events {
           .as("lag_minutes"))
   }
 
+  // --- e14_robust_zscore: median/MAD outlier detection per event type —
+  // the ROBUST complement to e6's mean/stddev flags (one fat-tailed
+  // burst drags a mean; the median doesn't move). Exactness: values are
+  // DECIMAL(10,2), both medians are the a21 lower-median (value-domain
+  // count cumulation — never a sort of raw rows; the window partitions
+  // by event_type over the collapsed value table), deviations and the
+  // 3×MAD threshold compare as exact decimals, and only the two
+  // reported medians cast to double at the very end. ---
+  val e14RobustZscore = QueryDef.sql(
+    "e14_robust_zscore",
+    """WITH x AS (SELECT event_type, CAST(value AS DECIMAL(10,2)) AS v FROM events),
+      |vc AS (SELECT event_type, v, count(*) AS c FROM x GROUP BY event_type, v),
+      |tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM vc GROUP BY event_type),
+      |cum AS (SELECT event_type, v,
+      |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v) AS BIGINT) AS cc FROM vc),
+      |med AS (SELECT cum.event_type, min(v) AS med FROM cum JOIN tot USING (event_type)
+      |        WHERE 2 * cc >= n GROUP BY cum.event_type),
+      |dev AS (SELECT x.event_type, abs(x.v - m.med) AS av FROM x JOIN med m USING (event_type)),
+      |dvc AS (SELECT event_type, av, count(*) AS c FROM dev GROUP BY event_type, av),
+      |dcum AS (SELECT event_type, av,
+      |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY av) AS BIGINT) AS cc FROM dvc),
+      |mad AS (SELECT dcum.event_type, min(av) AS mad FROM dcum JOIN tot USING (event_type)
+      |        WHERE 2 * cc >= n GROUP BY dcum.event_type)
+      |SELECT x.event_type,
+      |  CAST(m.med AS DOUBLE) AS median_value,
+      |  CAST(d.mad AS DOUBLE) AS mad,
+      |  CAST(sum(CASE WHEN abs(x.v - m.med) > 3 * d.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  count(*) AS n
+      |FROM x JOIN med m USING (event_type) JOIN mad d USING (event_type)
+      |GROUP BY x.event_type, m.med, d.mad""".stripMargin) { (s, d) =>
+    val x = T.events(s, d)
+      .select(col("event_type"), col("value").cast("decimal(10,2)").as("v"))
+    def lowerMedian(vals: DataFrame, out: String): DataFrame = {
+      val vc = vals.groupBy(col("event_type"), col("v")).agg(count(lit(1)).as("c"))
+      val tot = vc.groupBy(col("event_type")).agg(sum(col("c")).cast("long").as("n"))
+      val cum = vc.withColumn("cc", sum(col("c")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("v"))).cast("long"))
+      cum.join(broadcast(tot), Seq("event_type"))
+        .filter(lit(2) * col("cc") >= col("n"))
+        .groupBy(col("event_type")).agg(min(col("v")).as(out))
+    }
+    val med = lowerMedian(x, "med")
+    val dev = x.join(broadcast(med), Seq("event_type"))
+      .select(col("event_type"), abs(col("v") - col("med")).as("v"))
+    val mad = lowerMedian(dev, "mad")
+    x.join(broadcast(med), Seq("event_type"))
+      .join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"), col("med"), col("mad"))
+      .agg(sum(when(abs(col("v") - col("med")) > lit(3) * col("mad"), 1).otherwise(0))
+          .cast("long").as("n_outliers"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("med").cast("double").as("median_value"),
+        col("mad").cast("double").as("mad"), col("n_outliers"), col("n"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
     e5PropsExtract, e6AnomalyFlags, e7CohortRetention, e8RfmSegments,
     e9TransitionMatrix, e10RollingDau, e11StreamWindows, e12StreamStreamJoin,
-    e13ConversionLag)
+    e13ConversionLag, e14RobustZscore)
 }

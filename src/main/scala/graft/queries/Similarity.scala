@@ -693,7 +693,33 @@ object Similarity {
       .select(col("qid"), col("cid"), col("d2"), col("rank"))
   }
 
+  // --- v12_ann_recall: recall@10 of the ANN path (v2) against the exact
+  // baseline (v1) — evaluation AS a first-class query ("measure, don't
+  // guess"): the recall dial (nTables) is only trustworthy if the
+  // measurement reruns with every corpus/parameter change. Composes the
+  // two pipelines and left-joins exact→approx per (query, neighbor);
+  // both sides and the join are deterministic, so even this meta-metric
+  // sits under the hash gate. ---
+  val v12AnnRecall = QueryDef.sql(
+    "v12_ann_recall",
+    s"""WITH exact AS (SELECT qid, cid FROM (${v1KnnBruteforce.oracle.get}) t1),
+       |approx AS (SELECT qid, cid FROM (${v2AnnLsh.oracle.get}) t2),
+       |h AS (SELECT e.qid, count(a.cid) AS hits FROM exact e
+       |      LEFT JOIN approx a ON a.qid = e.qid AND a.cid = e.cid
+       |      GROUP BY e.qid)
+       |SELECT qid, hits, CAST(hits AS DOUBLE) / 10 AS recall_at_10 FROM h""".stripMargin) {
+    (s, d) =>
+    val exact = v1KnnBruteforce.run(s, d).select(col("qid"), col("cid"))
+    val approx = v2AnnLsh.run(s, d)
+      .select(col("qid"), col("cid"), lit(1).as("hit"))
+    exact.join(approx, Seq("qid", "cid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("hit")).as("hits"))
+      .select(col("qid"), col("hits"),
+        (col("hits").cast("double") / 10).as("recall_at_10"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     v1KnnBruteforce, v2AnnLsh, v3EmbeddingNeardup, v5AnnIvf, v6RandomProjection,
-    v8MmrRerank, v9PqCodes, v10PqAdc, v11Sq8Knn)
+    v8MmrRerank, v9PqCodes, v10PqAdc, v11Sq8Knn, v12AnnRecall)
 }
