@@ -326,5 +326,54 @@ object Clustering {
       .select(col("label"), col("cell").as("pred"), col("n"))
   }
 
-  val all: Seq[QueryDef] = Seq(c1Kmeans, d7SemanticDedup, v7NearestCentroid)
+  // --- c2_silhouette: centroid-based (simplified) silhouette score per
+  // cell — the clustering-quality eval that closes the loop on c1
+  // (v12's "measure, don't guess" discipline applied to k-means):
+  // a(v) = cosine distance to own centroid, b(v) = distance to the
+  // nearest OTHER centroid, s = (b-a)/max(a,b), reported as per-cell
+  // means. Exactness: distances come from the same integer-dot pair
+  // table the assignment argmax uses (one broadcast pass — the full
+  // silhouette's per-point pairwise form is quadratic; the centroid
+  // form is the one that scales), each s quantizes to DECIMAL(8,6)
+  // before the per-cell sum (t11's discipline: order-independent,
+  // ulp-immune), and the mean divides exact sums in double. ---
+  val c2Silhouette = QueryDef.sql(
+    "c2_silhouette",
+    s"""WITH $sqlKmeansA2,
+       |pairs AS (SELECT vec_id, cell, $sqlCos AS cs FROM d_a2),
+       |own AS (SELECT p.vec_id, p.cell, 1 - p.cs AS da
+       |        FROM pairs p JOIN a2 a ON a.vec_id = p.vec_id AND a.cell = p.cell),
+       |oth AS (SELECT p.vec_id, 1 - max(p.cs) AS db
+       |        FROM pairs p JOIN a2 a ON a.vec_id = p.vec_id AND p.cell <> a.cell
+       |        GROUP BY p.vec_id),
+       |sil AS (SELECT w.vec_id, w.cell,
+       |    CAST((o.db - w.da) / greatest(w.da, o.db) AS DECIMAL(8,6)) AS sv
+       |  FROM own w JOIN oth o ON o.vec_id = w.vec_id)
+       |SELECT cell, count(*) AS n,
+       |  CAST(sum(sv) AS DOUBLE) / count(*) AS mean_silhouette
+       |FROM sil GROUP BY cell""".stripMargin) { (s, d) =>
+    val emb = T.embeddings(s, d)
+    val embq = emb.select(col("vec_id"), Similarity.quantize("embedding").as("q"))
+    val cents = s.read.parquet(sharedModel(s, d))
+    val pairs = embq.withColumn("nx", Similarity.dotQ("q", "q"))
+      .crossJoin(broadcast(cents.withColumn("ny", Similarity.dotQ("ceq", "ceq"))))
+      .withColumn("dot", Similarity.dotQ("q", "ceq"))
+      .withColumn("cs", Similarity.cosine)
+      .select(col("vec_id"), col("cell"), col("cs"))
+    val own = pairs.groupBy(col("vec_id"))
+      .agg(max(struct(col("cs"), (-col("cell")).as("nc"))).as("b"))
+      .select(col("vec_id"), (-col("b.nc")).as("cell"), (lit(1) - col("b.cs")).as("da"))
+    val oth = pairs.join(own.select(col("vec_id"), col("cell").as("own_cell")), Seq("vec_id"))
+      .filter(col("cell") =!= col("own_cell"))
+      .groupBy(col("vec_id"))
+      .agg((lit(1) - max(col("cs"))).as("db"))
+    own.join(oth, Seq("vec_id"))
+      .withColumn("sv",
+        ((col("db") - col("da")) / greatest(col("da"), col("db"))).cast("decimal(8,6)"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("sv")).cast("double") / count(lit(1))).as("mean_silhouette"))
+  }
+
+  val all: Seq[QueryDef] = Seq(c1Kmeans, c2Silhouette, d7SemanticDedup, v7NearestCentroid)
 }
