@@ -73,6 +73,36 @@ object Multimodal {
         bos.toByteArray
       }
 
+    /** 64-bit average hash (aHash) for perceptual image near-dup
+      * detection: an 8×8 nearest-neighbor luma grid (source pixel
+      * (gx·w/8, gy·h/8)), integer luma (299r+587g+114b)/1000, bit =
+      * luma > floor(mean). Integer-exact end to end — any engine can
+      * reproduce the hash from the pixel values alone (no float
+      * interpolation, unlike the bilinear [[resizePng]] path), which is
+      * what lets m2 sit under the DuckDB hash gate. Returns the 64-char
+      * row-major bit string and its popcount. */
+    def aHash64(bytes: Array[Byte]): Option[(String, Long)] =
+      decode(bytes).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        val lumas = new Array[Long](64)
+        var gy = 0
+        while (gy < 8) {
+          var gx = 0
+          while (gx < 8) {
+            val rgb = img.getRGB(gx * w / 8, gy * h / 8)
+            val r = (rgb >> 16) & 0xff
+            val g = (rgb >> 8) & 0xff
+            val b = rgb & 0xff
+            lumas(gy * 8 + gx) = (299L * r + 587L * g + 114L * b) / 1000L
+            gx += 1
+          }
+          gy += 1
+        }
+        val mean = lumas.sum / 64
+        (lumas.map(l => if (l > mean) '1' else '0').mkString,
+          lumas.count(_ > mean).toLong)
+      }
+
     /** Real pixel features: [meanR, meanG, meanB, meanLuma, aspect] ++
       * a 16-bin normalized luminance histogram, truncated/zero-padded to
       * `dims`. All values in [0, 1] except aspect (w/h). */
@@ -316,6 +346,25 @@ object Multimodal {
 
   private val noneAudit = MediaAudit(0L, "", None, None, None, None, None,
     None, None, None, None, None, None)
+
+  /** Perceptual hash row (images only). */
+  final case class MediaHash(asset_id: Long, ahash: String, n_ones: Long)
+
+  /** aHash every decodable image asset ([[ImageCodec.aHash64]]) —
+    * iterator-to-iterator mapPartitions (codec amortized per task);
+    * non-images and undecodable payloads emit nothing. The hash column
+    * is the multimodal dedup key: identical content → identical hash,
+    * near-identical content → small Hamming distance. */
+  def imageHashes(ds: Dataset[MediaAsset]): Dataset[MediaHash] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { a =>
+        if (a.kind != "image") Iterator.empty
+        else ImageCodec.aHash64(a.bytes).iterator
+          .map { case (bits, ones) => MediaHash(a.asset_id, bits, ones) }
+      }
+    }
+  }
 
   /** Decode every asset with the real codecs and emit exact-integer
     * evidence of what was decoded (see [[MediaAudit]]). Same

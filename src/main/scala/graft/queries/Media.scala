@@ -62,5 +62,38 @@ object Media {
       .toDF()
   }
 
-  val all: Seq[QueryDef] = Seq(m1MediaFeatures)
+  // --- m2_image_phash: perceptual average-hash over the REAL decoded
+  // PNGs — the multimodal dedup key (identical content → identical
+  // hash, near-identical → small Hamming distance). The codec samples
+  // an 8×8 nearest-neighbor luma grid and thresholds against the
+  // integer mean (ImageCodec.aHash64 — all-integer, no float
+  // interpolation), so the oracle reproduces every bit analytically
+  // from the synthesis pixel formulas: decode → NN sample → integer
+  // luma → mean threshold is gated end to end. Scale shape: one
+  // mapPartitions decode pass (codec amortized per task), output is
+  // 8 bytes/asset — the corpus's floats/pixels never shuffle. ---
+  val m2ImagePhash = QueryDef.sql(
+    "m2_image_phash",
+    """WITH ids AS (SELECT id FROM generate_series(0,59) t(id)),
+      |img AS (SELECT id, 16 + (id%4)*4 AS w, 12 + (id%3)*4 AS h FROM ids WHERE id%3=0),
+      |cells AS (SELECT i.id, gy.y AS gy, gx.x AS gx,
+      |    (i.id*31 + 7*((gx.x*i.w)//8) + 13*((gy.y*i.h)//8)) % 256 AS r,
+      |    (i.id*17 + 3*((gx.x*i.w)//8) + 5*((gy.y*i.h)//8)) % 256 AS g,
+      |    (i.id*7 + 11*((gx.x*i.w)//8) + 2*((gy.y*i.h)//8)) % 256 AS b
+      |  FROM img i, generate_series(0,7) gx(x), generate_series(0,7) gy(y)),
+      |lum AS (SELECT id, gy, gx, (299*r + 587*g + 114*b)//1000 AS l FROM cells),
+      |m AS (SELECT id, sum(l)//64 AS mean FROM lum GROUP BY id),
+      |bits AS (SELECT l.id, l.gy, l.gx,
+      |    CASE WHEN l.l > m.mean THEN '1' ELSE '0' END AS bit
+      |  FROM lum l JOIN m ON m.id = l.id)
+      |SELECT id AS asset_id,
+      |  string_agg(bit, '' ORDER BY gy, gx) AS ahash,
+      |  CAST(sum(CASE WHEN bit = '1' THEN 1 ELSE 0 END) AS BIGINT) AS n_ones
+      |FROM bits GROUP BY id""".stripMargin) { (s, _) =>
+    Multimodal.imageHashes(
+      Multimodal.repartitionForDecode(Multimodal.synthesize(s, 0L until 60L), 8))
+      .toDF()
+  }
+
+  val all: Seq[QueryDef] = Seq(m1MediaFeatures, m2ImagePhash)
 }

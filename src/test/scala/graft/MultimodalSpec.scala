@@ -165,6 +165,24 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.asset_id).toSet.subsetOf(videos.map(_.asset_id).toSet))
   }
 
+  test("aHash: 64 bits, popcount consistent, deterministic, and identical rasters collide") {
+    val hashes = Multimodal.imageHashes(assets).collect()
+    val imageIds = assets.filter(_.kind == "image").collect().map(_.asset_id).toSet
+    assert(hashes.map(_.asset_id).toSet === imageIds)
+    hashes.foreach { h =>
+      assert(h.ahash.length === 64 && h.ahash.forall(c => c == '0' || c == '1'))
+      assert(h.n_ones === h.ahash.count(_ == '1'))
+    }
+    // determinism: a second decode pass yields the same hashes
+    val again = Multimodal.imageHashes(assets).collect()
+    assert(hashes.sortBy(_.asset_id).toSeq === again.sortBy(_.asset_id).toSeq)
+    // identical content → identical hash (the dedup law), regardless of id
+    val png = Multimodal.syntheticPng(7L, 16, 12)
+    val a = Multimodal.ImageCodec.aHash64(png)
+    val b = Multimodal.ImageCodec.aHash64(Multimodal.syntheticPng(7L, 16, 12))
+    assert(a.isDefined && a === b)
+  }
+
   test("feature pipeline composes with relational ops (join to embeddings-style table)") {
     val feats = Multimodal.extractFeatures(assets, dims = 8)
     val dims = feats.selectExpr("asset_id", "size(feature) AS d")
