@@ -508,9 +508,48 @@ object Events {
         col("mad").cast("double").as("mad"), col("n_outliers"), col("n"))
   }
 
+  // --- e15_stream_dedup: STRUCTURED STREAMING deduplication under the
+  // hash gate — the streaming face of d1: the feed carries every event
+  // TWICE (the at-least-once delivery reality), the stream drops
+  // duplicates by key within the watermark
+  // (dropDuplicatesWithinWatermark: state is bounded by the lateness
+  // horizon, not the stream's history — the property that makes
+  // streaming dedup viable at all), lands append-only through the
+  // exactly-once file sink, and the read-back table must hash-match the
+  // batch distinct of the original fixture. Duplicate copies carry
+  // identical payloads, so which copy survives is unobservable —
+  // deterministic under any micro-batch split. ---
+  val e15StreamDedup = QueryDef.sql(
+    "e15_stream_dedup",
+    """SELECT event_id, user_id, event_type, date_trunc('second', ts) AS tss
+      |FROM events""".stripMargin) { (s, d) =>
+    val root = java.nio.file.Files.createTempDirectory("e15-stream").toString
+    val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val ev = T.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), date_trunc("second", col("ts")).as("tss"))
+    ev.unionAll(ev).write.parquet(feed) // every event delivered twice
+    val deduped = s.readStream
+      .schema("event_id BIGINT, user_id BIGINT, event_type STRING, ts TIMESTAMP, tss TIMESTAMP")
+      .parquet(feed)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped
+      .select(col("event_id"), col("user_id"), col("event_type"), col("tss"))
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("tss"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
     e5PropsExtract, e6AnomalyFlags, e7CohortRetention, e8RfmSegments,
     e9TransitionMatrix, e10RollingDau, e11StreamWindows, e12StreamStreamJoin,
-    e13ConversionLag, e14RobustZscore)
+    e13ConversionLag, e14RobustZscore, e15StreamDedup)
 }

@@ -250,6 +250,51 @@ object Graphs {
           sqrt(dbl("n_dir_edges") * dbl("syy") - dbl("sy") * dbl("sy")))).as("assortativity"))
   }
 
+  // --- g6_link_predict: common-neighbors link prediction for the seed
+  // parts (g4's seed set): for each seed, the top-5 non-adjacent parts
+  // ranked by shared co-purchase neighbors — "customers who bought X's
+  // companions also bought". Scale containment: the quadratic wedge
+  // space is generated ONLY from seed-incident edges (|seeds|·deg²,
+  // never the whole graph's Σdeg²), candidate counts partial-aggregate
+  // before their shuffle, existing edges drop via one anti-join, and
+  // the ranking window partitions per seed. ---
+  val g6LinkPredict = QueryDef.sql(
+    "g6_link_predict",
+    """WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e0 AS (SELECT DISTINCT x.p AS u, y.p AS v FROM it x JOIN it y ON x.o = y.o AND x.p < y.p),
+      |edges AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+      |se AS (SELECT u AS seed, v AS nbr FROM edges WHERE u % 97 = 0),
+      |cand AS (SELECT s.seed, e.v AS cand, count(*) AS common_nbrs
+      |         FROM se s JOIN edges e ON e.u = s.nbr
+      |         WHERE e.v <> s.seed
+      |         GROUP BY s.seed, e.v),
+      |new_links AS (SELECT c.seed, c.cand, c.common_nbrs
+      |              FROM cand c LEFT JOIN edges x ON x.u = c.seed AND x.v = c.cand
+      |              WHERE x.u IS NULL)
+      |SELECT seed, cand, common_nbrs, rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY seed
+      |      ORDER BY common_nbrs DESC, cand) AS rank
+      |  FROM new_links) t
+      |WHERE rank <= 5""".stripMargin) { (s, d) =>
+    val e0 = coPurchaseEdges(s, d)
+    val edges = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+    val se = edges.filter(col("u") % 97 === 0)
+      .select(col("u").as("seed"), col("v").as("nbr"))
+    val cand = se.join(edges.select(col("u").as("nbr"), col("v").as("cand")), Seq("nbr"))
+      .filter(col("cand") =!= col("seed"))
+      .groupBy(col("seed"), col("cand"))
+      .agg(count(lit(1)).as("common_nbrs"))
+    val fresh = cand.join(
+        edges.select(col("u").as("seed"), col("v").as("cand")),
+        Seq("seed", "cand"), "left_anti")
+    fresh
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("seed")).orderBy(col("common_nbrs").desc, col("cand"))))
+      .filter(col("rank") <= 5)
+      .select(col("seed"), col("cand"), col("common_nbrs"), col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    g1Pagerank, g2TriangleCount, g3LabelProp, g4ShortestPath, g5Assortativity)
+    g1Pagerank, g2TriangleCount, g3LabelProp, g4ShortestPath, g5Assortativity,
+    g6LinkPredict)
 }

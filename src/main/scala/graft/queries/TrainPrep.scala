@@ -859,11 +859,42 @@ object TrainPrep {
       .select(col("ngram"), col("nxy"), col("pv").cast("double").as("pmi"))
   }
 
+  // --- t26_mix_entropy: per-source language-mix Shannon entropy — the
+  // dataset-mix diagnostic behind t13/t16's rebalancing (entropy 0 =
+  // monolingual source, ln(k) = uniform over k languages). Exactness:
+  // probabilities are exact rationals rendered identically in double,
+  // each −p·ln(p) term quantizes to DECIMAL(10,7) before the per-source
+  // sum (t11's ln discipline: order-independent, ulp-immune). One
+  // (source, lang) count aggregate — entropy of a 100 TB corpus costs
+  // one map-side-combined pass. ---
+  val t26MixEntropy = QueryDef.sql(
+    "t26_mix_entropy",
+    """WITH c AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang),
+      |t AS (SELECT source, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY source),
+      |e AS (SELECT c.source, c.n, t.tot,
+      |    CAST(-(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE))
+      |      * ln(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE)) AS DECIMAL(10,7)) AS term
+      |  FROM c JOIN t USING (source))
+      |SELECT source, count(*) AS n_langs, CAST(min(tot) AS BIGINT) AS n_docs,
+      |  CAST(sum(term) AS DOUBLE) AS lang_entropy
+      |FROM e GROUP BY source""".stripMargin) { (s, d) =>
+    val c = T.documents(s, d)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n"))
+    val t = c.groupBy(col("source")).agg(sum(col("n")).cast("long").as("tot"))
+    val p = col("n").cast("double") / col("tot").cast("double")
+    c.join(broadcast(t), Seq("source"))
+      .withColumn("term", (-p * log(p)).cast("decimal(10,7)"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_langs"),
+        min(col("tot")).cast("long").as("n_docs"),
+        sum(col("term")).cast("double").as("lang_entropy"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     t8PackSequences, t9NgramCounts, t10RedactPii, d5Contamination,
     t11UnigramLogprob, t12Repetition, t14NormalizeText, t15LeakSafeSplit,
     t16TemperatureMix, t17FeatureHashing, t18DocKnn, d8VerbatimLeak,
     t19Tfidf, t20WeightedSample, d9BloomScreen, t21ChunkOverlap,
     d10ContainmentPairs, t22JsonlIngest, t23SentenceStats, t24BigramPmi,
-    t25DataCards)
+    t25DataCards, t26MixEntropy)
 }
