@@ -15,7 +15,7 @@ object SparkEntry {
 
   /** Registry of all declared queries, in registration order. */
   def registry: Seq[QueryDef] =
-    CoreAnalytics.all ++ EtlOps.all ++ TextDedup.all ++ Similarity.all ++ Events.all ++ Extras.all ++ TpchShapes.all ++ Media.all ++ TrainPrep.all ++ Clustering.all ++ Sketches.all ++ Graphs.all
+    CoreAnalytics.all ++ EtlOps.all ++ TextDedup.all ++ Similarity.all ++ Events.all ++ Extras.all ++ TpchShapes.all ++ Media.all ++ TrainPrep.all ++ Clustering.all ++ Sketches.all ++ Graphs.all ++ Quality.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

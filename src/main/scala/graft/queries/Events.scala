@@ -547,9 +547,45 @@ object Events {
       .select(col("event_id"), col("user_id"), col("event_type"), col("tss"))
   }
 
+  // --- e16_activity_islands: gaps-and-islands — per-user consecutive-day
+  // activity streaks (the classic sequence-analytics shape: engagement
+  // streaks, uptime runs, SLA windows). day − row_number(day) is constant
+  // within a run of consecutive days, so streaks fall out of one
+  // per-user window + two partial-aggregated groupBys; no self-join, no
+  // BETWEEN join. The window partitions by user_id (bounded by one
+  // user's active days — never a global sort), and the distinct up front
+  // means the window input is (user, day) pairs, not raw events. ---
+  val e16ActivityIslands = QueryDef.sql(
+    "e16_activity_islands",
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      |  FROM events),
+      |r AS (SELECT user_id, day,
+      |        CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS INTEGER) AS rn
+      |      FROM act),
+      |isl AS (SELECT user_id, day - rn AS anchor, count(*) AS len
+      |        FROM r GROUP BY user_id, day - rn)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_streaks,
+      |       max(len) AS longest, CAST(sum(len) AS BIGINT) AS active_days
+      |FROM isl GROUP BY user_id""".stripMargin) { (s, d) =>
+    val act = T.events(s, d)
+      .select(col("user_id"), to_date(date_trunc("day", col("ts"))).as("day"))
+      .distinct()
+    val r = act.withColumn("rn",
+      row_number().over(Window.partitionBy(col("user_id")).orderBy(col("day")))
+        .cast("int"))
+    val islands = r
+      .groupBy(col("user_id"), date_sub(col("day"), col("rn")).as("anchor"))
+      .agg(count(lit(1)).as("len"))
+    islands.groupBy(col("user_id")).agg(
+      count(lit(1)).as("n_streaks"),
+      max(col("len")).as("longest"),
+      sum(col("len")).as("active_days"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
     e5PropsExtract, e6AnomalyFlags, e7CohortRetention, e8RfmSegments,
     e9TransitionMatrix, e10RollingDau, e11StreamWindows, e12StreamStreamJoin,
-    e13ConversionLag, e14RobustZscore, e15StreamDedup)
+    e13ConversionLag, e14RobustZscore, e15StreamDedup, e16ActivityIslands)
 }

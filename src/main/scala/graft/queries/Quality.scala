@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables => T}
+import graft.operators.DataQuality
+
+/** Data-governance queries: declarative quality expectations and
+  * anonymity audits — the validation layer a training-data pipeline runs
+  * before (and after) every ingest.
+  */
+object Quality {
+
+  // --- dq1_expectations: a 9-rule Deequ-style expectation suite over
+  // orders + lineitem. All seven row-local rules fold into exactly TWO
+  // aggregate scans (one per table, count(*) shared per scan);
+  // uniqueness is one count-distinct; referential integrity one semi
+  // join against the distinct key side (broadcast under AQE). Verdicts
+  // are integer-exact (metric*100 >= denom*minPct), so the oracle
+  // reproduces the report bit-for-bit — at 100 TB this whole suite costs
+  // two table reads and one semi join, not nine validation jobs. ---
+  val dq1Expectations = QueryDef.sql(
+    "dq1_expectations",
+    """WITH ro AS (SELECT count(*) AS denom,
+      |    count(*) FILTER (WHERE o_custkey IS NOT NULL) AS m0,
+      |    count(*) FILTER (WHERE o_orderstatus IN ('O','F','P')) AS m1,
+      |    count(*) FILTER (WHERE o_totalprice >= 0.0 AND o_totalprice <= 600000.0) AS m2,
+      |    count(*) FILTER (WHERE regexp_matches(o_orderpriority, '^[1-5]-')) AS m3
+      |  FROM orders),
+      |rl AS (SELECT count(*) AS denom,
+      |    count(*) FILTER (WHERE l_quantity >= 1.0 AND l_quantity <= 50.0) AS m0,
+      |    count(*) FILTER (WHERE l_discount >= 0.0 AND l_discount <= 0.1) AS m1,
+      |    count(*) FILTER (WHERE l_shipdate IS NOT NULL) AS m2
+      |  FROM lineitem),
+      |u AS (SELECT count(*) AS denom, count(DISTINCT o_orderkey) AS metric FROM orders),
+      |ri AS (SELECT count(*) AS denom,
+      |    count(*) FILTER (WHERE l_orderkey IN (SELECT o_orderkey FROM orders)) AS metric
+      |  FROM lineitem)
+      |SELECT 'not_null(o_custkey)' AS chk, m0 AS metric, denom, m0*100 >= denom*100 AS pass FROM ro
+      |UNION ALL SELECT 'accepted(o_orderstatus)', m1, denom, m1*100 >= denom*100 FROM ro
+      |UNION ALL SELECT 'in_range(o_totalprice)', m2, denom, m2*100 >= denom*99 FROM ro
+      |UNION ALL SELECT 'matches(o_orderpriority)', m3, denom, m3*100 >= denom*100 FROM ro
+      |UNION ALL SELECT 'in_range(l_quantity)', m0, denom, m0*100 >= denom*100 FROM rl
+      |UNION ALL SELECT 'in_range(l_discount)', m1, denom, m1*100 >= denom*100 FROM rl
+      |UNION ALL SELECT 'not_null(l_shipdate)', m2, denom, m2*100 >= denom*100 FROM rl
+      |UNION ALL SELECT 'unique(o_orderkey)', metric, denom, metric*100 >= denom*100 FROM u
+      |UNION ALL SELECT 'ref_integrity(l_orderkey)', metric, denom, metric*100 >= denom*100 FROM ri""".stripMargin) {
+    (s, d) =>
+      val o = T.orders(s, d)
+      val li = T.lineitem(s, d)
+      val ordersReport = DataQuality.validateRows(o, Seq(
+        DataQuality.notNull("o_custkey"),
+        DataQuality.accepted("o_orderstatus", Seq("O", "F", "P")),
+        DataQuality.inRange("o_totalprice", 0.0, 600000.0, minPct = 99),
+        DataQuality.matches("o_orderpriority", "^[1-5]-")))
+      val lineitemReport = DataQuality.validateRows(li, Seq(
+        DataQuality.inRange("l_quantity", 1.0, 50.0),
+        DataQuality.inRange("l_discount", 0.0, 0.1),
+        DataQuality.notNull("l_shipdate")))
+      ordersReport
+        .unionAll(lineitemReport)
+        .unionAll(DataQuality.unique(o, Seq("o_orderkey")))
+        .unionAll(DataQuality.refIntegrity(li, "l_orderkey", o, "o_orderkey"))
+  }
+
+  // --- dq2_k_anonymity: k-anonymity audit over the customer
+  // quasi-identifier (c_nationkey, c_mktsegment) — every equivalence
+  // class of the quasi-identifier must contain at least k=5 individuals
+  // or the grouping is re-identifiable. One partial-aggregated groupBy
+  // (the class count), then a 1-row summary: the smallest class, how
+  // many classes violate, and the verdict. The shuffle carries one row
+  // per equivalence class — thousands, never |customers|. ---
+  val dq2KAnonymity = QueryDef.sql(
+    "dq2_k_anonymity",
+    """WITH cls AS (
+      |  SELECT c_nationkey, c_mktsegment, count(*) AS n
+      |  FROM customer GROUP BY c_nationkey, c_mktsegment)
+      |SELECT CAST(count(*) AS BIGINT) AS classes,
+      |       min(n) AS min_class,
+      |       CAST(count(*) FILTER (WHERE n < 5) AS BIGINT) AS violating,
+      |       min(n) >= 5 AS k_anonymous
+      |FROM cls""".stripMargin) { (s, d) =>
+    val classes = T.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+    classes.agg(
+      count(lit(1)).as("classes"),
+      min(col("n")).as("min_class"),
+      count(when(col("n") < 5, 1)).as("violating"),
+      (min(col("n")) >= 5).as("k_anonymous"))
+  }
+
+  val all: Seq[QueryDef] = Seq(dq1Expectations, dq2KAnonymity)
+}
