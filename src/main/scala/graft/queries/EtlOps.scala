@@ -589,10 +589,42 @@ object EtlOps {
         sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("total"))
   }
 
+  // --- k17_ivm_join: incremental view maintenance for the orders⋈items
+  // join view (Ivm.deltaJoin): both inputs split at 1998-01-01 into base
+  // + append-only delta, the view refreshed as
+  // V ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB — the old join is NEVER recomputed; the
+  // deltas broadcast onto the base scans. The oracle is the plain full
+  // join, so the hash match proves delta maintenance ≡ full recompute
+  // row-for-row. At 100 TB this is the difference between an hourly
+  // view refresh that joins one hour of feed against the key-pruned
+  // base and one that re-joins years of history. ---
+  val k17IvmJoin = QueryDef.sql(
+    "k17_ivm_join",
+    """SELECT o_orderkey, o_custkey, o_orderpriority, l_linenumber,
+      |  l_quantity, l_extendedprice
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin) { (s, d) =>
+    import graft.operators.Ivm
+    val cut = to_timestamp(lit("1998-01-01"))
+    val o = T.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        col("o_orderdate"))
+    val li = T.lineitem(s, d)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_shipdate"))
+    val (oOld, oDelta) =
+      (o.filter(col("o_orderdate") < cut), o.filter(col("o_orderdate") >= cut))
+    val (liOld, liDelta) =
+      (li.filter(col("l_shipdate") < cut), li.filter(col("l_shipdate") >= cut))
+    val vOld = oOld.join(liOld, Seq("o_orderkey"))
+    Ivm.maintain(vOld, oOld, oDelta, liOld, liDelta, Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     j1FirstWins, j2Flatten, j3Lookup, p2TimeWindow, p4CastValidate,
     p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff,
     j4RangeJoin, j5IntervalOverlap, j6FuzzyMatch, j7EditDistance,
     er1EntityClusters, k11PartitionedPrune, k12TimeTravel, k13SchemaEvolution,
-    k14BucketedJoin, k15CdcApply, k16CompactionGate)
+    k14BucketedJoin, k15CdcApply, k16CompactionGate, k17IvmJoin)
 }
