@@ -621,10 +621,57 @@ object EtlOps {
         col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
   }
 
+  // --- k18_format_roundtrip: ORC and CSV as first-class interchange
+  // formats next to parquet (t22 covers JSONL): lineitem rides through
+  // columnar ORC, orders through header CSV with an explicit read schema
+  // and a pinned timestampFormat (schema-on-read discipline — inference
+  // would make the pipeline depend on the data), then the two landed
+  // tables join and aggregate. The oracle recomputes from the parquet
+  // fixtures directly, so the hash match proves BOTH format paths are
+  // lossless for longs, doubles, strings, and timestamps. Scale notes:
+  // both writes/reads are embarrassingly parallel splittable scans; ORC
+  // keeps predicate pushdown + column pruning, CSV is the lowest common
+  // denominator for third-party handoff. ---
+  val k18FormatRoundtrip = QueryDef.sql(
+    "k18_format_roundtrip",
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+      |  count(DISTINCT o_orderpriority) AS n_prio,
+      |  max(o_orderdate) AS max_date
+      |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+    val root = java.nio.file.Files.createTempDirectory("k18-fmt").toString
+    T.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+      .write.mode("overwrite").orc(s"$root/li_orc")
+    // the fixture's timestamps are TIMESTAMP_NTZ (parquet without UTC
+    // adjustment) — CSV formats those via timestampNTZFormat, and the
+    // read schema must say TIMESTAMP_NTZ or the parse silently nulls
+    val tsFmt = "yyyy-MM-dd HH:mm:ss"
+    T.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+      .write.mode("overwrite")
+      .option("header", "true").option("timestampNTZFormat", tsFmt)
+      .csv(s"$root/ord_csv")
+    val li = s.read.orc(s"$root/li_orc")
+    val ord = s.read
+      .schema("o_orderkey BIGINT, o_orderpriority STRING, o_orderdate TIMESTAMP_NTZ")
+      .option("header", "true").option("timestampNTZFormat", tsFmt)
+      .csv(s"$root/ord_csv")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("total"),
+        countDistinct(col("o_orderpriority")).as("n_prio"),
+        max(col("o_orderdate")).as("max_date"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     j1FirstWins, j2Flatten, j3Lookup, p2TimeWindow, p4CastValidate,
     p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff,
     j4RangeJoin, j5IntervalOverlap, j6FuzzyMatch, j7EditDistance,
     er1EntityClusters, k11PartitionedPrune, k12TimeTravel, k13SchemaEvolution,
-    k14BucketedJoin, k15CdcApply, k16CompactionGate, k17IvmJoin)
+    k14BucketedJoin, k15CdcApply, k16CompactionGate, k17IvmJoin,
+    k18FormatRoundtrip)
 }

@@ -719,7 +719,87 @@ object Similarity {
         (col("hits").cast("double") / 10).as("recall_at_10"))
   }
 
+  // --- v13_ivfpq: IVF + PQ composed — the canonical large-corpus ANN
+  // layout (FAISS's IVFPQ): the coarse quantizer (v5's cells) bounds
+  // WHICH vectors a query touches, PQ codes (v9) bound WHAT is read per
+  // touched vector, and ADC (v10's broadcast LUT) scores candidates
+  // from their 8-byte codes alone. Search cost at 100 TB:
+  // O(corpus/cells × nprobe) rows × 8 small ints each — the float
+  // vectors are never reread, the LUT and probe set broadcast, the only
+  // shuffle is the partial-aggregated per-(query, candidate) sum. All
+  // arithmetic is exact-integer, so the full composition sits under the
+  // hash gate end-to-end. ---
+  val v13Ivfpq = QueryDef.sql(
+    "v13_ivfpq",
+    s"""WITH $sqlPqBest,
+       |cents2 AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id % 37 = 0),
+       |apairs AS (SELECT e.vec_id AS qid2, c.cent_id AS cid2, e.embedding AS qe, c.ce
+       |           FROM embeddings e, cents2 c),
+       |au AS (SELECT qid2, cid2, unnest(qe) AS x, unnest(ce) AS y FROM apairs),
+       |adots AS (SELECT qid2, cid2,
+       |    sum($sqlQuantU * $sqlQuantV) AS dot,
+       |    sum($sqlQuantU * $sqlQuantU) AS nx,
+       |    sum($sqlQuantV * $sqlQuantV) AS ny
+       |  FROM au u GROUP BY qid2, cid2),
+       |aranked AS (SELECT qid2, cid2,
+       |    row_number() OVER (PARTITION BY qid2 ORDER BY
+       |      (CAST(dot AS DOUBLE) / 1e12) /
+       |        (sqrt(CAST(nx AS DOUBLE) / 1e12) * sqrt(CAST(ny AS DOUBLE) / 1e12)) DESC,
+       |      cid2) AS rank
+       |  FROM adots),
+       |cells AS (SELECT qid2 AS vec_id, cid2 AS cell FROM aranked WHERE rank = 1),
+       |probes AS (SELECT qid2 AS qid, cid2 AS cell FROM aranked WHERE qid2 < 3 AND rank <= 3),
+       |cand AS (SELECT DISTINCT p.qid, cl.vec_id AS cid
+       |         FROM probes p JOIN cells cl ON p.cell = cl.cell
+       |         WHERE cl.vec_id <> p.qid),
+       |qs AS (SELECT vec_id AS qid, s, sq FROM sub WHERE vec_id < 3),
+       |ul AS (SELECT q2.qid, q2.s, c.cell, unnest(q2.sq) AS x, unnest(c.cq) AS y
+       |       FROM qs q2 JOIN cent c ON c.s = q2.s),
+       |lut AS (SELECT qid, s, cell, CAST(sum((x - y)*(x - y)) AS BIGINT) AS ld
+       |        FROM ul GROUP BY qid, s, cell),
+       |adc AS (SELECT ca.qid, b.vec_id, CAST(sum(l.ld) AS BIGINT) AS adist
+       |        FROM cand ca
+       |        JOIN best b ON b.vec_id = ca.cid
+       |        JOIN lut l ON l.qid = ca.qid AND l.s = b.s AND l.cell = b.cell
+       |        GROUP BY ca.qid, b.vec_id)
+       |SELECT qid, vec_id, adist, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rank
+       |  FROM adc) t
+       |WHERE rank <= 10""".stripMargin) { (s, d) =>
+    // coarse quantizer: assign every vector to its nearest sampled
+    // centroid; probe the 3 nearest cells for each query (v5's machinery)
+    val emb = T.embeddings(s, d).withColumn("q", quantize("embedding"))
+    val ranked = rankAgainstCentroids(
+      emb.select(col("vec_id").as("qid"), col("q").as("qeq")), ivfCentroids(emb))
+    val cells = ranked.filter(col("rank") === 1)
+      .select(col("qid").as("vec_id"), col("cid").as("cell"))
+    val probes = ranked.filter(col("qid") < 3 && col("rank") <= 3)
+      .select(col("qid"), col("cid").as("cell"))
+    val cand = cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid")).distinct()
+    // PQ codes for the corpus + the queries' broadcast distance LUT
+    // (v9/v10's machinery); ADC restricted to the probed cells' members
+    val subs = pqSubs(s, d)
+    val pcents = pqCents(subs)
+    val best = pqBest(subs, pcents).withColumnRenamed("vec_id", "cid")
+    val qs = subs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("sub"), col("sq").as("qq"))
+    val lut = qs.join(broadcast(pcents), Seq("sub"))
+      .withColumn("ld", graft.functions.ArrayLongL2.l2Q(col("qq"), col("cq")))
+      .select(col("qid"), col("sub"), col("cell"), col("ld"))
+    cand
+      .join(best, Seq("cid"))
+      .join(broadcast(lut), Seq("qid", "sub", "cell"))
+      .groupBy(col("qid"), col("cid"))
+      .agg(sum(col("ld")).cast("long").as("adist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adist"), col("cid"))))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("cid").as("vec_id"), col("adist"), col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     v1KnnBruteforce, v2AnnLsh, v3EmbeddingNeardup, v5AnnIvf, v6RandomProjection,
-    v8MmrRerank, v9PqCodes, v10PqAdc, v11Sq8Knn, v12AnnRecall)
+    v8MmrRerank, v9PqCodes, v10PqAdc, v11Sq8Knn, v12AnnRecall, v13Ivfpq)
 }
