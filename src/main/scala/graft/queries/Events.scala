@@ -583,9 +583,62 @@ object Events {
       sum(col("len")).as("active_days"))
   }
 
+  // --- e17_session_paths: top-20 most common session journeys — e2's
+  // 30-minute sessions reduced to their ordered event-type path string
+  // (the product-analytics "what do users actually do" query). The path
+  // is built per session with collect_list(struct(tss, event_id, type))
+  // → array_sort → join: the sort happens INSIDE each session's
+  // collected array (bounded by session length), never as a global
+  // order-by; the final count is one partial-aggregated groupBy on the
+  // path string and the LIMIT carries a total tie-break (n DESC, path)
+  // so top-20 is deterministic on both engines. ---
+  val e17SessionPaths = QueryDef.sql(
+    "e17_session_paths",
+    """WITH x AS (
+      |  SELECT user_id, event_id, event_type, date_trunc('second', ts) AS tss FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, event_type, tss,
+      |    CASE WHEN lag(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) IS NULL
+      |           OR tss - lag(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) > INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM x),
+      |s AS (
+      |  SELECT user_id, event_id, event_type, tss,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tss, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS sess_no
+      |  FROM f),
+      |paths AS (
+      |  SELECT user_id, sess_no,
+      |    string_agg(event_type, '>' ORDER BY tss, event_id) AS path
+      |  FROM s GROUP BY user_id, sess_no)
+      |SELECT path, count(*) AS n
+      |FROM paths GROUP BY path
+      |ORDER BY n DESC, path LIMIT 20""".stripMargin) { (s, d) =>
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("tss"), col("event_id"))
+    val x = T.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("tss"))
+    val sess = x
+      .withColumn("new_sess",
+        when(lag(col("tss"), 1).over(byUser).isNull
+          || col("tss").cast("long") - lag(col("tss"), 1).over(byUser).cast("long") > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_no", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val paths = sess
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(tss, event_id, event_type))), r -> r.event_type)"),
+        ">").as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
     e5PropsExtract, e6AnomalyFlags, e7CohortRetention, e8RfmSegments,
     e9TransitionMatrix, e10RollingDau, e11StreamWindows, e12StreamStreamJoin,
-    e13ConversionLag, e14RobustZscore, e15StreamDedup, e16ActivityIslands)
+    e13ConversionLag, e14RobustZscore, e15StreamDedup, e16ActivityIslands,
+    e17SessionPaths)
 }

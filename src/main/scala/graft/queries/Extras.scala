@@ -453,9 +453,54 @@ object Extras {
           sqrt(dbl("n") * dbl("syy") - dbl("sy") * dbl("sy")))).as("corr_qty_price"))
   }
 
+  // --- a28_linreg_trend: grouped ordinary-least-squares trend — per
+  // event type, the regression of value against day index (metric drift
+  // detection: "is this KPI trending and how fast"). Same discipline as
+  // a27: the five sufficient statistics (n, Σx, Σy, Σxy, Σx²) accumulate
+  // as exact DECIMALs in ONE partial-aggregated pass (OLS is
+  // one-scan-decomposable — the classic MR statistics trick), and only
+  // the closed-form slope/intercept run in double with the identical
+  // expression shape on both engines. At 100 TB: one map-side-combined
+  // aggregate, five numbers per group shuffled, no second pass. ---
+  val a28LinregTrend = QueryDef.sql(
+    "a28_linreg_trend",
+    """WITH s AS (SELECT event_type,
+      |    count(*) AS n,
+      |    sum(CAST(date_diff('day', DATE '2024-01-01', ts) AS DECIMAL(18,2))) AS sx,
+      |    sum(CAST(value AS DECIMAL(14,2))) AS sy,
+      |    sum(CAST(date_diff('day', DATE '2024-01-01', ts) AS DECIMAL(18,2)) *
+      |        CAST(value AS DECIMAL(14,2))) AS sxy,
+      |    sum(CAST(date_diff('day', DATE '2024-01-01', ts) AS DECIMAL(18,2)) *
+      |        CAST(date_diff('day', DATE '2024-01-01', ts) AS DECIMAL(18,2))) AS sxx
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, n,
+      |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+      |  (CAST(sy AS DOUBLE) -
+      |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |      (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |      CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+      |FROM s""".stripMargin) { (s, d) =>
+    val x = datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+      .cast("decimal(18,2)")
+    val y = col("value").cast("decimal(14,2)")
+    val st = T.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+    def dbl(c: String) = col(c).cast("double")
+    val slope = (dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy")) /
+      (dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx"))
+    st.select(col("event_type"), col("n"),
+      slope.as("slope"),
+      ((dbl("sy") - slope * dbl("sx")) / dbl("n")).as("intercept"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
     a16WindowSuite, a17ScalarSuite, a18DateSuite, a19GroupingSets,
     sql2CorrelatedSubquery, a4bTopkAgg, a20Histogram, a21ExactMedian,
-    a24ParetoFront, a25WeightedMedian, a26GroupMode, a27ExactCorr)
+    a24ParetoFront, a25WeightedMedian, a26GroupMode, a27ExactCorr,
+    a28LinregTrend)
 }

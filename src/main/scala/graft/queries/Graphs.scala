@@ -294,7 +294,62 @@ object Graphs {
       .select(col("seed"), col("cand"), col("common_nbrs"), col("rank"))
   }
 
+  // --- g7_neighborhood_jaccard: "parts similar to X" — Jaccard
+  // similarity of co-purchase neighborhoods for the g6 seed set:
+  // J(a,b) = |N(a)∩N(b)| / (deg(a)+deg(b)−|N(a)∩N(b)|). The
+  // intersection count is g6's wedge walk (seed→shared neighbor→cand:
+  // one join from the seed fan-out, partial-aggregated), degrees are
+  // one groupBy landed once, and the union size falls out of
+  // inclusion-exclusion — set algebra on counts, no pairwise set
+  // materialization anywhere. Seeds scale the cost knob exactly like
+  // g6: the walk is O(edges incident to seeds' neighborhoods), never
+  // all-pairs. ---
+  val g7NeighborhoodJaccard = QueryDef.sql(
+    "g7_neighborhood_jaccard",
+    """WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e0 AS (SELECT DISTINCT x.p AS u, y.p AS v FROM it x JOIN it y ON x.o = y.o AND x.p < y.p),
+      |edges AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+      |deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+      |se AS (SELECT u AS seed, v AS nbr FROM edges WHERE u % 97 = 0),
+      |com AS (SELECT s.seed, e.v AS cand, count(*) AS common_nbrs
+      |        FROM se s JOIN edges e ON e.u = s.nbr
+      |        WHERE e.v <> s.seed
+      |        GROUP BY s.seed, e.v),
+      |j AS (SELECT c.seed, c.cand, c.common_nbrs,
+      |        da.deg AS deg_seed, db.deg AS deg_cand,
+      |        CAST(c.common_nbrs AS DOUBLE) /
+      |          CAST(da.deg + db.deg - c.common_nbrs AS DOUBLE) AS jaccard
+      |      FROM com c
+      |      JOIN deg da ON da.u = c.seed
+      |      JOIN deg db ON db.u = c.cand)
+      |SELECT seed, cand, common_nbrs, deg_seed, deg_cand, jaccard, rank FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY seed
+      |      ORDER BY jaccard DESC, cand) AS rank
+      |  FROM j) t
+      |WHERE rank <= 5""".stripMargin) { (s, d) =>
+    val e0 = coPurchaseEdges(s, d)
+    val edges = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val se = edges.filter(col("u") % 97 === 0)
+      .select(col("u").as("seed"), col("v").as("nbr"))
+    val com = se.join(edges.select(col("u").as("nbr"), col("v").as("cand")), Seq("nbr"))
+      .filter(col("cand") =!= col("seed"))
+      .groupBy(col("seed"), col("cand"))
+      .agg(count(lit(1)).as("common_nbrs"))
+    com
+      .join(deg.select(col("u").as("seed"), col("deg").as("deg_seed")), Seq("seed"))
+      .join(deg.select(col("u").as("cand"), col("deg").as("deg_cand")), Seq("cand"))
+      .withColumn("jaccard",
+        col("common_nbrs").cast("double") /
+          (col("deg_seed") + col("deg_cand") - col("common_nbrs")).cast("double"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("seed")).orderBy(col("jaccard").desc, col("cand"))))
+      .filter(col("rank") <= 5)
+      .select(col("seed"), col("cand"), col("common_nbrs"),
+        col("deg_seed"), col("deg_cand"), col("jaccard"), col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     g1Pagerank, g2TriangleCount, g3LabelProp, g4ShortestPath, g5Assortativity,
-    g6LinkPredict)
+    g6LinkPredict, g7NeighborhoodJaccard)
 }
