@@ -667,11 +667,43 @@ object EtlOps {
         max(col("o_orderdate")).as("max_date"))
   }
 
+  // --- k19_forget_keys: right-to-be-forgotten — the events table lands
+  // partitioned by event_type, a forget set (user_id % 101 = 0) is
+  // scrubbed via Forget.scrub (broadcast anti-join, staged rewrite of
+  // ONLY the partitions containing forgotten rows, crash-recoverable,
+  // idempotent), and the output reconciles per-type remaining vs removed
+  // counts against the pre-scrub table. The oracle recomputes both
+  // counts from the fixture with plain filters, so the hash gate proves
+  // the scrub removed exactly the forget set and nothing else — through
+  // the real on-disk rewrite path, not a DataFrame filter. ---
+  val k19ForgetKeys = QueryDef.sql(
+    "k19_forget_keys",
+    """SELECT event_type,
+      |  count(*) FILTER (WHERE user_id % 101 <> 0) AS remaining,
+      |  count(*) FILTER (WHERE user_id % 101 = 0) AS removed
+      |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+    import graft.operators.Forget
+    val root = java.nio.file.Files.createTempDirectory("k19-forget").toString
+    val tbl = s"$root/events_t"
+    val ev = T.events(s, d).select(col("event_id"), col("user_id"), col("event_type"))
+    ev.write.partitionBy("event_type").parquet(tbl)
+    val forget = ev.filter(col("user_id") % 101 === 0)
+      .select(col("user_id")).distinct()
+    Forget.scrub(s, tbl, forget, Seq("user_id"), Seq("event_type"))
+    val remaining = s.read.parquet(tbl)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("rem"))
+    val orig = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n0"))
+    orig.join(remaining, Seq("event_type"), "left")
+      .select(col("event_type"),
+        coalesce(col("rem"), lit(0L)).as("remaining"),
+        (col("n0") - coalesce(col("rem"), lit(0L))).as("removed"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     j1FirstWins, j2Flatten, j3Lookup, p2TimeWindow, p4CastValidate,
     p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff,
     j4RangeJoin, j5IntervalOverlap, j6FuzzyMatch, j7EditDistance,
     er1EntityClusters, k11PartitionedPrune, k12TimeTravel, k13SchemaEvolution,
     k14BucketedJoin, k15CdcApply, k16CompactionGate, k17IvmJoin,
-    k18FormatRoundtrip)
+    k18FormatRoundtrip, k19ForgetKeys)
 }
