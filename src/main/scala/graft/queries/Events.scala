@@ -635,10 +635,57 @@ object Events {
       .limit(20)
   }
 
+  // --- e18_stream_ivm: STREAMING incremental view maintenance — k17's
+  // delta-join discipline run by Structured Streaming itself: the join
+  // view's base segment lands once (orders < cut ⋈ lineitem), then the
+  // orders delta arrives as a file-source STREAM and each micro-batch
+  // stream-static joins against the static lineitem side, appending
+  // increment segments through Spark's exactly-once file sink
+  // (manifest-committed). The view read = base segment ∪ sink segments,
+  // aggregated. The oracle is the plain full join — the hash match
+  // proves the streamed refresh is equivalent to recomputation. Scale:
+  // per refresh the work is |delta| ⋈ lineitem (stream side broadcasts
+  // per batch), the view is append-only segments, and the sink manifest
+  // makes replays invisible. ---
+  val e18StreamIvm = QueryDef.sql(
+    "e18_stream_ivm",
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+    val root = java.nio.file.Files.createTempDirectory("e18-ivm").toString
+    val feed = s"$root/feed"; val baseSeg = s"$root/view_base"
+    val incSeg = s"$root/view_inc"; val ckpt = s"$root/ckpt"
+    val cut = to_timestamp(lit("1998-01-01"))
+    val o = T.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+    val li = T.lineitem(s, d)
+      .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"))
+    o.filter(col("o_orderdate") < cut).join(li, Seq("o_orderkey"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("l_extendedprice"))
+      .write.parquet(baseSeg)
+    o.filter(col("o_orderdate") >= cut).drop("o_orderdate").write.parquet(feed)
+    val stream = s.readStream
+      .schema("o_orderkey BIGINT, o_orderpriority STRING")
+      .parquet(feed)
+    val q = stream.join(li, Seq("o_orderkey")) // stream-static inner join
+      .writeStream
+      .format("parquet")
+      .option("path", incSeg)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(baseSeg).unionByName(s.read.parquet(incSeg))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("total"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
     e5PropsExtract, e6AnomalyFlags, e7CohortRetention, e8RfmSegments,
     e9TransitionMatrix, e10RollingDau, e11StreamWindows, e12StreamStreamJoin,
     e13ConversionLag, e14RobustZscore, e15StreamDedup, e16ActivityIslands,
-    e17SessionPaths)
+    e17SessionPaths, e18StreamIvm)
 }

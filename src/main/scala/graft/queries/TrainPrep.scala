@@ -890,11 +890,55 @@ object TrainPrep {
         sum(col("term")).cast("double").as("lang_entropy"))
   }
 
+  // --- t27_linear_score: model scoring at corpus scale — a linear
+  // classifier over t17's hashed bag-of-words features (the fastText-
+  // style quality-gate shape: hashed n-gram features × a weight vector).
+  // Weights are deterministic md5-derived integers in [-500, 500] (a
+  // trained model would land as a tiny table the same way), so the
+  // feature×weight contraction Σ tf_b·w_b is EXACT integer arithmetic;
+  // only the final length-normalized score is double, identical
+  // expression shape both engines. Scale shape: the weight table is
+  // 16 rows (a real vocab-hashed model is ≤ millions — still broadcast-
+  // sized), scoring is one partial-aggregated groupBy per doc — the
+  // corpus never shuffles its text, and there is no UDF: the whole
+  // model application is codegen'd column arithmetic. ---
+  val t27LinearScore = QueryDef.sql(
+    "t27_linear_score",
+    s"""WITH tok AS (SELECT doc_id, unnest($sqlToks) AS t FROM documents),
+       |f AS (SELECT doc_id, substr(md5(t), 1, 1) AS b, count(*) AS cnt
+       |      FROM tok GROUP BY doc_id, b),
+       |w AS (SELECT b,
+       |        CAST(concat('0x', substr(md5('w:' || b), 1, 4)) AS BIGINT) % 1001 - 500 AS wq
+       |      FROM (SELECT DISTINCT b FROM f) bs),
+       |sc AS (SELECT f.doc_id,
+       |         CAST(sum(f.cnt * w.wq) AS BIGINT) AS swq,
+       |         CAST(sum(f.cnt) AS BIGINT) AS n_tokens
+       |       FROM f JOIN w USING (b) GROUP BY f.doc_id)
+       |SELECT doc_id, n_tokens, swq,
+       |  CAST(swq AS DOUBLE) / (500.0 * CAST(n_tokens AS DOUBLE)) AS score,
+       |  swq > 0 AS flagged
+       |FROM sc""".stripMargin) { (s, d) =>
+    val tok = T.documents(s, d)
+      .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
+    val f = tok
+      .groupBy(col("doc_id"), substring(md5(col("t")), 1, 1).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = f.select(col("b")).distinct()
+      .withColumn("wq",
+        expr("CAST(conv(substring(md5(concat('w:', b)), 1, 4), 16, 10) AS BIGINT) % 1001 - 500"))
+    f.join(broadcast(w), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt") * col("wq")).as("swq"), sum(col("cnt")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("swq"),
+        (col("swq").cast("double") / (lit(500.0) * col("n_tokens").cast("double"))).as("score"),
+        (col("swq") > 0).as("flagged"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     t8PackSequences, t9NgramCounts, t10RedactPii, d5Contamination,
     t11UnigramLogprob, t12Repetition, t14NormalizeText, t15LeakSafeSplit,
     t16TemperatureMix, t17FeatureHashing, t18DocKnn, d8VerbatimLeak,
     t19Tfidf, t20WeightedSample, d9BloomScreen, t21ChunkOverlap,
     d10ContainmentPairs, t22JsonlIngest, t23SentenceStats, t24BigramPmi,
-    t25DataCards, t26MixEntropy)
+    t25DataCards, t26MixEntropy, t27LinearScore)
 }
