@@ -366,6 +366,34 @@ object Multimodal {
     }
   }
 
+  /** One audio analysis frame: exact integer energy (Σ v²) over a
+    * fixed-length sample window. */
+  final case class AudioWindow(
+      asset_id: Long, win: Int, n_samples: Long, energy: Long)
+
+  /** Windowed energy contour over every decodable AUDIO asset — the
+    * VAD/silence-detection/segmentation primitive: decode PCM with the
+    * real `javax.sound` codec, then emit Σ v² per `frameSamples`-sample
+    * window (all-integer: |v| ≤ 32768 → v² ≤ 2³⁰, a window sums far
+    * below 2⁶³ — bit-reproducible by an analytic oracle). Iterator-to-
+    * iterator mapPartitions like [[decodeAudit]]: the codec amortizes
+    * per task, each asset expands to duration/frame rows (metadata-
+    * sized), and the raw PCM never shuffles. */
+  def audioEnergy(ds: Dataset[MediaAsset], frameSamples: Int): Dataset[AudioWindow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { a =>
+        if (a.kind != "audio") Iterator.empty
+        else AudioCodec.decode(a.bytes).iterator.flatMap { case (_, samples) =>
+          samples.grouped(frameSamples).zipWithIndex.map { case (chunk, w) =>
+            AudioWindow(a.asset_id, w, chunk.length.toLong,
+              chunk.foldLeft(0L)((acc, v) => acc + v.toLong * v.toLong))
+          }
+        }
+      }
+    }
+  }
+
   /** Decode every asset with the real codecs and emit exact-integer
     * evidence of what was decoded (see [[MediaAudit]]). Same
     * iterator-to-iterator `mapPartitions` shape as [[extractFeatures]]. */

@@ -95,5 +95,30 @@ object Media {
       .toDF()
   }
 
-  val all: Seq[QueryDef] = Seq(m1MediaFeatures, m2ImagePhash)
+  // --- m3_audio_energy: windowed energy contour over the REAL decoded
+  // PCM — the voice-activity/silence-detection primitive a training
+  // pipeline runs before segmenting audio. 100 ms windows (800 samples
+  // at 8 kHz), energy = Σ v² per window in exact integers; the oracle
+  // regenerates every sample analytically (m1's sin/trunc parity) and
+  // windows by i//800, so decode → frame split → energy is gated bit
+  // for bit. Scale shape: mapPartitions decode (codec per task), each
+  // asset emits duration/100ms rows — PCM bytes never shuffle. ---
+  val m3AudioEnergy = QueryDef.sql(
+    "m3_audio_energy",
+    """WITH ids AS (SELECT id FROM generate_series(0,59) t(id)),
+      |aud AS (SELECT id, 220 + (id%8)*55 AS hz, 200 + (id%5)*100 AS ms FROM ids WHERE id%3=1),
+      |smp AS (
+      |  SELECT a.id, gs.i,
+      |    CAST(trunc(sin(2*pi()*a.hz*gs.i/8000) * 16384) AS BIGINT) AS v
+      |  FROM aud a, generate_series(0,4799) gs(i) WHERE gs.i < 8*a.ms)
+      |SELECT id AS asset_id, CAST(i//800 AS INTEGER) AS win,
+      |  count(*) AS n_samples, CAST(sum(v*v) AS BIGINT) AS energy
+      |FROM smp GROUP BY id, i//800""".stripMargin) { (s, _) =>
+    Multimodal.audioEnergy(
+      Multimodal.repartitionForDecode(Multimodal.synthesize(s, 0L until 60L), 8),
+      frameSamples = 800)
+      .toDF()
+  }
+
+  val all: Seq[QueryDef] = Seq(m1MediaFeatures, m2ImagePhash, m3AudioEnergy)
 }

@@ -190,4 +190,30 @@ class MultimodalSpec extends SparkSpec {
     val joined = feats.toDF().join(assets.toDF().select($"asset_id", $"kind".as("k")), "asset_id")
     assert(joined.filter($"kind" =!= $"k").count() === 0)
   }
+
+  test("audioEnergy: windows partition the decoded samples; audio only; corrupt-safe") {
+    val contour = Multimodal.audioEnergy(assets, frameSamples = 800)
+    // only audio assets (id % 3 == 1) emit windows
+    assert(contour.select($"asset_id").distinct().as[Long].collect().toSet ===
+      (0L until 30L).filter(_ % 3 == 1).toSet)
+    // per asset, window sample counts sum to the full decoded length
+    // (8 samples/ms at 8 kHz) and every non-final window is full
+    val perAsset = contour.groupBy($"asset_id")
+      .agg(org.apache.spark.sql.functions.sum($"n_samples").as("n"),
+        org.apache.spark.sql.functions.count("*").as("wins"))
+      .as[(Long, Long, Long)].collect()
+    perAsset.foreach { case (id, n, wins) =>
+      val ms = 200 + (id % 5) * 100
+      assert(n === 8 * ms, s"asset $id sample total")
+      assert(wins === (n + 799) / 800, s"asset $id window count")
+    }
+    // a sine's full-window energy ≈ n·A²/2 (loose band: integer trunc)
+    val e = contour.filter($"n_samples" === 800L).select($"energy").as[Long].head()
+    val expected = 800L * 16384L * 16384L / 2
+    assert(math.abs(e - expected).toDouble / expected < 0.05)
+    // corrupt audio payload emits nothing rather than failing the stage
+    val junk = Seq(MediaAsset(99L, "audio", Array.tabulate[Byte](32)(_.toByte),
+      MediaMeta("audio/wav", 0, 0, 8000, 100L))).toDS()
+    assert(Multimodal.audioEnergy(junk, 800).count() === 0)
+  }
 }
