@@ -277,4 +277,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"a24 must not shuffle-join the raw data:\n$p")
   }
+
+  test("k17 IVM: both base⋈delta terms broadcast the delta side") {
+    val p = planOf("k17_ivm_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"ΔA⋈B and A⋈ΔB must be map-side joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the IVM refresh:\n$p")
+  }
+
+  test("t27 scoring: the weight table broadcasts; no shuffle beyond the two aggregates") {
+    val p = planOf("t27_linear_score")
+    assert(p.contains("BroadcastHashJoin"), s"model weights must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"feature×weight contraction must not shuffle-join:\n$p")
+  }
+
+  test("e17 paths: top-20 is TakeOrdered (per-partition top-k), never a global sort") {
+    val p = planOf("e17_session_paths")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"LIMIT over ORDER BY must plan as TakeOrdered:\n$p")
+  }
+
+  test("g7/v13: candidate generation stays equi-joined — no cartesian") {
+    Seq("g7_neighborhood_jaccard", "v13_ivfpq").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q must not plan a cartesian:\n$p")
+    }
+  }
 }
