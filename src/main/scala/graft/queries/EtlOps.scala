@@ -699,11 +699,58 @@ object EtlOps {
         (col("n0") - coalesce(col("rem"), lit(0L))).as("removed"))
   }
 
+  // --- k20_atomic_publish: multi-table all-or-nothing visibility — two
+  // derived tables (order counts, item revenue) publish TWICE through
+  // Publish: run 1 from the full fixture, run 2 from the even-orderkey
+  // subset; the query joins run 2 (latest) with run 1 (time travel) per
+  // priority. The oracle recomputes both runs' aggregates from the
+  // fixture, so the hash gate covers stage → one-marker commit → read
+  // for both tables across both versions: any torn publish (one table
+  // new, one old) breaks the join values. This is the reference's
+  // single-transaction run visibility (etl-square-payments.ts) in
+  // parquet form, across tables. ---
+  val k20AtomicPublish = QueryDef.sql(
+    "k20_atomic_publish",
+    """WITH o1 AS (SELECT o_orderpriority, count(*) AS n_ord_prev FROM orders GROUP BY 1),
+      |o2 AS (SELECT o_orderpriority, count(*) AS n_ord FROM orders
+      |       WHERE o_orderkey % 2 = 0 GROUP BY 1),
+      |i2 AS (SELECT o_orderpriority, count(*) AS n_items,
+      |         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |       WHERE o_orderkey % 2 = 0 GROUP BY 1)
+      |SELECT o_orderpriority, o1.n_ord_prev, o2.n_ord, i2.n_items, i2.total
+      |FROM o1 JOIN o2 USING (o_orderpriority) JOIN i2 USING (o_orderpriority)""".stripMargin) {
+    (s, d) =>
+      import graft.operators.Publish
+      val root = java.nio.file.Files.createTempDirectory("k20-pub").toString + "/pub"
+      def tablesOf(sub: org.apache.spark.sql.DataFrame) = {
+        val li = T.lineitem(s, d)
+          .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"))
+        Map(
+          "ord_counts" -> sub.groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n_ord")),
+          "item_rev" -> sub.join(li, Seq("o_orderkey"))
+            .groupBy(col("o_orderpriority"))
+            .agg(count(lit(1)).as("n_items"),
+              sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("total")))
+      }
+      val o = T.orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      Publish.publish(s, root, tablesOf(o))
+      Publish.publish(s, root, tablesOf(o.filter(col("o_orderkey") % 2 === 0)))
+      val prev = Publish.read(s, root, "ord_counts", run = 1)
+        .select(col("o_orderpriority"), col("n_ord").as("n_ord_prev"))
+      val cur = Publish.read(s, root, "ord_counts") // latest = run 2
+      val items = Publish.read(s, root, "item_rev")
+      prev.join(cur, Seq("o_orderpriority")).join(items, Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("n_ord_prev"), col("n_ord"),
+          col("n_items"), col("total"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     j1FirstWins, j2Flatten, j3Lookup, p2TimeWindow, p4CastValidate,
     p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff,
     j4RangeJoin, j5IntervalOverlap, j6FuzzyMatch, j7EditDistance,
     er1EntityClusters, k11PartitionedPrune, k12TimeTravel, k13SchemaEvolution,
     k14BucketedJoin, k15CdcApply, k16CompactionGate, k17IvmJoin,
-    k18FormatRoundtrip, k19ForgetKeys)
+    k18FormatRoundtrip, k19ForgetKeys, k20AtomicPublish)
 }

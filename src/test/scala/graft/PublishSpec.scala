@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+import graft.operators.Publish
+
+/** Multi-table atomic publish: all-or-nothing visibility, crash windows,
+  * retry idempotence, time travel, expiry.
+  */
+class PublishSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def root() = Files.createTempDirectory("publish").toString + "/pub"
+
+  test("both tables appear together and read back exactly") {
+    val r = root()
+    val run = Publish.publish(spark, r, Map(
+      "a" -> Seq((1L, "x"), (2L, "y")).toDF("k", "v"),
+      "b" -> Seq((10L, 1.5)).toDF("k", "w")))
+    assert(run === 1L)
+    assert(Publish.latestCommitted(spark, r) === 1L)
+    assert(Publish.read(spark, r, "a").count() === 2)
+    assert(Publish.read(spark, r, "b").as[(Long, Double)].head() === ((10L, 1.5)))
+  }
+
+  test("a staged-but-uncommitted run is invisible for EVERY table (crash window)") {
+    val r = root()
+    Publish.publish(spark, r, Map(
+      "a" -> Seq((1L, "old")).toDF("k", "v"),
+      "b" -> Seq((1L, "old")).toDF("k", "v")))
+    // crash: run 2 fully staged, marker never written
+    val staged = Publish.stageRun(spark, r, Map(
+      "a" -> Seq((1L, "new")).toDF("k", "v"),
+      "b" -> Seq((1L, "new")).toDF("k", "v")))
+    assert(staged === 2L)
+    assert(Publish.latestCommitted(spark, r) === 1L)
+    assert(Publish.read(spark, r, "a").select("v").as[String].head() === "old")
+    assert(Publish.read(spark, r, "b").select("v").as[String].head() === "old")
+    // retry re-stages the SAME run id in place, then commits — both flip
+    val retried = Publish.stageRun(spark, r, Map(
+      "a" -> Seq((1L, "new")).toDF("k", "v"),
+      "b" -> Seq((1L, "new")).toDF("k", "v")))
+    assert(retried === 2L)
+    Publish.commitRun(spark, r, retried)
+    assert(Publish.read(spark, r, "a").select("v").as[String].head() === "new")
+    assert(Publish.read(spark, r, "b").select("v").as[String].head() === "new")
+  }
+
+  test("double-commit of one run fails loudly (second committer loses)") {
+    val r = root()
+    val run = Publish.publish(spark, r, Map("a" -> Seq(Tuple1(1L)).toDF("k")))
+    intercept[Exception] { Publish.commitRun(spark, r, run) }
+  }
+
+  test("time travel by run id; expire keeps the retained window readable") {
+    val r = root()
+    (1 to 4).foreach { i =>
+      Publish.publish(spark, r, Map("a" -> Seq(Tuple1(i.toLong)).toDF("k")))
+    }
+    assert(Publish.read(spark, r, "a", run = 2).as[Long].head() === 2L)
+    Publish.expire(spark, r, keepLast = 2)
+    assert(Publish.read(spark, r, "a", run = 4).as[Long].head() === 4L)
+    assert(Publish.read(spark, r, "a", run = 3).as[Long].head() === 3L)
+    intercept[Exception] { Publish.read(spark, r, "a", run = 1).collect() }
+  }
+}
