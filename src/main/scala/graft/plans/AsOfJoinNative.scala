@@ -188,6 +188,8 @@ object AsOfJoinNative {
 
 /** `spark.sql.extensions`-compatible registration. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectOptimizerRule(session => RangeJoinRule(session))
+  }
 }
