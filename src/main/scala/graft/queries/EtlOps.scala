@@ -347,6 +347,43 @@ object EtlOps {
       n = 3, minShared = 8, maxDist = 4)
   }
 
+  // --- j8_auto_range_join: the j4 shape WITHOUT the manual rewrite —
+  // the query is written as a naive BETWEEN join (which Spark alone
+  // plans as a BroadcastNestedLoopJoin) and graft.plans.RangeJoinRule
+  // rewrites it into the binned hash equi-join during optimization.
+  // Points: click-event epoch seconds; intervals: per-user-day error
+  // windows of users 0-9 (same construction j5 uses). Bin width 3600
+  // puts each point in one hour bucket; intervals explode onto covered
+  // hours. The oracle runs the naive BETWEEN join — the hash match
+  // proves the rule is physical-only. The rule stays enabled on the
+  // session afterwards: it is conf-gated and fires ONLY on non-equi
+  // long BETWEEN inner joins, and the full registry gate doubles as the
+  // no-leakage regression proof. ---
+  val j8AutoRangeJoin = QueryDef.sql(
+    "j8_auto_range_join",
+    """WITH w AS (SELECT user_id AS wu, CAST(CAST(ts AS DATE) AS VARCHAR) AS wday,
+      |    CAST(floor(min(date_part('epoch', ts))) AS BIGINT) AS wlo,
+      |    CAST(floor(max(date_part('epoch', ts))) AS BIGINT) AS whi
+      |  FROM events WHERE event_type = 'error' AND user_id < 10 GROUP BY wu, wday)
+      |SELECT wu, wday, count(*) AS n_in_window
+      |FROM (SELECT CAST(floor(date_part('epoch', ts)) AS BIGINT) AS p
+      |      FROM events WHERE event_type = 'click') e
+      |JOIN w ON e.p >= w.wlo AND e.p <= w.whi
+      |GROUP BY wu, wday""".stripMargin) { (s, d) =>
+    graft.plans.RangeJoinRule.enable(s, 3600L)
+    val ev = T.events(s, d)
+    val pts = ev.filter(col("event_type") === "click")
+      .select(unix_timestamp(col("ts")).as("p"))
+    val w = ev.filter(col("event_type") === "error" && col("user_id") < 10)
+      .groupBy(col("user_id").as("wu"),
+        col("ts").cast("date").cast("string").as("wday"))
+      .agg(min(unix_timestamp(col("ts"))).as("wlo"),
+        max(unix_timestamp(col("ts"))).as("whi"))
+    pts.join(w, col("p") >= col("wlo") && col("p") <= col("whi"))
+      .groupBy(col("wu"), col("wday"))
+      .agg(count(lit(1)).as("n_in_window"))
+  }
+
   // --- er1_entity_clusters: end-to-end entity resolution — fuzzy
   // self-match (3-gram Jaccard >= 0.6 over the inverted index, never a
   // distance nested loop) feeds connected components, so transitive
@@ -749,7 +786,7 @@ object EtlOps {
   val all: Seq[QueryDef] = Seq(
     j1FirstWins, j2Flatten, j3Lookup, p2TimeWindow, p4CastValidate,
     p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff,
-    j4RangeJoin, j5IntervalOverlap, j6FuzzyMatch, j7EditDistance,
+    j4RangeJoin, j5IntervalOverlap, j6FuzzyMatch, j7EditDistance, j8AutoRangeJoin,
     er1EntityClusters, k11PartitionedPrune, k12TimeTravel, k13SchemaEvolution,
     k14BucketedJoin, k15CdcApply, k16CompactionGate, k17IvmJoin,
     k18FormatRoundtrip, k19ForgetKeys, k20AtomicPublish)

@@ -278,6 +278,13 @@ class PlanSpec extends SparkSpec {
       s"a24 must not shuffle-join the raw data:\n$p")
   }
 
+  test("j8 auto range join: the optimizer rule kills the nested loop") {
+    val p = planOf("j8_auto_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"RangeJoinRule must rewrite the BETWEEN join to an equi-join:\n$p")
+    assert(p.contains("HashJoin"), s"expected a hash equi-join on the bin key:\n$p")
+  }
+
   test("k17 IVM: both base⋈delta terms broadcast the delta side") {
     val p = planOf("k17_ivm_join")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
