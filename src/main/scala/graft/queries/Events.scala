@@ -682,10 +682,74 @@ object Events {
         sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("total"))
   }
 
+  // --- e19_stream_sessions: CUSTOM-STATE streaming sessionization under
+  // the hash gate — e2's semantics computed not by session_window but by
+  // EventStreams.sessionize's flatMapGroupsWithState (explicit per-user
+  // GroupState, event-time timeout). Determinism: a far-future sentinel
+  // event per user rides in the feed, so every REAL session closes via
+  // the in-batch gap break (never the watermark-timing-dependent timeout
+  // path); sentinel sessions stay in state and are never emitted. The
+  // feed's timestamps are second-truncated first (state arithmetic is on
+  // epoch millis; the oracle replays the same strictly-greater-than-gap
+  // rule on the truncated times). total_value is excluded: the state
+  // fold adds doubles in per-batch arrival order, which no SQL oracle
+  // can replicate associatively. Scale: state is one small record per
+  // ACTIVE user (bounded by watermark + timeout, not history), the only
+  // shuffle is the groupByKey hash partition on user_id, and the same
+  // job pointed at an arriving directory with a persistent checkpoint is
+  // the production topology. ---
+  val e19StreamSessions = QueryDef.sql(
+    "e19_stream_sessions",
+    """WITH x AS (
+      |  SELECT user_id, event_id, date_trunc('second', ts) AS tss FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, tss,
+      |    CASE WHEN lag(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) IS NULL
+      |           OR tss - lag(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) > INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM x),
+      |s AS (
+      |  SELECT user_id, tss,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tss, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS sess_no
+      |  FROM f)
+      |SELECT user_id, min(tss) AS sess_start, max(tss) AS sess_end,
+      |  count(*) AS n_events
+      |FROM s GROUP BY user_id, sess_no""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.streaming.EventStreams
+    val root = java.nio.file.Files.createTempDirectory("e19-sess").toString
+    val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val ev = T.events(s, d).select(col("event_id"),
+      date_trunc("second", col("ts")).as("ts"), col("user_id"),
+      col("event_type"), col("value"))
+    val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 3L * 24 * 3600 * 1000)
+    val sentinels = ev.select(col("user_id")).distinct()
+      .select(lit(-1L).as("event_id"), lit(sentinelTs).as("ts"), col("user_id"),
+        lit("sentinel").as("event_type"), lit(0.0).as("value"))
+    ev.unionByName(sentinels).coalesce(8).write.parquet(feed)
+    val stream = s.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+      .parquet(feed)
+      .as[EventStreams.Event]
+    val q = EventStreams.sessionize(stream, gapMinutes = 30)
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .filter(col("sess_start") < lit(sentinelTs))
+      .select(col("user_id"), col("sess_start"), col("sess_end"), col("n_events"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
     e5PropsExtract, e6AnomalyFlags, e7CohortRetention, e8RfmSegments,
     e9TransitionMatrix, e10RollingDau, e11StreamWindows, e12StreamStreamJoin,
     e13ConversionLag, e14RobustZscore, e15StreamDedup, e16ActivityIslands,
-    e17SessionPaths, e18StreamIvm)
+    e17SessionPaths, e18StreamIvm, e19StreamSessions)
 }
