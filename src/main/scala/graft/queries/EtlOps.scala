@@ -384,6 +384,33 @@ object EtlOps {
       .agg(count(lit(1)).as("n_in_window"))
   }
 
+  // --- j9_salted_join: explicit skew-salted equi-join under the hash
+  // gate — SkewTools.saltedJoin spreads each hot key's rows across
+  // `salt` reducers (deterministic whole-row hash salt on the big side,
+  // `salt`-fold replication of the small side) so one pathological key
+  // can't pin a single straggler task. The oracle runs the plain join:
+  // the hash match proves salting is a pure physical redistribution.
+  // AQE's skew split covers sort-merge joins automatically; explicit
+  // salting is the tool when the small side is replicated anyway or the
+  // join runs on a shuffle-hash path. ---
+  val j9SaltedJoin = QueryDef.sql(
+    "j9_salted_join",
+    """WITH dim AS (SELECT DISTINCT user_id, user_id % 5 AS tier
+      |  FROM events WHERE user_id < 500)
+      |SELECT tier, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total
+      |FROM events e JOIN dim USING (user_id)
+      |GROUP BY tier""".stripMargin) { (s, d) =>
+    import graft.operators.SkewTools
+    val ev = T.events(s, d)
+    val dim = ev.filter(col("user_id") < 500).select(col("user_id")).distinct()
+      .withColumn("tier", col("user_id") % 5)
+    SkewTools.saltedJoin(ev, dim, "user_id", salt = 8)
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("total"))
+  }
+
   // --- er1_entity_clusters: end-to-end entity resolution — fuzzy
   // self-match (3-gram Jaccard >= 0.6 over the inverted index, never a
   // distance nested loop) feeds connected components, so transitive
@@ -787,6 +814,7 @@ object EtlOps {
     j1FirstWins, j2Flatten, j3Lookup, p2TimeWindow, p4CastValidate,
     p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff,
     j4RangeJoin, j5IntervalOverlap, j6FuzzyMatch, j7EditDistance, j8AutoRangeJoin,
+    j9SaltedJoin,
     er1EntityClusters, k11PartitionedPrune, k12TimeTravel, k13SchemaEvolution,
     k14BucketedJoin, k15CdcApply, k16CompactionGate, k17IvmJoin,
     k18FormatRoundtrip, k19ForgetKeys, k20AtomicPublish)
