@@ -934,11 +934,68 @@ object TrainPrep {
         (col("swq") > 0).as("flagged"))
   }
 
+  // --- t28_bm25: BM25 ranked retrieval (k1=1.2, b=0.75) — the standard
+  // relevance scorer for corpus search / decontamination triage, with
+  // the length normalization tf-idf (t19) lacks. Inputs are four
+  // partial-aggregated integer aggregates (per-doc term counts for the
+  // query terms only, per-term doc frequency, per-doc length, corpus
+  // totals); N and avgdl broadcast as a 1-row frame; the score is
+  // double with the IDENTICAL expression shape both engines (0.25/0.75
+  // are exact binary fractions, so 1-b+b·dl/avgdl carries no rounding
+  // ambiguity), ties broken by doc_id. Scale: the corpus shuffles only
+  // (doc_id,term) pairs for the 5 probe terms — document text never
+  // moves — and the per-term top-10 window is partitioned by term. ---
+  val t28Bm25 = QueryDef.sql(
+    "t28_bm25",
+    s"""WITH tok AS (SELECT doc_id, unnest($sqlToks) AS t FROM documents),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS ntok FROM tok),
+       |stats AS (SELECT n, CAST(ntok AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl FROM nn, tot),
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+       |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS c FROM tok
+       |       WHERE t IN ('spark', 'hash', 'window', 'vector', 'stream')
+       |       GROUP BY doc_id, t),
+       |dfx AS (SELECT t, CAST(count(*) AS BIGINT) AS dfc FROM tf GROUP BY t)
+       |SELECT term, doc_id, score, rank FROM (
+       |  SELECT tf.t AS term, tf.doc_id,
+       |    ln(1.0 + (CAST(n AS DOUBLE) - CAST(dfc AS DOUBLE) + 0.5) / (CAST(dfc AS DOUBLE) + 0.5))
+       |      * (CAST(c AS DOUBLE) * 2.2)
+       |      / (CAST(c AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS score,
+       |    row_number() OVER (PARTITION BY tf.t ORDER BY
+       |      ln(1.0 + (CAST(n AS DOUBLE) - CAST(dfc AS DOUBLE) + 0.5) / (CAST(dfc AS DOUBLE) + 0.5))
+       |        * (CAST(c AS DOUBLE) * 2.2)
+       |        / (CAST(c AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) DESC,
+       |      tf.doc_id) AS rank
+       |  FROM tf JOIN dfx USING (t) JOIN dl USING (doc_id), stats) s
+       |WHERE rank <= 10""".stripMargin) { (s, d) =>
+    val docs = T.documents(s, d)
+    val terms = Seq("spark", "hash", "window", "vector", "stream")
+    val tok = docs.select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = tok.agg(count(lit(1)).as("ntok")).crossJoin(docs.agg(count(lit(1)).as("n")))
+      .select(col("n"), (col("ntok").cast("double") / col("n").cast("double")).as("avgdl"))
+    val tf = tok.filter(col("t").isin(terms: _*))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+    val dfx = tf.groupBy(col("t")).agg(count(lit(1)).as("dfc"))
+    val score =
+      log(lit(1.0) + (col("n").cast("double") - col("dfc").cast("double") + lit(0.5)) /
+          (col("dfc").cast("double") + lit(0.5))) *
+        (col("c").cast("double") * lit(2.2)) /
+        (col("c").cast("double") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * col("dl").cast("double") / col("avgdl")))
+    val w = Window.partitionBy(col("t")).orderBy(score.desc, col("doc_id"))
+    tf.join(dfx, Seq("t")).join(dl, Seq("doc_id")).crossJoin(broadcast(stats))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("t").as("term"), col("doc_id"), col("score"), col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     t8PackSequences, t9NgramCounts, t10RedactPii, d5Contamination,
     t11UnigramLogprob, t12Repetition, t14NormalizeText, t15LeakSafeSplit,
     t16TemperatureMix, t17FeatureHashing, t18DocKnn, d8VerbatimLeak,
     t19Tfidf, t20WeightedSample, d9BloomScreen, t21ChunkOverlap,
     d10ContainmentPairs, t22JsonlIngest, t23SentenceStats, t24BigramPmi,
-    t25DataCards, t26MixEntropy, t27LinearScore)
+    t25DataCards, t26MixEntropy, t27LinearScore, t28Bm25)
 }
