@@ -810,6 +810,43 @@ object EtlOps {
           col("n_items"), col("total"))
   }
 
+  // --- k21_dynamic_overwrite: dynamic-partition-overwrite restatement —
+  // the day-partitioned table lands once, then a corrected recomputation
+  // of the tail days (value doubled for days >= the cut) is written with
+  // partitionOverwriteMode=dynamic: ONLY the partitions present in the
+  // restated frame are replaced, untouched days keep their files. This
+  // is the standard backfill/restatement lever at 100 TB — the
+  // alternative (full-table rewrite) scales with the table, this scales
+  // with the correction. The oracle computes the post-restatement state
+  // directly (CASE on the cut); the hash match proves the selective
+  // overwrite equals the full recomputation. value*2 is an
+  // exponent-only double op, so restated values carry no rounding
+  // ambiguity. ---
+  val k21DynamicOverwrite = QueryDef.sql(
+    "k21_dynamic_overwrite",
+    """SELECT strftime(ts, '%Y-%m-%d') AS dt, count(*) AS n,
+      |  CAST(sum(CAST(CASE WHEN strftime(ts, '%Y-%m-%d') >= '2024-01-25'
+      |                     THEN value * 2 ELSE value END AS DECIMAL(14,2)))
+      |       AS DOUBLE) AS total
+      |FROM events GROUP BY dt""".stripMargin) { (s, d) =>
+    val root = java.nio.file.Files.createTempDirectory("k21-dyn").toString
+    val tbl = s"$root/table"
+    val ev = T.events(s, d).select(col("event_id"), col("user_id"), col("value"),
+      date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+    ev.write.partitionBy("dt").parquet(tbl)
+    ev.filter(col("dt") >= "2024-01-25")
+      .withColumn("value", col("value") * 2)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("dt").parquet(tbl)
+    // partition-column type inference reads dt back as DATE; restore the
+    // string form the oracle emits
+    s.read.parquet(tbl)
+      .groupBy(date_format(col("dt").cast("date"), "yyyy-MM-dd").as("dt"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("total"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     j1FirstWins, j2Flatten, j3Lookup, p2TimeWindow, p4CastValidate,
     p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff,
@@ -817,5 +854,5 @@ object EtlOps {
     j9SaltedJoin,
     er1EntityClusters, k11PartitionedPrune, k12TimeTravel, k13SchemaEvolution,
     k14BucketedJoin, k15CdcApply, k16CompactionGate, k17IvmJoin,
-    k18FormatRoundtrip, k19ForgetKeys, k20AtomicPublish)
+    k18FormatRoundtrip, k19ForgetKeys, k20AtomicPublish, k21DynamicOverwrite)
 }
