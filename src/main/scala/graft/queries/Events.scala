@@ -746,10 +746,69 @@ object Events {
       .select(col("user_id"), col("sess_start"), col("sess_end"), col("n_events"))
   }
 
+  // --- e20_late_data: CHECKPOINT-RESUME watermark semantics under the
+  // hash gate — the part of streaming correctness e11-e19 don't touch:
+  // what happens to LATE data across restarts. Phase 1 drains the
+  // on-time feed (event_id % 7 != 0) with a 1-hour watermark and day
+  // windows through the keyed-upsert sink; the watermark
+  // (ms-floored max event time - 1h) persists in the checkpoint. Phase 2
+  // appends the remaining events and re-runs the SAME query on the SAME
+  // checkpoint: the file source picks only the new files, and rows whose
+  // day-window already closed (window_end <= restored watermark) are
+  // dropped by Spark's late-data filter while rows into still-open
+  // windows merge with the restored state. The oracle replays the rule
+  // arithmetically (every fixture ts carries nonzero microseconds, so
+  // watermark-equals-boundary ties cannot occur). Scale: this is the
+  // production incremental topology — bounded state via the watermark,
+  // per-run cost proportional to new files, late arrivals beyond the
+  // lateness SLA dropped deterministically instead of corrupting closed
+  // aggregates. ---
+  val e20LateData = QueryDef.sql(
+    "e20_late_data",
+    """WITH a AS (SELECT ts FROM events WHERE event_id % 7 != 0),
+      |wm AS (SELECT (epoch_ns(max(ts)) // 1000000 - 3600000) * 1000 AS w FROM a),
+      |keep AS (
+      |  SELECT ts, event_type FROM events WHERE event_id % 7 != 0
+      |  UNION ALL
+      |  SELECT e.ts, e.event_type FROM events e, wm
+      |  WHERE e.event_id % 7 = 0
+      |    AND epoch_ns(date_trunc('day', e.ts) + INTERVAL 1 DAY) // 1000 > wm.w)
+      |SELECT date_trunc('day', ts) AS window_start, event_type, count(*) AS n
+      |FROM keep GROUP BY window_start, event_type""".stripMargin) { (s, d) =>
+    val root = java.nio.file.Files.createTempDirectory("e20-late").toString
+    val feed = s"$root/feed"; val state = s"$root/state"; val ckpt = s"$root/ckpt"
+    val ev = T.events(s, d).select(col("event_id"), col("ts"), col("event_type"))
+    ev.filter(col("event_id") % 7 =!= 0).coalesce(4).write.parquet(feed)
+    def drain(): Unit = {
+      val stream = s.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, event_type STRING")
+        .parquet(feed)
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+      val q = agg.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.operators.Upsert.upsertParquet(batch.sparkSession, state, batch,
+            Seq("window_start", "event_type"))
+        }
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    ev.filter(col("event_id") % 7 === 0).coalesce(4).write.mode("append").parquet(feed)
+    drain()
+    s.read.parquet(state).select(col("window_start"), col("event_type"), col("n"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
     e5PropsExtract, e6AnomalyFlags, e7CohortRetention, e8RfmSegments,
     e9TransitionMatrix, e10RollingDau, e11StreamWindows, e12StreamStreamJoin,
     e13ConversionLag, e14RobustZscore, e15StreamDedup, e16ActivityIslands,
-    e17SessionPaths, e18StreamIvm, e19StreamSessions)
+    e17SessionPaths, e18StreamIvm, e19StreamSessions, e20LateData)
 }
