@@ -805,10 +805,85 @@ object Events {
     s.read.parquet(state).select(col("window_start"), col("event_type"), col("n"))
   }
 
+  // --- e21_stream_outer_join: LEFT OUTER stream-stream join under the
+  // hash gate — e12's attribution topology plus the hard part: clicks
+  // with NO purchase in the 6-hour horizon must still emit (null-
+  // extended), which in Structured Streaming happens only when the
+  // watermark retires their join state. Determinism: two sentinel
+  // drains (far-future rows on both sides, user_id -1) advance the
+  // watermark in two steps — the first makes it pass every real click's
+  // horizon, the second runs a batch under that watermark so ALL real
+  // unmatched state flushes; matched pairs emitted eagerly in phase 1.
+  // The returned frame filters the sentinels and reads back through the
+  // exactly-once file-sink manifest. The oracle is the plain batch LEFT
+  // JOIN on µs-floored times — matched rows AND null-extended rows must
+  // both agree. Scale: state is watermark-bounded on both sides
+  // (clicks wm+6h, purchases wm), the join hash-partitions on user_id,
+  // and late-arriving sentinels are exactly how production pipelines
+  // force end-of-day flushes. ---
+  val e21StreamOuterJoin = QueryDef.sql(
+    "e21_stream_outer_join",
+    """WITH v AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase')
+      |SELECT v.event_id AS click_id, p.event_id AS purchase_id, v.user_id
+      |FROM v LEFT JOIN p ON v.user_id = p.user_id
+      |  AND epoch_ns(p.ts) // 1000 >= epoch_ns(v.ts) // 1000
+      |  AND epoch_ns(p.ts) // 1000 < epoch_ns(v.ts) // 1000 + 21600000000""".stripMargin) { (s, d) =>
+    val root = java.nio.file.Files.createTempDirectory("e21-outer").toString
+    val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val ev = T.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    ev.coalesce(4).write.parquet(feed)
+    val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    def sentinel(daysAhead: Int): org.apache.spark.sql.DataFrame = {
+      val ts = new java.sql.Timestamp(maxTs.getTime + daysAhead.toLong * 24 * 3600 * 1000)
+      Seq(("click", -1L), ("purchase", -2L)).foldLeft(ev.limit(0)) { (acc, sp) =>
+        acc.unionByName(s.range(1).select(lit(sp._2).as("event_id"),
+          lit(ts).as("ts"), lit(-1L).as("user_id"), lit(sp._1).as("event_type")))
+      }
+    }
+    def drain(): Unit = {
+      def side(tpe: String) = s.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING")
+        .parquet(feed)
+        .filter(col("event_type") === tpe)
+      val clicks = side("click")
+        .select(col("event_id").as("click_id"), col("ts").as("cts"), col("user_id"))
+        .withWatermark("cts", "1 hour")
+      val purchases = side("purchase")
+        .select(col("event_id").as("purchase_id"), col("ts").as("pts"),
+          col("user_id").as("p_user"))
+        .withWatermark("pts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("pts") >= col("cts") &&
+          col("pts") < col("cts") + expr("INTERVAL 6 HOURS"),
+        "left_outer")
+        .select(col("click_id"), col("purchase_id"), col("user_id"))
+      val q = joined.writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    sentinel(10).coalesce(1).write.mode("append").parquet(feed)
+    drain()
+    sentinel(20).coalesce(1).write.mode("append").parquet(feed)
+    drain()
+    s.read.parquet(out)
+      .filter(col("user_id") >= 0)
+      .select(col("click_id"), col("purchase_id"), col("user_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
     e5PropsExtract, e6AnomalyFlags, e7CohortRetention, e8RfmSegments,
     e9TransitionMatrix, e10RollingDau, e11StreamWindows, e12StreamStreamJoin,
     e13ConversionLag, e14RobustZscore, e15StreamDedup, e16ActivityIslands,
-    e17SessionPaths, e18StreamIvm, e19StreamSessions, e20LateData)
+    e17SessionPaths, e18StreamIvm, e19StreamSessions, e20LateData,
+    e21StreamOuterJoin)
 }
