@@ -73,6 +73,37 @@ class RangeJoinRuleSpec extends SparkSpec {
     }
   }
 
+  test("GraftExtensions registration injects the rule end-to-end") {
+    import org.apache.spark.sql.SparkSession
+    // withExtensions invokes the same GraftExtensions.apply the
+    // spark.sql.extensions config path loads reflectively (the config
+    // itself is static — readable only at context creation, so not
+    // testable against the shared spec context). getOrCreate builds a
+    // NEW session (reusing the context) only when no default session is
+    // registered — clear, build, then restore the spec session.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .config("spark.sql.shuffle.partitions", "4")
+        .getOrCreate()
+      s2.conf.set(RangeJoinRule.widthKey, "10")
+      import s2.implicits._
+      val pts = Seq((-25L, "a"), (7L, "d")).toDF("p", "tag")
+      val iv = Seq((-30L, -20L, "lowneg"), (5L, 19L, "mid")).toDF("lo", "hi", "nm")
+      val j = pts.join(iv, $"p" >= $"lo" && $"p" <= $"hi")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("NestedLoop"), s"config-injected rule must fire:\n$plan")
+      assert(j.select($"tag", $"nm").as[(String, String)].collect().toSet ===
+        Set(("a", "lowneg"), ("d", "mid")))
+    } finally {
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("non-long types are not touched (rule stays in its lane)") {
     withRule(10L) {
       val l = Seq((5, "x")).toDF("p", "tag")
