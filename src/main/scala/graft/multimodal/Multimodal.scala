@@ -81,7 +81,10 @@ object Multimodal {
       * interpolation, unlike the bilinear [[resizePng]] path), which is
       * what lets m2 sit under the DuckDB hash gate. Returns the 64-char
       * row-major bit string and its popcount. */
-    def aHash64(bytes: Array[Byte]): Option[(String, Long)] =
+    /** The 8×8 nearest-neighbor integer-luma grid [[aHash64]] thresholds
+      * — row-major, 64 values — exposed directly as an all-integer image
+      * embedding (exact-arithmetic distances, oracle-reproducible). */
+    def lumaGrid64(bytes: Array[Byte]): Option[Array[Long]] =
       decode(bytes).map { img =>
         val (w, h) = (img.getWidth, img.getHeight)
         val lumas = new Array[Long](64)
@@ -98,6 +101,11 @@ object Multimodal {
           }
           gy += 1
         }
+        lumas
+      }
+
+    def aHash64(bytes: Array[Byte]): Option[(String, Long)] =
+      lumaGrid64(bytes).map { lumas =>
         val mean = lumas.sum / 64
         (lumas.map(l => if (l > mean) '1' else '0').mkString,
           lumas.count(_ > mean).toLong)
@@ -362,6 +370,26 @@ object Multimodal {
         if (a.kind != "image") Iterator.empty
         else ImageCodec.aHash64(a.bytes).iterator
           .map { case (bits, ones) => MediaHash(a.asset_id, bits, ones) }
+      }
+    }
+  }
+
+  /** Integer image embedding: the 8×8 luma grid as a 64-dim vector. */
+  final case class ImageEmb(asset_id: Long, emb: Seq[Long])
+
+  /** Embed every decodable image as its 64-dim integer luma grid
+    * ([[ImageCodec.lumaGrid64]]) — the multimodal→vector handoff: the
+    * output column is exactly the shape the v-series similarity stack
+    * consumes (replace with a learned encoder in production; the
+    * plumbing — mapPartitions decode, per-task codec amortization,
+    * pixels never shuffling — is identical). */
+  def imageEmbeddings(ds: Dataset[MediaAsset]): Dataset[ImageEmb] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { a =>
+        if (a.kind != "image") Iterator.empty
+        else ImageCodec.lumaGrid64(a.bytes).iterator
+          .map(g => ImageEmb(a.asset_id, g.toSeq))
       }
     }
   }

@@ -120,5 +120,51 @@ object Media {
       .toDF()
   }
 
-  val all: Seq[QueryDef] = Seq(m1MediaFeatures, m2ImagePhash, m3AudioEnergy)
+  // --- m4_image_knn: multimodal → vector-search composition — decode
+  // the REAL PNGs, embed each as its 64-dim integer luma grid
+  // (Multimodal.imageEmbeddings: the m2 sampling grid as a vector
+  // instead of a thresholded hash), and rank each image's 3 nearest
+  // neighbors by EXACT integer squared-L2 (zip_with + aggregate — no
+  // UDF in the distance). The oracle rebuilds every grid analytically
+  // from the synthesis formulas and pair-joins on cell coordinates, so
+  // decode → embed → distance → rank is gated end to end. The 20-image
+  // probe set pairs via a broadcast (the deliberate exact baseline, as
+  // v1); a corpus-scale run hands the same embedding column to the
+  // v2/v5 bucketed indexes — that path is already gated there. ---
+  val m4ImageKnn = QueryDef.sql(
+    "m4_image_knn",
+    """WITH ids AS (SELECT id FROM generate_series(0,59) t(id)),
+      |img AS (SELECT id, 16 + (id%4)*4 AS w, 12 + (id%3)*4 AS h FROM ids WHERE id%3=0),
+      |cells AS (SELECT i.id, gy.y AS gy, gx.x AS gx,
+      |    (i.id*31 + 7*((gx.x*i.w)//8) + 13*((gy.y*i.h)//8)) % 256 AS r,
+      |    (i.id*17 + 3*((gx.x*i.w)//8) + 5*((gy.y*i.h)//8)) % 256 AS g,
+      |    (i.id*7 + 11*((gx.x*i.w)//8) + 2*((gy.y*i.h)//8)) % 256 AS b
+      |  FROM img i, generate_series(0,7) gx(x), generate_series(0,7) gy(y)),
+      |lum AS (SELECT id, gy, gx, (299*r + 587*g + 114*b)//1000 AS l FROM cells),
+      |pd AS (SELECT a.id AS qa, b.id AS nb,
+      |    CAST(sum((a.l - b.l)*(a.l - b.l)) AS BIGINT) AS dist2
+      |  FROM lum a JOIN lum b ON a.gy = b.gy AND a.gx = b.gx AND a.id != b.id
+      |  GROUP BY qa, nb)
+      |SELECT qa AS asset_id, nb AS neighbor_id, dist2, rank FROM (
+      |  SELECT qa, nb, dist2,
+      |    row_number() OVER (PARTITION BY qa ORDER BY dist2, nb) AS rank
+      |  FROM pd) t
+      |WHERE rank <= 3""".stripMargin) { (s, _) =>
+    import org.apache.spark.sql.expressions.Window
+    val emb = Multimodal.imageEmbeddings(
+      Multimodal.repartitionForDecode(Multimodal.synthesize(s, 0L until 60L), 8))
+      .toDF()
+    val a = emb.select(col("asset_id").as("qa"), col("emb").as("ea"))
+    val b = emb.select(col("asset_id").as("nb"), col("emb").as("eb"))
+    val w = Window.partitionBy(col("qa")).orderBy(col("dist2"), col("nb"))
+    a.crossJoin(broadcast(b)).filter(col("qa") =!= col("nb"))
+      .withColumn("dist2",
+        expr("aggregate(zip_with(ea, eb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("qa").as("asset_id"), col("nb").as("neighbor_id"),
+        col("dist2"), col("rank"))
+  }
+
+  val all: Seq[QueryDef] = Seq(m1MediaFeatures, m2ImagePhash, m3AudioEnergy, m4ImageKnn)
 }
