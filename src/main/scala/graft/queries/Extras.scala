@@ -238,6 +238,26 @@ object Extras {
     s.sql(correlatedSql)
   }
 
+  // --- sql3_lateral_join: LATERAL correlated derived tables — the
+  // top-N-per-group idiom written as a lateral subquery (each nation
+  // pulls its own top-2 customers by balance), the SAME text on Spark
+  // SQL and DuckDB. Spark plans the correlated LIMIT as a
+  // partition-local ranking after decorrelation — never a per-row
+  // re-scan of customer. ---
+  private val lateralSql =
+    """SELECT n.n_name, x.c_name, CAST(x.c_acctbal AS DOUBLE) AS bal
+      |FROM nation n, LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer
+      |  WHERE c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name
+      |  LIMIT 2) x""".stripMargin
+
+  val sql3LateralJoin = QueryDef.sql("sql3_lateral_join", lateralSql) { (s, d) =>
+    T.nation(s, d).createOrReplaceTempView("nation")
+    T.customer(s, d).createOrReplaceTempView("customer")
+    s.sql(lateralSql)
+  }
+
   // --- a4b_topk_agg: top-5 per segment via the bounded generic
   // TopKRowsAggregator (partial per-partition top-k — shuffle carries
   // ≤k rows per group per task, unlike the full window sort). The
@@ -500,7 +520,7 @@ object Extras {
   val all: Seq[QueryDef] = Seq(
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
     a16WindowSuite, a17ScalarSuite, a18DateSuite, a19GroupingSets,
-    sql2CorrelatedSubquery, a4bTopkAgg, a20Histogram, a21ExactMedian,
+    sql2CorrelatedSubquery, sql3LateralJoin, a4bTopkAgg, a20Histogram, a21ExactMedian,
     a24ParetoFront, a25WeightedMedian, a26GroupMode, a27ExactCorr,
     a28LinregTrend)
 }
