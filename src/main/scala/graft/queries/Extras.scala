@@ -517,10 +517,37 @@ object Extras {
       ((dbl("sy") - slope * dbl("sx")) / dbl("n")).as("intercept"))
   }
 
+  // --- a29_time_range_window: RANGE-frame window — each event's
+  // trailing-1-hour per-user activity (count + exact decimal sum), the
+  // rolling-feature primitive rows-frames (a5) and day bins (e10) can't
+  // express: the frame is defined by the ORDER-BY VALUE distance, so
+  // equal-time peers are all in-frame regardless of row order
+  // (deterministic under any partitioning). Ordered by epoch
+  // MICROSECONDS as BIGINT so both engines share one frame arithmetic.
+  // Scale: one hash partition on user_id, per-partition sort, streaming
+  // frame evaluation — no self-join, no explode of the time axis. ---
+  val a29TimeRangeWindow = QueryDef.sql(
+    "a29_time_range_window",
+    """SELECT event_id, user_id,
+      |  count(*) OVER w AS n_1h,
+      |  CAST(sum(CAST(value AS DECIMAL(14,2))) OVER w AS DOUBLE) AS sum_1h
+      |FROM (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us, value FROM events) e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY us
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-3600000000L, Window.currentRow)
+    T.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", sum(col("value").cast("decimal(14,2)")).over(w).cast("double"))
+      .select(col("event_id"), col("user_id"), col("n_1h"), col("sum_1h"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
     a16WindowSuite, a17ScalarSuite, a18DateSuite, a19GroupingSets,
     sql2CorrelatedSubquery, sql3LateralJoin, a4bTopkAgg, a20Histogram, a21ExactMedian,
     a24ParetoFront, a25WeightedMedian, a26GroupMode, a27ExactCorr,
-    a28LinregTrend)
+    a28LinregTrend, a29TimeRangeWindow)
 }
