@@ -89,5 +89,38 @@ object Quality {
       (min(col("n")) >= 5).as("k_anonymous"))
   }
 
-  val all: Seq[QueryDef] = Seq(dq1Expectations, dq2KAnonymity)
+  // --- dq3_ref_integrity: referential-integrity audit — orphan-rate per
+  // foreign-key relationship (orders→customer, lineitem→orders), the
+  // join-health check a warehouse runs before trusting any star join.
+  // Each relationship is ONE left join probed for null parents with
+  // exact integer counts; the parent side broadcasts when small and the
+  // child never moves more than its key column. A nonzero orphan rate
+  // is the canary for partial loads and late dimension arrival. ---
+  val dq3RefIntegrity = QueryDef.sql(
+    "dq3_ref_integrity",
+    """WITH oc AS (SELECT count(*) AS n,
+      |    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orph
+      |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+      |lo AS (SELECT count(*) AS n,
+      |    CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orph
+      |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      |SELECT 'orders_customer' AS rel, n AS n_child, orph AS n_orphan,
+      |  CAST(orph AS DOUBLE) / CAST(n AS DOUBLE) AS orphan_rate FROM oc
+      |UNION ALL
+      |SELECT 'lineitem_orders', n, orph,
+      |  CAST(orph AS DOUBLE) / CAST(n AS DOUBLE) FROM lo""".stripMargin) { (s, d) =>
+    def audit(rel: String, child: org.apache.spark.sql.DataFrame, ck: String,
+        parent: org.apache.spark.sql.DataFrame, pk: String) =
+      child.select(col(ck)).join(parent.select(col(pk)), col(ck) === col(pk), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col(pk).isNull, 1L).otherwise(0L)).as("n_orphan"))
+        .select(lit(rel).as("rel"), col("n_child"), col("n_orphan"),
+          (col("n_orphan").cast("double") / col("n_child").cast("double"))
+            .as("orphan_rate"))
+    audit("orders_customer", T.orders(s, d), "o_custkey", T.customer(s, d), "c_custkey")
+      .unionByName(
+        audit("lineitem_orders", T.lineitem(s, d), "l_orderkey", T.orders(s, d), "o_orderkey"))
+  }
+
+  val all: Seq[QueryDef] = Seq(dq1Expectations, dq2KAnonymity, dq3RefIntegrity)
 }
