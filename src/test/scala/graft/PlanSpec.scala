@@ -285,6 +285,34 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashJoin"), s"expected a hash equi-join on the bin key:\n$p")
   }
 
+  test("j9 salted join: equi on (key, salt) — no nested loop, no cartesian") {
+    val p = planOf("j9_salted_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"salting must stay an equi join:\n$p")
+    assert(p.contains("__salt"), s"the salt column must be a join key:\n$p")
+  }
+
+  test("t28 BM25: 1-row stats broadcast; ranking window partitioned by term") {
+    val p = planOf("t28_bm25")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"N/avgdl must broadcast as a scalar frame:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the scoring join:\n$p")
+  }
+
+  test("m4 image knn: probe pairing broadcasts; distance is codegen'd array math") {
+    val p = planOf("m4_image_knn")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"the 20-image probe side must broadcast:\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython"), "no python/UDF in the distance")
+  }
+
+  test("dq3: both FK probes are broadcast joins on the parent key") {
+    val p = planOf("dq3_ref_integrity")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"parent sides must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"FK audit must stay keyed:\n$p")
+  }
+
   test("k17 IVM: both base⋈delta terms broadcast the delta side") {
     val p = planOf("k17_ivm_join")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
