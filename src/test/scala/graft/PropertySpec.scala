@@ -163,6 +163,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("range-join RULE: rewritten plan equals the naive join for random longs/widths") {
+    import graft.plans.RangeJoinRule
+    for (seed <- 1L to 6L) {
+      val pts = Gen.listOfN(60, Gen.choose(-5000L, 5000L)).pureApply(params, Seed(seed))
+        .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("pid", "v")
+      val ivs = Gen.listOfN(25, Gen.zip(Gen.choose(-5000L, 5000L), Gen.choose(0L, 3000L)))
+        .pureApply(params, Seed(seed + 50))
+        .zipWithIndex.map { case ((lo, span), i) => (i.toLong, lo, lo + span) }
+        .toDF("iid", "lo", "hi")
+      val width = Seq(7L, 100L, 1024L)(seed.toInt % 3)
+      val want = pts.join(ivs, col("v") >= col("lo") && col("v") <= col("hi"))
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      RangeJoinRule.enable(spark, width)
+      val got = try {
+        pts.join(ivs, col("v") >= col("lo") && col("v") <= col("hi"))
+          .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+      } finally RangeJoinRule.disable(spark)
+      assert(got.toSeq === want.toSeq,
+        s"seed=$seed width=$width: rule-rewritten join diverges from naive join")
+    }
+  }
+
   test("interval overlap join: exactly one output row per overlapping pair, any width") {
     import graft.operators.RangeJoin
     for (seed <- 1L to 6L) {
