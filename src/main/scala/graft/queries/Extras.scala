@@ -544,10 +544,62 @@ object Extras {
       .select(col("event_id"), col("user_id"), col("n_1h"), col("sum_1h"))
   }
 
+  // --- a30_percentile_cont: exact INTERPOLATED percentiles (p50/p90/p99
+  // per event type) — the continuous order statistic a21's exact median
+  // (integer positions) and a15's sketches (approximate) don't cover.
+  // Neither engine's built-in is used: both sides evaluate the same
+  // manual formula v_lo + (r - floor(r))·(v_hi - v_lo) with
+  // r = (n-1)·p, so the interpolation arithmetic is identical
+  // expression shape end to end. Scale: one partitioned sort per group
+  // ranks the values; each requested percentile then fetches its two
+  // straddling ranks via keyed joins on (group, rank) — never a global
+  // sort, never a collect; the (group, n) × percentile grid is
+  // broadcast-sized. ---
+  val a30PercentileCont = QueryDef.sql(
+    "a30_percentile_cont",
+    """WITH s AS (SELECT event_type, value,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events),
+      |p AS (SELECT unnest([0.5, 0.9, 0.99]) AS pct),
+      |g AS (SELECT DISTINCT event_type, n FROM s),
+      |pick AS (SELECT g.event_type, p.pct,
+      |    (CAST(g.n AS DOUBLE) - 1.0) * p.pct AS r,
+      |    CAST(floor((CAST(g.n AS DOUBLE) - 1.0) * p.pct) AS BIGINT) + 1 AS lorn,
+      |    least(CAST(floor((CAST(g.n AS DOUBLE) - 1.0) * p.pct) AS BIGINT) + 2, g.n) AS hirn
+      |  FROM g, p)
+      |SELECT k.event_type, k.pct,
+      |  vlo.value + (k.r - floor(k.r)) * (vhi.value - vlo.value) AS pctl
+      |FROM pick k
+      |JOIN s vlo ON vlo.event_type = k.event_type AND vlo.rn = k.lorn
+      |JOIN s vhi ON vhi.event_type = k.event_type AND vhi.rn = k.hirn""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val wRank = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    val wN = Window.partitionBy(col("event_type"))
+    val ranked = T.events(s, d)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wN))
+    val pick = ranked.select(col("event_type"), col("n")).distinct()
+      .crossJoin(broadcast(Seq(0.5, 0.9, 0.99).toDF("pct")))
+      .withColumn("r", (col("n").cast("double") - lit(1.0)) * col("pct"))
+      .withColumn("lorn", floor(col("r")).cast("long") + 1)
+      .withColumn("hirn", least(floor(col("r")).cast("long") + 2, col("n")))
+    val vlo = ranked.select(col("event_type").as("et1"), col("rn").as("rn1"),
+      col("value").as("v1"))
+    val vhi = ranked.select(col("event_type").as("et2"), col("rn").as("rn2"),
+      col("value").as("v2"))
+    pick
+      .join(vlo, col("event_type") === col("et1") && col("lorn") === col("rn1"))
+      .join(vhi, col("event_type") === col("et2") && col("hirn") === col("rn2"))
+      .select(col("event_type"), col("pct"),
+        (col("v1") + (col("r") - floor(col("r"))) * (col("v2") - col("v1"))).as("pctl"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
     a16WindowSuite, a17ScalarSuite, a18DateSuite, a19GroupingSets,
     sql2CorrelatedSubquery, sql3LateralJoin, a4bTopkAgg, a20Histogram, a21ExactMedian,
     a24ParetoFront, a25WeightedMedian, a26GroupMode, a27ExactCorr,
-    a28LinregTrend, a29TimeRangeWindow)
+    a28LinregTrend, a29TimeRangeWindow, a30PercentileCont)
 }
