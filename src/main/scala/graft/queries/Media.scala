@@ -124,8 +124,8 @@ object Media {
   // the REAL PNGs, embed each as its 64-dim integer luma grid
   // (Multimodal.imageEmbeddings: the m2 sampling grid as a vector
   // instead of a thresholded hash), and rank each image's 3 nearest
-  // neighbors by EXACT integer squared-L2 (zip_with + aggregate — no
-  // UDF in the distance). The oracle rebuilds every grid analytically
+  // neighbors by EXACT integer squared-L2 (the codegen'd ArrayLongL2
+  // kernel — no UDF, no interpreted HOF). The oracle rebuilds every grid analytically
   // from the synthesis formulas and pair-joins on cell coordinates, so
   // decode → embed → distance → rank is gated end to end. The 20-image
   // probe set pairs via a broadcast (the deliberate exact baseline, as
@@ -159,7 +159,7 @@ object Media {
     val w = Window.partitionBy(col("qa")).orderBy(col("dist2"), col("nb"))
     a.crossJoin(broadcast(b)).filter(col("qa") =!= col("nb"))
       .withColumn("dist2",
-        expr("aggregate(zip_with(ea, eb, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
+        graft.functions.ArrayLongL2.l2Q(col("ea"), col("eb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("qa").as("asset_id"), col("nb").as("neighbor_id"),
