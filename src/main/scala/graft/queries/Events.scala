@@ -14,6 +14,26 @@ import graft.operators.AsOfJoin
   */
 object Events {
 
+  /** Run a streaming drain with state-volume-sized shuffle parallelism.
+    *
+    * Every stateful streaming operator allocates one state store PER
+    * shuffle partition PER operator PER micro-batch, and each store
+    * commits delta files to the checkpoint — so a stream-stream join at
+    * 32 partitions pays ~128 file-commit round-trips per batch even when
+    * the state is kilobytes. State partitioning is a deployment config
+    * (fixed for a checkpoint's lifetime), not a topology property: at
+    * 100 TB you size it to state volume before first start, exactly as
+    * done here for the fixture's volume. The operator graph — watermarks,
+    * join conditions, sink semantics — is unchanged by this setting.
+    */
+  private def withStatePartitions[A](s: org.apache.spark.sql.SparkSession, n: Int)(
+      body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   // --- e1_windowed_agg: tumbling-window (hourly) aggregation — the batch
   // equivalent of the streaming windowed count (SURVEY §2.7) ---
   val e1WindowedAgg = QueryDef.sql(
@@ -340,6 +360,7 @@ object Events {
     """SELECT date_trunc('day', ts) AS window_start, event_type, count(*) AS n
       |FROM events
       |GROUP BY date_trunc('day', ts), event_type""".stripMargin) { (s, d) =>
+    withStatePartitions(s, 8) {
     val root = java.nio.file.Files.createTempDirectory("e11-stream").toString
     val feed = s"$root/feed"; val state = s"$root/state"; val ckpt = s"$root/ckpt"
     T.events(s, d).select(col("ts"), col("event_type")).write.parquet(feed)
@@ -362,6 +383,7 @@ object Events {
       .start()
     q.awaitTermination()
     s.read.parquet(state).select(col("window_start"), col("event_type"), col("n"))
+    }
   }
 
   // --- e12_stream_stream_join: STRUCTURED STREAMING stream-stream
@@ -388,6 +410,7 @@ object Events {
       |FROM v JOIN p ON v.user_id = p.user_id
       |  AND epoch_ns(p.ts) // 1000 >= epoch_ns(v.ts) // 1000
       |  AND epoch_ns(p.ts) // 1000 < epoch_ns(v.ts) // 1000 + 21600000000""".stripMargin) { (s, d) =>
+    withStatePartitions(s, 8) {
     val root = java.nio.file.Files.createTempDirectory("e12-stream").toString
     val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
     T.events(s, d)
@@ -417,6 +440,7 @@ object Events {
       .start()
     q.awaitTermination()
     s.read.parquet(out).select(col("click_id"), col("purchase_id"), col("user_id"))
+    }
   }
 
   // --- e13_conversion_lag: per-user view→purchase conversion latency —
@@ -523,6 +547,7 @@ object Events {
     "e15_stream_dedup",
     """SELECT event_id, user_id, event_type, date_trunc('second', ts) AS tss
       |FROM events""".stripMargin) { (s, d) =>
+    withStatePartitions(s, 8) {
     val root = java.nio.file.Files.createTempDirectory("e15-stream").toString
     val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
     val ev = T.events(s, d)
@@ -545,6 +570,7 @@ object Events {
     q.awaitTermination()
     s.read.parquet(out)
       .select(col("event_id"), col("user_id"), col("event_type"), col("tss"))
+    }
   }
 
   // --- e16_activity_islands: gaps-and-islands — per-user consecutive-day
@@ -653,6 +679,7 @@ object Events {
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+    withStatePartitions(s, 8) {
     val root = java.nio.file.Files.createTempDirectory("e18-ivm").toString
     val feed = s"$root/feed"; val baseSeg = s"$root/view_base"
     val incSeg = s"$root/view_inc"; val ckpt = s"$root/ckpt"
@@ -680,6 +707,7 @@ object Events {
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
         sum(col("l_extendedprice").cast("decimal(12,2)")).cast("double").as("total"))
+    }
   }
 
   // --- e19_stream_sessions: CUSTOM-STATE streaming sessionization under
@@ -718,6 +746,7 @@ object Events {
       |FROM s GROUP BY user_id, sess_no""".stripMargin) { (s, d) =>
     import s.implicits._
     import graft.streaming.EventStreams
+    withStatePartitions(s, 8) {
     val root = java.nio.file.Files.createTempDirectory("e19-sess").toString
     val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
     val ev = T.events(s, d).select(col("event_id"),
@@ -744,6 +773,7 @@ object Events {
     s.read.parquet(out)
       .filter(col("sess_start") < lit(sentinelTs))
       .select(col("user_id"), col("sess_start"), col("sess_end"), col("n_events"))
+    }
   }
 
   // --- e20_late_data: CHECKPOINT-RESUME watermark semantics under the
@@ -775,6 +805,7 @@ object Events {
       |    AND epoch_ns(date_trunc('day', e.ts) + INTERVAL 1 DAY) // 1000 > wm.w)
       |SELECT date_trunc('day', ts) AS window_start, event_type, count(*) AS n
       |FROM keep GROUP BY window_start, event_type""".stripMargin) { (s, d) =>
+    withStatePartitions(s, 8) {
     val root = java.nio.file.Files.createTempDirectory("e20-late").toString
     val feed = s"$root/feed"; val state = s"$root/state"; val ckpt = s"$root/ckpt"
     val ev = T.events(s, d).select(col("event_id"), col("ts"), col("event_type"))
@@ -803,6 +834,7 @@ object Events {
     ev.filter(col("event_id") % 7 === 0).coalesce(4).write.mode("append").parquet(feed)
     drain()
     s.read.parquet(state).select(col("window_start"), col("event_type"), col("n"))
+    }
   }
 
   // --- e21_stream_outer_join: LEFT OUTER stream-stream join under the
@@ -829,6 +861,7 @@ object Events {
       |FROM v LEFT JOIN p ON v.user_id = p.user_id
       |  AND epoch_ns(p.ts) // 1000 >= epoch_ns(v.ts) // 1000
       |  AND epoch_ns(p.ts) // 1000 < epoch_ns(v.ts) // 1000 + 21600000000""".stripMargin) { (s, d) =>
+    withStatePartitions(s, 8) {
     val root = java.nio.file.Files.createTempDirectory("e21-outer").toString
     val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
     val ev = T.events(s, d)
@@ -877,6 +910,7 @@ object Events {
     s.read.parquet(out)
       .filter(col("user_id") >= 0)
       .select(col("click_id"), col("purchase_id"), col("user_id"))
+    }
   }
 
   val all: Seq[QueryDef] = Seq(
