@@ -76,4 +76,82 @@ object FuzzyJoin {
       .filter(col("dist") <= maxDist)
       .select(col("ka"), col("kb"), col("dist"))
   }
+
+  /** All unordered pairs of distinct values of `nameCol` within edit
+    * distance `k` (1 <= dist <= k), with COMPLETE candidate generation —
+    * unlike [[editDistanceJoin]]'s caller-tuned `minShared` prefilter
+    * (a recall/cost dial that can drop pairs), this blocking provably
+    * loses nothing, so the result is identical to the naive all-pairs
+    * nested loop (the `d12_fuzzy_name_match` DuckDB oracle certifies
+    * exactly that).
+    *
+    * The bound is the q-gram count filter of Gravano et al., VLDB 2001
+    * ("Approximate String Joins in a Database (Almost) for Free"): one
+    * edit operation destroys at most q overlapping q-grams, so
+    *
+    *   ed(s, t) <= k  ⟹  |G(s) ⊓ G(t)| >= max(|s|, |t|) − q + 1 − k·q
+    *
+    * over the MULTISETS of q-grams (multiset semantics matter: "aaaa"
+    * and "aa" share one distinct gram but two multiset copies).
+    *
+    * Execution shape, sized for a 100-TB corpus:
+    *  - the join runs over DISTINCT strings — the dictionary is orders
+    *    of magnitude smaller than the row count, and callers re-attach
+    *    counts/payloads afterwards by broadcast;
+    *  - multiset gram matching is an equi-join on 8-byte
+    *    `xxhash64(gram, occurrence)` keys (the d2/d3 discipline: hash
+    *    before the shuffle); occurrence-indexed keys make an equi-join
+    *    match exactly min(count_a, count_b) times per gram;
+    *  - the count filter runs as a partial-aggregated groupBy on the
+    *    pair key BEFORE any levenshtein, so the quadratic blowup dies
+    *    in the map-side combine, not in the verify stage;
+    *  - strings too short for the filter to bite (max(|s|,|t|) <=
+    *    q·(k+1)−1 makes the bound vacuous; both sides of such a pair
+    *    are short, since the length filter caps the gap at k and
+    *    q+k <= q·(k+1)) pair exactly within their length band via an
+    *    equi-join on candidate length — a hash join over a domain
+    *    bounded by |Σ|^(q·(k+1)), never a nested loop.
+    */
+  def fuzzyPairs(df: DataFrame, nameCol: String, k: Int, q: Int = 2): DataFrame = {
+    require(k >= 1 && q >= 1, s"need k >= 1 and q >= 1, got k=$k q=$q")
+    val names = df.select(col(nameCol).as("nm")).na.drop().distinct()
+      .withColumn("len", length(col("nm")))
+
+    val shortMax = q * (k + 1) - 1
+    val short = names.filter(col("len") <= shortMax)
+    val shortPairs = short
+      .select(col("nm"), col("len"),
+        explode(sequence(col("len") - k, col("len") + k)).as("lb"))
+      .as("a")
+      .join(short.as("b"), col("a.lb") === col("b.len") && col("a.nm") < col("b.nm"))
+      .select(col("a.nm").as("name_a"), col("b.nm").as("name_b"),
+        levenshtein(col("a.nm"), col("b.nm")).as("d"))
+      .filter(col("d") <= k)
+
+    val mgrams = names.filter(col("len") >= q)
+      .select(col("nm"), col("len"),
+        explode(expr(s"transform(sequence(1, len - ${q - 1}), i -> substring(nm, i, $q))")).as("g"))
+      .groupBy(col("nm"), col("len"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("nm"), col("len"),
+        explode(expr("transform(sequence(1, c), i -> xxhash64(g, i))")).as("gk"))
+
+    val candidates = mgrams.as("a")
+      .join(mgrams.as("b"),
+        col("a.gk") === col("b.gk") && col("a.nm") < col("b.nm") &&
+          abs(col("a.len") - col("b.len")) <= k)
+      .groupBy(col("a.nm").as("name_a"), col("b.nm").as("name_b"),
+        col("a.len").as("la"), col("b.len").as("lb"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= greatest(col("la"), col("lb")) - lit(q - 1) - lit(k * q))
+      // pairs with both sides short are the short bucket's (the count
+      // filter can admit them too — emitting twice would duplicate)
+      .filter(greatest(col("la"), col("lb")) > shortMax)
+      .select(col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("d"))
+      .filter(col("d") <= k)
+
+    shortPairs.unionByName(candidates)
+      .select(col("name_a"), col("name_b"), col("d").cast("long").as("dist"))
+  }
 }

@@ -440,9 +440,34 @@ object TextDedup {
         col("n_members"), col("n_chars").as("keeper_chars"))
   }
 
+  // --- d12_fuzzy_name_match: edit-distance near-dup over a string
+  // dictionary — the fuzzy-key variant of d1's exact dedup (typo'd
+  // entity names, OCR'd titles). Candidates come from FuzzyJoin's
+  // q-gram count filter (complete — the naive-levenshtein DuckDB oracle
+  // certifies no pair is missed), verification is the exact levenshtein
+  // kernel, and per-name row counts re-attach by broadcast: the
+  // quadratic part of the problem never leaves the distinct-name
+  // dictionary, which at corpus scale is orders of magnitude smaller
+  // than the table. ---
+  val d12FuzzyNameMatch = QueryDef.sql(
+    "d12_fuzzy_name_match",
+    """WITH n AS (SELECT p_name, count(*) AS cnt FROM part GROUP BY p_name)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+      |  a.cnt AS n_a, b.cnt AS n_b
+      |FROM n a JOIN n b ON a.p_name < b.p_name
+      |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin) { (s, d) =>
+    val counts = T.part(s, d).groupBy(col("p_name")).agg(count(lit(1)).as("cnt"))
+    graft.operators.FuzzyJoin.fuzzyPairs(counts, "p_name", k = 2)
+      .join(broadcast(counts).as("ca"), col("name_a") === col("ca.p_name"))
+      .join(broadcast(counts).as("cb"), col("name_b") === col("cb.p_name"))
+      .select(col("name_a"), col("name_b"), col("dist"),
+        col("ca.cnt").as("n_a"), col("cb.cnt").as("n_b"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     t1TokenStats, t2QualityScore, t3LangId, t4Fingerprint, t5Profile,
     t6HashSample, t7StratifiedSample,
     d1ExactDedup, d2NgramJaccard, d3MinhashLsh, d4Simhash, d6DedupClusters,
-    d11ClusterSurvivor, t13RebalanceMix)
+    d11ClusterSurvivor, d12FuzzyNameMatch, t13RebalanceMix)
 }
