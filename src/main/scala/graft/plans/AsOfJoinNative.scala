@@ -191,5 +191,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(session => RangeJoinRule(session))
+    e.injectOptimizerRule(session => MvRewriteRule(session))
   }
 }

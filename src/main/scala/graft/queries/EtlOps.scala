@@ -847,6 +847,69 @@ object EtlOps {
         sum(col("value").cast("decimal(14,2)")).cast("double").as("total"))
   }
 
+  // --- k22_mv_rewrite: transparent MATERIALIZED-VIEW answering — the
+  // query below is written against the BASE lineitem scan, and
+  // graft.plans.MvRewriteRule rewrites it during optimization to
+  // re-aggregate a summary table grouped one level FINER
+  // (l_returnflag × l_linestatus): count→sum(cnt), sum→sum(sum_x),
+  // min/max→min/max, types re-cast to the original. The run REQUIRES
+  // the rewritten plan to scan only the MV (loud failure if the rule
+  // ever stops firing), materializes under the enabled window, then
+  // disables + unregisters so no other registry query can be silently
+  // answered from a summary. The oracle aggregates the raw base table —
+  // the hash match is the exactness proof of the whole rewrite. Scale:
+  // this is the warehouse summary-table pattern — dashboards keep
+  // issuing base-table SQL while the optimizer serves a table thousands
+  // of times smaller; the MV itself refreshes incrementally (k8's
+  // mergeable partials are exactly its maintenance discipline). ---
+  val k22MvRewrite = QueryDef.sql(
+    "k22_mv_rewrite",
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price,
+      |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+    import graft.plans.MvRewriteRule
+    import graft.plans.MvRewriteRule.{MvAgg, MvDef}
+    val base = s"$d/lineitem.parquet"
+    val root = java.nio.file.Files.createTempDirectory("k22-mv").toString
+    val mvDir = s"$root/mv"; val outDir = s"$root/out"
+    T.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast("decimal(14,2)")).as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(14,2)")).as("sum_price"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))
+      .write.parquet(mvDir)
+    val dec = org.apache.spark.sql.types.DecimalType(14, 2)
+    MvRewriteRule.register(base, MvDef(mvDir,
+      Seq("l_returnflag", "l_linestatus"), Some("cnt"),
+      Seq(MvAgg("sum", "l_quantity", Some(dec), "sum_qty"),
+        MvAgg("sum", "l_extendedprice", Some(dec), "sum_price"),
+        MvAgg("min", "l_shipdate", None, "min_ship"),
+        MvAgg("max", "l_shipdate", None, "max_ship"))))
+    MvRewriteRule.enable(s)
+    try {
+      val q = T.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(14,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(14,2)")).cast("double").as("sum_price"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"))
+      // the physical plan prints scan locations (the logical one doesn't)
+      val phys = q.queryExecution.executedPlan.toString
+      require(phys.contains(mvDir) && !phys.contains("lineitem.parquet"),
+        s"MV rewrite did not fire — plan still scans the base table:\n$phys")
+      q.write.parquet(outDir)
+      s.read.parquet(outDir)
+    } finally {
+      MvRewriteRule.disable(s)
+      MvRewriteRule.unregister(base)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     j1FirstWins, j2Flatten, j3Lookup, p2TimeWindow, p4CastValidate,
     p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff,
@@ -854,5 +917,6 @@ object EtlOps {
     j9SaltedJoin,
     er1EntityClusters, k11PartitionedPrune, k12TimeTravel, k13SchemaEvolution,
     k14BucketedJoin, k15CdcApply, k16CompactionGate, k17IvmJoin,
-    k18FormatRoundtrip, k19ForgetKeys, k20AtomicPublish, k21DynamicOverwrite)
+    k18FormatRoundtrip, k19ForgetKeys, k20AtomicPublish, k21DynamicOverwrite,
+    k22MvRewrite)
 }
