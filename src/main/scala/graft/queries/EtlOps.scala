@@ -411,6 +411,55 @@ object EtlOps {
         sum(col("value").cast("decimal(14,2)")).cast("double").as("total"))
   }
 
+  // --- j10_geo_join: spatial radius join (customers within 75 km of a
+  // supplier site) as a GRID-BINNED hash equi-join — the geo analog of
+  // j4's binned range join. Coordinates are synthesized deterministically
+  // from the keys (integer modulo, one double division — bit-identical
+  // on both engines; latitudes capped to ±45° so one longitude degree is
+  // ≥78 km and the 75 km radius can never escape the 3×3 neighborhood of
+  // 1°×1° cells). Each supplier explodes onto its 9 candidate cells; the
+  // join is on (cell_lat, cell_lon) — a shuffle, never the nested-loop
+  // cross product Spark plans for a raw distance predicate — and the
+  // exact haversine (identical expression shape both engines, so the
+  // radius boundary decides identically) filters candidates. At 100 TB
+  // the candidate set per row is bounded by cell density, not corpus
+  // size — the classic spatial-bucketing scale story. The oracle runs
+  // the naive cross-product distance filter: the hash match proves the
+  // grid is a pure physical rewrite. ---
+  val j10GeoJoin = QueryDef.sql(
+    "j10_geo_join",
+    """WITH c AS (SELECT c_custkey,
+      |    (c_custkey * 37 % 9000)/100.0 - 45.0 AS lat,
+      |    (c_custkey * 91 % 36000)/100.0 - 180.0 AS lon FROM customer),
+      |s AS (SELECT s_suppkey,
+      |    (s_suppkey * 53 % 9000)/100.0 - 45.0 AS lat,
+      |    (s_suppkey * 67 % 36000)/100.0 - 180.0 AS lon FROM supplier),
+      |pairs AS (SELECT s_suppkey, c_custkey,
+      |    2.0 * 6371.0 * asin(sqrt(
+      |      sin(radians((c.lat - s.lat)/2.0)) * sin(radians((c.lat - s.lat)/2.0))
+      |      + cos(radians(s.lat)) * cos(radians(c.lat))
+      |        * sin(radians((c.lon - s.lon)/2.0)) * sin(radians((c.lon - s.lon)/2.0)))) AS dist_km
+      |  FROM s, c)
+      |SELECT s_suppkey, c_custkey, dist_km FROM pairs WHERE dist_km <= 75.0""".stripMargin) { (s, d) =>
+    val cust = T.customer(s, d).select(col("c_custkey"),
+      ((col("c_custkey") * 37 % 9000) / 100.0 - 45.0).as("clat"),
+      ((col("c_custkey") * 91 % 36000) / 100.0 - 180.0).as("clon"))
+      .withColumn("gx", floor(col("clat"))).withColumn("gy", floor(col("clon")))
+    val supp = T.supplier(s, d).select(col("s_suppkey"),
+      ((col("s_suppkey") * 53 % 9000) / 100.0 - 45.0).as("slat"),
+      ((col("s_suppkey") * 67 % 36000) / 100.0 - 180.0).as("slon"))
+      .withColumn("gx", explode(array((-1 to 1).map(o => floor(col("slat")) + o): _*)))
+      .withColumn("gy", explode(array((-1 to 1).map(o => floor(col("slon")) + o): _*)))
+    val dist = lit(2.0) * lit(6371.0) * asin(sqrt(
+      sin(radians((col("clat") - col("slat")) / 2.0)) * sin(radians((col("clat") - col("slat")) / 2.0))
+        + cos(radians(col("slat"))) * cos(radians(col("clat")))
+          * sin(radians((col("clon") - col("slon")) / 2.0)) * sin(radians((col("clon") - col("slon")) / 2.0))))
+    supp.join(cust, Seq("gx", "gy"))
+      .withColumn("dist_km", dist)
+      .filter(col("dist_km") <= 75.0)
+      .select(col("s_suppkey"), col("c_custkey"), col("dist_km"))
+  }
+
   // --- er1_entity_clusters: end-to-end entity resolution — fuzzy
   // self-match (3-gram Jaccard >= 0.6 over the inverted index, never a
   // distance nested loop) feeds connected components, so transitive
@@ -914,7 +963,7 @@ object EtlOps {
     j1FirstWins, j2Flatten, j3Lookup, p2TimeWindow, p4CastValidate,
     p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff,
     j4RangeJoin, j5IntervalOverlap, j6FuzzyMatch, j7EditDistance, j8AutoRangeJoin,
-    j9SaltedJoin,
+    j9SaltedJoin, j10GeoJoin,
     er1EntityClusters, k11PartitionedPrune, k12TimeTravel, k13SchemaEvolution,
     k14BucketedJoin, k15CdcApply, k16CompactionGate, k17IvmJoin,
     k18FormatRoundtrip, k19ForgetKeys, k20AtomicPublish, k21DynamicOverwrite,

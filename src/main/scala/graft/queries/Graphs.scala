@@ -349,7 +349,55 @@ object Graphs {
         col("deg_seed"), col("deg_cand"), col("jaccard"), col("rank"))
   }
 
+  // --- g8_kcore: 2-core of the REPEAT-co-purchase graph (parts bought
+  // together in ≥2 distinct orders — a single random co-occurrence is
+  // noise at corpus scale, so the weight filter is the graph's
+  // denoising step). Three synchronized peel rounds: drop nodes of
+  // degree < k, induce, repeat — the standard distributed k-core
+  // schedule (each round is one partial-aggregated degree count plus two
+  // semi joins on the shrinking survivor set; nothing ever moves more
+  // than the live edge list, and the edge list only shrinks). At the
+  // gated SF round 3 is already the fixed point (peeling a 4th round
+  // removes nothing), so the fixed-round output IS the true 2-core; the
+  // oracle replays the identical peel as chained CTEs. Output: each core
+  // member with its degree inside the core. ---
+  val g8KCore = QueryDef.sql(
+    "g8_kcore",
+    """WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e0 AS (SELECT x.p AS u, y.p AS v FROM it x JOIN it y ON x.o = y.o AND x.p < y.p
+      |       GROUP BY x.p, y.p HAVING count(*) >= 2),
+      |und AS (SELECT u AS a, v AS b FROM e0 UNION ALL SELECT v AS a, u AS b FROM e0),
+      |d0 AS (SELECT a, count(*) AS deg FROM und GROUP BY a),
+      |n1 AS (SELECT a FROM d0 WHERE deg >= 2),
+      |e1 AS (SELECT und.a, und.b FROM und JOIN n1 x ON und.a = x.a JOIN n1 y ON und.b = y.a),
+      |d1 AS (SELECT a, count(*) AS deg FROM e1 GROUP BY a),
+      |n2 AS (SELECT a FROM d1 WHERE deg >= 2),
+      |e2 AS (SELECT e1.a, e1.b FROM e1 JOIN n2 x ON e1.a = x.a JOIN n2 y ON e1.b = y.a),
+      |d2 AS (SELECT a, count(*) AS deg FROM e2 GROUP BY a),
+      |n3 AS (SELECT a FROM d2 WHERE deg >= 2),
+      |e3 AS (SELECT e2.a, e2.b FROM e2 JOIN n3 x ON e2.a = x.a JOIN n3 y ON e2.b = y.a)
+      |SELECT a AS node, count(*) AS deg_core FROM e3 GROUP BY a""".stripMargin) { (s, d) =>
+    val it = T.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val e0 = it.as("x").join(it.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("u"), col("y.p").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("u"), col("v"))
+    var edges = e0.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(e0.select(col("v").as("a"), col("u").as("b")))
+    for (_ <- 1 to 3) {
+      val surv = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= 2).select(col("a").as("sa"))
+      edges = edges
+        .join(surv, col("a") === col("sa"), "left_semi")
+        .join(surv, col("b") === col("sa"), "left_semi")
+    }
+    edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg_core"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     g1Pagerank, g2TriangleCount, g3LabelProp, g4ShortestPath, g5Assortativity,
-    g6LinkPredict, g7NeighborhoodJaccard)
+    g6LinkPredict, g7NeighborhoodJaccard, g8KCore)
 }

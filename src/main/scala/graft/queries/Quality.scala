@@ -122,5 +122,52 @@ object Quality {
         audit("lineitem_orders", T.lineitem(s, d), "l_orderkey", T.orders(s, d), "o_orderkey"))
   }
 
-  val all: Seq[QueryDef] = Seq(dq1Expectations, dq2KAnonymity, dq3RefIntegrity)
+  // --- dq4_drift_psi: population-stability-index drift report between
+  // a baseline and a current window of the event stream — the standard
+  // "did the input distribution move?" gate a pipeline runs before
+  // retraining on fresh data. Per event type: both window shares and the
+  // PSI contribution (share_cur − share_base) · ln(share_cur/share_base).
+  // Each window is ONE partial-aggregated count scan; the two 1-row
+  // totals broadcast back onto the 5-row type table (q22's scalar
+  // pattern), so at 100 TB the cost is two filtered scans — no shuffle
+  // ever carries more than the type cardinality. Shares and the PSI term
+  // are double arithmetic in the identical expression shape on both
+  // engines (one division each, one ln, one product), so the report —
+  // and any threshold verdict downstream — decides identically. ---
+  val dq4DriftPsi = QueryDef.sql(
+    "dq4_drift_psi",
+    """WITH base AS (SELECT event_type, count(*) AS c FROM events
+      |  WHERE ts < TIMESTAMP '2024-01-16' GROUP BY event_type),
+      |cur AS (SELECT event_type, count(*) AS c FROM events
+      |  WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY event_type),
+      |bt AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM base),
+      |ct AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cur)
+      |SELECT base.event_type,
+      |  CAST(base.c AS BIGINT) AS n_base, CAST(cur.c AS BIGINT) AS n_cur,
+      |  CAST(base.c AS DOUBLE) / CAST(bt.t AS DOUBLE) AS share_base,
+      |  CAST(cur.c AS DOUBLE) / CAST(ct.t AS DOUBLE) AS share_cur,
+      |  (CAST(cur.c AS DOUBLE) / CAST(ct.t AS DOUBLE)
+      |     - CAST(base.c AS DOUBLE) / CAST(bt.t AS DOUBLE))
+      |    * ln((CAST(cur.c AS DOUBLE) / CAST(ct.t AS DOUBLE))
+      |        / (CAST(base.c AS DOUBLE) / CAST(bt.t AS DOUBLE))) AS psi_term
+      |FROM base JOIN cur ON base.event_type = cur.event_type, bt, ct""".stripMargin) { (s, d) =>
+    val ev = T.events(s, d)
+    val cut = to_timestamp(lit("2024-01-16"))
+    val base = ev.filter(col("ts") < cut)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("cb"))
+    val cur = ev.filter(col("ts") >= cut)
+      .groupBy(col("event_type").as("et")).agg(count(lit(1)).as("cc"))
+    val bt = base.agg(sum(col("cb")).cast("long").as("tb"))
+    val ct = cur.agg(sum(col("cc")).cast("long").as("tc"))
+    val sb = col("cb").cast("double") / col("tb").cast("double")
+    val sc = col("cc").cast("double") / col("tc").cast("double")
+    base.join(cur, col("event_type") === col("et"))
+      .join(broadcast(bt)).join(broadcast(ct))
+      .select(col("event_type"),
+        col("cb").cast("long").as("n_base"), col("cc").cast("long").as("n_cur"),
+        sb.as("share_base"), sc.as("share_cur"),
+        ((sc - sb) * log(sc / sb)).as("psi_term"))
+  }
+
+  val all: Seq[QueryDef] = Seq(dq1Expectations, dq2KAnonymity, dq3RefIntegrity, dq4DriftPsi)
 }

@@ -34,7 +34,9 @@ object TpchShapes {
   }
 
   // --- q7_volume_shipping: revenue between two customer nations by year
-  // (TPC-H Q7 shape, adapted: no supplier nation on lineitem here) ---
+  // (TPC-H Q7 shape, adapted: no supplier nation on lineitem here). The
+  // fixture's nation names are NATION_0..24 — a real-world name filter
+  // would match nothing and pass the oracle vacuously. ---
   val q7VolumeShipping = QueryDef.sql(
     "q7_volume_shipping",
     """SELECT n_name, year(l_shipdate) AS l_year,
@@ -43,14 +45,14 @@ object TpchShapes {
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
       |JOIN nation ON c_nationkey = n_nationkey
-      |WHERE n_name IN ('CHINA', 'FRANCE')
+      |WHERE n_name IN ('NATION_3', 'NATION_7')
       |  AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
       |GROUP BY n_name, year(l_shipdate)""".stripMargin) { (s, d) =>
     val li = T.lineitem(s, d).filter(
       col("l_shipdate").between(to_timestamp(lit("1995-01-01")), to_timestamp(lit("1996-12-31"))))
     li.join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
       .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(T.nation(s, d).filter(col("n_name").isin("CHINA", "FRANCE"))),
+      .join(broadcast(T.nation(s, d).filter(col("n_name").isin("NATION_3", "NATION_7"))),
         col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"), year(col("l_shipdate")).as("l_year"))
       .agg(sum(dec(col("l_extendedprice")) * (one - col("l_discount").cast("decimal(4,2)")))
@@ -496,10 +498,101 @@ object TpchShapes {
         .cast("double").as("avg_yearly"))
   }
 
+  // --- q11_important_value: parts holding an outsized share of one
+  // nation's supplied value (TPC-H Q11's shape — group + HAVING against
+  // a scalar-subquery fraction of the total — restated on the fixture:
+  // no partsupp table, so "value" is lineitem extendedprice × quantity
+  // through the supplier→nation link). The scalar total is a 1-row
+  // aggregate broadcast back onto the per-part aggregate (q22's
+  // pattern); the nation-filtered supplier dim broadcasts, so at scale
+  // the only shuffle is the per-part partial aggregate. The HAVING
+  // boundary compares doubles in the identical expression shape on both
+  // engines (one cast, one division), so ties decide identically. ---
+  val q11ImportantValue = QueryDef.sql(
+    "q11_important_value",
+    """WITH nat AS (
+      |  SELECT l_partkey,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS val
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name = 'NATION_4'
+      |  GROUP BY l_partkey),
+      |tot AS (SELECT sum(val) AS total FROM nat)
+      |SELECT l_partkey, CAST(val AS DOUBLE) AS part_value
+      |FROM nat, tot
+      |WHERE CAST(val AS DOUBLE) > CAST(total AS DOUBLE) / 500.0""".stripMargin) { (s, d) =>
+    val supp = T.supplier(s, d)
+      .join(T.nation(s, d).filter(col("n_name") === "NATION_4"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val nat = T.lineitem(s, d)
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_quantity"))).as("val"))
+    val tot = nat.agg(sum(col("val")).as("total"))
+    nat.join(broadcast(tot))
+      .filter(col("val").cast("double") > col("total").cast("double") / lit(500.0))
+      .select(col("l_partkey"), col("val").cast("double").as("part_value"))
+  }
+
+  // --- q21_waiting_supplier: suppliers who were the SOLE late shipper
+  // on multi-supplier finished orders (TPC-H Q21's double-EXISTS shape,
+  // adapted: no l_commitdate/l_receiptdate in the fixture, so "late" is
+  // shipped more than 90 days after the order date). The oracle keeps
+  // the correlated EXISTS / NOT EXISTS formulation; the Spark plan
+  // de-correlates it into ONE per-order aggregate — distinct-supplier
+  // count and distinct-LATE-supplier count — computed below the joins,
+  // so each order's multi-supplier/sole-late verdict is a pair of
+  // integers, not two more passes over lineitem. A late row qualifies
+  // iff its order has ≥2 suppliers and exactly 1 late one (that one is
+  // necessarily this row's). Supplier×nation broadcasts; both lineitem
+  // shuffles key on l_orderkey so AQE reuses the exchange. ---
+  val q21WaitingSupplier = QueryDef.sql(
+    "q21_waiting_supplier",
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_4'
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+      |WHERE l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 10""".stripMargin) { (s, d) =>
+    val ord = T.orders(s, d).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val flagged = T.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late", col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+    val stats = flagged.groupBy(col("l_orderkey").as("k"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("ns"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("nl"))
+      .filter(col("ns") >= 2 && col("nl") === 1)
+    val supp = T.supplier(s, d)
+      .join(T.nation(s, d).filter(col("n_name") === "NATION_4"),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    flagged.filter(col("late"))
+      .join(stats, col("l_orderkey") === col("k"), "left_semi")
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q4OrderPriority, q7VolumeShipping, q12Shipmode, q14PromoRatio, q19Disjunctive,
     q2BestSupplier, q9Profit, q20SemiChain,
     q3ShippingPriority, q5LocalSupplier, q6ForecastRevenue, q8MarketShare,
     q10ReturnedItems, q13CustDistribution, q18LargeVolume,
-    q15TopSupplier, q16PartsSupplier, q22GlobalSales, q17SmallQuantity)
+    q15TopSupplier, q16PartsSupplier, q22GlobalSales, q17SmallQuantity,
+    q11ImportantValue, q21WaitingSupplier)
 }

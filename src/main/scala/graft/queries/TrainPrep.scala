@@ -991,11 +991,57 @@ object TrainPrep {
       .select(col("t").as("term"), col("doc_id"), col("score"), col("rank"))
   }
 
+  // --- t29_boilerplate: template/boilerplate span detection — the
+  // C4/RefinedWeb-style "strip the shared chrome" pass, expressed on
+  // shingles since the fixture has no line structure. A 3-gram shingle
+  // that appears in ≥4 DISTINCT sources is template text (navigation,
+  // legal footers, injected ads — anything that repeats ACROSS sites is
+  // not content); each doc reports how much of it is boilerplate. Plan:
+  // the (shingle, source) projection is deduped BEFORE the per-shingle
+  // source count (partial-agg on 8-byte hashed keys), the boilerplate
+  // set broadcasts back onto the per-doc probe, and the per-doc ratio is
+  // one double division of two exact counts. At 100 TB the only
+  // corpus-scale shuffle is the shingle dedup — the boilerplate
+  // dictionary itself stays dimension-sized by construction (it must
+  // repeat across sources to qualify). Strings are hashed to longs
+  // Spark-side; the string-keyed oracle doubles as the collision check
+  // (d2's argument). ---
+  val t29Boilerplate = QueryDef.sql(
+    "t29_boilerplate",
+    s"""WITH sh AS (SELECT DISTINCT doc_id, source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |  FROM (SELECT doc_id, source, $sqlToks AS t FROM documents) toks,
+       |  LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+       |boiler AS (SELECT s FROM (SELECT DISTINCT s, source FROM sh) ss
+       |           GROUP BY s HAVING count(*) >= 4)
+       |SELECT sh.doc_id, count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN boiler.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       |  CAST(CAST(sum(CASE WHEN boiler.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+       |    / count(*) AS boiler_ratio
+       |FROM sh LEFT JOIN boiler ON sh.s = boiler.s
+       |GROUP BY sh.doc_id""".stripMargin) { (s, d) =>
+    val sh = T.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(TextFns.shinglesRegex(col("text"), 3))).as("str"))
+      .select(col("doc_id"), col("source"), xxhash64(col("str")).as("s"))
+    val boiler = sh.select(col("s"), col("source")).distinct()
+      .groupBy(col("s")).agg(count(lit(1)).as("nsrc"))
+      .filter(col("nsrc") >= 4)
+      .select(col("s"))
+    sh.select(col("doc_id"), col("s")).as("sh")
+      .join(broadcast(boiler.withColumn("hit", lit(1))).as("b"),
+        col("sh.s") === col("b.s"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0))).as("n_boiler"))
+      .select(col("doc_id"), col("n_shingles"), col("n_boiler"),
+        (col("n_boiler").cast("double") / col("n_shingles")).as("boiler_ratio"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     t8PackSequences, t9NgramCounts, t10RedactPii, d5Contamination,
     t11UnigramLogprob, t12Repetition, t14NormalizeText, t15LeakSafeSplit,
     t16TemperatureMix, t17FeatureHashing, t18DocKnn, d8VerbatimLeak,
     t19Tfidf, t20WeightedSample, d9BloomScreen, t21ChunkOverlap,
     d10ContainmentPairs, t22JsonlIngest, t23SentenceStats, t24BigramPmi,
-    t25DataCards, t26MixEntropy, t27LinearScore, t28Bm25)
+    t25DataCards, t26MixEntropy, t27LinearScore, t28Bm25, t29Boilerplate)
 }
