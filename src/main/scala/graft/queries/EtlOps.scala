@@ -702,6 +702,34 @@ object EtlOps {
         sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("total"))
   }
 
+  // --- k23_zorder_gate: Z-ORDER clustering under the hash gate — the
+  // table is rewritten ordered by the bit-interleaved (l_partkey,
+  // l_suppkey) code (Maintenance.zorderBy), so parquet row-group min/max
+  // stats turn selective on BOTH dimensions at once and a 2-D box
+  // filter prunes most of the table from the scan (lexicographic
+  // clusterBy only prunes its leading column). The aggregate over the
+  // clustered copy must hash-match the oracle's view of the ORIGINAL
+  // fixture — the rewrite is pure layout, zero content drift.
+  // MaintenanceSpec pins the footer-level min/max tightening; this pins
+  // the data. ---
+  val k23ZorderGate = QueryDef.sql(
+    "k23_zorder_gate",
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+      |FROM lineitem
+      |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 40
+      |GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+    val tbl = java.nio.file.Files.createTempDirectory("k23-zorder").toString + "/lineitem"
+    T.lineitem(s, d).write.mode("overwrite").parquet(tbl)
+    graft.operators.Maintenance.zorderBy(s, tbl,
+      Seq("l_partkey", "l_suppkey"), targetBytesPerFile = 1L << 20)
+    s.read.parquet(tbl)
+      .filter(col("l_partkey").between(100, 300) && col("l_suppkey").between(10, 40))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("qty"))
+  }
+
   // --- k17_ivm_join: incremental view maintenance for the orders⋈items
   // join view (Ivm.deltaJoin): both inputs split at 1998-01-01 into base
   // + append-only delta, the view refreshed as
@@ -967,5 +995,5 @@ object EtlOps {
     er1EntityClusters, k11PartitionedPrune, k12TimeTravel, k13SchemaEvolution,
     k14BucketedJoin, k15CdcApply, k16CompactionGate, k17IvmJoin,
     k18FormatRoundtrip, k19ForgetKeys, k20AtomicPublish, k21DynamicOverwrite,
-    k22MvRewrite)
+    k22MvRewrite, k23ZorderGate)
 }

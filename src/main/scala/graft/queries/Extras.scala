@@ -258,6 +258,32 @@ object Extras {
     s.sql(lateralSql)
   }
 
+  // --- sql4_recursive_cte: WITH RECURSIVE in the shared dialect — the
+  // classic date-spine gap-fill (a calendar generated by recursion,
+  // left-joined to per-day activity so silent days surface as explicit
+  // zeros). Spark 4 executes the recursion as UnionLoop with the anchor
+  // and step as ordinary plans — the spine is 30 rows of driver-side
+  // loop state, never a corpus-scale iteration, and the event side is
+  // one partial-aggregated scan. The SAME text runs on Spark SQL and
+  // DuckDB; timestamp + INTERVAL arithmetic is exact on both. ---
+  private val recursiveSql =
+    """WITH RECURSIVE spine(day) AS (
+      |  SELECT TIMESTAMP '2024-01-01'
+      |  UNION ALL
+      |  SELECT day + INTERVAL 1 DAY FROM spine WHERE day < TIMESTAMP '2024-01-30'),
+      |daily AS (
+      |  SELECT date_trunc('day', ts) AS day, count(*) AS n,
+      |    count(DISTINCT user_id) AS du
+      |  FROM events GROUP BY date_trunc('day', ts))
+      |SELECT spine.day AS day, coalesce(n, 0) AS n_events,
+      |  coalesce(du, 0) AS n_users
+      |FROM spine LEFT JOIN daily ON spine.day = daily.day""".stripMargin
+
+  val sql4RecursiveCte = QueryDef.sql("sql4_recursive_cte", recursiveSql) { (s, d) =>
+    T.events(s, d).createOrReplaceTempView("events")
+    s.sql(recursiveSql)
+  }
+
   // --- a4b_topk_agg: top-5 per segment via the bounded generic
   // TopKRowsAggregator (partial per-partition top-k — shuffle carries
   // ≤k rows per group per task, unlike the full window sort). The
@@ -599,7 +625,8 @@ object Extras {
   val all: Seq[QueryDef] = Seq(
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
     a16WindowSuite, a17ScalarSuite, a18DateSuite, a19GroupingSets,
-    sql2CorrelatedSubquery, sql3LateralJoin, a4bTopkAgg, a20Histogram, a21ExactMedian,
+    sql2CorrelatedSubquery, sql3LateralJoin, sql4RecursiveCte,
+    a4bTopkAgg, a20Histogram, a21ExactMedian,
     a24ParetoFront, a25WeightedMedian, a26GroupMode, a27ExactCorr,
     a28LinregTrend, a29TimeRangeWindow, a30PercentileCont)
 }
