@@ -319,3 +319,70 @@ object ArrayLongL2 {
   def l2Q(a: Column, b: Column): Column =
     columnOf(ArrayLongL2(expressionOf(a), expressionOf(b)))
 }
+
+/** Sign-bit binary quantization: packs the signs of `len` consecutive
+  * elements of an `array<float>` (starting at `lo`) into one long — bit
+  * i set iff element `lo + i` ≥ 0. Two calls quantize a 64-dim
+  * embedding into a 16-byte binary code (v14's Hamming path): a 16×
+  * smaller corpus representation whose distance is two XOR+popcount
+  * instructions, the standard first-pass filter before exact rescoring
+  * at retrieval scale. Null/missing elements contribute a 0 bit (the
+  * kernels' skip convention).
+  */
+case class ArraySignBits(child: Expression, lo: Int, len: Int)
+    extends UnaryExpression {
+
+  require(lo >= 0 && len >= 1 && len <= 63, "sign-bit window must fit a long")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "array_sign_bits"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${dt.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < len) {
+      val idx = lo + i
+      if (idx < n && !x.isNullAt(idx) && x.getFloat(idx) >= 0f)
+        acc |= 1L << i
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val idx = ctx.freshName("idx")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $len; $i++) {
+         |  int $idx = $lo + $i;
+         |  if ($idx < $n && !$a.isNullAt($idx) && $a.getFloat($idx) >= 0f) {
+         |    $acc |= 1L << $i;
+         |  }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ArraySignBits =
+    copy(child = newChild)
+}
+
+object ArraySignBits {
+  /** Column API: pack signs of elements [lo, lo+len) into a long. */
+  def signBits(a: Column, lo: Int, len: Int): Column =
+    columnOf(ArraySignBits(expressionOf(a), lo, len))
+}

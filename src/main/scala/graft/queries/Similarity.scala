@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryDef, Tables => T}
-import graft.functions.{ArrayLongDot, ArrayLshBuckets, ArraySignedProjections}
+import graft.functions.{ArrayLongDot, ArrayLshBuckets, ArraySignBits, ArraySignedProjections}
 
 /** Similarity search over the `embeddings` table (Array[Float], dim 64).
   *
@@ -799,7 +799,54 @@ object Similarity {
       .select(col("qid"), col("cid").as("vec_id"), col("adist"), col("rank"))
   }
 
+  // --- v14_binary_hamming: sign-bit binary quantization — each 64-dim
+  // float embedding collapses to TWO longs (bit = sign of the
+  // coordinate, ArraySignBits codegen kernel), a 16× smaller corpus
+  // representation whose distance is two XOR+popcount instructions.
+  // Top-10 by Hamming distance per query (ties broken by candidate id),
+  // the standard cheap first-pass retrieval filter in front of exact
+  // rescoring (v4/v10's role). The corpus-side scan is one codegen'd
+  // projection; the 5-query code set broadcasts, so at 100 TB nothing
+  // shuffles but 16-byte codes. Signs are exact on both engines (same
+  // parquet floats, one >= 0 compare), so the integer Hamming ranking is
+  // deterministic and the oracle replays it bit-for-bit. ---
+  val v14BinaryHamming = QueryDef.sql(
+    "v14_binary_hamming",
+    """WITH codes AS (
+      |  SELECT vec_id,
+      |    (SELECT CAST(sum(CASE WHEN e.embedding[i+1] >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT)
+      |     FROM range(0, 32) t(i)) AS c0,
+      |    (SELECT CAST(sum(CASE WHEN e.embedding[i+33] >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT)
+      |     FROM range(0, 32) t(i)) AS c1
+      |  FROM embeddings e),
+      |q AS (SELECT vec_id AS qid, c0 AS q0, c1 AS q1 FROM codes WHERE vec_id < 5),
+      |h AS (SELECT qid, c.vec_id AS cid,
+      |    CAST(bit_count(xor(q0, c.c0)) + bit_count(xor(q1, c.c1)) AS BIGINT) AS hamming
+      |  FROM q, codes c WHERE c.vec_id <> qid)
+      |SELECT qid, cid, hamming, rank FROM (
+      |  SELECT qid, cid, hamming,
+      |    row_number() OVER (PARTITION BY qid ORDER BY hamming, cid) AS rank
+      |  FROM h) t
+      |WHERE rank <= 10""".stripMargin) { (s, d) =>
+    val codes = T.embeddings(s, d).select(col("vec_id"),
+      ArraySignBits.signBits(col("embedding"), 0, 32).as("c0"),
+      ArraySignBits.signBits(col("embedding"), 32, 32).as("c1"))
+    val q = codes.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("c0").as("q0"), col("c1").as("q1"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("hamming"), col("cid"))
+    codes.select(col("vec_id").as("cid"), col("c0"), col("c1"))
+      .crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("hamming",
+        (bit_count(col("q0").bitwiseXOR(col("c0")))
+          + bit_count(col("q1").bitwiseXOR(col("c1")))).cast("long"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("cid"), col("hamming"), col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     v1KnnBruteforce, v2AnnLsh, v3EmbeddingNeardup, v5AnnIvf, v6RandomProjection,
-    v8MmrRerank, v9PqCodes, v10PqAdc, v11Sq8Knn, v12AnnRecall, v13Ivfpq)
+    v8MmrRerank, v9PqCodes, v10PqAdc, v11Sq8Knn, v12AnnRecall, v13Ivfpq,
+    v14BinaryHamming)
 }

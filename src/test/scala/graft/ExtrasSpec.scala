@@ -17,6 +17,39 @@ class ExtrasSpec extends SparkSpec {
     assert(withNull.filter($"d".isNotNull).count() === 0)
   }
 
+  test("ArraySignBits: packs signs into the expected bits, handles short arrays and -0.0") {
+    import graft.functions.ArraySignBits.signBits
+    // signs: + - + + → window [0,4) sets bits 0,2,3 = 0b1101 = 13
+    val df = Seq(
+      Array(1.0f, -2.0f, 0.0f, 3.5f),
+      Array(-1.0f, -0.0f),            // -0.0f >= 0 → bit set (IEEE, both engines)
+      Array.empty[Float]).toDF("a")
+    val got = df.select(signBits($"a", 0, 4).as("c")).as[Long].collect().toSeq
+    assert(got === Seq(13L, 2L, 0L))
+    // window past the end reads as all-zero bits
+    val hi = df.select(signBits($"a", 32, 31).as("c")).as[Long].collect().toSeq
+    assert(hi === Seq(0L, 0L, 0L))
+    // null input propagates null
+    val withNull = df.select(signBits(lit(null).cast("array<float>"), 0, 8).as("c"))
+    assert(withNull.filter($"c".isNotNull).count() === 0)
+  }
+
+  test("v14 binary Hamming codes: kernel equals the per-element reference on fixture rows") {
+    import graft.functions.ArraySignBits.signBits
+    val emb = graft.Tables.embeddings(spark, sfDir).limit(50)
+    val rows = emb.select($"vec_id", $"embedding",
+        signBits($"embedding", 0, 32).as("c0"), signBits($"embedding", 32, 32).as("c1"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1)
+      def ref(lo: Int): Long =
+        (0 until 32).foldLeft(0L)((acc, i) =>
+          if (lo + i < v.length && v(lo + i) >= 0f) acc | (1L << i) else acc)
+      assert(r.getLong(2) === ref(0), s"c0 mismatch for vec ${r.getLong(0)}")
+      assert(r.getLong(3) === ref(32), s"c1 mismatch for vec ${r.getLong(0)}")
+    }
+  }
+
   test("v4 fast KNN ranks agree with oracle-gated v1 quantized KNN") {
     val fast = SparkEntry.queries("v4_knn_fast")(spark, sfDir)
       .select("qid", "cid", "rank").as[(Long, Long, Int)].collect().toSet

@@ -333,6 +333,58 @@ class PlanSpec extends SparkSpec {
       s"LIMIT over ORDER BY must plan as TakeOrdered:\n$p")
   }
 
+  test("j10 geo join: radius search is a grid-cell equi join, haversine only filters candidates") {
+    val p = planOf("j10_geo_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"distance predicate must not plan a nested loop:\n$p")
+    assert(p.contains("gx") && p.contains("gy"),
+      s"join must key on the grid cells:\n$p")
+  }
+
+  test("q21: the sole-late verdict is ONE per-order aggregate below the supplier join") {
+    val p = planOf("q21_waiting_supplier")
+    assert(!p.contains("CartesianProduct"), s"decorrelation must stay keyed:\n$p")
+    // supplier×nation dim broadcasts; lineitem is never broadcast
+    assert(p.contains("BroadcastHashJoin"), s"supplier dim must broadcast:\n$p")
+    // distinct-supplier stats: expand-based count-distinct pair partial-aggregates
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"per-order stats must partial-aggregate:\n$p")
+  }
+
+  test("q11: scalar total and nation dim broadcast back onto the per-part aggregate") {
+    val p = planOf("q11_important_value")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row total must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("v14: binary codes are codegen'd sign-bit kernels; query side broadcasts") {
+    val p = planOf("v14_binary_hamming")
+    assert(p.contains("array_sign_bits"), s"sign-bit kernel missing from the plan:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"the 5-query code set must broadcast:\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython"), "no UDF in the hamming path")
+  }
+
+  test("g8 k-core: every peel round stays a semi join — no cartesian, no nested loop") {
+    val p = planOf("g8_kcore")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"peel rounds must stay keyed:\n$p")
+  }
+
+  test("dq4: both window totals broadcast as 1-row frames onto the type table") {
+    val p = planOf("dq4_drift_psi")
+    assert((p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin")),
+      s"scalar totals must broadcast:\n$p")
+  }
+
+  test("t29: the boilerplate dictionary broadcasts; shingle keys are 8-byte hashes") {
+    val p = planOf("t29_boilerplate")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"boilerplate set must broadcast onto the per-doc probe:\n$p")
+    assert(p.contains("xxhash64"), s"shingles must hash to longs before any shuffle:\n$p")
+  }
+
   test("g7/v13: candidate generation stays equi-joined — no cartesian") {
     Seq("g7_neighborhood_jaccard", "v13_ivfpq").foreach { q =>
       val p = planOf(q)
