@@ -913,11 +913,73 @@ object Events {
     }
   }
 
+  // --- e22_transform_with_state: customer-lifetime-value milestones on
+  // Spark 4's transformWithState API under the hash gate — the
+  // arbitrary-state v2 successor of mapGroupsWithState (e19's API),
+  // running on the RocksDB state store. Per user the processor holds ONE
+  // long (cumulative spend in cents, quantized through DECIMAL so the
+  // fold is exact integer addition) and emits a row whenever the total
+  // crosses another 100-unit boundary. The oracle replays the fold as a
+  // running-sum window with a boundary-crossing filter. Determinism:
+  // in-batch (ts, event_id) sort before folding; integer state, no
+  // doubles. Scale: 8 bytes of state per user FOREVER — the topology
+  // for unbounded lifetime aggregates where watermark-windowed operators
+  // would drop history; the only shuffle is the groupByKey hash on
+  // user_id. ---
+  val e22TransformWithState = QueryDef.sql(
+    "e22_transform_with_state",
+    """WITH p AS (SELECT user_id, event_id, ts,
+      |    CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, event_id, cents,
+      |    sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM p)
+      |SELECT user_id, event_id, CAST(cum AS BIGINT) AS cum_cents,
+      |  CAST(cum // 10000 AS BIGINT) AS milestone
+      |FROM c WHERE cum // 10000 > (cum - cents) // 10000""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.streaming.Milestones
+    withStatePartitions(s, 8) {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.get(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val root = java.nio.file.Files.createTempDirectory("e22-twstate").toString
+      val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+      T.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          (col("value").cast("decimal(14,2)") * 100).cast("long").as("cents"))
+        .coalesce(4).write.parquet(feed)
+      val stream = s.readStream
+        .schema("user_id BIGINT, event_id BIGINT, ts_us BIGINT, cents BIGINT")
+        .parquet(feed)
+        .as[Milestones.Purchase]
+      val q = stream.groupByKey(_.user_id)
+        .transformWithState(
+          new Milestones.SpendMilestones(stepCents = 10000L),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .select(col("user_id"), col("event_id"), col("cum_cents"), col("milestone"))
+    } finally s.conf.set(providerKey, prevProvider)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
     e5PropsExtract, e6AnomalyFlags, e7CohortRetention, e8RfmSegments,
     e9TransitionMatrix, e10RollingDau, e11StreamWindows, e12StreamStreamJoin,
     e13ConversionLag, e14RobustZscore, e15StreamDedup, e16ActivityIslands,
     e17SessionPaths, e18StreamIvm, e19StreamSessions, e20LateData,
-    e21StreamOuterJoin)
+    e21StreamOuterJoin, e22TransformWithState)
 }

@@ -143,6 +143,52 @@ class StreamingSpec extends SparkSpec {
       "attribution pairs only within the interval, per user")
   }
 
+  test("transformWithState milestones: state persists across drains, two-phase == one-shot") {
+    import graft.streaming.Milestones
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.get(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val root = Files.createTempDirectory("tws-milestones").toString
+      val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+      // user 7: four purchases of 60.00 → crossings at 120.00 (id 2) and
+      // 240.00 (id 4); user 8: one 250.00 purchase → one crossing at id 5.
+      val rows = Seq(
+        (7L, 1L, 1000L, 6000L), (7L, 2L, 2000L, 6000L),   // phase 1
+        (8L, 5L, 1500L, 25000L),                          // phase 1
+        (7L, 3L, 3000L, 6000L), (7L, 4L, 4000L, 6000L))   // phase 2
+      def drain(part: Seq[(Long, Long, Long, Long)], mode: String): Unit = {
+        spark.createDataFrame(part).toDF("user_id", "event_id", "ts_us", "cents")
+          .write.mode(mode).parquet(feed)
+        val q = spark.readStream
+          .schema("user_id BIGINT, event_id BIGINT, ts_us BIGINT, cents BIGINT")
+          .parquet(feed)
+          .as[Milestones.Purchase]
+          .groupByKey(_.user_id)
+          .transformWithState(
+            new Milestones.SpendMilestones(stepCents = 10000L),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain(rows.take(3), "overwrite")
+      drain(rows.drop(3), "append")   // state must resume at 120.00 for user 7
+      val got = spark.read.parquet(out)
+        .select("user_id", "event_id", "cum_cents", "milestone")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got === Set(
+        (7L, 2L, 12000L, 1L),   // phase-1 crossing
+        (8L, 5L, 25000L, 2L),   // single large purchase skips a level
+        (7L, 4L, 24000L, 2L)),  // phase-2 crossing needs phase-1 state
+        s"unexpected crossings: $got")
+    } finally spark.conf.set(providerKey, prevProvider)
+  }
+
   test("streaming upsert sink: duplicate keys across micro-batches collapse to latest") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, String)] // key, version, value
