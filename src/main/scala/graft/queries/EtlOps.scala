@@ -460,6 +460,61 @@ object EtlOps {
       .select(col("s_suppkey"), col("c_custkey"), col("dist_km"))
   }
 
+  // --- j11_pit_features: POINT-IN-TIME training-set assembly — each
+  // label (a purchase) is joined to the latest DAILY SNAPSHOT of every
+  // feature table strictly completed before the label's timestamp (the
+  // feature-store discipline that keeps future signal out of training
+  // rows; snapshots stamp day_end, so a label can only see days that
+  // closed before it). Two as-of joins chain over AsOfJoin (e4's
+  // operator: co-partitioned sort + one last(ignoreNulls) pass carrying
+  // the whole snapshot row as a struct); feature snapshots are built by
+  // per-user cumulative windows over partial-aggregated daily rows.
+  // Earliest-day labels correctly surface NULL features. The oracle runs
+  // DuckDB's native chained ASOF LEFT JOINs. Scale: snapshot tables are
+  // days × users (not events), each as-of is one hash partition on
+  // user_id — the standard offline feature-store topology. ---
+  val j11PitFeatures = QueryDef.sql(
+    "j11_pit_features",
+    """WITH sp AS (
+      |  SELECT user_id, date_trunc('day', ts) + INTERVAL 1 DAY AS snap_a,
+      |    CAST(sum(sum(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)))
+      |      OVER (PARTITION BY user_id ORDER BY date_trunc('day', ts)
+      |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS spend_cents
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY user_id, date_trunc('day', ts)),
+      |ck AS (
+      |  SELECT user_id, date_trunc('day', ts) + INTERVAL 1 DAY AS snap_b,
+      |    CAST(sum(count(*)) OVER (PARTITION BY user_id ORDER BY date_trunc('day', ts)
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS clicks
+      |  FROM events WHERE event_type = 'click'
+      |  GROUP BY user_id, date_trunc('day', ts)),
+      |lbl AS (SELECT event_id, user_id, ts AS lts FROM events WHERE event_type = 'purchase')
+      |SELECT l.event_id, l.user_id, sp.spend_cents, ck.clicks
+      |FROM lbl l
+      |ASOF LEFT JOIN sp ON l.user_id = sp.user_id AND l.lts >= sp.snap_a
+      |ASOF LEFT JOIN ck ON l.user_id = ck.user_id AND l.lts >= ck.snap_b""".stripMargin) { (s, d) =>
+    import graft.operators.AsOfJoin
+    import org.apache.spark.sql.expressions.Window
+    val ev = T.events(s, d)
+    val wCum = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sp = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum((col("value").cast("decimal(14,2)") * 100).cast("long")).as("dv"))
+      .select(col("user_id"), (col("day") + expr("INTERVAL 1 DAY")).as("snap_a"),
+        sum(col("dv")).over(wCum).cast("long").as("spend_cents"))
+    val ck = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("dc"))
+      .select(col("user_id"), (col("day") + expr("INTERVAL 1 DAY")).as("snap_b"),
+        sum(col("dc")).over(wCum).cast("long").as("clicks"))
+    val lbl = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("lts"))
+    val withSpend = AsOfJoin.asofJoin(lbl, sp, "user_id", "lts", "snap_a")
+    AsOfJoin.asofJoin(withSpend, ck, "user_id", "lts", "snap_b")
+      .select(col("event_id"), col("user_id"), col("spend_cents"), col("clicks"))
+  }
+
   // --- er1_entity_clusters: end-to-end entity resolution — fuzzy
   // self-match (3-gram Jaccard >= 0.6 over the inverted index, never a
   // distance nested loop) feeds connected components, so transitive
@@ -991,7 +1046,7 @@ object EtlOps {
     j1FirstWins, j2Flatten, j3Lookup, p2TimeWindow, p4CastValidate,
     p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff,
     j4RangeJoin, j5IntervalOverlap, j6FuzzyMatch, j7EditDistance, j8AutoRangeJoin,
-    j9SaltedJoin, j10GeoJoin,
+    j9SaltedJoin, j10GeoJoin, j11PitFeatures,
     er1EntityClusters, k11PartitionedPrune, k12TimeTravel, k13SchemaEvolution,
     k14BucketedJoin, k15CdcApply, k16CompactionGate, k17IvmJoin,
     k18FormatRoundtrip, k19ForgetKeys, k20AtomicPublish, k21DynamicOverwrite,

@@ -284,6 +284,80 @@ object Extras {
     s.sql(recursiveSql)
   }
 
+  // --- a31_interpolate: time-series gap fill by LINEAR INTERPOLATION —
+  // each user's sparse daily spend becomes a dense per-day series from
+  // first to last active day, missing days valued on the line between
+  // their observed neighbors (the resample-and-interpolate primitive
+  // under every time-series feature pipeline; sql4's spine fills with
+  // zeros, this fills with structure). Plan: per-user bounds are one
+  // partial-aggregated pass, the spine explodes from a sequence() (rows
+  // ∝ output, no join against a calendar table), and neighbor lookup is
+  // two IGNORE NULLS window passes over (user, day) — each user's series
+  // is one partition, never a global sort. Amounts are exact cents; the
+  // interpolation itself is double math in the identical expression
+  // shape on both engines. ---
+  private val a31InterpSql =
+    """WITH daily AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+      |  FROM events WHERE event_type = 'purchase'
+      |  GROUP BY user_id, date_trunc('day', ts)),
+      |spine AS (
+      |  SELECT user_id, unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day
+      |  FROM daily GROUP BY user_id),
+      |j AS (
+      |  SELECT s.user_id, s.day, d.v FROM spine s LEFT JOIN daily d
+      |    ON s.user_id = d.user_id AND s.day = d.day),
+      |f AS (
+      |  SELECT user_id, day, v,
+      |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+      |    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      |  FROM j)
+      |SELECT user_id, day,
+      |  CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+      |       ELSE CAST(pv AS DOUBLE) + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+      |            * (CAST(date_diff('day', pd, day) AS DOUBLE)
+      |               / CAST(date_diff('day', pd, nd) AS DOUBLE)) END AS cents_interp,
+      |  (v IS NOT NULL) AS observed
+      |FROM f""".stripMargin
+
+  val a31Interpolate = QueryDef.sql("a31_interpolate", a31InterpSql) { (s, d) =>
+    val daily = T.events(s, d).filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum((col("value").cast("decimal(14,2)") * 100).cast("long")).as("v"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(col("user_id"),
+        explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 DAY"))).as("day"))
+    val j = spine.join(daily, Seq("user_id", "day"), "left")
+    val back = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("v").isNotNull, col("day"))
+    val f = j
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+      .withColumn("pd", last(obsDay, ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+      .withColumn("nd", first(obsDay, ignoreNulls = true).over(fwd))
+    f.select(col("user_id"), col("day"),
+      when(col("v").isNotNull, col("v").cast("double"))
+        .otherwise(col("pv").cast("double")
+          + (col("nv").cast("double") - col("pv").cast("double"))
+            * (datediff(col("day"), col("pd")).cast("double")
+               / datediff(col("nd"), col("pd")).cast("double")))
+        .as("cents_interp"),
+      col("v").isNotNull.as("observed"))
+  }
+
   // --- a4b_topk_agg: top-5 per segment via the bounded generic
   // TopKRowsAggregator (partial per-partition top-k — shuffle carries
   // ≤k rows per group per task, unlike the full window sort). The
@@ -628,5 +702,5 @@ object Extras {
     sql2CorrelatedSubquery, sql3LateralJoin, sql4RecursiveCte,
     a4bTopkAgg, a20Histogram, a21ExactMedian,
     a24ParetoFront, a25WeightedMedian, a26GroupMode, a27ExactCorr,
-    a28LinregTrend, a29TimeRangeWindow, a30PercentileCont)
+    a28LinregTrend, a29TimeRangeWindow, a30PercentileCont, a31Interpolate)
 }
