@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.Encoders
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Per-key cumulative-spend milestone detection on Spark 4's
   * `transformWithState` arbitrary-state API (the v2 successor of
@@ -55,6 +55,60 @@ object Milestones {
       }
       cum.update(c)
       out.result().iterator
+    }
+  }
+
+  /** One observation of a key at an event time. */
+  final case class Seen(user_id: Long, ts: java.sql.Timestamp)
+
+  /** Emitted when a key's event-time inactivity timer fires. */
+  final case class Inactive(user_id: Long, last_seen_ms: Long)
+
+  /** Event-time TIMER demo on the same API: per key, keep the latest
+    * event time and an armed timer at `lastSeen + gapMs`; every new
+    * observation disarms the old timer and arms a fresh one. When the
+    * WATERMARK passes an armed timer, [[handleExpiredTimer]] fires once,
+    * emits the inactivity alert, and clears the key's state — the
+    * churn/inactivity-alert topology (and the state-GC pattern: expired
+    * keys leave the store, so state tracks ACTIVE keys, not history).
+    * Deterministic under the e-family sentinel discipline: alerts
+    * depend only on event times and the watermark the sentinels set,
+    * never on wall clock.
+    */
+  final class InactivityMonitor(gapMs: Long)
+      extends StatefulProcessor[Long, Seen, Inactive] {
+
+    @transient private var lastSeen: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastSeen = getHandle.getValueState[Long]("lastSeen", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[Seen],
+        timerValues: TimerValues): Iterator[Inactive] = {
+      val newest = rows.map(_.ts.getTime).max
+      if (lastSeen.exists()) {
+        val prev = lastSeen.get()
+        if (newest > prev) {
+          getHandle.deleteTimer(prev + gapMs)
+          getHandle.registerTimer(newest + gapMs)
+          lastSeen.update(newest)
+        }
+      } else {
+        getHandle.registerTimer(newest + gapMs)
+        lastSeen.update(newest)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Inactive] = {
+      val last = lastSeen.get()
+      lastSeen.clear()
+      Iterator.single(Inactive(key, last))
     }
   }
 }

@@ -189,6 +189,56 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.set(providerKey, prevProvider)
   }
 
+  test("transformWithState timers: watermark-fired inactivity alerts, re-activity disarms") {
+    import graft.streaming.Milestones
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.get(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val root = Files.createTempDirectory("tws-timers").toString
+      val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+      def t(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+      // user 1 active at 0 and 10 (timer re-arms to 40); user 2 only at 0
+      // (timer stays at 30). Gap = 30 minutes.
+      def drain(rows: Seq[(Long, java.sql.Timestamp)], mode: String): Unit = {
+        spark.createDataFrame(rows).toDF("user_id", "ts")
+          .write.mode(mode).parquet(feed)
+        val q = spark.readStream
+          .schema("user_id BIGINT, ts TIMESTAMP")
+          .parquet(feed)
+          .withWatermark("ts", "0 seconds")
+          .as[Milestones.Seen]
+          .groupByKey(_.user_id)
+          .transformWithState(
+            new Milestones.InactivityMonitor(gapMs = 30L * 60000L),
+            org.apache.spark.sql.streaming.TimeMode.EventTime(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain(Seq((1L, t(0)), (1L, t(10)), (2L, t(0))), "overwrite")
+      // sentinel advances the watermark past both timers; second drain
+      // runs a batch UNDER that watermark so the timers fire
+      drain(Seq((-1L, t(600))), "append")
+      drain(Seq((-1L, t(1200))), "append")
+      val got = spark.read.parquet(out)
+        .filter($"user_id" >= 0)
+        .as[(Long, Long)].collect().toSet
+      assert(got === Set(
+        (1L, t(10).getTime),   // re-activity moved the alert to last-seen 10
+        (2L, t(0).getTime)),
+        s"unexpected alerts: $got")
+      // expired keys left the store: a fresh event re-registers cleanly
+      drain(Seq((2L, t(1300))), "append")
+      val after = spark.read.parquet(out).filter($"user_id" >= 0).count()
+      assert(after === 2, "no duplicate alert on re-activation within the gap")
+    } finally spark.conf.set(providerKey, prevProvider)
+  }
+
   test("streaming upsert sink: duplicate keys across micro-batches collapse to latest") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, String)] // key, version, value
