@@ -169,6 +169,46 @@ class SkewEvidenceSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom-filter join reduction fires on a selective dim join") {
+    // Spark's InjectRuntimeFilter semi-reduces the big side of a shuffle
+    // join with a bloom filter built from the selective side — at 100 TB
+    // this is what keeps a dim-filtered fact join from shuffling the
+    // whole fact table. The size thresholds exist for small-data
+    // protection; zeroing them here exposes the mechanism on the
+    // fixture so a Spark upgrade or conf regression that disables the
+    // rewrite fails this test.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle join path
+      val li = graft.Tables.lineitem(spark, sfDir)
+      val part = graft.Tables.part(spark, sfDir)
+        .filter(org.apache.spark.sql.functions.col("p_size") === 1)
+      val joined = li.join(part,
+        org.apache.spark.sql.functions.col("l_partkey") ===
+          org.apache.spark.sql.functions.col("p_partkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") || optimized.contains("bloom_filter_agg"),
+        s"runtime bloom filter not injected:\n$optimized")
+      // and the reduced join still returns the exact result
+      val expected = li.join(part.hint("broadcast"),
+        org.apache.spark.sql.functions.col("l_partkey") ===
+          org.apache.spark.sql.functions.col("p_partkey")).count()
+      assert(joined.count() === expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("post-AQE executed plan: c1 k-means assignment broadcasts survive runtime") {
     // every Lloyd round's centroid side must still be a broadcast in
     // the plan AQE actually ran — a runtime demotion to a shuffled
