@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
-  private def grams(df: DataFrame, key: String, text: String, n: Int, ka: String) =
+  private[graft] def grams(df: DataFrame, key: String, text: String, n: Int, ka: String) =
     df.select(col(key).as(ka), col(text).as("__t"))
       // strings shorter than n have no grams (Spark's sequence would
       // otherwise run DESCENDING for stop < start)

@@ -560,6 +560,77 @@ object EtlOps {
       .withColumn("canonical", col("entity_id") === col("p_partkey"))
   }
 
+  // --- er2_blocking_audit: measures the BLOCKER, not the matches — the
+  // two numbers every entity-resolution pipeline must report before
+  // anyone trusts its clusters: reduction ratio (what fraction of the
+  // n² cross product the rare-gram inverted index never generates) and
+  // pair completeness (what fraction of TRUE matches survive blocking).
+  // Ground truth is the exact Jaccard >= 0.6 pair set; the audited
+  // blocker joins only through grams appearing in <= 10 entities (the
+  // common-gram prune that keeps hot grams from exploding candidates at
+  // corpus scale — this query is the evidence the prune costs no
+  // recall at its threshold). All counts are exact integers from
+  // partial-aggregated joins; the two ratios are single double
+  // divisions. ---
+  val er2BlockingAudit = QueryDef.sql(
+    "er2_blocking_audit",
+    """WITH g AS (SELECT DISTINCT p_partkey AS k, q FROM (
+      |    SELECT p_partkey, unnest([substr(p_name, i, 3) for i in range(1, len(p_name) - 1)]) AS q
+      |    FROM part WHERE p_partkey %% 23 = 0 AND len(p_name) >= 3) t),
+      |sz AS (SELECT k, count(*) AS c FROM g GROUP BY k),
+      |n AS (SELECT count(*) AS ents FROM sz),
+      |rare AS (SELECT q FROM g GROUP BY q HAVING count(*) <= 10),
+      |cand AS (SELECT DISTINCT a.k AS ka, b.k AS kb FROM g a JOIN rare r ON a.q = r.q
+      |         JOIN g b ON b.q = a.q AND a.k < b.k),
+      |tru AS (SELECT a.k AS ka, b.k AS kb, count(*) AS i
+      |        FROM g a JOIN g b ON a.q = b.q AND a.k < b.k GROUP BY a.k, b.k),
+      |truth AS (SELECT t.ka, t.kb FROM tru t JOIN sz sa ON sa.k = t.ka JOIN sz sb ON sb.k = t.kb
+      |          WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.6),
+      |m AS (SELECT
+      |  (SELECT ents FROM n) AS n_entities,
+      |  (SELECT CAST(ents * (ents - 1) / 2 AS BIGINT) FROM n) AS n_pairs,
+      |  (SELECT count(*) FROM cand) AS n_candidates,
+      |  (SELECT count(*) FROM truth) AS n_true,
+      |  (SELECT count(*) FROM truth JOIN cand ON truth.ka = cand.ka AND truth.kb = cand.kb) AS n_found)
+      |SELECT n_entities, n_pairs, n_candidates, n_true, n_found,
+      |  1.0 - CAST(n_candidates AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS reduction_ratio,
+      |  CAST(n_found AS DOUBLE) / CAST(n_true AS DOUBLE) AS pair_completeness
+      |FROM m""".stripMargin.replace("%%", "%")) { (s, d) =>
+    import graft.operators.FuzzyJoin
+    val sub = T.part(s, d).filter(col("p_partkey") % 23 === 0)
+    val g = FuzzyJoin.grams(sub, "p_partkey", "p_name", 3, "k")
+    val sz = g.groupBy(col("k")).agg(count(lit(1)).as("c"))
+    val rare = g.groupBy(col("q")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 10).select(col("q"))
+    val cand = g.join(rare, Seq("q")).select(col("q"), col("k").as("ka"))
+      .join(g.select(col("q"), col("k").as("kb")), Seq("q"))
+      .filter(col("ka") < col("kb"))
+      .select(col("ka"), col("kb")).distinct()
+    val tru = g.select(col("q"), col("k").as("ka"))
+      .join(g.select(col("q"), col("k").as("kb")), Seq("q"))
+      .filter(col("ka") < col("kb"))
+      .groupBy(col("ka"), col("kb")).agg(count(lit(1)).as("i"))
+    val truth = tru
+      .join(sz.select(col("k").as("ka"), col("c").as("ca")), Seq("ka"))
+      .join(sz.select(col("k").as("kb"), col("c").as("cb")), Seq("kb"))
+      .filter(col("i").cast("double") / (col("ca") + col("cb") - col("i")) >= 0.6)
+      .select(col("ka"), col("kb"))
+    val nE = sz.agg(count(lit(1)).as("n_entities"))
+    val nC = cand.agg(count(lit(1)).as("n_candidates"))
+    val nT = truth.agg(count(lit(1)).as("n_true"))
+    val nF = truth.join(cand, Seq("ka", "kb"), "left_semi")
+      .agg(count(lit(1)).as("n_found"))
+    nE.crossJoin(broadcast(nC)).crossJoin(broadcast(nT)).crossJoin(broadcast(nF))
+      .select(col("n_entities"),
+        expr("CAST(n_entities * (n_entities - 1) / 2 AS BIGINT)").as("n_pairs"),
+        col("n_candidates"), col("n_true"), col("n_found"),
+        (lit(1.0) - col("n_candidates").cast("double")
+          / expr("CAST(n_entities * (n_entities - 1) / 2 AS BIGINT)").cast("double"))
+          .as("reduction_ratio"),
+        (col("n_found").cast("double") / col("n_true").cast("double"))
+          .as("pair_completeness"))
+  }
+
   // --- k11_partitioned_prune: Hive-style partitioned layout + partition
   // pruning — THE dominant 100 TB lever: a year-partitioned table read
   // with a year predicate must open only that year's files, turning a
@@ -1047,7 +1118,7 @@ object EtlOps {
     p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff,
     j4RangeJoin, j5IntervalOverlap, j6FuzzyMatch, j7EditDistance, j8AutoRangeJoin,
     j9SaltedJoin, j10GeoJoin, j11PitFeatures,
-    er1EntityClusters, k11PartitionedPrune, k12TimeTravel, k13SchemaEvolution,
+    er1EntityClusters, er2BlockingAudit, k11PartitionedPrune, k12TimeTravel, k13SchemaEvolution,
     k14BucketedJoin, k15CdcApply, k16CompactionGate, k17IvmJoin,
     k18FormatRoundtrip, k19ForgetKeys, k20AtomicPublish, k21DynamicOverwrite,
     k22MvRewrite, k23ZorderGate)
