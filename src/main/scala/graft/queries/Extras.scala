@@ -329,6 +329,34 @@ object Extras {
       |  (v IS NOT NULL) AS observed
       |FROM f""".stripMargin
 
+  // --- a32_unpivot: wide→long MELT (a14's pivot inverted) via the
+  // native unpivot operator — Expand, a map-side row multiplication:
+  // zero shuffles beyond the source aggregate, the same 3× expansion
+  // per input row at any scale. The oracle runs DuckDB's UNPIVOT on the
+  // identical wide frame. ---
+  val a32Unpivot = QueryDef.sql(
+    "a32_unpivot",
+    """WITH wide AS (
+      |  SELECT o_orderpriority,
+      |    CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f_cnt,
+      |    CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS o_cnt,
+      |    CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS p_cnt
+      |  FROM orders GROUP BY o_orderpriority)
+      |SELECT o_orderpriority, status, n FROM wide
+      |UNPIVOT (n FOR status IN (f_cnt, o_cnt, p_cnt))""".stripMargin) { (s, d) =>
+    val wide = T.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("f_cnt"),
+        count(when(col("o_orderstatus") === "O", 1)).as("o_cnt"),
+        count(when(col("o_orderstatus") === "P", 1)).as("p_cnt"))
+    wide.unpivot(
+      ids = Array(col("o_orderpriority")),
+      values = Array(col("f_cnt"), col("o_cnt"), col("p_cnt")),
+      variableColumnName = "status",
+      valueColumnName = "n")
+  }
+
   val a31Interpolate = QueryDef.sql("a31_interpolate", a31InterpSql) { (s, d) =>
     val daily = T.events(s, d).filter(col("event_type") === "purchase")
       .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
@@ -702,5 +730,6 @@ object Extras {
     sql2CorrelatedSubquery, sql3LateralJoin, sql4RecursiveCte,
     a4bTopkAgg, a20Histogram, a21ExactMedian,
     a24ParetoFront, a25WeightedMedian, a26GroupMode, a27ExactCorr,
-    a28LinregTrend, a29TimeRangeWindow, a30PercentileCont, a31Interpolate)
+    a28LinregTrend, a29TimeRangeWindow, a30PercentileCont, a31Interpolate,
+    a32Unpivot)
 }
