@@ -975,11 +975,121 @@ object Events {
     }
   }
 
+  // --- e23_state_map: MapState on the arbitrary-state v2 API — per
+  // user a MapState[String, Long] running counter PER EVENT TYPE, a row
+  // emitted when a (user, type) count reaches a power of two (the
+  // log-throttled alert cadence). The sub-keyed shape ValueState can't
+  // express without packing; state is one long per DISTINCT (user,
+  // type) — bounded by the type vocabulary, not the feed length. Oracle
+  // replays it as a per-(user, type) row_number with a power-of-two
+  // filter. Determinism: integer counters over the in-batch (ts,
+  // event_id) sort; emission per input row, batching-independent. ---
+  val e23StateMap = QueryDef.sql(
+    "e23_state_map",
+    """WITH n AS (SELECT user_id, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |                       ORDER BY ts, event_id) AS n
+      |  FROM events)
+      |SELECT user_id, event_id, event_type, CAST(n AS BIGINT) AS n
+      |FROM n WHERE (n & (n - 1)) = 0""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.streaming.Milestones
+    withStatePartitions(s, 8) {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.get(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val root = java.nio.file.Files.createTempDirectory("e23-twstate").toString
+      val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        .coalesce(4).write.parquet(feed)
+      val stream = s.readStream
+        .schema("user_id BIGINT, event_id BIGINT, ts_us BIGINT, event_type STRING")
+        .parquet(feed)
+        .as[Milestones.TypedEvent]
+      val q = stream.groupByKey(_.user_id)
+        .transformWithState(
+          new Milestones.TypeCounters,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("n"))
+    } finally s.conf.set(providerKey, prevProvider)
+    }
+  }
+
+  // --- e24_state_list: ListState on the same API — per user the last
+  // ≤3 purchase amounts (exact cents) ride in a ListState[Long]; every
+  // purchase emits the trailing-window sum/count including itself, then
+  // the list is re-put trimmed to 3. Bounded 24-byte state per user for
+  // a ROWS-frame rolling statistic over an unbounded feed — the shape a
+  // watermark-windowed aggregate can't produce (it closes windows; this
+  // emits per event forever). Oracle: sum/count OVER (ROWS 2
+  // PRECEDING). ---
+  val e24StateList = QueryDef.sql(
+    "e24_state_list",
+    """WITH p AS (SELECT user_id, event_id, ts,
+      |    CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT user_id, event_id, cents,
+      |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS 2 PRECEDING) AS BIGINT) AS sum3,
+      |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS 2 PRECEDING) AS BIGINT) AS n3
+      |FROM p""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.streaming.Milestones
+    withStatePartitions(s, 8) {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.get(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val root = java.nio.file.Files.createTempDirectory("e24-twstate").toString
+      val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+      T.events(s, d).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          (col("value").cast("decimal(14,2)") * 100).cast("long").as("cents"))
+        .coalesce(4).write.parquet(feed)
+      val stream = s.readStream
+        .schema("user_id BIGINT, event_id BIGINT, ts_us BIGINT, cents BIGINT")
+        .parquet(feed)
+        .as[Milestones.Purchase]
+      val q = stream.groupByKey(_.user_id)
+        .transformWithState(
+          new Milestones.TrailingSpend,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .select(col("user_id"), col("event_id"), col("cents"),
+          col("sum3"), col("n3"))
+    } finally s.conf.set(providerKey, prevProvider)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
     e5PropsExtract, e6AnomalyFlags, e7CohortRetention, e8RfmSegments,
     e9TransitionMatrix, e10RollingDau, e11StreamWindows, e12StreamStreamJoin,
     e13ConversionLag, e14RobustZscore, e15StreamDedup, e16ActivityIslands,
     e17SessionPaths, e18StreamIvm, e19StreamSessions, e20LateData,
-    e21StreamOuterJoin, e22TransformWithState)
+    e21StreamOuterJoin, e22TransformWithState, e23StateMap, e24StateList)
 }

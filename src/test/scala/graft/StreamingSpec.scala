@@ -189,6 +189,92 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.set(providerKey, prevProvider)
   }
 
+  test("transformWithState MapState: per-type counters resume across drains") {
+    import graft.streaming.Milestones
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.get(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val root = Files.createTempDirectory("tws-mapstate").toString
+      val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+      def drain(part: Seq[(Long, Long, Long, String)], mode: String): Unit = {
+        spark.createDataFrame(part).toDF("user_id", "event_id", "ts_us", "event_type")
+          .write.mode(mode).parquet(feed)
+        val q = spark.readStream
+          .schema("user_id BIGINT, event_id BIGINT, ts_us BIGINT, event_type STRING")
+          .parquet(feed)
+          .as[Milestones.TypedEvent]
+          .groupByKey(_.user_id)
+          .transformWithState(
+            new Milestones.TypeCounters,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // phase 1: a,a,b → emits at counts 1 and 2 for 'a', 1 for 'b'
+      drain(Seq((7L, 1L, 1000L, "a"), (7L, 2L, 2000L, "a"), (7L, 3L, 3000L, "b")),
+        "overwrite")
+      // phase 2: a,a → counts 3 (silent) and 4 (power of two) — the 4
+      // only happens if the per-type map resumed at a→2 from phase 1
+      drain(Seq((7L, 4L, 4000L, "a"), (7L, 5L, 5000L, "a")), "append")
+      val got = spark.read.parquet(out)
+        .select("user_id", "event_id", "event_type", "n")
+        .as[(Long, Long, String, Long)].collect().toSet
+      assert(got === Set(
+        (7L, 1L, "a", 1L), (7L, 2L, "a", 2L), (7L, 3L, "b", 1L),
+        (7L, 5L, "a", 4L)),
+        s"unexpected type milestones: $got")
+    } finally spark.conf.set(providerKey, prevProvider)
+  }
+
+  test("transformWithState ListState: trailing-3 window resumes across drains") {
+    import graft.streaming.Milestones
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.get(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val root = Files.createTempDirectory("tws-liststate").toString
+      val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+      def drain(part: Seq[(Long, Long, Long, Long)], mode: String): Unit = {
+        spark.createDataFrame(part).toDF("user_id", "event_id", "ts_us", "cents")
+          .write.mode(mode).parquet(feed)
+        val q = spark.readStream
+          .schema("user_id BIGINT, event_id BIGINT, ts_us BIGINT, cents BIGINT")
+          .parquet(feed)
+          .as[Milestones.Purchase]
+          .groupByKey(_.user_id)
+          .transformWithState(
+            new Milestones.TrailingSpend,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain(Seq((9L, 1L, 1000L, 100L), (9L, 2L, 2000L, 200L), (9L, 3L, 3000L, 300L)),
+        "overwrite")
+      // the phase-2 window {200,300,400} needs the phase-1 list state
+      drain(Seq((9L, 4L, 4000L, 400L)), "append")
+      val got = spark.read.parquet(out)
+        .select("user_id", "event_id", "cents", "sum3", "n3")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got === Set(
+        (9L, 1L, 100L, 100L, 1L),
+        (9L, 2L, 200L, 300L, 2L),
+        (9L, 3L, 300L, 600L, 3L),
+        (9L, 4L, 400L, 900L, 3L)),
+        s"unexpected trailing windows: $got")
+    } finally spark.conf.set(providerKey, prevProvider)
+  }
+
   test("transformWithState timers: watermark-fired inactivity alerts, re-activity disarms") {
     import graft.streaming.Milestones
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
