@@ -1085,11 +1085,97 @@ object Events {
     }
   }
 
+  // --- e25_chained_agg: MULTIPLE STATEFUL OPERATORS in one streaming
+  // query (Spark 4's chained-aggregation support) under the hash gate —
+  // purchases roll into 1-day windows, and the day aggregates re-
+  // aggregate into epoch-aligned 7-day windows INSIDE THE SAME QUERY
+  // (window-over-window via `window(col("window"), "7 days")`), both
+  // levels in append mode on one checkpoint. Day windows emit when the
+  // watermark passes their end and flow straight into the week-level
+  // state; week windows emit when it passes theirs. Two sentinel drains
+  // advance the watermark then run batches under it so both levels
+  // flush (the e21 recipe). The sentinels MUST be real purchases:
+  // Catalyst pushes the event-type filter below EventTimeWatermark into
+  // the scan, so a '__sentinel'-typed row would be filtered AT THE
+  // SOURCE and never advance the clock (measured: the watermark pins
+  // and the last week never emits). They carry cents=0 and land ≥2
+  // week-buckets in the future, and the output keeps only weeks up to
+  // the last REAL week bucket. Window starts compare as BIGINT epoch-µs
+  // on both engines (no date/tz surface).
+  // Scale: this replaces the two-job day→week cascade (with its
+  // intermediate table and second scheduler) with one incremental
+  // query; state is watermark-bounded at both levels and the only
+  // shuffles are the two window-key hashes. ---
+  val e25ChainedAgg = QueryDef.sql(
+    "e25_chained_agg",
+    """WITH p AS (SELECT epoch_ns(ts) // 1000 AS us,
+      |    CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |d AS (SELECT (us // 86400000000) * 86400000000 AS day_us,
+      |    count(*) AS n, sum(cents) AS cents
+      |  FROM p GROUP BY 1)
+      |SELECT (day_us // 604800000000) * 604800000000 AS week_us,
+      |  CAST(sum(n) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS cents
+      |FROM d GROUP BY 1""".stripMargin) { (s, d) =>
+    withStatePartitions(s, 8) {
+    val root = java.nio.file.Files.createTempDirectory("e25-chained").toString
+    val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val ev = T.events(s, d)
+      .select(col("ts"), col("event_type"),
+        (col("value").cast("decimal(14,2)") * 100).cast("long").as("cents"))
+    ev.coalesce(4).write.parquet(feed)
+    val maxTs = ev.filter(col("event_type") === "purchase")
+      .agg(max(col("ts"))).head.getTimestamp(0)
+    // Last REAL week bucket (epoch-aligned 7-day, µs): output cutoff.
+    val weekUs = 604800000000L
+    val maxWeekUs = (maxTs.getTime * 1000L / weekUs) * weekUs
+    def sentinel(daysAhead: Int): org.apache.spark.sql.DataFrame = {
+      val ts = new java.sql.Timestamp(maxTs.getTime + daysAhead.toLong * 24 * 3600 * 1000)
+      s.range(1).select(lit(ts).as("ts"), lit("purchase").as("event_type"),
+        lit(0L).as("cents"))
+    }
+    def drain(): Unit = {
+      val stream = s.readStream
+        .schema("ts TIMESTAMP, event_type STRING, cents BIGINT")
+        .parquet(feed)
+      val days = stream
+        .withWatermark("ts", "1 hour")
+        .filter(col("event_type") === "purchase")
+        .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      val weeks = days
+        .groupBy(org.apache.spark.sql.functions.window(col("window"), "7 days"))
+        .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"))
+        .select(unix_micros(col("window.start")).as("week_us"),
+          col("n"), col("cents"))
+      val q = weeks.writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    // +9 days clears any real week end (≤ maxTs + 7 d); the second
+    // sentinel lands a further bucket out and runs the belt-and-braces
+    // batch under the advanced watermark.
+    sentinel(9).coalesce(1).write.mode("append").parquet(feed)
+    drain()
+    sentinel(18).coalesce(1).write.mode("append").parquet(feed)
+    drain()
+    s.read.parquet(out)
+      .filter(col("week_us") <= lit(maxWeekUs))
+      .select(col("week_us"), col("n"), col("cents"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
     e5PropsExtract, e6AnomalyFlags, e7CohortRetention, e8RfmSegments,
     e9TransitionMatrix, e10RollingDau, e11StreamWindows, e12StreamStreamJoin,
     e13ConversionLag, e14RobustZscore, e15StreamDedup, e16ActivityIslands,
     e17SessionPaths, e18StreamIvm, e19StreamSessions, e20LateData,
-    e21StreamOuterJoin, e22TransformWithState, e23StateMap, e24StateList)
+    e21StreamOuterJoin, e22TransformWithState, e23StateMap, e24StateList,
+    e25ChainedAgg)
 }
