@@ -329,6 +329,72 @@ object Extras {
       |  (v IS NOT NULL) AS observed
       |FROM f""".stripMargin
 
+  // --- a33_ewma: exponentially weighted moving average over each
+  // user's daily purchase totals — the standard smoothing signal, made
+  // EXACT: α = 1/2 means the truncated-10-term EWMA weight for lag k is
+  // 0.5^(k+1), a finite binary fraction with ≤10 decimal digits, so
+  // cents × weight is exact DECIMAL arithmetic and the sum of ten lag
+  // terms is engine-identical (no recursive float fold — the recursion
+  // is unrolled into lag(…,k) window terms both engines evaluate the
+  // same way; a missing lag contributes exactly 0). Scale: one window
+  // shuffle on user_id; ten lags read the same sorted frame — no
+  // self-joins, no extra exchanges. ---
+  // Each term is cast to DECIMAL(24,10) BEFORE the 10-term sum: Spark
+  // grows addition precision term by term and a raw DECIMAL(31,10) sum
+  // would blow past 38 and silently shrink the scale (observed: 8 vs
+  // DuckDB's 10 fractional digits). 24+9 chained adds stays ≤ 33.
+  private val ewmaTermsSql = (0 until 10).map { k =>
+    val w = java.math.BigDecimal.valueOf(0.5).pow(k + 1).toPlainString
+    s"CAST(CAST(coalesce(lag(cents, $k) OVER (PARTITION BY user_id ORDER BY day), 0) AS DECIMAL(18,0)) * CAST('$w' AS DECIMAL(12,10)) AS DECIMAL(24,10))"
+  }.mkString(" + ")
+
+  val a33Ewma = QueryDef.sql(
+    "a33_ewma",
+    s"""WITH daily AS (
+       |  SELECT user_id, CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+       |    CAST(sum(CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+       |  FROM events WHERE event_type = 'purchase'
+       |  GROUP BY 1, 2)
+       |SELECT user_id, day, cents,
+       |  CAST($ewmaTermsSql AS DOUBLE) AS ewma
+       |FROM daily""".stripMargin) { (s, d) =>
+    val daily = T.events(s, d).filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"),
+        date_trunc("day", col("ts")).cast("date").cast("string").as("day"))
+      .agg(sum((col("value").cast("decimal(14,2)") * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val ewma = (0 until 10).map { k =>
+      val wt = java.math.BigDecimal.valueOf(0.5).pow(k + 1).toPlainString
+      (coalesce(lag(col("cents"), k).over(w), lit(0)).cast("decimal(18,0)") *
+        lit(wt).cast("decimal(12,10)")).cast("decimal(24,10)")
+    }.reduce(_ + _)
+    daily.select(col("user_id"), col("day"), col("cents"),
+      ewma.cast("double").as("ewma"))
+  }
+
+  // --- a34_heavy_hitters: the space-saving top-k sketch (typed
+  // Aggregator, partition-local O(capacity) buffers + additive merge)
+  // run in its EXACT regime — capacity 64 ≥ the event-type vocabulary,
+  // so every counter is exact under any partitioning/merge order and
+  // the DuckDB GROUP BY + LIMIT oracle gates the sketch end-to-end
+  // (previously spec-only). At 100 TB the same aggregator runs with
+  // capacity ≪ distinct items and degrades to the classic space-saving
+  // overestimate bound — the buffer stays O(capacity) per task
+  // regardless of input size. ---
+  val a34HeavyHitters = QueryDef.sql(
+    "a34_heavy_hitters",
+    """SELECT event_type AS item, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(row_number() OVER (ORDER BY count(*) DESC, event_type) AS BIGINT) AS rank
+      |FROM events GROUP BY event_type
+      |ORDER BY rank LIMIT 5""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val topk = T.events(s, d).select(col("event_type")).as[String]
+      .select(new graft.functions.TopKAggregator(k = 5, capacity = 64).toColumn.name("topk"))
+    topk.toDF("topk").select(posexplode(col("topk")).as(Seq("pos", "entry")))
+      .select(col("entry._1").as("item"), col("entry._2").as("n"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   // --- a32_unpivot: wide→long MELT (a14's pivot inverted) via the
   // native unpivot operator — Expand, a map-side row multiplication:
   // zero shuffles beyond the source aggregate, the same 3× expansion
@@ -731,5 +797,5 @@ object Extras {
     a4bTopkAgg, a20Histogram, a21ExactMedian,
     a24ParetoFront, a25WeightedMedian, a26GroupMode, a27ExactCorr,
     a28LinregTrend, a29TimeRangeWindow, a30PercentileCont, a31Interpolate,
-    a32Unpivot)
+    a32Unpivot, a33Ewma, a34HeavyHitters)
 }
