@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -37,6 +37,45 @@ object Upsert {
     val baseKeep = base.join(
       delta.select(keys.map(col).toIndexedSeq: _*).distinct(), keys, "left_anti")
     delta.unionByName(baseKeep, allowMissingColumns = true)
+  }
+
+  /** Scoped FULL merge — the `MERGE … WHEN NOT MATCHED BY SOURCE THEN
+    * DELETE` shape: within the rows satisfying `scope`, `source` becomes
+    * the truth (new keys insert, matched keys take the source payload,
+    * and target keys ABSENT from the source are deleted); rows outside
+    * `scope` pass through untouched. Columns named in `preserve` keep
+    * the TARGET's value for matched keys (audit columns like first_seen
+    * that an update must not clobber); for inserted keys the source's
+    * value stands. Caller contract: every source row satisfies `scope`.
+    *
+    * This is the reconciliation between [[merge]] (upsert-only — absent
+    * keys survive) and a partition restatement (k21 — replaces whole
+    * partitions, no row-level preserve): snapshot feeds that re-send a
+    * time window in full, where a vanished row means a real deletion.
+    * Scale: the out-of-scope side is a scan+filter (no shuffle); only
+    * the scope slice shuffles (one key join against the target's
+    * preserve projection). Align `scope` with the table's partitioning
+    * and the passthrough prunes to untouched files.
+    *
+    * Reference: the windowed replace-then-reload shape of
+    * /root/reference/src/etl-square-payments.ts:57-123 (its one-txn run
+    * replaces the window's rows wholesale); `preserve` re-expresses the
+    * created_at-style audit columns its upserts keep.
+    */
+  def fullMerge(
+      target: DataFrame,
+      source: DataFrame,
+      keys: Seq[String],
+      scope: Column,
+      preserve: Seq[String] = Nil): DataFrame = {
+    val untouched = target.filter(!scope)
+    val tPreserve = target.select(
+      (keys.map(col) ++ preserve.map(c => col(c).as(s"__t_$c"))).toIndexedSeq: _*)
+    val reconciled = source.join(tPreserve, keys, "left")
+      .select(source.columns.map { c =>
+        if (preserve.contains(c)) coalesce(col(s"__t_$c"), col(c)).as(c) else col(c)
+      }.toIndexedSeq: _*)
+    untouched.unionByName(reconciled.select(target.columns.map(col).toIndexedSeq: _*))
   }
 
   /** Collapse a delta that may carry several versions of one key to the

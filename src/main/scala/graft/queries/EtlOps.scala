@@ -1113,6 +1113,57 @@ object EtlOps {
     }
   }
 
+  // --- k24_full_merge: scoped FULL merge — `MERGE … WHEN NOT MATCHED
+  // BY SOURCE THEN DELETE` semantics via Upsert.fullMerge. A snapshot
+  // feed re-sends the BUILDING segment in full: a third of its keys
+  // vanished (real deletions), a third changed balances, and new keys
+  // appeared; other segments must pass through untouched, and the
+  // first_seen audit column must survive updates (only genuinely new
+  // keys get the batch stamp 999). This sits between k1's upsert-only
+  // merge (absent keys survive) and k21's partition restatement (whole
+  // partitions replaced, no row-level preserve). Scale: the
+  // out-of-scope side is scan+filter — zero shuffle; only the scope
+  // slice joins on the key. Exact-cent balances. ---
+  val k24FullMerge = QueryDef.sql(
+    "k24_full_merge",
+    """WITH tgt AS (SELECT c_custkey, c_name, c_mktsegment,
+      |    CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal,
+      |    CAST(c_custkey % 1000 AS BIGINT) AS first_seen
+      |  FROM customer),
+      |src AS (
+      |  SELECT c_custkey, c_name, c_mktsegment,
+      |    CASE WHEN c_custkey % 3 = 1 THEN bal + 10000 ELSE bal END AS bal,
+      |    CAST(999 AS BIGINT) AS first_seen
+      |  FROM tgt WHERE c_mktsegment = 'BUILDING' AND c_custkey % 3 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'NEW_' || CAST(c_custkey AS VARCHAR),
+      |    'BUILDING', c_custkey, CAST(999 AS BIGINT)
+      |  FROM tgt WHERE c_mktsegment = 'BUILDING' AND c_custkey % 3 = 2)
+      |SELECT c_custkey, c_name, c_mktsegment, bal, first_seen
+      |FROM tgt WHERE c_mktsegment <> 'BUILDING'
+      |UNION ALL
+      |SELECT s.c_custkey, s.c_name, s.c_mktsegment, s.bal,
+      |  coalesce(t.first_seen, s.first_seen) AS first_seen
+      |FROM src s LEFT JOIN tgt t ON s.c_custkey = t.c_custkey""".stripMargin) { (s, d) =>
+    val tgt = T.customer(s, d).select(col("c_custkey"), col("c_name"),
+      col("c_mktsegment"),
+      (col("c_acctbal").cast("decimal(12,2)") * 100).cast("long").as("bal"),
+      (col("c_custkey") % 1000).cast("long").as("first_seen"))
+    val inScope = tgt.filter(col("c_mktsegment") === "BUILDING")
+    val src = inScope.filter(col("c_custkey") % 3 =!= 0)
+      .withColumn("bal",
+        when(col("c_custkey") % 3 === 1, col("bal") + 10000).otherwise(col("bal")))
+      .withColumn("first_seen", lit(999L))
+      .unionByName(inScope.filter(col("c_custkey") % 3 === 2)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          concat(lit("NEW_"), col("c_custkey").cast("string")).as("c_name"),
+          lit("BUILDING").as("c_mktsegment"),
+          col("c_custkey").cast("long").as("bal"),
+          lit(999L).as("first_seen")))
+    graft.operators.Upsert.fullMerge(tgt, src, Seq("c_custkey"),
+      col("c_mktsegment") === "BUILDING", preserve = Seq("first_seen"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     j1FirstWins, j2Flatten, j3Lookup, p2TimeWindow, p4CastValidate,
     p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff,
@@ -1121,5 +1172,5 @@ object EtlOps {
     er1EntityClusters, er2BlockingAudit, k11PartitionedPrune, k12TimeTravel, k13SchemaEvolution,
     k14BucketedJoin, k15CdcApply, k16CompactionGate, k17IvmJoin,
     k18FormatRoundtrip, k19ForgetKeys, k20AtomicPublish, k21DynamicOverwrite,
-    k22MvRewrite, k23ZorderGate)
+    k22MvRewrite, k23ZorderGate, k24FullMerge)
 }

@@ -22,6 +22,26 @@ class UpsertSpec extends SparkSpec {
     assert(out === Seq((1, "a", 10), (2, "b2", 99), (3, "c", 30), (4, "d", 40)))
   }
 
+  test("fullMerge: in-scope absent keys delete, preserve survives updates, out-of-scope untouched") {
+    // target: segment A keys 1-3 (first_seen = 10·k), segment B key 9
+    val tgt = Seq(
+      (1, "A", 100, 10), (2, "A", 200, 20), (3, "A", 300, 30),
+      (9, "B", 900, 90)).toDF("k", "seg", "v", "first_seen")
+    // source re-sends segment A in full: key 1 updated, key 3 unchanged,
+    // key 2 ABSENT (deleted), key 4 new; stamp 999 rides every source row
+    val src = Seq((1, "A", 111, 999), (3, "A", 300, 999), (4, "A", 400, 999))
+      .toDF("k", "seg", "v", "first_seen")
+    val out = Upsert.fullMerge(tgt, src, Seq("k"), col("seg") === "A",
+      preserve = Seq("first_seen")).orderBy("k")
+      .as[(Int, String, Int, Int)].collect().toSeq
+    assert(out === Seq(
+      (1, "A", 111, 10),    // updated payload, preserved audit column
+      (3, "A", 300, 30),    // unchanged row keeps its audit column too
+      (4, "A", 400, 999),   // inserted key keeps the source stamp
+      (9, "B", 900, 90)),   // out-of-scope row passes through; key 2 gone
+      s"unexpected fullMerge result: $out")
+  }
+
   test("upsertParquet is idempotent: upsert(d); upsert(d) == upsert(d)") {
     val path = tempDir()
     val d1 = Seq((1, "a", 1), (2, "b", 2)).toDF("k", "name", "v")
