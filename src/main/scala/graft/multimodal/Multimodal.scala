@@ -422,6 +422,42 @@ object Multimodal {
     }
   }
 
+  final case class AudioTone(asset_id: Long, probe_hz: Int, c: Long, s: Long)
+
+  /** Single-bin DFT correlations at each probe frequency over every
+    * decodable AUDIO asset — the pitch/tone-detection primitive (what a
+    * dominant-frequency or DTMF detector computes): for probe f,
+    * c = Σᵢ ⌊vᵢ·cos(2πfi/sr)·10⁶⌋ and s = Σᵢ ⌊vᵢ·sin(2πfi/sr)·10⁶⌋.
+    * Each term is truncated to an integer BEFORE the sum, so the sums
+    * are exact and order-independent — bit-reproducible by an analytic
+    * oracle that mirrors the double-op order (`2*pi()*f*i/sr`, times v,
+    * times 10⁶, trunc). |term| ≤ 32768·10⁶ and ≤ 2²⁰ samples keep the
+    * sums far inside 2⁶³. Same iterator-to-iterator mapPartitions shape
+    * as [[audioEnergy]]: K probe rows per asset leave the task, the PCM
+    * never shuffles. */
+  def audioTones(ds: Dataset[MediaAsset], probes: Seq[Int]): Dataset[AudioTone] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { a =>
+        if (a.kind != "audio") Iterator.empty
+        else AudioCodec.decode(a.bytes).iterator.flatMap { case (info, samples) =>
+          probes.iterator.map { f =>
+            var c = 0L; var s = 0L
+            var i = 0
+            while (i < samples.length) {
+              val ang = 2 * math.Pi * f * i / info.sampleRateHz
+              val v = samples(i).toDouble
+              c += (v * math.cos(ang) * 1000000d).toLong
+              s += (v * math.sin(ang) * 1000000d).toLong
+              i += 1
+            }
+            AudioTone(a.asset_id, f, c, s)
+          }
+        }
+      }
+    }
+  }
+
   /** Decode every asset with the real codecs and emit exact-integer
     * evidence of what was decoded (see [[MediaAudit]]). Same
     * iterator-to-iterator `mapPartitions` shape as [[extractFeatures]]. */

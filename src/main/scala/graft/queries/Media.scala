@@ -166,5 +166,51 @@ object Media {
         col("dist2"), col("rank"))
   }
 
-  val all: Seq[QueryDef] = Seq(m1MediaFeatures, m2ImagePhash, m3AudioEnergy, m4ImageKnn)
+  // --- m5_audio_tone: dominant-frequency detection over the REAL
+  // decoded PCM — single-bin DFT correlations at the 8 synthesis tones
+  // (220 + 55k Hz), each c/s term truncated to an integer BEFORE the
+  // exact sum (Multimodal.audioTones), then probes ranked per asset by
+  // double power (identical expression shape both engines; the true
+  // tone's bin dominates by orders of magnitude, so the ordering is
+  // unambiguous). The oracle regenerates every sample analytically
+  // (m1's sin/trunc parity) and recomputes all 8 correlations from the
+  // formulas — decode → DFT → argmax is gated bit for bit, and rank 1
+  // landing on the synthesized hz is the self-check. Scale shape: K
+  // probe rows per asset leave the decode task (PCM never shuffles);
+  // the rank window partitions by asset. ---
+  val m5AudioTone = QueryDef.sql(
+    "m5_audio_tone",
+    """WITH ids AS (SELECT id FROM generate_series(0,59) t(id)),
+      |aud AS (SELECT id, 220 + (id%8)*55 AS hz, 200 + (id%5)*100 AS ms FROM ids WHERE id%3=1),
+      |smp AS (
+      |  SELECT a.id, gs.i,
+      |    CAST(trunc(sin(2*pi()*a.hz*gs.i/8000) * 16384) AS BIGINT) AS v
+      |  FROM aud a, generate_series(0,4799) gs(i) WHERE gs.i < 8*a.ms),
+      |probes AS (SELECT 220 + p.p*55 AS probe_hz FROM generate_series(0,7) p(p)),
+      |corr AS (
+      |  SELECT s.id, pr.probe_hz,
+      |    CAST(sum(CAST(trunc(CAST(s.v AS DOUBLE) * cos(2*pi()*pr.probe_hz*s.i/8000) * 1000000) AS BIGINT)) AS BIGINT) AS c,
+      |    CAST(sum(CAST(trunc(CAST(s.v AS DOUBLE) * sin(2*pi()*pr.probe_hz*s.i/8000) * 1000000) AS BIGINT)) AS BIGINT) AS s
+      |  FROM smp s, probes pr GROUP BY s.id, pr.probe_hz)
+      |SELECT id AS asset_id, probe_hz, c, s, rank FROM (
+      |  SELECT id, probe_hz, c, s,
+      |    row_number() OVER (PARTITION BY id ORDER BY
+      |      (CAST(c AS DOUBLE)/1e6)*(CAST(c AS DOUBLE)/1e6) +
+      |      (CAST(s AS DOUBLE)/1e6)*(CAST(s AS DOUBLE)/1e6) DESC, probe_hz) AS rank
+      |  FROM corr) t""".stripMargin) { (s, _) =>
+    import org.apache.spark.sql.expressions.Window
+    val tones = Multimodal.audioTones(
+      Multimodal.repartitionForDecode(Multimodal.synthesize(s, 0L until 60L), 8),
+      probes = (0 until 8).map(220 + _ * 55))
+      .toDF()
+    val power =
+      (col("c").cast("double") / lit(1e6)) * (col("c").cast("double") / lit(1e6)) +
+        (col("s").cast("double") / lit(1e6)) * (col("s").cast("double") / lit(1e6))
+    val w = Window.partitionBy(col("asset_id")).orderBy(power.desc, col("probe_hz"))
+    tones.withColumn("rank", row_number().over(w))
+      .select(col("asset_id"), col("probe_hz"), col("c"), col("s"), col("rank"))
+  }
+
+  val all: Seq[QueryDef] = Seq(m1MediaFeatures, m2ImagePhash, m3AudioEnergy, m4ImageKnn,
+    m5AudioTone)
 }

@@ -216,4 +216,28 @@ class MultimodalSpec extends SparkSpec {
       MediaMeta("audio/wav", 0, 0, 8000, 100L))).toDS()
     assert(Multimodal.audioEnergy(junk, 800).count() === 0)
   }
+
+  test("audioTones: the dominant DFT bin is the synthesized tone for every asset") {
+    val probes = (0 until 8).map(220 + _ * 55)
+    val tones = Multimodal.audioTones(
+      Multimodal.repartitionForDecode(Multimodal.synthesize(spark, 0L until 60L), 4),
+      probes).collect()
+    val audioIds = (0L until 60L).filter(_ % 3 == 1)
+    assert(tones.length === audioIds.size * probes.size, "K probe rows per audio asset")
+    audioIds.foreach { id =>
+      val mine = tones.filter(_.asset_id == id)
+      val best = mine.maxBy(t => t.c.toDouble * t.c + t.s.toDouble * t.s)
+      val expectedHz = 220 + (id % 8) * 55
+      assert(best.probe_hz === expectedHz, s"asset $id detected ${best.probe_hz}")
+      // and the winning bin dominates: next-best power at least 10x smaller
+      val rest = mine.filter(_.probe_hz != best.probe_hz)
+        .map(t => t.c.toDouble * t.c + t.s.toDouble * t.s).max
+      val bestP = best.c.toDouble * best.c + best.s.toDouble * best.s
+      assert(bestP > 10 * rest, s"asset $id margin bestP=$bestP nextP=$rest")
+    }
+    // corrupt payload emits nothing rather than failing the stage
+    val junk = Seq(MediaAsset(98L, "audio", Array.tabulate[Byte](16)(_.toByte),
+      MediaMeta("audio/wav", 0, 0, 8000, 100L))).toDS()
+    assert(Multimodal.audioTones(junk, probes).count() === 0)
+  }
 }
