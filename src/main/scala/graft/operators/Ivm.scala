@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.functions._
 
 /** Incremental view maintenance for inner-join views over append-only
   * inputs (the classic delta-join rewrite):
@@ -52,4 +52,44 @@ object Ivm {
       keys: Seq[String],
       broadcastDeltas: Boolean = true): DataFrame =
     vOld.unionAll(deltaJoin(aOld, dA, bOld, dB, keys, broadcastDeltas))
+
+  /** RETRACTION-aware aggregate maintenance — the updates-and-deletes
+    * path the join IVM above deliberately excludes. `state` is a
+    * materialized per-key (count, sum) aggregate; `cdc` carries one row
+    * per change with `opCol` ∈ {"I","U","D"}, the post-image in `newCol`
+    * (I/U) and the pre-image in `oldCol` (U/D). Count and sum are the
+    * self-maintainable aggregates: a delete retracts (−1, −old), an
+    * update contributes (0, new−old), an insert adds (+1, +new) — no
+    * base-table access, ever. Keys whose count reaches zero leave the
+    * state (so a fully-retracted group disappears exactly as a
+    * recomputation would drop it). min/max are NOT self-maintainable
+    * under deletes (a retracted extremum forces a per-key rescan) — by
+    * design out of scope here.
+    *
+    * Scale: refresh cost is O(Δ ∪ touched keys) — the CDC batch partial-
+    * aggregates to one (Δcount, Δsum) row per touched key before a
+    * single key-join against the state; the state table is never
+    * re-aggregated. Exactness: caller supplies integer/decimal value
+    * columns, so retractions cancel bit-for-bit (double sums would
+    * drift under retraction).
+    */
+  def retractableAgg(
+      state: DataFrame,
+      cdc: DataFrame,
+      keys: Seq[String],
+      opCol: String, newCol: String, oldCol: String,
+      cntCol: String = "cnt", sumCol: String = "s"): DataFrame = {
+    val op = col(opCol)
+    val delta = cdc.groupBy(keys.map(col).toIndexedSeq: _*).agg(
+      sum(when(op === "I", 1L).when(op === "D", -1L).otherwise(0L)).as("__dc"),
+      sum(when(op === "I", col(newCol))
+        .when(op === "D", -col(oldCol))
+        .otherwise(col(newCol) - col(oldCol))).as("__ds"))
+    state.join(delta, keys, "full_outer")
+      .select((keys.map(col) ++ Seq(
+        (coalesce(col(cntCol), lit(0L)) + coalesce(col("__dc"), lit(0L))).as(cntCol),
+        (coalesce(col(sumCol), lit(0L)) + coalesce(col("__ds"), lit(0L))).as(sumCol)))
+        .toIndexedSeq: _*)
+      .filter(col(cntCol) > 0)
+  }
 }

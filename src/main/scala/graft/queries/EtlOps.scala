@@ -1164,6 +1164,49 @@ object EtlOps {
       col("c_mktsegment") === "BUILDING", preserve = Seq("first_seen"))
   }
 
+  // --- k25_retractable_agg: aggregate IVM under UPDATES AND DELETES —
+  // the path k17's insert-only delta join excludes. A materialized
+  // per-customer (order count, spend) aggregate absorbs a CDC batch
+  // (one seventh of orders deleted, one seventh repriced, one seventh
+  // duplicated as new orders) via Ivm.retractableAgg: the batch partial-
+  // aggregates to one (Δcnt, Δsum) row per touched customer, one key
+  // join against the state applies it, fully-retracted customers leave
+  // the state. The oracle recomputes the aggregate from the logical
+  // post-CDC table — the hash match proves O(delta) maintenance ≡ full
+  // recomputation, including count-to-zero key removal. Exact cents, so
+  // retractions cancel bit-for-bit. ---
+  val k25RetractableAgg = QueryDef.sql(
+    "k25_retractable_agg",
+    """WITH o AS (SELECT o_custkey AS k, o_orderkey AS okey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |fin AS (
+      |  SELECT k, CASE WHEN okey % 7 = 1 THEN cents + 5000 ELSE cents END AS cents
+      |  FROM o WHERE okey % 7 <> 0
+      |  UNION ALL
+      |  SELECT k, cents + 123 FROM o WHERE okey % 7 = 2)
+      |SELECT k AS o_custkey, CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(sum(cents) AS BIGINT) AS s
+      |FROM fin GROUP BY k""".stripMargin) { (s, d) =>
+    val o = T.orders(s, d).select(col("o_custkey").as("k"),
+      col("o_orderkey").as("okey"),
+      (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+    val state0 = o.groupBy(col("k"))
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("s"))
+    val cdc =
+      o.filter(col("okey") % 7 === 0)
+        .select(col("k"), lit("D").as("op"), lit(0L).as("new_v"), col("cents").as("old_v"))
+      .unionByName(o.filter(col("okey") % 7 === 1)
+        .select(col("k"), lit("U").as("op"), (col("cents") + 5000).as("new_v"),
+          col("cents").as("old_v")))
+      .unionByName(o.filter(col("okey") % 7 === 2)
+        .select(col("k"), lit("I").as("op"), (col("cents") + 123).as("new_v"),
+          lit(0L).as("old_v")))
+    graft.operators.Ivm.retractableAgg(state0, cdc, Seq("k"),
+      opCol = "op", newCol = "new_v", oldCol = "old_v")
+      .select(col("k").as("o_custkey"), col("cnt"), col("s"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     j1FirstWins, j2Flatten, j3Lookup, p2TimeWindow, p4CastValidate,
     p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff,
@@ -1172,5 +1215,5 @@ object EtlOps {
     er1EntityClusters, er2BlockingAudit, k11PartitionedPrune, k12TimeTravel, k13SchemaEvolution,
     k14BucketedJoin, k15CdcApply, k16CompactionGate, k17IvmJoin,
     k18FormatRoundtrip, k19ForgetKeys, k20AtomicPublish, k21DynamicOverwrite,
-    k22MvRewrite, k23ZorderGate, k24FullMerge)
+    k22MvRewrite, k23ZorderGate, k24FullMerge, k25RetractableAgg)
 }

@@ -1170,6 +1170,82 @@ object Events {
     }
   }
 
+  // --- e26_session_window: Spark's NATIVE session-window streaming
+  // aggregation under the hash gate — the third sessionization shape in
+  // the registry, and the one production picks first: e2 is the batch
+  // gaps-and-islands SQL, e19 hand-rolls sessions in
+  // flatMapGroupsWithState, this is `session_window(ts, gap)` — dynamic
+  // merging windows maintained by the engine, closing [first_event,
+  // last_event + gap) when the watermark passes the end. Purchases
+  // sessionize per user with a 30-minute gap; purchase-typed sentinels
+  // (user −1, the e25 pushdown lesson) advance the watermark so every
+  // real session closes; the oracle replays the semantics as
+  // gaps-and-islands over µs-floored times (merge iff diff < gap —
+  // strict, matching the engine). Scale: state is one (user, open
+  // session) aggregate per key bounded by the watermark — the engine
+  // merges windows in the state store; no per-event list state, no
+  // custom code. ---
+  val e26SessionWindow = QueryDef.sql(
+    "e26_session_window",
+    """WITH p AS (SELECT user_id, epoch_ns(ts) // 1000 AS us,
+      |    CAST(CAST(value AS DECIMAL(14,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |s AS (SELECT user_id, us, cents,
+      |    CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+      |           OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM p),
+      |i AS (SELECT user_id, us, cents,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY us
+      |                   ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM s)
+      |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
+      |  CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS cents
+      |FROM i GROUP BY user_id, island""".stripMargin) { (s, d) =>
+    withStatePartitions(s, 8) {
+    val root = java.nio.file.Files.createTempDirectory("e26-session").toString
+    val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val ev = T.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("ts"), col("user_id"),
+        (col("value").cast("decimal(14,2)") * 100).cast("long").as("cents"))
+    ev.coalesce(4).write.parquet(feed)
+    val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    def sentinel(daysAhead: Int): org.apache.spark.sql.DataFrame = {
+      val ts = new java.sql.Timestamp(maxTs.getTime + daysAhead.toLong * 24 * 3600 * 1000)
+      s.range(1).select(lit(ts).as("ts"), lit(-1L).as("user_id"), lit(0L).as("cents"))
+    }
+    def drain(): Unit = {
+      val stream = s.readStream
+        .schema("ts TIMESTAMP, user_id BIGINT, cents BIGINT")
+        .parquet(feed)
+      val sessions = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(org.apache.spark.sql.functions.session_window(col("ts"), "30 minutes"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n"), col("cents"))
+      val q = sessions.writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    sentinel(9).coalesce(1).write.mode("append").parquet(feed)
+    drain()
+    sentinel(18).coalesce(1).write.mode("append").parquet(feed)
+    drain()
+    s.read.parquet(out)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("start_us"), col("end_us"), col("n"), col("cents"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
     e5PropsExtract, e6AnomalyFlags, e7CohortRetention, e8RfmSegments,
@@ -1177,5 +1253,5 @@ object Events {
     e13ConversionLag, e14RobustZscore, e15StreamDedup, e16ActivityIslands,
     e17SessionPaths, e18StreamIvm, e19StreamSessions, e20LateData,
     e21StreamOuterJoin, e22TransformWithState, e23StateMap, e24StateList,
-    e25ChainedAgg)
+    e25ChainedAgg, e26SessionWindow)
 }

@@ -395,6 +395,34 @@ object Extras {
         (col("pos") + 1).cast("long").as("rank"))
   }
 
+  // --- a35_listagg: ordered string aggregation — Spark 4's LISTAGG
+  // ... WITHIN GROUP (ORDER BY ...) vs DuckDB's string_agg(... ORDER
+  // BY ...): the report-building primitive that only became expressible
+  // without collect_list+sort UDF gymnastics in Spark 4. Determinism by
+  // construction: the aggregated set is the (status, count) pairs —
+  // grouped first, so the listagg input is dimension-sized — and the
+  // WITHIN GROUP order is the status itself (unique per group). Scale:
+  // the only shuffle is the (priority, status) partial-aggregated
+  // count; the listagg runs over ≤|statuses| rows per group. ---
+  val a35Listagg = QueryDef.sql(
+    "a35_listagg",
+    """WITH sc AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT o_orderpriority,
+      |  string_agg(o_orderstatus || ':' || CAST(n AS VARCHAR), ','
+      |             ORDER BY o_orderstatus) AS status_counts,
+      |  CAST(count(*) AS BIGINT) AS n_statuses
+      |FROM sc GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+    T.orders(s, d)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr("listagg(o_orderstatus || ':' || CAST(n AS STRING), ',') " +
+          "WITHIN GROUP (ORDER BY o_orderstatus)").as("status_counts"),
+        count(lit(1)).cast("long").as("n_statuses"))
+  }
+
   // --- a32_unpivot: wide→long MELT (a14's pivot inverted) via the
   // native unpivot operator — Expand, a map-side row multiplication:
   // zero shuffles beyond the source aggregate, the same 3× expansion
@@ -797,5 +825,5 @@ object Extras {
     a4bTopkAgg, a20Histogram, a21ExactMedian,
     a24ParetoFront, a25WeightedMedian, a26GroupMode, a27ExactCorr,
     a28LinregTrend, a29TimeRangeWindow, a30PercentileCont, a31Interpolate,
-    a32Unpivot, a33Ewma, a34HeavyHitters)
+    a32Unpivot, a33Ewma, a34HeavyHitters, a35Listagg)
 }

@@ -53,4 +53,29 @@ class IvmSpec extends SparkSpec {
     assert(maintained.count() === 9)
     assert(canon(maintained) === canon(fullJoin))
   }
+
+  test("retractableAgg: deletes retract, updates shift sums, zero-count keys vanish") {
+    // state: key 1 has 2 rows (sum 30), key 2 has 1 row (sum 50),
+    // key 3 untouched (sum 7)
+    val state = Seq((1L, 2L, 30L), (2L, 1L, 50L), (3L, 1L, 7L))
+      .toDF("k", "cnt", "s")
+    val cdc = Seq(
+      (1L, "D", 0L, 10L),   // key 1 loses the 10-row → (1, 20)
+      (1L, "U", 25L, 20L),  // remaining row repriced 20→25 → (1, 25)
+      (2L, "D", 0L, 50L),   // key 2 fully retracted → gone
+      (4L, "I", 9L, 0L))    // brand-new key appears
+      .toDF("k", "op", "new_v", "old_v")
+    val out = Ivm.retractableAgg(state, cdc, Seq("k"),
+      opCol = "op", newCol = "new_v", oldCol = "old_v")
+      .orderBy("k").as[(Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 1L, 25L), (3L, 1L, 7L), (4L, 1L, 9L)),
+      s"unexpected maintained aggregate: $out")
+    // idempotence of the merge shape: applying an empty CDC is identity
+    val empty = cdc.limit(0)
+    val again = Ivm.retractableAgg(
+      Seq((1L, 1L, 25L), (3L, 1L, 7L), (4L, 1L, 9L)).toDF("k", "cnt", "s"),
+      empty, Seq("k"), "op", "new_v", "old_v")
+      .orderBy("k").as[(Long, Long, Long)].collect().toSeq
+    assert(again === out, "empty CDC must be the identity refresh")
+  }
 }
