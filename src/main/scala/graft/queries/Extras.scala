@@ -60,6 +60,20 @@ object Extras {
     s.sql(sharedSql)
   }
 
+  // --- sql5_group_by_all: GROUP BY ALL in the shared dialect — the
+  // DuckDB-pioneered shorthand Spark 4 adopted (every non-aggregate
+  // select item becomes a grouping key). One text, both engines; the
+  // planner expansion, not the surface, is what's gated. ---
+  private val sql5Text =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY ALL""".stripMargin
+
+  val sql5GroupByAll = QueryDef.sql("sql5_group_by_all", sql5Text) { (s, d) =>
+    T.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(sql5Text)
+  }
+
   // --- v4_knn_fast: brute-force KNN via the native codegen'd
   // ArrayDotProduct expression (float scoring path). The float cosine
   // itself isn't oracle-portable (sum order), so the ORACLE-GATED
@@ -821,7 +835,7 @@ object Extras {
   val all: Seq[QueryDef] = Seq(
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
     a16WindowSuite, a17ScalarSuite, a18DateSuite, a19GroupingSets,
-    sql2CorrelatedSubquery, sql3LateralJoin, sql4RecursiveCte,
+    sql2CorrelatedSubquery, sql3LateralJoin, sql4RecursiveCte, sql5GroupByAll,
     a4bTopkAgg, a20Histogram, a21ExactMedian,
     a24ParetoFront, a25WeightedMedian, a26GroupMode, a27ExactCorr,
     a28LinregTrend, a29TimeRangeWindow, a30PercentileCont, a31Interpolate,

@@ -169,5 +169,44 @@ object Quality {
         ((sc - sb) * log(sc / sb)).as("psi_term"))
   }
 
-  val all: Seq[QueryDef] = Seq(dq1Expectations, dq2KAnonymity, dq3RefIntegrity, dq4DriftPsi)
+  // --- dq5_freshness: partition-completeness audit — the "did every
+  // feed land every day?" gate a warehouse runs before publishing. The
+  // expected grid is (distinct event_type) × (full min→max day spine,
+  // sequence-exploded — rows ∝ output, never a range join); actual
+  // daily counts left-join onto it and absent cells surface as n=0
+  // gap rows, which a HAVING-style consumer alerts on. The spine
+  // bounds ride a broadcast 1-row scalar aggregate (q22's pattern —
+  // a global min/max never needs a partition-less window). ---
+  val dq5Freshness = QueryDef.sql(
+    "dq5_freshness",
+    """WITH b AS (SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS d0,
+      |    CAST(max(date_trunc('day', ts)) AS DATE) AS d1 FROM events),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |spine AS (SELECT t.event_type, b.d0 + CAST(gs.i AS INTEGER) AS day
+      |  FROM types t, b, generate_series(0, 366) gs(i)
+      |  WHERE b.d0 + CAST(gs.i AS INTEGER) <= b.d1),
+      |daily AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT s.event_type, CAST(s.day AS VARCHAR) AS day,
+      |  CAST(coalesce(d.n, 0) AS BIGINT) AS n,
+      |  (coalesce(d.n, 0) = 0) AS is_gap
+      |FROM spine s LEFT JOIN daily d
+      |  ON s.event_type = d.event_type AND s.day = d.day""".stripMargin) { (s, d) =>
+    val ev = T.events(s, d)
+      .select(col("event_type"), date_trunc("day", col("ts")).cast("date").as("day"))
+    val bounds = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val types = ev.select(col("event_type")).distinct()
+    val spine = types.crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val daily = ev.groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n"))
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day").cast("string").as("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        (coalesce(col("n"), lit(0L)) === 0).as("is_gap"))
+  }
+
+  val all: Seq[QueryDef] = Seq(dq1Expectations, dq2KAnonymity, dq3RefIntegrity, dq4DriftPsi,
+    dq5Freshness)
 }
