@@ -62,6 +62,78 @@ object PageRank {
     r
   }
 
+  /** PERSONALIZED PageRank: the teleport mass lands only on `seeds`
+    * (col `id`) instead of uniformly — proximity-to-seed-set scoring,
+    * the recommendation/expansion primitive ("parts related to THESE
+    * parts"). Same exact scaled-integer discipline as [[ranks]]: seed
+    * teleport = (15%·scale)/|S| per seed per round, zero elsewhere, so
+    * an unrolled SQL oracle reproduces every unit ([[sqlPersonalized]]).
+    * Same per-round cost shape too — one edge⋈rank join + one dst
+    * shuffle; the seed table is node-sized-or-smaller and joins by id. */
+  def personalizedRanks(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iters: Int,
+      scale: Long = 1000000000000L,
+      stagePath: Option[String] = None): DataFrame = {
+    val spark = edges.sparkSession
+    val nodes = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id"))).distinct()
+    val st = seeds.select(col("id")).distinct().agg(count(lit(1)).as("n_seeds"))
+    val seedFlag = seeds.select(col("id")).distinct().withColumn("__seed", lit(1))
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    var r = nodes.join(seedFlag, Seq("id"), "left_outer")
+      .crossJoin(broadcast(st))
+      .select(col("id"),
+        expr(s"CASE WHEN __seed IS NOT NULL THEN $scale div n_seeds ELSE CAST(0 AS BIGINT) END").as("r"))
+    for (i <- 1 to iters) {
+      val contrib = edges
+        .join(outw, Seq("src"))
+        .join(r.select(col("id").as("src"), col("r")), Seq("src"))
+        .select(col("dst"), expr("(r * w) div wout").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      r = nodes
+        .join(contrib.select(col("dst").as("id"), col("s")), Seq("id"), "left_outer")
+        .join(seedFlag, Seq("id"), "left_outer")
+        .crossJoin(broadcast(st))
+        .select(col("id"), expr(
+          s"""CASE WHEN __seed IS NOT NULL THEN ((15 * $scale) div 100) div n_seeds
+             |ELSE CAST(0 AS BIGINT) END + (85 * coalesce(s, 0)) div 100""".stripMargin).as("r"))
+      stagePath.foreach { p =>
+        val dir = s"$p/pprank-$i"
+        r.write.mode("overwrite").parquet(dir)
+        r = spark.read.parquet(dir)
+      }
+    }
+    r
+  }
+
+  /** [[personalizedRanks]] as unrolled SQL CTEs: emits `e` (from
+    * `edgesCte`), nodes/ow, `seeds` (from `seedsCte`, one `id` column),
+    * st, then c1/r1 … The final rank table is `r$iters` (id, r). */
+  def sqlPersonalized(
+      edgesCte: String, seedsCte: String, iters: Int,
+      scale: Long = 1000000000000L): String = {
+    val header =
+      s"""e AS ($edgesCte),
+         |nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e) u),
+         |ow AS (SELECT src, sum(w) AS wout FROM e GROUP BY src),
+         |seeds AS (SELECT DISTINCT id FROM ($seedsCte) z),
+         |st AS (SELECT count(*) AS n_seeds FROM seeds),
+         |r0 AS (SELECT n.id,
+         |    CASE WHEN s.id IS NOT NULL THEN $scale // st.n_seeds ELSE 0 END AS r
+         |  FROM nodes n LEFT JOIN seeds s USING (id), st)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst, CAST(sum((p.r * e.w) // ow.wout) AS BIGINT) AS s
+         |  FROM e JOIN ow USING (src) JOIN r${i - 1} p ON p.id = e.src GROUP BY e.dst),
+         |r$i AS (SELECT n.id,
+         |    CASE WHEN s.id IS NOT NULL THEN ((15 * $scale) // 100) // st.n_seeds ELSE 0 END
+         |      + (85 * coalesce(c$i.s, 0)) // 100 AS r
+         |  FROM nodes n LEFT JOIN seeds s USING (id) LEFT JOIN c$i ON c$i.dst = n.id, st)""".stripMargin
+    }
+    (header +: rounds).mkString(",\n")
+  }
+
   /** The same computation as unrolled ANSI SQL CTEs (DuckDB oracle):
     * emits `e` (from `edgesCte`), nodes/nt/ow, then c1/r1 … c$iters/
     * r$iters. The final rank table is `r$iters` (id, r). */

@@ -416,7 +416,36 @@ object Graphs {
     edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg_core"))
   }
 
+  // --- g9_personalized_pr: PERSONALIZED PageRank over the weighted
+  // co-purchase graph — proximity-to-seed-set scoring ("parts related
+  // to these parts"), the graph-side recommendation/expansion
+  // primitive g1's global centrality can't express. Teleport mass lands
+  // only on the seed parts (partkey % 97 = 0); two rounds over the
+  // LANDED artifact (both directions of each undirected edge), exact
+  // scaled-integer rank updates, unrolled-SQL oracle reproduces every
+  // unit. Output keeps the strictly-positive ranks — the ≤2-hop
+  // neighborhood of the seed set, which is how PPR output is consumed
+  // (everything else is exactly 0 by construction). ---
+  val g9PersonalizedPr = QueryDef.sql(
+    "g9_personalized_pr",
+    s"""WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |cp AS (SELECT x.p AS u, y.p AS v, count(*) AS w
+       |  FROM it x JOIN it y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2),
+       |${PageRank.sqlPersonalized(
+            "SELECT u AS src, v AS dst, w FROM cp UNION ALL SELECT v, u, w FROM cp",
+            "SELECT u AS id FROM cp WHERE u % 97 = 0 UNION ALL SELECT v FROM cp WHERE v % 97 = 0",
+            iters = 2)}
+       |SELECT id AS part_id, r AS rank_scaled FROM r2 WHERE r > 0""".stripMargin) { (s, d) =>
+    val cp = coPurchaseWeighted(s, d)
+    val edges = cp.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionByName(cp.select(col("v").as("src"), col("u").as("dst"), col("w")))
+    val seeds = edges.select(col("src").as("id")).filter(col("id") % 97 === 0)
+    PageRank.personalizedRanks(edges, seeds, iters = 2)
+      .filter(col("r") > 0)
+      .select(col("id").as("part_id"), col("r").as("rank_scaled"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     g1Pagerank, g2TriangleCount, g3LabelProp, g4ShortestPath, g5Assortativity,
-    g6LinkPredict, g7NeighborhoodJaccard, g8KCore)
+    g6LinkPredict, g7NeighborhoodJaccard, g8KCore, g9PersonalizedPr)
 }

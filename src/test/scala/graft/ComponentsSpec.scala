@@ -80,4 +80,25 @@ class ComponentsSpec extends SparkSpec {
     // ranks are non-negative and node set is preserved
     assert(PageRank.ranks(cyc, iters = 1).filter(col("r") < 0).isEmpty)
   }
+
+  test("personalized pagerank: mass stays within k hops of the seed set") {
+    import graft.operators.PageRank
+    import spark.implicits._
+    // path graph 1-2-3-4-5-6 (both directions), seed = node 1
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val edges = (und ++ und.map(_.swap)).map { case (s, d) => (s, d, 1L) }
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("id")
+    val r = PageRank.personalizedRanks(edges, seeds, iters = 2)
+      .as[(Long, Long)].collect().toMap
+    // after 2 rounds mass can reach at most 2 hops from the seed
+    assert(r(4L) === 0L && r(5L) === 0L && r(6L) === 0L,
+      s">2-hop nodes must hold exactly zero mass: $r")
+    assert(r(1L) > r(2L) && r(2L) > 0L && r(3L) > 0L,
+      s"seed retains the most mass, neighbors decay: $r")
+    // uniform pagerank on the same graph gives every node nonzero rank —
+    // the personalization is what concentrates it
+    val uni = PageRank.ranks(edges, iters = 2).as[(Long, Long)].collect().toMap
+    assert(uni.values.forall(_ > 0L))
+  }
 }
