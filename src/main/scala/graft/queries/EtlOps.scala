@@ -1164,6 +1164,69 @@ object EtlOps {
       col("c_mktsegment") === "BUILDING", preserve = Seq("first_seen"))
   }
 
+  // --- er3_linkage_score: weighted multi-field record linkage
+  // (Fellegi-Sunter shape) — er1 clusters within one table; this LINKS
+  // a probe set to a master set and scores each candidate pair on
+  // several fields with integer weights: name 3-gram Jaccard band
+  // (≥0.8 → 40, ≥0.5 → 25), brand equality +20, size within ±5 +15;
+  // pairs scoring ≥45 are matches and each probe keeps its best master
+  // (score desc, master key asc). Blocking is COMPLETE by arithmetic:
+  // 45 points require the ≥25 name band, i.e. Jaccard ≥ 0.5 — exactly
+  // the candidate-generation threshold — so no true match can be lost
+  // to blocking (er2 measures that property; here it's proved by
+  // construction). Jaccard doubles share one expression shape with the
+  // oracle; every weight is an exact integer. Scale: the inverted-index
+  // candidate join IS the blocker (never a cross product), attrs join
+  // back by key only for candidates. ---
+  val er3LinkageScore = QueryDef.sql(
+    "er3_linkage_score",
+    """WITH pa AS (SELECT p_partkey, p_name, p_brand, p_size FROM part WHERE p_partkey % 19 = 0),
+      |pb AS (SELECT p_partkey, p_name, p_brand, p_size FROM part WHERE p_partkey % 17 = 0),
+      |ga AS (SELECT DISTINCT p_partkey AS ka, q FROM (
+      |    SELECT p_partkey, unnest([substr(p_name, i, 3) for i in range(1, len(p_name) - 1)]) AS q
+      |    FROM pa WHERE len(p_name) >= 3) t),
+      |gb AS (SELECT DISTINCT p_partkey AS kb, q FROM (
+      |    SELECT p_partkey, unnest([substr(p_name, i, 3) for i in range(1, len(p_name) - 1)]) AS q
+      |    FROM pb WHERE len(p_name) >= 3) t),
+      |sa AS (SELECT ka, count(*) AS ca FROM ga GROUP BY ka),
+      |sb AS (SELECT kb, count(*) AS cb FROM gb GROUP BY kb),
+      |pr AS (SELECT ga.ka, gb.kb, count(*) AS i
+      |  FROM gb JOIN ga ON ga.q = gb.q GROUP BY ga.ka, gb.kb),
+      |cand AS (SELECT pr.ka, pr.kb,
+      |    CAST(pr.i AS DOUBLE) / (sa.ca + sb.cb - pr.i) AS jac
+      |  FROM pr JOIN sa ON sa.ka = pr.ka JOIN sb ON sb.kb = pr.kb
+      |  WHERE CAST(pr.i AS DOUBLE) / (sa.ca + sb.cb - pr.i) >= 0.5),
+      |scored AS (SELECT c.ka, c.kb,
+      |    CAST(CASE WHEN c.jac >= 0.8 THEN 40 WHEN c.jac >= 0.5 THEN 25 ELSE 0 END
+      |      + CASE WHEN a.p_brand = b.p_brand THEN 20 ELSE 0 END
+      |      + CASE WHEN abs(a.p_size - b.p_size) <= 5 THEN 15 ELSE 0 END AS BIGINT) AS score
+      |  FROM cand c JOIN pa a ON a.p_partkey = c.ka JOIN pb b ON b.p_partkey = c.kb)
+      |SELECT ka AS probe_key, kb AS master_key, score FROM (
+      |  SELECT ka, kb, score,
+      |    row_number() OVER (PARTITION BY ka ORDER BY score DESC, kb) AS rn
+      |  FROM scored WHERE score >= 45) t
+      |WHERE rn = 1""".stripMargin) { (s, d) =>
+    val pa = T.part(s, d).filter(col("p_partkey") % 19 === 0)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+    val pb = T.part(s, d).filter(col("p_partkey") % 17 === 0)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+    val cand = FuzzyJoin.qgramJoin(
+      pa, "p_partkey", "p_name", pb, "p_partkey", "p_name", n = 3, threshold = 0.5)
+    val scored = cand
+      .join(pa.select(col("p_partkey").as("ka"), col("p_brand").as("brand_a"),
+        col("p_size").as("size_a")), Seq("ka"))
+      .join(pb.select(col("p_partkey").as("kb"), col("p_brand").as("brand_b"),
+        col("p_size").as("size_b")), Seq("kb"))
+      .withColumn("score",
+        (when(col("jaccard") >= 0.8, 40).when(col("jaccard") >= 0.5, 25).otherwise(0) +
+          when(col("brand_a") === col("brand_b"), 20).otherwise(0) +
+          when(abs(col("size_a") - col("size_b")) <= 5, 15).otherwise(0)).cast("long"))
+      .filter(col("score") >= 45)
+    val w = Window.partitionBy(col("ka")).orderBy(col("score").desc, col("kb"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("ka").as("probe_key"), col("kb").as("master_key"), col("score"))
+  }
+
   // --- k25_retractable_agg: aggregate IVM under UPDATES AND DELETES —
   // the path k17's insert-only delta join excludes. A materialized
   // per-customer (order count, spend) aggregate absorbs a CDC batch
@@ -1212,7 +1275,8 @@ object EtlOps {
     p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff,
     j4RangeJoin, j5IntervalOverlap, j6FuzzyMatch, j7EditDistance, j8AutoRangeJoin,
     j9SaltedJoin, j10GeoJoin, j11PitFeatures,
-    er1EntityClusters, er2BlockingAudit, k11PartitionedPrune, k12TimeTravel, k13SchemaEvolution,
+    er1EntityClusters, er2BlockingAudit, er3LinkageScore,
+    k11PartitionedPrune, k12TimeTravel, k13SchemaEvolution,
     k14BucketedJoin, k15CdcApply, k16CompactionGate, k17IvmJoin,
     k18FormatRoundtrip, k19ForgetKeys, k20AtomicPublish, k21DynamicOverwrite,
     k22MvRewrite, k23ZorderGate, k24FullMerge, k25RetractableAgg)
