@@ -375,5 +375,83 @@ object Clustering {
         (sum(col("sv")).cast("double") / count(lit(1))).as("mean_silhouette"))
   }
 
-  val all: Seq[QueryDef] = Seq(c1Kmeans, c2Silhouette, d7SemanticDedup, v7NearestCentroid)
+  // --- c3_naive_bayes: multinomial naive-Bayes language classifier
+  // trained and applied in one distributed query — the classic
+  // count-based text classifier (train: doc_id % 5 <> 0, score the
+  // held-out fold). Laplace-smoothed token likelihoods come from one
+  // (token, class) count shuffle; class totals, priors, and the
+  // vocabulary size are broadcast scalars (q22's pattern). Scoring
+  // expands held-out tokens by the CLASS DIMENSION (|classes| = 5 — a
+  // bounded broadcast multiplier, not a data-sized blowup), left-joins
+  // the count table, and reduces per (doc, class) with map-side
+  // combine. Exactness is t11's discipline: every ln() term — prior and
+  // per-token likelihood — quantizes to DECIMAL(8,5) BEFORE summation,
+  // so per-doc sums are order-independent and ulp-immune; the argmax
+  // orders by the exact decimal score with a class tie-break, and only
+  // the reported score casts to double. ---
+  val c3NaiveBayes = QueryDef.sql(
+    "c3_naive_bayes",
+    """WITH toks AS (SELECT doc_id, lang,
+      |    unnest(string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ')) AS tok
+      |  FROM documents),
+      |tr AS (SELECT doc_id, lang, tok FROM toks WHERE doc_id % 5 <> 0),
+      |te AS (SELECT doc_id, tok FROM toks WHERE doc_id % 5 = 0),
+      |cls AS (SELECT lang AS c, count(*) AS docs
+      |  FROM documents WHERE doc_id % 5 <> 0 GROUP BY lang),
+      |pri AS (SELECT c, CAST(ln(CAST(docs AS DOUBLE) /
+      |      (SELECT CAST(sum(docs) AS DOUBLE) FROM cls)) AS DECIMAL(8,5)) AS prior
+      |  FROM cls),
+      |wc AS (SELECT lang AS c, tok, count(*) AS n FROM tr GROUP BY lang, tok),
+      |totc AS (SELECT c, CAST(sum(n) AS BIGINT) AS tot FROM wc GROUP BY c),
+      |vocab AS (SELECT count(DISTINCT tok) AS v FROM tr),
+      |terms AS (SELECT t.doc_id, k.c,
+      |    CAST(ln((CAST(coalesce(w.n, 0) AS DOUBLE) + 1) / (totc.tot + vocab.v))
+      |      AS DECIMAL(8,5)) AS l
+      |  FROM te t
+      |  CROSS JOIN (SELECT c FROM cls) k
+      |  LEFT JOIN wc w ON w.c = k.c AND w.tok = t.tok
+      |  JOIN totc ON totc.c = k.c, vocab),
+      |scored AS (SELECT doc_id, c, prior + sum(l) AS score
+      |  FROM terms JOIN pri USING (c) GROUP BY doc_id, c, prior),
+      |pred AS (SELECT doc_id, c, score,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c) AS rn
+      |  FROM scored)
+      |SELECT p.doc_id, d.lang AS lang_true, p.c AS lang_pred,
+      |  CAST(p.score AS DOUBLE) AS score
+      |FROM pred p JOIN documents d ON d.doc_id = p.doc_id
+      |WHERE rn = 1""".stripMargin) { (s, d) =>
+    import graft.functions.TextFns
+    val docs = T.documents(s, d)
+    val toks = docs.select(col("doc_id"), col("lang"),
+      explode(TextFns.tokens(col("text"))).as("tok"))
+    val tr = toks.filter(col("doc_id") % 5 =!= 0)
+    val te = toks.filter(col("doc_id") % 5 === 0).select(col("doc_id"), col("tok"))
+    val cls = docs.filter(col("doc_id") % 5 =!= 0)
+      .groupBy(col("lang").as("c")).agg(count(lit(1)).as("docs"))
+    val pri = cls.crossJoin(broadcast(cls.agg(sum(col("docs")).cast("double").as("td"))))
+      .select(col("c"),
+        log(col("docs").cast("double") / col("td")).cast("decimal(8,5)").as("prior"))
+    val wc = tr.groupBy(col("lang").as("c"), col("tok")).agg(count(lit(1)).as("n"))
+    val totc = wc.groupBy(col("c")).agg(sum(col("n")).cast("bigint").as("tot"))
+    val vocab = tr.agg(countDistinct(col("tok")).as("v"))
+    val terms = te
+      .crossJoin(broadcast(cls.select(col("c"))))
+      .join(wc.withColumnRenamed("n", "wn"), Seq("c", "tok"), "left")
+      .join(broadcast(totc), Seq("c"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), col("c"),
+        log((coalesce(col("wn"), lit(0L)).cast("double") + 1) / (col("tot") + col("v")))
+          .cast("decimal(8,5)").as("l"))
+    val scored = terms.join(broadcast(pri), Seq("c"))
+      .groupBy(col("doc_id"), col("c"), col("prior"))
+      .agg((col("prior") + sum(col("l"))).as("score"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("c"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(docs.select(col("doc_id"), col("lang").as("lang_true")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang_true"), col("c").as("lang_pred"),
+        col("score").cast("double").as("score"))
+  }
+
+  val all: Seq[QueryDef] = Seq(c1Kmeans, c2Silhouette, d7SemanticDedup, v7NearestCentroid,
+    c3NaiveBayes)
 }

@@ -1246,6 +1246,67 @@ object Events {
     }
   }
 
+  // --- e27_sequence_match: MATCH_RECOGNIZE-style row-pattern matching,
+  // compiled the distributed way: each 30-minute session (e2/e17's gap
+  // logic) is reduced to a per-session SYMBOL STRING (one char per
+  // event — the five event types have distinct initials), and the row
+  // pattern `view click* purchase` becomes the regex `vc*p` evaluated
+  // on that string. Pattern state never crosses rows at the engine
+  // level — the regex engine runs over a session-local string of a few
+  // bytes, so matching cost is O(session length) per session with no
+  // cross-row state machine, no window reshuffle beyond the one
+  // sessionization pass. Leftmost-greedy semantics for `vc*p` and `ee`
+  // are identical in Java regex (Spark) and RE2 (DuckDB oracle) —
+  // character classes and literal quantifiers only, no backtracking
+  // divergence. Emits matching sessions with the first matched funnel
+  // substring and a consecutive-error "frustration" flag. ---
+  val e27SequenceMatch = QueryDef.sql(
+    "e27_sequence_match",
+    """WITH x AS (
+      |  SELECT user_id, event_id, event_type, date_trunc('second', ts) AS tss FROM events),
+      |f AS (
+      |  SELECT user_id, event_id, event_type, tss,
+      |    CASE WHEN lag(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) IS NULL
+      |           OR tss - lag(tss) OVER (PARTITION BY user_id ORDER BY tss, event_id) > INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM x),
+      |s AS (
+      |  SELECT user_id, event_id, event_type, tss,
+      |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY tss, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_no
+      |  FROM f),
+      |syms AS (
+      |  SELECT user_id, sess_no,
+      |    string_agg(substr(event_type, 1, 1), '' ORDER BY tss, event_id) AS sym
+      |  FROM s GROUP BY user_id, sess_no)
+      |SELECT user_id, sess_no, sym,
+      |  regexp_extract(sym, 'vc*p') AS first_funnel,
+      |  CASE WHEN regexp_matches(sym, 'ee') THEN 1 ELSE 0 END AS frustrated
+      |FROM syms
+      |WHERE regexp_matches(sym, 'vc*p')""".stripMargin) { (s, d) =>
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("tss"), col("event_id"))
+    val x = T.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("tss"))
+    val sess = x
+      .withColumn("new_sess",
+        when(lag(col("tss"), 1).over(byUser).isNull
+          || col("tss").cast("long") - lag(col("tss"), 1).over(byUser).cast("long") > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_no", sum(col("new_sess")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val syms = sess
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(tss, event_id, event_type))), r -> substring(r.event_type, 1, 1))"),
+        "").as("sym"))
+    syms
+      .filter(col("sym").rlike("vc*p"))
+      .select(col("user_id"), col("sess_no"), col("sym"),
+        regexp_extract(col("sym"), "vc*p", 0).as("first_funnel"),
+        when(col("sym").rlike("ee"), 1L).otherwise(0L).as("frustrated"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
     e5PropsExtract, e6AnomalyFlags, e7CohortRetention, e8RfmSegments,
@@ -1253,5 +1314,5 @@ object Events {
     e13ConversionLag, e14RobustZscore, e15StreamDedup, e16ActivityIslands,
     e17SessionPaths, e18StreamIvm, e19StreamSessions, e20LateData,
     e21StreamOuterJoin, e22TransformWithState, e23StateMap, e24StateList,
-    e25ChainedAgg, e26SessionWindow)
+    e25ChainedAgg, e26SessionWindow, e27SequenceMatch)
 }

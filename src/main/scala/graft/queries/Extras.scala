@@ -74,6 +74,26 @@ object Extras {
     s.sql(sql5Text)
   }
 
+  // --- sql6_filter_clause: aggregate FILTER (WHERE ...) in the shared
+  // dialect — standard-SQL conditional aggregation (the shape a14's
+  // oracle uses) parsed and executed by Spark SQL itself this time; one
+  // text, both engines. A filtered sum over an empty slice is NULL in
+  // both engines, so it's coalesced to keep the hash deterministic.
+  // Scale: planner folds each FILTER into the aggregate's merge
+  // expressions — one scan, one shuffle, same as unconditional aggs. ---
+  private val sql6Text =
+    """SELECT l_returnflag,
+      |  count(*) AS n,
+      |  count(*) FILTER (WHERE l_quantity > 25) AS big_n,
+      |  CAST(coalesce(sum(CAST(l_extendedprice AS DECIMAL(14,2)))
+      |    FILTER (WHERE l_discount > 0.05), 0) AS DOUBLE) AS disc_rev
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  val sql6FilterClause = QueryDef.sql("sql6_filter_clause", sql6Text) { (s, d) =>
+    T.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(sql6Text)
+  }
+
   // --- v4_knn_fast: brute-force KNN via the native codegen'd
   // ArrayDotProduct expression (float scoring path). The float cosine
   // itself isn't oracle-portable (sum order), so the ORACLE-GATED
@@ -836,6 +856,7 @@ object Extras {
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
     a16WindowSuite, a17ScalarSuite, a18DateSuite, a19GroupingSets,
     sql2CorrelatedSubquery, sql3LateralJoin, sql4RecursiveCte, sql5GroupByAll,
+    sql6FilterClause,
     a4bTopkAgg, a20Histogram, a21ExactMedian,
     a24ParetoFront, a25WeightedMedian, a26GroupMode, a27ExactCorr,
     a28LinregTrend, a29TimeRangeWindow, a30PercentileCont, a31Interpolate,

@@ -1037,11 +1037,52 @@ object TrainPrep {
         (col("n_boiler").cast("double") / col("n_shingles")).as("boiler_ratio"))
   }
 
+  // --- t30_target_encode: LEAVE-ONE-OUT target encoding of the source
+  // categorical against the n_chars label — the standard feature-prep
+  // trick for high-cardinality categoricals, in its leakage-safe form
+  // (each row's own label is subtracted from its category's sum) plus
+  // the Bayesian-smoothed variant (m = 10 pseudo-observations of the
+  // global mean) that production encoders use for thin categories.
+  // Scale: one partial-aggregated groupBy(source) produces a
+  // DIMENSION-SIZED aggregate that broadcasts back onto the fact scan —
+  // the big side is never shuffled (the window-function formulation of
+  // LOO would reshuffle the whole table by category; the broadcast-join
+  // formulation is a map-side projection). Exactness: numerators and
+  // denominators are exact integer/DECIMAL(38,0) arithmetic; only the
+  // final ratio divides in double with one expression shape on both
+  // engines; nullif guards the single-member-category division. ---
+  val t30TargetEncode = QueryDef.sql(
+    "t30_target_encode",
+    """WITH agg AS (SELECT source, count(*) AS cnt,
+      |    CAST(sum(n_chars) AS BIGINT) AS s
+      |  FROM documents GROUP BY source),
+      |g AS (SELECT count(*) AS gc, CAST(sum(n_chars) AS BIGINT) AS gs FROM documents)
+      |SELECT d.doc_id, d.source, d.n_chars,
+      |  CAST(a.s - d.n_chars AS DOUBLE) / nullif(a.cnt - 1, 0) AS loo_mean,
+      |  CAST(CAST(a.s - d.n_chars AS DECIMAL(38,0)) * g.gc + 10 * CAST(g.gs AS DECIMAL(38,0)) AS DOUBLE)
+      |    / CAST(CAST(a.cnt - 1 + 10 AS DECIMAL(38,0)) * g.gc AS DOUBLE) AS loo_smooth
+      |FROM documents d JOIN agg a USING (source), g""".stripMargin) { (s, d) =>
+    val docs = T.documents(s, d)
+    val agg = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).cast("bigint").as("s"))
+    val g = docs.agg(count(lit(1)).as("gc"), sum(col("n_chars")).cast("bigint").as("gs"))
+    docs.join(broadcast(agg), Seq("source"))
+      .crossJoin(broadcast(g))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        ((col("s") - col("n_chars")).cast("double") / nullif(col("cnt") - 1, lit(0)))
+          .as("loo_mean"),
+        (((col("s") - col("n_chars")).cast("decimal(38,0)") * col("gc")
+          + lit(10) * col("gs").cast("decimal(38,0)")).cast("double")
+          / ((col("cnt") - 1 + 10).cast("decimal(38,0)") * col("gc")).cast("double"))
+          .as("loo_smooth"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     t8PackSequences, t9NgramCounts, t10RedactPii, d5Contamination,
     t11UnigramLogprob, t12Repetition, t14NormalizeText, t15LeakSafeSplit,
     t16TemperatureMix, t17FeatureHashing, t18DocKnn, d8VerbatimLeak,
     t19Tfidf, t20WeightedSample, d9BloomScreen, t21ChunkOverlap,
     d10ContainmentPairs, t22JsonlIngest, t23SentenceStats, t24BigramPmi,
-    t25DataCards, t26MixEntropy, t27LinearScore, t28Bm25, t29Boilerplate)
+    t25DataCards, t26MixEntropy, t27LinearScore, t28Bm25, t29Boilerplate,
+    t30TargetEncode)
 }
