@@ -34,7 +34,8 @@ case class AsOfJoinPlan(
     leftKey: Expression,
     rightKey: Expression,
     leftTs: Expression,
-    rightTs: Expression) extends BinaryNode {
+    rightTs: Expression,
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -44,8 +45,8 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lts, rts) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -56,7 +57,8 @@ case class AsOfJoinExec(
     leftKey: Expression,
     rightKey: Expression,
     leftTs: Expression,
-    rightTs: Expression) extends BinaryExecNode {
+    rightTs: Expression,
+    forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -124,23 +126,45 @@ case class AsOfJoinExec(
           val l = lIt.next()
           val k = lKey(l).get(0, lKeyExpr.dataType)
           val t = lTs(l).get(0, lTsExpr.dataType)
-          // consume right rows with (rkey < k) or (rkey == k && rts <= t);
-          // the last one with rkey == k becomes the match
-          var continue = rHead != null
-          while (continue) {
-            val c = keyOrdering.asInstanceOf[Ordering[Any]].compare(rHeadKey, k)
-            if (c < 0) {
-              advanceRight(); continue = rHead != null
-            } else if (c == 0 &&
-                tsOrdering.asInstanceOf[Ordering[Any]].compare(rHeadTs, t) <= 0) {
-              matched = rHead; matchedKey = rHeadKey
-              advanceRight(); continue = rHead != null
-            } else continue = false
-          }
           val rightSide =
-            if (matched != null && keyOrdering.asInstanceOf[Ordering[Any]]
-              .compare(matchedKey, k) == 0) matched
-            else nullRight
+            if (forward) {
+              // FORWARD direction: earliest right with rts >= lts.
+              // Consume right rows strictly behind the current left
+              // (rkey < k, or rkey == k && rts < t) — left ts ascends, so
+              // a discarded row can never match a later left row; the
+              // surviving head is shared by every left row it covers
+              // (NOT consumed on match — the same future right row is the
+              // answer for every earlier left in its gap).
+              var continue = rHead != null
+              while (continue) {
+                val c = keyOrdering.asInstanceOf[Ordering[Any]].compare(rHeadKey, k)
+                if (c < 0 || (c == 0 &&
+                    tsOrdering.asInstanceOf[Ordering[Any]].compare(rHeadTs, t) < 0)) {
+                  advanceRight(); continue = rHead != null
+                } else continue = false
+              }
+              if (rHead != null && keyOrdering.asInstanceOf[Ordering[Any]]
+                .compare(rHeadKey, k) == 0) rHead
+              else nullRight
+            } else {
+              // BACKWARD (default): consume right rows with (rkey < k) or
+              // (rkey == k && rts <= t); the last one with rkey == k
+              // becomes the match
+              var continue = rHead != null
+              while (continue) {
+                val c = keyOrdering.asInstanceOf[Ordering[Any]].compare(rHeadKey, k)
+                if (c < 0) {
+                  advanceRight(); continue = rHead != null
+                } else if (c == 0 &&
+                    tsOrdering.asInstanceOf[Ordering[Any]].compare(rHeadTs, t) <= 0) {
+                  matched = rHead; matchedKey = rHeadKey
+                  advanceRight(); continue = rHead != null
+                } else continue = false
+              }
+              if (matched != null && keyOrdering.asInstanceOf[Ordering[Any]]
+                .compare(matchedKey, k) == 0) matched
+              else nullRight
+            }
           output(joined(l, rightSide))
         }
       }
@@ -164,14 +188,18 @@ object AsOfJoinNative {
 
   /** Native as-of join; same semantics as graft.operators.AsOfJoin
     * (latest right with rightTs <= leftTs per key, inclusive ties,
-    * left-preserving). Right's key/ts columns are kept in the output. */
+    * left-preserving). With `forward = true` the direction flips:
+    * EARLIEST right with rightTs >= leftTs (DuckDB's `l.ts <= r.ts`
+    * ASOF shape) — the "next event after" point-in-time lookup.
+    * Right's key/ts columns are kept in the output. */
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
       leftKey: String,
       rightKey: String,
       leftTs: String,
-      rightTs: String): DataFrame = {
+      rightTs: String,
+      forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     install(spark)
     val lPlan = left.queryExecution.analyzed
@@ -182,7 +210,7 @@ object AsOfJoinNative {
     graftbridge.datasetOf(spark, AsOfJoinPlan(
       lPlan, rPlan,
       resolve(lPlan, leftKey), resolve(rPlan, rightKey),
-      resolve(lPlan, leftTs), resolve(rPlan, rightTs)))
+      resolve(lPlan, leftTs), resolve(rPlan, rightTs), forward))
   }
 }
 

@@ -152,6 +152,35 @@ object Events {
       .select(col("purchase_id"), col("user_id"), col("signup_id"))
   }
 
+  // --- e4c_asof_forward: the FORWARD as-of direction through the same
+  // native operator — for each error event, the user's NEXT purchase
+  // (error→recovery lookup; DuckDB's `l.ts <= r.ts` ASOF shape). Same
+  // single merge pass over co-partitioned sorted children as e4b, but
+  // the surviving right head is shared, not consumed, on match — one
+  // future row answers every left row in its gap. Gap arithmetic is the
+  // µs-exact recipe: epoch_us (DuckDB) vs unix_micros (Spark) on the
+  // µs-truncated timestamps, BIGINT subtraction, NULL when no purchase
+  // follows. ---
+  val e4cAsofForward = QueryDef.sql(
+    "e4c_asof_forward",
+    """WITH e AS (SELECT event_id AS error_id, user_id, CAST(ts AS TIMESTAMP) AS ets
+      |           FROM events WHERE event_type = 'error'),
+      |p AS (SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT e.error_id, e.user_id, p.purchase_id,
+      |  epoch_us(p.pts) - epoch_us(e.ets) AS gap_us
+      |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ets <= p.pts""".stripMargin) { (sp, d) =>
+    val ev = T.events(sp, d)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("ets"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("pts"), col("event_id").as("purchase_id"))
+    graft.plans.AsOfJoinNative
+      .asofJoin(errors, purchases, "user_id", "p_user", "ets", "pts", forward = true)
+      .select(col("error_id"), col("user_id"), col("purchase_id"),
+        (unix_micros(col("pts")) - unix_micros(col("ets"))).as("gap_us"))
+  }
+
   // --- e5_props_extract: semi-structured JSON payload extraction — the
   // schema-on-read path every event feed needs (props arrives as a JSON
   // string; no schema migration when producers add keys). Spark's
@@ -1309,6 +1338,7 @@ object Events {
 
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
+    e4cAsofForward,
     e5PropsExtract, e6AnomalyFlags, e7CohortRetention, e8RfmSegments,
     e9TransitionMatrix, e10RollingDau, e11StreamWindows, e12StreamStreamJoin,
     e13ConversionLag, e14RobustZscore, e15StreamDedup, e16ActivityIslands,

@@ -31,6 +31,44 @@ class AsOfNativeSpec extends SparkSpec {
     assert(native("L-nokey") === null)
   }
 
+  test("forward direction: earliest right at-or-after each left row, per key") {
+    val left = Seq(
+      (1L, ts(10), "L-tie"),    // equal ts matches (inclusive)
+      (1L, ts(11), "L-next"),   // skips the ts(10) row, takes ts(25)
+      (1L, ts(26), "L-late"),   // nothing after -> NULL
+      (2L, ts(1), "L-share"),   // both 2L rows share the single future row
+      (2L, ts(3), "L-share2"),
+      (3L, ts(5), "L-nokey"))
+      .toDF("k", "lts", "lval")
+    val right = Seq(
+      (1L, ts(10), "R1"), (1L, ts(25), "R2"), (2L, ts(7), "R3"), (0L, ts(1), "R-unused"))
+      .toDF("rk", "rts", "rval")
+    val out = AsOfJoinNative.asofJoin(left, right, "k", "rk", "lts", "rts", forward = true)
+      .select("lval", "rval").as[(String, String)].collect().toMap
+    assert(out("L-tie") === "R1")
+    assert(out("L-next") === "R2")
+    assert(out("L-late") === null)
+    assert(out("L-share") === "R3")   // match must NOT consume the right head:
+    assert(out("L-share2") === "R3")  // the same future row answers both lefts
+    assert(out("L-nokey") === null)
+  }
+
+  test("forward agrees with the batch first-future-row formulation on real events") {
+    val ev = Tables.events(spark, sfDir)
+    val l = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("lid"), col("user_id"), col("ts").as("lts"))
+    val r = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("ru"), col("ts").as("rts"), col("event_id").as("rid"))
+    val native = AsOfJoinNative.asofJoin(l, r, "user_id", "ru", "lts", "rts", forward = true)
+      .select(col("lid"), col("rid"))
+    // oracle formulation: min (rts, rid) struct over future rows per left
+    val ref = l.join(r, col("user_id") === col("ru") && col("rts") >= col("lts"), "left_outer")
+      .groupBy(col("lid"))
+      .agg(min(when(col("rid").isNotNull, struct(col("rts"), col("rid")))).as("m"))
+      .select(col("lid"), col("m.rid").as("rid"))
+    assert(native.exceptAll(ref).isEmpty && ref.exceptAll(native).isEmpty)
+  }
+
   test("native == composed on real events at sf0.001 (20k-scale at sf0.1 covered by drive)") {
     val ev = Tables.events(spark, sfDir)
     val p = ev.filter(col("event_type") === "purchase")
