@@ -181,6 +181,33 @@ object Events {
         (unix_micros(col("pts")) - unix_micros(col("ets"))).as("gap_us"))
   }
 
+  // --- e28_variant_extract: the same payload through Spark 4's VARIANT
+  // type — `parse_json` shreds the string ONCE into the binary variant
+  // encoding and every downstream `variant_get` is a cheap typed path
+  // read (the open-format answer to repeated get_json_object string
+  // re-parsing; at 100 TB the parse happens once per row, not once per
+  // extracted field). The variant value participates in filters,
+  // grouping arithmetic, and exact aggregation; the oracle states the
+  // same semantics over DuckDB's JSON reads. ---
+  val e28VariantExtract = QueryDef.sql(
+    "e28_variant_extract",
+    """SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_bucket,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+      |FROM events
+      |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+      |GROUP BY 1""".stripMargin) { (s, d) =>
+    T.events(s, d)
+      .withColumn("v", expr("parse_json(props)"))
+      .withColumn("k", expr("variant_get(v, '$.k', 'bigint')"))
+      .filter(col("k").isNotNull)
+      .groupBy((col("k") % 10).cast("bigint").as("k_bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).cast("bigint").as("sum_k"),
+        max(col("k")).cast("bigint").as("max_k"))
+  }
+
   // --- e5_props_extract: semi-structured JSON payload extraction — the
   // schema-on-read path every event feed needs (props arrives as a JSON
   // string; no schema migration when producers add keys). Spark's
@@ -942,6 +969,80 @@ object Events {
     }
   }
 
+  // --- e29_stream_full_outer: FULL OUTER stream-stream join — the last
+  // cell of the join-type matrix (e12 inner, e21 left outer). Both
+  // sides' unmatched state must null-extend on watermark retirement:
+  // clicks with no purchase in their 6-hour horizon AND purchases no
+  // click preceded. Same two-sentinel drain as e21 (the first advance
+  // pushes the watermark past every real row's horizon, the second runs
+  // a batch under it so both state stores flush); the sentinel pair
+  // matches only itself and leaves through the user_id filter. Scale:
+  // state on the click side is bounded by wm+6h, on the purchase side
+  // by the condition's implied wm−6h lower bound — Spark derives both
+  // from the range predicate; nothing is unbounded. Oracle: the batch
+  // FULL JOIN on µs-floored times. ---
+  val e29StreamFullOuter = QueryDef.sql(
+    "e29_stream_full_outer",
+    """WITH v AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase')
+      |SELECT v.event_id AS click_id, p.event_id AS purchase_id,
+      |  coalesce(v.user_id, p.user_id) AS user_id
+      |FROM v FULL JOIN p ON v.user_id = p.user_id
+      |  AND epoch_ns(p.ts) // 1000 >= epoch_ns(v.ts) // 1000
+      |  AND epoch_ns(p.ts) // 1000 < epoch_ns(v.ts) // 1000 + 21600000000""".stripMargin) { (s, d) =>
+    withStatePartitions(s, 8) {
+    val root = java.nio.file.Files.createTempDirectory("e29-full").toString
+    val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val ev = T.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    ev.coalesce(4).write.parquet(feed)
+    val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    def sentinel(daysAhead: Int): org.apache.spark.sql.DataFrame = {
+      val ts = new java.sql.Timestamp(maxTs.getTime + daysAhead.toLong * 24 * 3600 * 1000)
+      Seq(("click", -1L), ("purchase", -2L)).foldLeft(ev.limit(0)) { (acc, sp) =>
+        acc.unionByName(s.range(1).select(lit(sp._2).as("event_id"),
+          lit(ts).as("ts"), lit(-1L).as("user_id"), lit(sp._1).as("event_type")))
+      }
+    }
+    def drain(): Unit = {
+      def side(tpe: String) = s.readStream
+        .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING")
+        .parquet(feed)
+        .filter(col("event_type") === tpe)
+      val clicks = side("click")
+        .select(col("event_id").as("click_id"), col("ts").as("cts"), col("user_id"))
+        .withWatermark("cts", "1 hour")
+      val purchases = side("purchase")
+        .select(col("event_id").as("purchase_id"), col("ts").as("pts"),
+          col("user_id").as("p_user"))
+        .withWatermark("pts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("pts") >= col("cts") &&
+          col("pts") < col("cts") + expr("INTERVAL 6 HOURS"),
+        "full_outer")
+        .select(col("click_id"), col("purchase_id"),
+          coalesce(col("user_id"), col("p_user")).as("user_id"))
+      val q = joined.writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    sentinel(10).coalesce(1).write.mode("append").parquet(feed)
+    drain()
+    sentinel(20).coalesce(1).write.mode("append").parquet(feed)
+    drain()
+    s.read.parquet(out)
+      .filter(col("user_id") >= 0)
+      .select(col("click_id"), col("purchase_id"), col("user_id"))
+    }
+  }
+
   // --- e22_transform_with_state: customer-lifetime-value milestones on
   // Spark 4's transformWithState API under the hash gate — the
   // arbitrary-state v2 successor of mapGroupsWithState (e19's API),
@@ -1344,5 +1445,6 @@ object Events {
     e13ConversionLag, e14RobustZscore, e15StreamDedup, e16ActivityIslands,
     e17SessionPaths, e18StreamIvm, e19StreamSessions, e20LateData,
     e21StreamOuterJoin, e22TransformWithState, e23StateMap, e24StateList,
-    e25ChainedAgg, e26SessionWindow, e27SequenceMatch)
+    e25ChainedAgg, e26SessionWindow, e27SequenceMatch, e28VariantExtract,
+    e29StreamFullOuter)
 }

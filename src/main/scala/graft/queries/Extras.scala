@@ -94,6 +94,46 @@ object Extras {
     s.sql(sql6Text)
   }
 
+  // --- a36_stable_ids: GLOBAL row numbering without the global-window
+  // bottleneck. `row_number() OVER (ORDER BY k)` funnels the entire
+  // table through ONE task (the exact pattern the registry-wide
+  // PlanSpec guard bans); the distributed classic is two linear passes:
+  // range-partition by key and sort within partitions (a total order
+  // across partition boundaries), count rows per partition (a
+  // k-integers driver exchange, k = #partitions), then number each
+  // partition against its broadcast prefix-sum offset. Deterministic
+  // regardless of where the range sampler places boundaries — the
+  // numbering follows the total order, not the partitioning. This is
+  // the one operator tier where RDD mapPartitionsWithIndex is the right
+  // tool (genuine per-partition imperative state: a running counter);
+  // everything around it stays columnar. Oracle: the plain global
+  // window, which DuckDB can afford. ---
+  val a36StableIds = QueryDef.sql(
+    "a36_stable_ids",
+    """SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rid
+      |FROM orders""".stripMargin) { (s, d) =>
+    val sorted = T.orders(s, d).select(col("o_orderkey"))
+      .repartitionByRange(32, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+    sorted.cache()
+    try {
+      val counts = sorted.rdd
+        .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+        .collect().sortBy(_._1).map(_._2)
+      val offsets = counts.scanLeft(0L)(_ + _).dropRight(1)
+      val bc = s.sparkContext.broadcast(offsets)
+      val out = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
+        var n = bc.value(i)
+        it.map { r => n += 1; org.apache.spark.sql.Row(r.getLong(0), n) }
+      }
+      s.createDataFrame(out, new org.apache.spark.sql.types.StructType()
+        .add("o_orderkey", org.apache.spark.sql.types.LongType, nullable = false)
+        .add("rid", org.apache.spark.sql.types.LongType, nullable = false))
+        // materialize before unpersist in the finally block
+        .localCheckpoint(eager = true)
+    } finally sorted.unpersist()
+  }
+
   // --- v4_knn_fast: brute-force KNN via the native codegen'd
   // ArrayDotProduct expression (float scoring path). The float cosine
   // itself isn't oracle-portable (sum order), so the ORACLE-GATED
@@ -860,5 +900,5 @@ object Extras {
     a4bTopkAgg, a20Histogram, a21ExactMedian,
     a24ParetoFront, a25WeightedMedian, a26GroupMode, a27ExactCorr,
     a28LinregTrend, a29TimeRangeWindow, a30PercentileCont, a31Interpolate,
-    a32Unpivot, a33Ewma, a34HeavyHitters, a35Listagg)
+    a32Unpivot, a33Ewma, a34HeavyHitters, a35Listagg, a36StableIds)
 }
