@@ -115,23 +115,24 @@ object Extras {
     val sorted = T.orders(s, d).select(col("o_orderkey"))
       .repartitionByRange(32, col("o_orderkey"))
       .sortWithinPartitions(col("o_orderkey"))
-    sorted.cache()
-    try {
-      val counts = sorted.rdd
-        .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
-        .collect().sortBy(_._1).map(_._2)
-      val offsets = counts.scanLeft(0L)(_ + _).dropRight(1)
-      val bc = s.sparkContext.broadcast(offsets)
-      val out = sorted.rdd.mapPartitionsWithIndex { (i, it) =>
-        var n = bc.value(i)
-        it.map { r => n += 1; org.apache.spark.sql.Row(r.getLong(0), n) }
-      }
-      s.createDataFrame(out, new org.apache.spark.sql.types.StructType()
-        .add("o_orderkey", org.apache.spark.sql.types.LongType, nullable = false)
-        .add("rid", org.apache.spark.sql.types.LongType, nullable = false))
-        // materialize before unpersist in the finally block
-        .localCheckpoint(eager = true)
-    } finally sorted.unpersist()
+    // ONE .rdd call, shared by both passes: the count job and the
+    // numbering job then hang off the same ShuffleDependency, so the
+    // DAG scheduler reuses the range shuffle's map outputs for pass 2
+    // (a "skipped stage") — both passes are guaranteed the identical
+    // partitioning with no cache(), no checkpoint, nothing persisted.
+    val rdd = sorted.rdd
+    val counts = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _).dropRight(1)
+    val bc = s.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var n = bc.value(i)
+      it.map { r => n += 1; org.apache.spark.sql.Row(r.getLong(0), n) }
+    }
+    s.createDataFrame(out, new org.apache.spark.sql.types.StructType()
+      .add("o_orderkey", org.apache.spark.sql.types.LongType, nullable = false)
+      .add("rid", org.apache.spark.sql.types.LongType, nullable = false))
   }
 
   // --- v4_knn_fast: brute-force KNN via the native codegen'd

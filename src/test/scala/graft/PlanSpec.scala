@@ -83,15 +83,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "query side of the bucket join must broadcast")
   }
 
-  test("registry-wide: no query plans a partition-less window (single-task funnel)") {
-    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+  test("registry-wide: no query plans a logical scale-killer (PlanLint fatal)") {
+    // Dogfoods the user-facing linter: the same rules a library user
+    // runs via PlanLint.assertScales sweep every registered query's
+    // optimized logical plan (partition-less windows and friends).
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
-      val bad = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
-      if (bad.nonEmpty) Some(name) else None
+      val fatals = graft.plans.PlanLint.lintLogical(plan).filter(_.severity == "fatal")
+      if (fatals.nonEmpty) Some(s"$name -> ${fatals.mkString("; ")}") else None
     }
     assert(offenders.isEmpty,
-      s"partition-less window (all rows shuffle to ONE task) in: ${offenders.mkString(", ")}")
+      s"logical scale-killers in: ${offenders.mkString(", ")}")
   }
 
   test("q15: global max is a scalar aggregate broadcast back, not a window") {
