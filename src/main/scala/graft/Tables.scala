@@ -19,11 +19,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 cannot read as
-    * a timestamp; with spark.sql.legacy.parquet.nanosAsLong=true (set in
-    * Verify/Bench/tests) it arrives as Long nanos, which we floor to
-    * microseconds. Day-aligned boundary predicates agree exactly with
-    * DuckDB's nanosecond comparisons under this flooring.
+  /** events.parquet's `ts` physical type has varied across fixture
+    * generations — TIMESTAMP(NANOS) (readable only as Long nanos under
+    * spark.sql.legacy.parquet.nanosAsLong=true) and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (read as TIMESTAMP_NTZ). Both normalize here
+    * to a plain session-UTC TIMESTAMP so every consumer (and the
+    * time-function surface: unix_micros, windows, watermarks) sees one
+    * type. The instants are identical to DuckDB's naive reading of the
+    * same file under the session's UTC zone; nanos floor to micros,
+    * which day-aligned boundary predicates agree with exactly.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = read(s, d, "events")
@@ -31,6 +35,10 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

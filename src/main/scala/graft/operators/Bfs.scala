@@ -61,4 +61,56 @@ object Bfs {
     }
     labels
   }
+
+  /** Weighted single-source(-set) shortest paths, Bellman-Ford style:
+    * (id, dist) = exact minimum total edge cost reachable from a seed
+    * within `rounds` relaxations (seeds are dist 0).
+    *
+    * Unlike hop-count BFS a settled node CAN improve later (a longer
+    * but cheaper path), so the frontier is the set of nodes whose label
+    * improved in the previous round — the Bellman-Ford invariant: only
+    * an improved node can improve its neighbors. Per round: one
+    * frontier ⋈ edges equi-join + a partial-aggregated min + one
+    * node-sized join against the previous labels to detect improvement.
+    * Work tracks the improved set's incident edges, never the graph.
+    * Costs are positive integers, so every returned distance is exact
+    * and a round-unrolled SQL oracle (full relaxation, min-equivalent)
+    * matches bit-for-bit.
+    *
+    * @param edges directed (u, v, cost) rows, cost a positive integer;
+    *              pre-union both directions for an undirected graph and
+    *              pre-materialize (parquet stage)
+    */
+  def weightedDistances(
+      edges: DataFrame,
+      seeds: DataFrame,
+      rounds: Int,
+      stagePath: String): DataFrame = {
+    val spark = edges.sparkSession
+    def stage(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$stagePath/$name")
+      spark.read.parquet(s"$stagePath/$name")
+    }
+    var labels = stage(
+      seeds.select(col("id")).distinct().select(col("id"), lit(0L).as("dist")),
+      "w0")
+    var frontier = labels
+    var r = 1
+    while (r <= rounds && !frontier.isEmpty) {
+      val reached = frontier
+        .join(edges, frontier("id") === edges("u"))
+        .select(edges("v").as("id"), (col("dist") + col("cost")).as("dist"))
+      val next = stage(
+        labels.unionByName(reached)
+          .groupBy(col("id")).agg(min(col("dist")).as("dist")),
+        s"w$r")
+      frontier = next.join(
+          labels.select(col("id"), col("dist").as("__old")), Seq("id"), "left_outer")
+        .filter(col("__old").isNull || col("dist") < col("__old"))
+        .select(col("id"), col("dist"))
+      labels = next
+      r += 1
+    }
+    labels
+  }
 }

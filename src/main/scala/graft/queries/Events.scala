@@ -1437,6 +1437,58 @@ object Events {
         when(col("sym").rlike("ee"), 1L).otherwise(0L).as("frustrated"))
   }
 
+  // --- e30_attribution: multi-touch conversion attribution — the
+  // marketing-analytics staple: every purchase credits the view/click
+  // touches of the SAME user in the 7 days up to it, under three models
+  // at once (first-touch, last-touch, linear). Shape at scale: one
+  // equi-join on user_id with a time-range predicate (the touch window
+  // bounds the fan-out per conversion), then windows partitioned BY
+  // CONVERSION — thousands of tiny partitions, never a global sort.
+  // Linear credit is exact integer micro-units (1000000 div n_touches),
+  // so the oracle reproduces the report bit-for-bit; first/last ties
+  // break deterministically by (ts, event_id). ---
+  val e30Attribution = QueryDef.sql(
+    "e30_attribution",
+    """WITH x AS (SELECT user_id, event_id, event_type, date_trunc('second', ts) AS tss FROM events),
+      |conv AS (SELECT user_id, event_id AS conv_id, tss AS conv_ts FROM x
+      |         WHERE event_type = 'purchase'),
+      |tch AS (SELECT c.conv_id, t.event_type AS channel, t.tss, t.event_id
+      |        FROM conv c JOIN x t ON t.user_id = c.user_id
+      |        WHERE t.event_type IN ('view', 'click')
+      |          AND t.tss <= c.conv_ts AND t.tss > c.conv_ts - INTERVAL 7 DAY),
+      |rk AS (SELECT conv_id, channel,
+      |         row_number() OVER (PARTITION BY conv_id ORDER BY tss, event_id) AS rn_f,
+      |         row_number() OVER (PARTITION BY conv_id ORDER BY tss DESC, event_id DESC) AS rn_l,
+      |         count(*) OVER (PARTITION BY conv_id) AS n
+      |       FROM tch)
+      |SELECT channel,
+      |  CAST(sum(CASE WHEN rn_f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_touch,
+      |  CAST(sum(CASE WHEN rn_l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch,
+      |  CAST(sum(1000000 // n) AS BIGINT) AS linear_scaled
+      |FROM rk GROUP BY channel""".stripMargin) { (s, d) =>
+    val x = T.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        date_trunc("second", col("ts")).as("tss"))
+    val conv = x.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"), col("tss").as("conv_ts"))
+    val tch = conv.join(
+        x.filter(col("event_type").isin("view", "click"))
+          .select(col("user_id"), col("event_type").as("channel"),
+            col("tss"), col("event_id")),
+        Seq("user_id"))
+      .filter(col("tss") <= col("conv_ts")
+        && col("tss") > col("conv_ts") - expr("INTERVAL 7 DAY"))
+    val byConv = Window.partitionBy(col("conv_id"))
+    val rk = tch.select(col("conv_id"), col("channel"),
+      row_number().over(byConv.orderBy(col("tss"), col("event_id"))).as("rn_f"),
+      row_number().over(byConv.orderBy(col("tss").desc, col("event_id").desc)).as("rn_l"),
+      count(lit(1)).over(byConv).as("n"))
+    rk.groupBy(col("channel")).agg(
+      sum(when(col("rn_f") === 1, 1L).otherwise(0L)).as("first_touch"),
+      sum(when(col("rn_l") === 1, 1L).otherwise(0L)).as("last_touch"),
+      sum(expr("1000000 div n")).as("linear_scaled"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
     e4cAsofForward,
@@ -1446,5 +1498,5 @@ object Events {
     e17SessionPaths, e18StreamIvm, e19StreamSessions, e20LateData,
     e21StreamOuterJoin, e22TransformWithState, e23StateMap, e24StateList,
     e25ChainedAgg, e26SessionWindow, e27SequenceMatch, e28VariantExtract,
-    e29StreamFullOuter)
+    e29StreamFullOuter, e30Attribution)
 }

@@ -893,6 +893,101 @@ object Extras {
         (col("v1") + (col("r") - floor(col("r"))) * (col("v2") - col("v1"))).as("pctl"))
   }
 
+  // --- sql7_window_clause: the named WINDOW clause in the shared
+  // dialect — one window definition referenced by several functions,
+  // parsed and executed by Spark SQL itself (one text, both engines).
+  // The default frame with an ORDER BY is RANGE UNBOUNDED PRECEDING →
+  // CURRENT ROW in both engines; (o_orderdate, o_orderkey) is unique
+  // per customer, so no peer groups and the running decimal sum is
+  // deterministic. Scale: both functions share ONE shuffle+sort on
+  // (o_custkey, o_orderdate, o_orderkey) — the planner materializes the
+  // named window once. ---
+  private val sql7Text =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  row_number() OVER w AS rn,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) OVER w AS DOUBLE) AS run_total
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin
+
+  val sql7WindowClause = QueryDef.sql("sql7_window_clause", sql7Text) { (s, d) =>
+    T.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(sql7Text)
+  }
+
+  // --- a37_changepoint: offline changepoint detection on the daily
+  // purchase-revenue series — the two-segment least-squares split: the
+  // day k minimizing SSE(left ≤ k) + SSE(right > k), the batch
+  // counterpart of e6/e14's streaming anomaly flags. Exactness: per-day
+  // revenues and all six sufficient statistics (n/Σ/Σ² per side) are
+  // exact decimals; only the closed-form SSE runs in double, an
+  // identical expression both engines, and ties break on the earliest
+  // split day. Scale shape: events aggregate to the DAY DIMENSION
+  // first (partial-agg shuffle), so the candidate×day cross product is
+  // calendar-sized (D², D = days — thousands at a century of data),
+  // deliberately broadcast like v1's brute-force baseline — never a
+  // partition-less window over the raw stream, and the argmin is a
+  // 1-row aggregate broadcast back (q22's pattern, PlanLint-clean). ---
+  val a37Changepoint = QueryDef.sql(
+    "a37_changepoint",
+    """WITH day AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+      |    CAST(sum(CAST(value AS DECIMAL(10,2))) AS DECIMAL(18,2)) AS rev
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |mx AS (SELECT max(d) AS dmax FROM day),
+      |cand AS (SELECT d AS split_d FROM day, mx WHERE d < dmax),
+      |seg AS (SELECT c.split_d,
+      |    CAST(sum(CASE WHEN y.d <= c.split_d THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN y.d <= c.split_d THEN y.rev ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS s1,
+      |    CAST(sum(CASE WHEN y.d <= c.split_d THEN CAST(y.rev * y.rev AS DECIMAL(30,4)) ELSE CAST(0 AS DECIMAL(30,4)) END) AS DECIMAL(38,4)) AS q1,
+      |    CAST(sum(CASE WHEN y.d > c.split_d THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(sum(CASE WHEN y.d > c.split_d THEN y.rev ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(28,2)) AS s2,
+      |    CAST(sum(CASE WHEN y.d > c.split_d THEN CAST(y.rev * y.rev AS DECIMAL(30,4)) ELSE CAST(0 AS DECIMAL(30,4)) END) AS DECIMAL(38,4)) AS q2
+      |  FROM cand c, day y GROUP BY c.split_d),
+      |sse AS (SELECT split_d, n1, n2,
+      |    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+      |  + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS sse,
+      |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS mean_left,
+      |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean_right
+      |  FROM seg),
+      |m AS (SELECT min(sse) AS min_sse FROM sse),
+      |best AS (SELECT s.* FROM sse s, m WHERE s.sse = m.min_sse),
+      |bd AS (SELECT min(split_d) AS split_day FROM best)
+      |SELECT CAST(b.split_d AS VARCHAR) AS split_day, b.n1 AS n_left, b.n2 AS n_right,
+      |  b.mean_left, b.mean_right, b.sse
+      |FROM best b, bd WHERE b.split_d = bd.split_day""".stripMargin) { (s, d) =>
+    val day = T.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(sum(col("value").cast("decimal(10,2)")).cast("decimal(18,2)").as("rev"))
+    val mx = day.agg(max(col("d")).as("dmax"))
+    val cand = day.crossJoin(broadcast(mx)).filter(col("d") < col("dmax"))
+      .select(col("d").as("split_d"))
+    val z2 = lit(0).cast("decimal(18,2)")
+    val z4 = lit(0).cast("decimal(30,4)")
+    val le = col("d") <= col("split_d")
+    val seg = day.crossJoin(broadcast(cand))
+      .groupBy(col("split_d")).agg(
+        sum(when(le, 1L).otherwise(0L)).as("n1"),
+        sum(when(le, col("rev")).otherwise(z2)).cast("decimal(28,2)").as("s1"),
+        sum(when(le, (col("rev") * col("rev")).cast("decimal(30,4)")).otherwise(z4))
+          .cast("decimal(38,4)").as("q1"),
+        sum(when(!le, 1L).otherwise(0L)).as("n2"),
+        sum(when(!le, col("rev")).otherwise(z2)).cast("decimal(28,2)").as("s2"),
+        sum(when(!le, (col("rev") * col("rev")).cast("decimal(30,4)")).otherwise(z4))
+          .cast("decimal(38,4)").as("q2"))
+    def dbl(c: String) = col(c).cast("double")
+    val sse = seg.select(col("split_d"), col("n1"), col("n2"),
+      ((dbl("q1") - dbl("s1") * dbl("s1") / dbl("n1"))
+        + (dbl("q2") - dbl("s2") * dbl("s2") / dbl("n2"))).as("sse"),
+      (dbl("s1") / dbl("n1")).as("mean_left"),
+      (dbl("s2") / dbl("n2")).as("mean_right"))
+    val m = sse.agg(min(col("sse")).as("min_sse"))
+    val best = sse.crossJoin(broadcast(m)).filter(col("sse") === col("min_sse"))
+    val bd = best.agg(min(col("split_d")).as("split_day"))
+    best.crossJoin(broadcast(bd)).filter(col("split_d") === col("split_day"))
+      .select(col("split_d").cast("string").as("split_day"), col("n1").as("n_left"),
+        col("n2").as("n_right"), col("mean_left"), col("mean_right"), col("sse"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
     a16WindowSuite, a17ScalarSuite, a18DateSuite, a19GroupingSets,
@@ -901,5 +996,6 @@ object Extras {
     a4bTopkAgg, a20Histogram, a21ExactMedian,
     a24ParetoFront, a25WeightedMedian, a26GroupMode, a27ExactCorr,
     a28LinregTrend, a29TimeRangeWindow, a30PercentileCont, a31Interpolate,
-    a32Unpivot, a33Ewma, a34HeavyHitters, a35Listagg, a36StableIds)
+    a32Unpivot, a33Ewma, a34HeavyHitters, a35Listagg, a36StableIds,
+    sql7WindowClause, a37Changepoint)
 }

@@ -445,7 +445,79 @@ object Graphs {
       .select(col("id").as("part_id"), col("r").as("rank_scaled"))
   }
 
+  // --- g10_hits: HITS hubs & authorities over the user→event-type
+  // bipartite engagement graph (edge weight = interaction count): users
+  // are scored as HUBS (engage with authoritative content), event types
+  // as AUTHORITIES (engaged by strong hubs) — the centrality PageRank's
+  // single score conflates. Two full rounds of operators.Hits: each
+  // half-round is one edge⋈score equi-join + a partial-aggregated
+  // shuffle on the gathering endpoint; normalization is a 1-row max
+  // broadcast back (q22's pattern), in exact integer arithmetic
+  // (x div (max div scale)) so the unrolled SQL oracle reproduces every
+  // unit — no L2 norms, no floats in the iteration. ---
+  val g10Hits = QueryDef.sql(
+    "g10_hits",
+    s"""WITH ${graft.operators.Hits.sqlScores(
+          "SELECT 'u:' || CAST(user_id AS VARCHAR) AS src, 't:' || event_type AS dst, " +
+            "count(*) AS w FROM events GROUP BY 1, 2",
+          iters = 2)}
+       |SELECT h2.id, h2.h AS hub_scaled, a2.a AS auth_scaled
+       |FROM h2 JOIN a2 ON a2.id = h2.id""".stripMargin) { (s, d) =>
+    val edges = T.events(s, d)
+      .groupBy(
+        concat(lit("u:"), col("user_id").cast("string")).as("src"),
+        concat(lit("t:"), col("event_type")).as("dst"))
+      .agg(count(lit(1)).as("w"))
+    graft.operators.Hits.scores(edges, iters = 2)
+      .select(col("id"), col("h").as("hub_scaled"), col("a").as("auth_scaled"))
+  }
+
+  /** One unrolled SQL Bellman-Ford relaxation over weighted `edges`
+    * (u, v, cost): labels `prev` → labels `r$r`. Relaxing ALL labeled
+    * nodes is min-equivalent to the operator's improved-only frontier. */
+  private def sqlRelaxRound(prev: String, r: Int): String =
+    s"""r$r AS (SELECT id, min(dist) AS dist FROM (
+       |  SELECT id, dist FROM $prev
+       |  UNION ALL
+       |  SELECT e.v AS id, l.dist + e.cost AS dist FROM $prev l JOIN edges e ON e.u = l.id) t
+       |GROUP BY id)""".stripMargin
+
+  // --- g11_cheapest_path: WEIGHTED shortest paths over the co-purchase
+  // graph — g4's hop metric can't tell a strong tie from a one-off;
+  // here edge cost = 1000000 div w (frequently co-bought = close), and
+  // the result is the exact cheapest total cost from the seed set
+  // within 3 relaxations (operators.Bfs.weightedDistances). Unlike BFS
+  // a settled node can improve later (longer-but-cheaper path), so the
+  // frontier is the improved set per round — the Bellman-Ford
+  // invariant; work tracks improved nodes' incident edges, never the
+  // graph. Integer costs make every distance exact; the oracle unrolls
+  // three full relaxations (min-equivalent to improved-only). ---
+  val g11CheapestPath = QueryDef.sql(
+    "g11_cheapest_path",
+    s"""WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |cp AS (SELECT x.p AS u, y.p AS v, count(*) AS w
+       |  FROM it x JOIN it y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2),
+       |e0 AS (SELECT u, v, 1000000 // w AS cost FROM cp),
+       |edges AS (SELECT u, v, cost FROM e0 UNION ALL SELECT v AS u, u AS v, cost FROM e0),
+       |l0 AS (SELECT DISTINCT p AS id, CAST(0 AS BIGINT) AS dist FROM it WHERE p % 97 = 0),
+       |${sqlRelaxRound("l0", 1)},
+       |${sqlRelaxRound("r1", 2)},
+       |${sqlRelaxRound("r2", 3)}
+       |SELECT id AS part_id, dist AS cost FROM r3""".stripMargin) { (s, d) =>
+    val e0 = coPurchaseWeighted(s, d)
+      .select(col("u"), col("v"), expr("1000000 div w").as("cost"))
+    val stage = java.nio.file.Files.createTempDirectory("g11-sssp").toString
+    e0.unionByName(e0.select(col("v").as("u"), col("u").as("v"), col("cost")))
+      .write.mode("overwrite").parquet(s"$stage/edges")
+    val edges = s.read.parquet(s"$stage/edges")
+    val seeds = T.lineitem(s, d).select(col("l_partkey").as("p")).distinct()
+      .filter(col("p") % 97 === 0).select(col("p").as("id"))
+    graft.operators.Bfs.weightedDistances(edges, seeds, rounds = 3, s"$stage/labels")
+      .select(col("id").as("part_id"), col("dist").as("cost"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     g1Pagerank, g2TriangleCount, g3LabelProp, g4ShortestPath, g5Assortativity,
-    g6LinkPredict, g7NeighborhoodJaccard, g8KCore, g9PersonalizedPr)
+    g6LinkPredict, g7NeighborhoodJaccard, g8KCore, g9PersonalizedPr, g10Hits,
+    g11CheapestPath)
 }
