@@ -988,6 +988,128 @@ object Extras {
         col("n2").as("n_right"), col("mean_left"), col("mean_right"), col("sse"))
   }
 
+  // --- a38_ab_test: two-sample experiment readout (Welch's t) on
+  // purchase value between the two user-id-parity variants — the A/B
+  // analysis every growth team runs against the events stream. All
+  // sufficient statistics (n, Σv, Σv²) are EXACT decimals from one
+  // partial-aggregated pass; the 2-row variant frame pivots to one row
+  // by conditional max (broadcast-sized), and only the closed-form
+  // mean/variance/t/df arithmetic runs in double — identical expression
+  // shape on both engines, so the verdict row hashes bit-for-bit.
+  // Scale: a map-side-combined aggregate over any event volume ends in
+  // 2 rows; nothing downstream depends on data size. ---
+  val a38AbTest = QueryDef.sql(
+    "a38_ab_test",
+    """WITH p AS (SELECT user_id % 2 AS variant, CAST(value AS DECIMAL(10,2)) AS v
+      |  FROM events WHERE event_type = 'purchase'),
+      |s AS (SELECT variant, count(*) AS n,
+      |    CAST(sum(v) AS DECIMAL(28,2)) AS sv,
+      |    CAST(sum(CAST(v * v AS DECIMAL(22,4))) AS DECIMAL(38,4)) AS qv
+      |  FROM p GROUP BY variant),
+      |w AS (SELECT
+      |    max(CASE WHEN variant = 0 THEN n END) AS n_a,
+      |    max(CASE WHEN variant = 1 THEN n END) AS n_b,
+      |    max(CASE WHEN variant = 0 THEN CAST(sv AS DOUBLE) END) AS sa,
+      |    max(CASE WHEN variant = 1 THEN CAST(sv AS DOUBLE) END) AS sb,
+      |    max(CASE WHEN variant = 0 THEN CAST(qv AS DOUBLE) END) AS qa,
+      |    max(CASE WHEN variant = 1 THEN CAST(qv AS DOUBLE) END) AS qb
+      |  FROM s),
+      |f AS (SELECT n_a, n_b, sa / n_a AS mean_a, sb / n_b AS mean_b,
+      |    (qa - sa * sa / n_a) / (n_a - 1) AS var_a,
+      |    (qb - sb * sb / n_b) / (n_b - 1) AS var_b
+      |  FROM w)
+      |SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+      |  (mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b) AS t_stat,
+      |  (var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
+      |    / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+      |     + (var_b / n_b) * (var_b / n_b) / (n_b - 1)) AS welch_df
+      |FROM f""".stripMargin) { (s, d) =>
+    val p = T.events(s, d).filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).as("variant"),
+        col("value").cast("decimal(10,2)").as("v"))
+    val st = p.groupBy(col("variant")).agg(
+      count(lit(1)).as("n"),
+      sum(col("v")).cast("decimal(28,2)").as("sv"),
+      sum((col("v") * col("v")).cast("decimal(22,4)")).cast("decimal(38,4)").as("qv"))
+    val w = st.agg(
+      max(when(col("variant") === 0, col("n"))).as("n_a"),
+      max(when(col("variant") === 1, col("n"))).as("n_b"),
+      max(when(col("variant") === 0, col("sv").cast("double"))).as("sa"),
+      max(when(col("variant") === 1, col("sv").cast("double"))).as("sb"),
+      max(when(col("variant") === 0, col("qv").cast("double"))).as("qa"),
+      max(when(col("variant") === 1, col("qv").cast("double"))).as("qb"))
+    val f = w.select(col("n_a"), col("n_b"),
+      (col("sa") / col("n_a")).as("mean_a"), (col("sb") / col("n_b")).as("mean_b"),
+      ((col("qa") - col("sa") * col("sa") / col("n_a")) / (col("n_a") - 1)).as("var_a"),
+      ((col("qb") - col("sb") * col("sb") / col("n_b")) / (col("n_b") - 1)).as("var_b"))
+    val vna = col("var_a") / col("n_a")
+    val vnb = col("var_b") / col("n_b")
+    f.select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+      col("var_a"), col("var_b"),
+      ((col("mean_a") - col("mean_b")) / sqrt(vna + vnb)).as("t_stat"),
+      ((vna + vnb) * (vna + vnb)
+        / (vna * vna / (col("n_a") - 1) + vnb * vnb / (col("n_b") - 1))).as("welch_df"))
+  }
+
+  // --- a39_decile_binning: GLOBAL quantile discretization (decile
+  // feature binning) without the banned partition-less window. The
+  // bounds are exact global order statistics at ranks ⌊n·k/10⌋ fetched
+  // by a36's two-linear-pass machinery — range-partition by (price,
+  // key), count per partition (a k-integers driver exchange), then a
+  // per-partition scan emits ONLY the 9 target ranks; the 9 bound
+  // values broadcast back as literals and every row bins itself with a
+  // when-chain (ties at a bound land on one deterministic side: bin =
+  // 1 + #bounds strictly below). The oracle affords the plain global
+  // window and mirrors the same rank targets and the same tie rule.
+  // Scale: two linear passes + a 9-value broadcast; the binned rollup
+  // partial-aggregates — no global sort ever reaches one task. ---
+  val a39DecileBinning = QueryDef.sql(
+    "a39_decile_binning",
+    """WITH p AS (SELECT CAST(o_totalprice AS DECIMAL(14,2)) AS price, o_orderkey AS k
+      |  FROM orders),
+      |n AS (SELECT count(*) AS n FROM p),
+      |r AS (SELECT price, row_number() OVER (ORDER BY price, k) AS rn FROM p),
+      |t AS (SELECT unnest(range(1, 10)) AS dec),
+      |tb AS (SELECT t.dec, greatest(1, (n.n * t.dec) // 10) AS target FROM t, n),
+      |b AS (SELECT tb.dec, r.price AS bound FROM tb JOIN r ON r.rn = tb.target),
+      |binned AS (SELECT p.k, p.price,
+      |    1 + sum(CASE WHEN p.price > b.bound THEN 1 ELSE 0 END) AS bin
+      |  FROM p, b GROUP BY p.k, p.price)
+      |SELECT CAST(bin AS BIGINT) AS decile, count(*) AS n_orders,
+      |  CAST(CAST(sum(price) AS DECIMAL(28,2)) AS DOUBLE) AS revenue
+      |FROM binned GROUP BY bin""".stripMargin) { (s, d) =>
+    val p = T.orders(s, d).select(
+      col("o_totalprice").cast("decimal(14,2)").as("price"),
+      col("o_orderkey").as("k"))
+    val sorted = p.repartitionByRange(32, col("price"), col("k"))
+      .sortWithinPartitions(col("price"), col("k"))
+    // ONE .rdd shared by the count pass and the bound-fetch pass: both
+    // jobs hang off the same range shuffle (skipped stage), identical
+    // partitioning guaranteed with nothing persisted (a36's recipe).
+    val rdd = sorted.rdd
+    val counts = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val n = counts.sum
+    val offsets = counts.scanLeft(0L)(_ + _).dropRight(1)
+    val targets = (1 to 9).map(k => math.max(1L, n * k / 10)).toSet
+    val bc = s.sparkContext.broadcast((offsets, targets))
+    val bounds: Map[Long, java.math.BigDecimal] = rdd.mapPartitionsWithIndex { (i, it) =>
+      var rn = bc.value._1(i)
+      it.flatMap { r =>
+        rn += 1
+        if (bc.value._2(rn)) Iterator((rn, r.getDecimal(0))) else Iterator.empty
+      }
+    }.collect().toMap
+    val binExpr = (1 to 9).map { k =>
+      when(col("price") > lit(bounds(math.max(1L, n * k / 10))), 1L).otherwise(0L)
+    }.reduce(_ + _) + 1L
+    p.select(col("price"), binExpr.as("decile"))
+      .groupBy(col("decile")).agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("price")).cast("decimal(28,2)").cast("double").as("revenue"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
     a16WindowSuite, a17ScalarSuite, a18DateSuite, a19GroupingSets,
@@ -997,5 +1119,5 @@ object Extras {
     a24ParetoFront, a25WeightedMedian, a26GroupMode, a27ExactCorr,
     a28LinregTrend, a29TimeRangeWindow, a30PercentileCont, a31Interpolate,
     a32Unpivot, a33Ewma, a34HeavyHitters, a35Listagg, a36StableIds,
-    sql7WindowClause, a37Changepoint)
+    sql7WindowClause, a37Changepoint, a38AbTest, a39DecileBinning)
 }

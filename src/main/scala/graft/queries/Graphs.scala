@@ -516,8 +516,60 @@ object Graphs {
       .select(col("id").as("part_id"), col("dist").as("cost"))
   }
 
+  // --- g12_modularity: Newman modularity of a node partition over the
+  // WEIGHTED co-purchase graph, communities = part brand — the
+  // partition-quality score every community-detection loop (Louvain,
+  // Leiden, g3's label prop) maximizes, here as a standalone audit: "is
+  // the co-purchase structure aligned with the brand taxonomy?". Per
+  // community c: Q_c = in_c/m − (tot_c/2m)², reported as the EXACT
+  // integer numerator 4·m·in_c − tot_c² over the common denominator 4m²
+  // (one double division at the very end, identical expression both
+  // engines — no floats in any aggregate). Scale shape: brand lookup is
+  // a broadcast join onto the landed edge artifact, degrees are one
+  // partial-agg shuffle over the 2|E| endpoint rows, in/tot collapse to
+  // |brands| rows, and m is a 1-row aggregate broadcast back (q22's
+  // pattern) — nothing ever materializes the pair space. ---
+  val g12Modularity = QueryDef.sql(
+    "g12_modularity",
+    """WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |cp AS (SELECT x.p AS u, y.p AS v, count(*) AS w
+      |  FROM it x JOIN it y ON x.o = y.o AND x.p < y.p GROUP BY 1, 2),
+      |bm AS (SELECT p_partkey AS p, p_brand AS b FROM part),
+      |e AS (SELECT cp.w, bu.b AS bu, bv.b AS bv
+      |  FROM cp JOIN bm bu ON bu.p = cp.u JOIN bm bv ON bv.p = cp.v),
+      |m AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM e),
+      |ends AS (SELECT bu AS b, w FROM e UNION ALL SELECT bv AS b, w FROM e),
+      |tot AS (SELECT b, CAST(sum(w) AS BIGINT) AS tot_w FROM ends GROUP BY b),
+      |inn AS (SELECT bu AS b, CAST(sum(w) AS BIGINT) AS in_w FROM e WHERE bu = bv GROUP BY bu)
+      |SELECT t.b AS brand, coalesce(i.in_w, 0) AS in_w, t.tot_w,
+      |  CAST(4 * m.m * coalesce(i.in_w, 0) - t.tot_w * t.tot_w AS BIGINT) AS q_num,
+      |  CAST(4 * m.m * coalesce(i.in_w, 0) - t.tot_w * t.tot_w AS DOUBLE)
+      |    / CAST(4 * m.m * m.m AS DOUBLE) AS q_contrib
+      |FROM tot t LEFT JOIN inn i ON i.b = t.b, m""".stripMargin) { (s, d) =>
+    val bm = T.part(s, d).select(col("p_partkey").as("p"), col("p_brand").as("b"))
+    val e = coPurchaseWeighted(s, d)
+      .join(broadcast(bm).as("bu"), col("u") === col("bu.p"))
+      .join(broadcast(bm).as("bv"), col("v") === col("bv.p"))
+      .select(col("w"), col("bu.b").as("bu"), col("bv.b").as("bv"))
+    val m = e.agg(sum(col("w")).as("m"))
+    val ends = e.select(col("bu").as("b"), col("w"))
+      .unionByName(e.select(col("bv").as("b"), col("w")))
+    val tot = ends.groupBy(col("b")).agg(sum(col("w")).as("tot_w"))
+    val inn = e.filter(col("bu") === col("bv"))
+      .groupBy(col("bu").as("b")).agg(sum(col("w")).as("in_w"))
+    tot.join(inn, Seq("b"), "left_outer")
+      .crossJoin(broadcast(m))
+      .select(col("b").as("brand"),
+        coalesce(col("in_w"), lit(0L)).as("in_w"), col("tot_w"),
+        (lit(4L) * col("m") * coalesce(col("in_w"), lit(0L))
+          - col("tot_w") * col("tot_w")).as("q_num"),
+        ((lit(4L) * col("m") * coalesce(col("in_w"), lit(0L))
+          - col("tot_w") * col("tot_w")).cast("double")
+          / (lit(4L) * col("m") * col("m")).cast("double")).as("q_contrib"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     g1Pagerank, g2TriangleCount, g3LabelProp, g4ShortestPath, g5Assortativity,
     g6LinkPredict, g7NeighborhoodJaccard, g8KCore, g9PersonalizedPr, g10Hits,
-    g11CheapestPath)
+    g11CheapestPath, g12Modularity)
 }

@@ -465,9 +465,40 @@ object TextDedup {
         col("ca.cnt").as("n_a"), col("cb.cnt").as("n_b"))
   }
 
+  // --- t31_dup_ngram_coverage: per-document duplication EXPOSURE — the
+  // fraction of a doc's distinct word-3-gram shingles that also occur in
+  // at least one other document (the Lee-et-al-style near-verbatim
+  // overlap measure; d1..d3 decide KEEP/DROP, this reports HOW MUCH of
+  // each kept doc is boilerplate shared with the rest of the corpus —
+  // the per-doc memorization-risk score a filtering pipeline thresholds
+  // on). Scale shape: shingles are hashed to 8-byte longs BEFORE any
+  // shuffle (d3's discipline; equality classes ≡ the oracle's strings,
+  // ~2^-64 collision caveat), document frequency is one partial-agg
+  // shuffle on the shingle, the join back is shingle-partitioned, and
+  // the final per-doc rollup partial-aggregates on doc_id — three
+  // bounded shuffles, no self-join, no pair space anywhere. ---
+  val t31DupNgramCoverage = QueryDef.sql(
+    "t31_dup_ngram_coverage",
+    s"""WITH $sqlShingles,
+       |df AS (SELECT s, count(*) AS c FROM sh GROUP BY s)
+       |SELECT sh.doc_id, count(*) AS n_shingles,
+       |  CAST(sum(CASE WHEN df.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       |  CAST(sum(CASE WHEN df.c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_coverage
+       |FROM sh JOIN df ON df.s = sh.s
+       |GROUP BY sh.doc_id""".stripMargin) { (s, d) =>
+    val sh = shingleRows(s, d).select(col("doc_id"), xxhash64(col("s")).as("s"))
+    val df = sh.groupBy(col("s")).agg(count(lit(1)).as("c"))
+    sh.join(df, Seq("s"))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_shared"),
+        (sum(when(col("c") > 1, 1L).otherwise(0L)).cast("double") / count(lit(1)))
+          .as("dup_coverage"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     t1TokenStats, t2QualityScore, t3LangId, t4Fingerprint, t5Profile,
     t6HashSample, t7StratifiedSample,
     d1ExactDedup, d2NgramJaccard, d3MinhashLsh, d4Simhash, d6DedupClusters,
-    d11ClusterSurvivor, d12FuzzyNameMatch, t13RebalanceMix)
+    d11ClusterSurvivor, d12FuzzyNameMatch, t13RebalanceMix, t31DupNgramCoverage)
 }

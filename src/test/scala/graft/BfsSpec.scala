@@ -37,4 +37,33 @@ class BfsSpec extends SparkSpec {
     val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
     assert(bfs(sq, Seq(1L), 4) === Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
   }
+
+  private def sssp(
+      edges: Seq[(Long, Long, Long)], seeds: Seq[Long], rounds: Int): Map[Long, Long] = {
+    val stage = java.nio.file.Files.createTempDirectory("sssp-spec").toString
+    val undirected = edges ++ edges.map { case (u, v, c) => (v, u, c) }
+    Bfs.weightedDistances(
+        undirected.toDF("u", "v", "cost"), seeds.toDF("id"), rounds, stage)
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("weighted: a longer-but-cheaper path beats the direct edge") {
+    // 1→3 costs 10 direct, but 1→2→3 costs 2+3=5; needs 2 relaxations
+    val g = Seq((1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 3L))
+    assert(sssp(g, Seq(1L), 2) === Map(1L -> 0, 2L -> 2, 3L -> 5))
+  }
+
+  test("weighted: a settled node improves in a later round (Bellman-Ford)") {
+    // chain 1-2-3-4 with cost 1 each vs direct 1→4 cost 10: round 1
+    // labels 4 at 10, round 3 improves it to 3
+    val g = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (1L, 4L, 10L))
+    assert(sssp(g, Seq(1L), 1)(4L) === 10L)
+    assert(sssp(g, Seq(1L), 3)(4L) === 3L)
+  }
+
+  test("weighted multi-source takes the cheapest seed, depth-bounded") {
+    val g = Seq((1L, 2L, 5L), (5L, 4L, 1L), (4L, 3L, 1L), (3L, 2L, 1L))
+    // seeds {1, 5}: node 2 costs 5 via seed 1 but 3 via 5→4→3→2
+    assert(sssp(g, Seq(1L, 5L), 3)(2L) === 3L)
+  }
 }
