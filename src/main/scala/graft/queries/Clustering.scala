@@ -452,6 +452,77 @@ object Clustering {
         col("score").cast("double").as("score"))
   }
 
+  // --- c4_decision_stump: exact-Gini best-split search — the depth-1
+  // decision tree (the unit every boosted-tree trainer iterates), here
+  // predicting lang='en' from n_chars. Candidate thresholds are an
+  // equi-width grid t_k = mn + ⌊(mx−mn)·k/10⌋ from a 1-row min/max
+  // aggregate broadcast back (a20's pattern — the standard large-data
+  // stump recipe: grid candidates, one sufficient-statistics pass, no
+  // per-candidate scan). The Spark side computes all 9 candidates'
+  // (n_left, pos_left) in ONE partial-aggregated pass (36 conditional
+  // sums) and unpivots; the oracle affords the 9× grouped re-scan. All
+  // counts are exact integers; only the final weighted-Gini expression
+  // runs in double, identical shape both engines. Output: the full
+  // 9-candidate table with is_best marked via a 1-row min broadcast
+  // (q22's pattern — never a global window). ---
+  val c4DecisionStump = QueryDef.sql(
+    "c4_decision_stump",
+    """WITH b AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx, count(*) AS n,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS npos
+      |  FROM documents),
+      |cand AS (SELECT unnest(range(1, 10)) AS kk),
+      |thr AS (SELECT kk, b.mn + ((b.mx - b.mn) * kk) // 10 AS t FROM cand, b),
+      |st AS (SELECT thr.kk, thr.t,
+      |    CAST(sum(CASE WHEN d.n_chars <= thr.t THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+      |    CAST(sum(CASE WHEN d.n_chars <= thr.t AND d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nlp
+      |  FROM documents d, thr GROUP BY thr.kk, thr.t),
+      |g AS (SELECT kk, t, nl, nlp, b.n - nl AS nr, b.npos - nlp AS nrp,
+      |    ((nl - (nlp * nlp + (nl - nlp) * (nl - nlp)) / CAST(nl AS DOUBLE))
+      |   + ((b.n - nl) - (((b.npos - nlp) * (b.npos - nlp)
+      |        + ((b.n - nl) - (b.npos - nlp)) * ((b.n - nl) - (b.npos - nlp)))
+      |       / CAST(b.n - nl AS DOUBLE)))) / CAST(b.n AS DOUBLE) AS gini
+      |  FROM st, b),
+      |mg AS (SELECT min(gini) AS mng FROM g)
+      |SELECT kk, t AS threshold, nl AS n_left, nlp AS pos_left,
+      |  nr AS n_right, nrp AS pos_right, gini, g.gini = mg.mng AS is_best
+      |FROM g, mg""".stripMargin) { (s, d) =>
+    val docs = T.documents(s, d).select(col("n_chars"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    val b = docs.agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"),
+      count(lit(1)).as("n"), sum(col("pos")).as("npos"))
+    // one pass, 9 candidates × (count, pos-count) conditional sums; the
+    // thresholds ride along as first() so the unpivot can emit them
+    val withB = docs.crossJoin(broadcast(b))
+    val aggs = (1 to 9).flatMap { k =>
+      val t = expr(s"mn + ((mx - mn) * $k) div 10")
+      Seq(
+        first(t).as(s"t_$k"),
+        sum(when(col("n_chars") <= t, 1L).otherwise(0L)).as(s"nl_$k"),
+        sum(when(col("n_chars") <= t, col("pos")).otherwise(0L)).as(s"nlp_$k"),
+        first(col("n")).as(s"n_$k"), first(col("npos")).as(s"npos_$k"))
+    }
+    val one = withB.agg(aggs.head, aggs.tail: _*)
+    val entries = (1 to 9).map { k =>
+      struct(lit(k.toLong).as("kk"), col(s"t_$k").as("t"),
+        col(s"nl_$k").as("nl"), col(s"nlp_$k").as("nlp"),
+        col(s"n_$k").as("n"), col(s"npos_$k").as("npos"))
+    }
+    val st = one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+    val nr = col("n") - col("nl")
+    val nrp = col("npos") - col("nlp")
+    val g = st.select(col("kk"), col("t"), col("nl"), col("nlp"),
+      nr.as("nr"), nrp.as("nrp"),
+      (((col("nl") - (col("nlp") * col("nlp")
+          + (col("nl") - col("nlp")) * (col("nl") - col("nlp"))) / col("nl").cast("double"))
+        + (nr - ((nrp * nrp + (nr - nrp) * (nr - nrp)) / nr.cast("double"))))
+        / col("n").cast("double")).as("gini"))
+    val mg = g.agg(min(col("gini")).as("mng"))
+    g.crossJoin(broadcast(mg))
+      .select(col("kk"), col("t").as("threshold"), col("nl").as("n_left"),
+        col("nlp").as("pos_left"), col("nr").as("n_right"), col("nrp").as("pos_right"),
+        col("gini"), (col("gini") === col("mng")).as("is_best"))
+  }
+
   val all: Seq[QueryDef] = Seq(c1Kmeans, c2Silhouette, d7SemanticDedup, v7NearestCentroid,
-    c3NaiveBayes)
+    c3NaiveBayes, c4DecisionStump)
 }

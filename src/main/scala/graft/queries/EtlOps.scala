@@ -560,6 +560,80 @@ object EtlOps {
       .withColumn("canonical", col("entity_id") === col("p_partkey"))
   }
 
+  // --- er4_golden_record: SURVIVORSHIP — the step after er1's clusters
+  // that makes entity resolution useful: one merged "golden" row per
+  // entity, each field resolved by its own rule (canonical name = the
+  // canonical member's, brand = most frequent with deterministic
+  // smallest-brand tie-break, price = min/max envelope). Shape at
+  // scale: the cluster labels join back to the record attributes once,
+  // then everything is per-entity partial aggregates plus one window
+  // PARTITIONED BY entity for the mode — thousands of small partitions,
+  // never global. Exactness: counts and decimal prices; doubles only in
+  // the final cast. ---
+  val er4GoldenRecord = QueryDef.sql(
+    "er4_golden_record",
+    """WITH RECURSIVE g AS (SELECT DISTINCT p_partkey AS k, q FROM (
+      |    SELECT p_partkey, unnest([substr(p_name, i, 3) for i in range(1, len(p_name) - 1)]) AS q
+      |    FROM part WHERE p_partkey %% 23 = 0 AND len(p_name) >= 3) t),
+      |sz AS (SELECT k, count(*) AS c FROM g GROUP BY k),
+      |pr AS (SELECT a.k AS ka, b.k AS kb, count(*) AS i
+      |       FROM g a JOIN g b ON a.q = b.q AND a.k < b.k GROUP BY a.k, b.k),
+      |ed0 AS (SELECT ka, kb FROM pr JOIN sz sa ON sa.k = pr.ka JOIN sz sb ON sb.k = pr.kb
+      |        WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.6),
+      |edges AS (SELECT ka AS a, kb AS b FROM ed0 UNION SELECT kb, ka FROM ed0),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges),
+      |reach(a, b) AS (SELECT id, id FROM nodes
+      |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |lbl AS (SELECT a AS k, min(b) AS cid FROM reach GROUP BY a),
+      |ent AS (SELECT p.p_partkey AS k, coalesce(l.cid, p.p_partkey) AS entity_id,
+      |    p.p_name, p.p_brand, CAST(p.p_retailprice AS DECIMAL(12,2)) AS price
+      |  FROM part p LEFT JOIN lbl l ON l.k = p.p_partkey WHERE p.p_partkey %% 23 = 0),
+      |agg AS (SELECT entity_id, count(*) AS n_members,
+      |    CAST(min(price) AS DOUBLE) AS min_price, CAST(max(price) AS DOUBLE) AS max_price
+      |  FROM ent GROUP BY entity_id),
+      |bc AS (SELECT entity_id, p_brand, count(*) AS c FROM ent GROUP BY entity_id, p_brand),
+      |bmode AS (SELECT entity_id, p_brand AS brand_mode FROM (
+      |    SELECT entity_id, p_brand,
+      |      row_number() OVER (PARTITION BY entity_id ORDER BY c DESC, p_brand) AS rn
+      |    FROM bc) t WHERE rn = 1),
+      |can AS (SELECT entity_id, p_name AS canonical_name FROM ent WHERE k = entity_id)
+      |SELECT a.entity_id, can.canonical_name, bmode.brand_mode, a.n_members,
+      |  a.min_price, a.max_price
+      |FROM agg a JOIN can USING (entity_id) JOIN bmode USING (entity_id)""".stripMargin
+      .replace("%%", "%")) { (s, d) =>
+    val sub = T.part(s, d).filter(col("p_partkey") % 23 === 0)
+    val pairs = FuzzyJoin.qgramJoin(
+      sub, "p_partkey", "p_name", sub, "p_partkey", "p_name", n = 3, threshold = 0.6)
+      .filter(col("ka") < col("kb"))
+    val stage = java.nio.file.Files.createTempDirectory("er4-edges").toString
+    pairs.select(col("ka").as("a"), col("kb").as("b"))
+      .write.mode("overwrite").parquet(stage)
+    val cc = graft.operators.Components.connectedComponents(
+      s.read.parquet(stage), restageEvery = 1, stagePath = Some(s"$stage/labels"))
+    val ent = sub
+      .join(cc.select(col("id").as("p_partkey"), col("cluster_id")),
+        Seq("p_partkey"), "left_outer")
+      .select(col("p_partkey").as("k"),
+        coalesce(col("cluster_id"), col("p_partkey")).as("entity_id"),
+        col("p_name"), col("p_brand"),
+        col("p_retailprice").cast("decimal(12,2)").as("price"))
+    val agg = ent.groupBy(col("entity_id")).agg(
+      count(lit(1)).as("n_members"),
+      min(col("price")).cast("double").as("min_price"),
+      max(col("price")).cast("double").as("max_price"))
+    val bc = ent.groupBy(col("entity_id"), col("p_brand")).agg(count(lit(1)).as("c"))
+    val wMode = Window.partitionBy(col("entity_id"))
+      .orderBy(col("c").desc, col("p_brand"))
+    val bmode = bc.withColumn("rn", row_number().over(wMode))
+      .filter(col("rn") === 1)
+      .select(col("entity_id"), col("p_brand").as("brand_mode"))
+    val can = ent.filter(col("k") === col("entity_id"))
+      .select(col("entity_id"), col("p_name").as("canonical_name"))
+    agg.join(can, Seq("entity_id")).join(bmode, Seq("entity_id"))
+      .select(col("entity_id"), col("canonical_name"), col("brand_mode"),
+        col("n_members"), col("min_price"), col("max_price"))
+  }
+
   // --- er2_blocking_audit: measures the BLOCKER, not the matches — the
   // two numbers every entity-resolution pipeline must report before
   // anyone trusts its clusters: reduction ratio (what fraction of the
@@ -1275,7 +1349,7 @@ object EtlOps {
     p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff,
     j4RangeJoin, j5IntervalOverlap, j6FuzzyMatch, j7EditDistance, j8AutoRangeJoin,
     j9SaltedJoin, j10GeoJoin, j11PitFeatures,
-    er1EntityClusters, er2BlockingAudit, er3LinkageScore,
+    er1EntityClusters, er2BlockingAudit, er3LinkageScore, er4GoldenRecord,
     k11PartitionedPrune, k12TimeTravel, k13SchemaEvolution,
     k14BucketedJoin, k15CdcApply, k16CompactionGate, k17IvmJoin,
     k18FormatRoundtrip, k19ForgetKeys, k20AtomicPublish, k21DynamicOverwrite,

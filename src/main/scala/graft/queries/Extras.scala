@@ -1110,6 +1110,41 @@ object Extras {
         sum(col("price")).cast("decimal(28,2)").cast("double").as("revenue"))
   }
 
+  // --- a40_dow_seasonality: day-of-week seasonal indices for the daily
+  // purchase-revenue series (idx = dow daily mean / overall daily mean)
+  // — the decomposition a37's changepoint and e6's anomaly flags both
+  // assume away. Events first collapse to the DAY DIMENSION (one
+  // partial-agg shuffle, a37's shape), the 7 dow rows collapse from
+  // days, and the overall mean is a 1-row aggregate broadcast back —
+  // only the final two ratios run in double, identical expression both
+  // engines. Spark's weekday() (Mon=0) + 1 ≡ DuckDB's isodow. ---
+  val a40DowSeasonality = QueryDef.sql(
+    "a40_dow_seasonality",
+    """WITH p AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+      |    CAST(value AS DECIMAL(10,2)) AS v
+      |  FROM events WHERE event_type = 'purchase'),
+      |day AS (SELECT d, CAST(sum(v) AS DECIMAL(18,2)) AS rev FROM p GROUP BY d),
+      |dw AS (SELECT isodow(d) AS dow, count(*) AS n_days,
+      |    CAST(sum(rev) AS DECIMAL(28,2)) AS rev FROM day GROUP BY 1),
+      |tot AS (SELECT CAST(sum(rev) AS DECIMAL(28,2)) AS trev,
+      |    CAST(sum(n_days) AS BIGINT) AS tdays FROM dw)
+      |SELECT CAST(dow AS BIGINT) AS dow, n_days, CAST(rev AS DOUBLE) AS revenue,
+      |  (CAST(rev AS DOUBLE) / n_days) / (CAST(trev AS DOUBLE) / tdays) AS seasonal_idx
+      |FROM dw, tot""".stripMargin) { (s, d) =>
+    val day = T.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts")).cast("date").as("d"))
+      .agg(sum(col("value").cast("decimal(10,2)")).cast("decimal(18,2)").as("rev"))
+    val dw = day.groupBy((expr("weekday(d)") + 1).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("rev")).cast("decimal(28,2)").as("rev"))
+    val tot = dw.agg(sum(col("rev")).cast("decimal(28,2)").as("trev"),
+      sum(col("n_days")).as("tdays"))
+    dw.crossJoin(broadcast(tot))
+      .select(col("dow"), col("n_days"), col("rev").cast("double").as("revenue"),
+        ((col("rev").cast("double") / col("n_days"))
+          / (col("trev").cast("double") / col("tdays"))).as("seasonal_idx"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
     a16WindowSuite, a17ScalarSuite, a18DateSuite, a19GroupingSets,
@@ -1119,5 +1154,6 @@ object Extras {
     a24ParetoFront, a25WeightedMedian, a26GroupMode, a27ExactCorr,
     a28LinregTrend, a29TimeRangeWindow, a30PercentileCont, a31Interpolate,
     a32Unpivot, a33Ewma, a34HeavyHitters, a35Listagg, a36StableIds,
-    sql7WindowClause, a37Changepoint, a38AbTest, a39DecileBinning)
+    sql7WindowClause, a37Changepoint, a38AbTest, a39DecileBinning,
+    a40DowSeasonality)
 }
