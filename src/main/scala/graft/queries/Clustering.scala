@@ -465,6 +465,41 @@ object Clustering {
   // runs in double, identical shape both engines. Output: the full
   // 9-candidate table with is_best marked via a 1-row min broadcast
   // (q22's pattern — never a global window). ---
+  /** Depth-1 exact-Gini split search over `data` (columns: `x` LONG
+    * feature, `pos` LONG 0/1 label): the 9 equi-width candidate
+    * thresholds t_k = mn + ⌊(mx−mn)·k/10⌋ with their exact
+    * (n_left, pos_left, n_right, pos_right) counts and double weighted
+    * Gini — one broadcast min/max + ONE sufficient-statistics pass.
+    * Returned columns: kk, t, nl, nlp, nr, nrp, gini. */
+  private[graft] def giniStump(data: DataFrame): DataFrame = {
+    val b = data.agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
+      count(lit(1)).as("n"), sum(col("pos")).as("npos"))
+    val withB = data.crossJoin(broadcast(b))
+    val aggs = (1 to 9).flatMap { k =>
+      val t = expr(s"mn + ((mx - mn) * $k) div 10")
+      Seq(
+        first(t).as(s"t_$k"),
+        sum(when(col("x") <= t, 1L).otherwise(0L)).as(s"nl_$k"),
+        sum(when(col("x") <= t, col("pos")).otherwise(0L)).as(s"nlp_$k"),
+        first(col("n")).as(s"n_$k"), first(col("npos")).as(s"npos_$k"))
+    }
+    val one = withB.agg(aggs.head, aggs.tail: _*)
+    val entries = (1 to 9).map { k =>
+      struct(lit(k.toLong).as("kk"), col(s"t_$k").as("t"),
+        col(s"nl_$k").as("nl"), col(s"nlp_$k").as("nlp"),
+        col(s"n_$k").as("n"), col(s"npos_$k").as("npos"))
+    }
+    val st = one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
+    val nr = col("n") - col("nl")
+    val nrp = col("npos") - col("nlp")
+    st.select(col("kk"), col("t"), col("nl"), col("nlp"),
+      nr.as("nr"), nrp.as("nrp"),
+      (((col("nl") - (col("nlp") * col("nlp")
+          + (col("nl") - col("nlp")) * (col("nl") - col("nlp"))) / col("nl").cast("double"))
+        + (nr - ((nrp * nrp + (nr - nrp) * (nr - nrp)) / nr.cast("double"))))
+        / col("n").cast("double")).as("gini"))
+  }
+
   val c4DecisionStump = QueryDef.sql(
     "c4_decision_stump",
     """WITH b AS (SELECT min(n_chars) AS mn, max(n_chars) AS mx, count(*) AS n,
@@ -486,36 +521,9 @@ object Clustering {
       |SELECT kk, t AS threshold, nl AS n_left, nlp AS pos_left,
       |  nr AS n_right, nrp AS pos_right, gini, g.gini = mg.mng AS is_best
       |FROM g, mg""".stripMargin) { (s, d) =>
-    val docs = T.documents(s, d).select(col("n_chars"),
+    val docs = T.documents(s, d).select(col("n_chars").as("x"),
       when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
-    val b = docs.agg(min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx"),
-      count(lit(1)).as("n"), sum(col("pos")).as("npos"))
-    // one pass, 9 candidates × (count, pos-count) conditional sums; the
-    // thresholds ride along as first() so the unpivot can emit them
-    val withB = docs.crossJoin(broadcast(b))
-    val aggs = (1 to 9).flatMap { k =>
-      val t = expr(s"mn + ((mx - mn) * $k) div 10")
-      Seq(
-        first(t).as(s"t_$k"),
-        sum(when(col("n_chars") <= t, 1L).otherwise(0L)).as(s"nl_$k"),
-        sum(when(col("n_chars") <= t, col("pos")).otherwise(0L)).as(s"nlp_$k"),
-        first(col("n")).as(s"n_$k"), first(col("npos")).as(s"npos_$k"))
-    }
-    val one = withB.agg(aggs.head, aggs.tail: _*)
-    val entries = (1 to 9).map { k =>
-      struct(lit(k.toLong).as("kk"), col(s"t_$k").as("t"),
-        col(s"nl_$k").as("nl"), col(s"nlp_$k").as("nlp"),
-        col(s"n_$k").as("n"), col(s"npos_$k").as("npos"))
-    }
-    val st = one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
-    val nr = col("n") - col("nl")
-    val nrp = col("npos") - col("nlp")
-    val g = st.select(col("kk"), col("t"), col("nl"), col("nlp"),
-      nr.as("nr"), nrp.as("nrp"),
-      (((col("nl") - (col("nlp") * col("nlp")
-          + (col("nl") - col("nlp")) * (col("nl") - col("nlp"))) / col("nl").cast("double"))
-        + (nr - ((nrp * nrp + (nr - nrp) * (nr - nrp)) / nr.cast("double"))))
-        / col("n").cast("double")).as("gini"))
+    val g = giniStump(docs)
     val mg = g.agg(min(col("gini")).as("mng"))
     g.crossJoin(broadcast(mg))
       .select(col("kk"), col("t").as("threshold"), col("nl").as("n_left"),
