@@ -1145,6 +1145,28 @@ object Extras {
           / (col("trev").cast("double") / col("tdays"))).as("seasonal_idx"))
   }
 
+  // --- sql8_setops_all: MULTISET set operations in the shared dialect
+  // — INTERSECT ALL / EXCEPT ALL (bag semantics: occurrence counts
+  // min/subtract instead of collapsing, the cell of the set-op matrix
+  // a8's distinct INTERSECT leaves open), one text parsed and executed
+  // by both engines. Spark plans both as a single hash shuffle on the
+  // key with counter columns — no pair blowup, partial-agg friendly. ---
+  private val sql8Text =
+    """SELECT 'intersect_all' AS op, l_partkey FROM (
+      |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+      |  INTERSECT ALL
+      |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A') t
+      |UNION ALL
+      |SELECT 'except_all' AS op, l_partkey FROM (
+      |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+      |  EXCEPT ALL
+      |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A') u""".stripMargin
+
+  val sql8SetopsAll = QueryDef.sql("sql8_setops_all", sql8Text) { (s, d) =>
+    T.lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(sql8Text)
+  }
+
   val all: Seq[QueryDef] = Seq(
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
     a16WindowSuite, a17ScalarSuite, a18DateSuite, a19GroupingSets,
@@ -1155,5 +1177,5 @@ object Extras {
     a28LinregTrend, a29TimeRangeWindow, a30PercentileCont, a31Interpolate,
     a32Unpivot, a33Ewma, a34HeavyHitters, a35Listagg, a36StableIds,
     sql7WindowClause, a37Changepoint, a38AbTest, a39DecileBinning,
-    a40DowSeasonality)
+    a40DowSeasonality, sql8SetopsAll)
 }

@@ -20,6 +20,26 @@ object Graphs {
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
     coPurchaseWeighted(s, d).select(col("u"), col("v"))
 
+  /** The undirected (both-directions) weighted mirror, landed ONCE per
+    * dataset beside [[coPurchaseWeighted]]: every traversal consumer
+    * (BFS, SSSP, k-core, Jaccard …) needs edges in both directions, and
+    * re-mirroring + re-staging per query re-pays a full-graph parquet
+    * write each run. A projection on this table replaces each consumer's
+    * private stage. */
+  private[queries] def coPurchaseUndirected(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val stage = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft-copurchase-undir-v1-${Integer.toHexString(d.hashCode)}")
+    val marker = new java.io.File(stage, "_SUCCESS")
+    if (!marker.exists()) {
+      val e0 = coPurchaseWeighted(s, d)
+      e0.unionByName(e0.select(col("v").as("u"), col("u").as("v"), col("w")))
+        .write.mode("overwrite").parquet(stage.toString)
+    }
+    s.read.parquet(stage.toString)
+  }
+
   private[queries] def coPurchaseWeighted(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
     val stage = new java.io.File(
@@ -203,13 +223,11 @@ object Graphs {
        |${sqlBfsRound("r1", 2)},
        |${sqlBfsRound("r2", 3)}
        |SELECT id AS part_id, dist FROM r3""".stripMargin) { (s, d) =>
-    val e0 = coPurchaseEdges(s, d)
-    // mirror once to a per-run stage: BFS rounds must not re-execute
-    // even the cheap union lineage (Components' discipline)
+    // the landed undirected mirror: BFS rounds must not re-execute even
+    // the cheap union lineage (Components' discipline), and the mirror
+    // write itself is paid once per dataset, not per run
+    val edges = coPurchaseUndirected(s, d).select(col("u"), col("v"))
     val stage = java.nio.file.Files.createTempDirectory("g4-bfs").toString
-    e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
-      .write.mode("overwrite").parquet(s"$stage/edges")
-    val edges = s.read.parquet(s"$stage/edges")
     val seeds = T.lineitem(s, d).select(col("l_partkey").as("p")).distinct()
       .filter(col("p") % 97 === 0).select(col("p").as("id"))
     graft.operators.Bfs.distances(edges, seeds, rounds = 3, s"$stage/labels")
@@ -242,8 +260,7 @@ object Graphs {
       |    (sqrt(CAST(n_dir_edges AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
       |     sqrt(CAST(n_dir_edges AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS assortativity
       |FROM s""".stripMargin) { (s, d) =>
-    val e0 = coPurchaseEdges(s, d)
-    val edges = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+    val edges = coPurchaseUndirected(s, d).select(col("u"), col("v"))
     val deg = edges.groupBy(col("u").as("nid")).agg(count(lit(1)).as("dg"))
     val p = edges
       .join(broadcast(deg.select(col("nid").as("u"), col("dg").as("dx"))), Seq("u"))
@@ -285,8 +302,7 @@ object Graphs {
       |      ORDER BY common_nbrs DESC, cand) AS rank
       |  FROM new_links) t
       |WHERE rank <= 5""".stripMargin) { (s, d) =>
-    val e0 = coPurchaseEdges(s, d)
-    val edges = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+    val edges = coPurchaseUndirected(s, d).select(col("u"), col("v"))
     val se = edges.filter(col("u") % 97 === 0)
       .select(col("u").as("seed"), col("v").as("nbr"))
     val cand = se.join(edges.select(col("u").as("nbr"), col("v").as("cand")), Seq("nbr"))
@@ -336,8 +352,7 @@ object Graphs {
       |      ORDER BY jaccard DESC, cand) AS rank
       |  FROM j) t
       |WHERE rank <= 5""".stripMargin) { (s, d) =>
-    val e0 = coPurchaseEdges(s, d)
-    val edges = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+    val edges = coPurchaseUndirected(s, d).select(col("u"), col("v"))
     val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     val se = edges.filter(col("u") % 97 === 0)
       .select(col("u").as("seed"), col("v").as("nbr"))
@@ -504,12 +519,11 @@ object Graphs {
        |${sqlRelaxRound("r1", 2)},
        |${sqlRelaxRound("r2", 3)}
        |SELECT id AS part_id, dist AS cost FROM r3""".stripMargin) { (s, d) =>
-    val e0 = coPurchaseWeighted(s, d)
+    // cost is a projection over the LANDED undirected mirror — no
+    // per-run edge staging; relaxation rounds re-read the artifact
+    val edges = coPurchaseUndirected(s, d)
       .select(col("u"), col("v"), expr("1000000 div w").as("cost"))
     val stage = java.nio.file.Files.createTempDirectory("g11-sssp").toString
-    e0.unionByName(e0.select(col("v").as("u"), col("u").as("v"), col("cost")))
-      .write.mode("overwrite").parquet(s"$stage/edges")
-    val edges = s.read.parquet(s"$stage/edges")
     val seeds = T.lineitem(s, d).select(col("l_partkey").as("p")).distinct()
       .filter(col("p") % 97 === 0).select(col("p").as("id"))
     graft.operators.Bfs.weightedDistances(edges, seeds, rounds = 3, s"$stage/labels")
@@ -568,8 +582,61 @@ object Graphs {
           / (lit(4L) * col("m") * col("m")).cast("double")).as("q_contrib"))
   }
 
+  /** One unrolled SQL walk step: pick per walk the neighbor of `cur`
+    * with the MINIMAL md5(walk:step:neighbor) digest. */
+  private def sqlWalkStep(prev: String, step: Int): String =
+    s"""s$step AS (SELECT walk, v AS cur FROM (
+       |  SELECT w.walk, e.v, row_number() OVER (PARTITION BY w.walk
+       |    ORDER BY md5(CAST(w.walk AS VARCHAR) || ':$step:' || CAST(e.v AS VARCHAR)), e.v) AS rn
+       |  FROM $prev w JOIN edges e ON e.u = w.cur) t WHERE rn = 1)""".stripMargin
+
+  // --- g13_random_walks: node2vec-style graph-walk SAMPLING — the
+  // operator that turns a graph into sequence training data (DeepWalk /
+  // node2vec corpora). The "randomness" is a deterministic lottery:
+  // step k of walk w moves to the neighbor minimizing
+  // md5(walk:step:neighbor) — i.i.d.-uniform-like over the adjacency
+  // list, yet exactly replayable by any engine with md5 (the t6
+  // hash-sampling discipline lifted to sequences; no RNG state, no
+  // seed plumbing, restart-safe by construction). Per step: ONE
+  // frontier⋈edges equi-join + a window PARTITIONED BY WALK over each
+  // candidate adjacency list (millions of tiny partitions at corpus
+  // scale — never global), walks that hit a dead end simply stop
+  // emitting. Output: (walk, step, node) sequence rows, steps 0–3. ---
+  val g13RandomWalks = QueryDef.sql(
+    "g13_random_walks",
+    s"""WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e0 AS (SELECT DISTINCT x.p AS u, y.p AS v FROM it x JOIN it y ON x.o = y.o AND x.p < y.p),
+       |edges AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+       |w0 AS (SELECT DISTINCT p AS walk, p AS cur FROM it WHERE p % 97 = 0),
+       |${sqlWalkStep("w0", 1)},
+       |${sqlWalkStep("s1", 2)},
+       |${sqlWalkStep("s2", 3)}
+       |SELECT walk, 0 AS step, cur AS node FROM w0
+       |UNION ALL SELECT walk, 1, cur FROM s1
+       |UNION ALL SELECT walk, 2, cur FROM s2
+       |UNION ALL SELECT walk, 3, cur FROM s3""".stripMargin) { (s, d) =>
+    val edges = coPurchaseUndirected(s, d).select(col("u"), col("v"))
+    val w0 = T.lineitem(s, d).select(col("l_partkey").as("p")).distinct()
+      .filter(col("p") % 97 === 0)
+      .select(col("p").as("walk"), col("p").as("cur"))
+    def step(prev: org.apache.spark.sql.DataFrame, k: Int) = {
+      val w = Window.partitionBy(col("walk")).orderBy(
+        md5(concat(col("walk").cast("string"), lit(s":$k:"), col("v").cast("string"))),
+        col("v"))
+      prev.join(edges, prev("cur") === edges("u"))
+        .select(col("walk"), col("v"))
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("walk"), col("v").as("cur"))
+    }
+    val s1 = step(w0, 1); val s2 = step(s1, 2); val s3 = step(s2, 3)
+    w0.select(col("walk"), lit(0).as("step"), col("cur").as("node"))
+      .unionByName(s1.select(col("walk"), lit(1).as("step"), col("cur").as("node")))
+      .unionByName(s2.select(col("walk"), lit(2).as("step"), col("cur").as("node")))
+      .unionByName(s3.select(col("walk"), lit(3).as("step"), col("cur").as("node")))
+  }
+
   val all: Seq[QueryDef] = Seq(
     g1Pagerank, g2TriangleCount, g3LabelProp, g4ShortestPath, g5Assortativity,
     g6LinkPredict, g7NeighborhoodJaccard, g8KCore, g9PersonalizedPr, g10Hits,
-    g11CheapestPath, g12Modularity)
+    g11CheapestPath, g12Modularity, g13RandomWalks)
 }

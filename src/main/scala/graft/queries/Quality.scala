@@ -207,6 +207,41 @@ object Quality {
         (coalesce(col("n"), lit(0L)) === 0).as("is_gap"))
   }
 
+  // --- dq6_benford: first-digit (Benford) conformance audit on order
+  // totals — the forensic screen for fabricated or truncated numeric
+  // columns. The leading digit comes from the DECIMAL's string form
+  // (values ≥ 1, no leading zero — engine-identical rendering, no
+  // log10-of-double edge cases); observed counts are one partial-agg
+  // shuffle into ≤9 rows; expected mass n·log10(1+1/d) and each χ²
+  // term (obs−exp)²/exp run in double with identical expression shape
+  // on both engines, n riding a 1-row broadcast. ---
+  val dq6Benford = QueryDef.sql(
+    "dq6_benford",
+    """WITH p AS (SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(14,2)) AS VARCHAR), 1, 1) AS d
+      |  FROM orders WHERE o_totalprice >= 1),
+      |o AS (SELECT d, count(*) AS n_obs FROM p GROUP BY d),
+      |n AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM o)
+      |SELECT o.d AS digit, o.n_obs,
+      |  CAST(n.n AS DOUBLE) * log10(1 + 1.0 / CAST(o.d AS BIGINT)) AS expected,
+      |  (CAST(o.n_obs AS DOUBLE) - CAST(n.n AS DOUBLE) * log10(1 + 1.0 / CAST(o.d AS BIGINT)))
+      |    * (CAST(o.n_obs AS DOUBLE) - CAST(n.n AS DOUBLE) * log10(1 + 1.0 / CAST(o.d AS BIGINT)))
+      |    / (CAST(n.n AS DOUBLE) * log10(1 + 1.0 / CAST(o.d AS BIGINT))) AS chi2_term
+      |FROM o, n""".stripMargin) { (s, d) =>
+    val p = T.orders(s, d).filter(col("o_totalprice") >= 1)
+      .select(substring(col("o_totalprice").cast("decimal(14,2)").cast("string"), 1, 1).as("d"))
+    val o = p.groupBy(col("d")).agg(count(lit(1)).as("n_obs"))
+    val n = o.agg(sum(col("n_obs")).as("n"))
+    o.crossJoin(broadcast(n))
+      .select(col("d").as("digit"), col("n_obs"),
+        (col("n").cast("double") * log10(lit(1) + lit(1.0) / col("d").cast("bigint"))).as("expected"),
+        (((col("n_obs").cast("double")
+            - col("n").cast("double") * log10(lit(1) + lit(1.0) / col("d").cast("bigint")))
+          * (col("n_obs").cast("double")
+            - col("n").cast("double") * log10(lit(1) + lit(1.0) / col("d").cast("bigint"))))
+          / (col("n").cast("double") * log10(lit(1) + lit(1.0) / col("d").cast("bigint"))))
+          .as("chi2_term"))
+  }
+
   val all: Seq[QueryDef] = Seq(dq1Expectations, dq2KAnonymity, dq3RefIntegrity, dq4DriftPsi,
-    dq5Freshness)
+    dq5Freshness, dq6Benford)
 }
