@@ -845,8 +845,43 @@ object Similarity {
       .select(col("qid"), col("cid"), col("hamming"), col("rank"))
   }
 
+  // --- v15_mips: MAXIMUM-INNER-PRODUCT retrieval — the recommender /
+  // reward-model scoring metric the cosine family deliberately
+  // normalizes away (two vectors can tie on cosine yet differ 10× on
+  // dot when norms differ). Exactness is FREE here: the quantized dot
+  // is a BIGINT end to end — no doubles anywhere, rank directly on the
+  // integer (cleaner than v1's cosine, which needs the double norm
+  // division). Brute-force baseline shape: query side broadcast ×
+  // partitioned candidates (v1's contract). The corpus-scale path is
+  // the classic norm-augmentation reduction (append sqrt(M²−|x|²) as
+  // dim 65 ⇒ MIPS becomes cosine NN) feeding v2's multi-table LSH —
+  // machinery already gated there. ---
+  val v15Mips = QueryDef.sql(
+    "v15_mips",
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+       |pr AS (SELECT qid, c.vec_id AS cid, qe, c.embedding AS ce FROM q, embeddings c WHERE c.vec_id <> qid),
+       |u AS (SELECT qid, cid, unnest(qe) AS x, unnest(ce) AS y FROM pr),
+       |dots AS (SELECT qid, cid, CAST(sum($sqlQuantU * $sqlQuantV) AS BIGINT) AS dot
+       |  FROM u GROUP BY qid, cid)
+       |SELECT qid, cid, dot, rank FROM (
+       |  SELECT qid, cid, dot,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS rank
+       |  FROM dots) t
+       |WHERE rank <= 10""".stripMargin) { (s, d) =>
+    val emb = T.embeddings(s, d).withColumn("q", quantize("embedding"))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("q").as("qeq"))
+    val c = emb.select(col("vec_id").as("cid"), col("q").as("ceq"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("cid"))
+    c.crossJoin(broadcast(q)).filter(col("cid") =!= col("qid"))
+      .withColumn("dot", dotQ("qeq", "ceq"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("qid"), col("cid"), col("dot"), col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     v1KnnBruteforce, v2AnnLsh, v3EmbeddingNeardup, v5AnnIvf, v6RandomProjection,
     v8MmrRerank, v9PqCodes, v10PqAdc, v11Sq8Knn, v12AnnRecall, v13Ivfpq,
-    v14BinaryHamming)
+    v14BinaryHamming, v15Mips)
 }
