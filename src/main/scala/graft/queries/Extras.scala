@@ -1167,6 +1167,83 @@ object Extras {
     s.sql(sql8Text)
   }
 
+  // --- a41_mann_whitney: the NONPARAMETRIC two-sample test (Mann-
+  // Whitney U with tie-corrected normal approximation) — a38's Welch t
+  // assumes means matter; U ranks. Exactness: the combined sample
+  // collapses to per-distinct-value variant counts (one partial-agg
+  // shuffle), average ranks for tie groups are kept as DOUBLED
+  // integers (2·cumBefore + c + 1 — no halves), so the rank sum, U,
+  // and the tie term Σ(c³−c) are all exact BIGINTs; only the final
+  // z-score arithmetic runs in double, identical shape both engines.
+  // The cumulative-before count over ascending values uses a36's
+  // two-linear-pass machinery with offsets accumulating GROUP COUNTS
+  // (not rows): range-partition the value groups, per-partition count
+  // sums (k-integers driver exchange), broadcast prefix offsets, one
+  // per-partition running-sum scan — the oracle affords the plain
+  // ordered window. ---
+  val a41MannWhitney = QueryDef.sql(
+    "a41_mann_whitney",
+    """WITH p AS (SELECT user_id % 2 AS variant, CAST(value AS DECIMAL(10,2)) AS v
+      |  FROM events WHERE event_type = 'purchase'),
+      |g AS (SELECT v,
+      |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+      |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      |  FROM p GROUP BY v),
+      |cum AS (SELECT v, c0, c1, c0 + c1 AS c,
+      |    CAST(coalesce(sum(c0 + c1) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+      |  FROM g),
+      |st AS (SELECT CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
+      |    CAST(sum(c1 * (2 * cb + c + 1)) AS BIGINT) AS r1x2,
+      |    CAST(sum(c * c * c - c) AS BIGINT) AS ties
+      |  FROM cum)
+      |SELECT n0, n1, r1x2, ties,
+      |  CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2 AS u1,
+      |  (CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2 - CAST(n0 AS DOUBLE) * n1 / 2)
+      |    / sqrt(CAST(n0 AS DOUBLE) * n1 / 12
+      |        * ((n0 + n1 + 1) - CAST(ties AS DOUBLE) / ((n0 + n1) * (n0 + n1 - 1.0)))) AS z
+      |FROM st""".stripMargin) { (s, d) =>
+    val g = T.events(s, d).filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).as("variant"),
+        col("value").cast("decimal(10,2)").as("v"))
+      .groupBy(col("v")).agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("c1"))
+    val sorted = g.repartitionByRange(32, col("v")).sortWithinPartitions(col("v"))
+    val rdd = sorted.rdd
+    val partSums = rdd
+      .mapPartitionsWithIndex((i, it) =>
+        Iterator((i, it.map(r => r.getLong(1) + r.getLong(2)).sum)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _).dropRight(1)
+    val bc = s.sparkContext.broadcast(offsets)
+    val cum = rdd.mapPartitionsWithIndex { (i, it) =>
+      var cb = bc.value(i)
+      it.map { r =>
+        val c0 = r.getLong(1); val c1 = r.getLong(2)
+        val row = org.apache.spark.sql.Row(c0, c1, c0 + c1, cb)
+        cb += c0 + c1
+        row
+      }
+    }
+    val cumDf = s.createDataFrame(cum, new org.apache.spark.sql.types.StructType()
+      .add("c0", org.apache.spark.sql.types.LongType, nullable = false)
+      .add("c1", org.apache.spark.sql.types.LongType, nullable = false)
+      .add("c", org.apache.spark.sql.types.LongType, nullable = false)
+      .add("cb", org.apache.spark.sql.types.LongType, nullable = false))
+    val st = cumDf.agg(
+      sum(col("c0")).as("n0"), sum(col("c1")).as("n1"),
+      sum(col("c1") * (lit(2L) * col("cb") + col("c") + 1L)).as("r1x2"),
+      sum(col("c") * col("c") * col("c") - col("c")).as("ties"))
+    val u1 = (col("r1x2") - col("n1") * (col("n1") + 1L)).cast("double") / 2
+    st.select(col("n0"), col("n1"), col("r1x2"), col("ties"),
+      u1.as("u1"),
+      ((u1 - col("n0").cast("double") * col("n1") / 2)
+        / sqrt(col("n0").cast("double") * col("n1") / 12
+          * ((col("n0") + col("n1") + 1L) - col("ties").cast("double")
+            / ((col("n0") + col("n1")) * (col("n0") + col("n1") - lit(1.0)))))).as("z"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
     a16WindowSuite, a17ScalarSuite, a18DateSuite, a19GroupingSets,
@@ -1177,5 +1254,5 @@ object Extras {
     a28LinregTrend, a29TimeRangeWindow, a30PercentileCont, a31Interpolate,
     a32Unpivot, a33Ewma, a34HeavyHitters, a35Listagg, a36StableIds,
     sql7WindowClause, a37Changepoint, a38AbTest, a39DecileBinning,
-    a40DowSeasonality, sql8SetopsAll)
+    a40DowSeasonality, sql8SetopsAll, a41MannWhitney)
 }

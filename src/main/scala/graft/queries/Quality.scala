@@ -242,6 +242,80 @@ object Quality {
           .as("chi2_term"))
   }
 
+  // --- dq7_outlier_iqr: Tukey-fence outlier audit per event type — the
+  // robust complement of e6's z-score flags (quartiles don't move when
+  // the outliers do). Q1/Q3 are EXACT interpolated order statistics via
+  // a30's machinery (per-group partitioned rank windows + straddling-
+  // rank joins — never a global sort); the per-type fences broadcast
+  // back onto one counting pass. Identical double interpolation/fence
+  // expressions both engines; counts exact. ---
+  val dq7OutlierIqr = QueryDef.sql(
+    "dq7_outlier_iqr",
+    """WITH s AS (SELECT event_type, CAST(value AS DOUBLE) AS v, event_id,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY CAST(value AS DOUBLE), event_id) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events),
+      |p AS (SELECT unnest([0.25, 0.75]) AS pct),
+      |g AS (SELECT DISTINCT event_type, n FROM s),
+      |pick AS (SELECT g.event_type, p.pct,
+      |    (CAST(g.n AS DOUBLE) - 1.0) * p.pct AS r,
+      |    CAST(floor((CAST(g.n AS DOUBLE) - 1.0) * p.pct) AS BIGINT) + 1 AS lorn,
+      |    least(CAST(floor((CAST(g.n AS DOUBLE) - 1.0) * p.pct) AS BIGINT) + 2, g.n) AS hirn
+      |  FROM g, p),
+      |q AS (SELECT k.event_type, k.pct,
+      |    vlo.v + (k.r - floor(k.r)) * (vhi.v - vlo.v) AS pctl
+      |  FROM pick k
+      |  JOIN s vlo ON vlo.event_type = k.event_type AND vlo.rn = k.lorn
+      |  JOIN s vhi ON vhi.event_type = k.event_type AND vhi.rn = k.hirn),
+      |f AS (SELECT event_type,
+      |    max(CASE WHEN pct = 0.25 THEN pctl END) AS q1,
+      |    max(CASE WHEN pct = 0.75 THEN pctl END) AS q3
+      |  FROM q GROUP BY event_type),
+      |fe AS (SELECT event_type, q1, q3,
+      |    q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM f)
+      |SELECT s.event_type, count(*) AS n, fe.q1, fe.q3,
+      |  CAST(sum(CASE WHEN s.v < fe.lo OR s.v > fe.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  CAST(sum(CASE WHEN s.v < fe.lo OR s.v > fe.hi THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*) AS outlier_rate
+      |FROM s JOIN fe ON fe.event_type = s.event_type
+      |GROUP BY s.event_type, fe.q1, fe.q3""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("v"), col("event_id"))
+    val wN = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
+    val ranked = T.events(s, d)
+      .select(col("event_type"), col("value").cast("double").as("v"), col("event_id"))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(wN))
+    val pick = ranked.select(col("event_type"), col("n")).distinct()
+      .crossJoin(broadcast(Seq(0.25, 0.75).toDF("pct")))
+      .withColumn("r", (col("n").cast("double") - lit(1.0)) * col("pct"))
+      .withColumn("lorn", floor(col("r")).cast("long") + 1)
+      .withColumn("hirn", least(floor(col("r")).cast("long") + 2, col("n")))
+    val vlo = ranked.select(col("event_type").as("et1"), col("rn").as("rn1"), col("v").as("v1"))
+    val vhi = ranked.select(col("event_type").as("et2"), col("rn").as("rn2"), col("v").as("v2"))
+    val q = pick
+      .join(vlo, col("event_type") === col("et1") && col("lorn") === col("rn1"))
+      .join(vhi, col("event_type") === col("et2") && col("hirn") === col("rn2"))
+      .select(col("event_type"), col("pct"),
+        (col("v1") + (col("r") - floor(col("r"))) * (col("v2") - col("v1"))).as("pctl"))
+    val f = q.groupBy(col("event_type")).agg(
+      max(when(col("pct") === 0.25, col("pctl"))).as("q1"),
+      max(when(col("pct") === 0.75, col("pctl"))).as("q3"))
+    val fe = f.select(col("event_type").as("fet"), col("q1"), col("q3"),
+      (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lo"),
+      (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi"))
+    ranked.join(broadcast(fe), col("event_type") === col("fet"))
+      .groupBy(col("event_type"), col("q1"), col("q3"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v") < col("lo") || col("v") > col("hi"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        (sum(when(col("v") < col("lo") || col("v") > col("hi"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1))).as("outlier_rate"))
+      .select(col("event_type"), col("n"), col("q1"), col("q3"),
+        col("n_outliers"), col("outlier_rate"))
+  }
+
   val all: Seq[QueryDef] = Seq(dq1Expectations, dq2KAnonymity, dq3RefIntegrity, dq4DriftPsi,
-    dq5Freshness, dq6Benford)
+    dq5Freshness, dq6Benford, dq7OutlierIqr)
 }
