@@ -1077,6 +1077,58 @@ object TrainPrep {
           .as("loo_smooth"))
   }
 
+  // --- t32_bigram_logprob: bigram language-model scoring — the
+  // perplexity-style quality filter (CCNet's recipe) t11's unigram
+  // model can't express: P(w2|w1) with add-one smoothing over the
+  // continuation vocabulary, trained on the 80% doc split and scoring
+  // the held-out 20% per document. Exactness: every ln() term is
+  // quantized to DECIMAL(10,6) BEFORE the per-doc sum (t11/c3's
+  // discipline — decimal addition is order-independent where double
+  // addition is not), so the gate hashes bit-for-bit. Scale shape:
+  // training counts are two partial-aggregated shuffles ((w1,w2) then
+  // w1), the vocabulary size is a 1-row broadcast, and the test side
+  // joins the count tables on their natural keys — per-token work,
+  // no per-doc state, no windows. ---
+  val t32BigramLogprob = QueryDef.sql(
+    "t32_bigram_logprob",
+    s"""WITH bg AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+       |  FROM (SELECT doc_id, $sqlToks AS t FROM documents) toks,
+       |  LATERAL (SELECT unnest(range(1, len(t))) AS i) r),
+       |trbg AS (SELECT w1, w2, count(*) AS c12 FROM bg WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+       |tru AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM trbg GROUP BY w1),
+       |voc AS (SELECT count(DISTINCT w2) AS vv FROM trbg),
+       |te AS (SELECT doc_id, w1, w2 FROM bg WHERE doc_id % 5 = 0),
+       |terms AS (SELECT te.doc_id,
+       |    CAST(ln((CAST(coalesce(tb.c12, 0) AS DOUBLE) + 1) / (coalesce(tu.c1, 0) + voc.vv))
+       |      AS DECIMAL(10,6)) AS l
+       |  FROM te LEFT JOIN trbg tb ON tb.w1 = te.w1 AND tb.w2 = te.w2
+       |       LEFT JOIN tru tu ON tu.w1 = te.w1, voc)
+       |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(l) AS DOUBLE) AS logprob,
+       |  CAST(sum(l) AS DOUBLE) / count(*) AS avg_logprob
+       |FROM terms GROUP BY doc_id""".stripMargin) { (s, d) =>
+    val bg = T.documents(s, d)
+      .select(col("doc_id"), explode(TextFns.shinglesRegex(col("text"), 2)).as("ngram"))
+      .select(col("doc_id"),
+        element_at(split(col("ngram"), " "), 1).as("w1"),
+        element_at(split(col("ngram"), " "), 2).as("w2"))
+    val trbg = bg.filter(col("doc_id") % 5 =!= 0)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val tru = trbg.groupBy(col("w1")).agg(sum(col("c12")).cast("bigint").as("c1"))
+    val voc = trbg.agg(countDistinct(col("w2")).as("vv"))
+    bg.filter(col("doc_id") % 5 === 0)
+      .join(trbg, Seq("w1", "w2"), "left")
+      .join(tru, Seq("w1"), "left")
+      .crossJoin(broadcast(voc))
+      .select(col("doc_id"),
+        log((coalesce(col("c12"), lit(0L)).cast("double") + 1)
+          / (coalesce(col("c1"), lit(0L)) + col("vv")))
+          .cast("decimal(10,6)").as("l"))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(col("l")).cast("double").as("logprob"),
+        (sum(col("l")).cast("double") / count(lit(1))).as("avg_logprob"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     t8PackSequences, t9NgramCounts, t10RedactPii, d5Contamination,
     t11UnigramLogprob, t12Repetition, t14NormalizeText, t15LeakSafeSplit,
@@ -1084,5 +1136,5 @@ object TrainPrep {
     t19Tfidf, t20WeightedSample, d9BloomScreen, t21ChunkOverlap,
     d10ContainmentPairs, t22JsonlIngest, t23SentenceStats, t24BigramPmi,
     t25DataCards, t26MixEntropy, t27LinearScore, t28Bm25, t29Boilerplate,
-    t30TargetEncode)
+    t30TargetEncode, t32BigramLogprob)
 }
