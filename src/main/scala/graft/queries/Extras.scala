@@ -1244,6 +1244,74 @@ object Extras {
             / ((col("n0") + col("n1")) * (col("n0") + col("n1") - lit(1.0)))))).as("z"))
   }
 
+  // --- a42_ks_test: two-sample Kolmogorov-Smirnov — the DISTRIBUTION-
+  // level test completing the triad (a38 means, a41 ranks, a42 whole
+  // CDFs). D = max |F_A − F_B| is EXACTLY integer-representable:
+  // at each distinct value, |cumA·nB − cumB·nA| is a BIGINT and D is
+  // one final division — the max over values is a partial-aggregated
+  // 1-row reduce, order-independent by construction. The running CDFs
+  // reuse a41's two-linear-pass machinery (offsets accumulate per-
+  // variant group counts); the scaled statistic sqrt(nA·nB/(nA+nB))·D
+  // is the only double. Oracle: plain ordered-window cumulatives. ---
+  val a42KsTest = QueryDef.sql(
+    "a42_ks_test",
+    """WITH p AS (SELECT user_id % 2 AS variant, CAST(value AS DECIMAL(10,2)) AS v
+      |  FROM events WHERE event_type = 'purchase'),
+      |g AS (SELECT v,
+      |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+      |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      |  FROM p GROUP BY v),
+      |cum AS (SELECT v,
+      |    CAST(sum(c0) OVER (ORDER BY v) AS BIGINT) AS f0,
+      |    CAST(sum(c1) OVER (ORDER BY v) AS BIGINT) AS f1
+      |  FROM g),
+      |n AS (SELECT CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1 FROM g),
+      |d AS (SELECT CAST(max(abs(f0 * n.n1 - f1 * n.n0)) AS BIGINT) AS dnum FROM cum, n)
+      |SELECT n.n0, n.n1, d.dnum,
+      |  CAST(d.dnum AS DOUBLE) / (CAST(n.n0 AS DOUBLE) * n.n1) AS ks_d,
+      |  sqrt(CAST(n.n0 AS DOUBLE) * n.n1 / (n.n0 + n.n1))
+      |    * (CAST(d.dnum AS DOUBLE) / (CAST(n.n0 AS DOUBLE) * n.n1)) AS ks_stat
+      |FROM d, n""".stripMargin) { (s, d) =>
+    val g = T.events(s, d).filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).as("variant"),
+        col("value").cast("decimal(10,2)").as("v"))
+      .groupBy(col("v")).agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("c1"))
+    val sorted = g.repartitionByRange(32, col("v")).sortWithinPartitions(col("v"))
+    val rdd = sorted.rdd
+    val partSums = rdd
+      .mapPartitionsWithIndex((i, it) => {
+        var s0 = 0L; var s1 = 0L
+        it.foreach { r => s0 += r.getLong(1); s1 += r.getLong(2) }
+        Iterator((i, s0, s1))
+      })
+      .collect().sortBy(_._1)
+    val off0 = partSums.map(_._2).scanLeft(0L)(_ + _).dropRight(1)
+    val off1 = partSums.map(_._3).scanLeft(0L)(_ + _).dropRight(1)
+    val bc = s.sparkContext.broadcast((off0, off1))
+    val cum = rdd.mapPartitionsWithIndex { (i, it) =>
+      var f0 = bc.value._1(i); var f1 = bc.value._2(i)
+      it.map { r =>
+        f0 += r.getLong(1); f1 += r.getLong(2)
+        org.apache.spark.sql.Row(f0, f1)
+      }
+    }
+    val cumDf = s.createDataFrame(cum, new org.apache.spark.sql.types.StructType()
+      .add("f0", org.apache.spark.sql.types.LongType, nullable = false)
+      .add("f1", org.apache.spark.sql.types.LongType, nullable = false))
+    val n = g.agg(sum(col("c0")).cast("bigint").as("n0"),
+      sum(col("c1")).cast("bigint").as("n1"))
+    val dnum = cumDf.crossJoin(broadcast(n))
+      .agg(max(abs(col("f0") * col("n1") - col("f1") * col("n0"))).cast("bigint").as("dnum"))
+    val ksD = col("dnum").cast("double") / (col("n0").cast("double") * col("n1"))
+    dnum.crossJoin(broadcast(n))
+      .select(col("n0"), col("n1"), col("dnum"),
+        ksD.as("ks_d"),
+        (sqrt(col("n0").cast("double") * col("n1") / (col("n0") + col("n1")))
+          * ksD).as("ks_stat"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
     a16WindowSuite, a17ScalarSuite, a18DateSuite, a19GroupingSets,
@@ -1254,5 +1322,5 @@ object Extras {
     a28LinregTrend, a29TimeRangeWindow, a30PercentileCont, a31Interpolate,
     a32Unpivot, a33Ewma, a34HeavyHitters, a35Listagg, a36StableIds,
     sql7WindowClause, a37Changepoint, a38AbTest, a39DecileBinning,
-    a40DowSeasonality, sql8SetopsAll, a41MannWhitney)
+    a40DowSeasonality, sql8SetopsAll, a41MannWhitney, a42KsTest)
 }
