@@ -1312,6 +1312,43 @@ object Extras {
           * ksD).as("ks_stat"))
   }
 
+  // --- a43_chi2_independence: χ² test of independence on the
+  // event_type × variant contingency table — the CATEGORICAL
+  // association test closing the stats suite (a38 means, a41 ranks,
+  // a42 distributions, a43 categories). Observed cells, row totals and
+  // column totals are exact integers from one partial-aggregated pass
+  // each; expected = row·col/n and each cell's (o−e)²/e run in double
+  // with identical shape, totals riding broadcast-sized joins (cells ≤
+  // |types|×2 — output the per-cell contribution table, the χ² sum is
+  // the reader's one fold). ---
+  val a43Chi2Independence = QueryDef.sql(
+    "a43_chi2_independence",
+    """WITH p AS (SELECT event_type, user_id % 2 AS variant FROM events),
+      |o AS (SELECT event_type, variant, count(*) AS obs FROM p GROUP BY 1, 2),
+      |r AS (SELECT event_type, CAST(sum(obs) AS BIGINT) AS rt FROM o GROUP BY 1),
+      |c AS (SELECT variant, CAST(sum(obs) AS BIGINT) AS ct FROM o GROUP BY 1),
+      |n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM o)
+      |SELECT o.event_type, o.variant, o.obs,
+      |  CAST(r.rt AS DOUBLE) * c.ct / n.n AS expected,
+      |  (o.obs - CAST(r.rt AS DOUBLE) * c.ct / n.n)
+      |    * (o.obs - CAST(r.rt AS DOUBLE) * c.ct / n.n)
+      |    / (CAST(r.rt AS DOUBLE) * c.ct / n.n) AS chi2_term
+      |FROM o JOIN r USING (event_type) JOIN c USING (variant), n""".stripMargin) { (s, d) =>
+    val p = T.events(s, d)
+      .select(col("event_type"), (col("user_id") % 2).as("variant"))
+    val o = p.groupBy(col("event_type"), col("variant")).agg(count(lit(1)).as("obs"))
+    val r = o.groupBy(col("event_type")).agg(sum(col("obs")).cast("bigint").as("rt"))
+    val c = o.groupBy(col("variant")).agg(sum(col("obs")).cast("bigint").as("ct"))
+    val n = o.agg(sum(col("obs")).cast("bigint").as("n"))
+    val e = col("rt").cast("double") * col("ct") / col("n")
+    o.join(broadcast(r), Seq("event_type"))
+      .join(broadcast(c), Seq("variant"))
+      .crossJoin(broadcast(n))
+      .select(col("event_type"), col("variant"), col("obs"),
+        e.as("expected"),
+        ((col("obs") - e) * (col("obs") - e) / e).as("chi2_term"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
     a16WindowSuite, a17ScalarSuite, a18DateSuite, a19GroupingSets,
@@ -1322,5 +1359,6 @@ object Extras {
     a28LinregTrend, a29TimeRangeWindow, a30PercentileCont, a31Interpolate,
     a32Unpivot, a33Ewma, a34HeavyHitters, a35Listagg, a36StableIds,
     sql7WindowClause, a37Changepoint, a38AbTest, a39DecileBinning,
-    a40DowSeasonality, sql8SetopsAll, a41MannWhitney, a42KsTest)
+    a40DowSeasonality, sql8SetopsAll, a41MannWhitney, a42KsTest,
+    a43Chi2Independence)
 }
