@@ -95,4 +95,101 @@ object Forget {
       Report(removed, total - removed)
     }
   }
+
+  /** Scrub forgotten keys from EVERY retained [[Versioned]] generation —
+    * the scrub-through-history half of right-to-be-forgotten. [[scrub]]
+    * cleans a live table, but a `Versioned` root retains prior
+    * generations for time travel: without this, a forgotten key survives
+    * in history until `expire` happens to drop the generation.
+    *
+    * Design: generation data is normally write-once; GDPR scrub is the
+    * sanctioned exception, and it rewrites IN PLACE (same (gen, pval)
+    * directory) so every manifest that references the directory — there
+    * can be several, because unaffected partitions carry entries forward
+    * across versions — is scrubbed by one rewrite. Affected directories
+    * are found with ONE scan+broadcast-semi-join over the union of live
+    * directories (partition columns `__gen`/`__p` come free from the
+    * directory names), so cost is O(retained footprint scanned once +
+    * affected dirs rewritten), never O(versions × table). Each rewrite
+    * goes through [[Upsert.stagedRewrite]]'s staged-swap protocol and its
+    * crash recovery, healed per-directory on the next call; re-running
+    * after any crash window converges (forgotten keys still match).
+    */
+  def scrubVersioned(
+      spark: SparkSession,
+      path: String,
+      forgetKeys: DataFrame,
+      keyCols: Seq[String]): Report = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val retained = Versioned.retainedVersions(spark, path)
+    if (retained.isEmpty) return Report(0L, 0L)
+
+    // every (pval, gen) directory any retained manifest references
+    val live: Seq[(String, Long)] = retained
+      .flatMap(v => Versioned.manifestRefs(spark, path, v)).distinct
+    val liveDirs = live.map { case (p, g) => Versioned.partDir(path, p, g) }
+
+    // heal any interrupted prior scrub BEFORE listing/reading
+    liveDirs.foreach(d => Upsert.recoverSwap(fs, d))
+
+    val keys = broadcast(forgetKeys.select(keyCols.map(col).toIndexedSeq: _*).distinct())
+    val union = spark.read
+      .option("basePath", Versioned.genRoot(path))
+      .parquet(liveDirs: _*)
+    val total = union.count()
+    // one job finds the affected directories and the per-dir match count
+    val affected = union.join(keys, keyCols, "left_semi")
+      .groupBy(col("__gen"), col("__p"))
+      .agg(count(lit(1)).as("__n"))
+      .collect() // one row per affected directory — driver-sized by design
+    var removed = 0L
+    affected.foreach { row =>
+      val dir = Versioned.partDir(path,
+        String.valueOf(row.get(row.fieldIndex("__p"))),
+        row.getAs[Number]("__gen").longValue())
+      removed += row.getAs[Long]("__n")
+      Upsert.stagedRewrite(spark, dir)(b => b.join(keys, keyCols, "left_anti"))
+    }
+    Report(removed, total - removed)
+  }
+
+  /** Scrub forgotten keys from every committed [[Publish]] run that
+    * still exists under `root`. Tables lacking one of `keyCols` are
+    * skipped (they cannot contain the keyed rows). Published runs are
+    * normally immutable; as with [[scrubVersioned]], the GDPR scrub is
+    * the sanctioned in-place exception, staged-swap per table directory,
+    * crash-healed on the next call, idempotent on re-run.
+    */
+  def scrubPublished(
+      spark: SparkSession,
+      root: String,
+      forgetKeys: DataFrame,
+      keyCols: Seq[String]): Report = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val keys = broadcast(forgetKeys.select(keyCols.map(col).toIndexedSeq: _*).distinct())
+    var removed = 0L
+    var remaining = 0L
+    Publish.committedRuns(spark, root).foreach { run =>
+      val rd = new org.apache.hadoop.fs.Path(Publish.runDir(root, run))
+      if (fs.exists(rd)) fs.listStatus(rd).foreach { st =>
+        val tbl = st.getPath.toString
+        // heal any interrupted prior scrub of this table directory first
+        if (!st.getPath.getName.endsWith("__new") && !st.getPath.getName.endsWith("__old")) {
+          Upsert.recoverSwap(fs, tbl)
+          val df = spark.read.parquet(tbl)
+          if (keyCols.forall(df.columns.contains)) {
+            val m = df.join(keys, keyCols, "left_semi").count()
+            if (m > 0) {
+              Upsert.stagedRewrite(spark, tbl)(b => b.join(keys, keyCols, "left_anti"))
+              removed += m
+              remaining += spark.read.parquet(tbl).count()
+            } else remaining += df.count()
+          } else remaining += df.count()
+        }
+      }
+    }
+    Report(removed, remaining)
+  }
 }

@@ -29,8 +29,19 @@ object Publish {
   private def fsOf(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def runDir(root: String, run: Long) = s"$root/runs/run=$run"
+  private[graft] def runDir(root: String, run: Long) = s"$root/runs/run=$run"
   private def marker(root: String, run: Long) = new Path(s"$root/commits/run=$run")
+
+  /** All committed (marker present) runs still on disk, ascending. */
+  private[graft] def committedRuns(spark: SparkSession, root: String): Seq[Long] = {
+    val fs = fsOf(spark, root)
+    val dir = new Path(s"$root/commits")
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("run=") => n.stripPrefix("run=").toLong }
+      .sorted
+  }
 
   /** Latest run whose commit marker exists (0 = nothing published). */
   def latestCommitted(spark: SparkSession, root: String): Long = {

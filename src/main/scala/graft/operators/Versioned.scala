@@ -40,9 +40,22 @@ object Versioned {
 
   private def manifestDir(path: String) = s"$path/manifest"
   private def manifestPath(path: String, v: Long) = s"${manifestDir(path)}/v=$v"
-  private def genRoot(path: String) = s"$path/gen"
-  private def partDir(path: String, pval: String, gen: Long) =
+  private[graft] def genRoot(path: String) = s"$path/gen"
+  private[graft] def partDir(path: String, pval: String, gen: Long) =
     s"${genRoot(path)}/__gen=$gen/__p=$pval"
+
+  /** Retained versions (committed manifests still on disk), ascending. */
+  private[graft] def retainedVersions(spark: SparkSession, path: String): Seq[Long] = {
+    val fs = fsOf(spark, path)
+    val dir = new Path(manifestDir(path))
+    if (!fs.exists(dir)) Nil
+    else
+      fs.listStatus(dir).toSeq
+        .map(_.getPath)
+        .filter(p => p.getName.startsWith("v=") && fs.exists(new Path(p, "_SUCCESS")))
+        .map(_.getName.stripPrefix("v=").toLong)
+        .sorted
+  }
 
   /** Latest committed version (0 = table absent). A manifest counts iff
     * its `_SUCCESS` marker exists — uncommitted crash leftovers don't. */
@@ -58,7 +71,7 @@ object Versioned {
         .foldLeft(0L)(math.max)
   }
 
-  private def manifestRefs(spark: SparkSession, path: String, v: Long): Seq[(String, Long)] =
+  private[graft] def manifestRefs(spark: SparkSession, path: String, v: Long): Seq[(String, Long)] =
     spark.read.parquet(manifestPath(path, v))
       .select(col("pval"), col("gen"))
       .collect() // k rows: one per partition — driver-sized by design
@@ -151,6 +164,12 @@ object Versioned {
         val g = gName.stripPrefix("__gen=").toLong
         fs.listStatus(gSt.getPath)
           .filter(_.getPath.getName.startsWith("__p="))
+          // `__p=x__new` / `__p=x__old` are Forget.scrubVersioned swap
+          // residue from a crash window; between the two renames the
+          // `__new` copy can be the partition's ONLY copy, so expire must
+          // never reclaim them — the next scrub heals, then expire can.
+          .filterNot(p => p.getPath.getName.endsWith("__new") ||
+            p.getPath.getName.endsWith("__old"))
           .foreach { pSt =>
             val p = pSt.getPath.getName.stripPrefix("__p=")
             if (!live((p, g))) fs.delete(pSt.getPath, true)

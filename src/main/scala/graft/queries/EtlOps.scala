@@ -1356,6 +1356,61 @@ object EtlOps {
       .select(col("k").as("o_custkey"), col("cnt"), col("s"))
   }
 
+  // --- k26_scrub_history: scrub-through-history — right-to-be-forgotten
+  // must reach RETAINED VERSIONS, not just the live table (k19). The
+  // events table commits twice through Versioned (v1 = raw, v2 = keyed
+  // value-doubling for user_id % 7 = 0), then Forget.scrubVersioned
+  // removes the forget set (user_id % 101 = 0) from every retained
+  // generation IN PLACE — one scan over the union of live generation
+  // directories finds the affected ones, each rewritten via the
+  // staged-swap crash protocol. The query then TIME-TRAVELS to every
+  // retained version and reports per (version, event_type) the remaining
+  // count, exact value total, and the count of rows still matching the
+  // forget set. The oracle recomputes both versions' post-scrub states
+  // from the fixture and pins `forgotten` to literal 0 — so the hash
+  // gate proves the forgotten keys are gone from ALL of history and
+  // nothing else was touched, through the real on-disk generation
+  // rewrite, manifest reuse, and as-of reads. ---
+  val k26ScrubHistory = QueryDef.sql(
+    "k26_scrub_history",
+    """WITH kept AS (SELECT event_id, user_id, event_type, value
+      |  FROM events WHERE user_id % 101 <> 0),
+      |v1 AS (SELECT 1 AS version, event_type, count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total
+      |  FROM kept GROUP BY event_type),
+      |v2 AS (SELECT 2 AS version, event_type, count(*) AS n,
+      |    CAST(sum(CAST(CASE WHEN user_id % 7 = 0 THEN value * 2 ELSE value END
+      |      AS DECIMAL(14,2))) AS DOUBLE) AS total
+      |  FROM kept GROUP BY event_type)
+      |SELECT version, event_type, n, total, CAST(0 AS BIGINT) AS forgotten FROM v1
+      |UNION ALL
+      |SELECT version, event_type, n, total, CAST(0 AS BIGINT) AS forgotten FROM v2""".stripMargin) {
+    (s, d) =>
+      import graft.operators.{Forget, Versioned}
+      val root = java.nio.file.Files.createTempDirectory("k26-scrub").toString
+      val tbl = s"$root/events_v"
+      val ev = T.events(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      Versioned.commit(s, tbl, ev, "event_type", Seq("event_id"))
+      val delta = ev.filter(col("user_id") % 7 === 0)
+        .withColumn("value", col("value") * 2) // exponent-only: no rounding ambiguity
+      Versioned.commit(s, tbl, delta, "event_type", Seq("event_id"))
+      val forget = ev.filter(col("user_id") % 101 === 0)
+        .select(col("user_id")).distinct()
+      Forget.scrubVersioned(s, tbl, forget, Seq("user_id"))
+      val fk = broadcast(forget.withColumn("__f", lit(1)))
+      Versioned.retainedVersions(s, tbl).map { v =>
+        Versioned.readAsOf(s, tbl, v)
+          .join(fk, Seq("user_id"), "left")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(14,2)")).cast("double").as("total"),
+            sum(coalesce(col("__f"), lit(0))).cast("long").as("forgotten"))
+          .withColumn("version", lit(v.toInt))
+      }.reduce(_ unionByName _)
+        .select(col("version"), col("event_type"), col("n"), col("total"), col("forgotten"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     j1FirstWins, j2Flatten, j3Lookup, p2TimeWindow, p4CastValidate,
     p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff,
@@ -1365,5 +1420,5 @@ object EtlOps {
     k11PartitionedPrune, k12TimeTravel, k13SchemaEvolution,
     k14BucketedJoin, k15CdcApply, k16CompactionGate, k17IvmJoin,
     k18FormatRoundtrip, k19ForgetKeys, k20AtomicPublish, k21DynamicOverwrite,
-    k22MvRewrite, k23ZorderGate, k24FullMerge, k25RetractableAgg)
+    k22MvRewrite, k23ZorderGate, k24FullMerge, k25RetractableAgg, k26ScrubHistory)
 }
