@@ -14,10 +14,18 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * with overwrite=false after every table's parquet (with its own
   * `_SUCCESS`) is durable. Readers resolve `latestCommitted` and open
   * that run's directories only — a crash anywhere before the marker
-  * leaves a partial run no reader ever sees, and a retry re-stages the
-  * same run id in place (Overwrite) before committing. Single writer
-  * per root (the run-id allocation is not a lock); concurrent readers
-  * are always consistent because published runs are immutable.
+  * leaves a partial run no reader ever sees; the interrupted publisher
+  * simply retries (allocating a fresh id — ids are never reused, the
+  * orphan stage is invisible and reclaimed by [[expire]]).
+  *
+  * CONCURRENT WRITERS are safe: run ids are allocated by a
+  * create-exclusive CAS on `reservations/run=N` (`fs.create(...,
+  * overwrite=false)` — atomic on HDFS, a conditional put on object
+  * stores), so two simultaneous publishers can never stage into the
+  * same run directory: the loser observes the existing reservation and
+  * retries at the next id. Commits linearize by run id; both runs land
+  * durably. Concurrent readers are always consistent because published
+  * runs are immutable.
   *
   * At 100 TB: staging cost is the writes themselves (each table lands
   * once, fully parallel), the commit is one filesystem create, readers
@@ -54,26 +62,65 @@ object Publish {
       .foldLeft(0L)(math.max)
   }
 
+  private def reservationDir(root: String) = s"$root/reservations"
+  private def reservation(root: String, run: Long) =
+    new Path(s"${reservationDir(root)}/run=$run")
+
+  /** Allocate the next run id via create-exclusive CAS: the first
+    * candidate past every committed AND reserved id, claimed with
+    * `fs.create(overwrite=false)`; on a lost race the loser advances and
+    * retries. The winner owns `runs/run=N` exclusively from here on. */
+  private[graft] def reserveRun(spark: SparkSession, root: String): Long = {
+    val fs = fsOf(spark, root)
+    val rDir = new Path(reservationDir(root))
+    fs.mkdirs(rDir)
+    val maxReserved = fs.listStatus(rDir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("run=") => n.stripPrefix("run=").toLong }
+      .foldLeft(0L)(math.max)
+    var candidate = math.max(latestCommitted(spark, root), maxReserved) + 1
+    while (!claimExclusive(fs, reservation(root, candidate))) candidate += 1
+    candidate
+  }
+
+  /** Atomically claim `p`: true iff THIS caller created it. HDFS-like
+    * filesystems get exclusivity from `create(overwrite=false)` (a
+    * NameNode CAS; object stores map it to a conditional put). The local
+    * filesystem's create is check-then-act — NOT atomic — so `file:`
+    * goes through O_EXCL (`Files.createFile`), which the race spec
+    * exercises with two simultaneous publishers. */
+  private def claimExclusive(
+      fs: org.apache.hadoop.fs.FileSystem, p: Path): Boolean =
+    if (fs.getScheme == "file")
+      try {
+        java.nio.file.Files.createFile(java.nio.file.Paths.get(p.toUri.getPath))
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    else
+      try { fs.create(p, false).close(); true }
+      catch { case _: java.io.IOException => false }
+
   /** Stage every table of the next run durably WITHOUT committing.
     * Exposed separately so crash windows are testable; production
-    * callers use [[publish]]. Returns the staged run id. */
+    * callers use [[publish]]. Returns the staged (CAS-reserved) run id —
+    * exclusive to this caller, so concurrent stagers never collide. */
   def stageRun(
       spark: SparkSession, root: String, tables: Map[String, DataFrame]): Long = {
     require(tables.nonEmpty, "nothing to publish")
-    val run = latestCommitted(spark, root) + 1
+    val run = reserveRun(spark, root)
     tables.foreach { case (name, df) =>
       df.write.mode(SaveMode.Overwrite).parquet(s"${runDir(root, run)}/$name")
     }
     run
   }
 
-  /** Make a staged run visible: one atomic marker create. */
+  /** Make a staged run visible: one atomic marker create. A second
+    * committer of the same run fails loudly (exclusive create). */
   def commitRun(spark: SparkSession, root: String, run: Long): Unit = {
     val fs = fsOf(spark, root)
     fs.mkdirs(new Path(s"$root/commits"))
-    // overwrite=false: a second committer of the same run fails loudly
-    val out = fs.create(marker(root, run), false)
-    out.close()
+    if (!claimExclusive(fs, marker(root, run)))
+      throw new java.io.IOException(s"run $run at $root already committed")
   }
 
   /** Stage + commit: all tables become visible together. */
@@ -102,6 +149,7 @@ object Publish {
     (1L until cutoff).foreach { r =>
       fs.delete(new Path(runDir(root, r)), true)
       fs.delete(marker(root, r), false)
+      fs.delete(reservation(root, r), false)
     }
   }
 }

@@ -35,14 +35,32 @@ class PublishSpec extends SparkSpec {
     assert(Publish.latestCommitted(spark, r) === 1L)
     assert(Publish.read(spark, r, "a").select("v").as[String].head() === "old")
     assert(Publish.read(spark, r, "b").select("v").as[String].head() === "old")
-    // retry re-stages the SAME run id in place, then commits — both flip
+    // retry allocates a FRESH id (ids are never reused — the orphan
+    // stage stays invisible until expire), then commits — both flip
     val retried = Publish.stageRun(spark, r, Map(
       "a" -> Seq((1L, "new")).toDF("k", "v"),
       "b" -> Seq((1L, "new")).toDF("k", "v")))
-    assert(retried === 2L)
+    assert(retried === 3L)
     Publish.commitRun(spark, r, retried)
     assert(Publish.read(spark, r, "a").select("v").as[String].head() === "new")
     assert(Publish.read(spark, r, "b").select("v").as[String].head() === "new")
+  }
+
+  test("two concurrent publishers both land durably with linearized run ids") {
+    val r = root()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(Publish.publish(spark, r, Map("t" -> Seq(Tuple1("A")).toDF("who"))))
+    val fb = Future(Publish.publish(spark, r, Map("t" -> Seq(Tuple1("B")).toDF("who"))))
+    val ra = Await.result(fa, 120.seconds)
+    val rb = Await.result(fb, 120.seconds)
+    // the CAS reservation forbids a shared id: both runs durable, ordered
+    assert(Set(ra, rb) === Set(1L, 2L))
+    assert(Publish.latestCommitted(spark, r) === 2L)
+    val seen = Seq(1L, 2L).map(run =>
+      Publish.read(spark, r, "t", run).select("who").as[String].head())
+    assert(seen.toSet === Set("A", "B"))
   }
 
   test("double-commit of one run fails loudly (second committer loses)") {
