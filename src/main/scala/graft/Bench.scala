@@ -41,10 +41,16 @@ object Bench {
     val results = names.map(n => n -> passes.map(_(n)).min)
 
     val total = results.map(_._2).sum
+    // batch vs streaming subtotals: the 13 true-streaming queries carry
+    // fixed per-microbatch checkpoint/state-store drain cost, so the
+    // round-over-round plan-quality signal is batch_total, not the mix
+    val streamTotal = results
+      .collect { case (n, v) if queries.Events.streamingNames(n) => v }.sum
+    val batchTotal = total - streamTotal
     def line(entries: Seq[(String, Double)], extra: String): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec"$extra,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","batch_total":$batchTotal%.3f,"stream_total":$streamTotal%.3f$extra,"queries":$qs,"sf":"$sfDir"}"""
     }
     // The full per-query record goes to a FILE, not the log: the harness
     // keeps only a ~2000-byte log tail, and a 171-query JSON line (~6 KB)

@@ -1489,6 +1489,20 @@ object Events {
       sum(expr("1000000 div n")).as("linear_scaled"))
   }
 
+  /** Registered queries that drive a REAL Structured Streaming run
+    * (readStream → writeStream with checkpoint/state-store commits).
+    * Bench reports these under a separate `stream_total`: their cost is
+    * dominated by fixed per-microbatch state-store/checkpoint overhead
+    * (see the drain notes at the top of this file), which would
+    * otherwise pollute round-over-round comparison of batch plan
+    * quality. */
+  val streamingNames: Set[String] = Set(
+    "e11_stream_windows", "e12_stream_stream_join", "e15_stream_dedup",
+    "e18_stream_ivm", "e19_stream_sessions", "e20_late_data",
+    "e21_stream_outer_join", "e29_stream_full_outer",
+    "e22_transform_with_state", "e23_state_map", "e24_state_list",
+    "e25_chained_agg", "e26_session_window")
+
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
     e4cAsofForward,
