@@ -23,18 +23,47 @@ import org.apache.spark.sql.functions._
   * range: scores stay <= ~2*scale, so `score * w` needs only
   * 2*scale*maxWeight < 2^63 (w < 4.6e8 at the default scale) and the
   * giant `x * scale` multiply that would overflow BIGINT never happens.
+  *
+  * OVERFLOW BOUND (the real one): the gathered value is the per-node
+  * SUM of score*w over its incident edges, so the binding constraint is
+  * on a node's total incident weight, not a single edge:
+  * `2*scale * max_node(sum of w in / sum of w out) < 2^63`, i.e. total
+  * incident weight per node < ~4.6e9 at the default scale. Exceeding it
+  * wraps silently in non-ANSI Spark while DuckDB errors — breaking
+  * oracle parity exactly when the result is garbage. Callers with
+  * extreme degree×weight graphs should pass `checkBounds = true` (two
+  * one-off degree aggregates, failing loudly up front) or lower
+  * `scale`.
   */
 object Hits {
+
+  /** Fail loudly if a node's total incident weight could overflow the
+    * per-node sum(score*w) gather (see the object doc's bound). Two
+    * one-off partial-aggregated degree scans; call before iterating. */
+  private def assertBounds(edges: DataFrame, scale: Long): Unit = {
+    val maxIncident = edges.select(col("dst").as("id"), col("w"))
+      .unionByName(edges.select(col("src").as("id"), col("w")))
+      .groupBy(col("id")).agg(sum(col("w")).as("tw"))
+      .agg(coalesce(max(col("tw")), lit(0L))).collect()(0).getLong(0)
+    // scores stay <= ~2*scale after max-normalization
+    require(maxIncident <= Long.MaxValue / (2 * scale),
+      s"HITS overflow risk: max total incident weight per node " +
+        s"($maxIncident) * 2*scale ($scale) exceeds 2^63; lower `scale` " +
+        "or pre-normalize edge weights")
+  }
 
   /** (id, hub, auth) after `iters` full rounds, scores in `scale`
     * units (max-normalized each half-round). `edges` columns: src,
     * dst, w (positive integer weight). Nodes with no in-edges get
-    * auth 0; no out-edges, hub 0. */
+    * auth 0; no out-edges, hub 0. `checkBounds` runs the loud
+    * up-front overflow guard (object doc). */
   def scores(
       edges: DataFrame,
       iters: Int,
       scale: Long = 1000000000L,
-      stagePath: Option[String] = None): DataFrame = {
+      stagePath: Option[String] = None,
+      checkBounds: Boolean = false): DataFrame = {
+    if (checkBounds) assertBounds(edges, scale)
     val spark = edges.sparkSession
     val nodes = edges.select(col("src").as("id"))
       .unionByName(edges.select(col("dst").as("id"))).distinct()
@@ -69,6 +98,70 @@ object Hits {
       }
     }
     h.join(a, Seq("id"))
+  }
+
+  /** CONVERGENCE mode: full HITS rounds until the largest per-node
+    * change in EITHER score (hub or authority, in `scale` units) is
+    * <= `toleranceUnits`, or `maxRounds` is spent. Returns
+    * ((id, hub, auth), roundsRun). Same restaging discipline as
+    * [[PageRank.ranksConverged]]: node-sized score tables stage every
+    * round (lineage flat for unbounded round counts), and the delta
+    * probe is one node-sized join + 1-row max per half-vector — exact
+    * integers, so convergence round counts are deterministic. The
+    * max-normalization keeps both vectors on the `scale` grid, so a
+    * tolerance of k units means "no node's normalized score moved more
+    * than k parts in `scale`". */
+  def scoresConverged(
+      edges: DataFrame,
+      maxRounds: Int,
+      toleranceUnits: Long,
+      scale: Long = 1000000000L,
+      stagePath: Option[String] = None): (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    val stage = stagePath.getOrElse(
+      java.nio.file.Files.createTempDirectory("hits-rounds").toString)
+    val nodes = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id"))).distinct()
+    var h = nodes.select(col("id"), lit(scale).as("h"))
+    var a = nodes.select(col("id"), lit(0L).as("a"))
+    var rounds = 0
+    var delta = Long.MaxValue
+    while (rounds < maxRounds && delta > toleranceUnits) {
+      val (hPrev, aPrev) = (h, a)
+      val i = rounds + 1
+      val araw = edges
+        .join(h.select(col("id").as("src"), col("h")), Seq("src"))
+        .select(col("dst"), (col("h") * col("w")).as("x"))
+        .groupBy(col("dst")).agg(sum(col("x")).as("x"))
+      val amax = araw.agg(max(col("x")).as("mx"))
+      a = nodes
+        .join(araw.select(col("dst").as("id"), col("x")), Seq("id"), "left_outer")
+        .crossJoin(broadcast(amax))
+        .select(col("id"),
+          coalesce(expr(s"x div (mx div $scale)"), lit(0L)).as("a"))
+      val hraw = edges
+        .join(a.select(col("id").as("dst"), col("a")), Seq("dst"))
+        .select(col("src"), (col("a") * col("w")).as("x"))
+        .groupBy(col("src")).agg(sum(col("x")).as("x"))
+      val hmax = hraw.agg(max(col("x")).as("mx"))
+      h = nodes
+        .join(hraw.select(col("src").as("id"), col("x")), Seq("id"), "left_outer")
+        .crossJoin(broadcast(hmax))
+        .select(col("id"),
+          coalesce(expr(s"x div (mx div $scale)"), lit(0L)).as("h"))
+      a.write.mode("overwrite").parquet(s"$stage/a-$i")
+      a = spark.read.parquet(s"$stage/a-$i")
+      h.write.mode("overwrite").parquet(s"$stage/h-$i")
+      h = spark.read.parquet(s"$stage/h-$i")
+      delta = h.join(hPrev.select(col("id"), col("h").as("__p")), Seq("id"))
+        .agg(coalesce(max(abs(col("h") - col("__p"))), lit(0L)).as("d"))
+        .collect()(0).getLong(0)
+        .max(a.join(aPrev.select(col("id"), col("a").as("__p")), Seq("id"))
+          .agg(coalesce(max(abs(col("a") - col("__p"))), lit(0L)).as("d"))
+          .collect()(0).getLong(0))
+      rounds += 1
+    }
+    (h.join(a, Seq("id")), rounds)
   }
 
   /** The same computation as unrolled ANSI SQL CTEs (DuckDB oracle):

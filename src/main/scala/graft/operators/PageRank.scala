@@ -28,6 +28,23 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
+  /** One power-iteration round: contribs gathered on dst, teleport added
+    * uniformly. Shared by the fixed-round and converged entry points. */
+  private def step(
+      edges: DataFrame, nodes: DataFrame, outw: DataFrame, nTot: DataFrame,
+      r: DataFrame, scale: Long): DataFrame = {
+    val contrib = edges
+      .join(outw, Seq("src"))
+      .join(r.select(col("id").as("src"), col("r")), Seq("src"))
+      .select(col("dst"), expr("(r * w) div wout").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+    nodes
+      .join(contrib.select(col("dst").as("id"), col("s")), Seq("id"), "left_outer")
+      .crossJoin(broadcast(nTot))
+      .select(col("id"), expr(
+        s"((15 * $scale) div 100) div n_nodes + (85 * coalesce(s, 0)) div 100").as("r"))
+  }
+
   /** (id, r) after `iters` rounds, r in `scale` micro-units.
     * `edges` columns: src, dst, w (positive integer weight). */
   def ranks(
@@ -43,16 +60,7 @@ object PageRank {
     var r = nodes.crossJoin(broadcast(nTot))
       .select(col("id"), expr(s"$scale div n_nodes").as("r"))
     for (i <- 1 to iters) {
-      val contrib = edges
-        .join(outw, Seq("src"))
-        .join(r.select(col("id").as("src"), col("r")), Seq("src"))
-        .select(col("dst"), expr("(r * w) div wout").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
-      r = nodes
-        .join(contrib.select(col("dst").as("id"), col("s")), Seq("id"), "left_outer")
-        .crossJoin(broadcast(nTot))
-        .select(col("id"), expr(
-          s"((15 * $scale) div 100) div n_nodes + (85 * coalesce(s, 0)) div 100").as("r"))
+      r = step(edges, nodes, outw, nTot, r, scale)
       stagePath.foreach { p =>
         val dir = s"$p/rank-$i"
         r.write.mode("overwrite").parquet(dir)
@@ -60,6 +68,53 @@ object PageRank {
       }
     }
     r
+  }
+
+  /** CONVERGENCE mode: iterate until the largest per-node rank change is
+    * <= `toleranceUnits` (in `scale` micro-units) or `maxRounds` is
+    * spent, whichever first. Returns (ranks, roundsRun).
+    *
+    * This is the 100 TB contract the fixed-round gated queries can't
+    * honor: at 100× the graph the fixed point moves, and the right
+    * budget isn't knowable up front. Every round stages the node-sized
+    * rank table to parquet (mandatory here — the delta probe reads the
+    * staged rounds, and lineage stays flat however long convergence
+    * takes), then ONE extra node-sized join + 1-row max aggregate probes
+    * the delta — cost O(nodes), trivial next to the edge⋈rank join.
+    * The ranks are exact integers, so the probe is deterministic: the
+    * same graph converges in the same number of rounds on any cluster
+    * layout. `stagePath` must be cluster-visible on a real cluster
+    * (same contract as the kmeans/Components staging). */
+  def ranksConverged(
+      edges: DataFrame,
+      maxRounds: Int,
+      toleranceUnits: Long,
+      scale: Long = 1000000000000L,
+      stagePath: Option[String] = None): (DataFrame, Int) = {
+    val spark = edges.sparkSession
+    val stage = stagePath.getOrElse(
+      java.nio.file.Files.createTempDirectory("pagerank-rounds").toString)
+    val nodes = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id"))).distinct()
+    val nTot = nodes.agg(count(lit(1)).as("n_nodes"))
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    var r = nodes.crossJoin(broadcast(nTot))
+      .select(col("id"), expr(s"$scale div n_nodes").as("r"))
+    var rounds = 0
+    var delta = Long.MaxValue
+    while (rounds < maxRounds && delta > toleranceUnits) {
+      val prev = r
+      val dir = s"$stage/rank-${rounds + 1}"
+      step(edges, nodes, outw, nTot, prev, scale)
+        .write.mode("overwrite").parquet(dir)
+      r = spark.read.parquet(dir)
+      // the probe: one node-sized equi-join, 1-row max to the driver
+      delta = r.join(prev.select(col("id"), col("r").as("__p")), Seq("id"))
+        .agg(coalesce(max(abs(col("r") - col("__p"))), lit(0L)).as("d"))
+        .collect()(0).getLong(0)
+      rounds += 1
+    }
+    (r, rounds)
   }
 
   /** PERSONALIZED PageRank: the teleport mass lands only on `seeds`
