@@ -80,6 +80,8 @@ object IncrementalAgg {
         val fs = fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         Upsert.recoverSwap(fs, path)
         val run = ReplayGuard.runId(fs, checkpoint)
+        // fail loudly if a DIFFERENT checkpoint's stream owns this path
+        ReplayGuard.assertOwnership(fs, path, run, fs.exists(fsPath))
         if (!fs.exists(fsPath))
           ReplayGuard.stamp(partials(batch, key, value), run, batchId)
             .write.mode(SaveMode.Overwrite).parquet(path)

@@ -52,6 +52,47 @@ object ReplayGuard {
   /** Remove the fold marker before handing state back to the fold. */
   def strip(df: DataFrame): DataFrame = df.drop("last_batch", "run_id")
 
+  /** Ownership stamp: `<statePath>__owner` records the run id of the
+    * checkpoint whose stream folds into that state. Claimed on first
+    * fold (or re-claimed when the state table itself was reset); once
+    * claimed, a DIFFERENT checkpoint's stream targeting the same path
+    * fails loudly instead of silently double-folding — the "reset the
+    * checkpoint but kept the state" misuse (or two unrelated streams
+    * pointed at one table) becomes an error with an explicit escape
+    * hatch ([[releaseOwnership]]) for a deliberate rebuild-in-place.
+    *
+    * `stateExists=false` (fresh state table) always re-claims: resetting
+    * state and checkpoint together — the documented convention — needs
+    * no manual release. Legacy owner-less state adopts the first run
+    * that touches it. */
+  def assertOwnership(
+      fs: FileSystem, statePath: String, run: String, stateExists: Boolean): Unit = {
+    if (run.isEmpty) return // unreadable checkpoint metadata: no identity to pin
+    val p = new Path(statePath + "__owner")
+    val owner =
+      if (!fs.exists(p)) ""
+      else {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      }
+    if (!stateExists || owner.isEmpty) {
+      val out = fs.create(p, true)
+      try out.write(run.getBytes("UTF-8")) finally out.close()
+    } else if (owner != run)
+      throw new IllegalStateException(
+        s"state table $statePath is owned by streaming run $owner but run $run " +
+          "(a different checkpoint) tried to fold into it — folding twice from " +
+          "two checkpoints double-counts. Reset state and checkpoint together, " +
+          "or call ReplayGuard.releaseOwnership to adopt the table deliberately.")
+  }
+
+  /** Deliberately release a state table for adoption by a new stream. */
+  def releaseOwnership(fs: FileSystem, statePath: String): Unit = {
+    fs.delete(new Path(statePath + "__owner"), false)
+    ()
+  }
+
   /** True iff `(run, batchId)` is already folded into `state`: same run
     * (or legacy run-less state) and batchId at or below the stored
     * watermark. */

@@ -115,6 +115,8 @@ object Scd2 {
         val fs = fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         Upsert.recoverSwap(fs, path)
         val run = ReplayGuard.runId(fs, checkpoint)
+        // fail loudly if a DIFFERENT checkpoint's stream owns this path
+        ReplayGuard.assertOwnership(fs, path, run, fs.exists(fsPath))
         if (!fs.exists(fsPath))
           ReplayGuard.stamp(
             fromChangeLog(batch, key, order, attrs, validCol), run, batchId)

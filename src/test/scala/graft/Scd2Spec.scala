@@ -187,7 +187,12 @@ class Scd2Spec extends SparkSpec {
     assert(!new java.io.File(s"${path}__new").exists)
     assert(got.drop("last_batch").orderBy("k").collect().toSeq
       === seeded.drop("last_batch").orderBy("k").collect().toSeq)
-    // a later batch id folds normally on top of the recovered state
+    // a later batch id folds normally on top of the recovered state.
+    // ckpt2 is a DIFFERENT checkpoint, so the ownership stamp must be
+    // released first — the deliberate-adoption escape hatch
+    graft.operators.ReplayGuard.releaseOwnership(
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration), path)
     val input2 = MemoryStream[(Int, Double)]
     val q2 = IncrementalAgg.streamingFold(
       input2.toDF().toDF("k", "v"), path, Seq("k"), col("v").cast("decimal(12,2)"), s"$root/ckpt2")
@@ -197,6 +202,60 @@ class Scd2Spec extends SparkSpec {
     val fin = spark.read.parquet(path).filter(col("k") === 3)
       .select("n").as[Long].collect()
     assert(fin.toSeq === Seq(1L))
+  }
+
+  test("a different checkpoint's stream targeting an owned state path fails loudly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("own").toString
+    val path = s"$root/hist"
+    // stream 1 claims the path on first fold
+    val input = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = Scd2.streamingScd2(
+      input.toDF().toDF("id", "ts", "seq", "st"), path, key, order, attrs, "ts",
+      s"$root/ckpt1")
+    input.addData((1L, ts("2024-01-01 00:00:00"), 1L, "A"))
+    q.processAllAvailable(); q.stop()
+    // stream 2, DIFFERENT checkpoint, same state path: must fail loudly
+    val input2 = MemoryStream[(Long, Timestamp, Long, String)]
+    val q2 = Scd2.streamingScd2(
+      input2.toDF().toDF("id", "ts", "seq", "st"), path, key, order, attrs, "ts",
+      s"$root/ckpt2")
+    input2.addData((2L, ts("2024-01-02 00:00:00"), 1L, "B"))
+    val e = intercept[Exception] { q2.processAllAvailable() }
+    q2.stop()
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("owned by streaming run")))
+    // the owned table is untouched by the rejected fold
+    assert(spark.read.parquet(path).count() === 1)
+    // releaseOwnership is the deliberate adoption path: stream 2 retries
+    // with a THIRD checkpoint and now folds
+    graft.operators.ReplayGuard.releaseOwnership(
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration), path)
+    val input3 = MemoryStream[(Long, Timestamp, Long, String)]
+    val q3 = Scd2.streamingScd2(
+      input3.toDF().toDF("id", "ts", "seq", "st"), path, key, order, attrs, "ts",
+      s"$root/ckpt3")
+    input3.addData((2L, ts("2024-01-02 00:00:00"), 1L, "B"))
+    q3.processAllAvailable(); q3.stop()
+    assert(spark.read.parquet(path).count() === 2)
+    // resetting state AND checkpoint together needs no release: the
+    // fresh-table claim happens automatically (the documented convention)
+    val path2 = s"$root/hist2"
+    val input4 = MemoryStream[(Int, Double)]
+    val q4 = IncrementalAgg.streamingFold(
+      input4.toDF().toDF("k", "v"), path2, Seq("k"),
+      col("v").cast("decimal(12,2)"), s"$root/ckpt4")
+    input4.addData((1, 1.0)); q4.processAllAvailable(); q4.stop()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(path2))
+    val input5 = MemoryStream[(Int, Double)]
+    val q5 = IncrementalAgg.streamingFold(
+      input5.toDF().toDF("k", "v"), path2, Seq("k"),
+      col("v").cast("decimal(12,2)"), s"$root/ckpt5")
+    input5.addData((2, 2.0)); q5.processAllAvailable(); q5.stop()
+    assert(spark.read.parquet(path2).select("k").as[Int].collect().toSeq === Seq(2))
   }
 
   test("snapshot diff classifies adds/removes/changes and treats null attrs null-safely") {
