@@ -220,5 +220,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(session => RangeJoinRule(session))
     e.injectOptimizerRule(session => MvRewriteRule(session))
+    e.injectOptimizerRule(session => AsOfJoinRule(session))
+    AsOfSqlSurface.functions.foreach(e.injectFunction)
   }
 }

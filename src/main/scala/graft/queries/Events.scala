@@ -181,6 +181,36 @@ object Events {
         (unix_micros(col("pts")) - unix_micros(col("ets"))).as("gap_us"))
   }
 
+  // --- e4d_asof_sql: the native as-of operator driven from SQL TEXT —
+  // the `asof_match` marker predicate + lowering rule
+  // (graft.plans.AsOfSqlSurface) turn a plain Spark-SQL LEFT JOIN into
+  // AsOfJoinPlan, so SQL-first users reach the single-merge-pass
+  // physical operator without touching the DataFrame API. Same data and
+  // oracle as e4/e4b (DuckDB's native ASOF LEFT JOIN): the lowered
+  // SQL-text path must match the DataFrame path bit-for-bit. The marker
+  // is Unevaluable, so if the lowering ever failed to fire this query
+  // would throw, not drift. ---
+  private val e4dSparkSql =
+    """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS pts
+      |           FROM events WHERE event_type = 'purchase'),
+      |s AS (SELECT event_id AS signup_id, user_id AS s_user, ts AS sts
+      |      FROM events WHERE event_type = 'signup')
+      |SELECT p.purchase_id, p.user_id, s.signup_id
+      |FROM p LEFT JOIN s ON p.user_id = s.s_user AND asof_match(p.pts, s.sts)""".stripMargin
+  val e4dAsofSql = QueryDef.sql(
+    "e4d_asof_sql",
+    """WITH p AS (SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+      |           FROM events WHERE event_type = 'purchase'),
+      |s AS (SELECT event_id AS signup_id, user_id, CAST(ts AS TIMESTAMP) AS sts
+      |      FROM events WHERE event_type = 'signup')
+      |SELECT p.purchase_id, p.user_id, s.signup_id
+      |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.pts >= s.sts""".stripMargin) {
+    (sp, d) =>
+      graft.plans.AsOfSqlSurface.enable(sp)
+      T.events(sp, d).createOrReplaceTempView("events")
+      sp.sql(e4dSparkSql)
+  }
+
   // --- e28_variant_extract: the same payload through Spark 4's VARIANT
   // type — `parse_json` shreds the string ONCE into the binary variant
   // encoding and every downstream `variant_get` is a cheap typed path
@@ -1505,7 +1535,7 @@ object Events {
 
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
-    e4cAsofForward,
+    e4cAsofForward, e4dAsofSql,
     e5PropsExtract, e6AnomalyFlags, e7CohortRetention, e8RfmSegments,
     e9TransitionMatrix, e10RollingDau, e11StreamWindows, e12StreamStreamJoin,
     e13ConversionLag, e14RobustZscore, e15StreamDedup, e16ActivityIslands,
