@@ -510,11 +510,17 @@ object Clustering {
     val st = one.select(explode(array(entries: _*)).as("p")).select(col("p.*"))
     val nr = col("n") - col("nl")
     val nrp = col("npos") - col("nlp")
+    // Degenerate-input guard: a constant feature (mn == mx) makes every
+    // threshold mx, so nr = 0 — Spark non-ANSI division yields NULL while
+    // DuckDB IEEE yields NaN. An empty side contributes zero impurity;
+    // guard it explicitly on BOTH engines (matches imp()'s m == 0 case).
+    val rightImp = when(nr === 0L, lit(0.0))
+      .otherwise(nr - ((nrp * nrp + (nr - nrp) * (nr - nrp)) / nr.cast("double")))
     st.select(col("kk"), col("t"), col("nl"), col("nlp"),
       nr.as("nr"), nrp.as("nrp"),
       (((col("nl") - (col("nlp") * col("nlp")
           + (col("nl") - col("nlp")) * (col("nl") - col("nlp"))) / col("nl").cast("double"))
-        + (nr - ((nrp * nrp + (nr - nrp) * (nr - nrp)) / nr.cast("double"))))
+        + rightImp)
         / col("n").cast("double")).as("gini"))
   }
 
@@ -531,9 +537,10 @@ object Clustering {
       |  FROM documents d, thr GROUP BY thr.kk, thr.t),
       |g AS (SELECT kk, t, nl, nlp, b.n - nl AS nr, b.npos - nlp AS nrp,
       |    ((nl - (nlp * nlp + (nl - nlp) * (nl - nlp)) / CAST(nl AS DOUBLE))
-      |   + ((b.n - nl) - (((b.npos - nlp) * (b.npos - nlp)
+      |   + (CASE WHEN b.n - nl = 0 THEN 0.0
+      |      ELSE ((b.n - nl) - (((b.npos - nlp) * (b.npos - nlp)
       |        + ((b.n - nl) - (b.npos - nlp)) * ((b.n - nl) - (b.npos - nlp)))
-      |       / CAST(b.n - nl AS DOUBLE)))) / CAST(b.n AS DOUBLE) AS gini
+      |       / CAST(b.n - nl AS DOUBLE))) END)) / CAST(b.n AS DOUBLE) AS gini
       |  FROM st, b),
       |mg AS (SELECT min(gini) AS mng FROM g)
       |SELECT kk, t AS threshold, nl AS n_left, nlp AS pos_left,

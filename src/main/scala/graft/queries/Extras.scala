@@ -1184,7 +1184,7 @@ object Extras {
   val a41MannWhitney = QueryDef.sql(
     "a41_mann_whitney",
     """WITH p AS (SELECT user_id % 2 AS variant, CAST(value AS DECIMAL(10,2)) AS v
-      |  FROM events WHERE event_type = 'purchase'),
+      |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
       |g AS (SELECT v,
       |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
       |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
@@ -1203,7 +1203,8 @@ object Extras {
       |    / sqrt(CAST(n0 AS DOUBLE) * n1 / 12
       |        * ((n0 + n1 + 1) - CAST(ties AS DOUBLE) / ((n0 + n1) * (n0 + n1 - 1.0)))) AS z
       |FROM st""".stripMargin) { (s, d) =>
-    val g = T.events(s, d).filter(col("event_type") === "purchase")
+    val g = T.events(s, d)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
       .select((col("user_id") % 2).as("variant"),
         col("value").cast("decimal(10,2)").as("v"))
       .groupBy(col("v")).agg(
@@ -1243,6 +1244,9 @@ object Extras {
           * ((col("n0") + col("n1") + 1L) - col("ties").cast("double")
             / ((col("n0") + col("n1")) * (col("n0") + col("n1") - lit(1.0)))))).as("z"))
   }
+  // (a41/a42 both filter `value IS NOT NULL` on BOTH engines: Spark's
+  //  ORDER BY sorts NULLS FIRST, DuckDB's window ORDER BY NULLS LAST —
+  //  a null value would silently shift every rank/CDF and break parity.)
 
   // --- a42_ks_test: two-sample Kolmogorov-Smirnov — the DISTRIBUTION-
   // level test completing the triad (a38 means, a41 ranks, a42 whole
@@ -1256,7 +1260,7 @@ object Extras {
   val a42KsTest = QueryDef.sql(
     "a42_ks_test",
     """WITH p AS (SELECT user_id % 2 AS variant, CAST(value AS DECIMAL(10,2)) AS v
-      |  FROM events WHERE event_type = 'purchase'),
+      |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
       |g AS (SELECT v,
       |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
       |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
@@ -1272,7 +1276,8 @@ object Extras {
       |  sqrt(CAST(n.n0 AS DOUBLE) * n.n1 / (n.n0 + n.n1))
       |    * (CAST(d.dnum AS DOUBLE) / (CAST(n.n0 AS DOUBLE) * n.n1)) AS ks_stat
       |FROM d, n""".stripMargin) { (s, d) =>
-    val g = T.events(s, d).filter(col("event_type") === "purchase")
+    val g = T.events(s, d)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
       .select((col("user_id") % 2).as("variant"),
         col("value").cast("decimal(10,2)").as("v"))
       .groupBy(col("v")).agg(

@@ -254,7 +254,7 @@ object Quality {
     """WITH s AS (SELECT event_type, CAST(value AS DOUBLE) AS v, event_id,
       |    row_number() OVER (PARTITION BY event_type ORDER BY CAST(value AS DOUBLE), event_id) AS rn,
       |    count(*) OVER (PARTITION BY event_type) AS n
-      |  FROM events),
+      |  FROM events WHERE value IS NOT NULL),
       |p AS (SELECT unnest([0.25, 0.75]) AS pct),
       |g AS (SELECT DISTINCT event_type, n FROM s),
       |pick AS (SELECT g.event_type, p.pct,
@@ -283,7 +283,9 @@ object Quality {
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type")).orderBy(col("v"), col("event_id"))
     val wN = org.apache.spark.sql.expressions.Window.partitionBy(col("event_type"))
-    val ranked = T.events(s, d)
+    // value IS NOT NULL on BOTH engines: Spark windows sort NULLS FIRST,
+    // DuckDB NULLS LAST — a null value would shift every rank/quartile.
+    val ranked = T.events(s, d).filter(col("value").isNotNull)
       .select(col("event_type"), col("value").cast("double").as("v"), col("event_id"))
       .withColumn("rn", row_number().over(wRank))
       .withColumn("n", count(lit(1)).over(wN))

@@ -44,6 +44,23 @@ class StumpBinningSpec extends SparkSpec {
     }
   }
 
+  test("giniStump on a constant feature (nr = 0) yields finite impurity") {
+    // mn == mx makes every threshold mx, so the right side is empty at
+    // every split; the guarded impurity must be the pure-left Gini, not
+    // NULL (Spark non-ANSI x/0) or NaN (IEEE).
+    val rows = List.fill(50)((7L, 1L)) ++ List.fill(30)((7L, 0L))
+    val got = Clustering.giniStump(rows.toDF("x", "pos"))
+      .select("kk", "nl", "nr", "gini")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.length === 9)
+    val n = 80L; val npos = 50L
+    val expected = (n - (npos * npos + (n - npos) * (n - npos)) / n.toDouble) / n
+    got.foreach { case (kk, nl, nr, gini) =>
+      assert(nl === n && nr === 0L, s"kk=$kk sides")
+      assert(!gini.isNaN && math.abs(gini - expected) < 1e-12, s"kk=$kk gini=$gini")
+    }
+  }
+
   test("a39 deciles partition all orders and revenue rises with the bin") {
     val out = Extras.a39DecileBinning.run(spark, sfDir)
       .select("decile", "n_orders", "revenue")
