@@ -465,6 +465,43 @@ object TextDedup {
         col("ca.cnt").as("n_a"), col("cb.cnt").as("n_b"))
   }
 
+  // --- d13_jaro_winkler_match: prefix-weighted fuzzy matching over the
+  // name dictionary — the scorer d12's levenshtein gate can't express
+  // (JW rewards shared prefixes, the signal for typo'd entity names).
+  // Both scorers are codegen'd Catalyst expressions pinned BIT-FOR-BIT
+  // to DuckDB's builtins (graft.functions.StringDistances — full
+  // Damerau-Levenshtein incl. the alphabet table, Jaro with integer-
+  // floored transpositions and the 0.7 boost threshold), so the oracle
+  // is DuckDB's own jaro_winkler_similarity/damerau_levenshtein.
+  // Blocking is the same-first-word equi-join — exactly replicable in
+  // SQL (unlike a recall-probabilistic LSH block) and semantically
+  // aligned with JW's prefix weighting. Scale shape: the quadratic work
+  // stays inside first-word blocks of the DISTINCT-name dictionary
+  // (vocabulary-bounded, not corpus-bounded); one equi-join shuffle on
+  // the block key, per-pair scalar kernels inside the fused stage. ---
+  val d13JaroWinklerMatch = QueryDef.sql(
+    "d13_jaro_winkler_match",
+    """WITH n AS (SELECT DISTINCT p_name FROM part)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  jaro_winkler_similarity(a.p_name, b.p_name) AS jw,
+      |  CAST(damerau_levenshtein(a.p_name, b.p_name) AS BIGINT) AS dl
+      |FROM n a JOIN n b
+      |  ON split_part(a.p_name, ' ', 1) = split_part(b.p_name, ' ', 1)
+      | AND a.p_name < b.p_name
+      |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85""".stripMargin) { (s, d) =>
+    import graft.functions.{DamerauLevenshtein, JaroWinkler}
+    val names = T.part(s, d).select(col("p_name")).distinct()
+      .withColumn("blk", element_at(split(col("p_name"), " "), 1))
+    val a = names.select(col("blk"), col("p_name").as("name_a"))
+    val b = names.select(col("blk"), col("p_name").as("name_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("name_a") < col("name_b"))
+      .select(col("name_a"), col("name_b"),
+        JaroWinkler.of(col("name_a"), col("name_b")).as("jw"),
+        DamerauLevenshtein.of(col("name_a"), col("name_b")).cast("long").as("dl"))
+      .filter(col("jw") >= 0.85)
+  }
+
   // --- t31_dup_ngram_coverage: per-document duplication EXPOSURE — the
   // fraction of a doc's distinct word-3-gram shingles that also occur in
   // at least one other document (the Lee-et-al-style near-verbatim
@@ -500,5 +537,6 @@ object TextDedup {
     t1TokenStats, t2QualityScore, t3LangId, t4Fingerprint, t5Profile,
     t6HashSample, t7StratifiedSample,
     d1ExactDedup, d2NgramJaccard, d3MinhashLsh, d4Simhash, d6DedupClusters,
-    d11ClusterSurvivor, d12FuzzyNameMatch, t13RebalanceMix, t31DupNgramCoverage)
+    d11ClusterSurvivor, d12FuzzyNameMatch, d13JaroWinklerMatch,
+    t13RebalanceMix, t31DupNgramCoverage)
 }
