@@ -1519,6 +1519,52 @@ object Events {
       sum(expr("1000000 div n")).as("linear_scaled"))
   }
 
+  // --- e31_stream_static_join: STREAM-STATIC join under the hash gate —
+  // the dimension-enrichment topology (the join-type matrix's remaining
+  // cell: e12 inner/e21 left/e29 full are stream-STREAM; this is the
+  // stateless stream⋈table case every enrichment pipeline runs).
+  // Streaming purchases join the STATIC customer dimension read as a
+  // plain batch table: no watermark, no join state — Spark re-plans the
+  // static side per micro-batch (a restarted/refreshed dimension is
+  // picked up at the next batch) and broadcasts it under AQE when it
+  // fits, so the stream side never shuffles. Matches land through the
+  // exactly-once file-sink manifest and the returned frame reads back
+  // THROUGH that manifest; the oracle's batch equi-join gates source →
+  // per-batch join → sink end-to-end. Left join keeps users outside the
+  // dimension (none in the fixture, but the null path is exercised by
+  // the join type, not vacuously green — every user_id < 150 resolves). ---
+  val e31StreamStaticJoin = QueryDef.sql(
+    "e31_stream_static_join",
+    """SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+      |  CAST(CAST(e.value AS DECIMAL(10,2)) AS DOUBLE) AS amount
+      |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+      |WHERE e.event_type = 'purchase'""".stripMargin) { (s, d) =>
+    withStatePartitions(s, 8) {
+    val root = java.nio.file.Files.createTempDirectory("e31-static").toString
+    val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    T.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .write.parquet(feed)
+    val dim = T.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    val stream = s.readStream
+      .schema("event_id BIGINT, user_id BIGINT, value DOUBLE")
+      .parquet(feed)
+    val joined = stream.join(dim, col("c_custkey") === col("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("segment"),
+        col("value").cast("decimal(10,2)").cast("double").as("amount"))
+    val q = joined.writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out)
+      .select(col("event_id"), col("user_id"), col("segment"), col("amount"))
+    }
+  }
+
   /** Registered queries that drive a REAL Structured Streaming run
     * (readStream → writeStream with checkpoint/state-store commits).
     * Bench reports these under a separate `stream_total`: their cost is
@@ -1531,7 +1577,7 @@ object Events {
     "e18_stream_ivm", "e19_stream_sessions", "e20_late_data",
     "e21_stream_outer_join", "e29_stream_full_outer",
     "e22_transform_with_state", "e23_state_map", "e24_state_list",
-    "e25_chained_agg", "e26_session_window")
+    "e25_chained_agg", "e26_session_window", "e31_stream_static_join")
 
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
@@ -1542,5 +1588,5 @@ object Events {
     e17SessionPaths, e18StreamIvm, e19StreamSessions, e20LateData,
     e21StreamOuterJoin, e22TransformWithState, e23StateMap, e24StateList,
     e25ChainedAgg, e26SessionWindow, e27SequenceMatch, e28VariantExtract,
-    e29StreamFullOuter, e30Attribution)
+    e29StreamFullOuter, e30Attribution, e31StreamStaticJoin)
 }
