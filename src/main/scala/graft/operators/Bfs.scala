@@ -62,6 +62,45 @@ object Bfs {
     labels
   }
 
+  /** PER-SOURCE hop distances: (src, id, dist) for every (seed, node)
+    * pair within `rounds` hops — the label is keyed by the seed, so each
+    * seed runs its own BFS simultaneously in one job per round (the
+    * landmark/sampled-sources pattern behind closeness/harmonic
+    * centrality). Same frontier-only discipline as [[distances]]; state
+    * and per-round join work scale with (number of seeds × their
+    * neighborhoods), which is why the seed set is an explicit sample —
+    * all-sources exact closeness at 100 TB is the quadratic no-go that
+    * sketch approaches (ANF/HyperBall) exist to replace. */
+  def perSourceDistances(
+      edges: DataFrame,
+      seeds: DataFrame,
+      rounds: Int,
+      stagePath: String): DataFrame = {
+    val spark = edges.sparkSession
+    def stage(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$stagePath/$name")
+      spark.read.parquet(s"$stagePath/$name")
+    }
+    var labels = stage(
+      seeds.select(col("id")).distinct()
+        .select(col("id").as("src"), col("id"), lit(0).as("dist")),
+      "s0")
+    var frontier = labels
+    var r = 1
+    while (r <= rounds && !frontier.isEmpty) {
+      val reached = frontier
+        .join(edges, frontier("id") === edges("u"))
+        .select(col("src"), edges("v").as("id"), (col("dist") + 1).as("dist"))
+      labels = stage(
+        labels.unionByName(reached)
+          .groupBy(col("src"), col("id")).agg(min(col("dist")).as("dist")),
+        s"s$r")
+      frontier = labels.filter(col("dist") === r)
+      r += 1
+    }
+    labels
+  }
+
   /** Weighted single-source(-set) shortest paths, Bellman-Ford style:
     * (id, dist) = exact minimum total edge cost reachable from a seed
     * within `rounds` relaxations (seeds are dist 0).

@@ -635,8 +635,62 @@ object Graphs {
       .unionByName(s3.select(col("walk"), lit(3).as("step"), col("cur").as("node")))
   }
 
+  /** One per-source BFS relaxation round for the g14 oracle: labels are
+    * keyed by (src, id) — each seed's BFS unrolls independently inside
+    * the same round (min-equivalent to frontier-only expansion, g4's
+    * argument, per seed). */
+  private def sqlSrcBfsRound(prev: String, r: Int): String =
+    s"""r$r AS (SELECT src, id, min(dist) AS dist FROM (
+       |  SELECT src, id, dist FROM $prev
+       |  UNION ALL
+       |  SELECT l.src, e.v AS id, l.dist + 1 AS dist
+       |  FROM $prev l JOIN edges e ON e.u = l.id) t
+       |GROUP BY src, id)""".stripMargin
+
+  // --- g14_harmonic_centrality: depth-3 harmonic centrality of the g4
+  // seed parts — Σ 1/d over reached nodes, the closeness variant that
+  // handles disconnected graphs (unreached nodes contribute 0, not ∞).
+  // Labels are PER-SEED (Bfs.perSourceDistances: src-keyed frontiers,
+  // every seed's BFS in the same per-round equi-join), the sampled-
+  // landmark pattern — exact all-sources closeness is quadratic and is
+  // exactly what ANF/HyperBall-style sketches exist to replace, so the
+  // explicit seed sample is the scale-honest contract. The harmonic sum
+  // never adds doubles in data order: per-distance counts n1/n2/n3 are
+  // exact integers and the final n1 + n2/2 + n3/3 is one closed-form
+  // double expression, identical both engines. ---
+  val g14HarmonicCentrality = QueryDef.sql(
+    "g14_harmonic_centrality",
+    s"""WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |e0 AS (SELECT DISTINCT x.p AS u, y.p AS v FROM it x JOIN it y ON x.o = y.o AND x.p < y.p),
+       |edges AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+       |l0 AS (SELECT DISTINCT p AS src, p AS id, 0 AS dist FROM it WHERE p % 97 = 0),
+       |${sqlSrcBfsRound("l0", 1)},
+       |${sqlSrcBfsRound("r1", 2)},
+       |${sqlSrcBfsRound("r2", 3)},
+       |g AS (SELECT src,
+       |    CAST(sum(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |    CAST(sum(CASE WHEN dist = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+       |  FROM r3 GROUP BY src)
+       |SELECT src AS part_id, n1, n2, n3,
+       |  CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) / 2 + CAST(n3 AS DOUBLE) / 3 AS harmonic
+       |FROM g""".stripMargin) { (s, d) =>
+    val edges = coPurchaseUndirected(s, d).select(col("u"), col("v"))
+    val stage = java.nio.file.Files.createTempDirectory("g14-bfs").toString
+    val seeds = T.lineitem(s, d).select(col("l_partkey").as("p")).distinct()
+      .filter(col("p") % 97 === 0).select(col("p").as("id"))
+    graft.operators.Bfs.perSourceDistances(edges, seeds, rounds = 3, s"$stage/labels")
+      .groupBy(col("src")).agg(
+        sum(when(col("dist") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("dist") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("dist") === 3, 1L).otherwise(0L)).as("n3"))
+      .select(col("src").as("part_id"), col("n1"), col("n2"), col("n3"),
+        (col("n1").cast("double") + col("n2").cast("double") / 2
+          + col("n3").cast("double") / 3).as("harmonic"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     g1Pagerank, g2TriangleCount, g3LabelProp, g4ShortestPath, g5Assortativity,
     g6LinkPredict, g7NeighborhoodJaccard, g8KCore, g9PersonalizedPr, g10Hits,
-    g11CheapestPath, g12Modularity, g13RandomWalks)
+    g11CheapestPath, g12Modularity, g13RandomWalks, g14HarmonicCentrality)
 }

@@ -66,4 +66,25 @@ class BfsSpec extends SparkSpec {
     // seeds {1, 5}: node 2 costs 5 via seed 1 but 3 via 5→4→3→2
     assert(sssp(g, Seq(1L, 5L), 3)(2L) === 3L)
   }
+
+  test("per-source labels equal one independent BFS per seed") {
+    // asymmetric graph: chain 1-2-3-4 plus branch 2-8, seeds {1, 4, 9}
+    // (9 isolated). The simultaneous src-keyed run must match running
+    // distances() separately from each seed — no cross-seed min leakage
+    // (the nearest-seed collapse is exactly what per-source must NOT do).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 8L))
+    val undirected = edges ++ edges.map { case (u, v) => (v, u) }
+    val seeds = Seq(1L, 4L, 9L)
+    val stage = java.nio.file.Files.createTempDirectory("psrc-spec").toString
+    val got = Bfs.perSourceDistances(
+        undirected.toDF("u", "v"), seeds.toDF("id"), 3, stage)
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    seeds.foreach { sd =>
+      assert(got(sd) === bfs(edges, Seq(sd), 3), s"seed $sd")
+    }
+    // seed 1 vs seed 4 genuinely differ on node 8 (2 hops vs 3) — the
+    // nearest-seed collapse would have given both the min
+    assert(got(1L)(8L) === 2 && got(4L)(8L) === 3)
+  }
 }
