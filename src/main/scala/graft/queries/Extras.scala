@@ -1354,7 +1354,71 @@ object Extras {
         ((col("obs") - e) * (col("obs") - e) / e).as("chi2_term"))
   }
 
+  // --- a44_quantile_normalize: distribution ALIGNMENT — map every
+  // variant-1 purchase value onto the variant-0 distribution by rank
+  // quantile (the feature-prep transform behind drift correction and
+  // cross-cohort score calibration; a42 DETECTS the distribution gap,
+  // a44 removes it). Per-group ranks come from operators.GroupedRank —
+  // a36's two-linear-pass numbering generalized to groups, because
+  // `PARTITION BY variant` over two variants is a two-task straggler at
+  // 100 TB (exactly the skew the registry's window lint exists to
+  // catch, legal here only because the oracle affords it). Target
+  // position tr = pct·(n0−1) is one double expression of exact
+  // integers, identical both engines; the straddling-rank lookup is two
+  // equi-joins on integer rank (a30/dq7's interpolation discipline),
+  // never a sort-merge on doubles. ---
+  val a44QuantileNormalize = QueryDef.sql(
+    "a44_quantile_normalize",
+    """WITH p AS (SELECT event_id, user_id % 2 AS variant, CAST(value AS DOUBLE) AS v
+      |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+      |r AS (SELECT event_id, variant, v,
+      |    row_number() OVER (PARTITION BY variant ORDER BY v, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY variant) AS n
+      |  FROM p),
+      |n0 AS (SELECT CAST(count(*) AS BIGINT) AS n0 FROM p WHERE variant = 0),
+      |t AS (SELECT r.event_id, r.v,
+      |    (CAST(r.rn - 1 AS DOUBLE) / (r.n - 1)) * (n0.n0 - 1) AS tr
+      |  FROM r, n0 WHERE r.variant = 1 AND r.n > 1),
+      |k AS (SELECT t.event_id, t.v, t.tr,
+      |    CAST(floor(t.tr) AS BIGINT) + 1 AS lorn,
+      |    least(CAST(floor(t.tr) AS BIGINT) + 2, n0.n0) AS hirn
+      |  FROM t, n0)
+      |SELECT k.event_id, k.v AS v_raw,
+      |  vlo.v + (k.tr - floor(k.tr)) * (vhi.v - vlo.v) AS v_norm
+      |FROM k
+      |JOIN r vlo ON vlo.variant = 0 AND vlo.rn = k.lorn
+      |JOIN r vhi ON vhi.variant = 0 AND vhi.rn = k.hirn""".stripMargin) { (s, d) =>
+    val p = T.events(s, d)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("event_id"), (col("user_id") % 2).as("variant"),
+        col("value").cast("double").as("v"))
+    val ranked = graft.operators.GroupedRank.rowNumbers(
+      p, Seq("variant"), Seq("v", "event_id"))
+    val counts = ranked.groupBy(col("variant")).agg(count(lit(1)).as("nv"))
+    val n0 = counts.filter(col("variant") === 0)
+      .select(col("nv").as("n0"))
+    val t = ranked.filter(col("variant") === 1)
+      .join(broadcast(counts.filter(col("variant") === 1).select(col("nv").as("n1"))))
+      .filter(col("n1") > 1)
+      .crossJoin(broadcast(n0))
+      .select(col("event_id"), col("v"),
+        ((col("rn") - 1).cast("double") / (col("n1") - 1) * (col("n0") - 1)).as("tr"),
+        col("n0"))
+    val k = t.select(col("event_id"), col("v"), col("tr"),
+      (floor(col("tr")).cast("long") + 1).as("lorn"),
+      least(floor(col("tr")).cast("long") + 2, col("n0")).as("hirn"))
+    val g0 = ranked.filter(col("variant") === 0)
+    val vlo = g0.select(col("rn").as("rn_lo"), col("v").as("v_lo"))
+    val vhi = g0.select(col("rn").as("rn_hi"), col("v").as("v_hi"))
+    k.join(vlo, col("lorn") === col("rn_lo"))
+      .join(vhi, col("hirn") === col("rn_hi"))
+      .select(col("event_id"), col("v").as("v_raw"),
+        (col("v_lo") + (col("tr") - floor(col("tr"))) * (col("v_hi") - col("v_lo")))
+          .as("v_norm"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    a44QuantileNormalize,
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
     a16WindowSuite, a17ScalarSuite, a18DateSuite, a19GroupingSets,
     sql2CorrelatedSubquery, sql3LateralJoin, sql4RecursiveCte, sql5GroupByAll,
