@@ -131,6 +131,30 @@ object Publish {
     run
   }
 
+  /** Write-Audit-Publish: stage every table durably, AUDIT the staged
+    * parquet read back from the run directory (auditing the input
+    * lineage would certify different bytes than readers will see — the
+    * staged files are the contract), and commit only if the audit
+    * passes. A refused run leaves the live view untouched; its
+    * reservation and stage are invisible orphans reclaimed by
+    * [[expire]] — exactly the crash-before-marker shape, so no new
+    * recovery path exists. Returns Some(run) iff committed.
+    *
+    * At 100 TB the audit is one extra scan of the freshly-written run
+    * (its files are page-cache-warm), and it runs BEFORE visibility —
+    * the alternative (audit after publish, roll back on failure)
+    * briefly exposes bad data to every reader, which is the failure
+    * mode WAP exists to remove. */
+  def publishAudited(
+      spark: SparkSession, root: String, tables: Map[String, DataFrame])(
+      audit: Map[String, DataFrame] => Boolean): Option[Long] = {
+    val run = stageRun(spark, root, tables)
+    val staged = tables.keys.map { n =>
+      n -> spark.read.parquet(s"${runDir(root, run)}/$n")
+    }.toMap
+    if (audit(staged)) { commitRun(spark, root, run); Some(run) } else None
+  }
+
   /** Read `table` as of `run` (default: latest committed). Throws if
     * nothing was ever committed. */
   def read(

@@ -1099,6 +1099,47 @@ object EtlOps {
           col("n_items"), col("total"))
   }
 
+  // --- k27_wap_gate: Write-Audit-Publish — the audit gate BETWEEN
+  // staging and visibility (k20 proves atomic visibility; k27 proves a
+  // failing batch never becomes visible at all). Two runs of a daily
+  // purchase-revenue table go through Publish.publishAudited: run 1 is
+  // clean and commits; run 2 carries upstream corruption (nulled totals
+  // on a third of the days) and is REFUSED by the same DataQuality
+  // row-checks dq1 registers — the audit runs against the STAGED
+  // parquet read back from the run directory, certifying the bytes
+  // readers would see, not the input lineage. The returned frame is the
+  // live (latest-committed) table, so the oracle — the CLEAN batch's
+  // aggregate — hash-fails if the bad run ever commits or the good one
+  // is torn. The refusal itself is asserted loudly in-line. ---
+  val k27WapGate = QueryDef.sql(
+    "k27_wap_gate",
+    """SELECT strftime(ts, '%Y-%m-%d') AS dt, count(*) AS n,
+      |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total
+      |FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+      |GROUP BY dt""".stripMargin) { (s, d) =>
+    import graft.operators.{DataQuality, Publish}
+    val root = java.nio.file.Files.createTempDirectory("k27-wap").toString + "/pub"
+    val daily = T.events(s, d)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("total"))
+    def audit(staged: Map[String, org.apache.spark.sql.DataFrame]): Boolean =
+      DataQuality.validateRows(staged("daily_rev"),
+          Seq(DataQuality.notNull("dt"), DataQuality.notNull("total")))
+        .agg(min(col("pass").cast("int")).as("ok"))
+        .collect().head.getInt(0) == 1
+    val good = Publish.publishAudited(s, root, Map("daily_rev" -> daily))(audit)
+    require(good.contains(1L), s"clean run must commit, got $good")
+    val corrupted = daily.withColumn("total",
+      when(col("n") % 3 === 0, lit(null)).otherwise(col("total")))
+    val bad = Publish.publishAudited(s, root, Map("daily_rev" -> corrupted))(audit)
+    require(bad.isEmpty, "corrupted run must be refused")
+    require(Publish.latestCommitted(s, root) == 1L, "live view moved")
+    Publish.read(s, root, "daily_rev")
+      .select(col("dt"), col("n"), col("total"))
+  }
+
   // --- k21_dynamic_overwrite: dynamic-partition-overwrite restatement —
   // the day-partitioned table lands once, then a corrected recomputation
   // of the tail days (value doubled for days >= the cut) is written with
@@ -1420,5 +1461,6 @@ object EtlOps {
     k11PartitionedPrune, k12TimeTravel, k13SchemaEvolution,
     k14BucketedJoin, k15CdcApply, k16CompactionGate, k17IvmJoin,
     k18FormatRoundtrip, k19ForgetKeys, k20AtomicPublish, k21DynamicOverwrite,
-    k22MvRewrite, k23ZorderGate, k24FullMerge, k25RetractableAgg, k26ScrubHistory)
+    k22MvRewrite, k23ZorderGate, k24FullMerge, k25RetractableAgg, k26ScrubHistory,
+    k27WapGate)
 }

@@ -69,6 +69,31 @@ class PublishSpec extends SparkSpec {
     intercept[Exception] { Publish.commitRun(spark, r, run) }
   }
 
+  test("WAP: a failing audit never becomes visible; the orphan expires") {
+    val r = root()
+    def auditMinRows(n: Long)(staged: Map[String, org.apache.spark.sql.DataFrame]) =
+      staged.values.forall(_.count() >= n)
+    // clean run commits
+    val ok = Publish.publishAudited(spark, r,
+      Map("t" -> Seq((1L, "a"), (2L, "b")).toDF("k", "v")))(auditMinRows(2))
+    assert(ok === Some(1L))
+    // the audit sees the STAGED bytes: a run refused by the audit stays
+    // fully staged on disk but invisible — latest and reads untouched
+    val refused = Publish.publishAudited(spark, r,
+      Map("t" -> Seq((9L, "bad")).toDF("k", "v")))(auditMinRows(2))
+    assert(refused === None)
+    assert(Publish.latestCommitted(spark, r) === 1L)
+    assert(Publish.read(spark, r, "t").count() === 2)
+    // the refused orphan occupies run id 2; the next publisher skips it
+    val next = Publish.publishAudited(spark, r,
+      Map("t" -> Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")))(auditMinRows(2))
+    assert(next === Some(3L))
+    // expire reclaims the refused stage along with old runs
+    Publish.expire(spark, r, keepLast = 1)
+    intercept[Exception] { Publish.read(spark, r, "t", run = 1).collect() }
+    assert(Publish.read(spark, r, "t").count() === 3)
+  }
+
   test("time travel by run id; expire keeps the retained window readable") {
     val r = root()
     (1 to 4).foreach { i =>
