@@ -318,6 +318,53 @@ object Quality {
         col("n_outliers"), col("outlier_rate"))
   }
 
+  // --- dq8_reconciliation: source↔target table diff — the validation
+  // pass behind every migration/backfill/replication (dq3 checks keys
+  // EXIST; dq8 checks the rows are THE SAME). The target is a
+  // deterministically perturbed copy of orders (every 97th key dropped,
+  // every 89th totalprice bumped, every 178th also status-corrupted,
+  // every 101st re-keyed as an extra), so all four verdict classes and
+  // both drifted-column signatures are exercised — and the oracle can
+  // recompute the class of every key from the perturbation rule alone,
+  // gating operators.Reconcile's full-outer-join classification without
+  // ever trusting it. Shape: ONE full-outer sort-merge shuffle on the
+  // key (the exact-diff minimum), null-safe column compare in the fused
+  // post-join stage, partial-agg rollup. ---
+  val dq8Reconciliation = QueryDef.sql(
+    "dq8_reconciliation",
+    """WITH cls AS (
+      |  SELECT CASE WHEN o_orderkey % 97 = 0 THEN 'MISSING_IN_TARGET'
+      |              WHEN o_orderkey % 89 = 0 THEN 'MISMATCH'
+      |              ELSE 'MATCH' END AS status,
+      |         CASE WHEN o_orderkey % 97 = 0 THEN ''
+      |              WHEN o_orderkey % 178 = 0 THEN 'o_totalprice,o_orderstatus'
+      |              WHEN o_orderkey % 89 = 0 THEN 'o_totalprice'
+      |              ELSE '' END AS diff_cols
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'EXTRA_IN_TARGET', '' FROM orders WHERE o_orderkey % 101 = 0)
+      |SELECT status, diff_cols, count(*) AS n
+      |FROM cls GROUP BY status, diff_cols""".stripMargin) { (s, d) =>
+    import graft.operators.Reconcile
+    val src = T.orders(s, d).select(col("o_orderkey"),
+      col("o_totalprice").cast("decimal(12,2)").as("o_totalprice"),
+      col("o_orderstatus"))
+    val kept = src.filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 89 === 0, col("o_totalprice") + 1)
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 178 === 0, lit("X"))
+          .otherwise(col("o_orderstatus")))
+    val extra = src.filter(col("o_orderkey") % 101 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+    val target = kept.unionByName(extra)
+    Reconcile.summarize(
+        Reconcile.compare(src, target, Seq("o_orderkey"),
+          Seq("o_totalprice", "o_orderstatus")))
+      .select(col("status"), col("diff_cols"), col("n"))
+  }
+
   val all: Seq[QueryDef] = Seq(dq1Expectations, dq2KAnonymity, dq3RefIntegrity, dq4DriftPsi,
-    dq5Freshness, dq6Benford, dq7OutlierIqr)
+    dq5Freshness, dq6Benford, dq7OutlierIqr, dq8Reconciliation)
 }
