@@ -211,6 +211,64 @@ object Media {
       .select(col("asset_id"), col("probe_hz"), col("c"), col("s"), col("rank"))
   }
 
+  // --- m6_image_neardup: perceptual near-dup detection — m2's hash
+  // composed with d3's band-bucket discipline: split each 64-bit aHash
+  // into 4×16-bit bands, equi-join on (band, key) for candidates, then
+  // verify exact Hamming ≤ 3. 4 bands at t = 3 is PIGEONHOLE-COMPLETE
+  // (3 differing bits can corrupt at most 3 bands, so one band always
+  // matches) — the Spark-side banding provably loses nothing, which is
+  // why the oracle can brute-force all pairs and still be an exact
+  // gate, not a recall estimate. The asset set extends m2's corpus with
+  // two variant ranges: +768 is the synthesis formula's full period
+  // (pixel-identical re-encodes — Hamming 0, the classic re-upload
+  // case) and +256 shifts only the channel phases (near-misses at
+  // small Hamming). Scale shape: decode once (8 bytes/asset leave the
+  // scan), one equi-join shuffle on band keys, HOF Hamming only on
+  // candidates — never an all-pairs compare in Spark. ---
+  val m6ImageNeardup = QueryDef.sql(
+    "m6_image_neardup",
+    """WITH ids AS (SELECT x AS id FROM generate_series(0,59) t(x)
+      |            UNION ALL SELECT x + 256 FROM generate_series(0,59) t(x)
+      |            UNION ALL SELECT x + 768 FROM generate_series(0,59) t(x)),
+      |img AS (SELECT id, 16 + (id%4)*4 AS w, 12 + (id%3)*4 AS h FROM ids WHERE id%3=0),
+      |cells AS (SELECT i.id, gy.y AS gy, gx.x AS gx,
+      |    (i.id*31 + 7*((gx.x*i.w)//8) + 13*((gy.y*i.h)//8)) % 256 AS r,
+      |    (i.id*17 + 3*((gx.x*i.w)//8) + 5*((gy.y*i.h)//8)) % 256 AS g,
+      |    (i.id*7 + 11*((gx.x*i.w)//8) + 2*((gy.y*i.h)//8)) % 256 AS b
+      |  FROM img i, generate_series(0,7) gx(x), generate_series(0,7) gy(y)),
+      |lum AS (SELECT id, gy, gx, (299*r + 587*g + 114*b)//1000 AS l FROM cells),
+      |m AS (SELECT id, sum(l)//64 AS mean FROM lum GROUP BY id),
+      |bits AS (SELECT l.id, l.gy, l.gx,
+      |    CASE WHEN l.l > m.mean THEN 1 ELSE 0 END AS bit
+      |  FROM lum l JOIN m ON m.id = l.id),
+      |h AS (SELECT a.id AS id_a, b.id AS id_b,
+      |    CAST(sum(CASE WHEN a.bit != b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+      |  FROM bits a JOIN bits b ON a.gy = b.gy AND a.gx = b.gx AND a.id < b.id
+      |  GROUP BY a.id, b.id)
+      |SELECT id_a, id_b, hamming FROM h WHERE hamming <= 3""".stripMargin) { (s, _) =>
+    val ids = (0L until 60L) ++ (256L until 316L) ++ (768L until 828L)
+    val hs = Multimodal.imageHashes(
+        Multimodal.repartitionForDecode(Multimodal.synthesize(s, ids), 8))
+      .toDF().select(col("asset_id"), col("ahash"))
+    val bands = hs.select(col("asset_id"), expr(
+      "explode(transform(sequence(0, 3), " +
+        "b -> struct(b AS band, substring(ahash, b*16 + 1, 16) AS key)))").as("p"))
+      .select(col("asset_id"), col("p.band").as("band"), col("p.key").as("key"))
+    val cand = bands.as("x").join(bands.as("y"), Seq("band", "key"))
+      .filter(col("x.asset_id") < col("y.asset_id"))
+      .select(col("x.asset_id").as("id_a"), col("y.asset_id").as("id_b"))
+      .distinct()
+    cand
+      .join(hs.select(col("asset_id").as("id_a"), col("ahash").as("ha")), Seq("id_a"))
+      .join(hs.select(col("asset_id").as("id_b"), col("ahash").as("hb")), Seq("id_b"))
+      .withColumn("hamming", expr(
+        "aggregate(transform(sequence(1, 64), " +
+          "i -> CASE WHEN substring(ha, i, 1) = substring(hb, i, 1) THEN 0L ELSE 1L END), " +
+          "0L, (acc, x) -> acc + x)"))
+      .filter(col("hamming") <= 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   val all: Seq[QueryDef] = Seq(m1MediaFeatures, m2ImagePhash, m3AudioEnergy, m4ImageKnn,
-    m5AudioTone)
+    m5AudioTone, m6ImageNeardup)
 }

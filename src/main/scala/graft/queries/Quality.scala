@@ -89,6 +89,45 @@ object Quality {
       (min(col("n")) >= 5).as("k_anonymous"))
   }
 
+  // --- dq9_l_diversity: the attribute-disclosure audit k-anonymity
+  // misses — a class of 5 identical customers is k-anonymous, but if
+  // all 5 share one sensitive value (account-balance sign here), the
+  // attribute still leaks. Per quasi-identifier class: exact distinct
+  // count of the sensitive attribute, worst class, violators under
+  // l = 2. Same scale shape as dq2 — one partial-aggregated two-level
+  // groupBy whose shuffles carry (class, value) then class rows, never
+  // |customers| — plus the per-class summary. Reported per nation so
+  // the output localizes WHERE the leak is, not just that one exists. ---
+  val dq9LDiversity = QueryDef.sql(
+    "dq9_l_diversity",
+    """WITH cv AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'nonneg' END AS sv,
+      |    count(*) AS n
+      |  FROM customer GROUP BY 1, 2, 3),
+      |cls AS (
+      |  SELECT c_nationkey, c_mktsegment,
+      |    CAST(count(*) AS BIGINT) AS l_distinct, sum(n) AS class_size
+      |  FROM cv GROUP BY 1, 2)
+      |SELECT c_nationkey,
+      |  CAST(count(*) AS BIGINT) AS classes,
+      |  min(l_distinct) AS min_l,
+      |  CAST(count(*) FILTER (WHERE l_distinct < 2) AS BIGINT) AS violating,
+      |  min(l_distinct) >= 2 AS l_diverse
+      |FROM cls GROUP BY c_nationkey""".stripMargin) { (s, d) =>
+    val cv = T.customer(s, d)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        when(col("c_acctbal") < 0, "neg").otherwise("nonneg").as("sv"))
+      .agg(count(lit(1)).as("n"))
+    val cls = cv.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("l_distinct"), sum(col("n")).as("class_size"))
+    cls.groupBy(col("c_nationkey")).agg(
+      count(lit(1)).as("classes"),
+      min(col("l_distinct")).as("min_l"),
+      count(when(col("l_distinct") < 2, 1)).as("violating"),
+      (min(col("l_distinct")) >= 2).as("l_diverse"))
+  }
+
   // --- dq3_ref_integrity: referential-integrity audit — orphan-rate per
   // foreign-key relationship (orders→customer, lineitem→orders), the
   // join-health check a warehouse runs before trusting any star join.
@@ -366,5 +405,5 @@ object Quality {
   }
 
   val all: Seq[QueryDef] = Seq(dq1Expectations, dq2KAnonymity, dq3RefIntegrity, dq4DriftPsi,
-    dq5Freshness, dq6Benford, dq7OutlierIqr, dq8Reconciliation)
+    dq5Freshness, dq6Benford, dq7OutlierIqr, dq8Reconciliation, dq9LDiversity)
 }

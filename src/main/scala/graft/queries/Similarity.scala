@@ -880,8 +880,42 @@ object Similarity {
       .select(col("qid"), col("cid"), col("dot"), col("rank"))
   }
 
+  // --- v16_filtered_knn: metadata-FILTERED vector search — top-5 cosine
+  // restricted to candidates sharing the query's label (the "where
+  // category = X" retrieval every production vector store serves; v1-v15
+  // search the whole corpus). For an equality predicate the scale-honest
+  // plan is a bucket EQUI-JOIN on the attribute — candidates shuffle
+  // once on label, quadratic work stays inside each label's bucket, and
+  // the filter prunes BEFORE scoring (post-filtering a global top-k
+  // under-fills results when the predicate is selective — the classic
+  // filtered-ANN failure). Composes with the v5/v13 IVF machinery for
+  // non-equality predicates (filter inside each probed cell); here the
+  // label partition IS the index. Exact integer dot kernel, same oracle
+  // discipline as v1. ---
+  val v16FilteredKnn = QueryDef.sql(
+    "v16_filtered_knn",
+    s"""WITH q AS (SELECT vec_id AS qid, label, embedding AS qe
+       |           FROM embeddings WHERE vec_id < 8),
+       |pr AS (SELECT qid, c.vec_id AS cid, qe, c.embedding AS ce
+       |       FROM q JOIN embeddings c ON c.label = q.label AND c.vec_id <> q.qid),
+       |u AS (SELECT qid, cid, unnest(qe) AS x, unnest(ce) AS y FROM pr),
+       |$sqlDots
+       |SELECT qid, cid, cosine, rank FROM (
+       |  SELECT qid, cid, cosine,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+       |  FROM scored) t
+       |WHERE rank <= 5""".stripMargin) { (s, d) =>
+    val emb = T.embeddings(s, d).withColumn("q", quantize("embedding"))
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("label"), col("q").as("qeq"))
+    val c = emb.select(col("vec_id").as("cid"), col("label"), col("q").as("ceq"))
+    scoreTopk(
+      c.join(broadcast(q), Seq("label")).filter(col("cid") =!= col("qid")),
+      k = 5)
+  }
+
   val all: Seq[QueryDef] = Seq(
     v1KnnBruteforce, v2AnnLsh, v3EmbeddingNeardup, v5AnnIvf, v6RandomProjection,
     v8MmrRerank, v9PqCodes, v10PqAdc, v11Sq8Knn, v12AnnRecall, v13Ivfpq,
-    v14BinaryHamming, v15Mips)
+    v14BinaryHamming, v15Mips, v16FilteredKnn)
 }
