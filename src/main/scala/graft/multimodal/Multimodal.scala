@@ -394,6 +394,30 @@ object Multimodal {
     }
   }
 
+  final case class AudioPrefix(asset_id: Long, frames: Long, prefix: Seq[Long])
+
+  /** Decoded PCM PREFIX (first `n` samples, long-widened) per decodable
+    * AUDIO asset, plus total frame count — the trimmed-duplicate
+    * detection primitive: two uploads of the same recording cut to
+    * different lengths share a bit-identical prefix, so fingerprints of
+    * the prefix bucket them regardless of duration. Same iterator-to-
+    * iterator mapPartitions shape as [[audioEnergy]]; only n samples
+    * (not the full PCM) leave the decode task. Assets shorter than `n`
+    * are dropped (a shorter clip defines no length-n prefix). */
+  def audioPrefixes(ds: Dataset[MediaAsset], n: Int): Dataset[AudioPrefix] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.flatMap { a =>
+        if (a.kind != "audio") Iterator.empty
+        else AudioCodec.decode(a.bytes).iterator.collect {
+          case (info, samples) if samples.length >= n =>
+            AudioPrefix(a.asset_id, info.frames,
+              samples.iterator.take(n).map(_.toLong).toIndexedSeq)
+        }
+      }
+    }
+  }
+
   /** One audio analysis frame: exact integer energy (Σ v²) over a
     * fixed-length sample window. */
   final case class AudioWindow(

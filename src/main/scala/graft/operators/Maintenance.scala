@@ -37,6 +37,31 @@ object Maintenance {
     TableStats(files, bytes, if (files == 0) 0 else bytes / files)
   }
 
+  /** Evolve the PARTITION SCHEME of a landed table in place — the
+    * "we partitioned by X, every query filters by Y" migration (the
+    * classic: type-partitioned events vs day-bounded queries). The
+    * whole table is rewritten ONCE under the new layout through the
+    * same staged-swap protocol as [[compact]]: the new tree is staged
+    * durably at `path__new` (with `derive` applied first, so the new
+    * partition columns can be computed from existing data), then the
+    * directory swap is atomic, and every crash window is healed by
+    * [[Upsert.recoverSwap]] — an interrupted migration can never lose
+    * the table or leave it half-migrated. Cost is O(table), paid once;
+    * the payoff is partition pruning on the new key for every query
+    * after. At 100 TB run it partition-group by partition-group only if
+    * the table cannot take one rewrite window — the swap protocol is
+    * the same either way. */
+  def evolvePartitioning(
+      spark: SparkSession,
+      path: String,
+      newPartitionBy: Seq[String],
+      derive: DataFrame => DataFrame = identity): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Upsert.recoverSwap(fs, path)
+    Upsert.stagedRewrite(spark, path, newPartitionBy)(derive)
+  }
+
   private def targetFileCount(bytes: Long, targetBytesPerFile: Long): Int =
     math.max(1, math.ceil(bytes.toDouble / targetBytesPerFile).toInt)
 

@@ -192,7 +192,8 @@ object Upsert {
     * by the keyed upsert and table maintenance (compaction/clustering).
     */
   private[graft] def stagedRewrite(
-      spark: SparkSession, path: String)(rewrite: DataFrame => DataFrame): Unit = {
+      spark: SparkSession, path: String, partitionBy: Seq[String] = Nil)(
+      rewrite: DataFrame => DataFrame): Unit = {
     val fsPath = new org.apache.hadoop.fs.Path(path)
     val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val newP = new org.apache.hadoop.fs.Path(path + "__new")
@@ -200,8 +201,9 @@ object Upsert {
     fs.delete(newP, true)
     fs.delete(oldP, true)
     // Stage the full result durably BEFORE touching the live table.
-    rewrite(spark.read.parquet(path))
-      .write.mode(SaveMode.Overwrite).parquet(newP.toString)
+    val staged = rewrite(spark.read.parquet(path)).write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) staged.partitionBy(partitionBy: _*) else staged)
+      .parquet(newP.toString)
     // Swap. Directory renames are atomic on HDFS-like filesystems.
     if (!fs.rename(fsPath, oldP))
       throw new java.io.IOException(s"swap failed: $fsPath -> $oldP")

@@ -1,0 +1,120 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, ExprId, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+/** Column-level lineage extraction from an analyzed logical plan — the
+  * governance/impact-analysis companion to [[PlanLint]]: for every output
+  * column of a DataFrame, which (source table, source column) pairs feed
+  * it. This answers the two questions a warehouse owner actually asks —
+  * "if I drop/rename this source column, which outputs break?" (forward
+  * impact) and "where does this reported number come from?" (backward
+  * audit, e.g. for a regulator or a GDPR data-category map).
+  *
+  * Implementation: one bottom-up pass over the ANALYZED plan (resolved
+  * attributes carry stable `ExprId`s; the optimized plan would work too
+  * but collapses aliases the auditor wants to see through anyway). Each
+  * leaf's attributes seed their own (table, column) identity; every
+  * Alias-producing node (Project, Aggregate, Window, Generate, Expand)
+  * maps its outputs to the union of the lineage of the expressions'
+  * references; set-operation outputs merge positionally across children.
+  * Attributes that merely pass through joins/filters/sorts keep their
+  * ExprId, so no bookkeeping is needed there. Subquery expressions
+  * contribute their outer references (a correlated predicate makes the
+  * filtered column data-dependent on the subquery's tables only through
+  * filtering, not value lineage — the standard "value lineage" cut).
+  *
+  * Driver-sized by construction: the pass walks the PLAN, never the
+  * data — it is as cheap at 100 TB as at 100 rows.
+  */
+object ColumnLineage {
+
+  /** One source column: the table identity (last path segment for file
+    * relations, e.g. "lineitem.parquet") and the column name. */
+  final case class Source(table: String, column: String)
+
+  private def leafName(p: LogicalPlan): String = p match {
+    case l: LogicalRelation => l.relation match {
+      case h: HadoopFsRelation =>
+        h.location.rootPaths.headOption.map(_.getName).getOrElse("file")
+      case other => other.getClass.getSimpleName
+    }
+    case d: DataSourceV2Relation =>
+      d.identifier.map(_.name()).getOrElse(d.table.name())
+    case _: LocalRelation => "local"
+    case _: OneRowRelation => "onerow"
+    case other => other.getClass.getSimpleName
+  }
+
+  /** Lineage for every output column of `df`. Columns synthesized from
+    * literals alone map to the empty set. */
+  def lineage(df: DataFrame): Map[String, Set[Source]] = {
+    val plan = df.queryExecution.analyzed
+    val memo = mutable.Map.empty[ExprId, Set[Source]]
+
+    def sourcesOf(e: Expression): Set[Source] = {
+      val direct = e.references.iterator
+        .flatMap(a => memo.getOrElse(a.exprId, Set.empty[Source])).toSet
+      // plan subqueries (scalar subqueries in expressions): their output
+      // columns' lineage flows into the consuming expression
+      val sub = e.collect { case s: org.apache.spark.sql.catalyst.expressions.SubqueryExpression =>
+        visit(s.plan)
+        s.plan.output.flatMap(a => memo.getOrElse(a.exprId, Set.empty[Source])).toSet
+      }.flatten.toSet
+      direct ++ sub
+    }
+
+    def bindNamed(exprs: Seq[Expression]): Unit = exprs.foreach {
+      case a: Alias => memo(a.exprId) = sourcesOf(a.child)
+      case _ => () // bare AttributeReference: identity pass-through
+    }
+
+    def visit(p: LogicalPlan): Unit = {
+      p.children.foreach(visit)
+      p match {
+        case leaf: LeafNode =>
+          val t = leafName(leaf)
+          leaf.output.foreach(a => memo(a.exprId) = Set(Source(t, a.name)))
+        case Project(list, _) => bindNamed(list)
+        case agg: Aggregate => bindNamed(agg.aggregateExpressions)
+        case w: Window => bindNamed(w.windowExpressions)
+        case g: Generate =>
+          val src = sourcesOf(g.generator)
+          g.generatorOutput.foreach(a => memo(a.exprId) = src)
+        case e: Expand =>
+          // each output position merges the lineage of that position
+          // across all projection rows (grouping-set id cols → empty)
+          e.output.zipWithIndex.foreach { case (a, i) =>
+            memo(a.exprId) = e.projections.iterator.map(row => sourcesOf(row(i)))
+              .foldLeft(Set.empty[Source])(_ ++ _)
+          }
+        case u: Union =>
+          u.output.zipWithIndex.foreach { case (a, i) =>
+            memo(a.exprId) = u.children.iterator
+              .flatMap(c => memo.getOrElse(c.output(i).exprId, Set.empty[Source])).toSet
+          }
+        case s: SetOperation => // Intersect / Except: positional like Union
+          s.output.zipWithIndex.foreach { case (a, i) =>
+            memo(a.exprId) = s.children.iterator
+              .flatMap(c => memo.getOrElse(c.output(i).exprId, Set.empty[Source])).toSet
+          }
+        case _ => () // joins/filters/sorts/limits: attributes pass through
+      }
+    }
+
+    visit(plan)
+    plan.output.map(a => a.name -> memo.getOrElse(a.exprId, Set.empty[Source])).toMap
+  }
+
+  /** Forward impact: the output columns of `df` that would be affected
+    * by a change to `table`.`column`. */
+  def impactOf(df: DataFrame, table: String, column: String): Set[String] =
+    lineage(df).collect {
+      case (out, srcs) if srcs.exists(s => s.table == table && s.column == column) => out
+    }.toSet
+}

@@ -92,11 +92,13 @@ object Clustering {
     *
     * The quantized corpus is persisted (MEMORY_AND_DISK — spill-safe)
     * for the duration of the rounds: the 2-round flow scans it five
-    * times (3 assigns + 2 recenters), and without the persist each scan
-    * re-runs the 64-wide decimal quantization — the standard MLlib
-    * input-caching move. The cache backs the RETURNED assignment too,
-    * so it is not unpersisted here; batch callers that are done with
-    * the result can `spark.sharedState.cacheManager.clearCache()`.
+    * times (2 assigns + 2 recenters + init), and without the persist
+    * each scan re-runs the 64-wide decimal quantization — the standard
+    * MLlib input-caching move. The cache is RELEASED before returning
+    * (long-lived sessions must not accrete per-call cache entries —
+    * the registry-wide hygiene contract RegistrySpec enforces), so the
+    * returned assignment recomputes the quantization exactly once when
+    * the caller materializes it: 1 uncached scan out of 6 total.
     *
     * Round-5→6 bench note: the r5 `stagePath` change was parameter-only
     * (git diff e7a88e9: no added I/O), and c1's apparent 1.63→2.26 s
@@ -122,7 +124,9 @@ object Clustering {
         cents = spark.read.parquet(s"$stage/round=$r")
       }
     }
-    assign(embqC, cents)
+    val out = assign(embqC, cents)
+    embqC.unpersist(false)
+    out
   }
 
   // ---------------- persistent model (train / save / assign) ----------
@@ -556,6 +560,83 @@ object Clustering {
         col("gini"), (col("gini") === col("mng")).as("is_best"))
   }
 
+  // --- c5_logreg: distributed logistic regression, two fixed gradient-
+  // ascent rounds, trained and applied in one query — the linear
+  // CLASSIFIER complement to c4's stump and c3's count-based Bayes (the
+  // quality-scoring shape for "train a fast filter on labeled docs"):
+  // y = [label = 0], features = the first 4 embedding dims. Exactness
+  // discipline (c3/t11 extended from ln to exp): features and weights
+  // live as exact decimals (x: DECIMAL(10,6) micro-units, w:
+  // DECIMAL(12,8)); each row's logit z = Σ wⱼxⱼ is an exact decimal
+  // sum; the ONLY transcendental — σ(z) = 1/(1+exp(−z)) — quantizes to
+  // DECIMAL(9,6) per row BEFORE anything sums, so the gradient
+  // Σ(y−σ)xⱼ is an exact order-independent decimal aggregate; the
+  // weight update runs in double on already-quantized inputs
+  // (deterministic op order) and re-quantizes to DECIMAL(12,8). Round
+  // 0 starts at w = 0, where σ = 0.5 EXACTLY. lr = 0.5 is a binary
+  // fraction. Scale: per round, one (j, Σrx) shuffle of 4 partial-
+  // aggregated rows; weights broadcast back — the classic data-parallel
+  // GD topology (features never move, 4-row exchanges per round);
+  // deeper runs stage w like kmeansAssign stages centroids. ---
+  val c5Logreg = QueryDef.sql(
+    "c5_logreg",
+    """WITH f AS (SELECT vec_id AS i,
+      |    CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,
+      |    j, CAST(CAST(embedding[j] AS DOUBLE) AS DECIMAL(10,6)) AS x
+      |  FROM embeddings, (SELECT unnest(range(1, 5)) AS j) js),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+      |g1 AS (SELECT j, sum((y - CAST(0.5 AS DECIMAL(9,6))) * x) AS sr FROM f GROUP BY j),
+      |w1 AS (SELECT j, CAST(0.5 * CAST(sr AS DOUBLE) / n AS DECIMAL(12,8)) AS w
+      |  FROM g1, nn),
+      |z2 AS (SELECT i, y, sum(w * x) AS z FROM f JOIN w1 USING (j) GROUP BY i, y),
+      |s2 AS (SELECT i,
+      |    CAST(1.0 / (1.0 + exp(-CAST(z AS DOUBLE))) AS DECIMAL(9,6)) AS g FROM z2),
+      |g2 AS (SELECT j, sum((f.y - s2.g) * f.x) AS sr
+      |  FROM s2 JOIN f ON f.i = s2.i GROUP BY j),
+      |w2 AS (SELECT w1.j,
+      |    CAST(CAST(w1.w AS DOUBLE) + 0.5 * CAST(g2.sr AS DOUBLE) / n AS DECIMAL(12,8)) AS w
+      |  FROM w1 JOIN g2 ON g2.j = w1.j, nn),
+      |z3 AS (SELECT i, y, sum(w * x) AS z FROM f JOIN w2 USING (j) GROUP BY i, y),
+      |acc AS (SELECT CAST(count(*) FILTER (
+      |      WHERE (CAST(z AS DOUBLE) > 0.0) = (y = 1)) AS BIGINT) AS correct
+      |  FROM z3)
+      |SELECT w1.j, CAST(w1.w AS DOUBLE) AS w_round1, CAST(w2.w AS DOUBLE) AS w_round2,
+      |  n AS n_train, correct
+      |FROM w1 JOIN w2 ON w2.j = w1.j, nn, acc""".stripMargin) { (s, d) =>
+    val emb = T.embeddings(s, d)
+    val f = emb.select(col("vec_id").as("i"),
+        when(col("label") === 0, 1L).otherwise(0L).as("y"),
+        posexplode(expr("slice(embedding, 1, 4)")).as(Seq("j0", "xf")))
+      .select(col("i"), col("y"), (col("j0") + 1).as("j"),
+        col("xf").cast("double").cast("decimal(10,6)").as("x"))
+    val nn = emb.agg(count(lit(1)).as("n"))
+    val g1 = f.groupBy(col("j"))
+      .agg(sum((col("y") - lit(0.5).cast("decimal(9,6)")) * col("x")).as("sr"))
+    val w1 = g1.crossJoin(broadcast(nn))
+      .select(col("j"),
+        (lit(0.5) * col("sr").cast("double") / col("n")).cast("decimal(12,8)").as("w"))
+    val z2 = f.join(broadcast(w1), Seq("j"))
+      .groupBy(col("i"), col("y")).agg(sum(col("w") * col("x")).as("z"))
+    val s2 = z2.select(col("i"),
+      (lit(1.0) / (lit(1.0) + exp(-col("z").cast("double")))).cast("decimal(9,6)").as("g"))
+    val g2 = s2.join(f, Seq("i"))
+      .groupBy(col("j")).agg(sum((col("y") - col("g")) * col("x")).as("sr"))
+    val w2 = w1.join(g2.withColumnRenamed("sr", "sr2"), Seq("j"))
+      .crossJoin(broadcast(nn))
+      .select(col("j"),
+        (col("w").cast("double") + lit(0.5) * col("sr2").cast("double") / col("n"))
+          .cast("decimal(12,8)").as("w"))
+    val z3 = f.join(broadcast(w2), Seq("j"))
+      .groupBy(col("i"), col("y")).agg(sum(col("w") * col("x")).as("z"))
+    val acc = z3.agg(count(when(
+      (col("z").cast("double") > 0.0) === (col("y") === 1), 1)).as("correct"))
+    w1.withColumnRenamed("w", "wr1").join(w2.withColumnRenamed("w", "wr2"), Seq("j"))
+      .crossJoin(broadcast(nn)).crossJoin(broadcast(acc))
+      .select(col("j"), col("wr1").cast("double").as("w_round1"),
+        col("wr2").cast("double").as("w_round2"),
+        col("n").as("n_train"), col("correct"))
+  }
+
   val all: Seq[QueryDef] = Seq(c1Kmeans, c2Silhouette, d7SemanticDedup, v7NearestCentroid,
-    c3NaiveBayes, c4DecisionStump)
+    c3NaiveBayes, c4DecisionStump, c5Logreg)
 }

@@ -914,6 +914,40 @@ object EtlOps {
         sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("total"))
   }
 
+  // --- k28_partition_evolution: partition-SCHEME migration under the
+  // hash gate — the table lands partitioned by event_type (the scheme
+  // someone chose on day one) while every real query filters by DAY;
+  // Maintenance.evolvePartitioning rewrites it once, crash-safely, into
+  // day partitions derived from the timestamp. The gated read then
+  // filters an 8-day window — a predicate the NEW layout answers with
+  // directory-level partition pruning (22 of 30 day directories are
+  // never opened; under the old layout every file would be scanned) —
+  // and aggregates per day. The oracle recomputes from the fixture, so
+  // the gate proves the migration lossless AND the derived partition
+  // values correct (a wrong day boundary or dropped row hash-
+  // mismatches). MaintenanceSpec pins the layout + crash-window
+  // properties; this pins the data. ---
+  val k28PartitionEvolution = QueryDef.sql(
+    "k28_partition_evolution",
+    """WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS day, user_id, value FROM events)
+      |SELECT day, count(*) AS n, count(DISTINCT user_id) AS users,
+      |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total
+      |FROM e WHERE day >= '2024-01-10' AND day <= '2024-01-17'
+      |GROUP BY day""".stripMargin) { (s, d) =>
+    val tbl = java.nio.file.Files.createTempDirectory("k28-evolve").toString + "/events"
+    T.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .write.partitionBy("event_type").mode("overwrite").parquet(tbl)
+    graft.operators.Maintenance.evolvePartitioning(s, tbl, Seq("day"),
+      df => df.withColumn("day", date_format(col("ts"), "yyyy-MM-dd")))
+    s.read.parquet(tbl)
+      .filter(col("day") >= "2024-01-10" && col("day") <= "2024-01-17")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"),
+        sum(col("value").cast("decimal(14,2)")).cast("double").as("total"))
+      .select(col("day").cast("string").as("day"), col("n"), col("users"), col("total"))
+  }
+
   // --- k23_zorder_gate: Z-ORDER clustering under the hash gate — the
   // table is rewritten ordered by the bit-interleaved (l_partkey,
   // l_suppkey) code (Maintenance.zorderBy), so parquet row-group min/max
@@ -1462,5 +1496,6 @@ object EtlOps {
     k14BucketedJoin, k15CdcApply, k16CompactionGate, k17IvmJoin,
     k18FormatRoundtrip, k19ForgetKeys, k20AtomicPublish, k21DynamicOverwrite,
     k22MvRewrite, k23ZorderGate, k24FullMerge, k25RetractableAgg, k26ScrubHistory,
+    k28PartitionEvolution,
     k27WapGate)
 }

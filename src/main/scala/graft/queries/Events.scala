@@ -1565,6 +1565,64 @@ object Events {
     }
   }
 
+  // --- e32_stream_semi_join: stream-stream LEFT SEMI join under the
+  // hash gate — "which clicks converted?" without duplicating a click
+  // per purchase (the inner join e12 emits one row per matching
+  // purchase; the semi join emits each qualifying click ONCE — the
+  // existence-test topology for funnel triggers and retargeting
+  // suppression). This completes the stream-stream join-type matrix:
+  // e12 inner, e21 left outer, e29 full outer, e32 left semi. State
+  // bounds are the same production discipline: both sides hash-
+  // partition on user_id, the time-interval condition lets Spark bound
+  // click state to watermark + 6 h and drop purchase state at the
+  // watermark; a click emits at its FIRST match (semi short-circuit),
+  // so latency never waits on state expiry. Exactly-once via the file
+  // sink manifest, read back through it; the oracle is the batch
+  // EXISTS on microsecond-floored timestamps (e12's discipline). ---
+  val e32StreamSemiJoin = QueryDef.sql(
+    "e32_stream_semi_join",
+    """WITH v AS (SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'),
+      |p AS (SELECT ts, user_id FROM events WHERE event_type = 'purchase')
+      |SELECT v.event_id AS click_id, v.user_id FROM v
+      |WHERE EXISTS (SELECT 1 FROM p
+      |  WHERE p.user_id = v.user_id
+      |    AND epoch_ns(p.ts) // 1000 >= epoch_ns(v.ts) // 1000
+      |    AND epoch_ns(p.ts) // 1000 < epoch_ns(v.ts) // 1000 + 21600000000)""".stripMargin) {
+    (s, d) =>
+    withStatePartitions(s, 8) {
+    val root = java.nio.file.Files.createTempDirectory("e32-semi").toString
+    val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    T.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .write.parquet(feed)
+    def side(tpe: String) = s.readStream
+      .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING")
+      .parquet(feed)
+      .filter(col("event_type") === tpe)
+    val clicks = side("click")
+      .select(col("event_id").as("click_id"), col("ts").as("cts"), col("user_id"))
+      .withWatermark("cts", "1 hour")
+    val purchases = side("purchase")
+      .select(col("ts").as("pts"), col("user_id").as("p_user"))
+      .withWatermark("pts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("pts") >= col("cts") &&
+        col("pts") < col("cts") + expr("INTERVAL 6 HOURS"),
+      "left_semi")
+      .select(col("click_id"), col("user_id"))
+    val q = joined.writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(out).select(col("click_id"), col("user_id"))
+    }
+  }
+
   /** Registered queries that drive a REAL Structured Streaming run
     * (readStream → writeStream with checkpoint/state-store commits).
     * Bench reports these under a separate `stream_total`: their cost is
@@ -1577,7 +1635,8 @@ object Events {
     "e18_stream_ivm", "e19_stream_sessions", "e20_late_data",
     "e21_stream_outer_join", "e29_stream_full_outer",
     "e22_transform_with_state", "e23_state_map", "e24_state_list",
-    "e25_chained_agg", "e26_session_window", "e31_stream_static_join")
+    "e25_chained_agg", "e26_session_window", "e31_stream_static_join",
+    "e32_stream_semi_join")
 
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
@@ -1588,5 +1647,5 @@ object Events {
     e17SessionPaths, e18StreamIvm, e19StreamSessions, e20LateData,
     e21StreamOuterJoin, e22TransformWithState, e23StateMap, e24StateList,
     e25ChainedAgg, e26SessionWindow, e27SequenceMatch, e28VariantExtract,
-    e29StreamFullOuter, e30Attribution, e31StreamStaticJoin)
+    e29StreamFullOuter, e30Attribution, e31StreamStaticJoin, e32StreamSemiJoin)
 }

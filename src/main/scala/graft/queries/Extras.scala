@@ -1417,6 +1417,65 @@ object Extras {
           .as("v_norm"))
   }
 
+  // --- a45_theil_sen: Theil–Sen robust trend — the median of all
+  // pairwise slopes of a per-nation monthly-revenue series. Unlike the
+  // OLS slope (a28), one corrupted month cannot move it: the estimator
+  // has a 29% breakdown point, which is why monitoring pipelines prefer
+  // it for drift/trend alerts over least squares. Semantics: monthly
+  // revenue is an EXACT decimal aggregate keyed by the integer month
+  // index (year·12+month, engine-identical); the pair set is the i<j
+  // self-join WITHIN each nation; each slope is one double division of
+  // a decimal difference by an integer gap (identical expression both
+  // engines); the median is positional — rows ranked by (slope, xi, xj)
+  // and the two middle positions averaged — so no interpolation
+  // ambiguity exists (a21's discipline). Scale: the only data-sized
+  // shuffle is the (nation, month) partial aggregate; the pair blowup
+  // is (months choose 2) per nation — bounded by the CALENDAR, not the
+  // data (80 months → ≤3160 pairs/nation at any SF), and the median
+  // window partitions by nation. ---
+  val a45TheilSen = QueryDef.sql(
+    "a45_theil_sen",
+    """WITH mr AS (
+      |  SELECT c_nationkey AS nk,
+      |    year(o_orderdate) * 12 + month(o_orderdate) AS x,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.nk, a.x AS xi, b.x AS xj,
+      |    CAST(b.rev - a.rev AS DOUBLE) / (b.x - a.x) AS slope
+      |  FROM mr a JOIN mr b ON a.nk = b.nk AND a.x < b.x),
+      |ranked AS (
+      |  SELECT nk, slope,
+      |    row_number() OVER (PARTITION BY nk ORDER BY slope, xi, xj) AS rn,
+      |    count(*) OVER (PARTITION BY nk) AS n
+      |  FROM pairs)
+      |SELECT nk, CAST(max(n) AS BIGINT) AS n_pairs,
+      |  avg(slope) AS slope_median
+      |FROM ranked
+      |WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+      |GROUP BY nk""".stripMargin) { (s, d) =>
+    val mr = T.orders(s, d)
+      .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("x"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val a = mr.select(col("nk"), col("x").as("xi"), col("rev").as("ri"))
+    val b = mr.select(col("nk"), col("x").as("xj"), col("rev").as("rj"))
+    val pairs = a.join(b, Seq("nk")).filter(col("xi") < col("xj"))
+      .select(col("nk"), col("xi"), col("xj"),
+        ((col("rj") - col("ri")).cast("double") / (col("xj") - col("xi"))).as("slope"))
+    val w = Window.partitionBy(col("nk")).orderBy(col("slope"), col("xi"), col("xj"))
+    val wc = Window.partitionBy(col("nk"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wc))
+      .filter(col("rn") === floor((col("n") + 1) / 2) ||
+        col("rn") === floor((col("n") + 2) / 2))
+      .groupBy(col("nk"))
+      .agg(max(col("n")).as("n_pairs"), avg(col("slope")).as("slope_median"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     a44QuantileNormalize,
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
@@ -1429,5 +1488,6 @@ object Extras {
     a32Unpivot, a33Ewma, a34HeavyHitters, a35Listagg, a36StableIds,
     sql7WindowClause, a37Changepoint, a38AbTest, a39DecileBinning,
     a40DowSeasonality, sql8SetopsAll, a41MannWhitney, a42KsTest,
-    a43Chi2Independence)
+    a43Chi2Independence, a45TheilSen)
+
 }

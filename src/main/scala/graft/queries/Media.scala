@@ -269,6 +269,58 @@ object Media {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  // --- m7_audio_neardup: TRIMMED-duplicate detection over real decoded
+  // PCM — the audio analog of m6's perceptual image near-dup: the same
+  // recording uploaded at different cut lengths shares a bit-identical
+  // sample PREFIX, so a fingerprint of the first 200 ms (1600 samples at
+  // 8 kHz) buckets duplicates regardless of duration. Pipeline: decode
+  // with the real javax.sound codec (mapPartitions — only the 1600-
+  // sample prefix leaves the task, never the full PCM), fingerprint with
+  // three EXACT integer functionals of the prefix (Σv, Σv·i, zero
+  // crossings — order-fixed, overflow-bounded: |Σv·i| ≤ 16384·1600² <
+  // 2³⁶), candidate pairs from an equi-join on the fingerprint triple,
+  // then an exact sample-by-sample verify on CANDIDATES ONLY (zip_with
+  // equality count = 1600) — never an all-pairs PCM compare. The oracle
+  // derives ground truth analytically from the synthesis formulas: two
+  // audio assets collide iff they share the synthesis tone, so any
+  // fingerprint collision across tones or missed pair hash-mismatches.
+  // All array math is codegen'd HOF expressions — no UDF. ---
+  val m7AudioNeardup = QueryDef.sql(
+    "m7_audio_neardup",
+    """WITH ids AS (SELECT id FROM generate_series(0,59) t(id)),
+      |aud AS (SELECT id, 220 + (id%8)*55 AS hz, 200 + (id%5)*100 AS ms
+      |        FROM ids WHERE id%3=1)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |  CAST(8*a.ms AS BIGINT) AS frames_a, CAST(8*b.ms AS BIGINT) AS frames_b,
+      |  a.ms <> b.ms AS trimmed
+      |FROM aud a JOIN aud b ON a.hz = b.hz AND a.id < b.id""".stripMargin) { (s, _) =>
+    val pre = Multimodal.audioPrefixes(
+      Multimodal.repartitionForDecode(Multimodal.synthesize(s, 0L until 60L), 8),
+      n = 1600).toDF()
+    val sig = pre.select(col("asset_id"), col("frames"),
+      expr("aggregate(prefix, 0L, (a, x) -> a + x)").as("psum"),
+      expr("aggregate(zip_with(prefix, sequence(1, 1600), (v, i) -> v * i), " +
+        "0L, (a, x) -> a + x)").as("wsum"),
+      expr("aggregate(transform(sequence(2, 1600), i -> CASE WHEN " +
+        "(element_at(prefix, i) >= 0) = (element_at(prefix, i - 1) >= 0) " +
+        "THEN 0L ELSE 1L END), 0L, (a, x) -> a + x)").as("zcr"))
+    val a = sig.select(col("asset_id").as("id_a"), col("frames").as("frames_a"),
+      col("psum"), col("wsum"), col("zcr"))
+    val b = sig.select(col("asset_id").as("id_b"), col("frames").as("frames_b"),
+      col("psum"), col("wsum"), col("zcr"))
+    val cand = a.join(b, Seq("psum", "wsum", "zcr"))
+      .filter(col("id_a") < col("id_b"))
+    cand
+      .join(pre.select(col("asset_id").as("id_a"), col("prefix").as("pa")), Seq("id_a"))
+      .join(pre.select(col("asset_id").as("id_b"), col("prefix").as("pb")), Seq("id_b"))
+      .withColumn("matched", expr(
+        "aggregate(zip_with(pa, pb, (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END), " +
+          "0L, (a, x) -> a + x)"))
+      .filter(col("matched") === 1600)
+      .select(col("id_a"), col("id_b"), col("frames_a"), col("frames_b"),
+        (col("frames_a") =!= col("frames_b")).as("trimmed"))
+  }
+
   val all: Seq[QueryDef] = Seq(m1MediaFeatures, m2ImagePhash, m3AudioEnergy, m4ImageKnn,
-    m5AudioTone, m6ImageNeardup)
+    m5AudioTone, m6ImageNeardup, m7AudioNeardup)
 }

@@ -404,6 +404,119 @@ object Quality {
       .select(col("status"), col("diff_cols"), col("n"))
   }
 
+  // --- dq10_t_closeness: the distribution-disclosure audit l-diversity
+  // misses — a class can hold many DISTINCT sensitive values yet still
+  // leak if its distribution differs sharply from the table's (all-rich
+  // vs all-poor segments both pass l-diversity). t-closeness bounds the
+  // Earth Mover's Distance between each class's sensitive-attribute
+  // distribution and the global one. For an ordered numeric attribute
+  // (account balance, binned to $1000 bands) EMD has the closed form
+  // (1/(m-1))·Σᵢ|CDF_class(i) − CDF_global(i)| over the m ordered bins.
+  // Exactness: the CDF gap is cross-multiplied to integers —
+  // |cum_class·N − cum_global·n_class| — summed as BIGINT, with ONE
+  // double division at the end, so no float accumulation can diverge
+  // between engines (dq7's discipline). Bound: the products stay under
+  // 2^63 up to ~3·10^9 rows; past that lift the sums to DECIMAL(38,0).
+  // Scale: one (segment, bin) partial-aggregated count shuffle (never
+  // |customers| rows), a broadcast m-row global histogram, and a dense
+  // segment×bin grid that is |segments|·|bins| — dimension-sized by
+  // construction. ---
+  val dq10TCloseness = QueryDef.sql(
+    "dq10_t_closeness",
+    """WITH b AS (SELECT c_mktsegment AS seg,
+      |    CAST(floor(c_acctbal / 1000.0) AS INT) AS bin FROM customer),
+      |sb AS (SELECT seg, bin, count(*) AS n FROM b GROUP BY seg, bin),
+      |gb AS (SELECT bin, CAST(sum(n) AS BIGINT) AS gn FROM sb GROUP BY bin),
+      |segs AS (SELECT seg, CAST(sum(n) AS BIGINT) AS n_class FROM sb GROUP BY seg),
+      |tot AS (SELECT CAST(sum(gn) AS BIGINT) AS n_total,
+      |    CAST(count(*) AS BIGINT) AS m FROM gb),
+      |grid AS (SELECT seg, n_class, bin, gn, coalesce(sb.n, 0) AS cn
+      |  FROM segs CROSS JOIN gb LEFT JOIN sb USING (seg, bin)),
+      |cum AS (SELECT seg, n_class, bin,
+      |    sum(cn) OVER (PARTITION BY seg ORDER BY bin) AS cum_c,
+      |    sum(gn) OVER (PARTITION BY seg ORDER BY bin) AS cum_g
+      |  FROM grid)
+      |SELECT seg, n_class,
+      |  CAST(sum(abs(cum_c * n_total - cum_g * n_class)) AS DOUBLE)
+      |    / (CAST(n_class AS DOUBLE) * n_total * (m - 1)) AS t_emd,
+      |  CAST(sum(abs(cum_c * n_total - cum_g * n_class)) AS DOUBLE)
+      |    / (CAST(n_class AS DOUBLE) * n_total * (m - 1)) <= 0.2 AS t_close
+      |FROM cum, tot GROUP BY seg, n_class, n_total, m""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val b = T.customer(s, d).select(
+      col("c_mktsegment").as("seg"),
+      floor(col("c_acctbal") / 1000.0).cast("int").as("bin"))
+    val sb = b.groupBy(col("seg"), col("bin")).agg(count(lit(1)).as("n"))
+    val gb = sb.groupBy(col("bin")).agg(sum(col("n")).as("gn"))
+    val segs = sb.groupBy(col("seg")).agg(sum(col("n")).as("n_class"))
+    val tot = gb.agg(sum(col("gn")).as("n_total"), count(lit(1)).as("m"))
+    val grid = segs.crossJoin(broadcast(gb))
+      .join(sb, Seq("seg", "bin"), "left")
+      .withColumn("cn", coalesce(col("n"), lit(0L)))
+    val w = Window.partitionBy(col("seg")).orderBy(col("bin"))
+    val cum = grid
+      .withColumn("cum_c", sum(col("cn")).over(w))
+      .withColumn("cum_g", sum(col("gn")).over(w))
+      .crossJoin(broadcast(tot))
+    cum.groupBy(col("seg"), col("n_class"), col("n_total"), col("m"))
+      .agg(
+        (sum(abs(col("cum_c") * col("n_total") - col("cum_g") * col("n_class"))).cast("double") /
+          (col("n_class").cast("double") * col("n_total") * (col("m") - 1))).as("t_emd"))
+      .select(col("seg"), col("n_class"), col("t_emd"),
+        (col("t_emd") <= 0.2).as("t_close"))
+  }
+
+  // --- dq11_bounded_contribution: the differential-privacy PREP
+  // aggregate — per-user contribution bounding plus k-threshold
+  // suppression, the deterministic 90% of every production DP release
+  // (Google/LinkedIn-style pipelines clamp and threshold exactly like
+  // this; only the final noise draw is random, and noise is the
+  // caller's last step precisely BECAUSE it must come from a sampler,
+  // not a query engine). Semantics: per (event_type, day) release cell,
+  // each user contributes at most 5 events and at most $500 of value
+  // (sensitivity bound: one user can move the released sum by ≤ 500 —
+  // that is what calibrates the caller's noise scale); cells with fewer
+  // than 50 distinct contributors are flagged suppressed rather than
+  // silently dropped, so the audit sees WHAT was withheld. Exactness:
+  // clamps and sums are DECIMAL end-to-end, one double cast at the
+  // output. Scale: one (cell, user) partial-aggregated shuffle then a
+  // cell-level reduce — user-grain rows never reach the driver, and the
+  // clamp happens BEFORE the second aggregate, so no cell's state ever
+  // exceeds |users| rows. ---
+  val dq11BoundedContribution = QueryDef.sql(
+    "dq11_bounded_contribution",
+    """WITH e AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, user_id,
+      |    CAST(value AS DECIMAL(10,2)) AS v FROM events),
+      |u AS (SELECT event_type, day, user_id,
+      |    CAST(count(*) AS BIGINT) AS n_ev, sum(v) AS sv
+      |  FROM e GROUP BY 1, 2, 3),
+      |cl AS (SELECT event_type, day, user_id,
+      |    least(n_ev, 5) AS cn,
+      |    least(sv, CAST(500 AS DECIMAL(12,2))) AS cv FROM u),
+      |g AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_users,
+      |    CAST(sum(cn) AS BIGINT) AS events_bounded,
+      |    CAST(sum(cv) AS DOUBLE) AS value_bounded
+      |  FROM cl GROUP BY 1, 2)
+      |SELECT event_type, day, n_users, events_bounded, value_bounded,
+      |  n_users >= 50 AS released FROM g""".stripMargin) { (s, d) =>
+    val e = T.events(s, d).select(col("event_type"),
+      date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"),
+      col("value").cast("decimal(10,2)").as("v"))
+    val u = e.groupBy(col("event_type"), col("day"), col("user_id"))
+      .agg(count(lit(1)).as("n_ev"), sum(col("v")).as("sv"))
+    val cl = u.select(col("event_type"), col("day"), col("user_id"),
+      least(col("n_ev"), lit(5L)).as("cn"),
+      least(col("sv"), lit(500).cast("decimal(12,2)")).as("cv"))
+    cl.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("cn")).as("events_bounded"),
+        sum(col("cv")).cast("double").as("value_bounded"))
+      .select(col("event_type"), col("day"), col("n_users"),
+        col("events_bounded"), col("value_bounded"),
+        (col("n_users") >= 50).as("released"))
+  }
+
   val all: Seq[QueryDef] = Seq(dq1Expectations, dq2KAnonymity, dq3RefIntegrity, dq4DriftPsi,
-    dq5Freshness, dq6Benford, dq7OutlierIqr, dq8Reconciliation, dq9LDiversity)
+    dq5Freshness, dq6Benford, dq7OutlierIqr, dq8Reconciliation, dq9LDiversity,
+    dq10TCloseness, dq11BoundedContribution)
 }

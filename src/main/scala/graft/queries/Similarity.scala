@@ -914,8 +914,97 @@ object Similarity {
       k = 5)
   }
 
+  // --- v17_hybrid_rrf: HYBRID retrieval — lexical and vector rankings
+  // fused by Reciprocal Rank Fusion (rrf = Σ 1/(60+rank)), the standard
+  // production search shape (BM25/idf leg catches exact-term matches the
+  // embedding misses; the vector leg catches paraphrases the lexicon
+  // misses; RRF needs no score calibration between the two). Per probe
+  // doc (doc_id = vec_id, fixture-aligned): the lexical leg scores
+  // candidates by summed idf over SHARED DISTINCT tokens — stopwords
+  // pruned by an exact integer df·2 ≤ N gate, which is also what bounds
+  // the posting-list join at scale (high-df terms are precisely the ones
+  // that would blow up the join and contribute the least idf; d2's
+  // cap discipline) — each ln(idf) quantized to DECIMAL(8,5) before the
+  // order-independent sum; the vector leg is the exact integer-dot
+  // cosine (v1's kernel; swap in annTopK/v2 for unbounded probe sets).
+  // Each leg keeps a per-probe top-50 by (score, cid) — deterministic —
+  // and the fusion is a FULL OUTER join of two 50-row-per-probe lists
+  // (dimension-sized), rrf in double with identical expression shape
+  // both engines. Scale: corpus text never moves — only (token, doc)
+  // pairs for non-stopword terms and (qid, cid) candidate pairs. ---
+  val v17HybridRrf = QueryDef.sql(
+    "v17_hybrid_rrf",
+    s"""WITH toks AS (SELECT DISTINCT doc_id,
+       |    unnest(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS t
+       |  FROM documents),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |dfx AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY t),
+       |idf AS (SELECT t, CAST(ln(CAST(n AS DOUBLE) / df) AS DECIMAL(8,5)) AS w
+       |  FROM dfx, nn WHERE df * 2 <= n),
+       |qt AS (SELECT doc_id AS qid, t FROM toks WHERE doc_id < 4),
+       |ov AS (SELECT qt.qid, c.doc_id AS cid, sum(w) AS lscore
+       |  FROM qt JOIN idf USING (t) JOIN toks c USING (t)
+       |  WHERE c.doc_id <> qt.qid
+       |  GROUP BY qt.qid, c.doc_id),
+       |lex50 AS (SELECT qid, cid, lex_rank FROM (
+       |    SELECT qid, cid, row_number() OVER (
+       |      PARTITION BY qid ORDER BY lscore DESC, cid) AS lex_rank FROM ov) z
+       |  WHERE lex_rank <= 50),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 4),
+       |pr AS (SELECT qid, c.vec_id AS cid, qe, c.embedding AS ce
+       |  FROM q JOIN embeddings c ON c.vec_id <> q.qid),
+       |u AS (SELECT qid, cid, unnest(qe) AS x, unnest(ce) AS y FROM pr),
+       |$sqlDots,
+       |sem50 AS (SELECT qid, cid, sem_rank FROM (
+       |    SELECT qid, cid, row_number() OVER (
+       |      PARTITION BY qid ORDER BY cosine DESC, cid) AS sem_rank FROM scored) z
+       |  WHERE sem_rank <= 50),
+       |f AS (SELECT qid, cid,
+       |    coalesce(CAST(1.0 AS DOUBLE) / (60 + sem_rank), CAST(0.0 AS DOUBLE))
+       |      + coalesce(CAST(1.0 AS DOUBLE) / (60 + lex_rank), CAST(0.0 AS DOUBLE)) AS rrf,
+       |    sem_rank, lex_rank
+       |  FROM sem50 FULL JOIN lex50 USING (qid, cid))
+       |SELECT qid, cid, rrf, sem_rank, lex_rank, rank FROM (
+       |  SELECT qid, cid, rrf, sem_rank, lex_rank,
+       |    row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, cid) AS rank
+       |  FROM f) z
+       |WHERE rank <= 10""".stripMargin) { (s, d) =>
+    import graft.functions.TextFns
+    val docs = T.documents(s, d)
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(TextFns.tokens(col("text")))).as("t"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val idf = toks.groupBy(col("t")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .filter(col("df") * 2 <= col("n"))
+      .select(col("t"),
+        log(col("n").cast("double") / col("df")).cast("decimal(8,5)").as("w"))
+    val qt = toks.filter(col("doc_id") < 4).select(col("doc_id").as("qid"), col("t"))
+    val ov = qt.join(idf, Seq("t"))
+      .join(toks.select(col("doc_id").as("cid"), col("t")), Seq("t"))
+      .filter(col("cid") =!= col("qid"))
+      .groupBy(col("qid"), col("cid")).agg(sum(col("w")).as("lscore"))
+    val wl = Window.partitionBy(col("qid")).orderBy(col("lscore").desc, col("cid"))
+    val lex50 = ov.withColumn("lex_rank", row_number().over(wl))
+      .filter(col("lex_rank") <= 50)
+      .select(col("qid"), col("cid"), col("lex_rank"))
+    val emb = T.embeddings(s, d).withColumn("q", quantize("embedding"))
+    val q = emb.filter(col("vec_id") < 4).select(col("vec_id").as("qid"), col("q").as("qeq"))
+    val c = emb.select(col("vec_id").as("cid"), col("q").as("ceq"))
+    val sem50 = scoreTopk(c.crossJoin(broadcast(q)).filter(col("cid") =!= col("qid")), k = 50)
+      .select(col("qid"), col("cid"), col("rank").as("sem_rank"))
+    val fused = sem50.join(lex50, Seq("qid", "cid"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(60) + col("sem_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)))
+    val wf = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("cid"))
+    fused.withColumn("rank", row_number().over(wf)).filter(col("rank") <= 10)
+      .select(col("qid"), col("cid"), col("rrf"),
+        col("sem_rank"), col("lex_rank"), col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     v1KnnBruteforce, v2AnnLsh, v3EmbeddingNeardup, v5AnnIvf, v6RandomProjection,
     v8MmrRerank, v9PqCodes, v10PqAdc, v11Sq8Knn, v12AnnRecall, v13Ivfpq,
-    v14BinaryHamming, v15Mips, v16FilteredKnn)
+    v14BinaryHamming, v15Mips, v16FilteredKnn, v17HybridRrf)
 }

@@ -1129,7 +1129,91 @@ object TrainPrep {
         (sum(col("l")).cast("double") / count(lit(1))).as("avg_logprob"))
   }
 
+  // --- t33_corpus_pipeline: the END-TO-END corpus-preparation
+  // composite — quality gate → exact dedup (first-wins) → eval-set
+  // contamination screen → per-language mix report, the full RefinedWeb/
+  // FineWeb pipeline shape in ONE declarative plan (each stage exists
+  // standalone as t2/d1/d5; this registers their COMPOSITION, where the
+  // real bugs live: a doc must be dropped by the FIRST stage that
+  // rejects it and counted exactly once). Stage semantics are all-
+  // integer: quality = n_tokens ≥ 20 AND n_chars ≤ 12·n_tokens (mean
+  // token length by exact cross-multiplication, no division); dedup
+  // keeper = min(doc_id) per md5 fingerprint AMONG quality-passers
+  // (a rejected doc must not steal keeper-ship); contamination = any
+  // distinct 3-shingle shared with the eval fold (doc_id % 97 = 0 —
+  // excluded from the corpus up front), evaluated only for docs still
+  // alive after dedup. Scale: one fingerprint shuffle (8-byte md5
+  // prefix at 100 TB), the eval shingle universe broadcasts (d5's
+  // argument), shingles hash to longs Spark-side with the string-keyed
+  // oracle as the collision check (d2's discipline), and the final
+  // report is a |langs|-row aggregate. ---
+  val t33CorpusPipeline = QueryDef.sql(
+    "t33_corpus_pipeline",
+    s"""WITH base AS (SELECT doc_id, lang, n_chars,
+       |    len($sqlToks) AS n_tokens, md5($sqlWsCollapsed) AS fp
+       |  FROM documents),
+       |tr AS (SELECT * FROM base WHERE doc_id % 97 <> 0),
+       |q AS (SELECT *, (n_tokens >= 20 AND n_chars <= 12 * n_tokens) AS q_ok FROM tr),
+       |firsts AS (SELECT fp, min(doc_id) AS keeper FROM q WHERE q_ok GROUP BY fp),
+       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |  FROM (SELECT doc_id, $sqlToks AS t FROM documents) toks,
+       |  LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+       |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+       |contam AS (SELECT DISTINCT sh.doc_id FROM sh JOIN ev ON sh.s = ev.s
+       |  WHERE sh.doc_id % 97 <> 0),
+       |flags AS (SELECT q.doc_id, q.lang, q.n_tokens, q.q_ok,
+       |    (f.keeper IS NOT NULL AND f.keeper = q.doc_id) AS is_first,
+       |    (c.doc_id IS NOT NULL) AS has_contam
+       |  FROM q LEFT JOIN firsts f ON f.fp = q.fp
+       |         LEFT JOIN contam c ON c.doc_id = q.doc_id)
+       |SELECT lang,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(*) FILTER (WHERE NOT q_ok) AS BIGINT) AS dropped_quality,
+       |  CAST(count(*) FILTER (WHERE q_ok AND NOT is_first) AS BIGINT) AS dropped_dup,
+       |  CAST(count(*) FILTER (WHERE q_ok AND is_first AND has_contam) AS BIGINT)
+       |    AS dropped_contam,
+       |  CAST(count(*) FILTER (WHERE q_ok AND is_first AND NOT has_contam) AS BIGINT)
+       |    AS kept,
+       |  CAST(sum(CASE WHEN q_ok AND is_first AND NOT has_contam
+       |    THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+       |FROM flags GROUP BY lang""".stripMargin) { (s, d) =>
+    import graft.functions.TextFns
+    val docs = T.documents(s, d)
+    val base = docs.select(col("doc_id"), col("lang"), col("n_chars"),
+      size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"),
+      md5(expr("trim(regexp_replace(text, '\\\\s+', ' '))")).as("fp"))
+    val tr = base.filter(col("doc_id") % 97 =!= 0)
+    val q = tr.withColumn("q_ok",
+      col("n_tokens") >= 20 && col("n_chars") <= lit(12) * col("n_tokens"))
+    val firsts = q.filter(col("q_ok"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("keeper"))
+    val sh = docs.select(col("doc_id"),
+        explode(array_distinct(TextFns.shinglesRegex(col("text"), 3))).as("str"))
+      .select(col("doc_id"), xxhash64(col("str")).as("s"))
+    val ev = sh.filter(col("doc_id") % 97 === 0).select(col("s")).distinct()
+    val contam = sh.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(ev), Seq("s"))
+      .select(col("doc_id")).distinct()
+      .withColumn("hit", lit(1))
+    val flags = q
+      .join(firsts, Seq("fp"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .select(col("lang"), col("n_tokens"), col("q_ok"),
+        (col("keeper").isNotNull && col("keeper") === col("doc_id")).as("is_first"),
+        col("hit").isNotNull.as("has_contam"))
+    flags.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      count(when(!col("q_ok"), 1)).as("dropped_quality"),
+      count(when(col("q_ok") && !col("is_first"), 1)).as("dropped_dup"),
+      count(when(col("q_ok") && col("is_first") && col("has_contam"), 1))
+        .as("dropped_contam"),
+      count(when(col("q_ok") && col("is_first") && !col("has_contam"), 1)).as("kept"),
+      sum(when(col("q_ok") && col("is_first") && !col("has_contam"),
+        col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    t33CorpusPipeline,
     t8PackSequences, t9NgramCounts, t10RedactPii, d5Contamination,
     t11UnigramLogprob, t12Repetition, t14NormalizeText, t15LeakSafeSplit,
     t16TemperatureMix, t17FeatureHashing, t18DocKnn, d8VerbatimLeak,

@@ -163,4 +163,42 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.read.parquet(path).orderBy("k").collect().toSeq === dataBefore)
     assert(Maintenance.stats(spark, path).files === 1)
   }
+
+  test("evolvePartitioning: new directory layout, same data, derived column correct") {
+    val path = Files.createTempDirectory("maint").toString + "/t"
+    (0 until 300).map(k => (k.toLong, s"g${k % 3}", k % 10))
+      .toDF("k", "grp", "bucket")
+      .write.partitionBy("grp").parquet(path)
+    val before = spark.read.parquet(path)
+      .select("k", "grp", "bucket").orderBy("k").collect().toSeq
+    Maintenance.evolvePartitioning(spark, path, Seq("parity"),
+      df => df.withColumn("parity", col("k") % 2))
+    // layout: top-level dirs are now parity=..., grp is a plain column
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq === Seq("parity=0", "parity=1"))
+    val after = spark.read.parquet(path)
+    assert(after.select("k", "grp", "bucket").orderBy("k").collect().toSeq === before)
+    assert(after.filter(col("parity") === col("k") % 2).count() === 300)
+  }
+
+  test("interrupted partition evolution heals on the next call") {
+    val path = Files.createTempDirectory("maint").toString + "/t"
+    (0 until 100).map(k => (k.toLong, s"v$k")).toDF("k", "v").write.parquet(path)
+    val dataBefore = spark.read.parquet(path).orderBy("k").collect().toSeq
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // crash window A: staged __new INCOMPLETE (no _SUCCESS), table renamed away
+    spark.read.parquet(path).withColumn("parity", col("k") % 2)
+      .write.partitionBy("parity").parquet(path + "__new")
+    fs.delete(new org.apache.hadoop.fs.Path(path + "__new/_SUCCESS"), false)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "__old")))
+    // next call rolls BACK to __old, then completes the migration
+    Maintenance.evolvePartitioning(spark, path, Seq("parity"),
+      df => df.withColumn("parity", col("k") % 2))
+    assert(spark.read.parquet(path).select("k", "v").orderBy("k").collect().toSeq
+      === dataBefore)
+    val dirs = new java.io.File(path).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq === Seq("parity=0", "parity=1"))
+  }
 }

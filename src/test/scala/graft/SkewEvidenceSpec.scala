@@ -222,4 +222,44 @@ class SkewEvidenceSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"c1: final plan degraded to a shuffled cartesian:\n$plan")
   }
+
+  test("dynamic partition pruning fires on a partitioned fact ⋈ filtered dim") {
+    // the star-join shape k28's migration exists to serve: a day-
+    // partitioned fact joined to a dimension carrying a selective
+    // filter must prune fact PARTITIONS at runtime (DPP), not scan all
+    // of them — at 100 TB this is the difference between reading 2
+    // directories and reading 365
+    val root = java.nio.file.Files.createTempDirectory("dpp").toString
+    Tables.events(spark, sfDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .write.partitionBy("day").parquet(s"$root/fact")
+    // dim: one row per day, filter selects exactly 2 of them
+    // dim day as DATE to match the fact's inferred partition type — a
+    // type mismatch would wrap the join key in a cast and defeat DPP
+    Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("day")).distinct()
+      // an explicit EqualTo predicate: Spark's DPP rule only treats
+      // comparison-shaped filters as "likely selective" (a bare boolean
+      // attribute would be declined)
+      .withColumn("tag",
+        when(col("day").isin("2024-01-03", "2024-01-04"), "hot").otherwise("cold"))
+      .write.parquet(s"$root/dim")
+    val fact = spark.read.parquet(s"$root/fact")
+    val dim = spark.read.parquet(s"$root/dim")
+    val nDays = dim.count()
+    val joined = fact.join(dim.filter(col("tag") === "hot"), Seq("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+    val rows = joined.collect()
+    // fact's `day` comes back as an inferred DATE partition column
+    assert(rows.map(_.get(0).toString).sorted.toSeq
+      === Seq("2024-01-03", "2024-01-04"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning subquery in the fact scan:\n$plan")
+    // the scan must report pruning: selected partitions < total days
+    val pruned = """(?i)partitionfilters: \[[^\]]*dynamicpruning""".r
+      .findFirstIn(plan).isDefined
+    assert(pruned, s"fact scan's partition filters carry no DPP predicate:\n$plan")
+    assert(nDays > 2, "fixture must span more than the 2 probed days")
+  }
 }
