@@ -948,6 +948,39 @@ object EtlOps {
       .select(col("day").cast("string").as("day"), col("n"), col("users"), col("total"))
   }
 
+  // --- k29_zonemap_gate: file-level zone-map index under the hash gate
+  // — the cluster-then-index workflow: orders lands range-clustered on
+  // o_totalprice across 8 files, ZoneMap.build indexes per-file min/max
+  // with one column-pruned scan, and the gated read resolves a price-
+  // band predicate through the INDEX (only files whose [min,max] zone
+  // intersects the band are opened; ZoneMapSpec pins that most files
+  // are skipped). The residual row-level filter then applies on the
+  // surviving files, and the oracle recomputes from the raw fixture —
+  // so the hash gate proves conservative pruning drops NO qualifying
+  // row and admits no extra one, end-to-end through the index build,
+  // the file-list cut, and the pruned scan. ---
+  val k29ZonemapGate = QueryDef.sql(
+    "k29_zonemap_gate",
+    """SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+      |FROM orders WHERE o_totalprice >= 1000 AND o_totalprice <= 5000
+      |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+    import graft.operators.ZoneMap
+    val root = java.nio.file.Files.createTempDirectory("k29-zonemap").toString
+    val tbl = s"$root/orders"; val idx = s"$root/orders_zm"
+    T.orders(s, d)
+      .repartitionByRange(8, col("o_totalprice"))
+      .sortWithinPartitions(col("o_totalprice"))
+      .write.parquet(tbl)
+    ZoneMap.build(s, tbl, Seq("o_totalprice"), idx)
+    ZoneMap.readPruned(s, tbl, idx,
+        col("max_o_totalprice") >= 1000 && col("min_o_totalprice") <= 5000)
+      .filter(col("o_totalprice") >= 1000 && col("o_totalprice") <= 5000)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("total"))
+  }
+
   // --- k23_zorder_gate: Z-ORDER clustering under the hash gate — the
   // table is rewritten ordered by the bit-interleaved (l_partkey,
   // l_suppkey) code (Maintenance.zorderBy), so parquet row-group min/max
@@ -1496,6 +1529,6 @@ object EtlOps {
     k14BucketedJoin, k15CdcApply, k16CompactionGate, k17IvmJoin,
     k18FormatRoundtrip, k19ForgetKeys, k20AtomicPublish, k21DynamicOverwrite,
     k22MvRewrite, k23ZorderGate, k24FullMerge, k25RetractableAgg, k26ScrubHistory,
-    k28PartitionEvolution,
+    k28PartitionEvolution, k29ZonemapGate,
     k27WapGate)
 }
