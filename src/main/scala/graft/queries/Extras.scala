@@ -1476,6 +1476,59 @@ object Extras {
       .agg(max(col("n")).as("n_pairs"), avg(col("slope")).as("slope_median"))
   }
 
+
+  // --- a46_hodges_lehmann: the Hodges–Lehmann pseudo-median — the
+  // median of all Walsh averages (xᵢ+xⱼ)/2, i ≤ j — of each nation's
+  // monthly revenue: the LOCATION estimator paired with a45's Theil–Sen
+  // slope (it is the estimator the Wilcoxon signed-rank test inverts;
+  // robust like the median but ~50% more statistically efficient).
+  // Same machinery as a45: exact decimal monthly aggregates, Walsh
+  // averages as ONE double division of an exact decimal sum by 2,
+  // positional median over a (slope-free) deterministic order, pairs
+  // bounded by the CALENDAR ((80 choose 2)+80 per nation at any SF). ---
+  val a46HodgesLehmann = QueryDef.sql(
+    "a46_hodges_lehmann",
+    """WITH mr AS (
+      |  SELECT c_nationkey AS nk,
+      |    year(o_orderdate) * 12 + month(o_orderdate) AS x,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |walsh AS (
+      |  SELECT a.nk, a.x AS xi, b.x AS xj,
+      |    CAST(a.rev + b.rev AS DOUBLE) / 2 AS w
+      |  FROM mr a JOIN mr b ON a.nk = b.nk AND a.x <= b.x),
+      |ranked AS (
+      |  SELECT nk, w,
+      |    row_number() OVER (PARTITION BY nk ORDER BY w, xi, xj) AS rn,
+      |    count(*) OVER (PARTITION BY nk) AS n
+      |  FROM walsh)
+      |SELECT nk, CAST(max(n) AS BIGINT) AS n_walsh,
+      |  avg(w) AS hl_estimate
+      |FROM ranked
+      |WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+      |GROUP BY nk""".stripMargin) { (s, d) =>
+    val mr = T.orders(s, d)
+      .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("x"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val a = mr.select(col("nk"), col("x").as("xi"), col("rev").as("ri"))
+    val b = mr.select(col("nk"), col("x").as("xj"), col("rev").as("rj"))
+    val walsh = a.join(b, Seq("nk")).filter(col("xi") <= col("xj"))
+      .select(col("nk"), col("xi"), col("xj"),
+        ((col("ri") + col("rj")).cast("double") / 2).as("w"))
+    val wr = Window.partitionBy(col("nk")).orderBy(col("w"), col("xi"), col("xj"))
+    val wc = Window.partitionBy(col("nk"))
+    walsh
+      .withColumn("rn", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(wc))
+      .filter(col("rn") === floor((col("n") + 1) / 2) ||
+        col("rn") === floor((col("n") + 2) / 2))
+      .groupBy(col("nk"))
+      .agg(max(col("n")).as("n_walsh"), avg(col("w")).as("hl_estimate"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     a44QuantileNormalize,
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
@@ -1488,6 +1541,6 @@ object Extras {
     a32Unpivot, a33Ewma, a34HeavyHitters, a35Listagg, a36StableIds,
     sql7WindowClause, a37Changepoint, a38AbTest, a39DecileBinning,
     a40DowSeasonality, sql8SetopsAll, a41MannWhitney, a42KsTest,
-    a43Chi2Independence, a45TheilSen)
+    a43Chi2Independence, a45TheilSen, a46HodgesLehmann)
 
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables => T}
 import graft.operators.DataQuality
@@ -516,7 +517,64 @@ object Quality {
         (col("n_users") >= 50).as("released"))
   }
 
+  // --- dq12_fd_violations: approximate functional-dependency audit —
+  // for each declared candidate FD X→Y, the g3 error: the minimum
+  // number of rows that must be removed for the dependency to hold,
+  // Σₓ(nₓ − max_y n_{x,y}). This is the constraint-mining half of data
+  // profiling ([[graft.operators.Profiler]] does per-column stats; this
+  // audits cross-column STRUCTURE): an FD that "almost" holds usually
+  // marks dirty rows, a broken denormalization, or an undocumented key.
+  // Three declared FDs span the spectrum: a true key dependency
+  // (o_orderkey→o_orderstatus, must hold exactly), a plausible-but-
+  // false business rule (o_custkey→o_orderpriority), and a cross-grain
+  // one (l_orderkey→l_returnflag). Exactness: counts all the way, one
+  // double division for the error rate. Scale: per FD, one (x, y)
+  // partial-aggregated count shuffle then an x-level reduce — the same
+  // two-level shape as dq2, never a row-grain exchange; the per-FD
+  // summary is ONE row. ---
+  val dq12FdViolations = QueryDef.sql(
+    "dq12_fd_violations",
+    """WITH f1 AS (SELECT o_orderkey AS x, o_orderstatus AS y FROM orders),
+      |f2 AS (SELECT CAST(o_custkey AS VARCHAR) AS x, o_orderpriority AS y FROM orders),
+      |f3 AS (SELECT CAST(l_orderkey AS VARCHAR) AS x, l_returnflag AS y FROM lineitem),
+      |g1 AS (SELECT CAST(x AS VARCHAR) AS x, y, count(*) AS n FROM f1 GROUP BY 1, 2),
+      |g2 AS (SELECT x, y, count(*) AS n FROM f2 GROUP BY 1, 2),
+      |g3 AS (SELECT x, y, count(*) AS n FROM f3 GROUP BY 1, 2),
+      |s1 AS (SELECT 'o_orderkey->o_orderstatus' AS fd,
+      |    CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(nx) AS BIGINT) AS n_rows,
+      |    CAST(sum(nx - mxn) AS BIGINT) AS violations
+      |  FROM (SELECT x, sum(n) AS nx, max(n) AS mxn FROM g1 GROUP BY x) t),
+      |s2 AS (SELECT 'o_custkey->o_orderpriority' AS fd,
+      |    CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(nx) AS BIGINT) AS n_rows,
+      |    CAST(sum(nx - mxn) AS BIGINT) AS violations
+      |  FROM (SELECT x, sum(n) AS nx, max(n) AS mxn FROM g2 GROUP BY x) t),
+      |s3 AS (SELECT 'l_orderkey->l_returnflag' AS fd,
+      |    CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(nx) AS BIGINT) AS n_rows,
+      |    CAST(sum(nx - mxn) AS BIGINT) AS violations
+      |  FROM (SELECT x, sum(n) AS nx, max(n) AS mxn FROM g3 GROUP BY x) t),
+      |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+      |SELECT fd, n_keys, n_rows, violations, violations = 0 AS holds,
+      |  CAST(violations AS DOUBLE) / n_rows AS error_rate
+      |FROM u""".stripMargin) { (s, d) =>
+    def g3Error(df: DataFrame, x: Column, y: Column, fd: String): DataFrame =
+      df.select(x.cast("string").as("x"), y.as("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n"))
+        .groupBy(col("x")).agg(sum(col("n")).as("nx"), max(col("n")).as("mxn"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("nx")).as("n_rows"),
+          sum(col("nx") - col("mxn")).as("violations"))
+        .select(lit(fd).as("fd"), col("n_keys"), col("n_rows"), col("violations"))
+    val o = T.orders(s, d); val l = T.lineitem(s, d)
+    g3Error(o, col("o_orderkey"), col("o_orderstatus"), "o_orderkey->o_orderstatus")
+      .unionByName(g3Error(o, col("o_custkey"), col("o_orderpriority"),
+        "o_custkey->o_orderpriority"))
+      .unionByName(g3Error(l, col("l_orderkey"), col("l_returnflag"),
+        "l_orderkey->l_returnflag"))
+      .select(col("fd"), col("n_keys"), col("n_rows"), col("violations"),
+        (col("violations") === 0).as("holds"),
+        (col("violations").cast("double") / col("n_rows")).as("error_rate"))
+  }
+
   val all: Seq[QueryDef] = Seq(dq1Expectations, dq2KAnonymity, dq3RefIntegrity, dq4DriftPsi,
     dq5Freshness, dq6Benford, dq7OutlierIqr, dq8Reconciliation, dq9LDiversity,
-    dq10TCloseness, dq11BoundedContribution)
+    dq10TCloseness, dq11BoundedContribution, dq12FdViolations)
 }
