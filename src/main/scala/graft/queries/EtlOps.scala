@@ -646,6 +646,72 @@ object EtlOps {
         col("n_members"), col("min_price"), col("max_price"))
   }
 
+  // --- er5_incremental_link: INCREMENTAL entity resolution — link a
+  // batch of NEW records against the EXISTING resolved entities without
+  // re-clustering the base (the er-side analog of IncrementalDedup's
+  // promise: per-ingest cost is O(increment × blocked candidates),
+  // never O(base²)). Each new record probes the landed er1 cluster
+  // artifact through the same q-gram inverted index (FuzzyJoin: the
+  // increment side broadcasts, grams equi-join — no distance nested
+  // loop); its best match at Jaccard ≥ 0.6 (deterministic tie-break:
+  // highest j, then smallest base key) ADOPTS that member's entity id;
+  // non-matches mint their own. The oracle recomputes base clusters via
+  // the recursive CTE and the increment's best links from first
+  // principles, so the gate proves the incremental path lands exactly
+  // where a from-scratch resolution would place the new records. ---
+  val er5IncrementalLink = QueryDef.sql(
+    "er5_incremental_link",
+    """WITH RECURSIVE gb AS (SELECT DISTINCT p_partkey AS k, q FROM (
+      |    SELECT p_partkey, unnest([substr(p_name, i, 3) for i in range(1, len(p_name) - 1)]) AS q
+      |    FROM part WHERE p_partkey %% 23 = 0 AND len(p_name) >= 3) t),
+      |szb AS (SELECT k, count(*) AS c FROM gb GROUP BY k),
+      |prb AS (SELECT a.k AS ka, b.k AS kb, count(*) AS i
+      |       FROM gb a JOIN gb b ON a.q = b.q AND a.k < b.k GROUP BY a.k, b.k),
+      |ed0 AS (SELECT ka, kb FROM prb JOIN szb sa ON sa.k = prb.ka JOIN szb sb ON sb.k = prb.kb
+      |        WHERE CAST(i AS DOUBLE) / (sa.c + sb.c - i) >= 0.6),
+      |edges AS (SELECT ka AS a, kb AS b FROM ed0 UNION SELECT kb, ka FROM ed0),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges),
+      |reach(a, b) AS (SELECT id, id FROM nodes
+      |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      |lbl AS (SELECT a AS k, min(b) AS cid FROM reach GROUP BY a),
+      |gi AS (SELECT DISTINCT p_partkey AS k, q FROM (
+      |    SELECT p_partkey, unnest([substr(p_name, i, 3) for i in range(1, len(p_name) - 1)]) AS q
+      |    FROM part WHERE p_partkey %% 23 = 1 AND len(p_name) >= 3) t),
+      |szi AS (SELECT k, count(*) AS c FROM gi GROUP BY k),
+      |pri AS (SELECT i.k AS ki, b.k AS kb, count(*) AS i
+      |       FROM gi i JOIN gb b ON i.q = b.q GROUP BY i.k, b.k),
+      |sc AS (SELECT ki, kb, CAST(i AS DOUBLE) / (si.c + s2.c - i) AS j
+      |       FROM pri JOIN szi si ON si.k = pri.ki JOIN szb s2 ON s2.k = pri.kb),
+      |best AS (SELECT ki, kb, j FROM (
+      |    SELECT ki, kb, j, row_number() OVER (PARTITION BY ki ORDER BY j DESC, kb) AS rn
+      |    FROM sc WHERE j >= 0.6) t WHERE rn = 1)
+      |SELECT p.p_partkey, best.kb IS NOT NULL AS matched,
+      |  coalesce(l.cid, best.kb, p.p_partkey) AS entity_id,
+      |  best.kb AS linked_to, best.j AS best_j
+      |FROM part p LEFT JOIN best ON best.ki = p.p_partkey
+      |  LEFT JOIN lbl l ON l.k = best.kb
+      |WHERE p.p_partkey %% 23 = 1""".stripMargin
+      .replace("%%", "%")) { (s, d) =>
+    import graft.operators.FuzzyJoin
+    val base = T.part(s, d).filter(col("p_partkey") % 23 === 0)
+    val incr = T.part(s, d).filter(col("p_partkey") % 23 === 1)
+    val labels = partEntityLabels(s, d)
+    val matches = FuzzyJoin.qgramJoin(
+      incr, "p_partkey", "p_name", base, "p_partkey", "p_name", n = 3, threshold = 0.6)
+    val w = Window.partitionBy(col("ka")).orderBy(col("jaccard").desc, col("kb"))
+    val best = matches.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("ka").as("p_partkey"), col("kb").as("linked_to"),
+        col("jaccard").as("best_j"))
+    incr.select(col("p_partkey"))
+      .join(best, Seq("p_partkey"), "left")
+      .join(labels.select(col("id").as("linked_to"), col("cluster_id")),
+        Seq("linked_to"), "left")
+      .select(col("p_partkey"),
+        col("linked_to").isNotNull.as("matched"),
+        coalesce(col("cluster_id"), col("linked_to"), col("p_partkey")).as("entity_id"),
+        col("linked_to"), col("best_j"))
+  }
+
   // --- er2_blocking_audit: measures the BLOCKER, not the matches — the
   // two numbers every entity-resolution pipeline must report before
   // anyone trusts its clusters: reduction ratio (what fraction of the
@@ -1525,6 +1591,7 @@ object EtlOps {
     j4RangeJoin, j5IntervalOverlap, j6FuzzyMatch, j7EditDistance, j8AutoRangeJoin,
     j9SaltedJoin, j10GeoJoin, j11PitFeatures,
     er1EntityClusters, er2BlockingAudit, er3LinkageScore, er4GoldenRecord,
+    er5IncrementalLink,
     k11PartitionedPrune, k12TimeTravel, k13SchemaEvolution,
     k14BucketedJoin, k15CdcApply, k16CompactionGate, k17IvmJoin,
     k18FormatRoundtrip, k19ForgetKeys, k20AtomicPublish, k21DynamicOverwrite,
