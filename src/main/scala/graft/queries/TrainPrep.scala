@@ -1212,8 +1212,166 @@ object TrainPrep {
         col("n_tokens")).otherwise(0L)).as("kept_tokens"))
   }
 
+  // --- t34_length_batching: LENGTH-BUCKETED training-batch assembly —
+  // the batching step after t8's packing: group documents into batches
+  // of 8 WITHIN 64-token length buckets (so a batch pads to its own
+  // max, not the corpus max) and account the padding efficiency per
+  // batch — the number a training-infra team actually watches (padding
+  // is pure wasted FLOPs; bucketing is why). Deterministic assembly:
+  // docs order by doc_id within bucket, batch = (rank−1)/8; per batch
+  // the padded cost is max_len·n_docs (dynamic per-batch padding).
+  // Exact integers end-to-end, one double division for the waste
+  // ratio. Scale: the window partitions by BUCKET (bounded: ≤16
+  // buckets at the 1024 cap) ordered by doc_id — at corpus scale the
+  // per-bucket ordering runs on a36's two-pass range-partition
+  // machinery; the per-batch aggregate partial-aggregates. ---
+  val t34LengthBatching = QueryDef.sql(
+    "t34_length_batching",
+    s"""WITH d AS (SELECT doc_id, len($sqlToks) AS n_tokens FROM documents),
+       |b AS (SELECT doc_id, n_tokens,
+       |    least(((n_tokens + 63) // 64) * 64, 1024) AS bucket FROM d),
+       |r AS (SELECT doc_id, n_tokens, bucket,
+       |    row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn FROM b),
+       |g AS (SELECT bucket, (rn - 1) // 8 AS batch_id,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS used_tokens,
+       |    CAST(max(n_tokens) AS BIGINT) AS max_len
+       |  FROM r GROUP BY bucket, (rn - 1) // 8)
+       |SELECT bucket, batch_id, n_docs, used_tokens, max_len,
+       |  max_len * n_docs AS padded_tokens,
+       |  1.0 - CAST(used_tokens AS DOUBLE) / (max_len * n_docs) AS pad_waste
+       |FROM g""".stripMargin) { (s, d) =>
+    import graft.functions.TextFns
+    val docs = T.documents(s, d)
+      .select(col("doc_id"), size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+    val b = docs.withColumn("bucket",
+      least(floor((col("n_tokens") + 63) / 64) * 64, lit(1024L)))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+    val r = b.withColumn("rn", row_number().over(w))
+      .withColumn("batch_id", floor((col("rn") - 1) / 8))
+    r.groupBy(col("bucket"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("used_tokens"),
+        max(col("n_tokens")).as("max_len"))
+      .select(col("bucket"), col("batch_id"), col("n_docs"), col("used_tokens"),
+        col("max_len"),
+        (col("max_len") * col("n_docs")).as("padded_tokens"),
+        (lit(1.0) - col("used_tokens").cast("double") /
+          (col("max_len") * col("n_docs"))).as("pad_waste"))
+  }
+
+  // --- t35_bpe_merges: BPE-style MERGE TRAINING over the corpus — the
+  // tokenizer-training shape (learn the most frequent adjacent pair,
+  // fuse it everywhere, repeat), run for 3 rounds at the WORD level
+  // (word-piece style on whitespace tokens). The one semantic
+  // restriction that makes this exactly recomputable by a declarative
+  // oracle: only pairs with a ≠ b are merge candidates, so no two
+  // matches can share a position (overlap needs t[i+1] = t[i]) and the
+  // greedy left-to-right application collapses to a pure join+filter —
+  // no sequential scan, no per-row state. Each round: adjacent-pair
+  // counts (one partial-aggregated shuffle of (t1,t2) pairs), a 1-row
+  // argmax broadcast (count desc, pair lexicographic tie-break), fuse
+  // matched positions / keep rows that are neither a match start nor a
+  // consumed successor, re-rank positions with a per-doc window. The
+  // gate pins all 3 learned merges, their support, and the corpus
+  // token count after each round. Scale: per round two equi-joins on
+  // (doc, position) and one bounded window per doc; deeper runs stage
+  // the sequence table per round (PageRank's restaging discipline). ---
+  val t35BpeMerges = QueryDef.sql(
+    "t35_bpe_merges",
+    s"""WITH seq0 AS (SELECT doc_id, i, t[i] AS t FROM
+       |    (SELECT doc_id, $sqlToks AS t FROM documents) d,
+       |    LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) r),
+       |p0 AS (SELECT s1.doc_id, s1.i, s1.t AS t1, s2.t AS t2 FROM seq0 s1
+       |       JOIN seq0 s2 ON s2.doc_id = s1.doc_id AND s2.i = s1.i + 1),
+       |c0 AS (SELECT t1, t2, count(*) AS c FROM p0 WHERE t1 <> t2 GROUP BY t1, t2),
+       |m0 AS (SELECT t1 AS a, t2 AS b, c FROM c0 ORDER BY c DESC, t1, t2 LIMIT 1),
+       |x0 AS (SELECT p.doc_id, p.i, m.a || ' ' || m.b AS t
+       |       FROM p0 p, m0 m WHERE p.t1 = m.a AND p.t2 = m.b),
+       |k0 AS (SELECT s.doc_id, s.i, s.t FROM seq0 s
+       |       LEFT JOIN x0 a ON a.doc_id = s.doc_id AND a.i = s.i
+       |       LEFT JOIN x0 b ON b.doc_id = s.doc_id AND b.i = s.i - 1
+       |       WHERE a.i IS NULL AND b.i IS NULL),
+       |seq1 AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i, t
+       |         FROM (SELECT * FROM x0 UNION ALL SELECT * FROM k0) u),
+       |p1 AS (SELECT s1.doc_id, s1.i, s1.t AS t1, s2.t AS t2 FROM seq1 s1
+       |       JOIN seq1 s2 ON s2.doc_id = s1.doc_id AND s2.i = s1.i + 1),
+       |c1 AS (SELECT t1, t2, count(*) AS c FROM p1 WHERE t1 <> t2 GROUP BY t1, t2),
+       |m1 AS (SELECT t1 AS a, t2 AS b, c FROM c1 ORDER BY c DESC, t1, t2 LIMIT 1),
+       |x1 AS (SELECT p.doc_id, p.i, m.a || ' ' || m.b AS t
+       |       FROM p1 p, m1 m WHERE p.t1 = m.a AND p.t2 = m.b),
+       |k1 AS (SELECT s.doc_id, s.i, s.t FROM seq1 s
+       |       LEFT JOIN x1 a ON a.doc_id = s.doc_id AND a.i = s.i
+       |       LEFT JOIN x1 b ON b.doc_id = s.doc_id AND b.i = s.i - 1
+       |       WHERE a.i IS NULL AND b.i IS NULL),
+       |seq2 AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i, t
+       |         FROM (SELECT * FROM x1 UNION ALL SELECT * FROM k1) u),
+       |p2 AS (SELECT s1.doc_id, s1.i, s1.t AS t1, s2.t AS t2 FROM seq2 s1
+       |       JOIN seq2 s2 ON s2.doc_id = s1.doc_id AND s2.i = s1.i + 1),
+       |c2 AS (SELECT t1, t2, count(*) AS c FROM p2 WHERE t1 <> t2 GROUP BY t1, t2),
+       |m2 AS (SELECT t1 AS a, t2 AS b, c FROM c2 ORDER BY c DESC, t1, t2 LIMIT 1),
+       |x2 AS (SELECT p.doc_id, p.i, m.a || ' ' || m.b AS t
+       |       FROM p2 p, m2 m WHERE p.t1 = m.a AND p.t2 = m.b),
+       |k2 AS (SELECT s.doc_id, s.i, s.t FROM seq2 s
+       |       LEFT JOIN x2 a ON a.doc_id = s.doc_id AND a.i = s.i
+       |       LEFT JOIN x2 b ON b.doc_id = s.doc_id AND b.i = s.i - 1
+       |       WHERE a.i IS NULL AND b.i IS NULL),
+       |n1 AS (SELECT count(*) AS n FROM seq1),
+       |n2 AS (SELECT count(*) AS n FROM seq2),
+       |n3 AS (SELECT count(*) + (SELECT count(*) FROM k2) AS n FROM x2)
+       |SELECT 1 AS round, a, b, c AS pair_count,
+       |  CAST((SELECT n FROM n1) AS BIGINT) AS tokens_after FROM m0
+       |UNION ALL
+       |SELECT 2, a, b, c, CAST((SELECT n FROM n2) AS BIGINT) FROM m1
+       |UNION ALL
+       |SELECT 3, a, b, c, CAST((SELECT n FROM n3) AS BIGINT) FROM m2""".stripMargin) {
+    (s, d) =>
+    import graft.functions.TextFns
+    val seq0 = T.documents(s, d)
+      .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))).as(Seq("i0", "t")))
+      .select(col("doc_id"), (col("i0") + 1).as("i"), col("t"))
+
+    def adjacent(seq: DataFrame): DataFrame =
+      seq.select(col("doc_id"), col("i"), col("t").as("t1"))
+        .join(seq.select(col("doc_id"), (col("i") - 1).as("i"), col("t").as("t2")),
+          Seq("doc_id", "i"))
+
+    def round(seq: DataFrame): (DataFrame, DataFrame) = {
+      val p = adjacent(seq)
+      val m = p.filter(col("t1") =!= col("t2"))
+        .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t1"), col("t2")).limit(1)
+        .select(col("t1").as("a"), col("t2").as("b"), col("c"))
+      val x = p.join(broadcast(m), col("t1") === col("a") && col("t2") === col("b"))
+        .select(col("doc_id"), col("i"), concat(col("a"), lit(" "), col("b")).as("t"))
+      val starts = x.select(col("doc_id"), col("i").as("xi"))
+      val kept = seq
+        .join(starts.withColumnRenamed("xi", "i").withColumn("hitA", lit(1)),
+          Seq("doc_id", "i"), "left")
+        .join(starts.select(col("doc_id"), (col("xi") + 1).as("i"))
+          .withColumn("hitB", lit(1)), Seq("doc_id", "i"), "left")
+        .filter(col("hitA").isNull && col("hitB").isNull)
+        .select(col("doc_id"), col("i"), col("t"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      val next = x.unionByName(kept)
+        .withColumn("ni", row_number().over(w))
+        .select(col("doc_id"), col("ni").as("i"), col("t"))
+      (m, next)
+    }
+
+    val (m0, seq1) = round(seq0)
+    val (m1, seq2) = round(seq1)
+    val (m2, seq3) = round(seq2)
+    def report(r: Int, m: DataFrame, after: DataFrame): DataFrame =
+      m.withColumn("round", lit(r))
+        .crossJoin(broadcast(after.agg(count(lit(1)).as("tokens_after"))))
+        .select(col("round"), col("a"), col("b"), col("c").as("pair_count"),
+          col("tokens_after"))
+    report(1, m0, seq1).unionByName(report(2, m1, seq2))
+      .unionByName(report(3, m2, seq3))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    t33CorpusPipeline,
+    t33CorpusPipeline, t34LengthBatching, t35BpeMerges,
     t8PackSequences, t9NgramCounts, t10RedactPii, d5Contamination,
     t11UnigramLogprob, t12Repetition, t14NormalizeText, t15LeakSafeSplit,
     t16TemperatureMix, t17FeatureHashing, t18DocKnn, d8VerbatimLeak,
