@@ -30,7 +30,10 @@ object Events {
       body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
+    // deployment dial (state partitioning is per-checkpoint config, not
+    // topology): GRAFT_STATE_PARTITIONS overrides every drain's default
+    // for A/B-ing state-store commit overhead on a given box
+    s.conf.set(key, sys.env.getOrElse("GRAFT_STATE_PARTITIONS", n.toString))
     try body finally s.conf.set(key, prev)
   }
 
@@ -446,7 +449,7 @@ object Events {
     """SELECT date_trunc('day', ts) AS window_start, event_type, count(*) AS n
       |FROM events
       |GROUP BY date_trunc('day', ts), event_type""".stripMargin) { (s, d) =>
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
     val root = java.nio.file.Files.createTempDirectory("e11-stream").toString
     val feed = s"$root/feed"; val state = s"$root/state"; val ckpt = s"$root/ckpt"
     T.events(s, d).select(col("ts"), col("event_type")).write.parquet(feed)
@@ -496,7 +499,7 @@ object Events {
       |FROM v JOIN p ON v.user_id = p.user_id
       |  AND epoch_ns(p.ts) // 1000 >= epoch_ns(v.ts) // 1000
       |  AND epoch_ns(p.ts) // 1000 < epoch_ns(v.ts) // 1000 + 21600000000""".stripMargin) { (s, d) =>
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
     val root = java.nio.file.Files.createTempDirectory("e12-stream").toString
     val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
     T.events(s, d)
@@ -633,7 +636,7 @@ object Events {
     "e15_stream_dedup",
     """SELECT event_id, user_id, event_type, date_trunc('second', ts) AS tss
       |FROM events""".stripMargin) { (s, d) =>
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
     val root = java.nio.file.Files.createTempDirectory("e15-stream").toString
     val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
     val ev = T.events(s, d)
@@ -765,7 +768,7 @@ object Events {
       |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
     val root = java.nio.file.Files.createTempDirectory("e18-ivm").toString
     val feed = s"$root/feed"; val baseSeg = s"$root/view_base"
     val incSeg = s"$root/view_inc"; val ckpt = s"$root/ckpt"
@@ -832,7 +835,7 @@ object Events {
       |FROM s GROUP BY user_id, sess_no""".stripMargin) { (s, d) =>
     import s.implicits._
     import graft.streaming.EventStreams
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
     val root = java.nio.file.Files.createTempDirectory("e19-sess").toString
     val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
     val ev = T.events(s, d).select(col("event_id"),
@@ -891,7 +894,7 @@ object Events {
       |    AND epoch_ns(date_trunc('day', e.ts) + INTERVAL 1 DAY) // 1000 > wm.w)
       |SELECT date_trunc('day', ts) AS window_start, event_type, count(*) AS n
       |FROM keep GROUP BY window_start, event_type""".stripMargin) { (s, d) =>
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
     val root = java.nio.file.Files.createTempDirectory("e20-late").toString
     val feed = s"$root/feed"; val state = s"$root/state"; val ckpt = s"$root/ckpt"
     val ev = T.events(s, d).select(col("event_id"), col("ts"), col("event_type"))
@@ -947,7 +950,7 @@ object Events {
       |FROM v LEFT JOIN p ON v.user_id = p.user_id
       |  AND epoch_ns(p.ts) // 1000 >= epoch_ns(v.ts) // 1000
       |  AND epoch_ns(p.ts) // 1000 < epoch_ns(v.ts) // 1000 + 21600000000""".stripMargin) { (s, d) =>
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
     val root = java.nio.file.Files.createTempDirectory("e21-outer").toString
     val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
     val ev = T.events(s, d)
@@ -1020,7 +1023,7 @@ object Events {
       |FROM v FULL JOIN p ON v.user_id = p.user_id
       |  AND epoch_ns(p.ts) // 1000 >= epoch_ns(v.ts) // 1000
       |  AND epoch_ns(p.ts) // 1000 < epoch_ns(v.ts) // 1000 + 21600000000""".stripMargin) { (s, d) =>
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
     val root = java.nio.file.Files.createTempDirectory("e29-full").toString
     val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
     val ev = T.events(s, d)
@@ -1100,7 +1103,7 @@ object Events {
       |FROM c WHERE cum // 10000 > (cum - cents) // 10000""".stripMargin) { (s, d) =>
     import s.implicits._
     import graft.streaming.Milestones
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = s.conf.get(providerKey)
     s.conf.set(providerKey,
@@ -1154,7 +1157,7 @@ object Events {
       |FROM n WHERE (n & (n - 1)) = 0""".stripMargin) { (s, d) =>
     import s.implicits._
     import graft.streaming.Milestones
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = s.conf.get(providerKey)
     s.conf.set(providerKey,
@@ -1209,7 +1212,7 @@ object Events {
       |FROM p""".stripMargin) { (s, d) =>
     import s.implicits._
     import graft.streaming.Milestones
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = s.conf.get(providerKey)
     s.conf.set(providerKey,
@@ -1277,7 +1280,7 @@ object Events {
       |SELECT (day_us // 604800000000) * 604800000000 AS week_us,
       |  CAST(sum(n) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS cents
       |FROM d GROUP BY 1""".stripMargin) { (s, d) =>
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
     val root = java.nio.file.Files.createTempDirectory("e25-chained").toString
     val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
     val ev = T.events(s, d)
@@ -1362,7 +1365,7 @@ object Events {
       |SELECT user_id, min(us) AS start_us, max(us) + 1800000000 AS end_us,
       |  CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS cents
       |FROM i GROUP BY user_id, island""".stripMargin) { (s, d) =>
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
     val root = java.nio.file.Files.createTempDirectory("e26-session").toString
     val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
     val ev = T.events(s, d).filter(col("event_type") === "purchase")
@@ -1539,7 +1542,7 @@ object Events {
       |  CAST(CAST(e.value AS DECIMAL(10,2)) AS DOUBLE) AS amount
       |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
       |WHERE e.event_type = 'purchase'""".stripMargin) { (s, d) =>
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
     val root = java.nio.file.Files.createTempDirectory("e31-static").toString
     val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
     T.events(s, d).filter(col("event_type") === "purchase")
@@ -1589,7 +1592,7 @@ object Events {
       |    AND epoch_ns(p.ts) // 1000 >= epoch_ns(v.ts) // 1000
       |    AND epoch_ns(p.ts) // 1000 < epoch_ns(v.ts) // 1000 + 21600000000)""".stripMargin) {
     (s, d) =>
-    withStatePartitions(s, 8) {
+    withStatePartitions(s, 4) {
     val root = java.nio.file.Files.createTempDirectory("e32-semi").toString
     val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
     T.events(s, d)
