@@ -679,7 +679,7 @@ object Graphs {
     val stage = java.nio.file.Files.createTempDirectory("g14-bfs").toString
     val seeds = T.lineitem(s, d).select(col("l_partkey").as("p")).distinct()
       .filter(col("p") % 97 === 0).select(col("p").as("id"))
-    graft.operators.Bfs.perSourceDistances(edges, seeds, rounds = 3, s"$stage/labels")
+    graft.operators.Bfs.perSourceDistancesBitmask(edges, seeds, rounds = 3, s"$stage/labels")
       .groupBy(col("src")).agg(
         sum(when(col("dist") === 1, 1L).otherwise(0L)).as("n1"),
         sum(when(col("dist") === 2, 1L).otherwise(0L)).as("n2"),

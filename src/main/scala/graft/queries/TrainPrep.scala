@@ -1326,21 +1326,36 @@ object TrainPrep {
        |SELECT 3, a, b, c, CAST((SELECT n FROM n3) AS BIGINT) FROM m2""".stripMargin) {
     (s, d) =>
     import graft.functions.TextFns
-    val seq0 = T.documents(s, d)
-      .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))).as(Seq("i0", "t")))
-      .select(col("doc_id"), (col("i0") + 1).as("i"), col("t"))
+    // every round's sequence AND 1-row merge table are parquet-staged
+    // (PageRank's restaging discipline): without the stage each round's
+    // several self-joins re-derive the whole prior chain multiplicatively
+    // (measured 89 s → 5 s at sf0.1); with it each round is a bounded
+    // number of linear passes over the staged table
+    val stageRoot = java.nio.file.Files.createTempDirectory("t35-bpe").toString
+    def stage(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$stageRoot/$name")
+      s.read.parquet(s"$stageRoot/$name")
+    }
+    val seq0 = stage(
+      T.documents(s, d)
+        .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))).as(Seq("i0", "t")))
+        .select(col("doc_id"), (col("i0") + 1).as("i"), col("t")),
+      "seq0")
 
     def adjacent(seq: DataFrame): DataFrame =
       seq.select(col("doc_id"), col("i"), col("t").as("t1"))
         .join(seq.select(col("doc_id"), (col("i") - 1).as("i"), col("t").as("t2")),
           Seq("doc_id", "i"))
 
-    def round(seq: DataFrame): (DataFrame, DataFrame) = {
+    def round(r: Int, seq: DataFrame): (DataFrame, DataFrame) = {
       val p = adjacent(seq)
-      val m = p.filter(col("t1") =!= col("t2"))
-        .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("t1"), col("t2")).limit(1)
-        .select(col("t1").as("a"), col("t2").as("b"), col("c"))
+      val m = stage(
+        p.filter(col("t1") =!= col("t2"))
+          .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("t1"), col("t2")).limit(1)
+          .select(col("t1").as("a"), col("t2").as("b"), col("c"))
+          .coalesce(1),
+        s"m$r")
       val x = p.join(broadcast(m), col("t1") === col("a") && col("t2") === col("b"))
         .select(col("doc_id"), col("i"), concat(col("a"), lit(" "), col("b")).as("t"))
       val starts = x.select(col("doc_id"), col("i").as("xi"))
@@ -1352,15 +1367,17 @@ object TrainPrep {
         .filter(col("hitA").isNull && col("hitB").isNull)
         .select(col("doc_id"), col("i"), col("t"))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      val next = x.unionByName(kept)
-        .withColumn("ni", row_number().over(w))
-        .select(col("doc_id"), col("ni").as("i"), col("t"))
+      val next = stage(
+        x.unionByName(kept)
+          .withColumn("ni", row_number().over(w))
+          .select(col("doc_id"), col("ni").as("i"), col("t")),
+        s"seq$r")
       (m, next)
     }
 
-    val (m0, seq1) = round(seq0)
-    val (m1, seq2) = round(seq1)
-    val (m2, seq3) = round(seq2)
+    val (m0, seq1) = round(1, seq0)
+    val (m1, seq2) = round(2, seq1)
+    val (m2, seq3) = round(3, seq2)
     def report(r: Int, m: DataFrame, after: DataFrame): DataFrame =
       m.withColumn("round", lit(r))
         .crossJoin(broadcast(after.agg(count(lit(1)).as("tokens_after"))))

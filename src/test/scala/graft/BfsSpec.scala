@@ -87,4 +87,24 @@ class BfsSpec extends SparkSpec {
     // nearest-seed collapse would have given both the min
     assert(got(1L)(8L) === 2 && got(4L)(8L) === 3)
   }
+
+  test("bitmask MS-BFS ≡ label-relaxation per-source BFS on a random graph") {
+    // 150 nodes, ~600 undirected edges, 70 seeds (spans 2 mask words at
+    // 60 bits/word) — the bitmask algebra must reproduce the relaxation
+    // form exactly, including multi-word seeds and unreached nodes
+    val rnd = new scala.util.Random(7)
+    val edges0 = Seq.fill(600)((rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+      .filter { case (u, v) => u != v }.distinct
+    val undirected = (edges0 ++ edges0.map { case (u, v) => (v, u) }).distinct
+    val seeds = (0L until 150L by 2).take(70)
+    val s1 = java.nio.file.Files.createTempDirectory("msbfs-a").toString
+    val s2 = java.nio.file.Files.createTempDirectory("msbfs-b").toString
+    val edf = undirected.toDF("u", "v")
+    val ref = Bfs.perSourceDistances(edf, seeds.toDF("id"), 3, s1)
+      .as[(Long, Long, Int)].collect().toSet
+    val got = Bfs.perSourceDistancesBitmask(edf, seeds.toDF("id"), 3, s2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === ref)
+    assert(ref.nonEmpty && ref.exists(_._3 == 3))
+  }
 }
