@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Source↔target table reconciliation — the validation pass behind every
@@ -54,4 +54,42 @@ object Reconcile {
   def summarize(reconciled: DataFrame): DataFrame =
     reconciled.groupBy(col("status"), col("diff_cols"))
       .agg(count(lit(1)).as("n"))
+
+  /** SCHEMA drift between two landed tables — the metadata half of
+    * reconciliation ([[compare]] audits values; this audits structure):
+    * one row per column that exists in either table, classified as
+    * `added` (target only), `removed` (source only), `retyped` (both,
+    * different type), or `unchanged`. Types are Spark `simpleString`s
+    * read from the parquet footers — the whole audit is metadata-only
+    * and costs the same at 100 TB as at 100 rows. The classic consumers:
+    * a contract gate before a schema-evolving merge ([[Upsert
+    * .mergeEvolve]] only ADDS columns — `removed`/`retyped` rows are
+    * exactly what it refuses to absorb silently), and a migration
+    * acceptance check next to [[compare]]'s row diff. */
+  def schemaDiff(spark: SparkSession, sourcePath: String, targetPath: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    def types(p: String): Map[String, String] =
+      spark.read.parquet(p).schema.fields
+        .map(f => f.name -> f.dataType.simpleString).toMap
+    val a = types(sourcePath)
+    val b = types(targetPath)
+    val rows = (a.keySet ++ b.keySet).toSeq.sorted.map { c =>
+      val change = (a.get(c), b.get(c)) match {
+        case (Some(_), None) => "removed"
+        case (None, Some(_)) => "added"
+        case (Some(x), Some(y)) if x != y => "retyped"
+        case _ => "unchanged"
+      }
+      org.apache.spark.sql.Row(c, change, a.get(c).orNull, b.get(c).orNull)
+    }
+    spark.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("col_name",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("change",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("type_source",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("type_target",
+        org.apache.spark.sql.types.StringType))))
+  }
 }

@@ -1167,6 +1167,24 @@ object Extras {
     s.sql(sql8Text)
   }
 
+  // --- sql9_order_by_all: ORDER BY ALL + LIMIT in the shared dialect —
+  // the column-list-free ordering shorthand (pairs with sql5's GROUP BY
+  // ALL; same text, both engines). The LIMIT makes the ordering
+  // SEMANTIC, not cosmetic: the hash gate ignores row order, but which
+  // 10 rows survive the cut depends on ORDER BY ALL expanding to the
+  // full select list left-to-right identically in Spark and DuckDB —
+  // (event_type, day) is a unique key, so the cut is deterministic. ---
+  private val sql9Text =
+    """SELECT event_type, CAST(CAST(ts AS DATE) AS STRING) AS day, count(*) AS n
+      |FROM events
+      |GROUP BY ALL
+      |ORDER BY ALL
+      |LIMIT 10""".stripMargin
+  val sql9OrderByAll = QueryDef.sql("sql9_order_by_all", sql9Text) { (s, d) =>
+    T.events(s, d).createOrReplaceTempView("events")
+    s.sql(sql9Text)
+  }
+
   // --- a41_mann_whitney: the NONPARAMETRIC two-sample test (Mann-
   // Whitney U with tie-corrected normal approximation) — a38's Welch t
   // assumes means matter; U ranks. Exactness: the combined sample
@@ -1541,6 +1559,6 @@ object Extras {
     a32Unpivot, a33Ewma, a34HeavyHitters, a35Listagg, a36StableIds,
     sql7WindowClause, a37Changepoint, a38AbTest, a39DecileBinning,
     a40DowSeasonality, sql8SetopsAll, a41MannWhitney, a42KsTest,
-    a43Chi2Independence, a45TheilSen, a46HodgesLehmann)
+    a43Chi2Independence, a45TheilSen, a46HodgesLehmann, sql9OrderByAll)
 
 }

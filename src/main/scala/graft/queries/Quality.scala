@@ -574,7 +574,41 @@ object Quality {
         (col("violations").cast("double") / col("n_rows")).as("error_rate"))
   }
 
+  // --- dq13_schema_drift: SCHEMA-drift audit between two landed
+  // generations of a table — the metadata half of dq8's value
+  // reconciliation and the read-side complement of k13's schema-
+  // evolving write: a source generation and an evolved target (one
+  // column dropped, one added, one retyped double→decimal) land as
+  // parquet, and Reconcile.schemaDiff classifies every column from the
+  // FOOTERS alone (added/removed/retyped/unchanged + both type
+  // strings). The oracle pins the full expected classification as
+  // literals, so a drifted writer (wrong type mapping, silently dropped
+  // column) hash-mismatches. Metadata-only: identical cost at any SF. ---
+  val dq13SchemaDrift = QueryDef.sql(
+    "dq13_schema_drift",
+    """SELECT * FROM (VALUES
+      |  ('event_id',   'unchanged', 'bigint',    'bigint'),
+      |  ('event_type', 'unchanged', 'string',    'string'),
+      |  ('props',      'removed',   'string',    NULL),
+      |  ('source',     'added',     NULL,        'string'),
+      |  ('ts',         'unchanged', 'timestamp', 'timestamp'),
+      |  ('user_id',    'unchanged', 'bigint',    'bigint'),
+      |  ('value',      'retyped',   'double',    'decimal(10,2)')
+      |) AS t(col_name, change, type_source, type_target)""".stripMargin) { (s, d) =>
+    import graft.operators.Reconcile
+    val root = java.nio.file.Files.createTempDirectory("dq13-drift").toString
+    val src = T.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
+    src.write.parquet(s"$root/v1")
+    src.drop("props")
+      .withColumn("value", col("value").cast("decimal(10,2)"))
+      .withColumn("source", lit("api"))
+      .write.parquet(s"$root/v2")
+    Reconcile.schemaDiff(s, s"$root/v1", s"$root/v2")
+  }
+
   val all: Seq[QueryDef] = Seq(dq1Expectations, dq2KAnonymity, dq3RefIntegrity, dq4DriftPsi,
     dq5Freshness, dq6Benford, dq7OutlierIqr, dq8Reconciliation, dq9LDiversity,
-    dq10TCloseness, dq11BoundedContribution, dq12FdViolations)
+    dq10TCloseness, dq11BoundedContribution, dq12FdViolations, dq13SchemaDrift)
 }

@@ -1387,8 +1387,86 @@ object TrainPrep {
       .unionByName(report(3, m2, seq3))
   }
 
+  // --- t36_span_decontaminate: SPAN-LEVEL eval-set excision — d5/t33
+  // DROP whole contaminated documents; production decontamination (the
+  // PaLM/Llama recipe) cuts only the overlapping SPANS and keeps the
+  // rest of the document. Every training-doc 3-gram matching an eval
+  // shingle defines a token interval [i, i+2]; overlapping intervals
+  // merge into maximal excision spans via the gaps-and-islands pattern
+  // (running max of span ends per doc: a new island starts where the
+  // start position exceeds every previous end — e16's machinery on
+  // text positions instead of timestamps). Output: per training doc,
+  // spans cut, tokens removed/kept — all exact integers. Scale: eval
+  // shingles broadcast (d5's argument), matches shuffle once per
+  // (doc, position), islands windows partition BY DOC. ---
+  val t36SpanDecontaminate = QueryDef.sql(
+    "t36_span_decontaminate",
+    s"""WITH toks AS (SELECT doc_id, i, t[i] AS tok, len(t) AS n FROM
+       |    (SELECT doc_id, $sqlToks AS t FROM documents) d,
+       |    LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) r),
+       |sh AS (SELECT doc_id, i, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |  FROM (SELECT doc_id, $sqlToks AS t FROM documents) d,
+       |  LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+       |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 97 = 0),
+       |hits AS (SELECT sh.doc_id, sh.i AS b, sh.i + 2 AS e
+       |  FROM sh JOIN ev ON sh.s = ev.s WHERE sh.doc_id % 97 <> 0),
+       |isl AS (SELECT doc_id, b, e,
+       |    CASE WHEN b > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY b
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS ns
+       |  FROM hits),
+       |grp AS (SELECT doc_id, b, e,
+       |    sum(ns) OVER (PARTITION BY doc_id ORDER BY b
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+       |  FROM isl),
+       |spans AS (SELECT doc_id, g, min(b) AS b, max(e) AS e FROM grp GROUP BY doc_id, g),
+       |per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |    CAST(sum(e - b + 1) AS BIGINT) AS tokens_removed
+       |  FROM spans GROUP BY doc_id),
+       |dl AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens FROM toks
+       |  WHERE doc_id % 97 <> 0 GROUP BY doc_id)
+       |SELECT dl.doc_id, dl.n_tokens,
+       |  coalesce(p.n_spans, 0) AS n_spans,
+       |  coalesce(p.tokens_removed, 0) AS tokens_removed,
+       |  dl.n_tokens - coalesce(p.tokens_removed, 0) AS tokens_kept,
+       |  p.doc_id IS NULL AS clean
+       |FROM dl LEFT JOIN per_doc p ON p.doc_id = dl.doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.TextFns
+    val docs = T.documents(s, d)
+    val sh = docs.select(col("doc_id"),
+      posexplode(TextFns.shinglesRegex(col("text"), 3)).as(Seq("i0", "str")))
+      .select(col("doc_id"), (col("i0") + 1).as("b"), col("str"))
+    val ev = sh.filter(col("doc_id") % 97 === 0)
+      .select(xxhash64(col("str")).as("h")).distinct()
+    val hits = sh.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("b"), xxhash64(col("str")).as("h"))
+      .join(broadcast(ev), Seq("h"))
+      .select(col("doc_id"), col("b"), (col("b") + 2).as("e"))
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = hits
+      .withColumn("ns",
+        when(col("b") > coalesce(max(col("e")).over(wPrev), lit(-1L)), 1).otherwise(0))
+      .withColumn("g", sum(col("ns")).over(wRun))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("b")).as("b"), max(col("e")).as("e"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("b") + 1).as("tokens_removed"))
+      .withColumn("hit", lit(1))
+    docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), size(TextFns.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
+        (col("n_tokens") - coalesce(col("tokens_removed"), lit(0L))).as("tokens_kept"),
+        col("hit").isNull.as("clean"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    t33CorpusPipeline, t34LengthBatching, t35BpeMerges,
+    t33CorpusPipeline, t34LengthBatching, t35BpeMerges, t36SpanDecontaminate,
     t8PackSequences, t9NgramCounts, t10RedactPii, d5Contamination,
     t11UnigramLogprob, t12Repetition, t14NormalizeText, t15LeakSafeSplit,
     t16TemperatureMix, t17FeatureHashing, t18DocKnn, d8VerbatimLeak,

@@ -51,4 +51,19 @@ class ReconcileSpec extends SparkSpec {
       (1L, "y") -> "MISSING_IN_TARGET",
       (2L, "y") -> "EXTRA_IN_TARGET"))
   }
+
+  test("schemaDiff classifies added/removed/retyped/unchanged from footers") {
+    val root = java.nio.file.Files.createTempDirectory("sdiff").toString
+    Seq((1L, "a", 1.5)).toDF("k", "s", "v").write.parquet(s"$root/a")
+    Seq((1L, 2, true)).toDF("k", "v", "flag")
+      .withColumn("k", org.apache.spark.sql.functions.col("k").cast("long"))
+      .write.parquet(s"$root/b")
+    val got = Reconcile.schemaDiff(spark, s"$root/a", s"$root/b")
+      .as[(String, String, Option[String], Option[String])].collect().toSet
+    assert(got === Set(
+      ("flag", "added", None, Some("boolean")),
+      ("k", "unchanged", Some("bigint"), Some("bigint")),
+      ("s", "removed", Some("string"), None),
+      ("v", "retyped", Some("double"), Some("int"))))
+  }
 }
