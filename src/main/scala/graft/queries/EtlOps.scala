@@ -1047,6 +1047,55 @@ object EtlOps {
         sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("total"))
   }
 
+  // --- k31_warehouse_compose: the warehouse ops COMPOSED end-to-end
+  // under one hash gate — t33's composition argument on the k-side
+  // (each stage is individually gated; the bugs live between them):
+  // (1) orders lands via the crash-safe keyed upsert, (2) a price-
+  // restatement delta (keys %11, exponent-only ×2) upserts into it,
+  // (3) the merged table goes out through the Write-Audit-Publish gate
+  // (audit: no null keys, exact row count preserved), (4) a zone-map
+  // index is built over the PUBLISHED run's files and the final
+  // price-band aggregate reads through index-pruned file cuts + the
+  // residual filter. The oracle recomputes the restated band aggregate
+  // straight from the fixture — upsert convergence, publish
+  // visibility, and conservative pruning all have to agree for the
+  // hash to land. ---
+  val k31WarehouseCompose = QueryDef.sql(
+    "k31_warehouse_compose",
+    """WITH restated AS (SELECT o_orderkey, o_orderpriority,
+      |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS p
+      |  FROM orders)
+      |SELECT o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(p AS DECIMAL(14,2))) AS DOUBLE) AS total
+      |FROM restated WHERE p >= 1000 AND p <= 5000
+      |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
+    import graft.operators.{Publish, Upsert, ZoneMap}
+    val root = java.nio.file.Files.createTempDirectory("k31-wh").toString
+    val tbl = s"$root/orders"; val pub = s"$root/pub"; val idx = s"$root/zm"
+    val orders = T.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    Upsert.upsertParquet(s, tbl, orders, Seq("o_orderkey"))
+    val delta = orders.filter(col("o_orderkey") % 11 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2) // exponent-only
+    Upsert.upsertParquet(s, tbl, delta, Seq("o_orderkey"))
+    val merged = s.read.parquet(tbl)
+    val expected = orders.count()
+    val run = Publish.publishAudited(s, pub, Map("orders" -> merged)) { staged =>
+      val t = staged("orders")
+      t.filter(col("o_orderkey").isNull).isEmpty && t.count() == expected
+    }.getOrElse(sys.error("audit refused the warehouse publish"))
+    val published = s"${root}/pub/runs/run=$run/orders"
+    ZoneMap.build(s,
+      published,
+      Seq("o_totalprice"), idx)
+    ZoneMap.readPruned(s, published, idx,
+        col("max_o_totalprice") >= 1000 && col("min_o_totalprice") <= 5000)
+      .filter(col("o_totalprice") >= 1000 && col("o_totalprice") <= 5000)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("total"))
+  }
+
   // --- k23_zorder_gate: Z-ORDER clustering under the hash gate — the
   // table is rewritten ordered by the bit-interleaved (l_partkey,
   // l_suppkey) code (Maintenance.zorderBy), so parquet row-group min/max
@@ -1596,6 +1645,6 @@ object EtlOps {
     k14BucketedJoin, k15CdcApply, k16CompactionGate, k17IvmJoin,
     k18FormatRoundtrip, k19ForgetKeys, k20AtomicPublish, k21DynamicOverwrite,
     k22MvRewrite, k23ZorderGate, k24FullMerge, k25RetractableAgg, k26ScrubHistory,
-    k28PartitionEvolution, k29ZonemapGate,
+    k28PartitionEvolution, k29ZonemapGate, k31WarehouseCompose,
     k27WapGate)
 }

@@ -689,8 +689,60 @@ object Graphs {
           + col("n3").cast("double") / 3).as("harmonic"))
   }
 
+  // --- g15_katz: KATZ centrality, 3 fixed rounds, exact scaled
+  // integers — the walk-counting centrality (every path contributes,
+  // damped α^length) completing the triad with PageRank (g1: random
+  // surfer) and HITS (g10: mutual reinforcement). α = 1/8 makes the
+  // round-k scores rationals with denominator 8^k, so carrying
+  // y_k = 8^k·x_k keeps every round a pure BIGINT recurrence
+  // y_{k+1}(v) = 8^{k+1} + Σ_{u→v} y_k(u) — one edges ⋈ labels
+  // equi-join + partial-agg sum per round, labels parquet-staged
+  // (g1's discipline), nodes without in-edges keep the teleport-only
+  // term via the left join. Overflow bound: y₃ ≤ 512 + d·(64+d·(8+d))
+  // < 2⁶³ for max degree d up to ~2 000 000. Only the final
+  // katz = y₃/8³ casts to double. ---
+  val g15Katz = QueryDef.sql(
+    "g15_katz",
+    """WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e0 AS (SELECT DISTINCT x.p AS u, y.p AS v FROM it x JOIN it y ON x.o = y.o AND x.p < y.p),
+      |edges AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      |nodes AS (SELECT DISTINCT u AS id FROM edges),
+      |y1 AS (SELECT n.id, 8 + coalesce(s.s, 0) AS y FROM nodes n LEFT JOIN
+      |  (SELECT v AS id, CAST(count(*) AS BIGINT) AS s FROM edges GROUP BY v) s
+      |  ON s.id = n.id),
+      |y2 AS (SELECT n.id, 64 + coalesce(s.s, 0) AS y FROM nodes n LEFT JOIN
+      |  (SELECT e.v AS id, CAST(sum(y1.y) AS BIGINT) AS s FROM edges e
+      |   JOIN y1 ON y1.id = e.u GROUP BY e.v) s ON s.id = n.id),
+      |y3 AS (SELECT n.id, 512 + coalesce(s.s, 0) AS y FROM nodes n LEFT JOIN
+      |  (SELECT e.v AS id, CAST(sum(y2.y) AS BIGINT) AS s FROM edges e
+      |   JOIN y2 ON y2.id = e.u GROUP BY e.v) s ON s.id = n.id)
+      |SELECT id AS part_id, CAST(y AS BIGINT) AS katz_scaled,
+      |  CAST(y AS DOUBLE) / 512 AS katz
+      |FROM y3""".stripMargin) { (s, d) =>
+    val edges = coPurchaseUndirected(s, d).select(col("u"), col("v"))
+    val stage = java.nio.file.Files.createTempDirectory("g15-katz").toString
+    def staged(df: org.apache.spark.sql.DataFrame, name: String) = {
+      df.write.mode("overwrite").parquet(s"$stage/$name")
+      s.read.parquet(s"$stage/$name")
+    }
+    val nodes = staged(edges.select(col("u").as("id")).distinct(), "nodes")
+    var y = nodes.withColumn("y", lit(1L))
+    for (k <- 1 to 3) {
+      val gathered = edges.join(y.select(col("id").as("u"), col("y")), Seq("u"))
+        .groupBy(col("v").as("id")).agg(sum(col("y")).as("s"))
+      y = staged(
+        nodes.join(gathered, Seq("id"), "left")
+          .select(col("id"),
+            (lit(math.pow(8, k).toLong) + coalesce(col("s"), lit(0L))).as("y")),
+        s"y$k")
+    }
+    y.select(col("id").as("part_id"), col("y").as("katz_scaled"),
+      (col("y").cast("double") / 512).as("katz"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     g1Pagerank, g2TriangleCount, g3LabelProp, g4ShortestPath, g5Assortativity,
     g6LinkPredict, g7NeighborhoodJaccard, g8KCore, g9PersonalizedPr, g10Hits,
-    g11CheapestPath, g12Modularity, g13RandomWalks, g14HarmonicCentrality)
+    g11CheapestPath, g12Modularity, g13RandomWalks, g14HarmonicCentrality,
+    g15Katz)
 }
