@@ -1547,6 +1547,44 @@ object Extras {
       .agg(max(col("n")).as("n_walsh"), avg(col("w")).as("hl_estimate"))
   }
 
+  // --- a47_trimmed_mean: two-sided 10% TRIMMED mean per event type —
+  // the robust location estimate between the mean (e6) and the median
+  // (e14): drop the k = ⌊n/10⌋ smallest and largest observations, then
+  // average the middle. Exactness: DECIMAL values, positional trim by
+  // rank (ties share a value, so WHICH tied rows fall outside the cut
+  // cannot change the surviving sum), exact decimal sum, ONE double
+  // division. Scale: the rank window partitions BY TYPE; at corpus
+  // scale the per-type ordering runs on a36's two-pass range-partition
+  // machinery (a39's discipline). ---
+  val a47TrimmedMean = QueryDef.sql(
+    "a47_trimmed_mean",
+    """WITH p AS (SELECT event_type, CAST(value AS DECIMAL(10,2)) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |r AS (SELECT event_type, v,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n FROM p),
+      |t AS (SELECT event_type, v, n, n // 10 AS k FROM r
+      |  WHERE rn > n // 10 AND rn <= n - n // 10)
+      |SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+      |  CAST(max(k) AS BIGINT) AS k_trimmed,
+      |  CAST(CAST(sum(v) AS DECIMAL(18,2)) AS DOUBLE) / (max(n) - 2 * max(k))
+      |    AS trimmed_mean
+      |FROM t GROUP BY event_type""".stripMargin) { (s, d) =>
+    val p = T.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_type"), col("value").cast("decimal(10,2)").as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
+    val wc = Window.partitionBy(col("event_type"))
+    p.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wc))
+      .withColumn("k", floor(col("n") / 10))
+      .filter(col("rn") > col("k") && col("rn") <= col("n") - col("k"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("k")).as("k_trimmed"),
+        (sum(col("v")).cast("decimal(18,2)").cast("double") /
+          (max(col("n")) - lit(2) * max(col("k")))).as("trimmed_mean"))
+  }
+
+
   val all: Seq[QueryDef] = Seq(
     a44QuantileNormalize,
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
@@ -1559,6 +1597,7 @@ object Extras {
     a32Unpivot, a33Ewma, a34HeavyHitters, a35Listagg, a36StableIds,
     sql7WindowClause, a37Changepoint, a38AbTest, a39DecileBinning,
     a40DowSeasonality, sql8SetopsAll, a41MannWhitney, a42KsTest,
-    a43Chi2Independence, a45TheilSen, a46HodgesLehmann, sql9OrderByAll)
+    a43Chi2Independence, a45TheilSen, a46HodgesLehmann, sql9OrderByAll,
+    a47TrimmedMean)
 
 }
