@@ -378,13 +378,54 @@ object Similarity {
       nT: Int = nTables, tp: Int = tablePlanes): Unit =
     indexRows(emb, nT, tp).write.mode("append").parquet(path)
 
-  /** Cosine top-k of `queries` (qid, embedding) against the indexed
-    * corpus: candidates from bucket collisions, exact fixed-point
-    * rescoring — O(candidates), never a corpus scan. */
-  def queryIndex(
-      spark: SparkSession, path: String, queries: DataFrame, k: Int,
-      nT: Int = nTables, tp: Int = tablePlanes): DataFrame = {
+  // Deletions are APPEND-ONLY TOMBSTONES (the production vector-store
+  // pattern: the index rows are immutable at ingest; a delete lands one
+  // id row in a sibling table and queries anti-join it — O(deleted set)
+  // per query, no index rewrite on the delete path). [[compactIndex]]
+  // folds accumulated tombstones into the index through the staged-swap
+  // crash protocol when the tombstone set has grown enough to matter.
+
+  private def tombstonePath(path: String) = path + "_tombstones"
+
+  /** Mark `ids` (vec_id rows) deleted: append-only, idempotent (dupes
+    * collapse at read time). */
+  def deleteFromIndex(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    ids.select(col("vec_id")).distinct()
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(tombstonePath(path))
+
+  private def liveIndex(spark: SparkSession, path: String): DataFrame = {
+    val tp = new org.apache.hadoop.fs.Path(tombstonePath(path))
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val idx = spark.read.parquet(path)
+    if (!fs.exists(tp)) idx
+    else idx.join(broadcast(spark.read.parquet(tp.toString).distinct()),
+      Seq("vec_id"), "left_anti")
+  }
+
+  /** [[queryIndex]] over the LIVE view: tombstoned vectors can never
+    * surface as results. */
+  def queryIndexLive(
+      spark: SparkSession, path: String, queries: DataFrame, k: Int,
+      nT: Int = nTables, tp: Int = tablePlanes): DataFrame =
+    queryFrom(liveIndex(spark, path), queries, k, nT, tp)
+
+  /** Fold tombstones into the index (drop their rows, clear the
+    * tombstone table) via the staged-swap crash protocol — run when the
+    * deleted fraction makes the per-query anti-join worth removing. */
+  def compactIndex(spark: SparkSession, path: String): Unit = {
+    val tp = new org.apache.hadoop.fs.Path(tombstonePath(path))
+    val fs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.operators.Upsert.recoverSwap(fs, path)
+    if (fs.exists(tp)) {
+      val tomb = spark.read.parquet(tp.toString).distinct()
+      graft.operators.Upsert.stagedRewrite(spark, path)(
+        _.join(broadcast(tomb), Seq("vec_id"), "left_anti"))
+      fs.delete(tp, true)
+    }
+  }
+
+  private def queryFrom(
+      idx: DataFrame, queries: DataFrame, k: Int, nT: Int, tp: Int): DataFrame = {
     val qRows = indexRows(queries.select(col("qid").as("vec_id"), col("embedding")), nT, tp)
       .select(col("vec_id").as("qid"), col("q").as("qeq"), col("tbl"), col("bucket"))
     val cand = idx
@@ -395,6 +436,14 @@ object Similarity {
       .dropDuplicates("qid", "cid")
     scoreTopk(cand, k)
   }
+
+  /** Cosine top-k of `queries` (qid, embedding) against the indexed
+    * corpus: candidates from bucket collisions, exact fixed-point
+    * rescoring — O(candidates), never a corpus scan. */
+  def queryIndex(
+      spark: SparkSession, path: String, queries: DataFrame, k: Int,
+      nT: Int = nTables, tp: Int = tablePlanes): DataFrame =
+    queryFrom(spark.read.parquet(path), queries, k, nT, tp)
 
   // --- v6_random_projection: Johnson-Lindenstrauss dimensionality
   // reduction, 64 → 16 dims against the deterministic ±1 hyperplane
@@ -1003,8 +1052,99 @@ object Similarity {
         col("sem_rank"), col("lex_rank"), col("rank"))
   }
 
+  // --- v18_ann_tombstone: DELETION support on the persistent ANN index
+  // — the lifecycle gap build/append/query leaves open: a production
+  // vector store must stop serving deleted vectors IMMEDIATELY without
+  // rewriting the index on every delete. Deletes land as append-only
+  // tombstone rows; the query path anti-joins the (broadcast) tombstone
+  // set before rescoring — pre-filtering candidates, not post-filtering
+  // results, so top-k never under-fills (v16's filtered-search
+  // argument). The oracle replays the LSH bucket algebra with the
+  // deleted ids excluded, so a leaked tombstoned vector OR a lost
+  // survivor hash-mismatches. AnnIndexSpec pins that compaction folds
+  // the tombstones in (staged-swap) and serves identical results. ---
+  val v18AnnTombstone = QueryDef.sql(
+    "v18_ann_tombstone",
+    s"""WITH $sqlMultiBuckets,
+       |q AS (SELECT e.vec_id AS qid, e.embedding AS qe, b.tbl, b.bucket
+       |      FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+       |      WHERE e.vec_id BETWEEN 1 AND 8),
+       |cand AS (SELECT DISTINCT q.qid, b.vec_id AS cid
+       |         FROM q JOIN buckets b ON q.tbl = b.tbl AND q.bucket = b.bucket
+       |         WHERE b.vec_id <> q.qid AND b.vec_id % 13 <> 0),
+       |pairs AS (SELECT c.qid, c.cid, eq.embedding AS qe, ec.embedding AS ce
+       |          FROM cand c
+       |          JOIN embeddings eq ON eq.vec_id = c.qid
+       |          JOIN embeddings ec ON ec.vec_id = c.cid),
+       |u AS (SELECT qid, cid, unnest(qe) AS x, unnest(ce) AS y FROM pairs),
+       |$sqlDots
+       |$sqlTopk""".stripMargin) { (s, d) =>
+    val root = java.nio.file.Files.createTempDirectory("v18-ann").toString
+    val emb = T.embeddings(s, d)
+    buildIndex(s, s"$root/idx", emb)
+    deleteFromIndex(s, s"$root/idx", emb.filter(col("vec_id") % 13 === 0))
+    queryIndexLive(s, s"$root/idx",
+      emb.filter(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("qid"), col("embedding")),
+      k = 10)
+  }
+
+  // --- c6_knn_classifier: k-NEAREST-NEIGHBOR classification (k = 5,
+  // majority vote) — the non-parametric classifier completing the
+  // supervised tier (c3 Bayes counts, c4 stump, c5 linear, v7 nearest
+  // centroid; k-NN is the "no model at all" baseline every embedding
+  // pipeline sanity-checks against). Held-out fold vec_id % 5 = 0
+  // scores against the training fold by exact integer-dot cosine;
+  // votes aggregate per (query, neighbor label); the winner breaks
+  // vote ties on the smaller label — every step deterministic, the
+  // whole train/predict/evaluate loop in one plan. Scale: the probe
+  // fold broadcasts against partitioned candidates (v1's shape; swap
+  // in annTopK/queryIndexLive for unbounded probe sets), the vote and
+  // argmax windows partition BY QUERY. ---
+  val c6KnnClassifier = QueryDef.sql(
+    "c6_knn_classifier",
+    s"""WITH q AS (SELECT vec_id AS qid, label AS label_true, embedding AS qe
+       |      FROM embeddings WHERE vec_id % 5 = 0),
+       |c AS (SELECT vec_id AS cid, label, embedding AS ce
+       |      FROM embeddings WHERE vec_id % 5 <> 0),
+       |pr AS (SELECT qid, cid, qe, ce FROM q, c),
+       |u AS (SELECT qid, cid, unnest(qe) AS x, unnest(ce) AS y FROM pr),
+       |$sqlDots,
+       |top5 AS (SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rn
+       |    FROM scored) t WHERE rn <= 5),
+       |votes AS (SELECT t.qid, c.label, CAST(count(*) AS BIGINT) AS votes
+       |  FROM top5 t JOIN c ON c.cid = t.cid GROUP BY t.qid, c.label),
+       |win AS (SELECT qid, label AS label_pred, votes FROM (
+       |    SELECT qid, label, votes,
+       |      row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS rn
+       |    FROM votes) t WHERE rn = 1)
+       |SELECT w.qid, qq.label_true, w.label_pred, w.votes,
+       |  qq.label_true = w.label_pred AS correct
+       |FROM win w JOIN (SELECT qid, label_true FROM q) qq ON qq.qid = w.qid""".stripMargin) {
+    (s, d) =>
+    val emb = T.embeddings(s, d).withColumn("q", quantize("embedding"))
+    val q = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("qid"), col("label").as("label_true"), col("q").as("qeq"))
+    val c = emb.filter(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id").as("cid"), col("label"), col("q").as("ceq"))
+    val top5 = scoreTopk(
+      c.select(col("cid"), col("ceq"))
+        .crossJoin(broadcast(q.select(col("qid"), col("qeq")))), k = 5)
+    val votes = top5.join(c.select(col("cid"), col("label")), Seq("cid"))
+      .groupBy(col("qid"), col("label")).agg(count(lit(1)).as("votes"))
+    val wWin = Window.partitionBy(col("qid")).orderBy(col("votes").desc, col("label"))
+    votes.withColumn("rn", row_number().over(wWin)).filter(col("rn") === 1)
+      .select(col("qid"), col("label").as("label_pred"), col("votes"))
+      .join(q.select(col("qid"), col("label_true")), Seq("qid"))
+      .select(col("qid"), col("label_true"), col("label_pred"), col("votes"),
+        (col("label_true") === col("label_pred")).as("correct"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     v1KnnBruteforce, v2AnnLsh, v3EmbeddingNeardup, v5AnnIvf, v6RandomProjection,
     v8MmrRerank, v9PqCodes, v10PqAdc, v11Sq8Knn, v12AnnRecall, v13Ivfpq,
-    v14BinaryHamming, v15Mips, v16FilteredKnn, v17HybridRrf)
+    v14BinaryHamming, v15Mips, v16FilteredKnn, v17HybridRrf, v18AnnTombstone,
+    c6KnnClassifier)
 }

@@ -96,4 +96,34 @@ class AnnIndexSpec extends SparkSpec {
       .select("qid", "cid", "rank").as[(Long, Long, Int)].collect().toSet
     assert(g === a, "streamed index must answer identically to the one-shot build")
   }
+
+  test("tombstoned vectors never surface; compaction folds them in and answers identically") {
+    val root = Files.createTempDirectory("ann-tomb").toString
+    val idx = s"$root/idx"
+    Similarity.buildIndex(spark, idx, emb)
+    val deleted = emb.filter(col("vec_id") % 13 === 0)
+    Similarity.deleteFromIndex(spark, idx, deleted)
+    val queries = emb.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val live = Similarity.queryIndexLive(spark, idx, queries, k = 10)
+      .select("qid", "cid", "rank").as[(Long, Long, Int)].collect().toSet
+    val deletedIds = deleted.select("vec_id").as[Long].collect().toSet
+    assert(live.nonEmpty)
+    assert(live.forall { case (_, cid, _) => !deletedIds.contains(cid) },
+      "a tombstoned vector surfaced in results")
+    // ground truth: an index built WITHOUT the deleted vectors
+    val clean = s"$root/clean"
+    Similarity.buildIndex(spark, clean, emb.filter(col("vec_id") % 13 =!= 0))
+    val truth = Similarity.queryIndex(spark, clean, queries, k = 10)
+      .select("qid", "cid", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(live === truth, "tombstone anti-join must equal a rebuild without the ids")
+    // compaction folds tombstones in: same answers, tombstone table gone
+    Similarity.compactIndex(spark, idx)
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(idx + "_tombstones")))
+    val post = Similarity.queryIndexLive(spark, idx, queries, k = 10)
+      .select("qid", "cid", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(post === truth)
+  }
 }
