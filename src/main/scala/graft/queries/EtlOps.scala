@@ -1096,6 +1096,46 @@ object EtlOps {
         sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("total"))
   }
 
+  // --- k32_version_diff: WHAT CHANGED between two retained versions —
+  // k12 time-travels to a version, k9 diffs two raw snapshots; this
+  // composes them into the audit every versioned warehouse actually
+  // runs ("diff v1..v2"): commit v1, commit a delta (status flip for
+  // %7 keys, one brand-new synthetic key per priority), then
+  // SnapshotDiff over the two AS-OF reads. Summarized per
+  // (o_orderpriority, change_type) with exact counts; the oracle
+  // derives the same changed/added sets from the fixture. The diff is
+  // one key-co-partitioned full outer join over two manifest-resolved
+  // reads — delta-sized output, never a table copy. ---
+  val k32VersionDiff = QueryDef.sql(
+    "k32_version_diff",
+    """SELECT o_orderpriority, 'changed' AS change_type, CAST(count(*) AS BIGINT) AS n
+      |FROM orders WHERE o_orderkey % 7 = 0 GROUP BY o_orderpriority
+      |UNION ALL
+      |SELECT DISTINCT o_orderpriority, 'added', CAST(1 AS BIGINT) FROM orders""".stripMargin) {
+    (s, d) =>
+    import graft.operators.{SnapshotDiff, Versioned}
+    val root = java.nio.file.Files.createTempDirectory("k32-vdiff").toString
+    val tbl = s"$root/orders_v"
+    val base = T.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"))
+    Versioned.commit(s, tbl, base, "o_orderpriority", Seq("o_orderkey"))
+    val flipped = base.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderstatus", lit("X"))
+    val minted = base.groupBy(col("o_orderpriority"))
+      .agg(max(col("o_orderkey")).as("mx"))
+      .select((col("mx") + 1000000000L).as("o_orderkey"), col("o_orderpriority"),
+        lit("N").as("o_orderstatus"))
+    Versioned.commit(s, tbl, flipped.unionByName(minted),
+      "o_orderpriority", Seq("o_orderkey"))
+    val v = Versioned.latestVersion(s, tbl)
+    SnapshotDiff.diff(
+        Versioned.readAsOf(s, tbl, v - 1),
+        Versioned.readAsOf(s, tbl, v),
+        Seq("o_orderkey", "o_orderpriority"))
+      .groupBy(col("o_orderpriority"), col("change_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   // --- k23_zorder_gate: Z-ORDER clustering under the hash gate — the
   // table is rewritten ordered by the bit-interleaved (l_partkey,
   // l_suppkey) code (Maintenance.zorderBy), so parquet row-group min/max
@@ -1645,6 +1685,6 @@ object EtlOps {
     k14BucketedJoin, k15CdcApply, k16CompactionGate, k17IvmJoin,
     k18FormatRoundtrip, k19ForgetKeys, k20AtomicPublish, k21DynamicOverwrite,
     k22MvRewrite, k23ZorderGate, k24FullMerge, k25RetractableAgg, k26ScrubHistory,
-    k28PartitionEvolution, k29ZonemapGate, k31WarehouseCompose,
+    k28PartitionEvolution, k29ZonemapGate, k31WarehouseCompose, k32VersionDiff,
     k27WapGate)
 }

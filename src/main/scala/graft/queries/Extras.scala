@@ -1585,6 +1585,43 @@ object Extras {
   }
 
 
+
+  // --- a48_gini: GINI COEFFICIENT of order value per nation — the
+  // standard inequality/concentration index (revenue concentration per
+  // market is the commercial read). Closed form on the ascending rank:
+  // G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ). Exactness: prices are
+  // DECIMAL, rank·value products and both sums stay exact decimals
+  // (tied values contribute the same Σi·x for ANY tie order, since the
+  // set of ranks a tie block occupies is fixed), and the two sides
+  // divide as doubles with the identical expression shape. Scale: the
+  // rank window partitions BY NATION (a39's two-pass machinery is the
+  // corpus-scale path), then one partial-aggregated reduce per nation. ---
+  val a48Gini = QueryDef.sql(
+    "a48_gini",
+    """WITH j AS (SELECT c_nationkey AS nk,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS x, o_orderkey
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |r AS (SELECT nk, x,
+      |    row_number() OVER (PARTITION BY nk ORDER BY x, o_orderkey) AS i FROM j),
+      |g AS (SELECT nk, CAST(count(*) AS BIGINT) AS n, sum(x) AS s0, sum(x * i) AS s1
+      |  FROM r GROUP BY nk)
+      |SELECT nk, n,
+      |  CAST(2 * s1 - (n + 1) * s0 AS DOUBLE) / CAST(n * s0 AS DOUBLE) AS gini
+      |FROM g""".stripMargin) { (s, d) =>
+    val j = T.orders(s, d)
+      .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").as("nk"),
+        col("o_totalprice").cast("decimal(12,2)").as("x"), col("o_orderkey"))
+    val w = Window.partitionBy(col("nk")).orderBy(col("x"), col("o_orderkey"))
+    j.withColumn("i", row_number().over(w))
+      .groupBy(col("nk"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s0"),
+        sum(col("x") * col("i")).as("s1"))
+      .select(col("nk"), col("n"),
+        ((lit(2) * col("s1") - (col("n") + 1) * col("s0")).cast("double") /
+          (col("n") * col("s0")).cast("double")).as("gini"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     a44QuantileNormalize,
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
@@ -1598,6 +1635,6 @@ object Extras {
     sql7WindowClause, a37Changepoint, a38AbTest, a39DecileBinning,
     a40DowSeasonality, sql8SetopsAll, a41MannWhitney, a42KsTest,
     a43Chi2Independence, a45TheilSen, a46HodgesLehmann, sql9OrderByAll,
-    a47TrimmedMean)
+    a47TrimmedMean, a48Gini)
 
 }
