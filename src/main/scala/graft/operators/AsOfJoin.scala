@@ -65,4 +65,29 @@ object AsOfJoin {
     carried.filter(col("__side") === 1)
       .select(leftCols.map(col) ++ rightCols.map(c => col(s"__r.$c").as(c)): _*)
   }
+
+  /** [[asofJoin]] with a MATCH TOLERANCE: the latest right row at most
+    * `toleranceSeconds` old still matches; anything staler is treated
+    * as no match (all right columns null) — the market-data/feature-
+    * freshness rule ("use the last quote, unless it's gone stale").
+    * Same single-shuffle plan: the carried struct additionally carries
+    * the matched right timestamp, and one post-filter nulls out stale
+    * matches — no second join, no extra shuffle. */
+  def asofJoinTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      toleranceSeconds: Long): DataFrame = {
+    val rightCols = right.columns.filter(c => c != key && c != rightTs).toSeq
+    val joined = asofJoin(
+      left, right.withColumn("__mts", col(rightTs)), key, leftTs, rightTs)
+    val fresh = col("__mts").isNotNull &&
+      unix_micros(col(leftTs)) - unix_micros(col("__mts")) <= toleranceSeconds * 1000000L
+    rightCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(c,
+        when(fresh, col(c)).otherwise(lit(null).cast(right.schema(c).dataType)))
+    }.drop("__mts")
+  }
 }

@@ -133,6 +133,41 @@ object Events {
       .select(col("purchase_id"), col("user_id"), col("signup_id"))
   }
 
+  // --- e4e_asof_tolerance: the as-of join under a FRESHNESS bound —
+  // attribute each purchase to the user's latest signup ONLY if it is
+  // at most 72 h old (staler matches are no-matches: the market-data /
+  // feature-staleness rule e4's unbounded lookback can't express).
+  // Same single-shuffle union+window plan; the tolerance is one
+  // post-filter on the carried match timestamp. Oracle: DuckDB's
+  // native ASOF finds the greatest match, then the identical staleness
+  // CASE nulls it — so the gate pins both the match choice AND the
+  // freshness cut. ---
+  val e4eAsofTolerance = QueryDef.sql(
+    "e4e_asof_tolerance",
+    """WITH p AS (SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS pts
+      |           FROM events WHERE event_type = 'purchase'),
+      |s AS (SELECT event_id AS signup_id, user_id, CAST(ts AS TIMESTAMP) AS sts
+      |      FROM events WHERE event_type = 'signup')
+      |SELECT p.purchase_id, p.user_id,
+      |  CASE WHEN s.sts IS NOT NULL
+      |         AND epoch_us(p.pts) - epoch_us(s.sts) <= 259200000000
+      |       THEN s.signup_id END AS signup_id,
+      |  CASE WHEN s.sts IS NOT NULL
+      |         AND epoch_us(p.pts) - epoch_us(s.sts) <= 259200000000
+      |       THEN TRUE ELSE FALSE END AS fresh
+      |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.pts >= s.sts""".stripMargin) {
+    (sp, d) =>
+    val ev = T.events(sp, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("sts"), col("event_id").as("signup_id"))
+    AsOfJoin.asofJoinTolerance(purchases, signups, "user_id", "pts", "sts",
+        toleranceSeconds = 72 * 3600)
+      .select(col("purchase_id"), col("user_id"), col("signup_id"),
+        col("signup_id").isNotNull.as("fresh"))
+  }
+
   // --- e4b_asof_native: the same point-in-time join through the custom
   // LogicalPlan + Strategy + AsOfJoinExec physical operator (single
   // merge pass over co-partitioned sorted children). Shares e4's native
@@ -1643,7 +1678,7 @@ object Events {
 
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
-    e4cAsofForward, e4dAsofSql,
+    e4cAsofForward, e4dAsofSql, e4eAsofTolerance,
     e5PropsExtract, e6AnomalyFlags, e7CohortRetention, e8RfmSegments,
     e9TransitionMatrix, e10RollingDau, e11StreamWindows, e12StreamStreamJoin,
     e13ConversionLag, e14RobustZscore, e15StreamDedup, e16ActivityIslands,

@@ -49,4 +49,16 @@ class AsOfJoinSpec extends SparkSpec {
     assert(b.exceptAll(a).count() === 0)
     assert(a.count() === 500) // every left row exactly once
   }
+test("tolerance: stale matches become no-matches, fresh ones keep the row") {
+    val left = Seq((1L, ts(100), "L1"), (1L, ts(200), "L2"), (2L, ts(50), "L3"))
+      .toDF("k", "lts", "lval")
+    val right = Seq((1L, ts(95), "R-fresh"), (1L, ts(0), "R-old"), (2L, ts(49), "R-ok"))
+      .toDF("k", "rts", "rval")
+    // tolerance 10 minutes: L1 matches R-fresh (5 min old); L2's best
+    // match is still R-fresh but 105 min stale -> nulled; L3 matches R-ok
+    val got = AsOfJoin.asofJoinTolerance(left, right, "k", "lts", "rts", 600L)
+      .select("lval", "rval").as[(String, Option[String])].collect().toMap
+    assert(got === Map(
+      "L1" -> Some("R-fresh"), "L2" -> None, "L3" -> Some("R-ok")))
+  }
 }
