@@ -47,10 +47,20 @@ object Bench {
     val streamTotal = results
       .collect { case (n, v) if queries.Events.streamingNames(n) => v }.sum
     val batchTotal = total - streamTotal
+    // per-family subtotals (prefix before the first digit: a, q, sql, j,
+    // k, p, t, d, v, c, e, er, g, m, dq): the round-over-round signal at
+    // one level finer than batch/stream — a regression inside one family
+    // is visible even when the totals wash out
+    val famTotals = results
+      .groupBy { case (n, _) => n.takeWhile(!_.isDigit) }
+      .map { case (f, xs) => f -> xs.map(_._2).sum }
+      .toSeq.sortBy(_._1)
+    val fams = famTotals.map { case (f, v) => "\"" + f + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     def line(entries: Seq[(String, Double)], extra: String): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","batch_total":$batchTotal%.3f,"stream_total":$streamTotal%.3f$extra,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","batch_total":$batchTotal%.3f,"stream_total":$streamTotal%.3f,"families":$fams$extra,"queries":$qs,"sf":"$sfDir"}"""
     }
     // The full per-query record goes to a FILE, not the log: the harness
     // keeps only a ~2000-byte log tail, and a 171-query JSON line (~6 KB)
@@ -64,7 +74,7 @@ object Bench {
     // tail alongside sbt's trailing [success] line: the slowest queries
     // are kept (they carry the optimization signal); the omitted fast
     // ones are summarized by count + total.
-    val budget = 1500
+    val budget = 1200 // families (~250 B) now share the ~2 KB log tail
     val bySlowest = results.sortBy(-_._2)
     val kept = bySlowest
       .scanLeft(("", 0.0, 60)) { case ((_, _, acc), (k, v)) => (k, v, acc + k.length + 15) }
