@@ -71,6 +71,33 @@ object Versioned {
         .foldLeft(0L)(math.max)
   }
 
+  /** Manifest-integrity audit (fsck): one row summarizing the health of
+    * the version store — retained version count, distinct generation
+    * directories the manifests reference, MISSING references (a
+    * manifest points at a directory that no longer exists: readers of
+    * that version will fail — the corruption that silent manual cleanup
+    * or a botched restore causes), and ORPHAN directories (on disk but
+    * referenced by no retained manifest: space [[expire]] should have
+    * reclaimed, or debris from an interrupted commit before its marker).
+    * Metadata-only: walks manifests (driver-sized by design) and ONE
+    * directory listing — never the data. */
+  def fsck(spark: SparkSession, path: String): (Long, Long, Long, Long) = {
+    val fs = fsOf(spark, path)
+    val retained = retainedVersions(spark, path)
+    val refs: Set[(String, Long)] =
+      retained.flatMap(v => manifestRefs(spark, path, v)).toSet
+    val root = new Path(genRoot(path))
+    val onDisk: Set[(String, Long)] =
+      if (!fs.exists(root)) Set.empty
+      else fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { g =>
+        val gen = g.getPath.getName.stripPrefix("__gen=").toLong
+        fs.listStatus(g.getPath).toSeq.filter(_.isDirectory)
+          .map(p => (p.getPath.getName.stripPrefix("__p="), gen))
+      }.toSet
+    (retained.size.toLong, refs.size.toLong,
+      (refs -- onDisk).size.toLong, (onDisk -- refs).size.toLong)
+  }
+
   private[graft] def manifestRefs(spark: SparkSession, path: String, v: Long): Seq[(String, Long)] =
     spark.read.parquet(manifestPath(path, v))
       .select(col("pval"), col("gen"))

@@ -1136,6 +1136,49 @@ object EtlOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  // --- k33_manifest_fsck: MANIFEST-INTEGRITY audit of the version
+  // store — the fsck every snapshot/manifest table format ships
+  // (missing references = readers of that version fail; orphan
+  // directories = space the retention pass should have reclaimed or
+  // debris from a pre-marker crash). The gate builds two committed
+  // versions, fscks (expect: 2 versions, one gen dir per partition for
+  // v1 plus one per DELTA-affected partition for v2, zero
+  // missing/orphans), expires to keep=1, and fscks again (expect: the
+  // per-partition dir count only, still zero/zero — proving expire
+  // reclaimed exactly the unreferenced generations). The oracle
+  // derives both expected reference counts from the fixture, so a
+  // manifest pointing nowhere, a leaked directory, or an over-eager
+  // expire all hash-mismatch. Metadata-only audit: manifests +
+  // ONE directory listing, never the data. ---
+  val k33ManifestFsck = QueryDef.sql(
+    "k33_manifest_fsck",
+    """WITH t AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS nt FROM events),
+      |d AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS nd
+      |      FROM events WHERE user_id % 7 = 0)
+      |SELECT 'pre_expire' AS stage, CAST(2 AS BIGINT) AS versions,
+      |  nt + nd AS dirs_referenced, CAST(0 AS BIGINT) AS missing,
+      |  CAST(0 AS BIGINT) AS orphans FROM t, d
+      |UNION ALL
+      |SELECT 'post_expire', CAST(1 AS BIGINT), nt, CAST(0 AS BIGINT),
+      |  CAST(0 AS BIGINT) FROM t, d""".stripMargin) { (s, d) =>
+    import graft.operators.Versioned
+    val root = java.nio.file.Files.createTempDirectory("k33-fsck").toString
+    val tbl = s"$root/events_v"
+    val ev = T.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    Versioned.commit(s, tbl, ev, "event_type", Seq("event_id"))
+    Versioned.commit(s, tbl,
+      ev.filter(col("user_id") % 7 === 0).withColumn("value", col("value") * 2),
+      "event_type", Seq("event_id"))
+    val pre = Versioned.fsck(s, tbl)
+    Versioned.expire(s, tbl, keep = 1)
+    val post = Versioned.fsck(s, tbl)
+    import s.implicits._
+    Seq(("pre_expire", pre._1, pre._2, pre._3, pre._4),
+      ("post_expire", post._1, post._2, post._3, post._4))
+      .toDF("stage", "versions", "dirs_referenced", "missing", "orphans")
+  }
+
   // --- k23_zorder_gate: Z-ORDER clustering under the hash gate — the
   // table is rewritten ordered by the bit-interleaved (l_partkey,
   // l_suppkey) code (Maintenance.zorderBy), so parquet row-group min/max
@@ -1685,6 +1728,6 @@ object EtlOps {
     k14BucketedJoin, k15CdcApply, k16CompactionGate, k17IvmJoin,
     k18FormatRoundtrip, k19ForgetKeys, k20AtomicPublish, k21DynamicOverwrite,
     k22MvRewrite, k23ZorderGate, k24FullMerge, k25RetractableAgg, k26ScrubHistory,
-    k28PartitionEvolution, k29ZonemapGate, k31WarehouseCompose, k32VersionDiff,
+    k28PartitionEvolution, k29ZonemapGate, k31WarehouseCompose, k32VersionDiff, k33ManifestFsck,
     k27WapGate)
 }

@@ -740,9 +740,71 @@ object Graphs {
       (col("y").cast("double") / 512).as("katz"))
   }
 
+  // --- g16_clustering_coeff: LOCAL clustering coefficient per node —
+  // 2·triangles(v) / (deg(v)·(deg(v)−1)), the "how clique-like is this
+  // node's neighborhood" metric (g2 reports the GLOBAL triangle count;
+  // the per-node coefficient is what community/fraud features consume).
+  // Same degree-oriented machinery as g2 — staged oriented edges,
+  // per-edge adjacency-array intersect — but the intersect's ELEMENTS
+  // explode into (a, b, c) triples (triangle-count rows, never the
+  // O(Σ outdeg²) wedge set), and each triangle credits all three
+  // corners through one 3-projection union + partial-agg count.
+  // Orientation invariance is the correctness argument: the oracle
+  // enumerates triangles under the id order (a<b<c), Spark under the
+  // degree order — the triangle SET is identical, so per-corner counts
+  // agree. Exact integers; one double division. ---
+  val g16ClusteringCoeff = QueryDef.sql(
+    "g16_clustering_coeff",
+    """WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (SELECT DISTINCT x.p AS u, y.p AS v FROM it x JOIN it y ON x.o = y.o AND x.p < y.p),
+      |tric AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      |         FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |corners AS (SELECT a AS n FROM tric UNION ALL SELECT b FROM tric
+      |            UNION ALL SELECT c FROM tric),
+      |tcnt AS (SELECT n, CAST(count(*) AS BIGINT) AS t FROM corners GROUP BY n),
+      |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM
+      |  (SELECT u AS n FROM e UNION ALL SELECT v FROM e) z GROUP BY n)
+      |SELECT deg.n AS part_id, deg.deg, coalesce(t, 0) AS triangles,
+      |  CASE WHEN deg >= 2
+      |       THEN CAST(2 * coalesce(t, 0) AS DOUBLE) / (deg * (deg - 1))
+      |       ELSE CAST(0.0 AS DOUBLE) END AS clustering
+      |FROM deg LEFT JOIN tcnt ON tcnt.n = deg.n""".stripMargin) { (s, d) =>
+    val e = coPurchaseEdges(s, d)
+    val degAll = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(degAll.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
+      .join(degAll.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
+    val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val stage = java.nio.file.Files.createTempDirectory("g16-edges").toString
+    withDeg.select(
+        when(fwd, col("u")).otherwise(col("v")).as("src"),
+        when(fwd, col("v")).otherwise(col("u")).as("dst"))
+      .write.mode("overwrite").parquet(stage)
+    val oriented = s.read.parquet(stage)
+    val adj = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    val triples = oriented
+      .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        explode(expr("array_intersect(nu, nv)")).as("c"))
+    val corners = triples.select(col("src").as("n"))
+      .unionAll(triples.select(col("dst").as("n")))
+      .unionAll(triples.select(col("c").as("n")))
+    val tcnt = corners.groupBy(col("n")).agg(count(lit(1)).as("t"))
+    degAll.join(tcnt, Seq("n"), "left")
+      .select(col("n").as("part_id"), col("deg"),
+        coalesce(col("t"), lit(0L)).as("triangles"),
+        when(col("deg") >= 2,
+          lit(2) * coalesce(col("t"), lit(0L)).cast("double") /
+            (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     g1Pagerank, g2TriangleCount, g3LabelProp, g4ShortestPath, g5Assortativity,
     g6LinkPredict, g7NeighborhoodJaccard, g8KCore, g9PersonalizedPr, g10Hits,
     g11CheapestPath, g12Modularity, g13RandomWalks, g14HarmonicCentrality,
-    g15Katz)
+    g15Katz, g16ClusteringCoeff)
 }

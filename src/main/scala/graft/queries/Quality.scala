@@ -608,7 +608,71 @@ object Quality {
     Reconcile.schemaDiff(s, s"$root/v1", s"$root/v2")
   }
 
+  // --- dq14_null_drift: MISSINGNESS drift — dq4's PSI reads value
+  // DISTRIBUTIONS; an upstream producer that starts emitting nulls
+  // (dropped sensor, schema mishap behind a lenient parser) shifts
+  // null RATES first, often before any value drift registers. A
+  // second-half-of-month ingest regression is synthesized into a
+  // LANDED copy of events (value nulled for user_id % 17 from Jan 16 —
+  // injected so the audit is NOT vacuously green, the q7 lesson; props
+  // stays clean as the negative control), and the audit reports
+  // per-column base/current null counts and rates with a 1-point
+  // drift threshold. Exact counts, double rates in identical shape.
+  // Scale: one pass over the landed table, two conditional-sum rows
+  // out. ---
+  val dq14NullDrift = QueryDef.sql(
+    "dq14_null_drift",
+    """WITH e AS (SELECT
+      |    CASE WHEN ts >= TIMESTAMP '2024-01-16' AND user_id % 17 = 0
+      |         THEN NULL ELSE value END AS value,
+      |    props, ts >= TIMESTAMP '2024-01-16' AS cur
+      |  FROM events),
+      |agg AS (SELECT
+      |    CAST(sum(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS BIGINT) AS base_n,
+      |    CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS cur_n,
+      |    CAST(sum(CASE WHEN NOT cur AND value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS vb,
+      |    CAST(sum(CASE WHEN cur AND value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS vc,
+      |    CAST(sum(CASE WHEN NOT cur AND props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS pb,
+      |    CAST(sum(CASE WHEN cur AND props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS pc
+      |  FROM e)
+      |SELECT 'value' AS col_name, base_n, vb AS base_nulls, cur_n, vc AS cur_nulls,
+      |  CAST(vb AS DOUBLE) / base_n AS base_rate,
+      |  CAST(vc AS DOUBLE) / cur_n AS cur_rate,
+      |  CAST(vc AS DOUBLE) / cur_n - CAST(vb AS DOUBLE) / base_n > 0.01 AS drifted
+      |FROM agg
+      |UNION ALL
+      |SELECT 'props', base_n, pb, cur_n, pc,
+      |  CAST(pb AS DOUBLE) / base_n, CAST(pc AS DOUBLE) / cur_n,
+      |  CAST(pc AS DOUBLE) / cur_n - CAST(pb AS DOUBLE) / base_n > 0.01
+      |FROM agg""".stripMargin) { (s, d) =>
+    val tbl = java.nio.file.Files.createTempDirectory("dq14-null").toString + "/events"
+    val cut = lit("2024-01-16").cast("timestamp")
+    T.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        when(col("ts") >= cut && col("user_id") % 17 === 0,
+          lit(null).cast("double")).otherwise(col("value")).as("value"),
+        col("props"))
+      .write.parquet(tbl)
+    val e = s.read.parquet(tbl).withColumn("cur", col("ts") >= cut)
+    val agg = e.agg(
+      count(when(!col("cur"), 1)).as("base_n"),
+      count(when(col("cur"), 1)).as("cur_n"),
+      count(when(!col("cur") && col("value").isNull, 1)).as("vb"),
+      count(when(col("cur") && col("value").isNull, 1)).as("vc"),
+      count(when(!col("cur") && col("props").isNull, 1)).as("pb"),
+      count(when(col("cur") && col("props").isNull, 1)).as("pc"))
+    def row(name: String, b: String, c: String) = agg.select(
+      lit(name).as("col_name"), col("base_n"), col(b).as("base_nulls"),
+      col("cur_n"), col(c).as("cur_nulls"),
+      (col(b).cast("double") / col("base_n")).as("base_rate"),
+      (col(c).cast("double") / col("cur_n")).as("cur_rate"),
+      (col(c).cast("double") / col("cur_n") -
+        col(b).cast("double") / col("base_n") > 0.01).as("drifted"))
+    row("value", "vb", "vc").unionByName(row("props", "pb", "pc"))
+  }
+
   val all: Seq[QueryDef] = Seq(dq1Expectations, dq2KAnonymity, dq3RefIntegrity, dq4DriftPsi,
     dq5Freshness, dq6Benford, dq7OutlierIqr, dq8Reconciliation, dq9LDiversity,
-    dq10TCloseness, dq11BoundedContribution, dq12FdViolations, dq13SchemaDrift)
+    dq10TCloseness, dq11BoundedContribution, dq12FdViolations, dq13SchemaDrift,
+    dq14NullDrift)
 }

@@ -1101,9 +1101,8 @@ object Similarity {
   // fold broadcasts against partitioned candidates (v1's shape; swap
   // in annTopK/queryIndexLive for unbounded probe sets), the vote and
   // argmax windows partition BY QUERY. ---
-  val c6KnnClassifier = QueryDef.sql(
-    "c6_knn_classifier",
-    s"""WITH q AS (SELECT vec_id AS qid, label AS label_true, embedding AS qe
+  private lazy val sqlKnnCtes =
+    s"""q AS (SELECT vec_id AS qid, label AS label_true, embedding AS qe
        |      FROM embeddings WHERE vec_id % 5 = 0),
        |c AS (SELECT vec_id AS cid, label, embedding AS ce
        |      FROM embeddings WHERE vec_id % 5 <> 0),
@@ -1119,11 +1118,22 @@ object Similarity {
        |win AS (SELECT qid, label AS label_pred, votes FROM (
        |    SELECT qid, label, votes,
        |      row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS rn
-       |    FROM votes) t WHERE rn = 1)
-       |SELECT w.qid, qq.label_true, w.label_pred, w.votes,
-       |  qq.label_true = w.label_pred AS correct
-       |FROM win w JOIN (SELECT qid, label_true FROM q) qq ON qq.qid = w.qid""".stripMargin) {
-    (s, d) =>
+       |    FROM votes) t WHERE rn = 1),
+       |pred AS (SELECT w.qid, qq.label_true, w.label_pred, w.votes,
+       |    qq.label_true = w.label_pred AS correct
+       |  FROM win w JOIN (SELECT qid, label_true FROM q) qq ON qq.qid = w.qid)""".stripMargin
+
+  val c6KnnClassifier = QueryDef.sql(
+    "c6_knn_classifier",
+    s"""WITH $sqlKnnCtes
+       |SELECT qid, label_true, label_pred, votes, correct FROM pred""".stripMargin) {
+    (s, d) => knnPredictions(s, d)
+  }
+
+  /** c6's train/predict frame: (qid, label_true, label_pred, votes,
+    * correct) for the held-out fold — shared by c6 (the predictions)
+    * and c7 (the evaluation metrics over them). */
+  private def knnPredictions(s: SparkSession, d: String): DataFrame = {
     val emb = T.embeddings(s, d).withColumn("q", quantize("embedding"))
     val q = emb.filter(col("vec_id") % 5 === 0)
       .select(col("vec_id").as("qid"), col("label").as("label_true"), col("q").as("qeq"))
@@ -1142,9 +1152,60 @@ object Similarity {
         (col("label_true") === col("label_pred")).as("correct"))
   }
 
+  // --- c7_classifier_eval: per-class PRECISION / RECALL / F1 over c6's
+  // k-NN predictions — the evaluation harness every trained filter
+  // ships with (a single accuracy number hides exactly the minority-
+  // class failures that matter). Per class: TP (predicted c, true c),
+  // predicted-count, true-count — three exact integer aggregates over
+  // the prediction frame — then precision/recall/F1 as doubles with
+  // zero-denominator guards in the identical CASE shape both engines.
+  // Scale: the metric reduce is |classes|-sized; everything upstream is
+  // c6's plan. ---
+  val c7ClassifierEval = QueryDef.sql(
+    "c7_classifier_eval",
+    s"""WITH $sqlKnnCtes,
+       |tc AS (SELECT label_true AS cls, CAST(count(*) AS BIGINT) AS n_true
+       |  FROM pred GROUP BY label_true),
+       |pc AS (SELECT label_pred AS cls, CAST(count(*) AS BIGINT) AS n_pred
+       |  FROM pred GROUP BY label_pred),
+       |tp AS (SELECT label_true AS cls, CAST(count(*) AS BIGINT) AS n_tp
+       |  FROM pred WHERE correct GROUP BY label_true),
+       |m AS (SELECT tc.cls, tc.n_true,
+       |    coalesce(pc.n_pred, 0) AS n_pred, coalesce(tp.n_tp, 0) AS n_tp
+       |  FROM tc LEFT JOIN pc ON pc.cls = tc.cls LEFT JOIN tp ON tp.cls = tc.cls),
+       |pr2 AS (SELECT cls, n_true, n_pred, n_tp,
+       |    CASE WHEN n_pred = 0 THEN CAST(0.0 AS DOUBLE)
+       |         ELSE CAST(n_tp AS DOUBLE) / n_pred END AS precision,
+       |    CASE WHEN n_true = 0 THEN CAST(0.0 AS DOUBLE)
+       |         ELSE CAST(n_tp AS DOUBLE) / n_true END AS recall
+       |  FROM m)
+       |SELECT cls, n_true, n_pred, n_tp, precision, recall,
+       |  CASE WHEN precision + recall = 0 THEN CAST(0.0 AS DOUBLE)
+       |       ELSE 2 * precision * recall / (precision + recall) END AS f1
+       |FROM pr2""".stripMargin) { (s, d) =>
+    val pred = knnPredictions(s, d)
+    val tc = pred.groupBy(col("label_true").as("cls")).agg(count(lit(1)).as("n_true"))
+    val pc = pred.groupBy(col("label_pred").as("cls")).agg(count(lit(1)).as("n_pred"))
+    val tp = pred.filter(col("correct"))
+      .groupBy(col("label_true").as("cls")).agg(count(lit(1)).as("n_tp"))
+    val m = tc.join(pc, Seq("cls"), "left").join(tp, Seq("cls"), "left")
+      .select(col("cls"), col("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_tp"), lit(0L)).as("n_tp"))
+    val precision = when(col("n_pred") === 0, lit(0.0))
+      .otherwise(col("n_tp").cast("double") / col("n_pred"))
+    val recall = when(col("n_true") === 0, lit(0.0))
+      .otherwise(col("n_tp").cast("double") / col("n_true"))
+    m.withColumn("precision", precision).withColumn("recall", recall)
+      .withColumn("f1",
+        when(col("precision") + col("recall") === 0, lit(0.0))
+          .otherwise(lit(2) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))))
+  }
+
   val all: Seq[QueryDef] = Seq(
     v1KnnBruteforce, v2AnnLsh, v3EmbeddingNeardup, v5AnnIvf, v6RandomProjection,
     v8MmrRerank, v9PqCodes, v10PqAdc, v11Sq8Knn, v12AnnRecall, v13Ivfpq,
     v14BinaryHamming, v15Mips, v16FilteredKnn, v17HybridRrf, v18AnnTombstone,
-    c6KnnClassifier)
+    c6KnnClassifier, c7ClassifierEval)
 }

@@ -87,4 +87,22 @@ class VersionedSpec extends SparkSpec {
     assert(asOf3 === Set((1L, "a", 100.0), (3L, "b", 3.0)))
     intercept[Exception](Versioned.readAsOf(spark, tbl, 1).collect())
   }
+
+  test("fsck detects a missing referenced generation and an orphan directory") {
+    val tbl = freshTbl()
+    Versioned.commit(spark, tbl, rows(Seq((1L, "a", 1.0), (2L, "b", 2.0))),
+      "part", Seq("id"))
+    Versioned.commit(spark, tbl, rows(Seq((1L, "a", 10.0))), "part", Seq("id"))
+    assert(Versioned.fsck(spark, tbl) === ((2L, 3L, 0L, 0L)),
+      "healthy store: 2 versions, gen1 a+b plus gen2 a, no missing/orphans")
+    val fs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // corrupt: delete a referenced generation dir
+    assert(fs.delete(new Path(s"$tbl/gen/__gen=1/__p=b"), true))
+    // plant: a directory no manifest references
+    fs.mkdirs(new Path(s"$tbl/gen/__gen=9/__p=zzz"))
+    val (vs, refs, missing, orphans) = Versioned.fsck(spark, tbl)
+    assert(vs === 2L && refs === 3L)
+    assert(missing === 1L, "deleted referenced dir must be reported missing")
+    assert(orphans === 1L, "unreferenced dir must be reported orphan")
+  }
 }
