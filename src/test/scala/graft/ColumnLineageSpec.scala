@@ -83,4 +83,22 @@ class ColumnLineageSpec extends SparkSpec {
       assert(lin.values.exists(_.nonEmpty), s"$n produced all-empty lineage")
     }
   }
+
+  test("sensitiveReach: PII data-category map over a slice of the registry") {
+    val sensitive = Set(
+      Source("customer.parquet", "c_name"),
+      Source("customer.parquet", "c_acctbal"))
+    val names = Seq("a3_nation_revenue", "q10_returned_items",
+      "q13_cust_distribution", "dq2_k_anonymity")
+    val dfs = names.map(n => n -> SparkEntry.queries(n)(spark, sfDir)).toMap
+    val reach = ColumnLineage.sensitiveReach(dfs, sensitive)
+    assert(reach.keySet === names.toSet)
+    // a3 (nation revenue) aggregates prices only — no PII reach
+    assert(reach("a3_nation_revenue").isEmpty,
+      s"a3 unexpectedly touches PII: ${reach("a3_nation_revenue")}")
+    // q10 returns customer name and balance columns — both must surface
+    val q10 = reach("q10_returned_items")
+    assert(q10.values.flatten.toSet === sensitive,
+      s"q10 must expose both sensitive sources, got $q10")
+  }
 }
