@@ -309,6 +309,55 @@ object Multimodal {
     }
   }
 
+  final case class TileStats(
+      asset_id: Long, tile_x: Int, tile_y: Int, n_px: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Per-TILE channel statistics over a gx×gy crop grid — the patch
+    * extraction every vision pipeline runs before per-patch embedding
+    * (ViT patching, crop-level quality scores, region dedup). REAL
+    * decode per image; pixel (x, y) lands in tile (x·gx/w, y·gy/h)
+    * (integer division — the standard uneven-remainder grid), and each
+    * tile reports its pixel count and exact per-channel integer sums.
+    * One lazy iterator per partition, 1→gx·gy rows per asset; the
+    * raster is visited once and never materialized as rows. Undecodable
+    * images contribute nothing (corrupt assets must not kill a stage). */
+  def tileStats(ds: Dataset[MediaAsset], gx: Int, gy: Int): Dataset[TileStats] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.filter(_.kind == "image").flatMap { a =>
+        ImageCodec.decode(a.bytes) match {
+          case None => Iterator.empty
+          case Some(img) =>
+            val w = img.getWidth
+            val h = img.getHeight
+            val nT = gx * gy
+            val px = new Array[Long](nT)
+            val sr = new Array[Long](nT)
+            val sg = new Array[Long](nT)
+            val sb = new Array[Long](nT)
+            var y = 0
+            while (y < h) {
+              val ty = y * gy / h
+              var x = 0
+              while (x < w) {
+                val t = ty * gx + x * gx / w
+                val rgb = img.getRGB(x, y)
+                px(t) += 1L
+                sr(t) += (rgb >> 16) & 0xff
+                sg(t) += (rgb >> 8) & 0xff
+                sb(t) += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            (0 until nT).iterator.map(t =>
+              TileStats(a.asset_id, t % gx, t / gx, px(t), sr(t), sg(t), sb(t)))
+        }
+      }
+    }
+  }
+
   /** Probe real decoded dimensions into the metadata (images only) —
     * catches feeds whose declared metadata lies about the payload. */
   def probeImageDims(ds: Dataset[MediaAsset]): Dataset[MediaAsset] = {

@@ -130,6 +130,20 @@ object Forget {
       .flatMap(v => Versioned.manifestRefs(spark, path, v)).distinct
     val liveDirs = live.map { case (p, g) => Versioned.partDir(path, p, g) }
 
+    // A shallow clone serves some refs from the SOURCE's directories;
+    // scrubbing those in place would mutate a table we don't own (and
+    // silently scrub the source's history). Refuse until the caller
+    // localizes the data — the honest answer for shared storage.
+    Versioned.sourcePath(spark, path).foreach { src =>
+      val shared = live.filterNot { case (p, g) =>
+        fs.exists(new org.apache.hadoop.fs.Path(Versioned.partDir(path, p, g)))
+      }
+      require(shared.isEmpty,
+        s"cannot scrub shallow clone $path: ${shared.size} partition dirs " +
+          s"are still shared with source $src — run Versioned.materialize " +
+          "(and expire pre-materialize versions), or scrub the source table")
+    }
+
     // heal any interrupted prior scrub BEFORE listing/reading
     liveDirs.foreach(d => Upsert.recoverSwap(fs, d))
 

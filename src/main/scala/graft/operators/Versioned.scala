@@ -43,6 +43,61 @@ object Versioned {
   private[graft] def genRoot(path: String) = s"$path/gen"
   private[graft] def partDir(path: String, pval: String, gen: Long) =
     s"${genRoot(path)}/__gen=$gen/__p=$pval"
+  private def sourceMarker(path: String) = new Path(path, "__source")
+
+  /** Shallow-clone source pointer, if this root is a clone: the source
+    * table path recorded by [[shallowClone]]. */
+  private[graft] def sourcePath(spark: SparkSession, path: String): Option[String] = {
+    val fs = fsOf(spark, path)
+    val m = sourceMarker(path)
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+  }
+
+  /** Resolve the directory serving `(pval, gen)` for `path`: the local
+    * generation dir when it exists, else (for shallow clones) the same
+    * `(pval, gen)` up the source chain. Returns the local dir when
+    * nothing resolves — the caller's read fails loudly / fsck counts it
+    * missing. Sound because clone-local generation numbers start ABOVE
+    * every generation the clone's base manifest references
+    * ([[shallowClone]] numbers its first version at the max source
+    * generation), so a (pval, gen) pair can never exist on both sides
+    * with different contents. */
+  private[graft] def resolvePartDir(
+      spark: SparkSession, path: String, pval: String, gen: Long): String = {
+    val local = partDir(path, pval, gen)
+    if (fsOf(spark, path).exists(new Path(local))) local
+    else sourcePath(spark, path) match {
+      case Some(src) => resolvePartDir(spark, src, pval, gen)
+      case None => local
+    }
+  }
+
+  /** Read the data of manifest entries `refs`, with the `__p` partition
+    * key as a string column (`__gen` dropped). Groups resolved dirs by
+    * their owning gen-root so partition-directory inference (which needs
+    * one `basePath` per read) survives the clone's split ownership; the
+    * groups union back losslessly (identical schemas). */
+  private def readRefs(
+      spark: SparkSession, path: String, refs: Seq[(String, Long)]): DataFrame = {
+    val byRoot: Map[String, Seq[String]] = refs
+      .map { case (p, g) =>
+        val dir = resolvePartDir(spark, path, p, g)
+        // dir = <root>/__gen=G/__p=P — owning root is two levels up
+        val root = dir.substring(0, dir.lastIndexOf("/__gen="))
+        root -> dir
+      }
+      .groupBy(_._1).map { case (r, ds) => r -> ds.map(_._2) }
+    byRoot.toSeq.sortBy(_._1).map { case (root, dirs) =>
+      spark.read.option("basePath", root).parquet(dirs: _*)
+        .drop("__gen")
+        .withColumn("__p", col("__p").cast("string"))
+    }.reduce(_ unionByName _)
+  }
 
   /** Retained versions (committed manifests still on disk), ascending. */
   private[graft] def retainedVersions(spark: SparkSession, path: String): Seq[Long] = {
@@ -94,8 +149,13 @@ object Versioned {
         fs.listStatus(g.getPath).toSeq.filter(_.isDirectory)
           .map(p => (p.getPath.getName.stripPrefix("__p="), gen))
       }.toSet
+    // a ref absent locally may still resolve up a shallow clone's source
+    // chain — only refs that resolve NOWHERE are corruption
+    val missing = (refs -- onDisk).count { case (p, g) =>
+      !fs.exists(new Path(resolvePartDir(spark, path, p, g)))
+    }
     (retained.size.toLong, refs.size.toLong,
-      (refs -- onDisk).size.toLong, (onDisk -- refs).size.toLong)
+      missing.toLong, (onDisk -- refs).size.toLong)
   }
 
   private[graft] def manifestRefs(spark: SparkSession, path: String, v: Long): Seq[(String, Long)] =
@@ -107,13 +167,21 @@ object Versioned {
   /** Commit `delta` as the next version: merge-by-key into each affected
     * partition, carry every other partition's manifest entry forward.
     * Returns the committed version number. Crash-safe at every point
-    * (see object doc) and idempotently retryable. */
+    * (see object doc) and idempotently retryable.
+    *
+    * `stamp` is an optional CALLER-PROVIDED logical timestamp recorded
+    * in the manifest (event time, ingest watermark, run sequence — the
+    * caller's clock, so replays and backfills stay deterministic;
+    * deliberately NOT wall clock). [[readAsOfStamp]] resolves `AS OF
+    * stamp` reads against it. Stamps must be committed non-decreasing;
+    * unstamped commits (the default) simply don't participate. */
   def commit(
       spark: SparkSession,
       path: String,
       delta: DataFrame,
       partCol: String,
-      keys: Seq[String]): Long = {
+      keys: Seq[String],
+      stamp: Option[Long] = None): Long = {
     val cur = latestVersion(spark, path)
     val next = cur + 1
     val prior: Seq[(String, Long)] =
@@ -127,19 +195,10 @@ object Versioned {
       tagged.select(col("__p")).distinct().collect().map(_.getString(0)).toSeq
     val affectedSet = affected.toSet
 
-    val affectedBaseDirs = prior.collect {
-      case (p, g) if affectedSet(p) => partDir(path, p, g)
-    }
+    val affectedRefs = prior.filter { case (p, _) => affectedSet(p) }
     val merged =
-      if (affectedBaseDirs.isEmpty) tagged
-      else {
-        val base = spark.read
-          .option("basePath", genRoot(path))
-          .parquet(affectedBaseDirs: _*)
-          .drop("__gen")
-          .withColumn("__p", col("__p").cast("string"))
-        Upsert.merge(base, tagged, keys)
-      }
+      if (affectedRefs.isEmpty) tagged
+      else Upsert.merge(readRefs(spark, path, affectedRefs), tagged, keys)
     // ONE job writes every affected partition under the new generation
     merged.write.mode(SaveMode.Overwrite).partitionBy("__p")
       .parquet(s"${genRoot(path)}/__gen=$next")
@@ -147,10 +206,37 @@ object Versioned {
     val carried = prior.filterNot { case (p, _) => affectedSet(p) }
     val entries = carried ++ affected.map(_ -> next)
     import spark.implicits._
-    // tiny (one row per partition); the _SUCCESS of this write commits
-    entries.toDF("pval", "gen").coalesce(1)
+    // tiny (one row per partition); the _SUCCESS of this write commits.
+    // The stamp rides as a constant column — absent column in old
+    // manifests = unstamped (schema-tolerant readers below).
+    val manifest0 = entries.toDF("pval", "gen")
+    stamp.fold(manifest0)(t => manifest0.withColumn("stamp", lit(t)))
+      .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(manifestPath(path, next))
     next
+  }
+
+  /** The logical stamp version `v` was committed with, if any. */
+  def stampOf(spark: SparkSession, path: String, v: Long): Option[Long] = {
+    val m = spark.read.parquet(manifestPath(path, v))
+    if (!m.columns.contains("stamp")) None
+    else m.select(col("stamp")).limit(1).collect().headOption
+      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+  }
+
+  /** Read the table AS OF logical stamp `s`: the newest retained version
+    * whose commit stamp is ≤ `s` (Delta's `TIMESTAMP AS OF`, but on the
+    * caller's deterministic clock — see [[commit]]'s stamp doc).
+    * Unstamped versions don't participate. Metadata cost: one k-row
+    * manifest read per retained version — version counts are retention-
+    * bounded, and at 100 TB this is the cheap path (no data touched
+    * until the one chosen version is read). */
+  def readAsOfStamp(spark: SparkSession, path: String, s: Long): DataFrame = {
+    val candidates = retainedVersions(spark, path)
+      .flatMap(v => stampOf(spark, path, v).filter(_ <= s).map(_ => v))
+    require(candidates.nonEmpty,
+      s"no retained version of $path carries a stamp <= $s")
+    readAsOf(spark, path, candidates.max)
   }
 
   /** Read the table exactly as of version `v` (defaults to latest). */
@@ -160,9 +246,86 @@ object Versioned {
     val fs = fsOf(spark, path)
     require(fs.exists(new Path(manifestPath(path, v), "_SUCCESS")),
       s"version $v was never committed at $path")
-    val dirs = manifestRefs(spark, path, v).map { case (p, g) => partDir(path, p, g) }
-    spark.read.option("basePath", genRoot(path)).parquet(dirs: _*)
-      .drop("__gen", "__p")
+    readRefs(spark, path, manifestRefs(spark, path, v)).drop("__p")
+  }
+
+  /** Shallow (zero-copy) clone: `dst` becomes an independently-evolving
+    * versioned table whose initial version serves the SAME generation
+    * directories as `src` at `version` (default: latest) — no data is
+    * copied, only the k-row manifest, so cloning a 100 TB table is a
+    * metadata operation (Delta/Iceberg's CLONE SHALLOW). Subsequent
+    * [[commit]]s on the clone localize only the partitions they touch
+    * (copy-on-write at partition granularity); untouched partitions keep
+    * serving from the source's files. The clone's first version number
+    * is the MAX generation its base manifest references, so clone-local
+    * generations (numbered `version+1` upward by [[commit]]) can never
+    * collide with a cloned source generation — that invariant is what
+    * makes [[resolvePartDir]]'s local-first rule sound.
+    *
+    * Crash story: the `__source` pointer lands before the manifest and is
+    * inert without one (a dangling pointer file is debris, not a table);
+    * the manifest's `_SUCCESS` is the commit point, as everywhere.
+    *
+    * Caveats (inherent to shared storage, same as Delta's): `expire` on
+    * the SOURCE can reclaim generations a clone still references — treat
+    * clones as pinning source retention, or [[materialize]] them;
+    * `Forget.scrubVersioned` refuses to run on a clone that still shares
+    * directories (scrubbing in place would mutate the source's files).
+    */
+  def shallowClone(
+      spark: SparkSession, src: String, dst: String, version: Long = -1L): Long = {
+    val v = if (version < 0) latestVersion(spark, src) else version
+    require(v > 0, s"no committed version to clone at $src")
+    val fs = fsOf(spark, dst)
+    require(fs.exists(new Path(manifestPath(src, v), "_SUCCESS")),
+      s"version $v was never committed at $src")
+    require(latestVersion(spark, dst) == 0L,
+      s"clone target $dst already has committed versions")
+    val refs = manifestRefs(spark, src, v)
+    require(refs.nonEmpty, s"version $v of $src references no partitions")
+
+    val out = fs.create(sourceMarker(dst), true)
+    try out.write(src.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+
+    val v0 = refs.map(_._2).max
+    import spark.implicits._
+    refs.toDF("pval", "gen").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(manifestPath(dst, v0))
+    v0
+  }
+
+  /** Localize every partition of the LATEST version that still serves
+    * from a shallow clone's source chain: byte-copy those directories
+    * into a new local generation and commit a manifest where every entry
+    * is local. Returns the new version (or the current one if nothing is
+    * shared). Older retained clone versions keep referencing source
+    * directories — expire them down if the goal is full independence.
+    * Crash-safe: copies land under an uncommitted generation (invisible
+    * without the manifest), re-running overwrites them. */
+  def materialize(spark: SparkSession, path: String): Long = {
+    val cur = latestVersion(spark, path)
+    require(cur > 0, s"no committed version at $path")
+    val fs = fsOf(spark, path)
+    val refs = manifestRefs(spark, path, cur)
+    val (local, shared) = refs.partition { case (p, g) =>
+      fs.exists(new Path(partDir(path, p, g)))
+    }
+    if (shared.isEmpty) return cur
+    val next = cur + 1
+    val conf = spark.sparkContext.hadoopConfiguration
+    shared.foreach { case (p, g) =>
+      val from = new Path(resolvePartDir(spark, path, p, g))
+      require(fs.exists(from), s"unresolvable ref ($p, $g) at $path")
+      val to = new Path(partDir(path, p, next))
+      fs.delete(to, true) // idempotent re-run after a crash window
+      org.apache.hadoop.fs.FileUtil.copy(fs, from, fs, to, false, conf)
+    }
+    val entries = local ++ shared.map { case (p, _) => (p, next) }
+    import spark.implicits._
+    entries.toDF("pval", "gen").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(manifestPath(path, next))
+    next
   }
 
   /** Drop all but the last `keep` versions and every generation

@@ -1179,6 +1179,121 @@ object EtlOps {
       .toDF("stage", "versions", "dirs_referenced", "missing", "orphans")
   }
 
+  // --- k34_shallow_clone: ZERO-COPY table clone + divergent evolution
+  // (Versioned.shallowClone — Delta/Iceberg's CLONE SHALLOW): the clone
+  // commits only a manifest pointing at the source's generation
+  // directories, then source and clone each take a keyed commit of
+  // their own. The gate reads THREE states — the clone's base version
+  // (must still equal the source's state AT clone time: later source
+  // commits write new generations, so the shared write-once dirs can't
+  // leak either direction), the clone's head (its own delta applied),
+  // and the source's head (its delta applied, clone's absent) — and the
+  // oracle replays all three from the fixture, so broken isolation,
+  // a mis-resolved shared partition, or copy-on-write clobbering the
+  // source all hash-mismatch. At 100 TB the clone is a k-row metadata
+  // write; clone commits localize ONLY the partitions they touch
+  // (VersionedSpec pins the zero-copy file counts). ---
+  val k34ShallowClone = QueryDef.sql(
+    "k34_shallow_clone",
+    """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+      |state2 AS (SELECT k, st,
+      |    CASE WHEN k % 8 = 0 THEN p + 100 ELSE p END AS p
+      |  FROM base WHERE k % 4 IN (0, 1, 2)),
+      |clone_head AS (SELECT k, st,
+      |    CASE WHEN k % 8 = 1 THEN p + 1000 ELSE p END AS p FROM state2),
+      |src_head AS (SELECT k, st,
+      |    CASE WHEN k % 8 = 2 THEN p + 500 ELSE p END AS p FROM state2),
+      |u AS (SELECT 'clone_v0' AS tag, st, p FROM state2
+      |  UNION ALL SELECT 'clone_head' AS tag, st, p FROM clone_head
+      |  UNION ALL SELECT 'src_head' AS tag, st, p FROM src_head)
+      |SELECT tag, st AS o_orderstatus, count(*) AS n,
+      |  CAST(sum(p) AS DOUBLE) AS total
+      |FROM u GROUP BY tag, st""".stripMargin) { (s, d) =>
+    import graft.operators.Versioned
+    val root = java.nio.file.Files.createTempDirectory("k34-clone").toString
+    val srcT = s"$root/src"
+    val dstT = s"$root/clone"
+    val base = T.orders(s, d).select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("st"), col("o_totalprice").cast("decimal(12,2)").as("p"))
+    Versioned.commit(s, srcT, base.filter(col("k") % 4 < 2), "st", Seq("k"))
+    Versioned.commit(s, srcT,
+      base.filter(col("k") % 4 === 2).unionByName(
+        base.filter(col("k") % 8 === 0)
+          .withColumn("p", (col("p") + lit(100)).cast("decimal(12,2)"))),
+      "st", Seq("k"))
+    val v0 = Versioned.shallowClone(s, srcT, dstT)
+    // divergence: clone takes one keyed commit, source takes another
+    Versioned.commit(s, dstT,
+      base.filter(col("k") % 8 === 1)
+        .withColumn("p", (col("p") + lit(1000)).cast("decimal(12,2)")),
+      "st", Seq("k"))
+    Versioned.commit(s, srcT,
+      base.filter(col("k") % 8 === 2)
+        .withColumn("p", (col("p") + lit(500)).cast("decimal(12,2)")),
+      "st", Seq("k"))
+    def summarize(df: DataFrame, tag: String): DataFrame =
+      df.groupBy(col("st"))
+        .agg(count(lit(1)).as("n"), sum(col("p")).cast("double").as("total"))
+        .select(lit(tag).as("tag"), col("st").as("o_orderstatus"),
+          col("n"), col("total"))
+    summarize(Versioned.readAsOf(s, dstT, v0), "clone_v0")
+      .unionByName(summarize(Versioned.readAsOf(s, dstT), "clone_head"))
+      .unionByName(summarize(Versioned.readAsOf(s, srcT), "src_head"))
+  }
+
+  // --- k35_asof_stamp: stamp-based time travel — `AS OF <logical
+  // stamp>` reads over the versioned store (Delta's TIMESTAMP AS OF,
+  // but on the CALLER's clock: event time / ingest watermark / run
+  // sequence, so replays and backfills resolve deterministically —
+  // wall-clock commit times would make the gate unhashable and real
+  // backfills ambiguous). Three stamped commits (100, 200, 300); the
+  // gate reads AS OF 250 (→ the stamp-200 state: between-stamps
+  // resolution picks the newest ≤) and AS OF 300 (→ exact hit), and
+  // the oracle replays both states from the fixture — a wrong
+  // between-stamps pick or a delta-application drift hash-mismatches.
+  // Resolution cost is manifest-only (k rows per retained version);
+  // no data is touched until the chosen version reads. ---
+  val k35AsofStamp = QueryDef.sql(
+    "k35_asof_stamp",
+    """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+      |s2 AS (SELECT k, st,
+      |    CASE WHEN k % 6 = 0 THEN p + 50 ELSE p END AS p
+      |  FROM base WHERE k % 2 = 0),
+      |s3 AS (SELECT k, st,
+      |    CASE WHEN k % 4 = 2 THEN p + 75
+      |         WHEN k % 6 = 0 THEN p + 50 ELSE p END AS p
+      |  FROM base WHERE k % 2 = 0),
+      |u AS (SELECT 'asof_250' AS tag, st, p FROM s2
+      |  UNION ALL SELECT 'asof_300' AS tag, st, p FROM s3)
+      |SELECT tag, st AS o_orderstatus, count(*) AS n,
+      |  CAST(sum(p) AS DOUBLE) AS total
+      |FROM u GROUP BY tag, st""".stripMargin) { (s, d) =>
+    import graft.operators.Versioned
+    val root = java.nio.file.Files.createTempDirectory("k35-stamp").toString
+    val tbl = s"$root/orders_v"
+    val base = T.orders(s, d).select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("st"), col("o_totalprice").cast("decimal(12,2)").as("p"))
+    Versioned.commit(s, tbl, base.filter(col("k") % 2 === 0), "st", Seq("k"),
+      stamp = Some(100L))
+    Versioned.commit(s, tbl,
+      base.filter(col("k") % 6 === 0)
+        .withColumn("p", (col("p") + lit(50)).cast("decimal(12,2)")),
+      "st", Seq("k"), stamp = Some(200L))
+    Versioned.commit(s, tbl,
+      base.filter(col("k") % 4 === 2)
+        .withColumn("p", (col("p") + lit(75)).cast("decimal(12,2)")),
+      "st", Seq("k"), stamp = Some(300L))
+    def summarize(df: DataFrame, tag: String): DataFrame =
+      df.groupBy(col("st"))
+        .agg(count(lit(1)).as("n"), sum(col("p")).cast("double").as("total"))
+        .select(lit(tag).as("tag"), col("st").as("o_orderstatus"),
+          col("n"), col("total"))
+    summarize(Versioned.readAsOfStamp(s, tbl, 250L), "asof_250")
+      .unionByName(summarize(Versioned.readAsOfStamp(s, tbl, 300L), "asof_300"))
+  }
+
   // --- k23_zorder_gate: Z-ORDER clustering under the hash gate — the
   // table is rewritten ordered by the bit-interleaved (l_partkey,
   // l_suppkey) code (Maintenance.zorderBy), so parquet row-group min/max
@@ -1729,5 +1844,6 @@ object EtlOps {
     k18FormatRoundtrip, k19ForgetKeys, k20AtomicPublish, k21DynamicOverwrite,
     k22MvRewrite, k23ZorderGate, k24FullMerge, k25RetractableAgg, k26ScrubHistory,
     k28PartitionEvolution, k29ZonemapGate, k31WarehouseCompose, k32VersionDiff, k33ManifestFsck,
+    k34ShallowClone, k35AsofStamp,
     k27WapGate)
 }

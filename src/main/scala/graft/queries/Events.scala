@@ -1661,6 +1661,60 @@ object Events {
     }
   }
 
+  // --- e33_stream_versioned_sink: streaming ingest into the VERSIONED
+  // lakehouse store — `readStream → foreachBatch → Versioned.commit`,
+  // the topology that turns a CDC/event stream into a time-travelable
+  // table (Delta streaming sink's shape): every micro-batch lands as a
+  // queryable VERSION, history stays readable for audits/reproducible
+  // training snapshots, and `expire` owns retention. The feed is staged
+  // as multiple files with maxFilesPerTrigger=1 forcing a MULTI-batch
+  // run, so version count > 1 and carry-forward manifests (only the
+  // batch's partitions rewrite) are genuinely exercised; the returned
+  // frame reads back THROUGH readAsOf(latest). Replay safety is
+  // CONVERGENCE, not a guard: a re-delivered batch upserts the same
+  // keyed rows into the same partitions (same content, one more
+  // version) — the documented contrast with IncrementalAgg's
+  // non-idempotent fold, which is why THAT sink needs ReplayGuard and
+  // this one doesn't. The oracle is the batch projection of the same
+  // purchases; dropped rows, a clobbered carry-forward partition, or a
+  // half-visible version all hash-mismatch. ---
+  val e33StreamVersionedSink = QueryDef.sql(
+    "e33_stream_versioned_sink",
+    """SELECT event_id, user_id,
+      |  CAST(CAST(value AS DECIMAL(10,2)) AS DOUBLE) AS amount
+      |FROM events WHERE event_type = 'purchase'""".stripMargin) { (s, d) =>
+    withStatePartitions(s, 4) {
+    import graft.operators.Versioned
+    val root = java.nio.file.Files.createTempDirectory("e33-vsink").toString
+    val feed = s"$root/feed"; val tbl = s"$root/table"; val ckpt = s"$root/ckpt"
+    T.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .repartition(3) // 3 feed files → 3 micro-batches → 3 committed versions
+      .write.parquet(feed)
+    val stream = s.readStream
+      .schema("event_id BIGINT, user_id BIGINT, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          Versioned.commit(s, tbl,
+            batch.withColumn("part", col("user_id") % 4), "part", Seq("event_id"))
+          ()
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(Versioned.latestVersion(s, tbl) >= 2,
+      "multi-batch run must commit multiple versions")
+    Versioned.readAsOf(s, tbl)
+      .select(col("event_id"), col("user_id"),
+        col("value").cast("decimal(10,2)").cast("double").as("amount"))
+    }
+  }
+
   /** Registered queries that drive a REAL Structured Streaming run
     * (readStream → writeStream with checkpoint/state-store commits).
     * Bench reports these under a separate `stream_total`: their cost is
@@ -1674,7 +1728,7 @@ object Events {
     "e21_stream_outer_join", "e29_stream_full_outer",
     "e22_transform_with_state", "e23_state_map", "e24_state_list",
     "e25_chained_agg", "e26_session_window", "e31_stream_static_join",
-    "e32_stream_semi_join")
+    "e32_stream_semi_join", "e33_stream_versioned_sink")
 
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
@@ -1685,5 +1739,6 @@ object Events {
     e17SessionPaths, e18StreamIvm, e19StreamSessions, e20LateData,
     e21StreamOuterJoin, e22TransformWithState, e23StateMap, e24StateList,
     e25ChainedAgg, e26SessionWindow, e27SequenceMatch, e28VariantExtract,
-    e29StreamFullOuter, e30Attribution, e31StreamStaticJoin, e32StreamSemiJoin)
+    e29StreamFullOuter, e30Attribution, e31StreamStaticJoin, e32StreamSemiJoin,
+    e33StreamVersionedSink)
 }

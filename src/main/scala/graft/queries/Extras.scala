@@ -1672,6 +1672,209 @@ object Extras {
             col("sy").cast("double") * col("sy").cast("double")))).as("r"))
   }
 
+  // --- a50_ccf: sample CROSS-correlation between the daily ORDER-revenue
+  // series and the daily SHIPPED-quantity series at lags −7..+7 — the
+  // lead/lag diagnostic a49's ACF can't answer: a peak at positive k
+  // means ordering leads shipping by k days (it should — lineitem ship
+  // dates trail their order dates). Per lag k, revenue at day di pairs
+  // with quantity at day di+k where both days exist; Pearson r per lag
+  // from a27's exact-sufficient-statistics discipline (n, Σx, Σy, Σxy,
+  // Σx², Σy² as exact decimals in ONE partial-aggregated pass per lag,
+  // doubles only in the closed form). The daily sums are re-capped at
+  // DECIMAL(18,2) before pairing so every cross-product stays within
+  // precision 38 exactly in both engines, and the oracle's
+  // decimal→double casts route through VARCHAR: DuckDB's direct
+  // DECIMAL(38,s)→DOUBLE double-rounds (hugeint→double, then ÷10^s)
+  // once the scaled value exceeds 2^53, while Spark's BigDecimal cast
+  // rounds once — a measured 1-ULP divergence on Σx² here; strtod is
+  // correctly rounded and matches Java bit-for-bit. Scale: both daily
+  // reductions are data-sized with partial aggregation; the 15 lag
+  // joins are calendar-sized (~2 400-row) self-joins — dimension
+  // work. ---
+  val a50Ccf = QueryDef.sql(
+    "a50_ccf",
+    """WITH rev AS (SELECT
+      |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS di,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+      |  FROM orders GROUP BY 1),
+      |qty AS (SELECT
+      |    date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS di,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+      |  FROM lineitem GROUP BY 1),
+      |lags AS (SELECT unnest(range(-7, 8)) AS k),
+      |pairs AS (SELECT k, a.x AS x, b.y AS y
+      |  FROM lags, rev a JOIN qty b ON b.di = a.di + k),
+      |st AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+      |    sum(x) AS sx, sum(y) AS sy,
+      |    sum(CAST(x AS DECIMAL(19,2)) * y) AS sxy,
+      |    sum(CAST(x AS DECIMAL(19,2)) * x) AS sxx,
+      |    sum(CAST(y AS DECIMAL(19,2)) * y) AS syy
+      |  FROM pairs GROUP BY k)
+      |SELECT k AS lag, n,
+      |  (n * CAST(CAST(sxy AS VARCHAR) AS DOUBLE) -
+      |     CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)) /
+      |  sqrt((n * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) -
+      |        CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) *
+      |       (n * CAST(CAST(syy AS VARCHAR) AS DOUBLE) -
+      |        CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))) AS r
+      |FROM st""".stripMargin) { (s, d) =>
+    val rev = T.orders(s, d)
+      .groupBy(datediff(col("o_orderdate").cast("date"), lit("1992-01-01")).as("di"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("x"))
+    val qty = T.lineitem(s, d)
+      .groupBy(datediff(col("l_shipdate").cast("date"), lit("1992-01-01")).as("di"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("y"))
+    val lags = s.range(-7, 8).select(col("id").cast("int").as("k"))
+    val pairs = rev.crossJoin(broadcast(lags))
+      .select(col("k"), (col("di") + col("k")).as("dj"), col("x"))
+      .join(qty.select(col("di").as("dj"), col("y")), Seq("dj"))
+    val st = pairs.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    st.select(col("k").as("lag"), col("n"),
+      ((col("n") * col("sxy").cast("double") -
+        col("sx").cast("double") * col("sy").cast("double")) /
+        sqrt((col("n") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")) *
+          (col("n") * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double")))).as("r"))
+  }
+
+  // --- a51_seasonal_decompose: classical ADDITIVE seasonal decomposition
+  // of the daily revenue series, weekly period — x = trend + seasonal +
+  // residual (the moving-average decomposition a40 summarizes and a49
+  // diagnoses; this one RETURNS the three components per day, the input
+  // to any deseasonalized anomaly rule). Determinism discipline:
+  //   - trend's centered 7-day moving average is carried as the exact
+  //     DECIMAL window SUM (w7), built by a calendar-sized lag self-join
+  //     (never a partition-less window — PlanLint);
+  //   - the detrended series is 7·x − w7, still exact decimal, so the
+  //     per-phase seasonal sums aggregate decimals (order-independent),
+  //     and ONLY the final closed form divides in double (÷7, ÷counts —
+  //     identical expression both engines);
+  //   - seasonality is indexed by phase = di % 7 and de-meaned so the
+  //     seven indices sum to zero (the classical constraint).
+  // Scale: one data-sized daily reduce, then everything is
+  // calendar-sized (~2 400 rows) — broadcast joins, 7-row seasonal
+  // table. Only days with a full ±3-day window decompose (standard
+  // edge loss). ---
+  val a51SeasonalDecompose = QueryDef.sql(
+    "a51_seasonal_decompose",
+    """WITH daily AS (SELECT
+      |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS di,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+      |  FROM orders GROUP BY 1),
+      |off AS (SELECT unnest(range(-3, 4)) AS k),
+      |w AS (SELECT a.di, count(*) AS nw, sum(b.x) AS w7, CAST(min(a.x) AS DECIMAL(18,2)) AS x
+      |  FROM daily a JOIN off ON TRUE JOIN daily b ON b.di = a.di + k
+      |  GROUP BY a.di HAVING count(*) = 7),
+      |det AS (SELECT di, x, w7, di % 7 AS phase,
+      |    CAST(7 AS DECIMAL(2,0)) * x - w7 AS d7
+      |  FROM w),
+      |ph AS (SELECT phase, CAST(count(*) AS BIGINT) AS n, sum(d7) AS sd FROM det GROUP BY phase),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, sum(sd) AS sdd FROM ph),
+      |seas AS (SELECT phase,
+      |    CAST(sd AS DOUBLE) / (7.0 * n) - CAST(sdd AS DOUBLE) / (7.0 * nn) AS seasonal
+      |  FROM ph, tot)
+      |SELECT det.di, CAST(det.x AS DOUBLE) AS x,
+      |  CAST(det.w7 AS DOUBLE) / 7.0 AS trend,
+      |  seas.seasonal,
+      |  CAST(det.x AS DOUBLE) - CAST(det.w7 AS DOUBLE) / 7.0 - seas.seasonal AS resid
+      |FROM det JOIN seas ON det.phase = seas.phase""".stripMargin) { (s, d) =>
+    val daily = T.orders(s, d)
+      .groupBy(datediff(col("o_orderdate").cast("date"), lit("1992-01-01")).as("di"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("x"))
+    val off = s.range(-3, 4).select(col("id").cast("int").as("k"))
+    val w = daily.crossJoin(broadcast(off))
+      .select(col("di"), (col("di") + col("k")).as("dj"), col("x"))
+      .join(daily.select(col("di").as("dj"), col("x").as("xb")), Seq("dj"))
+      .groupBy(col("di"))
+      .agg(count(lit(1)).as("nw"), sum(col("xb")).as("w7"),
+        min(col("x")).cast("decimal(18,2)").as("x"))
+      .filter(col("nw") === 7)
+    val det = w.select(col("di"), col("x"), col("w7"), (col("di") % 7).as("phase"),
+      (lit(BigDecimal(7)).cast("decimal(2,0)") * col("x") - col("w7")).as("d7"))
+    val ph = det.groupBy(col("phase"))
+      .agg(count(lit(1)).as("n"), sum(col("d7")).as("sd"))
+    val tot = ph.agg(sum(col("n")).as("nn"), sum(col("sd")).as("sdd"))
+    val seas = ph.crossJoin(broadcast(tot))
+      .select(col("phase"),
+        (col("sd").cast("double") / (lit(7.0) * col("n")) -
+          col("sdd").cast("double") / (lit(7.0) * col("nn"))).as("seasonal"))
+    det.join(broadcast(seas), Seq("phase"))
+      .select(col("di"), col("x").cast("double").as("x"),
+        (col("w7").cast("double") / lit(7.0)).as("trend"),
+        col("seasonal"),
+        (col("x").cast("double") - col("w7").cast("double") / lit(7.0) -
+          col("seasonal")).as("resid"))
+  }
+
+  // --- a52_partial_corr: PARTIAL correlation per group — r(qty, price)
+  // CONTROLLING for discount: r_xy·z = (r_xy − r_xz·r_yz) /
+  // √((1−r_xz²)(1−r_yz²)) — the "is this correlation just the
+  // confounder" follow-up a27's raw Pearson can't answer. All ten
+  // sufficient statistics (n + 3 sums + 3 squares + 3 cross-products)
+  // accumulate as EXACT decimals in ONE partial-aggregated pass
+  // (order-independent at any parallelism); the three pairwise rs and
+  // the partial closed form run in double with the identical expression
+  // on both engines. Oracle decimal→double casts route through VARCHAR
+  // (a50's lesson: DuckDB's direct DECIMAL(38,s)→DOUBLE double-rounds
+  // past 2^53 — the discount squares' 1e-12 scale units get there
+  // fast). Scale: one map-side-combined pass, ten numbers per group
+  // shuffled. ---
+  val a52PartialCorr = QueryDef.sql(
+    "a52_partial_corr",
+    """WITH s AS (SELECT l_returnflag,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+      |    sum(CAST(l_discount AS DECIMAL(12,6))) AS sz,
+      |    sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy,
+      |    sum(CAST(l_discount AS DECIMAL(12,6)) * CAST(l_discount AS DECIMAL(12,6))) AS szz,
+      |    sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy,
+      |    sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,6))) AS sxz,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,6))) AS syz
+      |  FROM lineitem GROUP BY l_returnflag),
+      |r AS (SELECT l_returnflag, n,
+      |    (n * CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)) /
+      |      (sqrt(n * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) *
+      |       sqrt(n * CAST(CAST(syy AS VARCHAR) AS DOUBLE) - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))) AS rxy,
+      |    (n * CAST(CAST(sxz AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sz AS VARCHAR) AS DOUBLE)) /
+      |      (sqrt(n * CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) *
+      |       sqrt(n * CAST(CAST(szz AS VARCHAR) AS DOUBLE) - CAST(CAST(sz AS VARCHAR) AS DOUBLE) * CAST(CAST(sz AS VARCHAR) AS DOUBLE))) AS rxz,
+      |    (n * CAST(CAST(syz AS VARCHAR) AS DOUBLE) - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sz AS VARCHAR) AS DOUBLE)) /
+      |      (sqrt(n * CAST(CAST(syy AS VARCHAR) AS DOUBLE) - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)) *
+      |       sqrt(n * CAST(CAST(szz AS VARCHAR) AS DOUBLE) - CAST(CAST(sz AS VARCHAR) AS DOUBLE) * CAST(CAST(sz AS VARCHAR) AS DOUBLE))) AS ryz
+      |  FROM s)
+      |SELECT l_returnflag, n, rxy,
+      |  (rxy - rxz * ryz) / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)) AS rxy_given_z
+      |FROM r""".stripMargin) { (s, d) =>
+    val x = col("l_quantity").cast("decimal(12,2)")
+    val y = col("l_extendedprice").cast("decimal(12,2)")
+    val z = col("l_discount").cast("decimal(12,6)")
+    val st = T.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(z).as("sz"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(z * z).as("szz"),
+        sum(x * y).as("sxy"), sum(x * z).as("sxz"), sum(y * z).as("syz"))
+    def dbl(c: String) = col(c).cast("double")
+    def pearson(sab: String, a: String, saa: String, b: String, sbb: String) =
+      (dbl("n") * dbl(sab) - dbl(a) * dbl(b)) /
+        (sqrt(dbl("n") * dbl(saa) - dbl(a) * dbl(a)) *
+          sqrt(dbl("n") * dbl(sbb) - dbl(b) * dbl(b)))
+    val r = st.select(col("l_returnflag"), col("n"),
+      pearson("sxy", "sx", "sxx", "sy", "syy").as("rxy"),
+      pearson("sxz", "sx", "sxx", "sz", "szz").as("rxz"),
+      pearson("syz", "sy", "syy", "sz", "szz").as("ryz"))
+    r.select(col("l_returnflag"), col("n"), col("rxy"),
+      ((col("rxy") - col("rxz") * col("ryz")) /
+        sqrt((lit(1) - col("rxz") * col("rxz")) *
+          (lit(1) - col("ryz") * col("ryz")))).as("rxy_given_z"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     a44QuantileNormalize,
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
@@ -1685,6 +1888,7 @@ object Extras {
     sql7WindowClause, a37Changepoint, a38AbTest, a39DecileBinning,
     a40DowSeasonality, sql8SetopsAll, a41MannWhitney, a42KsTest,
     a43Chi2Independence, a45TheilSen, a46HodgesLehmann, sql9OrderByAll,
-    a47TrimmedMean, a48Gini, a49Acf)
+    a47TrimmedMean, a48Gini, a49Acf, a50Ccf, a51SeasonalDecompose,
+    a52PartialCorr)
 
 }

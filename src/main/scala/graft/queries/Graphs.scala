@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables => T}
@@ -802,9 +803,103 @@ object Graphs {
           .otherwise(lit(0.0)).as("clustering"))
   }
 
+  /** One k-truss peel round over edge set `e` (u < v): per-edge triangle
+    * SUPPORT via g2/g16's degree-oriented adjacency-intersect (triples
+    * exploded from the intersect elements — triangle-count rows, never
+    * the wedge set), each triangle crediting its THREE edges (normalized
+    * back to u < v), then the `support ≥ minSup` filter. Edges in no
+    * triangle vanish with the inner join (support 0 < any threshold). */
+  private def trussPeelRound(e: DataFrame, minSup: Long): DataFrame = {
+    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), Seq("v"))
+    val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = withDeg.select(
+      when(fwd, col("u")).otherwise(col("v")).as("src"),
+      when(fwd, col("v")).otherwise(col("u")).as("dst"))
+    val adj = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    val triples = oriented
+      .join(adj.select(col("src"), col("nbrs").as("nu")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), Seq("dst"))
+      .select(col("src").as("a"), col("dst").as("b"),
+        explode(expr("array_intersect(nu, nv)")).as("c"))
+    val credit = triples.select(col("a").as("x"), col("b").as("y"))
+      .unionAll(triples.select(col("a").as("x"), col("c").as("y")))
+      .unionAll(triples.select(col("b").as("x"), col("c").as("y")))
+    credit
+      .select(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("s"))
+      .filter(col("s") >= minSup)
+  }
+
+  /** One unrolled SQL truss round `prev` → `t$r` (id-ordered triangle
+    * enumeration — orientation changes the plan, not the triangle set).
+    * Every round output is MATERIALIZED: DuckDB inlines plain CTEs, so
+    * round 3's two references to t2 would re-derive t2 (and
+    * transitively t1, e0) exponentially — measured never-finishing at
+    * sf0.1 vs 0.5 s materialized. */
+  private def sqlTrussRound(prev: String, r: Int): String =
+    s"""b$r AS (SELECT u, v FROM $prev UNION ALL SELECT v AS u, u AS v FROM $prev),
+       |s$r AS (SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS s
+       |  FROM $prev e JOIN b$r x ON x.u = e.u JOIN b$r y ON y.u = e.v AND y.v = x.v
+       |  GROUP BY e.u, e.v),
+       |t$r AS MATERIALIZED (SELECT u, v, s FROM s$r WHERE s >= 2)""".stripMargin
+
+  // --- g17_ktruss: k-TRUSS peeling (k = 4: every surviving edge must
+  // sit in ≥ 2 triangles among surviving edges) over the SAME-BRAND
+  // co-purchase subgraph, 3 peel rounds — the edge-density community
+  // core between g8's k-core (degree peel) and full clique mining.
+  // The brand restriction is the semantic scope (brand-level product
+  // communities) AND what makes the peel non-trivial: the raw
+  // co-purchase graph is a union of per-order cliques whose every edge
+  // has support ≥ 5 (nothing peels), while the same-brand subgraph
+  // thins cross-order support so rounds genuinely shrink
+  // (sf0.01: 4 685 → 337 → 70 → 69 edges). Per round the Spark plan is
+  // g2's degree-oriented adjacency-intersect — support from exploded
+  // triangle triples crediting all three edges, equi-joins + partial
+  // aggs only, wedge set never materialized — with survivors RESTAGED
+  // to parquet (k-core's shrinking-input lesson: round r+1's 4 joins
+  // must not replay round r's lineage). The oracle unrolls the three
+  // rounds with id-ordered triangle enumeration; orientation
+  // invariance of the triangle set is the correctness argument (g16).
+  // Fixed rounds, exact integer supports — deterministic at any
+  // parallelism; at 100× the same rounds peel toward the same fixed
+  // point (convergence-mode iteration is the documented extension,
+  // ConvergenceSpec's pattern). ---
+  val g17Ktruss = QueryDef.sql(
+    "g17_ktruss",
+    s"""WITH it AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |pb AS (SELECT p_partkey, p_brand FROM part),
+       |e0 AS MATERIALIZED (SELECT DISTINCT x.p AS u, y.p AS v
+       |  FROM it x JOIN it y ON x.o = y.o AND x.p < y.p
+       |  JOIN pb a ON a.p_partkey = x.p
+       |  JOIN pb b ON b.p_partkey = y.p AND a.p_brand = b.p_brand),
+       |${sqlTrussRound("e0", 1)},
+       |${sqlTrussRound("t1", 2)},
+       |${sqlTrussRound("t2", 3)}
+       |SELECT u, v, s FROM t3""".stripMargin) { (s, d) =>
+    val pb = T.part(s, d).select(col("p_partkey"), col("p_brand"))
+    val e0 = coPurchaseEdges(s, d)
+      .join(pb.select(col("p_partkey").as("u"), col("p_brand").as("bu")), Seq("u"))
+      .join(pb.select(col("p_partkey").as("v"), col("p_brand").as("bv")), Seq("v"))
+      .filter(col("bu") === col("bv"))
+      .select(col("u"), col("v"))
+    val tmp = java.nio.file.Files.createTempDirectory("g17-truss").toString
+    var out: DataFrame = e0
+    for (r <- 1 to 3) {
+      val kept = trussPeelRound(out.select(col("u"), col("v")), minSup = 2L)
+      kept.write.mode("overwrite").parquet(s"$tmp/r$r")
+      out = s.read.parquet(s"$tmp/r$r")
+    }
+    out.select(col("u"), col("v"), col("s"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     g1Pagerank, g2TriangleCount, g3LabelProp, g4ShortestPath, g5Assortativity,
     g6LinkPredict, g7NeighborhoodJaccard, g8KCore, g9PersonalizedPr, g10Hits,
     g11CheapestPath, g12Modularity, g13RandomWalks, g14HarmonicCentrality,
-    g15Katz, g16ClusteringCoeff)
+    g15Katz, g16ClusteringCoeff, g17Ktruss)
 }

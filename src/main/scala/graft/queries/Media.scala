@@ -321,6 +321,39 @@ object Media {
         (col("frames_a") =!= col("frames_b")).as("trimmed"))
   }
 
+  // --- m8_image_tiles: per-TILE channel statistics over a 2×2 crop
+  // grid of every REAL decoded image — the patch-extraction plumbing
+  // (ViT patching, crop-level quality, region dedup) run as a 1→4
+  // flatMap per asset with the raster visited once
+  // (Multimodal.tileStats). Pixel (x, y) lands in tile
+  // (x·2 div w, y·2 div h) — the standard uneven-remainder grid — and
+  // each tile reports exact integer pixel count + per-channel sums.
+  // The oracle recomputes every tile analytically from the synthesis
+  // formulas on a generate_series pixel grid (m1's discipline,
+  // codec-independent), so a raster-order bug, a channel swap, or an
+  // off-by-one tile boundary hash-mismatches. ---
+  val m8ImageTiles = QueryDef.sql(
+    "m8_image_tiles",
+    """WITH ids AS (SELECT id FROM generate_series(0,59) t(id)),
+      |img AS (SELECT id, 16 + (id%4)*4 AS w, 12 + (id%3)*4 AS h FROM ids WHERE id%3=0),
+      |px AS (
+      |  SELECT i.id, (xs.x*2)//i.w AS tile_x, (ys.y*2)//i.h AS tile_y,
+      |    CAST(count(*) AS BIGINT) AS n_px,
+      |    CAST(sum((i.id*31 + 7*xs.x + 13*ys.y) % 256) AS BIGINT) AS sum_r,
+      |    CAST(sum((i.id*17 + 3*xs.x + 5*ys.y) % 256) AS BIGINT) AS sum_g,
+      |    CAST(sum((i.id*7 + 11*xs.x + 2*ys.y) % 256) AS BIGINT) AS sum_b
+      |  FROM img i, generate_series(0,27) xs(x), generate_series(0,11) ys(y)
+      |  WHERE xs.x < i.w AND ys.y < i.h
+      |  GROUP BY 1, 2, 3)
+      |SELECT id AS asset_id, CAST(tile_x AS INT) AS tile_x,
+      |  CAST(tile_y AS INT) AS tile_y, n_px, sum_r, sum_g, sum_b
+      |FROM px""".stripMargin) { (s, _) =>
+    Multimodal.tileStats(
+      Multimodal.repartitionForDecode(Multimodal.synthesize(s, 0L until 60L), 8),
+      gx = 2, gy = 2)
+      .toDF()
+  }
+
   val all: Seq[QueryDef] = Seq(m1MediaFeatures, m2ImagePhash, m3AudioEnergy, m4ImageKnn,
-    m5AudioTone, m6ImageNeardup, m7AudioNeardup)
+    m5AudioTone, m6ImageNeardup, m7AudioNeardup, m8ImageTiles)
 }

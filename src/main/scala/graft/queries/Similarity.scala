@@ -1089,6 +1089,70 @@ object Similarity {
       k = 10)
   }
 
+  // --- v19_range_search: RADIUS (range) vector search — FAISS
+  // range_search / Milvus "query by distance": for each query vector,
+  // ALL corpus vectors with cosine ≥ τ, not a fixed top-k. The missing
+  // query type between v2 (top-k) and v3 (all-pairs near-dup): τ-based
+  // retrieval is what dedup-by-threshold, spam clustering, and
+  // recall-bounded candidate generation actually call. Same multi-table
+  // LSH candidate generation as v2 (28 × 4-bit tables, candidates
+  // unioned, exact integer-dot rescore), with the rank window replaced
+  // by the threshold filter — so result size adapts to local density
+  // instead of truncating at k. The oracle replays the bucket algebra +
+  // threshold, so a dropped candidate table or a rescore drift
+  // hash-mismatches. Scale: identical to v2 (bucket-join shuffles id
+  // triples only; rescore on candidates), PLUS no per-query window at
+  // all — the densest query can't force a global sort. ---
+  val v19RangeSearch = QueryDef.sql(
+    "v19_range_search",
+    s"""WITH $sqlMultiBuckets,
+       |q AS (SELECT e.vec_id AS qid, b.tbl, b.bucket
+       |      FROM embeddings e JOIN buckets b ON e.vec_id = b.vec_id
+       |      WHERE e.vec_id < 25),
+       |cand AS (SELECT DISTINCT q.qid, b.vec_id AS cid
+       |         FROM q JOIN buckets b ON q.tbl = b.tbl AND q.bucket = b.bucket
+       |         WHERE b.vec_id <> q.qid),
+       |pairs AS (SELECT c.qid, c.cid, eq.embedding AS qe, ec.embedding AS ce
+       |          FROM cand c
+       |          JOIN embeddings eq ON eq.vec_id = c.qid
+       |          JOIN embeddings ec ON ec.vec_id = c.cid),
+       |u AS (SELECT qid, cid, unnest(qe) AS x, unnest(ce) AS y FROM pairs),
+       |$sqlDots
+       |SELECT qid, cid, cosine FROM scored WHERE cosine >= 0.25""".stripMargin) { (s, d) =>
+    annRadius(T.embeddings(s, d), col("vec_id") < 25, nTables, tablePlanes, 0.25)
+  }
+
+  /** Radius variant of [[annTopK]]: every candidate with cosine ≥ `tau`
+    * instead of the per-query top-k — no rank window, so the output is
+    * density-adaptive and the plan has no per-query sort at all. */
+  private[graft] def annRadius(
+      emb0: DataFrame,
+      queryPred: Column,
+      nT: Int,
+      tp: Int,
+      tau: Double): DataFrame = {
+    val emb = emb0.withColumn("q", quantize("embedding"))
+    val melted = emb.select(col("vec_id"),
+      posexplode(ArrayLshBuckets.buckets(col("q"), signMatrix(0 until nT * tp), tp))
+        .as(Seq("tbl", "bucket")))
+    val qSide = melted.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
+    val cand = melted.select(col("vec_id").as("cid"), col("tbl"), col("bucket"))
+      .join(broadcast(qSide), Seq("tbl", "bucket"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid")).distinct()
+    val vecs = emb.select(col("vec_id"), col("q"))
+    cand
+      .join(vecs.select(col("vec_id").as("qid"), col("q").as("qeq")), Seq("qid"))
+      .join(vecs.select(col("vec_id").as("cid"), col("q").as("ceq")), Seq("cid"))
+      .withColumn("dot", dotQ("qeq", "ceq"))
+      .withColumn("nx", dotQ("qeq", "qeq"))
+      .withColumn("ny", dotQ("ceq", "ceq"))
+      .withColumn("cosine", cosine)
+      .filter(col("cosine") >= tau)
+      .select(col("qid"), col("cid"), col("cosine"))
+  }
+
   // --- c6_knn_classifier: k-NEAREST-NEIGHBOR classification (k = 5,
   // majority vote) — the non-parametric classifier completing the
   // supervised tier (c3 Bayes counts, c4 stump, c5 linear, v7 nearest
@@ -1207,5 +1271,5 @@ object Similarity {
     v1KnnBruteforce, v2AnnLsh, v3EmbeddingNeardup, v5AnnIvf, v6RandomProjection,
     v8MmrRerank, v9PqCodes, v10PqAdc, v11Sq8Knn, v12AnnRecall, v13Ivfpq,
     v14BinaryHamming, v15Mips, v16FilteredKnn, v17HybridRrf, v18AnnTombstone,
-    c6KnnClassifier, c7ClassifierEval)
+    v19RangeSearch, c6KnnClassifier, c7ClassifierEval)
 }

@@ -105,4 +105,88 @@ class VersionedSpec extends SparkSpec {
     assert(missing === 1L, "deleted referenced dir must be reported missing")
     assert(orphans === 1L, "unreferenced dir must be reported orphan")
   }
+
+  test("stamped commits resolve AS OF reads; unstamped commits don't participate") {
+    val tbl = freshTbl()
+    Versioned.commit(spark, tbl, rows(Seq((1L, "a", 1.0))), "part", Seq("id"),
+      stamp = Some(100L))
+    Versioned.commit(spark, tbl, rows(Seq((1L, "a", 2.0))), "part", Seq("id"))
+    Versioned.commit(spark, tbl, rows(Seq((1L, "a", 3.0))), "part", Seq("id"),
+      stamp = Some(300L))
+    assert(Versioned.stampOf(spark, tbl, 1) === Some(100L))
+    assert(Versioned.stampOf(spark, tbl, 2) === None)
+    assert(Versioned.stampOf(spark, tbl, 3) === Some(300L))
+    // between stamps: newest stamped version <= s (the unstamped v2 is
+    // invisible to stamp resolution even though it's newer than v1)
+    assert(Versioned.readAsOfStamp(spark, tbl, 250L)
+      .as[(Long, String, Double)].collect().toSet === Set((1L, "a", 1.0)))
+    assert(Versioned.readAsOfStamp(spark, tbl, 300L)
+      .as[(Long, String, Double)].collect().toSet === Set((1L, "a", 3.0)))
+    intercept[IllegalArgumentException](Versioned.readAsOfStamp(spark, tbl, 99L))
+  }
+
+  test("shallow clone copies no data, reads the cloned state, and evolves independently") {
+    val root = Files.createTempDirectory("graft-clone").toString
+    val src = s"$root/src"
+    val dst = s"$root/clone"
+    Versioned.commit(spark, src, rows(Seq((1L, "a", 1.0), (3L, "b", 3.0))), "part", Seq("id"))
+    Versioned.commit(spark, src, rows(Seq((2L, "a", 2.0))), "part", Seq("id"))
+
+    val v0 = Versioned.shallowClone(spark, src, dst)
+    assert(v0 === 2, "clone's first version = max cloned generation")
+    val fs = new Path(dst).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$dst/gen")), "zero-copy: clone holds no data dirs")
+    assert(Versioned.readAsOf(spark, dst).as[(Long, String, Double)].collect().toSet ===
+      Set((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0)))
+    assert(Versioned.fsck(spark, dst) === ((1L, 2L, 0L, 0L)),
+      "source-served refs are not 'missing'")
+
+    // clone commit localizes ONLY the touched partition (copy-on-write)
+    Versioned.commit(spark, dst, rows(Seq((1L, "a", 10.0))), "part", Seq("id"))
+    assert(fs.exists(new Path(s"$dst/gen/__gen=3/__p=a")))
+    assert(!fs.exists(new Path(s"$dst/gen/__gen=3/__p=b")), "untouched partition stays shared")
+    // source commit after the clone: neither side sees the other's delta
+    Versioned.commit(spark, src, rows(Seq((3L, "b", 30.0))), "part", Seq("id"))
+    assert(Versioned.readAsOf(spark, dst).as[(Long, String, Double)].collect().toSet ===
+      Set((1L, "a", 10.0), (2L, "a", 2.0), (3L, "b", 3.0)))
+    assert(Versioned.readAsOf(spark, src).as[(Long, String, Double)].collect().toSet ===
+      Set((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 30.0)))
+    // and the clone's base version still reads the clone-time state
+    assert(Versioned.readAsOf(spark, dst, v0).as[(Long, String, Double)].collect().toSet ===
+      Set((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0)))
+  }
+
+  test("materialize localizes shared partitions; scrub refuses until then") {
+    val root = Files.createTempDirectory("graft-clone-mat").toString
+    val src = s"$root/src"
+    val dst = s"$root/clone"
+    Versioned.commit(spark, src, rows(Seq((1L, "a", 1.0), (3L, "b", 3.0))), "part", Seq("id"))
+    val v0 = Versioned.shallowClone(spark, src, dst)
+
+    // scrubbing a still-shared clone must refuse loudly (it would rewrite
+    // the SOURCE's files in place)
+    val boom = intercept[IllegalArgumentException] {
+      graft.operators.Forget.scrubVersioned(spark, dst,
+        Seq(1L).toDF("id"), Seq("id"))
+    }
+    assert(boom.getMessage.contains("materialize"))
+
+    val vMat = Versioned.materialize(spark, dst)
+    assert(vMat === v0 + 1)
+    val fs = new Path(dst).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(s"$dst/gen/__gen=${v0 + 1}/__p=a")))
+    assert(fs.exists(new Path(s"$dst/gen/__gen=${v0 + 1}/__p=b")))
+    assert(Versioned.readAsOf(spark, dst).as[(Long, String, Double)].collect().toSet ===
+      Set((1L, "a", 1.0), (3L, "b", 3.0)), "materialize is content-preserving")
+    // drop the still-shared pre-materialize version, then scrub succeeds
+    Versioned.expire(spark, dst, keep = 1)
+    val rep = graft.operators.Forget.scrubVersioned(spark, dst,
+      Seq(1L).toDF("id"), Seq("id"))
+    assert(rep.rowsRemoved === 1L && rep.rowsRemaining === 1L)
+    assert(Versioned.readAsOf(spark, dst).as[(Long, String, Double)].collect().toSet ===
+      Set((3L, "b", 3.0)))
+    // the source never felt any of it
+    assert(Versioned.readAsOf(spark, src).as[(Long, String, Double)].collect().toSet ===
+      Set((1L, "a", 1.0), (3L, "b", 3.0)))
+  }
 }
