@@ -637,6 +637,124 @@ object Clustering {
         col("n").as("n_train"), col("correct"))
   }
 
+  // --- c8_adaboost: two-round ADABOOST over decision stumps — the
+  // ensemble tier over c4's weak learner (Freund–Schapire: train a
+  // stump, upweight its mistakes, train a second stump on the
+  // reweighted sample, combine by α-weighted vote). Candidate space =
+  // 9 deciles × 2 polarities on n_chars; round-1 errors are exact
+  // integer counts (argmin by (m, kk, pol) — a deterministic 18-row
+  // TakeOrdered, never a data-sized sort). Exactness discipline (c5's
+  // exp/ln rules): α₁ = ½ln((n−m)/m) runs in double on
+  // broadcast-sized inputs and QUANTIZES to DECIMAL(9,6); the two
+  // reweight factors e^{±α} quantize the same way BEFORE any sum, so
+  // round-2 weighted errors are exact order-independent decimal
+  // aggregates and the final vote score α₁h₁ + α₂h₂ is an exact
+  // decimal whose sign both engines agree on bit-for-bit. The
+  // reweighting is NON-vacuous: round 2 selects a different stump at
+  // every gated SF (e.g. sf0.01: (k=2,pol=+) → (k=6,pol=−)). Scale:
+  // two broadcast-candidate passes over the data + one weighted pass —
+  // three partial-aggregated shuffles of 18 rows each; weights never
+  // materialize outside the row they score. ---
+  val c8Adaboost = QueryDef.sql(
+    "c8_adaboost",
+    """WITH docs AS MATERIALIZED (SELECT doc_id, n_chars AS x,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y FROM documents),
+      |b AS (SELECT min(x) AS mn, max(x) AS mx, CAST(count(*) AS BIGINT) AS n FROM docs),
+      |cand AS (SELECT kk, pol FROM (SELECT unnest(range(1, 10)) AS kk) k,
+      |         (SELECT unnest([1, -1]) AS pol) p),
+      |thr AS (SELECT kk, pol, mn + ((mx - mn) * kk) // 10 AS t FROM cand, b),
+      |err1 AS (SELECT kk, pol, t,
+      |    CAST(sum(CASE WHEN (CASE WHEN d.x <= t THEN pol ELSE -pol END) <> d.y
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS m
+      |  FROM docs d, thr GROUP BY kk, pol, t),
+      |pick1 AS MATERIALIZED (SELECT kk, pol, t, m FROM err1 ORDER BY m, kk, pol LIMIT 1),
+      |a1 AS MATERIALIZED (SELECT
+      |    CAST(0.5 * ln((CAST(n AS DOUBLE) - m) / m) AS DECIMAL(9,6)) AS alpha
+      |  FROM pick1, b),
+      |ew AS MATERIALIZED (SELECT
+      |    CAST(exp(CAST(alpha AS DOUBLE)) AS DECIMAL(9,6)) AS wup,
+      |    CAST(exp(-CAST(alpha AS DOUBLE)) AS DECIMAL(9,6)) AS wdn FROM a1),
+      |wts AS MATERIALIZED (SELECT d.doc_id, d.x, d.y,
+      |    CASE WHEN (CASE WHEN d.x <= p.t THEN p.pol ELSE -p.pol END) <> d.y
+      |         THEN ew.wup ELSE ew.wdn END AS w
+      |  FROM docs d, pick1 p, ew),
+      |err2 AS (SELECT kk, pol, t,
+      |    sum(CASE WHEN (CASE WHEN d.x <= t THEN pol ELSE -pol END) <> d.y
+      |        THEN w ELSE CAST(0 AS DECIMAL(9,6)) END) AS m2
+      |  FROM wts d, thr GROUP BY kk, pol, t),
+      |pick2 AS MATERIALIZED (SELECT kk, pol, t, m2 FROM err2 ORDER BY m2, kk, pol LIMIT 1),
+      |sw AS (SELECT sum(w) AS sw FROM wts),
+      |a2 AS MATERIALIZED (SELECT
+      |    CAST(0.5 * ln((CAST(sw AS DOUBLE) - CAST(m2 AS DOUBLE)) / CAST(m2 AS DOUBLE))
+      |      AS DECIMAL(9,6)) AS alpha2
+      |  FROM pick2, sw),
+      |pred AS (SELECT d.doc_id, d.y,
+      |    a1.alpha * (CASE WHEN d.x <= p1.t THEN p1.pol ELSE -p1.pol END)
+      |    + a2.alpha2 * (CASE WHEN d.x <= p2.t THEN p2.pol ELSE -p2.pol END) AS score
+      |  FROM docs d, pick1 p1, pick2 p2, a1, a2),
+      |acc AS (SELECT CAST(count(*) FILTER (WHERE (score >= 0) = (y = 1)) AS BIGINT)
+      |    AS correct FROM pred)
+      |SELECT p1.kk AS k1, p1.pol AS pol1, p1.t AS t1, p1.m AS m1,
+      |  CAST(a1.alpha AS DOUBLE) AS alpha1,
+      |  p2.kk AS k2, p2.pol AS pol2, p2.t AS t2, CAST(p2.m2 AS DOUBLE) AS m2,
+      |  CAST(a2.alpha2 AS DOUBLE) AS alpha2, b.n AS n_docs, acc.correct
+      |FROM pick1 p1, pick2 p2, a1, a2, b, acc""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val docs = T.documents(s, d).select(col("doc_id"), col("n_chars").as("x"),
+      when(col("lang") === "en", 1).otherwise(-1).as("y"))
+    val b = docs.agg(min(col("x")).as("mn"), max(col("x")).as("mx"),
+      count(lit(1)).as("n"))
+    val cand = s.range(1, 10).select(col("id").as("kk"))
+      .crossJoin(Seq(1, -1).toDF("pol"))
+    val thr = cand.crossJoin(broadcast(b))
+      .select(col("kk"), col("pol"), expr("mn + ((mx - mn) * kk) div 10").as("t"))
+    def h(x: Column, t: Column, pol: Column): Column =
+      when(x <= t, pol).otherwise(-pol)
+    val err1 = docs.crossJoin(broadcast(thr))
+      .groupBy(col("kk"), col("pol"), col("t"))
+      .agg(sum(when(h(col("x"), col("t"), col("pol")) =!= col("y"), 1L)
+        .otherwise(0L)).as("m"))
+    val pick1 = err1.orderBy(col("m"), col("kk"), col("pol")).limit(1)
+    val a1 = pick1.crossJoin(broadcast(b))
+      .select((lit(0.5) * log((col("n").cast("double") - col("m")) / col("m")))
+        .cast("decimal(9,6)").as("alpha"))
+    val ew = a1.select(
+      exp(col("alpha").cast("double")).cast("decimal(9,6)").as("wup"),
+      exp(-col("alpha").cast("double")).cast("decimal(9,6)").as("wdn"))
+    val wts = docs
+      .crossJoin(broadcast(pick1.select(col("t").as("t1p"), col("pol").as("pol1p"))))
+      .crossJoin(broadcast(ew))
+      .select(col("doc_id"), col("x"), col("y"),
+        when(h(col("x"), col("t1p"), col("pol1p")) =!= col("y"), col("wup"))
+          .otherwise(col("wdn")).as("w"))
+    val err2 = wts.crossJoin(broadcast(thr))
+      .groupBy(col("kk"), col("pol"), col("t"))
+      .agg(sum(when(h(col("x"), col("t"), col("pol")) =!= col("y"), col("w"))
+        .otherwise(lit(0).cast("decimal(9,6)"))).as("m2"))
+    val pick2 = err2.orderBy(col("m2"), col("kk"), col("pol")).limit(1)
+    val sw = wts.agg(sum(col("w")).as("sw"))
+    val a2 = pick2.crossJoin(broadcast(sw))
+      .select((lit(0.5) * log((col("sw").cast("double") - col("m2").cast("double")) /
+        col("m2").cast("double"))).cast("decimal(9,6)").as("alpha2"))
+    val pred = docs
+      .crossJoin(broadcast(pick1.select(col("t").as("t1p"), col("pol").as("pol1p"))))
+      .crossJoin(broadcast(pick2.select(col("t").as("t2p"), col("pol").as("pol2p"))))
+      .crossJoin(broadcast(a1)).crossJoin(broadcast(a2))
+      .select(col("y"),
+        (col("alpha") * h(col("x"), col("t1p"), col("pol1p")) +
+          col("alpha2") * h(col("x"), col("t2p"), col("pol2p"))).as("score"))
+    val acc = pred.agg(count(when((col("score") >= 0) === (col("y") === 1), 1))
+      .as("correct"))
+    pick1.select(col("kk").as("k1"), col("pol").as("pol1"), col("t").as("t1"),
+        col("m").as("m1"))
+      .crossJoin(broadcast(a1.select(col("alpha").cast("double").as("alpha1"))))
+      .crossJoin(broadcast(pick2.select(col("kk").as("k2"), col("pol").as("pol2"),
+        col("t").as("t2"), col("m2").cast("double").as("m2"))))
+      .crossJoin(broadcast(a2.select(col("alpha2").cast("double").as("alpha2"))))
+      .crossJoin(broadcast(b.select(col("n").as("n_docs"))))
+      .crossJoin(broadcast(acc))
+  }
+
   val all: Seq[QueryDef] = Seq(c1Kmeans, c2Silhouette, d7SemanticDedup, v7NearestCentroid,
-    c3NaiveBayes, c4DecisionStump, c5Logreg)
+    c3NaiveBayes, c4DecisionStump, c5Logreg, c8Adaboost)
 }

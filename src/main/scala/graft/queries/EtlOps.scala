@@ -1294,6 +1294,44 @@ object EtlOps {
       .unionByName(summarize(Versioned.readAsOfStamp(s, tbl, 300L), "asof_300"))
   }
 
+  // --- k36_bloom_index: file-level BLOOM-index point lookup — the
+  // data-skipping cell zone maps can't cover: the probe column is
+  // high-cardinality and the landed layout is UNCLUSTERED (16-way
+  // round-robin), so every file's [min, max] spans the whole key
+  // domain and k29's range index would prune nothing; the per-file
+  // bloom (k = 2 hashes, sparse sorted-position arrays, one
+  // broadcastable row per file) still cuts the probe to the few files
+  // that may hold each key. The gate lands the table, builds the
+  // index, resolves 5 data-derived probe keys through
+  // BloomIndex.lookup (candidate files only + exact re-filter — false
+  // positives cost a file open, never a row), and aggregates; the
+  // oracle computes the same aggregate from the fixture, so a
+  // dropped candidate file (false NEGATIVE — the bug class bloom
+  // must never have) hash-mismatches. BloomIndexSpec pins the actual
+  // skip ratio and the fp-only-overhead property. ---
+  val k36BloomIndex = QueryDef.sql(
+    "k36_bloom_index",
+    """WITH probes AS (SELECT DISTINCT o_custkey FROM orders
+      |  ORDER BY o_custkey LIMIT 5)
+      |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders WHERE o_custkey IN (SELECT o_custkey FROM probes)
+      |GROUP BY o_custkey""".stripMargin) { (s, d) =>
+    import graft.operators.BloomIndex
+    val root = java.nio.file.Files.createTempDirectory("k36-bloom").toString
+    val tbl = s"$root/orders"
+    val idx = s"$root/idx"
+    T.orders(s, d).repartition(16).write.mode("overwrite").parquet(tbl)
+    BloomIndex.build(s, tbl, "o_custkey", idx)
+    val probes: Seq[Long] = T.orders(s, d).select(col("o_custkey")).distinct()
+      .orderBy(col("o_custkey")).limit(5)
+      .collect().map(_.getAs[Number](0).longValue()).toSeq // 5 keys — driver-sized
+    BloomIndex.lookup(s, tbl, idx, "o_custkey", probes)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"))
+  }
+
   // --- k23_zorder_gate: Z-ORDER clustering under the hash gate — the
   // table is rewritten ordered by the bit-interleaved (l_partkey,
   // l_suppkey) code (Maintenance.zorderBy), so parquet row-group min/max
@@ -1844,6 +1882,6 @@ object EtlOps {
     k18FormatRoundtrip, k19ForgetKeys, k20AtomicPublish, k21DynamicOverwrite,
     k22MvRewrite, k23ZorderGate, k24FullMerge, k25RetractableAgg, k26ScrubHistory,
     k28PartitionEvolution, k29ZonemapGate, k31WarehouseCompose, k32VersionDiff, k33ManifestFsck,
-    k34ShallowClone, k35AsofStamp,
+    k34ShallowClone, k35AsofStamp, k36BloomIndex,
     k27WapGate)
 }

@@ -1153,6 +1153,52 @@ object Similarity {
       .select(col("qid"), col("cid"), col("cosine"))
   }
 
+  // --- v20_knn_graph: corpus-wide k-NN GRAPH construction (k = 3) —
+  // every vector's top-3 in-bucket neighbors as DIRECTED edges plus the
+  // mutual-kNN flag: the substrate graph for HNSW-style navigation,
+  // graph-based clustering (mutual-kNN components), and local-density
+  // outlier scores. Differs from v2 (query-set top-k) in being
+  // all-corpus and SELF-joined: the single-table LSH bucket is the
+  // blocking key (v3's shape), candidates never leave their bucket, the
+  // per-node top-3 window partitions by source node, and mutuality is
+  // one self-join of the (already tiny) edge list against itself. At
+  // cluster scale the bucket self-join shuffles each bucket once and
+  // the k·N edge list is the only global artifact — no all-pairs
+  // anywhere (some isolated nodes simply have no in-bucket neighbor:
+  // honest LSH-graph sparsity, the production fix is more tables —
+  // v2's dial). Oracle replays buckets, window, and mutuality. ---
+  val v20KnnGraph = QueryDef.sql(
+    "v20_knn_graph",
+    s"""WITH $sqlSigns,
+       |$sqlBuckets,
+       |pairs AS (SELECT a.vec_id AS qid, b.vec_id AS cid, ea.embedding AS qe, eb.embedding AS ce
+       |          FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |          JOIN embeddings ea ON ea.vec_id = a.vec_id
+       |          JOIN embeddings eb ON eb.vec_id = b.vec_id),
+       |u AS (SELECT qid, cid, unnest(qe) AS x, unnest(ce) AS y FROM pairs),
+       |$sqlDots,
+       |edges AS (SELECT qid, cid, cosine, rank FROM (
+       |    SELECT qid, cid, cosine,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+       |    FROM scored) t
+       |  WHERE rank <= 3)
+       |SELECT e.qid AS src, e.cid AS dst, e.cosine, e.rank,
+       |  EXISTS (SELECT 1 FROM edges r WHERE r.qid = e.cid AND r.cid = e.qid)
+       |    AS mutual
+       |FROM edges e""".stripMargin) { (s, d) =>
+    val emb = bucketed(T.embeddings(s, d).withColumn("q", quantize("embedding")), "q")
+    val a = emb.select(col("vec_id").as("qid"), col("q").as("qeq"), col("bucket"))
+    val b = emb.select(col("vec_id").as("cid"), col("q").as("ceq"), col("bucket"))
+    val edges = scoreTopk(
+      a.join(b, Seq("bucket")).filter(col("qid") =!= col("cid")), k = 3)
+    edges.join(
+        edges.select(col("qid").as("cid"), col("cid").as("qid"),
+          lit(true).as("mutual")),
+        Seq("qid", "cid"), "left")
+      .select(col("qid").as("src"), col("cid").as("dst"), col("cosine"),
+        col("rank"), coalesce(col("mutual"), lit(false)).as("mutual"))
+  }
+
   // --- c6_knn_classifier: k-NEAREST-NEIGHBOR classification (k = 5,
   // majority vote) — the non-parametric classifier completing the
   // supervised tier (c3 Bayes counts, c4 stump, c5 linear, v7 nearest
@@ -1271,5 +1317,5 @@ object Similarity {
     v1KnnBruteforce, v2AnnLsh, v3EmbeddingNeardup, v5AnnIvf, v6RandomProjection,
     v8MmrRerank, v9PqCodes, v10PqAdc, v11Sq8Knn, v12AnnRecall, v13Ivfpq,
     v14BinaryHamming, v15Mips, v16FilteredKnn, v17HybridRrf, v18AnnTombstone,
-    v19RangeSearch, c6KnnClassifier, c7ClassifierEval)
+    v19RangeSearch, v20KnnGraph, c6KnnClassifier, c7ClassifierEval)
 }
