@@ -216,6 +216,53 @@ object Versioned {
     next
   }
 
+  /** Constraint-CHECKED commit — Delta's CHECK / NOT NULL enforcement
+    * at the write path: every named predicate must hold on EVERY delta
+    * row and the delta's key set must be unique, or the commit is
+    * REFUSED with a per-constraint violation report and the table is
+    * untouched (no new version, no orphan generation — the check runs
+    * before any write starts). Enforcement beats the audit-after
+    * (dq1's expectation suite): a violating batch never becomes a
+    * version other readers can see. Cost: ONE aggregate pass over the
+    * delta for all predicates + one key-grouped count for uniqueness —
+    * both delta-sized, never table-sized.
+    *
+    * Returns Right(version) on success, Left((constraint, violations))
+    * on refusal. NULL predicate results count as violations (a CHECK
+    * that can't prove itself true fails, as in SQL standards' WITH
+    * CHECK OPTION — not the permissive CHECK default, because a data
+    * pipeline wants loud nulls). */
+  def commitChecked(
+      spark: SparkSession,
+      path: String,
+      delta: DataFrame,
+      partCol: String,
+      keys: Seq[String],
+      checks: Seq[(String, org.apache.spark.sql.Column)],
+      stamp: Option[Long] = None): Either[Seq[(String, Long)], Long] = {
+    val predAggs = checks.map { case (name, pred) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(name)
+    }
+    val predViolations: Seq[(String, Long)] =
+      if (checks.isEmpty) Nil
+      else {
+        val row = delta.agg(predAggs.head, predAggs.tail: _*).collect()(0)
+        checks.map { case (name, _) =>
+          val i = row.fieldIndex(name)
+          name -> (if (row.isNullAt(i)) 0L else row.getLong(i)) // empty delta
+        }
+      }
+    val dupKeys = delta
+      .groupBy(keys.map(col).toIndexedSeq: _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1)
+      .count() // number of non-unique key groups
+    val violated = predViolations.filter(_._2 > 0) ++
+      (if (dupKeys > 0) Seq("unique_key" -> dupKeys) else Nil)
+    if (violated.nonEmpty) Left(violated)
+    else Right(commit(spark, path, delta, partCol, keys, stamp))
+  }
+
   /** The logical stamp version `v` was committed with, if any. */
   def stampOf(spark: SparkSession, path: String, v: Long): Option[Long] = {
     val m = spark.read.parquet(manifestPath(path, v))

@@ -1332,6 +1332,108 @@ object EtlOps {
         sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("total"))
   }
 
+  // --- k37_incremental_stats: O(changed-partitions) ANALYZE — the
+  // stats-maintenance discipline that keeps optimizer/zone-map feeds
+  // fresh at 100 TB (a full-table ANALYZE after every upsert is why
+  // stats go stale in practice). The gate lands orders stats per
+  // status, upserts a delta touching ONE partition ('O' rows get a
+  // price bump), refreshes stats for exactly the upsert's affected
+  // set (StatsStore.refreshPartitions — a partition-pruned scan + a
+  // dynamic overwrite of just those stats rows), and the oracle
+  // recomputes the post-upsert stats from the fixture: if the
+  // incremental refresh missed the change, double-counted it, or
+  // clobbered an untouched partition's stats, the hash breaks —
+  // incremental ≡ rebuild is the whole contract. ---
+  val k37IncrementalStats = QueryDef.sql(
+    "k37_incremental_stats",
+    """WITH t AS (SELECT o_orderstatus AS st, o_orderkey,
+      |    CASE WHEN o_orderstatus = 'O' AND o_orderkey % 9 = 0
+      |         THEN CAST(o_totalprice AS DECIMAL(12,2)) + 500
+      |         ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS p
+      |  FROM orders)
+      |SELECT st AS o_orderstatus, CAST(count(*) AS BIGINT) AS "rows",
+      |  CAST(min(p) AS DOUBLE) AS min_p, CAST(max(p) AS DOUBLE) AS max_p,
+      |  CAST(0 AS BIGINT) AS nulls_p
+      |FROM t GROUP BY st""".stripMargin) { (s, d) =>
+    import graft.operators.{StatsStore, Upsert}
+    val root = java.nio.file.Files.createTempDirectory("k37-stats").toString
+    val tbl = s"$root/orders"
+    val stats = s"$root/stats"
+    val base = T.orders(s, d).select(col("o_orderstatus").as("st"),
+      col("o_orderkey"), col("o_totalprice").cast("decimal(12,2)").as("p"))
+    base.write.partitionBy("st").parquet(tbl)
+    StatsStore.rebuild(s, tbl, stats, "st", Seq("p"))
+    // keyed upsert whose affected set is ONE partition value
+    val delta = base.filter(col("st") === "O" && col("o_orderkey") % 9 === 0)
+      .withColumn("p", (col("p") + lit(500)).cast("decimal(12,2)"))
+    Upsert.upsertParquet(s, tbl, delta, Seq("o_orderkey"), partitionBy = Seq("st"))
+    StatsStore.refreshPartitions(s, tbl, stats, "st", Seq("p"), changed = Seq("O"))
+    StatsStore.read(s, stats)
+      .select(col("st").as("o_orderstatus"), col("rows"),
+        col("min_p").cast("double").as("min_p"),
+        col("max_p").cast("double").as("max_p"),
+        col("nulls_p"))
+  }
+
+  // --- k38_checked_commit: CONSTRAINT-enforced writes — Delta's
+  // CHECK/NOT NULL at the commit path: the violating batch is REFUSED
+  // (no version, no orphan generation, other readers never see it),
+  // which is the write-side enforcement dq1's audit-after can't give.
+  // The gate commits a clean slice (accepted), then attempts a delta
+  // carrying BOTH violation classes — NULLed prices and duplicated
+  // keys — which must bounce with exact per-constraint counts while
+  // the table stays at the accepted state; the oracle recomputes the
+  // violation counts AND the surviving table's aggregate from the
+  // fixture, so a leaked bad version, a miscounted report, or a
+  // check that silently passes NULLs all hash-mismatch. ---
+  val k38CheckedCommit = QueryDef.sql(
+    "k38_checked_commit",
+    """WITH good AS (SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS p
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |bad AS (SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 20 = 1 THEN NULL
+      |         ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS p
+      |  FROM orders WHERE o_orderkey % 10 = 1),
+      |nullv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bad WHERE p IS NULL),
+      |dupv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bad),
+      |surv AS (SELECT CAST(count(*) AS BIGINT) AS n FROM good)
+      |SELECT 'not_null_price' AS fact, n FROM nullv
+      |UNION ALL SELECT 'unique_key', n FROM dupv
+      |UNION ALL SELECT 'table_rows', n FROM surv""".stripMargin) { (s, d) =>
+    import graft.operators.Versioned
+    val root = java.nio.file.Files.createTempDirectory("k38-check").toString
+    val tbl = s"$root/orders_v"
+    val base = T.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(12,2)").as("p"))
+    val checks = Seq("not_null_price" -> col("p").isNotNull)
+    val good = base.filter(col("o_orderkey") % 3 === 0)
+    val first = Versioned.commitChecked(s, tbl, good, "o_orderstatus",
+      Seq("o_orderkey"), checks)
+    require(first.isRight, s"clean delta must commit: $first")
+    // both violation classes at once: nulls + every key duplicated
+    val badOnce = base.filter(col("o_orderkey") % 10 === 1)
+      .withColumn("p", when(col("o_orderkey") % 20 === 1, lit(null)
+        .cast("decimal(12,2)")).otherwise(col("p")))
+    val bad = badOnce.unionByName(badOnce)
+    val refused = Versioned.commitChecked(s, tbl, bad, "o_orderstatus",
+      Seq("o_orderkey"), checks)
+    val report = refused.swap.getOrElse(
+      throw new IllegalStateException("violating delta must be refused"))
+    require(Versioned.latestVersion(s, tbl) == first.toOption.get,
+      "refused commit must not advance the version")
+    import s.implicits._
+    val reportDf = report.toDF("fact", "n")
+      // the null count is over the doubled delta; report the per-batch
+      // count oracle-side by halving the doubled union's violations
+      .withColumn("n", when(col("fact") === "not_null_price",
+        (col("n") / 2).cast("long")).otherwise(col("n")))
+    val surv = Versioned.readAsOf(s, tbl)
+      .agg(count(lit(1)).as("n"))
+      .select(lit("table_rows").as("fact"), col("n"))
+    reportDf.unionByName(surv)
+  }
+
   // --- k23_zorder_gate: Z-ORDER clustering under the hash gate — the
   // table is rewritten ordered by the bit-interleaved (l_partkey,
   // l_suppkey) code (Maintenance.zorderBy), so parquet row-group min/max
@@ -1882,6 +1984,7 @@ object EtlOps {
     k18FormatRoundtrip, k19ForgetKeys, k20AtomicPublish, k21DynamicOverwrite,
     k22MvRewrite, k23ZorderGate, k24FullMerge, k25RetractableAgg, k26ScrubHistory,
     k28PartitionEvolution, k29ZonemapGate, k31WarehouseCompose, k32VersionDiff, k33ManifestFsck,
-    k34ShallowClone, k35AsofStamp, k36BloomIndex,
+    k34ShallowClone, k35AsofStamp, k36BloomIndex, k37IncrementalStats,
+    k38CheckedCommit,
     k27WapGate)
 }

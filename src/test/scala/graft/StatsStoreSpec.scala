@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.operators.{StatsStore, Versioned}
+
+/** Incremental stats: refresh touches only the changed partitions'
+  * stats rows; incremental ≡ rebuild; checked commits refuse loudly. */
+class StatsStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("refreshPartitions rewrites only the changed partition's stats files") {
+    val root = Files.createTempDirectory("graft-stats").toString
+    val tbl = s"$root/t"; val st = s"$root/stats"
+    Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0))
+      .toDF("id", "part", "v").write.partitionBy("part").parquet(tbl)
+    StatsStore.rebuild(spark, tbl, st, "part", Seq("v"))
+    val fs = new Path(st).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(p: String) = fs.listStatus(new Path(s"$st/part=$p"))
+      .map(s => (s.getPath.getName, s.getModificationTime)).toSet
+    val bBefore = files("b")
+
+    // mutate partition a only, then refresh only a
+    Seq((1L, "a", 99.0)).toDF("id", "part", "v")
+      .write.mode("append").parquet(s"$tbl/part=a")
+    StatsStore.refreshPartitions(spark, tbl, st, "part", Seq("v"), Seq("a"))
+
+    assert(files("b") === bBefore, "untouched partition's stats files must not rewrite")
+    val a = StatsStore.read(spark, st).filter(col("part") === "a")
+      .select(col("rows"), col("max_v")).as[(Long, Double)].collect().head
+    assert(a === ((3L, 99.0)))
+    // incremental result equals a from-scratch rebuild
+    val incr = StatsStore.read(spark, st).orderBy("part")
+      .collect().map(_.toString).toSeq
+    StatsStore.rebuild(spark, tbl, s"$root/stats2", "part", Seq("v"))
+    val full = StatsStore.read(spark, s"$root/stats2").orderBy("part")
+      .collect().map(_.toString).toSeq
+    assert(incr === full)
+  }
+
+  test("commitChecked refuses violating deltas and leaves the table untouched") {
+    val root = Files.createTempDirectory("graft-checked").toString
+    val tbl = s"$root/t"
+    val checks = Seq("v_not_null" -> col("v").isNotNull,
+      "v_positive" -> (col("v") > 0.0))
+    val ok = Versioned.commitChecked(spark, tbl,
+      Seq((1L, "a", 1.0), (2L, "a", 2.0)).toDF("id", "part", "v"),
+      "part", Seq("id"), checks)
+    assert(ok === Right(1L))
+
+    val bad = Seq((3L, "a", Some(-5.0)), (4L, "a", None), (4L, "a", Some(4.0)))
+      .toDF("id", "part", "v")
+    val refused = Versioned.commitChecked(spark, tbl, bad, "part", Seq("id"), checks)
+    assert(refused === Left(Seq("v_not_null" -> 1L, "v_positive" -> 2L,
+      "unique_key" -> 1L)),
+      "NULL fails every predicate (loud-null CHECK) and key 4 is duplicated")
+    assert(Versioned.latestVersion(spark, tbl) === 1L)
+    assert(Versioned.readAsOf(spark, tbl).count() === 2L)
+
+    // empty delta: vacuously clean
+    val empty = Versioned.commitChecked(spark, tbl,
+      Seq.empty[(Long, String, Double)].toDF("id", "part", "v"),
+      "part", Seq("id"), checks)
+    assert(empty.isRight)
+  }
+}
