@@ -216,19 +216,30 @@ object Multimodal {
     /** Deterministic real PCM WAV: mono 16-bit sine at `hz`. */
     def synthesizeWav(hz: Double, ms: Int, sampleRate: Int = 8000): Array[Byte] = {
       val n = sampleRate * ms / 1000
-      val samples = new Array[Byte](n * 2)
+      val samples = new Array[Short](n)
       var i = 0
       while (i < n) {
-        val v = (math.sin(2 * math.Pi * hz * i / sampleRate) * 16384).toInt
-        samples(2 * i) = (v & 0xff).toByte
-        samples(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        samples(i) = (math.sin(2 * math.Pi * hz * i / sampleRate) * 16384).toInt.toShort
+        i += 1
+      }
+      encodeWav(samples, sampleRate)
+    }
+
+    /** Re-encode raw 16-bit mono PCM as a WAV container — the write half
+      * [[decode]] reverses (synthesis and any transform share it). */
+    def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val bytes = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        bytes(2 * i) = (samples(i) & 0xff).toByte
+        bytes(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
         i += 1
       }
       val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
       val bos = new java.io.ByteArrayOutputStream()
       AudioSystem.write(
         new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(samples), fmt, n.toLong),
+          new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong),
         javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
       bos.toByteArray
     }
@@ -354,6 +365,34 @@ object Multimodal {
             (0 until nT).iterator.map(t =>
               TileStats(a.asset_id, t % gx, t / gx, px(t), sr(t), sg(t), sb(t)))
         }
+      }
+    }
+  }
+
+  /** Audio RESAMPLE by integer decimation (keep every `factor`-th
+    * sample) + WAV re-encode — the rate-normalization every audio
+    * training pipeline runs before batching (mixed-rate corpora can't
+    * share a model input layer). Real decode → real re-encode; valid
+    * when content sits below the new Nyquist rate (an anti-alias
+    * low-pass belongs upstream for wideband content — decimation is the
+    * plumbing under any polyphase kernel). Non-audio assets and
+    * undecodable payloads pass through untouched. */
+  def resampleAudio(ds: Dataset[MediaAsset], factor: Int): Dataset[MediaAsset] = {
+    import ds.sparkSession.implicits._
+    require(factor >= 1)
+    ds.mapPartitions { it =>
+      it.map {
+        case a if a.kind == "audio" =>
+          AudioCodec.decode(a.bytes) match {
+            case Some((info, samples)) =>
+              val kept = Array.tabulate(
+                (samples.length + factor - 1) / factor)(j => samples(j * factor))
+              val rate = info.sampleRateHz / factor
+              a.copy(bytes = AudioCodec.encodeWav(kept, rate),
+                meta = a.meta.copy(sampleRateHz = rate))
+            case None => a // corrupt asset: pass through, don't kill the stage
+          }
+        case other => other
       }
     }
   }

@@ -835,6 +835,37 @@ object Graphs {
       .filter(col("s") >= minSup)
   }
 
+  /** Peel to the k-truss FIXED POINT: repeat [[trussPeelRound]] until a
+    * round removes no edge (the truss is closed under its own support
+    * recomputation) or `maxRounds` is exhausted — the convergence-mode
+    * contract the fixed-round g17 gate doesn't need at its SF but a
+    * 100× graph does (ConvergenceSpec's discipline: the probe is ONE
+    * 1-row count on the already-staged survivors, and every round
+    * restages so lineage stays flat). Returns (survivors with their
+    * final support, rounds run). */
+  private[graft] def trussFixpoint(
+      spark: org.apache.spark.sql.SparkSession,
+      e0: DataFrame,
+      minSup: Long,
+      maxRounds: Int,
+      stagePath: String): (DataFrame, Int) = {
+    var cur = e0.select(col("u"), col("v"))
+    var out: DataFrame = null
+    var prevCount = -1L
+    var r = 0
+    while (r < maxRounds) {
+      val kept = trussPeelRound(cur, minSup)
+      kept.write.mode("overwrite").parquet(s"$stagePath/r${r % 2}")
+      out = spark.read.parquet(s"$stagePath/r${r % 2}")
+      val n = out.count() // 1-row probe on the staged survivors
+      r += 1
+      if (n == prevCount) return (out, r)
+      prevCount = n
+      cur = out.select(col("u"), col("v"))
+    }
+    (out, r)
+  }
+
   /** One unrolled SQL truss round `prev` → `t$r` (id-ordered triangle
     * enumeration — orientation changes the plan, not the triangle set).
     * Every round output is MATERIALIZED: DuckDB inlines plain CTEs, so
@@ -897,9 +928,43 @@ object Graphs {
     out.select(col("u"), col("v"), col("s"))
   }
 
+  // --- g18_mutual_knn_clusters: connected components over the MUTUAL
+  // edges of v20's k-NN graph — the semantic-clustering primitive
+  // (mutual-kNN components are the standard "tight cluster" definition:
+  // one-directional attraction to a hub doesn't glue, reciprocated
+  // similarity does; SemDeDup-family pipelines and density clustering
+  // both build on it). Composes two gated layers end-to-end: the LSH
+  // k-NN graph feeds Components' min-label propagation (per-round label
+  // restaging, d6's discipline); the oracle replays the graph AND runs
+  // an exact recursive-CTE closure — so a wrong mutuality flag, a lost
+  // edge, or a mis-propagated label all break one hash. Labels converge
+  // to the per-component minimum vec_id — iteration-order independent. ---
+  val g18MutualKnnClusters = QueryDef.sql(
+    "g18_mutual_knn_clusters",
+    "WITH RECURSIVE knn AS (SELECT * FROM (\n" + Similarity.v20KnnGraph.oracle.get +
+      """
+        |) t),
+        |medges AS (SELECT src AS a, dst AS b FROM knn WHERE mutual
+        |  UNION SELECT dst, src FROM knn WHERE mutual),
+        |nodes AS (SELECT DISTINCT a AS id FROM medges),
+        |reach(a, b) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN medges e ON r.b = e.a)
+        |SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a""".stripMargin) {
+    (s, d) =>
+    val mutual = Similarity.v20KnnGraph.run(s, d)
+      .filter(col("mutual"))
+      .select(col("src").as("a"), col("dst").as("b"))
+    val stage = java.nio.file.Files.createTempDirectory("g18-labels").toString
+    graft.operators.Components.connectedComponents(
+        mutual, restageEvery = 1, stagePath = Some(s"$stage/labels"))
+      .select(col("id").as("vec_id"), col("cluster_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     g1Pagerank, g2TriangleCount, g3LabelProp, g4ShortestPath, g5Assortativity,
     g6LinkPredict, g7NeighborhoodJaccard, g8KCore, g9PersonalizedPr, g10Hits,
     g11CheapestPath, g12Modularity, g13RandomWalks, g14HarmonicCentrality,
-    g15Katz, g16ClusteringCoeff, g17Ktruss)
+    g15Katz, g16ClusteringCoeff, g17Ktruss, g18MutualKnnClusters)
 }

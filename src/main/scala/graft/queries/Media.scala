@@ -354,6 +354,47 @@ object Media {
       .toDF()
   }
 
+  // --- m9_audio_resample: RESAMPLE (decimate ×2, 8 kHz → 4 kHz) + WAV
+  // re-encode + re-decode, end to end — the rate-normalization plumbing
+  // every mixed-rate audio corpus needs before batching. The gate runs
+  // the full codec round trip (decode → keep every 2nd sample →
+  // re-encode → decode AGAIN through decodeAudit), so a header-write
+  // bug, an off-by-one in the kept-sample grid, or a rate-metadata lie
+  // all surface; the oracle recomputes frames / sample sum / zero
+  // crossings / payload size analytically over the DECIMATED synthesis
+  // grid (i ≡ 0 mod 2), codec-independent (m1's discipline). Content
+  // validity: the fixture tones top out at 605 Hz, far under the new
+  // 2 kHz Nyquist (an anti-alias low-pass belongs upstream for
+  // wideband content — documented on the operator). ---
+  val m9AudioResample = QueryDef.sql(
+    "m9_audio_resample",
+    """WITH ids AS (SELECT id FROM generate_series(0,59) t(id)),
+      |aud AS (SELECT id, 220 + (id%8)*55 AS hz, 200 + (id%5)*100 AS ms FROM ids WHERE id%3=1),
+      |smp AS (
+      |  SELECT a.id, gs.i//2 AS j,
+      |    CAST(trunc(sin(2*pi()*a.hz*gs.i/8000) * 16384) AS BIGINT) AS v
+      |  FROM aud a, generate_series(0,4799) gs(i)
+      |  WHERE gs.i < 8*a.ms AND gs.i % 2 = 0),
+      |lagd AS (SELECT id, j, v, lag(v) OVER (PARTITION BY id ORDER BY j) AS prev FROM smp),
+      |astats AS (
+      |  SELECT id, CAST(count(*) AS BIGINT) AS frames,
+      |    CAST(sum(v) AS BIGINT) AS sample_sum,
+      |    CAST(sum(CASE WHEN j>0 AND ((v>=0) != (prev>=0)) THEN 1 ELSE 0 END) AS BIGINT) AS zcr
+      |  FROM lagd GROUP BY id)
+      |SELECT a.id AS asset_id, CAST(4000 AS BIGINT) AS sr_hz, s.frames,
+      |  CAST(a.ms AS BIGINT) AS duration_ms, s.zcr, s.sample_sum,
+      |  CAST(44 + 2*s.frames AS BIGINT) AS payload_bytes
+      |FROM aud a JOIN astats s ON s.id = a.id""".stripMargin) { (s, _) =>
+    Multimodal.decodeAudit(
+      Multimodal.resampleAudio(
+        Multimodal.repartitionForDecode(Multimodal.synthesize(s, 0L until 60L), 8),
+        factor = 2))
+      .toDF()
+      .filter(col("kind") === "audio")
+      .select(col("asset_id"), col("sr_hz"), col("frames"), col("duration_ms"),
+        col("zcr"), col("sample_sum"), col("payload_bytes"))
+  }
+
   val all: Seq[QueryDef] = Seq(m1MediaFeatures, m2ImagePhash, m3AudioEnergy, m4ImageKnn,
-    m5AudioTone, m6ImageNeardup, m7AudioNeardup, m8ImageTiles)
+    m5AudioTone, m6ImageNeardup, m7AudioNeardup, m8ImageTiles, m9AudioResample)
 }

@@ -15,6 +15,28 @@ import org.apache.spark.sql.functions._
 class ConvergenceSpec extends SparkSpec {
   import spark.implicits._
 
+  test("k-truss peel cascades to the fixed point and stops when closed") {
+    // triangle LADDER 1..10 (edges i→i+1, i→i+2): interior edges sit in
+    // exactly 2 triangles but the ENDS sit in 1, so a support≥2 peel
+    // removes the rim, exposes the next edges, and cascades until the
+    // whole ladder dissolves — a genuine multi-round collapse. A K5 on
+    // 100..104 (every edge in 3 triangles) is the stable core the peel
+    // must NOT touch.
+    val ladder = (1 to 9).map(i => (i.toLong, (i + 1).toLong)) ++
+      (1 to 8).map(i => (i.toLong, (i + 2).toLong))
+    val k5 = (100 to 104).combinations(2).map(p => (p(0).toLong, p(1).toLong)).toSeq
+    val edges = (ladder ++ k5).toDF("u", "v")
+    val stage = Files.createTempDirectory("trussfp").toString
+    val (out, rounds) = graft.queries.Graphs.trussFixpoint(
+      spark, edges, minSup = 2L, maxRounds = 20, stagePath = stage)
+    assert(rounds > 2, s"ladder must cascade over multiple rounds (rounds=$rounds)")
+    assert(rounds < 20, s"did not reach the fixed point early (rounds=$rounds)")
+    val surviving = out.select("u", "v").as[(Long, Long)].collect().toSet
+    assert(surviving === k5.toSet, "fixed point must be exactly the K5 core")
+    // closed: every surviving edge carries support >= 2 within the core
+    assert(out.filter(col("s") < 2).count() === 0)
+  }
+
   /** Deep synthetic graph: a directed chain 1→2→…→n. Rank/score mass
     * needs ~n rounds to propagate to the tail, so convergence depth
     * scales with n — the "deep" shape a fixed small budget can't cover. */
