@@ -1465,7 +1465,89 @@ object TrainPrep {
         col("hit").isNull.as("clean"))
   }
 
+  // --- t37_rake_keyphrases: RAKE keyphrase extraction (Rose et al.
+  // 2010) — the unsupervised "what is this document about" primitive
+  // (data cards, topic routing, retrieval expansion) built from three
+  // shapes the engine already speaks: GAPS-AND-ISLANDS (candidate
+  // phrases = maximal stopword-free token runs; island id = running
+  // stopword count, per-doc window), per-doc word statistics
+  // (freq(w) = occurrences in phrases, deg(w) = Σ length of phrases
+  // containing the occurrence — co-occurrence degree), and phrase
+  // score = Σ deg(w)/freq(w) over the phrase's occurrences, top-3 per
+  // doc. Determinism: each word score deg/freq QUANTIZES to
+  // DECIMAL(18,9) before the per-phrase sum (c5's transcendental rule
+  // applied to division), so the sum is an exact order-independent
+  // decimal and the rank tie-breaks on phrase text. The phrase-token
+  // table stages once (three consumers; d6's discipline). Scale: all
+  // joins key on (doc, island) or (doc, word) — partition-local after
+  // one shuffle each; windows partition BY DOC. ---
+  val t37RakeKeyphrases = QueryDef.sql(
+    "t37_rake_keyphrases",
+    s"""WITH tk AS (SELECT doc_id, i, t[i] AS tok
+       |  FROM (SELECT doc_id, $sqlToks AS t FROM documents) toks,
+       |  LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) r),
+       |isl AS (SELECT doc_id, i, tok,
+       |    sum(CASE WHEN tok IN ('the', 'a') THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY i) AS island
+       |  FROM tk),
+       |pw AS MATERIALIZED (SELECT doc_id, island, i, tok FROM isl
+       |  WHERE tok NOT IN ('the', 'a')),
+       |ph AS MATERIALIZED (SELECT doc_id, island,
+       |    string_agg(tok, ' ' ORDER BY i) AS phrase,
+       |    CAST(count(*) AS BIGINT) AS n_words
+       |  FROM pw GROUP BY doc_id, island),
+       |ws AS (SELECT pw.doc_id, pw.tok,
+       |    CAST(count(*) AS BIGINT) AS freq,
+       |    CAST(sum(ph.n_words) AS BIGINT) AS deg
+       |  FROM pw JOIN ph ON ph.doc_id = pw.doc_id AND ph.island = pw.island
+       |  GROUP BY pw.doc_id, pw.tok),
+       |sc AS (SELECT pw.doc_id, pw.island,
+       |    sum(CAST(CAST(ws.deg AS DOUBLE) / ws.freq AS DECIMAL(18,9))) AS score
+       |  FROM pw JOIN ws ON ws.doc_id = pw.doc_id AND ws.tok = pw.tok
+       |  GROUP BY pw.doc_id, pw.island),
+       |ranked AS (SELECT ph.doc_id, ph.phrase, ph.n_words,
+       |    CAST(sc.score AS DOUBLE) AS score,
+       |    row_number() OVER (PARTITION BY ph.doc_id
+       |      ORDER BY sc.score DESC, ph.phrase) AS rnk
+       |  FROM ph JOIN sc ON sc.doc_id = ph.doc_id AND sc.island = ph.island)
+       |SELECT doc_id, phrase, n_words, score, rnk
+       |FROM ranked WHERE rnk <= 3""".stripMargin) { (s, d) =>
+    import graft.functions.TextFns
+    val stopList = Seq("the", "a")
+    val tk = T.documents(s, d)
+      .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))).as(Seq("i0", "tok")))
+      .select(col("doc_id"), (col("i0") + 1).as("i"), col("tok"))
+    val stop = col("tok").isin(stopList: _*)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val stage = java.nio.file.Files.createTempDirectory("t37-pw").toString
+    tk.withColumn("island", sum(when(stop, 1L).otherwise(0L)).over(w))
+      .filter(!stop)
+      .write.mode("overwrite").parquet(stage)
+    val pw = s.read.parquet(stage) // three consumers below — staged once
+    val ph = pw.groupBy(col("doc_id"), col("island"))
+      .agg(sort_array(collect_list(struct(col("i"), col("tok")))).as("st"),
+        count(lit(1)).as("n_words"))
+      .select(col("doc_id"), col("island"), col("n_words"),
+        expr("array_join(transform(st, x -> x.tok), ' ')").as("phrase"))
+    val ws = pw.join(ph.select(col("doc_id"), col("island"), col("n_words")),
+        Seq("doc_id", "island"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("freq"), sum(col("n_words")).as("deg"))
+    val sc = pw.join(ws, Seq("doc_id", "tok"))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(sum((col("deg").cast("double") / col("freq"))
+        .cast("decimal(18,9)")).as("score"))
+    val rw = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("phrase"))
+    ph.join(sc, Seq("doc_id", "island"))
+      .withColumn("rnk", row_number().over(rw))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("phrase"), col("n_words"),
+        col("score").cast("double").as("score"), col("rnk"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    t37RakeKeyphrases,
     t33CorpusPipeline, t34LengthBatching, t35BpeMerges, t36SpanDecontaminate,
     t8PackSequences, t9NgramCounts, t10RedactPii, d5Contamination,
     t11UnigramLogprob, t12Repetition, t14NormalizeText, t15LeakSafeSplit,
