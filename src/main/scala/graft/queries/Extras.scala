@@ -1875,6 +1875,65 @@ object Extras {
           (lit(1) - col("ryz") * col("ryz")))).as("rxy_given_z"))
   }
 
+  // --- a53_kendall_tau: Kendall τ-b per nation between the monthly
+  // revenue and monthly order-count series — the RANK concordance
+  // measure completing the correlation tier (a27 Pearson = linear,
+  // a52 partial = confounder-adjusted; Kendall is the outlier-immune
+  // "do they move together at all"). Entirely INTEGER until the final
+  // closed form: concordant/discordant/tie pair counts are exact
+  // (sign comparisons on exact decimals), τ-b = (C−D)/√((n0−n1)(n0−n2))
+  // with the tie corrections. Pair space is per-nation monthly
+  // (a45's shape — the join keeps its EQUI component on nation, so the
+  // plan is a hash join over calendar-bounded groups, never a
+  // cartesian). ---
+  val a53KendallTau = QueryDef.sql(
+    "a53_kendall_tau",
+    """WITH mr AS (
+      |  SELECT c_nationkey AS nk,
+      |    year(o_orderdate) * 12 + month(o_orderdate) AS m,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |p AS (SELECT a.nk,
+      |    CASE WHEN (a.x < b.x AND a.y < b.y) OR (a.x > b.x AND a.y > b.y)
+      |         THEN 1 ELSE 0 END AS c,
+      |    CASE WHEN (a.x < b.x AND a.y > b.y) OR (a.x > b.x AND a.y < b.y)
+      |         THEN 1 ELSE 0 END AS d,
+      |    CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+      |    CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+      |  FROM mr a JOIN mr b ON a.nk = b.nk AND a.m < b.m),
+      |st AS (SELECT nk, CAST(count(*) AS BIGINT) AS n0,
+      |    CAST(sum(c) AS BIGINT) AS conc, CAST(sum(d) AS BIGINT) AS disc,
+      |    CAST(sum(tx) AS BIGINT) AS n1, CAST(sum(ty) AS BIGINT) AS n2
+      |  FROM p GROUP BY nk)
+      |SELECT nk, n0, conc, disc, n1, n2,
+      |  (conc - disc) / sqrt(CAST(n0 - n1 AS DOUBLE) * (n0 - n2)) AS tau_b
+      |FROM st""".stripMargin) { (s, d) =>
+    val mr = T.orders(s, d)
+      .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("m"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("x"),
+        count(lit(1)).as("y"))
+    val pp = mr.alias("a").join(mr.alias("b"),
+        col("a.nk") === col("b.nk") && col("a.m") < col("b.m"))
+      .select(col("a.nk").as("nk"),
+        when((col("a.x") < col("b.x") && col("a.y") < col("b.y")) ||
+          (col("a.x") > col("b.x") && col("a.y") > col("b.y")), 1L).otherwise(0L).as("c"),
+        when((col("a.x") < col("b.x") && col("a.y") > col("b.y")) ||
+          (col("a.x") > col("b.x") && col("a.y") < col("b.y")), 1L).otherwise(0L).as("d"),
+        when(col("a.x") === col("b.x"), 1L).otherwise(0L).as("tx"),
+        when(col("a.y") === col("b.y"), 1L).otherwise(0L).as("ty"))
+    pp.groupBy(col("nk"))
+      .agg(count(lit(1)).as("n0"), sum(col("c")).as("conc"),
+        sum(col("d")).as("disc"), sum(col("tx")).as("n1"), sum(col("ty")).as("n2"))
+      .select(col("nk"), col("n0"), col("conc"), col("disc"), col("n1"), col("n2"),
+        ((col("conc") - col("disc")) /
+          sqrt((col("n0") - col("n1")).cast("double") *
+            (col("n0") - col("n2")))).as("tau_b"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     a44QuantileNormalize,
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
@@ -1889,6 +1948,6 @@ object Extras {
     a40DowSeasonality, sql8SetopsAll, a41MannWhitney, a42KsTest,
     a43Chi2Independence, a45TheilSen, a46HodgesLehmann, sql9OrderByAll,
     a47TrimmedMean, a48Gini, a49Acf, a50Ccf, a51SeasonalDecompose,
-    a52PartialCorr)
+    a52PartialCorr, a53KendallTau)
 
 }

@@ -1199,6 +1199,70 @@ object Similarity {
         col("rank"), coalesce(col("mutual"), lit(false)).as("mutual"))
   }
 
+  // --- v21_late_interaction: MULTI-VECTOR retrieval with
+  // late-interaction scoring (ColBERT's MaxSim): documents are BAGS of
+  // chunk vectors (here vec_id div 10 = doc, 10 chunks each — the
+  // passage-chunked shape every long-doc retrieval corpus lands in),
+  // and score(q, d) = Σ_{qi∈q} max_{dj∈d} cos(qi, dj) — each query
+  // chunk finds its best counterpart, so partial topical overlap
+  // scores high where a single pooled vector would wash out. The
+  // missing aggregation SHAPE in the vector tier: group-max inside
+  // group-sum across two id levels. Determinism: the max runs on exact
+  // comparisons; each per-query-chunk MaxSim QUANTIZES to DECIMAL(9,6)
+  // BEFORE the sum (c5's rule), making the score an exact decimal.
+  // Scale: the 3-doc query bag broadcasts; candidate chunks never
+  // self-join (chunk-pair fan-out = |q chunks| × corpus, partial-agged
+  // twice down to doc pairs); swap the broadcast for the LSH candidate
+  // path (v2) for unbounded query sets. Top-5 docs per query, self
+  // excluded. ---
+  val v21LateInteraction = QueryDef.sql(
+    "v21_late_interaction",
+    s"""WITH ch AS (SELECT vec_id, vec_id // 10 AS doc, embedding FROM embeddings),
+       |q AS (SELECT vec_id AS qv, doc AS qdoc, embedding AS qe FROM ch WHERE doc < 3),
+       |pr AS (SELECT q.qdoc, q.qv, c.doc AS cdoc, c.vec_id AS cv, q.qe, c.embedding AS ce
+       |       FROM q, ch c WHERE c.doc <> q.qdoc),
+       |u AS (SELECT qv AS qid, cv AS cid, qdoc, cdoc, unnest(qe) AS x, unnest(ce) AS y FROM pr),
+       |dots AS (SELECT qid, cid, qdoc, cdoc,
+       |    sum($sqlQuantU * $sqlQuantV) AS dot,
+       |    sum($sqlQuantU * $sqlQuantU) AS nx,
+       |    sum($sqlQuantV * $sqlQuantV) AS ny
+       |  FROM u GROUP BY qid, cid, qdoc, cdoc),
+       |cs AS (SELECT qid, cid, qdoc, cdoc,
+       |    (CAST(dot AS DOUBLE) / 1e12) /
+       |      (sqrt(CAST(nx AS DOUBLE) / 1e12) * sqrt(CAST(ny AS DOUBLE) / 1e12)) AS cosine
+       |  FROM dots),
+       |mx AS (SELECT qdoc, cdoc, qid,
+       |    CAST(max(cosine) AS DECIMAL(9,6)) AS maxsim
+       |  FROM cs GROUP BY qdoc, cdoc, qid),
+       |sc AS (SELECT qdoc, cdoc, sum(maxsim) AS score FROM mx GROUP BY qdoc, cdoc)
+       |SELECT qdoc, cdoc, CAST(score AS DOUBLE) AS score, rank FROM (
+       |  SELECT qdoc, cdoc, score,
+       |    row_number() OVER (PARTITION BY qdoc ORDER BY score DESC, cdoc) AS rank
+       |  FROM sc) t
+       |WHERE rank <= 5""".stripMargin) { (s, d) =>
+    val ch = T.embeddings(s, d)
+      .withColumn("q", quantize("embedding"))
+      .withColumn("doc", expr("vec_id div 10"))
+    val qs = ch.filter(col("doc") < 3)
+      .select(col("vec_id").as("qv"), col("doc").as("qdoc"), col("q").as("qeq"))
+    val cand = ch.select(col("vec_id").as("cv"), col("doc").as("cdoc"),
+      col("q").as("ceq"))
+    val pairs = cand.crossJoin(broadcast(qs)).filter(col("cdoc") =!= col("qdoc"))
+      .withColumn("dot", dotQ("qeq", "ceq"))
+      .withColumn("nx", dotQ("qeq", "qeq"))
+      .withColumn("ny", dotQ("ceq", "ceq"))
+      .withColumn("cosine", cosine)
+    val mx = pairs.groupBy(col("qdoc"), col("cdoc"), col("qv"))
+      .agg(max(col("cosine")).cast("decimal(9,6)").as("maxsim"))
+    val sc = mx.groupBy(col("qdoc"), col("cdoc"))
+      .agg(sum(col("maxsim")).as("score"))
+    val w = Window.partitionBy(col("qdoc")).orderBy(col("score").desc, col("cdoc"))
+    sc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qdoc"), col("cdoc"), col("score").cast("double").as("score"),
+        col("rank"))
+  }
+
   // --- c6_knn_classifier: k-NEAREST-NEIGHBOR classification (k = 5,
   // majority vote) — the non-parametric classifier completing the
   // supervised tier (c3 Bayes counts, c4 stump, c5 linear, v7 nearest
@@ -1317,5 +1381,6 @@ object Similarity {
     v1KnnBruteforce, v2AnnLsh, v3EmbeddingNeardup, v5AnnIvf, v6RandomProjection,
     v8MmrRerank, v9PqCodes, v10PqAdc, v11Sq8Knn, v12AnnRecall, v13Ivfpq,
     v14BinaryHamming, v15Mips, v16FilteredKnn, v17HybridRrf, v18AnnTombstone,
-    v19RangeSearch, v20KnnGraph, c6KnnClassifier, c7ClassifierEval)
+    v19RangeSearch, v20KnnGraph, v21LateInteraction, c6KnnClassifier,
+    c7ClassifierEval)
 }
