@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Column-level masking policies — the ENFORCEMENT half of data
+  * governance ([[graft.plans.ColumnLineage.sensitiveReach]] finds where
+  * sensitive values flow; this makes the protected VIEW of a table that
+  * untrusted consumers read). Three standard policy shapes:
+  *
+  *   - [[hash]]: deterministic SHA-256 pseudonymization — joins and
+  *     group-bys on the masked column still work (same input, same
+  *     token) but values don't reverse. Salt it for non-linkability
+  *     across releases.
+  *   - [[redact]]: constant replacement — for free-text columns where
+  *     even a pseudonym leaks (addresses, comments).
+  *   - [[generalizeNumeric]]: bucket to a step's lower bound via
+  *     floor-division in exact integer units — the k-anonymity
+  *     generalization move (dq2's audit counts what this produces).
+  *     Floor (not truncate-toward-zero) so negative values land in the
+  *     bucket BELOW zero, keeping buckets uniform across the sign
+  *     boundary — and keeping engine parity (SQL floor division).
+  *
+  * Pure column transforms: masking composes into any plan, pushes
+  * through Catalyst like any projection, and costs one codegen'd pass. */
+object Masking {
+
+  def hash(c: Column): Column = sha2(c.cast("string"), 256)
+
+  def redact: Column = lit("REDACTED")
+
+  /** Lower bound of `c`'s `step`-sized bucket, in integer units of the
+    * column (scale via `unitScale` for decimals, e.g. 100 for cents). */
+  def generalizeNumeric(c: Column, step: Long, unitScale: Int = 1): Column =
+    (floor((c * unitScale).cast("double") / (step * unitScale)) * step).cast("long")
+
+  /** Apply named per-column policies; unlisted columns pass through. */
+  def mask(df: DataFrame, policies: Map[String, Column => Column]): DataFrame =
+    df.select(df.columns.toIndexedSeq.map { c =>
+      policies.get(c).map(p => p(col(c)).as(c)).getOrElse(col(c))
+    }: _*)
+}

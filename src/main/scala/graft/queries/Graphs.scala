@@ -962,12 +962,18 @@ object Graphs {
         |  SELECT r.a, e.b FROM reach r JOIN medges e ON r.b = e.a)
         |SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a""".stripMargin) {
     (s, d) =>
-    val mutual = Similarity.v20KnnGraph.run(s, d)
+    val stage = java.nio.file.Files.createTempDirectory("g18-labels").toString
+    // stage the mutual edge list ONCE: Components re-reads its edge
+    // frame every round, and an unstaged frame would re-execute the
+    // whole LSH + rescore lineage per round (measured 16.7 s → edges
+    // staged: the rounds pay a tiny parquet read instead)
+    Similarity.v20KnnGraph.run(s, d)
       .filter(col("mutual"))
       .select(col("src").as("a"), col("dst").as("b"))
-    val stage = java.nio.file.Files.createTempDirectory("g18-labels").toString
+      .write.mode("overwrite").parquet(s"$stage/edges")
     graft.operators.Components.connectedComponents(
-        mutual, restageEvery = 1, stagePath = Some(s"$stage/labels"))
+        s.read.parquet(s"$stage/edges"),
+        restageEvery = 1, stagePath = Some(s"$stage/labels"))
       .select(col("id").as("vec_id"), col("cluster_id"))
   }
 

@@ -671,8 +671,36 @@ object Quality {
     row("value", "vb", "vc").unionByName(row("props", "pb", "pc"))
   }
 
+  // --- dq15_masking_policy: column-level MASKING enforcement — the
+  // governance half that acts (ColumnLineage.sensitiveReach finds where
+  // sensitive values flow; Masking.mask produces the protected view
+  // untrusted consumers actually read). Three policy shapes in one
+  // gate: SHA-256 pseudonymization of the identifying name (joinable,
+  // irreversible), constant redaction of the segment, and k-anonymity
+  // numeric generalization of the balance (floor-division to the
+  // $100 bucket's lower bound — FLOOR, not truncate-toward-zero, so
+  // negative balances bucket uniformly across the sign boundary; both
+  // engines compute the identical SQL floor). The oracle applies the
+  // same policies in SQL — SHA-256 is bit-identical across engines, so
+  // the hash gate covers every masked cell. Pure projection: masking
+  // costs one codegen'd pass and composes into any plan. ---
+  val dq15MaskingPolicy = QueryDef.sql(
+    "dq15_masking_policy",
+    """SELECT c_custkey, sha256(c_name) AS c_name, c_nationkey,
+      |  CAST(floor(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS DOUBLE)
+      |    / 10000) * 100 AS BIGINT) AS c_acctbal,
+      |  'REDACTED' AS c_mktsegment
+      |FROM customer""".stripMargin) { (s, d) =>
+    import graft.operators.Masking
+    Masking.mask(T.customer(s, d), Map(
+      "c_name" -> Masking.hash,
+      "c_acctbal" -> (c => Masking.generalizeNumeric(
+        c.cast("decimal(12,2)"), step = 100L, unitScale = 100)),
+      "c_mktsegment" -> (_ => Masking.redact)))
+  }
+
   val all: Seq[QueryDef] = Seq(dq1Expectations, dq2KAnonymity, dq3RefIntegrity, dq4DriftPsi,
     dq5Freshness, dq6Benford, dq7OutlierIqr, dq8Reconciliation, dq9LDiversity,
     dq10TCloseness, dq11BoundedContribution, dq12FdViolations, dq13SchemaDrift,
-    dq14NullDrift)
+    dq14NullDrift, dq15MaskingPolicy)
 }

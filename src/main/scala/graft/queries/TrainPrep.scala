@@ -1546,7 +1546,69 @@ object TrainPrep {
         col("score").cast("double").as("score"), col("rnk"))
   }
 
+  // --- t38_zipf_fit: rank-frequency (Zipf) law fit over the corpus
+  // vocabulary — the one-number corpus-health diagnostic (natural text
+  // sits near slope −1; a flat slope screams synthetic/templated data —
+  // this fixture duly reports ≈ −0.18): ln f = α + β·ln r by OLS over
+  // the full rank-frequency curve. Rank is the GLOBAL order by
+  // (freq DESC, token) — computed with a36's two-pass machinery (range-
+  // partitioned sort, per-partition counts, broadcast offsets), never a
+  // partition-less window, so the vocab frame ranks in parallel at any
+  // vocabulary size. Both logs quantize to DECIMAL(12,9) BEFORE the
+  // sufficient-statistic sums (t11's ln discipline), making the OLS
+  // inputs exact decimals; only the closed form runs in double. Scale:
+  // one data-sized token reduce; everything after is vocabulary-sized. ---
+  val t38ZipfFit = QueryDef.sql(
+    "t38_zipf_fit",
+    s"""WITH tok AS (SELECT unnest($sqlToks) AS t FROM documents),
+       |tf AS (SELECT t, CAST(count(*) AS BIGINT) AS f FROM tok GROUP BY t),
+       |rk AS (SELECT t, f, row_number() OVER (ORDER BY f DESC, t) AS r FROM tf),
+       |pts AS (SELECT CAST(ln(r) AS DECIMAL(12,9)) AS x,
+       |               CAST(ln(f) AS DECIMAL(12,9)) AS y FROM rk),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+       |             sum(x*y) AS sxy, sum(x*x) AS sxx FROM pts)
+       |SELECT n,
+       |  (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+       |  (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS zipf_slope,
+       |  (CAST(sy AS DOUBLE) -
+       |    (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+       |    (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+       |    CAST(sx AS DOUBLE)) / n AS intercept
+       |FROM s""".stripMargin) { (s, d) =>
+    import graft.functions.TextFns
+    val tf = T.documents(s, d)
+      .select(explode(TextFns.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("f"))
+    // two-pass global rank over (f DESC, t): range-partitioned sort,
+    // per-partition counts, broadcast offsets — a36's discipline
+    val sorted = tf.orderBy(col("f").desc, col("t")).select(col("f"))
+    val rdd = sorted.rdd
+    val counts = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2) // one count per partition
+    val offsets = counts.scanLeft(0L)(_ + _).dropRight(1)
+    val bc = s.sparkContext.broadcast(offsets)
+    val ranked = rdd.mapPartitionsWithIndex { (i, it) =>
+      var r = bc.value(i)
+      it.map { row => r += 1; org.apache.spark.sql.Row(row.getLong(0), r) }
+    }
+    val rk = s.createDataFrame(ranked, new org.apache.spark.sql.types.StructType()
+      .add("f", org.apache.spark.sql.types.LongType, nullable = false)
+      .add("r", org.apache.spark.sql.types.LongType, nullable = false))
+    val pts = rk.select(log(col("r").cast("double")).cast("decimal(12,9)").as("x"),
+      log(col("f").cast("double")).cast("decimal(12,9)").as("y"))
+    val st = pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    def dbl(c: String) = col(c).cast("double")
+    val slope = (dbl("n") * dbl("sxy") - dbl("sx") * dbl("sy")) /
+      (dbl("n") * dbl("sxx") - dbl("sx") * dbl("sx"))
+    st.select(col("n"), slope.as("zipf_slope"),
+      ((dbl("sy") - slope * dbl("sx")) / dbl("n")).as("intercept"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    t38ZipfFit,
     t37RakeKeyphrases,
     t33CorpusPipeline, t34LengthBatching, t35BpeMerges, t36SpanDecontaminate,
     t8PackSequences, t9NgramCounts, t10RedactPii, d5Contamination,
