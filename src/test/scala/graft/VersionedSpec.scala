@@ -156,6 +156,33 @@ class VersionedSpec extends SparkSpec {
       Set((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0)))
   }
 
+  test("clone of a clone resolves through the source chain; cloning an older version works") {
+    val root = Files.createTempDirectory("graft-clone-chain").toString
+    val src = s"$root/src"
+    val c1 = s"$root/c1"
+    val c2 = s"$root/c2"
+    Versioned.commit(spark, src, rows(Seq((1L, "a", 1.0), (3L, "b", 3.0))), "part", Seq("id"))
+    Versioned.commit(spark, src, rows(Seq((1L, "a", 10.0))), "part", Seq("id"))
+
+    // clone at the OLDER version: reads v1's state, not the head
+    val v1clone = s"$root/old"
+    Versioned.shallowClone(spark, src, v1clone, version = 1)
+    assert(Versioned.readAsOf(spark, v1clone).as[(Long, String, Double)].collect().toSet ===
+      Set((1L, "a", 1.0), (3L, "b", 3.0)))
+
+    // chain: src -> c1 (localizes partition a) -> c2
+    Versioned.shallowClone(spark, src, c1)
+    Versioned.commit(spark, c1, rows(Seq((1L, "a", 99.0))), "part", Seq("id"))
+    Versioned.shallowClone(spark, c1, c2)
+    // c2 serves a from c1's local gen and b from the ORIGINAL src —
+    // two hops of source-chain resolution in one read
+    assert(Versioned.readAsOf(spark, c2).as[(Long, String, Double)].collect().toSet ===
+      Set((1L, "a", 99.0), (3L, "b", 3.0)))
+    val fs = new Path(c2).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$c2/gen")), "chained clone is still zero-copy")
+    assert(Versioned.fsck(spark, c2)._3 === 0L, "no ref may count missing through the chain")
+  }
+
   test("materialize localizes shared partitions; scrub refuses until then") {
     val root = Files.createTempDirectory("graft-clone-mat").toString
     val src = s"$root/src"
