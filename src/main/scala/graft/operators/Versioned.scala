@@ -263,6 +263,29 @@ object Versioned {
     else Right(commit(spark, path, delta, partCol, keys, stamp))
   }
 
+  /** STREAMING subscription to this table's commits — the change-feed
+    * read (Delta CDF's upsert-only shape): every [[commit]] lands its
+    * affected partitions as NEW files under a fresh generation
+    * directory, and Structured Streaming's file source discovers
+    * exactly those, so each micro-batch carries the POST-IMAGE rows of
+    * the partitions that commit rewrote (keyed last-wins by `__gen`
+    * reconstructs any point of the table — compacted-topic semantics;
+    * no before-images). `__gen`/`__p` ride along as columns from the
+    * directory layout. Consumers should drop rows whose (`__p`,
+    * `__gen`) pair is not referenced by a retained manifest if crash
+    * debris must never surface (an orphan generation is invisible to
+    * readers but its files exist — the e34 gate demonstrates the
+    * manifest-filtered fold). `schema` is the DATA schema (without
+    * `__gen`/`__p`). */
+  def followChanges(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("basePath", genRoot(path))
+      .parquet(s"${genRoot(path)}/*/*")
+
   /** The logical stamp version `v` was committed with, if any. */
   def stampOf(spark: SparkSession, path: String, v: Long): Option[Long] = {
     val m = spark.read.parquet(manifestPath(path, v))

@@ -1715,6 +1715,77 @@ object Events {
     }
   }
 
+  // --- e34_table_follow: STREAMING SUBSCRIPTION to a versioned table —
+  // the read half of e33's sink (together: lakehouse in, lakehouse
+  // out): every Versioned.commit lands its affected partitions as new
+  // files under a fresh generation, and the file-stream source
+  // discovers exactly those, so a downstream job FOLLOWS the table
+  // (Delta change-feed's upsert-only shape — post-images keyed
+  // last-wins by `__gen`, compacted-topic semantics). The gate commits
+  // three keyed versions, streams the generation files through the
+  // exactly-once file sink, then reconstructs the CURRENT state by
+  // joining the streamed rows against the LATEST manifest's
+  // (partition, generation) references — the manifest filter is the
+  // point: superseded generations and crash debris die there, so the
+  // fold equals readAsOf(latest) and the oracle's replay of the three
+  // deltas. At 100 TB the feed is file-discovery incremental (each
+  // micro-batch carries one commit's rewritten partitions, never the
+  // table). ---
+  val e34TableFollow = QueryDef.sql(
+    "e34_table_follow",
+    """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+      |s3 AS (SELECT k, st,
+      |    CASE WHEN k % 4 = 2 THEN p + 75
+      |         WHEN k % 6 = 0 THEN p + 50 ELSE p END AS p
+      |  FROM base WHERE k % 2 = 0)
+      |SELECT st AS o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(p) AS DOUBLE) AS total
+      |FROM s3 GROUP BY st""".stripMargin) { (s, d) =>
+    withStatePartitions(s, 4) {
+    import graft.operators.Versioned
+    val root = java.nio.file.Files.createTempDirectory("e34-follow").toString
+    val tbl = s"$root/orders_v"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val base = T.orders(s, d).select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("st"), col("o_totalprice").cast("decimal(12,2)").as("p"))
+    Versioned.commit(s, tbl, base.filter(col("k") % 2 === 0), "st", Seq("k"))
+    Versioned.commit(s, tbl,
+      base.filter(col("k") % 6 === 0)
+        .withColumn("p", (col("p") + lit(50)).cast("decimal(12,2)")),
+      "st", Seq("k"))
+    Versioned.commit(s, tbl,
+      base.filter(col("k") % 4 === 2)
+        .withColumn("p", (col("p") + lit(75)).cast("decimal(12,2)")),
+      "st", Seq("k"))
+    val stream = Versioned.followChanges(s, tbl,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("st",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("p",
+          org.apache.spark.sql.types.DecimalType(12, 2)))))
+    val q = stream.writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // reconstruct the CURRENT state: manifest-filter the streamed rows
+    // to the latest version's (partition, generation) refs
+    import s.implicits._
+    val live = Versioned
+      .manifestRefs(s, tbl, Versioned.latestVersion(s, tbl))
+      .toDF("__p", "__gen")
+    s.read.parquet(out)
+      .join(broadcast(live), Seq("__p", "__gen"))
+      .groupBy(col("st"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).cast("double").as("total"))
+      .select(col("st").as("o_orderstatus"), col("n"), col("total"))
+    }
+  }
+
   /** Registered queries that drive a REAL Structured Streaming run
     * (readStream → writeStream with checkpoint/state-store commits).
     * Bench reports these under a separate `stream_total`: their cost is
@@ -1728,7 +1799,8 @@ object Events {
     "e21_stream_outer_join", "e29_stream_full_outer",
     "e22_transform_with_state", "e23_state_map", "e24_state_list",
     "e25_chained_agg", "e26_session_window", "e31_stream_static_join",
-    "e32_stream_semi_join", "e33_stream_versioned_sink")
+    "e32_stream_semi_join", "e33_stream_versioned_sink",
+    "e34_table_follow")
 
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
@@ -1740,5 +1812,5 @@ object Events {
     e21StreamOuterJoin, e22TransformWithState, e23StateMap, e24StateList,
     e25ChainedAgg, e26SessionWindow, e27SequenceMatch, e28VariantExtract,
     e29StreamFullOuter, e30Attribution, e31StreamStaticJoin, e32StreamSemiJoin,
-    e33StreamVersionedSink)
+    e33StreamVersionedSink, e34TableFollow)
 }
