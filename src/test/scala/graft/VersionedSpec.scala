@@ -183,6 +183,35 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.fsck(spark, c2)._3 === 0L, "no ref may count missing through the chain")
   }
 
+  test("followChanges discovers each commit's files incrementally across restarts") {
+    val root = Files.createTempDirectory("graft-follow").toString
+    val tbl = s"$root/t"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    Versioned.commit(spark, tbl, rows(Seq((1L, "a", 1.0), (3L, "b", 3.0))), "part", Seq("id"))
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+      .add("part", org.apache.spark.sql.types.StringType)
+      .add("value", org.apache.spark.sql.types.DoubleType)
+    def drain(): Unit = {
+      val q = Versioned.followChanges(spark, tbl, schema)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(out).count() === 2, "first drain = v1's two rows")
+
+    // a commit touching ONE partition: the resumed stream must pick up
+    // exactly that generation's files (merged partition a: ids 1 and 2)
+    Versioned.commit(spark, tbl, rows(Seq((2L, "a", 2.0))), "part", Seq("id"))
+    drain()
+    val byGen = spark.read.parquet(out).groupBy(col("__gen")).count()
+      .as[(Int, Long)].collect().toMap
+    assert(byGen === Map(1 -> 2L, 2 -> 2L),
+      "second drain adds ONLY generation 2's rewritten partition (2 rows)")
+  }
+
   test("materialize localizes shared partitions; scrub refuses until then") {
     val root = Files.createTempDirectory("graft-clone-mat").toString
     val src = s"$root/src"
