@@ -1759,6 +1759,55 @@ object Extras {
   // calendar-sized (~2 400 rows) — broadcast joins, 7-row seasonal
   // table. Only days with a full ±3-day window decompose (standard
   // edge loss). ---
+  /** a51's decomposition pipeline, shared with a54: per full-window day,
+    * (di, phase, x decimal, w7 decimal, seasonal double). */
+  private def seasonalDecomposed(s: SparkSession, d: String): DataFrame = {
+    val daily = T.orders(s, d)
+      .groupBy(datediff(col("o_orderdate").cast("date"), lit("1992-01-01")).as("di"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("x"))
+    val off = s.range(-3, 4).select(col("id").cast("int").as("k"))
+    val w = daily.crossJoin(broadcast(off))
+      .select(col("di"), (col("di") + col("k")).as("dj"), col("x"))
+      .join(daily.select(col("di").as("dj"), col("x").as("xb")), Seq("dj"))
+      .groupBy(col("di"))
+      .agg(count(lit(1)).as("nw"), sum(col("xb")).as("w7"),
+        min(col("x")).cast("decimal(18,2)").as("x"))
+      .filter(col("nw") === 7)
+    val det = w.select(col("di"), col("x"), col("w7"), (col("di") % 7).as("phase"),
+      (lit(BigDecimal(7)).cast("decimal(2,0)") * col("x") - col("w7")).as("d7"))
+    val ph = det.groupBy(col("phase"))
+      .agg(count(lit(1)).as("n"), sum(col("d7")).as("sd"))
+    val tot = ph.agg(sum(col("n")).as("nn"), sum(col("sd")).as("sdd"))
+    val seas = ph.crossJoin(broadcast(tot))
+      .select(col("phase"),
+        (col("sd").cast("double") / (lit(7.0) * col("n")) -
+          col("sdd").cast("double") / (lit(7.0) * col("nn"))).as("seasonal"))
+    det.join(broadcast(seas), Seq("phase"))
+      .select(col("di"), col("phase"), col("x"), col("w7"), col("seasonal"))
+  }
+
+  /** The shared a51/a54 SQL CTE chain ending in `comp(di, phase, x, w7,
+    * seasonal)` — mirrors [[seasonalDecomposed]]. */
+  private val sqlSeasonalComp =
+    """daily AS (SELECT
+      |    date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS di,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+      |  FROM orders GROUP BY 1),
+      |off AS (SELECT unnest(range(-3, 4)) AS k),
+      |w AS (SELECT a.di, count(*) AS nw, sum(b.x) AS w7, CAST(min(a.x) AS DECIMAL(18,2)) AS x
+      |  FROM daily a JOIN off ON TRUE JOIN daily b ON b.di = a.di + k
+      |  GROUP BY a.di HAVING count(*) = 7),
+      |det AS (SELECT di, x, w7, di % 7 AS phase,
+      |    CAST(7 AS DECIMAL(2,0)) * x - w7 AS d7
+      |  FROM w),
+      |ph AS (SELECT phase, CAST(count(*) AS BIGINT) AS n, sum(d7) AS sd FROM det GROUP BY phase),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, sum(sd) AS sdd FROM ph),
+      |seas AS (SELECT phase,
+      |    CAST(sd AS DOUBLE) / (7.0 * n) - CAST(sdd AS DOUBLE) / (7.0 * nn) AS seasonal
+      |  FROM ph, tot),
+      |comp AS (SELECT det.di, det.phase, det.x, det.w7, seas.seasonal
+      |  FROM det JOIN seas ON det.phase = seas.phase)""".stripMargin
+
   val a51SeasonalDecompose = QueryDef.sql(
     "a51_seasonal_decompose",
     """WITH daily AS (SELECT
@@ -1934,6 +1983,66 @@ object Extras {
             (col("n0") - col("n2")))).as("tau_b"))
   }
 
+  // --- a54_deseasonal_anomaly: anomaly flags on the DESEASONALIZED
+  // revenue series — a51's residuals screened by a robust PER-PHASE
+  // median/MAD rule (|resid − med| > 3·MAD): raw-series rules fire on
+  // every weekend (e6's lesson at the daily grain); decomposing first
+  // means the flag marks "abnormal FOR this weekday". Both medians are
+  // EXACT positional selections via a21's cumulative-count pattern
+  // with windows partitioned BY PHASE (never partition-less); the
+  // residual doubles are a51's verified arithmetic, so selection and
+  // comparison are deterministic at any parallelism. MAD = 0
+  // degenerates to no-flag (a constant phase has no scale to exceed).
+  // Composes two gated layers: decomposition (a51's pipeline, shared
+  // helper) and the robust screen. ---
+  val a54DeseasonalAnomaly = QueryDef.sql(
+    "a54_deseasonal_anomaly",
+    s"""WITH $sqlSeasonalComp,
+       |r AS (SELECT di, phase,
+       |    CAST(x AS DOUBLE) - CAST(w7 AS DOUBLE) / 7.0 - seasonal AS resid
+       |  FROM comp),
+       |vc AS (SELECT phase, resid AS v, CAST(count(*) AS BIGINT) AS c
+       |  FROM r GROUP BY phase, resid),
+       |tt AS (SELECT phase, CAST(sum(c) AS BIGINT) AS n FROM vc GROUP BY phase),
+       |cum AS (SELECT phase, v,
+       |    CAST(sum(c) OVER (PARTITION BY phase ORDER BY v) AS BIGINT) AS cc FROM vc),
+       |med AS (SELECT cum.phase, min(v) AS med
+       |  FROM cum JOIN tt USING (phase) WHERE 2 * cc >= n GROUP BY cum.phase),
+       |ad AS (SELECT r.di, r.phase, r.resid, med.med,
+       |    abs(r.resid - med.med) AS adev
+       |  FROM r JOIN med ON med.phase = r.phase),
+       |avc AS (SELECT phase, adev AS v, CAST(count(*) AS BIGINT) AS c
+       |  FROM ad GROUP BY phase, adev),
+       |acum AS (SELECT phase, v,
+       |    CAST(sum(c) OVER (PARTITION BY phase ORDER BY v) AS BIGINT) AS cc FROM avc),
+       |mad AS (SELECT acum.phase, min(v) AS mad
+       |  FROM acum JOIN tt USING (phase) WHERE 2 * cc >= n GROUP BY acum.phase)
+       |SELECT ad.di, ad.phase, ad.resid, ad.med, mad.mad,
+       |  CASE WHEN mad.mad > 0 THEN ad.adev > 3 * mad.mad ELSE FALSE END AS is_anomaly
+       |FROM ad JOIN mad ON mad.phase = ad.phase""".stripMargin) { (s, d) =>
+    val r = seasonalDecomposed(s, d).select(col("di"), col("phase"),
+      (col("x").cast("double") - col("w7").cast("double") / lit(7.0) -
+        col("seasonal")).as("resid"))
+    def phaseMedian(vals: DataFrame, vCol: String, out: String): DataFrame = {
+      val vc = vals.groupBy(col("phase"), col(vCol).as("v"))
+        .agg(count(lit(1)).as("c"))
+      val tt = vc.groupBy(col("phase")).agg(sum(col("c")).as("n"))
+      val cum = vc.withColumn("cc", sum(col("c")).over(
+        Window.partitionBy(col("phase")).orderBy(col("v"))))
+      cum.join(broadcast(tt), Seq("phase"))
+        .filter(lit(2) * col("cc") >= col("n"))
+        .groupBy(col("phase")).agg(min(col("v")).as(out))
+    }
+    val med = phaseMedian(r, "resid", "med")
+    val ad = r.join(broadcast(med), Seq("phase"))
+      .withColumn("adev", abs(col("resid") - col("med")))
+    val mad = phaseMedian(ad, "adev", "mad")
+    ad.join(broadcast(mad), Seq("phase"))
+      .select(col("di"), col("phase"), col("resid"), col("med"), col("mad"),
+        when(col("mad") > 0, col("adev") > lit(3) * col("mad"))
+          .otherwise(lit(false)).as("is_anomaly"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     a44QuantileNormalize,
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
@@ -1948,6 +2057,6 @@ object Extras {
     a40DowSeasonality, sql8SetopsAll, a41MannWhitney, a42KsTest,
     a43Chi2Independence, a45TheilSen, a46HodgesLehmann, sql9OrderByAll,
     a47TrimmedMean, a48Gini, a49Acf, a50Ccf, a51SeasonalDecompose,
-    a52PartialCorr, a53KendallTau)
+    a52PartialCorr, a53KendallTau, a54DeseasonalAnomaly)
 
 }
