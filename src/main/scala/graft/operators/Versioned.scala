@@ -398,6 +398,44 @@ object Versioned {
     next
   }
 
+  /** What [[expire]] WOULD reclaim at `keep` — the dry run every
+    * retention change deserves before it deletes history: (versions
+    * that would lose their manifests, generation partition dirs that
+    * would be reclaimed, dirs that survive because a retained version
+    * still references them). Metadata-only (manifest reads + one
+    * directory listing), same resolution as expire itself — so the
+    * report IS expire's plan, not an estimate. */
+  def expireDryRun(
+      spark: SparkSession, path: String, keep: Int): (Seq[Long], Long, Long) = {
+    require(keep >= 1)
+    val fs = fsOf(spark, path)
+    val latest = latestVersion(spark, path)
+    if (latest == 0) return (Nil, 0L, 0L)
+    val retained = ((latest - keep + 1) max 1L) to latest
+    val droppedVersions = retainedVersions(spark, path).filter(_ < retained.head)
+    val live: Set[(String, Long)] = retained
+      .filter(v => fs.exists(new Path(manifestPath(path, v), "_SUCCESS")))
+      .flatMap(v => manifestRefs(spark, path, v)).toSet
+    val gRoot = new Path(genRoot(path))
+    var reclaim = 0L
+    var kept = 0L
+    if (fs.exists(gRoot)) fs.listStatus(gRoot).foreach { gSt =>
+      val gName = gSt.getPath.getName
+      if (gName.startsWith("__gen=")) {
+        val g = gName.stripPrefix("__gen=").toLong
+        fs.listStatus(gSt.getPath)
+          .filter(_.getPath.getName.startsWith("__p="))
+          .filterNot(p => p.getPath.getName.endsWith("__new") ||
+            p.getPath.getName.endsWith("__old"))
+          .foreach { pSt =>
+            val p = pSt.getPath.getName.stripPrefix("__p=")
+            if (live((p, g))) kept += 1 else reclaim += 1
+          }
+      }
+    }
+    (droppedVersions, reclaim, kept)
+  }
+
   /** Drop all but the last `keep` versions and every generation
     * directory no retained manifest references. Readers of retained
     * versions are unaffected (their files are never touched). */

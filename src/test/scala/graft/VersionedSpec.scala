@@ -183,6 +183,21 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.fsck(spark, c2)._3 === 0L, "no ref may count missing through the chain")
   }
 
+  test("expireDryRun reports exactly what expire then reclaims") {
+    val tbl = freshTbl()
+    Versioned.commit(spark, tbl, rows(Seq((1L, "a", 1.0), (3L, "b", 3.0))), "part", Seq("id"))
+    Versioned.commit(spark, tbl, rows(Seq((1L, "a", 10.0))), "part", Seq("id"))
+    Versioned.commit(spark, tbl, rows(Seq((1L, "a", 100.0))), "part", Seq("id"))
+    // keep=2 retains v2,v3: a@1 is unreferenced (reclaim); b@1 survives
+    // (v2 and v3 still carry it); a@2, a@3 live
+    val (dropped, reclaim, kept) = Versioned.expireDryRun(spark, tbl, keep = 2)
+    assert(dropped === Seq(1L) && reclaim === 1L && kept === 3L)
+    Versioned.expire(spark, tbl, keep = 2)
+    // post-expire: the plan was exact — nothing further reclaimable
+    assert(Versioned.expireDryRun(spark, tbl, keep = 2) === ((Seq.empty[Long], 0L, 3L)))
+    assert(Versioned.fsck(spark, tbl)._3 === 0L)
+  }
+
   test("followChanges discovers each commit's files incrementally across restarts") {
     val root = Files.createTempDirectory("graft-follow").toString
     val tbl = s"$root/t"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
