@@ -29,9 +29,20 @@ object BloomIndex {
 
   private val DefaultBits = 1 << 16
 
-  private def positions(key: org.apache.spark.sql.Column, bits: Int) = Seq(
-    pmod(xxhash64(key), lit(bits.toLong)),
-    pmod(xxhash64(key, lit("graft-bloom-2")), lit(bits.toLong)))
+  /** xxhash64 is TYPE-sensitive: hashing an INT/DECIMAL/STRING key
+    * column in its native type while the probe side hashes LongType
+    * would yield disjoint positions — zero candidates, silently missing
+    * rows, the false-negative class bloom must never have. So BOTH
+    * sides hash through an explicit `cast long`: build positions match
+    * probe positions for every key a `Seq[Long]` probe can express, and
+    * non-integral values only widen the candidate set (conservative),
+    * never shrink it. */
+  private def positions(key: org.apache.spark.sql.Column, bits: Int) = {
+    val k = key.cast("long")
+    Seq(
+      pmod(xxhash64(k), lit(bits.toLong)),
+      pmod(xxhash64(k, lit("graft-bloom-2")), lit(bits.toLong)))
+  }
 
   /** Build the index for `keyCol` of the table at `path`: one row per
     * file, `(file, rows, bloom: array<bigint>)`. */

@@ -119,7 +119,7 @@ object Hits {
       stagePath: Option[String] = None): (DataFrame, Int) = {
     val spark = edges.sparkSession
     val stage = stagePath.getOrElse(
-      java.nio.file.Files.createTempDirectory("hits-rounds").toString)
+      graft.Scratch.dir("hits-rounds"))
     val nodes = edges.select(col("src").as("id"))
       .unionByName(edges.select(col("dst").as("id"))).distinct()
     var h = nodes.select(col("id"), lit(scale).as("h"))

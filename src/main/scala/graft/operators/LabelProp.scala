@@ -36,7 +36,7 @@ object LabelProp {
       stagePath: Option[String] = None): DataFrame = {
     val spark = edges.sparkSession
     val stage = stagePath.getOrElse(
-      java.nio.file.Files.createTempDirectory("labelprop-rounds").toString)
+      graft.Scratch.dir("labelprop-rounds"))
     var lab = seeds.select(col("id"), col("label"))
     for (r <- 1 to rounds) {
       val nbr = edges.join(lab.withColumnRenamed("id", "dst"), Seq("dst"))

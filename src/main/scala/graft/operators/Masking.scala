@@ -29,10 +29,15 @@ object Masking {
 
   def redact: Column = lit("REDACTED")
 
-  /** Lower bound of `c`'s `step`-sized bucket, in integer units of the
-    * column (scale via `unitScale` for decimals, e.g. 100 for cents). */
-  def generalizeNumeric(c: Column, step: Long, unitScale: Int = 1): Column =
-    (floor((c * unitScale).cast("double") / (step * unitScale)) * step).cast("long")
+  /** Lower bound of `c`'s `step`-sized bucket: `c - pmod(c, step)`,
+    * computed in the column's OWN arithmetic (integer or decimal stays
+    * exact — no double round-trip, so values beyond 2^53 still land in
+    * the right bucket). `pmod` is non-negative by definition, which is
+    * exactly floor semantics: -5 buckets to -step, not 0, keeping
+    * buckets uniform across the sign boundary and matching SQL floor
+    * division on both engines. */
+  def generalizeNumeric(c: Column, step: Long): Column =
+    (c - pmod(c, lit(step))).cast("long")
 
   /** Apply named per-column policies; unlisted columns pass through. */
   def mask(df: DataFrame, policies: Map[String, Column => Column]): DataFrame =

@@ -93,7 +93,7 @@ object PageRank {
       stagePath: Option[String] = None): (DataFrame, Int) = {
     val spark = edges.sparkSession
     val stage = stagePath.getOrElse(
-      java.nio.file.Files.createTempDirectory("pagerank-rounds").toString)
+      graft.Scratch.dir("pagerank-rounds"))
     val nodes = edges.select(col("src").as("id"))
       .unionByName(edges.select(col("dst").as("id"))).distinct()
     val nTot = nodes.agg(count(lit(1)).as("n_nodes"))

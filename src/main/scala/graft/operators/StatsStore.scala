@@ -70,6 +70,26 @@ object StatsStore {
       case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+    // Dynamic overwrite cannot express "now empty": a changed partition
+    // whose recomputed slice has ZERO rows emits no file, so its stale
+    // stats row would ride along and break the incremental-equals-
+    // rebuild contract after deletes/scrubs. Diff the changed set
+    // against the values actually present (k-value column-pruned probe)
+    // and drop the stale stats subdirectories explicitly.
+    val present = spark.read.parquet(tablePath)
+      .filter(col(partCol).isin(changed: _*))
+      .select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val gone = changed.map(String.valueOf).filterNot(present.contains)
+    if (gone.nonEmpty) {
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      val root = new Path(statsPath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      gone.foreach { v =>
+        fs.delete(new Path(root, s"$partCol=${ExternalCatalogUtils.escapePathName(v)}"), true)
+      }
+    }
   }
 
   /** The current stats table (one row per partition). */

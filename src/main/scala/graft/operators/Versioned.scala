@@ -47,33 +47,52 @@ object Versioned {
 
   /** Shallow-clone source pointer, if this root is a clone: the source
     * table path recorded by [[shallowClone]]. */
-  private[graft] def sourcePath(spark: SparkSession, path: String): Option[String] = {
+  private[graft] def sourcePath(spark: SparkSession, path: String): Option[String] =
+    sourceRef(spark, path).map(_._1)
+
+  /** Shallow-clone source pointer WITH the clone's base generation
+    * bound: `(source path, max source generation at clone time)`. Only
+    * refs with `gen <= bound` may chain-resolve to the source — the
+    * source keeps committing after the clone point, so its later
+    * generation numbers COLLIDE with clone-local ones (both count up
+    * from the same base); without the bound, a lost clone-local dir
+    * would silently serve the source's different-content generation.
+    * Legacy single-line markers (no recorded bound) parse as bound
+    * `Long.MaxValue`, i.e. the old unbounded behavior. */
+  private[graft] def sourceRef(spark: SparkSession, path: String): Option[(String, Long)] = {
     val fs = fsOf(spark, path)
     val m = sourceMarker(path)
     if (!fs.exists(m)) None
     else {
       val in = fs.open(m)
-      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim)
-      finally in.close()
+      val text =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      text.split('\n').map(_.trim) match {
+        case Array(src, bound) => Some((src, bound.toLong))
+        case Array(src) => Some((src, Long.MaxValue))
+        case other => Some((other.head, other(1).toLong))
+      }
     }
   }
 
   /** Resolve the directory serving `(pval, gen)` for `path`: the local
-    * generation dir when it exists, else (for shallow clones) the same
-    * `(pval, gen)` up the source chain. Returns the local dir when
+    * generation dir when it exists, else (for shallow clones, and only
+    * for generations at or below the clone's recorded base bound) the
+    * same `(pval, gen)` up the source chain. Returns the local dir when
     * nothing resolves — the caller's read fails loudly / fsck counts it
-    * missing. Sound because clone-local generation numbers start ABOVE
-    * every generation the clone's base manifest references
-    * ([[shallowClone]] numbers its first version at the max source
-    * generation), so a (pval, gen) pair can never exist on both sides
-    * with different contents. */
+    * missing. The bound is what makes local-first sound: clone-local
+    * generations are numbered ABOVE the base bound, so a clone-local
+    * dir that goes missing (corruption, manual cleanup, botched
+    * restore) can never be shadowed by one of the source's LATER
+    * same-numbered generations — it fails loudly instead. */
   private[graft] def resolvePartDir(
       spark: SparkSession, path: String, pval: String, gen: Long): String = {
     val local = partDir(path, pval, gen)
     if (fsOf(spark, path).exists(new Path(local))) local
-    else sourcePath(spark, path) match {
-      case Some(src) => resolvePartDir(spark, src, pval, gen)
-      case None => local
+    else sourceRef(spark, path) match {
+      case Some((src, bound)) if gen <= bound => resolvePartDir(spark, src, pval, gen)
+      case _ => local
     }
   }
 
@@ -150,9 +169,11 @@ object Versioned {
           .map(p => (p.getPath.getName.stripPrefix("__p="), gen))
       }.toSet
     // a ref absent locally may still resolve up a shallow clone's source
-    // chain — only refs that resolve NOWHERE are corruption
+    // chain — only refs that resolve NOWHERE are corruption (the
+    // resolved path's OWN fs probes it: the chain may cross schemes)
     val missing = (refs -- onDisk).count { case (p, g) =>
-      !fs.exists(new Path(resolvePartDir(spark, path, p, g)))
+      val r = new Path(resolvePartDir(spark, path, p, g))
+      !r.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(r)
     }
     (retained.size.toLong, refs.size.toLong,
       missing.toLong, (onDisk -- refs).size.toLong)
@@ -346,19 +367,24 @@ object Versioned {
       spark: SparkSession, src: String, dst: String, version: Long = -1L): Long = {
     val v = if (version < 0) latestVersion(spark, src) else version
     require(v > 0, s"no committed version to clone at $src")
-    val fs = fsOf(spark, dst)
-    require(fs.exists(new Path(manifestPath(src, v), "_SUCCESS")),
+    // one FileSystem PER path: src and dst may live on different
+    // schemes (hdfs:// source, s3a:// clone) — probing src's manifest
+    // through dst's fs throws "Wrong FS" or misresolves
+    require(fsOf(spark, src).exists(new Path(manifestPath(src, v), "_SUCCESS")),
       s"version $v was never committed at $src")
     require(latestVersion(spark, dst) == 0L,
       s"clone target $dst already has committed versions")
     val refs = manifestRefs(spark, src, v)
     require(refs.nonEmpty, s"version $v of $src references no partitions")
 
+    val v0 = refs.map(_._2).max
+    // marker = source path + the base generation bound (second line) —
+    // resolvePartDir only chains refs with gen <= v0 to the source
+    val fs = fsOf(spark, dst)
     val out = fs.create(sourceMarker(dst), true)
-    try out.write(src.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(s"$src\n$v0".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
 
-    val v0 = refs.map(_._2).max
     import spark.implicits._
     refs.toDF("pval", "gen").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(manifestPath(dst, v0))
@@ -386,10 +412,13 @@ object Versioned {
     val conf = spark.sparkContext.hadoopConfiguration
     shared.foreach { case (p, g) =>
       val from = new Path(resolvePartDir(spark, path, p, g))
-      require(fs.exists(from), s"unresolvable ref ($p, $g) at $path")
+      // `from` resolved up the source chain — its fs may differ from the
+      // clone's (cross-scheme clone); copy with one handle per end
+      val srcFs = from.getFileSystem(conf)
+      require(srcFs.exists(from), s"unresolvable ref ($p, $g) at $path")
       val to = new Path(partDir(path, p, next))
       fs.delete(to, true) // idempotent re-run after a crash window
-      org.apache.hadoop.fs.FileUtil.copy(fs, from, fs, to, false, conf)
+      org.apache.hadoop.fs.FileUtil.copy(srcFs, from, fs, to, false, conf)
     }
     val entries = local ++ shared.map { case (p, _) => (p, next) }
     import spark.implicits._

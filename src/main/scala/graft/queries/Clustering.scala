@@ -115,7 +115,7 @@ object Clustering {
     var cents = initCentroids(embqC)
     if (iters > 0) {
       val stage = stagePath.getOrElse(
-        java.nio.file.Files.createTempDirectory("kmeans-rounds").toString)
+        graft.Scratch.dir("kmeans-rounds"))
       for (r <- 0 until iters) {
         // k rows: one output task, one file — the 32-partition default
         // would pay 32 task launches + 32-file listing per round

@@ -539,7 +539,7 @@ object EtlOps {
       val pairs = FuzzyJoin.qgramJoin(
         sub, "p_partkey", "p_name", sub, "p_partkey", "p_name", n = 3, threshold = 0.6)
         .filter(col("ka") < col("kb"))
-      val tmp = java.nio.file.Files.createTempDirectory("er-edges").toString
+      val tmp = graft.Scratch.dir("er-edges")
       pairs.select(col("ka").as("a"), col("kb").as("b"))
         .write.mode("overwrite").parquet(tmp)
       graft.operators.Components.connectedComponents(
@@ -845,7 +845,7 @@ object EtlOps {
       |FROM orders
       |WHERE o_orderstatus = 'O' AND o_orderkey % 7 = 0""".stripMargin) { (s, d) =>
     import graft.operators.Versioned
-    val root = java.nio.file.Files.createTempDirectory("k12-versions").toString
+    val root = graft.Scratch.dir("k12-versions")
     val tbl = s"$root/orders_v"
     val base = T.orders(s, d)
     Versioned.commit(s, tbl, base, "o_orderstatus", Seq("o_orderkey"))
@@ -971,7 +971,7 @@ object EtlOps {
     """SELECT o_orderpriority, count(*) AS n,
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
-    val tbl = java.nio.file.Files.createTempDirectory("k16-compact").toString + "/orders"
+    val tbl = graft.Scratch.dir("k16-compact") + "/orders"
     T.orders(s, d).repartition(64).write.mode("overwrite").parquet(tbl)
     graft.operators.Maintenance.compact(s, tbl)
     s.read.parquet(tbl)
@@ -1000,7 +1000,7 @@ object EtlOps {
       |  CAST(sum(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total
       |FROM e WHERE day >= '2024-01-10' AND day <= '2024-01-17'
       |GROUP BY day""".stripMargin) { (s, d) =>
-    val tbl = java.nio.file.Files.createTempDirectory("k28-evolve").toString + "/events"
+    val tbl = graft.Scratch.dir("k28-evolve") + "/events"
     T.events(s, d)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .write.partitionBy("event_type").mode("overwrite").parquet(tbl)
@@ -1032,7 +1032,7 @@ object EtlOps {
       |FROM orders WHERE o_totalprice >= 1000 AND o_totalprice <= 5000
       |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
     import graft.operators.ZoneMap
-    val root = java.nio.file.Files.createTempDirectory("k29-zonemap").toString
+    val root = graft.Scratch.dir("k29-zonemap")
     val tbl = s"$root/orders"; val idx = s"$root/orders_zm"
     T.orders(s, d)
       .repartitionByRange(8, col("o_totalprice"))
@@ -1070,7 +1070,7 @@ object EtlOps {
       |FROM restated WHERE p >= 1000 AND p <= 5000
       |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
     import graft.operators.{Publish, Upsert, ZoneMap}
-    val root = java.nio.file.Files.createTempDirectory("k31-wh").toString
+    val root = graft.Scratch.dir("k31-wh")
     val tbl = s"$root/orders"; val pub = s"$root/pub"; val idx = s"$root/zm"
     val orders = T.orders(s, d)
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
@@ -1114,7 +1114,7 @@ object EtlOps {
       |SELECT DISTINCT o_orderpriority, 'added', CAST(1 AS BIGINT) FROM orders""".stripMargin) {
     (s, d) =>
     import graft.operators.{SnapshotDiff, Versioned}
-    val root = java.nio.file.Files.createTempDirectory("k32-vdiff").toString
+    val root = graft.Scratch.dir("k32-vdiff")
     val tbl = s"$root/orders_v"
     val base = T.orders(s, d)
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"))
@@ -1162,7 +1162,7 @@ object EtlOps {
       |SELECT 'post_expire', CAST(1 AS BIGINT), nt, CAST(0 AS BIGINT),
       |  CAST(0 AS BIGINT) FROM t, d""".stripMargin) { (s, d) =>
     import graft.operators.Versioned
-    val root = java.nio.file.Files.createTempDirectory("k33-fsck").toString
+    val root = graft.Scratch.dir("k33-fsck")
     val tbl = s"$root/events_v"
     val ev = T.events(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
@@ -1211,7 +1211,7 @@ object EtlOps {
       |  CAST(sum(p) AS DOUBLE) AS total
       |FROM u GROUP BY tag, st""".stripMargin) { (s, d) =>
     import graft.operators.Versioned
-    val root = java.nio.file.Files.createTempDirectory("k34-clone").toString
+    val root = graft.Scratch.dir("k34-clone")
     val srcT = s"$root/src"
     val dstT = s"$root/clone"
     val base = T.orders(s, d).select(col("o_orderkey").as("k"),
@@ -1271,7 +1271,7 @@ object EtlOps {
       |  CAST(sum(p) AS DOUBLE) AS total
       |FROM u GROUP BY tag, st""".stripMargin) { (s, d) =>
     import graft.operators.Versioned
-    val root = java.nio.file.Files.createTempDirectory("k35-stamp").toString
+    val root = graft.Scratch.dir("k35-stamp")
     val tbl = s"$root/orders_v"
     val base = T.orders(s, d).select(col("o_orderkey").as("k"),
       col("o_orderstatus").as("st"), col("o_totalprice").cast("decimal(12,2)").as("p"))
@@ -1318,7 +1318,7 @@ object EtlOps {
       |FROM orders WHERE o_custkey IN (SELECT o_custkey FROM probes)
       |GROUP BY o_custkey""".stripMargin) { (s, d) =>
     import graft.operators.BloomIndex
-    val root = java.nio.file.Files.createTempDirectory("k36-bloom").toString
+    val root = graft.Scratch.dir("k36-bloom")
     val tbl = s"$root/orders"
     val idx = s"$root/idx"
     T.orders(s, d).repartition(16).write.mode("overwrite").parquet(tbl)
@@ -1356,7 +1356,7 @@ object EtlOps {
       |  CAST(0 AS BIGINT) AS nulls_p
       |FROM t GROUP BY st""".stripMargin) { (s, d) =>
     import graft.operators.{StatsStore, Upsert}
-    val root = java.nio.file.Files.createTempDirectory("k37-stats").toString
+    val root = graft.Scratch.dir("k37-stats")
     val tbl = s"$root/orders"
     val stats = s"$root/stats"
     val base = T.orders(s, d).select(col("o_orderstatus").as("st"),
@@ -1402,7 +1402,7 @@ object EtlOps {
       |UNION ALL SELECT 'unique_key', n FROM dupv
       |UNION ALL SELECT 'table_rows', n FROM surv""".stripMargin) { (s, d) =>
     import graft.operators.Versioned
-    val root = java.nio.file.Files.createTempDirectory("k38-check").toString
+    val root = graft.Scratch.dir("k38-check")
     val tbl = s"$root/orders_v"
     val base = T.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"),
       col("o_totalprice").cast("decimal(12,2)").as("p"))
@@ -1451,7 +1451,7 @@ object EtlOps {
       |FROM lineitem
       |WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 40
       |GROUP BY l_returnflag""".stripMargin) { (s, d) =>
-    val tbl = java.nio.file.Files.createTempDirectory("k23-zorder").toString + "/lineitem"
+    val tbl = graft.Scratch.dir("k23-zorder") + "/lineitem"
     T.lineitem(s, d).write.mode("overwrite").parquet(tbl)
     graft.operators.Maintenance.zorderBy(s, tbl,
       Seq("l_partkey", "l_suppkey"), targetBytesPerFile = 1L << 20)
@@ -1513,7 +1513,7 @@ object EtlOps {
       |  max(o_orderdate) AS max_date
       |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
       |GROUP BY l_returnflag""".stripMargin) { (s, d) =>
-    val root = java.nio.file.Files.createTempDirectory("k18-fmt").toString
+    val root = graft.Scratch.dir("k18-fmt")
     T.lineitem(s, d)
       .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
       .write.mode("overwrite").orc(s"$root/li_orc")
@@ -1556,7 +1556,7 @@ object EtlOps {
       |  count(*) FILTER (WHERE user_id % 101 = 0) AS removed
       |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
     import graft.operators.Forget
-    val root = java.nio.file.Files.createTempDirectory("k19-forget").toString
+    val root = graft.Scratch.dir("k19-forget")
     val tbl = s"$root/events_t"
     val ev = T.events(s, d).select(col("event_id"), col("user_id"), col("event_type"))
     ev.write.partitionBy("event_type").parquet(tbl)
@@ -1595,7 +1595,7 @@ object EtlOps {
       |FROM o1 JOIN o2 USING (o_orderpriority) JOIN i2 USING (o_orderpriority)""".stripMargin) {
     (s, d) =>
       import graft.operators.Publish
-      val root = java.nio.file.Files.createTempDirectory("k20-pub").toString + "/pub"
+      val root = graft.Scratch.dir("k20-pub") + "/pub"
       def tablesOf(sub: org.apache.spark.sql.DataFrame) = {
         val li = T.lineitem(s, d)
           .select(col("l_orderkey").as("o_orderkey"), col("l_extendedprice"))
@@ -1638,7 +1638,7 @@ object EtlOps {
       |FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
       |GROUP BY dt""".stripMargin) { (s, d) =>
     import graft.operators.{DataQuality, Publish}
-    val root = java.nio.file.Files.createTempDirectory("k27-wap").toString + "/pub"
+    val root = graft.Scratch.dir("k27-wap") + "/pub"
     val daily = T.events(s, d)
       .filter(col("event_type") === "purchase" && col("value").isNotNull)
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"))
@@ -1679,7 +1679,7 @@ object EtlOps {
       |                     THEN value * 2 ELSE value END AS DECIMAL(14,2)))
       |       AS DOUBLE) AS total
       |FROM events GROUP BY dt""".stripMargin) { (s, d) =>
-    val root = java.nio.file.Files.createTempDirectory("k21-dyn").toString
+    val root = graft.Scratch.dir("k21-dyn")
     val tbl = s"$root/table"
     val ev = T.events(s, d).select(col("event_id"), col("user_id"), col("value"),
       date_format(col("ts"), "yyyy-MM-dd").as("dt"))
@@ -1722,7 +1722,7 @@ object EtlOps {
     import graft.plans.MvRewriteRule
     import graft.plans.MvRewriteRule.{MvAgg, MvDef}
     val base = s"$d/lineitem.parquet"
-    val root = java.nio.file.Files.createTempDirectory("k22-mv").toString
+    val root = graft.Scratch.dir("k22-mv")
     val mvDir = s"$root/mv"; val outDir = s"$root/out"
     T.lineitem(s, d)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -1948,7 +1948,7 @@ object EtlOps {
       |SELECT version, event_type, n, total, CAST(0 AS BIGINT) AS forgotten FROM v2""".stripMargin) {
     (s, d) =>
       import graft.operators.{Forget, Versioned}
-      val root = java.nio.file.Files.createTempDirectory("k26-scrub").toString
+      val root = graft.Scratch.dir("k26-scrub")
       val tbl = s"$root/events_v"
       val ev = T.events(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))

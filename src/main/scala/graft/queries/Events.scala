@@ -485,7 +485,7 @@ object Events {
       |FROM events
       |GROUP BY date_trunc('day', ts), event_type""".stripMargin) { (s, d) =>
     withStatePartitions(s, 4) {
-    val root = java.nio.file.Files.createTempDirectory("e11-stream").toString
+    val root = graft.Scratch.dir("e11-stream")
     val feed = s"$root/feed"; val state = s"$root/state"; val ckpt = s"$root/ckpt"
     T.events(s, d).select(col("ts"), col("event_type")).write.parquet(feed)
     val stream = s.readStream
@@ -535,7 +535,7 @@ object Events {
       |  AND epoch_ns(p.ts) // 1000 >= epoch_ns(v.ts) // 1000
       |  AND epoch_ns(p.ts) // 1000 < epoch_ns(v.ts) // 1000 + 21600000000""".stripMargin) { (s, d) =>
     withStatePartitions(s, 4) {
-    val root = java.nio.file.Files.createTempDirectory("e12-stream").toString
+    val root = graft.Scratch.dir("e12-stream")
     val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
     T.events(s, d)
       .filter(col("event_type").isin("click", "purchase"))
@@ -672,7 +672,7 @@ object Events {
     """SELECT event_id, user_id, event_type, date_trunc('second', ts) AS tss
       |FROM events""".stripMargin) { (s, d) =>
     withStatePartitions(s, 4) {
-    val root = java.nio.file.Files.createTempDirectory("e15-stream").toString
+    val root = graft.Scratch.dir("e15-stream")
     val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
     val ev = T.events(s, d)
       .select(col("event_id"), col("user_id"), col("event_type"),
@@ -804,7 +804,7 @@ object Events {
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |GROUP BY o_orderpriority""".stripMargin) { (s, d) =>
     withStatePartitions(s, 4) {
-    val root = java.nio.file.Files.createTempDirectory("e18-ivm").toString
+    val root = graft.Scratch.dir("e18-ivm")
     val feed = s"$root/feed"; val baseSeg = s"$root/view_base"
     val incSeg = s"$root/view_inc"; val ckpt = s"$root/ckpt"
     val cut = to_timestamp(lit("1998-01-01"))
@@ -871,7 +871,7 @@ object Events {
     import s.implicits._
     import graft.streaming.EventStreams
     withStatePartitions(s, 4) {
-    val root = java.nio.file.Files.createTempDirectory("e19-sess").toString
+    val root = graft.Scratch.dir("e19-sess")
     val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
     val ev = T.events(s, d).select(col("event_id"),
       date_trunc("second", col("ts")).as("ts"), col("user_id"),
@@ -930,7 +930,7 @@ object Events {
       |SELECT date_trunc('day', ts) AS window_start, event_type, count(*) AS n
       |FROM keep GROUP BY window_start, event_type""".stripMargin) { (s, d) =>
     withStatePartitions(s, 4) {
-    val root = java.nio.file.Files.createTempDirectory("e20-late").toString
+    val root = graft.Scratch.dir("e20-late")
     val feed = s"$root/feed"; val state = s"$root/state"; val ckpt = s"$root/ckpt"
     val ev = T.events(s, d).select(col("event_id"), col("ts"), col("event_type"))
     ev.filter(col("event_id") % 7 =!= 0).coalesce(4).write.parquet(feed)
@@ -986,7 +986,7 @@ object Events {
       |  AND epoch_ns(p.ts) // 1000 >= epoch_ns(v.ts) // 1000
       |  AND epoch_ns(p.ts) // 1000 < epoch_ns(v.ts) // 1000 + 21600000000""".stripMargin) { (s, d) =>
     withStatePartitions(s, 4) {
-    val root = java.nio.file.Files.createTempDirectory("e21-outer").toString
+    val root = graft.Scratch.dir("e21-outer")
     val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
     val ev = T.events(s, d)
       .filter(col("event_type").isin("click", "purchase"))
@@ -1059,7 +1059,7 @@ object Events {
       |  AND epoch_ns(p.ts) // 1000 >= epoch_ns(v.ts) // 1000
       |  AND epoch_ns(p.ts) // 1000 < epoch_ns(v.ts) // 1000 + 21600000000""".stripMargin) { (s, d) =>
     withStatePartitions(s, 4) {
-    val root = java.nio.file.Files.createTempDirectory("e29-full").toString
+    val root = graft.Scratch.dir("e29-full")
     val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
     val ev = T.events(s, d)
       .filter(col("event_type").isin("click", "purchase"))
@@ -1144,7 +1144,7 @@ object Events {
     s.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val root = java.nio.file.Files.createTempDirectory("e22-twstate").toString
+      val root = graft.Scratch.dir("e22-twstate")
       val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
       T.events(s, d).filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"),
@@ -1198,7 +1198,7 @@ object Events {
     s.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val root = java.nio.file.Files.createTempDirectory("e23-twstate").toString
+      val root = graft.Scratch.dir("e23-twstate")
       val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
       T.events(s, d)
         .select(col("user_id"), col("event_id"),
@@ -1253,7 +1253,7 @@ object Events {
     s.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val root = java.nio.file.Files.createTempDirectory("e24-twstate").toString
+      val root = graft.Scratch.dir("e24-twstate")
       val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
       T.events(s, d).filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id"),
@@ -1316,7 +1316,7 @@ object Events {
       |  CAST(sum(n) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS cents
       |FROM d GROUP BY 1""".stripMargin) { (s, d) =>
     withStatePartitions(s, 4) {
-    val root = java.nio.file.Files.createTempDirectory("e25-chained").toString
+    val root = graft.Scratch.dir("e25-chained")
     val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
     val ev = T.events(s, d)
       .select(col("ts"), col("event_type"),
@@ -1401,7 +1401,7 @@ object Events {
       |  CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS cents
       |FROM i GROUP BY user_id, island""".stripMargin) { (s, d) =>
     withStatePartitions(s, 4) {
-    val root = java.nio.file.Files.createTempDirectory("e26-session").toString
+    val root = graft.Scratch.dir("e26-session")
     val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
     val ev = T.events(s, d).filter(col("event_type") === "purchase")
       .select(col("ts"), col("user_id"),
@@ -1578,7 +1578,7 @@ object Events {
       |FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
       |WHERE e.event_type = 'purchase'""".stripMargin) { (s, d) =>
     withStatePartitions(s, 4) {
-    val root = java.nio.file.Files.createTempDirectory("e31-static").toString
+    val root = graft.Scratch.dir("e31-static")
     val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
     T.events(s, d).filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("value"))
@@ -1628,7 +1628,7 @@ object Events {
       |    AND epoch_ns(p.ts) // 1000 < epoch_ns(v.ts) // 1000 + 21600000000)""".stripMargin) {
     (s, d) =>
     withStatePartitions(s, 4) {
-    val root = java.nio.file.Files.createTempDirectory("e32-semi").toString
+    val root = graft.Scratch.dir("e32-semi")
     val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
     T.events(s, d)
       .filter(col("event_type").isin("click", "purchase"))
@@ -1685,7 +1685,7 @@ object Events {
       |FROM events WHERE event_type = 'purchase'""".stripMargin) { (s, d) =>
     withStatePartitions(s, 4) {
     import graft.operators.Versioned
-    val root = java.nio.file.Files.createTempDirectory("e33-vsink").toString
+    val root = graft.Scratch.dir("e33-vsink")
     val feed = s"$root/feed"; val tbl = s"$root/table"; val ckpt = s"$root/ckpt"
     T.events(s, d).filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("value"))
@@ -1744,7 +1744,7 @@ object Events {
       |FROM s3 GROUP BY st""".stripMargin) { (s, d) =>
     withStatePartitions(s, 4) {
     import graft.operators.Versioned
-    val root = java.nio.file.Files.createTempDirectory("e34-follow").toString
+    val root = graft.Scratch.dir("e34-follow")
     val tbl = s"$root/orders_v"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
     val base = T.orders(s, d).select(col("o_orderkey").as("k"),
       col("o_orderstatus").as("st"), col("o_totalprice").cast("decimal(12,2)").as("p"))

@@ -245,7 +245,7 @@ object Graphs {
     // the cheap union lineage (Components' discipline), and the mirror
     // write itself is paid once per dataset, not per run
     val edges = coPurchaseUndirected(s, d).select(col("u"), col("v"))
-    val stage = java.nio.file.Files.createTempDirectory("g4-bfs").toString
+    val stage = graft.Scratch.dir("g4-bfs")
     val seeds = T.lineitem(s, d).select(col("l_partkey").as("p")).distinct()
       .filter(col("p") % 97 === 0).select(col("p").as("id"))
     graft.operators.Bfs.distances(edges, seeds, rounds = 3, s"$stage/labels")
@@ -430,7 +430,7 @@ object Graphs {
     // times — measured 9.3 s → the self-join once plus three cheap
     // shrinking rounds. The staged table is the live edge list (small
     // and shrinking), exactly what a cluster would land between rounds.
-    val stage = java.nio.file.Files.createTempDirectory("g8-kcore").toString
+    val stage = graft.Scratch.dir("g8-kcore")
     def restage(df: org.apache.spark.sql.DataFrame, name: String) = {
       df.write.mode("overwrite").parquet(s"$stage/$name")
       s.read.parquet(s"$stage/$name")
@@ -541,7 +541,7 @@ object Graphs {
     // per-run edge staging; relaxation rounds re-read the artifact
     val edges = coPurchaseUndirected(s, d)
       .select(col("u"), col("v"), expr("1000000 div w").as("cost"))
-    val stage = java.nio.file.Files.createTempDirectory("g11-sssp").toString
+    val stage = graft.Scratch.dir("g11-sssp")
     val seeds = T.lineitem(s, d).select(col("l_partkey").as("p")).distinct()
       .filter(col("p") % 97 === 0).select(col("p").as("id"))
     graft.operators.Bfs.weightedDistances(edges, seeds, rounds = 3, s"$stage/labels")
@@ -694,7 +694,7 @@ object Graphs {
        |  CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) / 2 + CAST(n3 AS DOUBLE) / 3 AS harmonic
        |FROM g""".stripMargin) { (s, d) =>
     val edges = coPurchaseUndirected(s, d).select(col("u"), col("v"))
-    val stage = java.nio.file.Files.createTempDirectory("g14-bfs").toString
+    val stage = graft.Scratch.dir("g14-bfs")
     val seeds = T.lineitem(s, d).select(col("l_partkey").as("p")).distinct()
       .filter(col("p") % 97 === 0).select(col("p").as("id"))
     graft.operators.Bfs.perSourceDistancesBitmask(edges, seeds, rounds = 3, s"$stage/labels")
@@ -738,7 +738,7 @@ object Graphs {
       |  CAST(y AS DOUBLE) / 512 AS katz
       |FROM y3""".stripMargin) { (s, d) =>
     val edges = coPurchaseUndirected(s, d).select(col("u"), col("v"))
-    val stage = java.nio.file.Files.createTempDirectory("g15-katz").toString
+    val stage = graft.Scratch.dir("g15-katz")
     def staged(df: org.apache.spark.sql.DataFrame, name: String) = {
       df.write.mode("overwrite").parquet(s"$stage/$name")
       s.read.parquet(s"$stage/$name")
@@ -927,7 +927,7 @@ object Graphs {
       .join(pb.select(col("p_partkey").as("v"), col("p_brand").as("bv")), Seq("v"))
       .filter(col("bu") === col("bv"))
       .select(col("u"), col("v"))
-    val tmp = java.nio.file.Files.createTempDirectory("g17-truss").toString
+    val tmp = graft.Scratch.dir("g17-truss")
     var out: DataFrame = e0
     for (r <- 1 to 3) {
       val kept = trussPeelRound(out.select(col("u"), col("v")), minSup = 2L)
@@ -962,7 +962,7 @@ object Graphs {
         |  SELECT r.a, e.b FROM reach r JOIN medges e ON r.b = e.a)
         |SELECT a AS vec_id, min(b) AS cluster_id FROM reach GROUP BY a""".stripMargin) {
     (s, d) =>
-    val stage = java.nio.file.Files.createTempDirectory("g18-labels").toString
+    val stage = graft.Scratch.dir("g18-labels")
     // stage the mutual edge list ONCE: Components re-reads its edge
     // frame every round, and an unstaged frame would re-execute the
     // whole LSH + rescore lineage per round (measured 16.7 s → edges

@@ -596,7 +596,7 @@ object Quality {
       |  ('value',      'retyped',   'double',    'decimal(10,2)')
       |) AS t(col_name, change, type_source, type_target)""".stripMargin) { (s, d) =>
     import graft.operators.Reconcile
-    val root = java.nio.file.Files.createTempDirectory("dq13-drift").toString
+    val root = graft.Scratch.dir("dq13-drift")
     val src = T.events(s, d)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
         col("value"), col("props"))
@@ -645,7 +645,7 @@ object Quality {
       |  CAST(pb AS DOUBLE) / base_n, CAST(pc AS DOUBLE) / cur_n,
       |  CAST(pc AS DOUBLE) / cur_n - CAST(pb AS DOUBLE) / base_n > 0.01
       |FROM agg""".stripMargin) { (s, d) =>
-    val tbl = java.nio.file.Files.createTempDirectory("dq14-null").toString + "/events"
+    val tbl = graft.Scratch.dir("dq14-null") + "/events"
     val cut = lit("2024-01-16").cast("timestamp")
     T.events(s, d)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
@@ -695,7 +695,7 @@ object Quality {
     Masking.mask(T.customer(s, d), Map(
       "c_name" -> Masking.hash,
       "c_acctbal" -> (c => Masking.generalizeNumeric(
-        c.cast("decimal(12,2)"), step = 100L, unitScale = 100)),
+        c.cast("decimal(12,2)"), step = 100L)),
       "c_mktsegment" -> (_ => Masking.redact)))
   }
 

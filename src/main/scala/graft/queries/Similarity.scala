@@ -1079,7 +1079,7 @@ object Similarity {
        |u AS (SELECT qid, cid, unnest(qe) AS x, unnest(ce) AS y FROM pairs),
        |$sqlDots
        |$sqlTopk""".stripMargin) { (s, d) =>
-    val root = java.nio.file.Files.createTempDirectory("v18-ann").toString
+    val root = graft.Scratch.dir("v18-ann")
     val emb = T.embeddings(s, d)
     buildIndex(s, s"$root/idx", emb)
     deleteFromIndex(s, s"$root/idx", emb.filter(col("vec_id") % 13 === 0))

@@ -315,7 +315,7 @@ object TextDedup {
     // re-paying the LSH lineage per traversal
     val edges = nearDupPairTable(s, d)
       .select(col("d1").as("a"), col("d2").as("b"))
-    val stage = java.nio.file.Files.createTempDirectory("d6-labels").toString
+    val stage = graft.Scratch.dir("d6-labels")
     // labels restage EVERY round: the label table is candidate-sized
     // (tiny), so a per-round parquet round-trip is cheaper than
     // re-executing the deepening join lineage twice per iteration

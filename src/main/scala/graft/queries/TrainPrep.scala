@@ -713,7 +713,7 @@ object TrainPrep {
       |  CAST(sum(CAST(concat('0x', substr(md5(text), 1, 8)) AS BIGINT)) AS BIGINT) AS text_fingerprint
       |FROM documents
       |GROUP BY lang""".stripMargin) { (s, d) =>
-    val stage = java.nio.file.Files.createTempDirectory("t22-jsonl").toString
+    val stage = graft.Scratch.dir("t22-jsonl")
     T.documents(s, d).write.mode("overwrite").json(stage)
     s.read
       .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
@@ -1331,7 +1331,7 @@ object TrainPrep {
     // several self-joins re-derive the whole prior chain multiplicatively
     // (measured 89 s → 5 s at sf0.1); with it each round is a bounded
     // number of linear passes over the staged table
-    val stageRoot = java.nio.file.Files.createTempDirectory("t35-bpe").toString
+    val stageRoot = graft.Scratch.dir("t35-bpe")
     def stage(df: DataFrame, name: String): DataFrame = {
       df.write.mode("overwrite").parquet(s"$stageRoot/$name")
       s.read.parquet(s"$stageRoot/$name")
@@ -1519,7 +1519,7 @@ object TrainPrep {
       .select(col("doc_id"), (col("i0") + 1).as("i"), col("tok"))
     val stop = col("tok").isin(stopList: _*)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-    val stage = java.nio.file.Files.createTempDirectory("t37-pw").toString
+    val stage = graft.Scratch.dir("t37-pw")
     tk.withColumn("island", sum(when(stop, 1L).otherwise(0L)).over(w))
       .filter(!stop)
       .write.mode("overwrite").parquet(stage)

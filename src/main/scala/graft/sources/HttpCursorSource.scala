@@ -67,7 +67,7 @@ object HttpCursorSource {
       fetcher.getOrElse(new HttpPageFetcher(headers)), maxAttempts, baseBackoffMs)
     val mapper = new ObjectMapper()
     val dir = spillDir.getOrElse(
-      java.nio.file.Files.createTempDirectory("cursor-feed").toString)
+      graft.Scratch.dir("cursor-feed"))
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dirPath)

@@ -42,6 +42,24 @@ class BloomIndexSpec extends SparkSpec {
     assert(BloomIndex.lookup(spark, tbl, idx, "k", Seq(999999L)).count() === 0)
   }
 
+  test("non-BIGINT key columns prune without false negatives") {
+    // the regression class: xxhash64 is type-sensitive, so hashing an
+    // INT/DECIMAL key in its native type at build while probing LongType
+    // yields disjoint positions → zero candidates → silently missing
+    // rows. Both sides now hash through an explicit cast-to-long.
+    for (cast <- Seq("int", "decimal(10,0)", "string")) {
+      val root = Files.createTempDirectory(s"graft-bloom-$cast".replace("(", "-").replace(",", "-").replace(")", "")).toString
+      val tbl = s"$root/t"
+      (1 to 100).map(k => (k.toLong, s"v$k")).toDF("k", "payload")
+        .withColumn("k", col("k").cast(cast))
+        .repartition(8).write.parquet(tbl)
+      BloomIndex.build(spark, tbl, "k", s"$root/idx")
+      val got = BloomIndex.lookup(spark, tbl, s"$root/idx", "k", Seq(42L))
+        .select(col("payload")).as[String].collect().toSeq
+      assert(got === Seq("v42"), s"keyCol type $cast lost the row: $got")
+    }
+  }
+
   test("rebuild after the file set changes keeps lookups exact") {
     val (tbl, idx) = landed(nFiles = 4)
     Seq((777L, "late")).toDF("k", "payload")

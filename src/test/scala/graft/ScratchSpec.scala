@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+
+/** The scratch-space contract: run-scoped unique dirs under a
+  * configurable cluster-FS root, local-tmp fallback only in local mode,
+  * and real staged queries landing under a non-default root.
+  */
+class ScratchSpec extends SparkSpec {
+
+  private def withRoot[A](root: String)(body: => A): A = {
+    val prev = spark.conf.getOption(Scratch.RootKey)
+    spark.conf.set(Scratch.RootKey, root)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(Scratch.RootKey, v)
+      case None => spark.conf.unset(Scratch.RootKey)
+    }
+  }
+
+  test("allocations are unique, run-scoped, and under the configured root") {
+    val root = Files.createTempDirectory("scratch-root").toString
+    withRoot(root) {
+      val a = Scratch.dir(spark, "stage")
+      val b = Scratch.dir(spark, "stage")
+      assert(a != b, "two allocations with the same tag must not collide")
+      val appId = spark.sparkContext.applicationId
+      Seq(a, b).foreach { p =>
+        assert(p.contains(s"graft-scratch/$appId/"), s"$p not run-scoped under $root")
+        assert(new Path(p).toUri.getPath.startsWith(root), s"$p escaped configured root $root")
+        assert(new java.io.File(new Path(p).toUri.getPath).isDirectory, s"$p was not created")
+      }
+    }
+  }
+
+  test("tags are sanitized into path-safe labels") {
+    val root = Files.createTempDirectory("scratch-root").toString
+    withRoot(root) {
+      val p = Scratch.dir(spark, "we ird/tag:x")
+      assert(new java.io.File(new Path(p).toUri.getPath).isDirectory)
+      assert(!new Path(p).getName.contains(" ") && !new Path(p).getName.contains(":"))
+    }
+  }
+
+  test("local master falls back to java.io.tmpdir when no root configured") {
+    val prev = spark.conf.getOption(Scratch.RootKey)
+    spark.conf.unset(Scratch.RootKey)
+    try {
+      val p = Scratch.dir(spark, "fallback")
+      val tmp = new Path(System.getProperty("java.io.tmpdir")).toUri.getPath
+      assert(new Path(p).toUri.getPath.startsWith(tmp), s"$p not under local tmp $tmp")
+    } finally prev.foreach(spark.conf.set(Scratch.RootKey, _))
+  }
+
+  test("a staged iterative query runs end-to-end under a non-default root") {
+    val root = Files.createTempDirectory("scratch-root-pr").toString
+    withRoot(root) {
+      import org.apache.spark.sql.functions._
+      val edges = spark.createDataFrame(Seq(
+        (1L, 2L, 1L), (2L, 3L, 1L), (3L, 1L, 1L), (3L, 2L, 1L)
+      )).toDF("src", "dst", "w")
+      // convergence-mode PageRank restages ranks to scratch every round
+      val (ranks, rounds) = operators.PageRank.ranksConverged(
+        edges, maxRounds = 30, toleranceUnits = 1000000L)
+      assert(rounds > 0 && ranks.count() == 3)
+      val appDir = new java.io.File(
+        new Path(s"$root/graft-scratch/${spark.sparkContext.applicationId}").toUri.getPath)
+      val staged = Option(appDir.listFiles()).getOrElse(Array.empty)
+      assert(staged.exists(_.getName.startsWith("pagerank-rounds")),
+        s"expected pagerank staging under $appDir, saw ${staged.map(_.getName).mkString(",")}")
+      // the returned frame still reads the staged parquet — sum of exact
+      // integer ranks stays within rounding slack of the total mass
+      val total = ranks.agg(sum(col("r"))).collect()(0).getLong(0)
+      assert(math.abs(total - 1000000000000L) < 100L)
+    }
+  }
+
+  test("eager cleanup deletes a staging dir") {
+    val root = Files.createTempDirectory("scratch-root-cl").toString
+    withRoot(root) {
+      val p = Scratch.dir(spark, "gone")
+      val f = new java.io.File(new Path(p).toUri.getPath)
+      assert(f.isDirectory)
+      Scratch.cleanup(spark, p)
+      assert(!f.exists, s"$p survived cleanup")
+    }
+  }
+}

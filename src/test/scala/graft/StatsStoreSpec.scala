@@ -39,6 +39,30 @@ class StatsStoreSpec extends SparkSpec {
     assert(incr === full)
   }
 
+  test("a changed partition that becomes empty loses its stats row") {
+    // dynamic overwrite cannot express "now empty": without the
+    // explicit stale-dir drop, a deleted partition's old stats row
+    // rides along and incremental != rebuild after deletes/scrubs
+    val root = Files.createTempDirectory("graft-stats-empty").toString
+    val tbl = s"$root/t"; val st = s"$root/stats"
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "part", "v").write.partitionBy("part").parquet(tbl)
+    StatsStore.rebuild(spark, tbl, st, "part", Seq("v"))
+    assert(StatsStore.read(spark, st).count() === 3L)
+
+    // delete partition b's data entirely (a scrub/forget outcome)
+    val fs = new Path(tbl).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$tbl/part=b"), true)
+    StatsStore.refreshPartitions(spark, tbl, st, "part", Seq("v"), Seq("b"))
+
+    val parts = StatsStore.read(spark, st).select("part").as[String].collect().toSet
+    assert(parts === Set("a", "c"), s"stale stats row survived: $parts")
+    // incremental equals a from-scratch rebuild again
+    StatsStore.rebuild(spark, tbl, s"$root/stats2", "part", Seq("v"))
+    assert(StatsStore.read(spark, st).orderBy("part").collect().map(_.toString).toSeq ===
+      StatsStore.read(spark, s"$root/stats2").orderBy("part").collect().map(_.toString).toSeq)
+  }
+
   test("commitChecked refuses violating deltas and leaves the table untouched") {
     val root = Files.createTempDirectory("graft-checked").toString
     val tbl = s"$root/t"

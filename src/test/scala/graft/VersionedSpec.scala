@@ -156,6 +156,40 @@ class VersionedSpec extends SparkSpec {
       Set((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0)))
   }
 
+  test("a lost clone-local generation fails loudly instead of serving the source's same-numbered one") {
+    // After the clone point both sides number generations up from the
+    // same base, so the source's LATER gen numbers collide with
+    // clone-local ones. A lost clone-local dir must never silently
+    // resolve to the source's different-content generation — the
+    // recorded base bound in the __source marker forbids chaining past
+    // the clone point.
+    val root = Files.createTempDirectory("graft-clone-collide").toString
+    val src = s"$root/src"
+    val dst = s"$root/clone"
+    Versioned.commit(spark, src, rows(Seq((1L, "a", 1.0))), "part", Seq("id"))
+    Versioned.commit(spark, src, rows(Seq((2L, "a", 2.0))), "part", Seq("id"))
+    Versioned.shallowClone(spark, src, dst) // base bound = gen 2
+
+    // source advances past the clone point: its gen 3 now exists
+    Versioned.commit(spark, src, rows(Seq((1L, "a", 666.0))), "part", Seq("id"))
+    // clone's own first commit is ALSO gen 3 (the collision)
+    Versioned.commit(spark, dst, rows(Seq((1L, "a", 10.0))), "part", Seq("id"))
+
+    val fs = new Path(dst).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate corruption/manual cleanup: the clone-local gen-3 dir dies
+    fs.delete(new Path(s"$dst/gen/__gen=3/__p=a"), true)
+
+    // read fails loudly (the source's gen-3 '666' row must NOT surface)
+    val ex = intercept[Exception](Versioned.readAsOf(spark, dst).collect())
+    assert(ex.getMessage != null)
+    // and fsck counts the ref missing, not healthy
+    val (_, _, missing, _) = Versioned.fsck(spark, dst)
+    assert(missing === 1L, s"lost clone-local gen must be missing, got $missing")
+    // refs at or below the bound still chain-resolve to the source
+    assert(Versioned.readAsOf(spark, dst, 2).as[(Long, String, Double)].collect().toSet ===
+      Set((1L, "a", 1.0), (2L, "a", 2.0)))
+  }
+
   test("clone of a clone resolves through the source chain; cloning an older version works") {
     val root = Files.createTempDirectory("graft-clone-chain").toString
     val src = s"$root/src"
