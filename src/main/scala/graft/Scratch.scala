@@ -59,6 +59,21 @@ object Scratch {
   def runRoot(spark: SparkSession): Path =
     new Path(new Path(configuredRoot(spark), Namespace), spark.sparkContext.applicationId)
 
+  /** Deterministic CROSS-RUN cache location for landed artifacts (the
+    * shared graph mirrors, entity-label tables, …):
+    * `<root>/graft-cache/<name>` → `(qualified path, already landed)`,
+    * where landed means the artifact's `_SUCCESS` marker exists —
+    * probed through the path's OWN FileSystem, so the check and the
+    * Spark write agree on a cluster (a driver-local `java.io.File`
+    * probe would check the driver's disk while the schemeless write
+    * resolves against `fs.defaultFS`). Not run-scoped and never
+    * auto-cleaned: landed artifacts are shared across runs by design. */
+  def cache(spark: SparkSession, name: String): (String, Boolean) = {
+    val p = new Path(new Path(configuredRoot(spark), "graft-cache"), sanitize(name))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (fs.makeQualified(p).toString, fs.exists(new Path(p, "_SUCCESS")))
+  }
+
   /** Best-effort eager delete for sites that have fully materialized
     * their results and can free staging before application end. */
   def cleanup(spark: SparkSession, path: String): Unit = {

@@ -162,12 +162,11 @@ object Clustering {
     * model reproduces kmeansAssign exactly (same final argmax pass). */
   private[queries] def sharedModel(
       s: SparkSession, d: String): String = {
-    val stage = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft-kmeans2-v1-${Integer.toHexString(d.hashCode)}")
-    if (!new java.io.File(stage, "_SUCCESS").exists())
-      trainKmeans(T.embeddings(s, d), stage.toString, iters = 2)
-    stage.toString
+    val (stage, landed) = graft.Scratch.cache(
+      s, s"kmeans2-v1-${Integer.toHexString(d.hashCode)}")
+    if (!landed)
+      trainKmeans(T.embeddings(s, d), stage, iters = 2)
+    stage
   }
 
   /** Route a micro-batched embedding stream through the saved model:

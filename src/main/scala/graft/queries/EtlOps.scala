@@ -530,11 +530,9 @@ object EtlOps {
     * landed table of ingest, not a per-query recomputation. */
   private def partEntityLabels(
       s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val stage = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft-er-labels-v1-${Integer.toHexString(d.hashCode)}")
-    val marker = new java.io.File(stage, "_SUCCESS")
-    if (!marker.exists()) {
+    val (stage, landed) = graft.Scratch.cache(
+      s, s"er-labels-v1-${Integer.toHexString(d.hashCode)}")
+    if (!landed) {
       val sub = T.part(s, d).filter(col("p_partkey") % 23 === 0)
       val pairs = FuzzyJoin.qgramJoin(
         sub, "p_partkey", "p_name", sub, "p_partkey", "p_name", n = 3, threshold = 0.6)
@@ -544,9 +542,9 @@ object EtlOps {
         .write.mode("overwrite").parquet(tmp)
       graft.operators.Components.connectedComponents(
           s.read.parquet(tmp), restageEvery = 1, stagePath = Some(s"$tmp/labels"))
-        .write.mode("overwrite").parquet(stage.toString)
+        .write.mode("overwrite").parquet(stage)
     }
-    s.read.parquet(stage.toString)
+    s.read.parquet(stage)
   }
 
   val er1EntityClusters = QueryDef.sql(
@@ -812,16 +810,14 @@ object EtlOps {
     * [[graft.operators.Maintenance]] for production partitioned writes;
     * this staging keeps the registered query self-contained. */
   private def partitionedOrders(s: SparkSession, d: String): DataFrame = {
-    val stage = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft-k11-${Integer.toHexString(d.hashCode)}")
-    val marker = new java.io.File(stage, "_SUCCESS")
-    if (!marker.exists()) {
+    val (stage, landed) = graft.Scratch.cache(
+      s, s"k11-${Integer.toHexString(d.hashCode)}")
+    if (!landed) {
       T.orders(s, d)
         .withColumn("o_year", year(col("o_orderdate")))
-        .write.mode("overwrite").partitionBy("o_year").parquet(stage.toString)
+        .write.mode("overwrite").partitionBy("o_year").parquet(stage)
     }
-    s.read.parquet(stage.toString)
+    s.read.parquet(stage)
   }
 
   // --- k12_time_travel: versioned snapshots + time travel
@@ -1972,6 +1968,87 @@ object EtlOps {
         .select(col("version"), col("event_type"), col("n"), col("total"), col("forgotten"))
   }
 
+  // --- k39_governance_gate: the COMPOSED lifecycle — scrub-through-
+  // history, then retention (dry-run first, then the real expire), then
+  // fsck — as ONE hash-gated pipeline. k26 proved scrub alone and k33
+  // proved fsck alone; what governance actually runs is the sequence,
+  // and the dangerous interactions live between the steps (does expire
+  // reclaim a scrubbed generation a retained manifest still needs? does
+  // the dry-run plan match what expire then does? does fsck come back
+  // clean AFTER both mutations?). Three commits build real history
+  // (raw → ×2 for user_id%7 → ×4 for user_id%5, value doublings are
+  // exponent-only so no rounding ambiguity), the forget set
+  // (user_id%101) is scrubbed from every retained generation, retention
+  // drops to the last 2 versions, and the output pins — per surviving
+  // (version, event_type) — the remaining count, exact value total, a
+  // literal-0 forgotten count, plus the governance evidence as constant
+  // columns: retained_versions=2, missing_refs=0, orphan_dirs=0, and
+  // expire_plan_matched (dry-run's drop list and survivor count equal
+  // what expire actually did, and fsck agrees). The oracle recomputes
+  // both surviving versions' post-scrub states from the fixture and
+  // pins every governance constant — so the hash gate proves the whole
+  // composed lifecycle, not its parts. ---
+  val k39GovernanceGate = QueryDef.sql(
+    "k39_governance_gate",
+    """WITH kept AS (SELECT event_id, user_id, event_type, value
+      |  FROM events WHERE user_id % 101 <> 0),
+      |v2 AS (SELECT 2 AS version, event_type, count(*) AS n,
+      |    CAST(sum(CAST(CASE WHEN user_id % 7 = 0 THEN value * 2 ELSE value END
+      |      AS DECIMAL(14,2))) AS DOUBLE) AS total
+      |  FROM kept GROUP BY event_type),
+      |v3 AS (SELECT 3 AS version, event_type, count(*) AS n,
+      |    CAST(sum(CAST(CASE WHEN user_id % 5 = 0 THEN value * 4
+      |                       WHEN user_id % 7 = 0 THEN value * 2
+      |                       ELSE value END AS DECIMAL(14,2))) AS DOUBLE) AS total
+      |  FROM kept GROUP BY event_type)
+      |SELECT version, event_type, n, total, CAST(0 AS BIGINT) AS forgotten,
+      |  CAST(2 AS BIGINT) AS retained_versions, CAST(0 AS BIGINT) AS missing_refs,
+      |  CAST(0 AS BIGINT) AS orphan_dirs, CAST(1 AS BIGINT) AS expire_plan_matched
+      |FROM v2
+      |UNION ALL
+      |SELECT version, event_type, n, total, CAST(0 AS BIGINT) AS forgotten,
+      |  CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+      |FROM v3""".stripMargin) { (s, d) =>
+    import graft.operators.{Forget, Versioned}
+    val root = graft.Scratch.dir("k39-gov")
+    val tbl = s"$root/events_v"
+    val ev = T.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    Versioned.commit(s, tbl, ev, "event_type", Seq("event_id"))
+    Versioned.commit(s, tbl,
+      ev.filter(col("user_id") % 7 === 0).withColumn("value", col("value") * 2),
+      "event_type", Seq("event_id"))
+    Versioned.commit(s, tbl,
+      ev.filter(col("user_id") % 5 === 0).withColumn("value", col("value") * 4),
+      "event_type", Seq("event_id"))
+    val forget = ev.filter(col("user_id") % 101 === 0)
+      .select(col("user_id")).distinct()
+    Forget.scrubVersioned(s, tbl, forget, Seq("user_id"))
+    val (planDrop, _, planKeep) = Versioned.expireDryRun(s, tbl, keep = 2)
+    Versioned.expire(s, tbl, keep = 2)
+    val (retained, refs, missing, orphans) = Versioned.fsck(s, tbl)
+    // the dry run was the PLAN iff expire dropped exactly the listed
+    // versions and exactly the planned survivor dirs remain (fsck's
+    // distinct-ref count = on-disk survivors when orphans = 0)
+    val planMatched = planDrop == Seq(1L) && refs == planKeep && orphans == 0L
+    val fk = broadcast(forget.withColumn("__f", lit(1)))
+    Versioned.retainedVersions(s, tbl).map { v =>
+      Versioned.readAsOf(s, tbl, v)
+        .join(fk, Seq("user_id"), "left")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(14,2)")).cast("double").as("total"),
+          sum(coalesce(col("__f"), lit(0))).cast("long").as("forgotten"))
+        .withColumn("version", lit(v.toInt))
+    }.reduce(_ unionByName _)
+      .select(col("version"), col("event_type"), col("n"), col("total"),
+        col("forgotten"),
+        lit(retained).as("retained_versions"),
+        lit(missing).as("missing_refs"),
+        lit(orphans).as("orphan_dirs"),
+        lit(if (planMatched) 1L else 0L).as("expire_plan_matched"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     j1FirstWins, j2Flatten, j3Lookup, p2TimeWindow, p4CastValidate,
     p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff,
@@ -1985,6 +2062,6 @@ object EtlOps {
     k22MvRewrite, k23ZorderGate, k24FullMerge, k25RetractableAgg, k26ScrubHistory,
     k28PartitionEvolution, k29ZonemapGate, k31WarehouseCompose, k32VersionDiff, k33ManifestFsck,
     k34ShallowClone, k35AsofStamp, k36BloomIndex, k37IncrementalStats,
-    k38CheckedCommit,
+    k38CheckedCommit, k39GovernanceGate,
     k27WapGate)
 }

@@ -29,16 +29,14 @@ object Graphs {
     * private stage. */
   private[queries] def coPurchaseUndirected(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val stage = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft-copurchase-undir-v1-${Integer.toHexString(d.hashCode)}")
-    val marker = new java.io.File(stage, "_SUCCESS")
-    if (!marker.exists()) {
+    val (stage, landed) = graft.Scratch.cache(
+      s, s"copurchase-undir-v1-${Integer.toHexString(d.hashCode)}")
+    if (!landed) {
       val e0 = coPurchaseWeighted(s, d)
       e0.unionByName(e0.select(col("v").as("u"), col("u").as("v"), col("w")))
-        .write.mode("overwrite").parquet(stage.toString)
+        .write.mode("overwrite").parquet(stage)
     }
-    s.read.parquet(stage.toString)
+    s.read.parquet(stage)
   }
 
   /** Degree-ORIENTED co-purchase edges (src = lower-(degree,id)
@@ -50,11 +48,9 @@ object Graphs {
     * consumer (and future wedge/4-cycle counters). */
   private[queries] def coPurchaseOriented(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val stage = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft-copurchase-oriented-v1-${Integer.toHexString(d.hashCode)}")
-    val marker = new java.io.File(stage, "_SUCCESS")
-    if (!marker.exists()) {
+    val (stage, landed) = graft.Scratch.cache(
+      s, s"copurchase-oriented-v1-${Integer.toHexString(d.hashCode)}")
+    if (!landed) {
       val e = coPurchaseEdges(s, d)
       val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -65,18 +61,43 @@ object Graphs {
       withDeg.select(
           when(fwd, col("u")).otherwise(col("v")).as("src"),
           when(fwd, col("v")).otherwise(col("u")).as("dst"))
-        .write.mode("overwrite").parquet(stage.toString)
+        .write.mode("overwrite").parquet(stage)
     }
-    s.read.parquet(stage.toString)
+    s.read.parquet(stage)
+  }
+
+  /** Loud HUB guard for the `collect_list` adjacency builds of the
+    * triangle family (g2/g16/g17): degree orientation bounds oriented
+    * out-degree by O(√m) — the standard sparse-graph argument — but
+    * nothing enforced it at runtime, so at 100× a pathological hub
+    * would OOM the task materializing its neighbor array long after
+    * the plan looked fine. ONE partial-aggregated probe (column-pruned
+    * edge scan → per-src counts → 1-row max+sum) fails loudly up front
+    * instead. The default bound 32·√m + 4096 sits an order above the
+    * theory bound on real graphs (no false alarms) yet far below the
+    * array size that kills an executor; callers that KNOW their hub is
+    * fine pass an explicit bound (Hits.checkBounds' dial). */
+  private[graft] def assertNoAdjacencyHub(
+      oriented: org.apache.spark.sql.DataFrame,
+      maxOutDeg: Option[Long] = None): Unit = {
+    val row = oriented.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .agg(coalesce(max(col("d")), lit(0L)).as("mx"),
+        coalesce(sum(col("d")), lit(0L)).as("m"))
+      .collect()(0)
+    val (mx, m) = (row.getLong(0), row.getLong(1))
+    val bound = maxOutDeg.getOrElse(32L * math.sqrt(m.toDouble).toLong + 4096L)
+    require(mx <= bound,
+      s"adjacency hub guard: max oriented out-degree $mx exceeds bound $bound " +
+        s"(m=$m edges) — the collect_list neighbor array for that hub risks task " +
+        "OOM at scale; pre-split the hub (salt its neighbor list) or pass a " +
+        "higher bound knowingly")
   }
 
   private[queries] def coPurchaseWeighted(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val stage = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft-copurchase-v2-${Integer.toHexString(d.hashCode)}")
-    val marker = new java.io.File(stage, "_SUCCESS")
-    if (!marker.exists()) {
+    val (stage, landed) = graft.Scratch.cache(
+      s, s"copurchase-v2-${Integer.toHexString(d.hashCode)}")
+    if (!landed) {
       val it = T.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
       // The landed artifact carries the co-occurrence COUNT: unweighted
@@ -87,9 +108,9 @@ object Graphs {
           col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .groupBy(col("x.p").as("u"), col("y.p").as("v"))
         .agg(count(lit(1)).as("w"))
-        .write.mode("overwrite").parquet(stage.toString)
+        .write.mode("overwrite").parquet(stage)
     }
-    s.read.parquet(stage.toString)
+    s.read.parquet(stage)
   }
 
   // --- g1_pagerank: weighted PageRank over the event-type transition
@@ -144,6 +165,7 @@ object Graphs {
     // with g16): the edge-building lineage must not re-execute for each
     // of the three consumers below — nor per RUN
     val oriented = coPurchaseOriented(s, d)
+    assertNoAdjacencyHub(oriented) // loud hub probe before collect_list
     // Per-edge adjacency intersection instead of wedge materialization:
     // tri(u→v) = |N⁺(u) ∩ N⁺(v)| — the intersect runs in-place inside
     // codegen per edge row, so the O(Σ outdeg²) wedge set (40M rows at
@@ -792,6 +814,7 @@ object Graphs {
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
     // orientation comes from the LANDED shared artifact (g2's note)
     val oriented = coPurchaseOriented(s, d)
+    assertNoAdjacencyHub(oriented) // loud hub probe before collect_list
     val adj = oriented.groupBy(col("src"))
       .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
     val triples = oriented
@@ -927,6 +950,10 @@ object Graphs {
       .join(pb.select(col("p_partkey").as("v"), col("p_brand").as("bv")), Seq("v"))
       .filter(col("bu") === col("bv"))
       .select(col("u"), col("v"))
+    // total degree upper-bounds oriented out-degree in every peel round
+    // (rounds only remove edges), so one probe up front covers them all
+    assertNoAdjacencyHub(
+      e0.select(col("u").as("src")).unionAll(e0.select(col("v").as("src"))))
     val tmp = graft.Scratch.dir("g17-truss")
     var out: DataFrame = e0
     for (r <- 1 to 3) {

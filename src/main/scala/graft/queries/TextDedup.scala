@@ -274,12 +274,11 @@ object TextDedup {
     * every consumer (d6's clustering). */
   private[queries] def nearDupPairTable(
       s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val stage = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      s"graft-d3pairs-v1-${Integer.toHexString(d.hashCode)}")
-    if (!new java.io.File(stage, "_SUCCESS").exists())
-      d3MinhashLsh.run(s, d).write.mode("overwrite").parquet(stage.toString)
-    s.read.parquet(stage.toString)
+    val (stage, landed) = graft.Scratch.cache(
+      s, s"d3pairs-v1-${Integer.toHexString(d.hashCode)}")
+    if (!landed)
+      d3MinhashLsh.run(s, d).write.mode("overwrite").parquet(stage)
+    s.read.parquet(stage)
   }
 
   // --- d6_dedup_clusters: connected components over the d3 near-dup

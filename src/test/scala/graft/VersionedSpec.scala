@@ -156,6 +156,43 @@ class VersionedSpec extends SparkSpec {
       Set((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0)))
   }
 
+  test("scrub-crash residue between scrub and expire survives expire and heals on the next scrub") {
+    import graft.operators.Forget
+    val tbl = freshTbl()
+    Versioned.commit(spark, tbl, rows(Seq((1L, "a", 1.0), (2L, "b", 2.0))), "part", Seq("id"))
+    Versioned.commit(spark, tbl, rows(Seq((3L, "a", 3.0))), "part", Seq("id"))
+    Forget.scrubVersioned(spark, tbl, Seq(2L).toDF("id"), Seq("id"))
+
+    // inject the mid-swap crash window on a LIVE dir, exactly between
+    // stagedRewrite's two renames: __new complete (with _SUCCESS from
+    // the staged write), __old holding the pre-rewrite copy, the live
+    // dir GONE — the state the governance pipeline can be in when
+    // retention runs next
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(tbl).getFileSystem(hconf)
+    val dir = Versioned.partDir(tbl, "a", 2)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(dir), fs, new Path(dir + "__new"), false, hconf)
+    fs.create(new Path(dir + "__new/_SUCCESS"), true).close()
+    assert(fs.rename(new Path(dir), new Path(dir + "__old")))
+
+    // expire must NOT reclaim the residue — __new is the partition's
+    // only complete copy in this window
+    Versioned.expire(spark, tbl, keep = 1)
+    assert(fs.exists(new Path(dir + "__new")), "expire reclaimed mid-swap residue")
+    assert(fs.exists(new Path(dir + "__old")))
+    // ...while genuinely dead dirs (v1's superseded partition a) are gone
+    assert(!fs.exists(new Path(Versioned.partDir(tbl, "a", 1))))
+    assert(fs.exists(new Path(Versioned.partDir(tbl, "b", 1))), "still referenced by v2")
+
+    // the next scrub heals the swap FIRST, then the table reads whole
+    Forget.scrubVersioned(spark, tbl, Seq(2L).toDF("id"), Seq("id"))
+    assert(fs.exists(new Path(dir)) && !fs.exists(new Path(dir + "__new")))
+    val (_, _, missing, orphans) = Versioned.fsck(spark, tbl)
+    assert(missing === 0L && orphans === 0L)
+    assert(Versioned.readAsOf(spark, tbl).as[(Long, String, Double)].collect().toSet ===
+      Set((1L, "a", 1.0), (3L, "a", 3.0)), "scrubbed key stays gone; the rest intact")
+  }
+
   test("a lost clone-local generation fails loudly instead of serving the source's same-numbered one") {
     // After the clone point both sides number generations up from the
     // same base, so the source's LATER gen numbers collide with
