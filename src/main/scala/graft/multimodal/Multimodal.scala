@@ -9,13 +9,15 @@ import org.apache.spark.sql.functions._
   * iterator-to-iterator `mapPartitions` over typed Datasets — the
   * Scala-native analog of Python's `mapInPandas` batch UDFs.
   *
-  * Codec status: IMAGES are real — [[ImageCodec]] decodes, resizes and
-  * feature-extracts PNG/JPEG/GIF/BMP via the JDK's `javax.imageio` —
-  * and AUDIO is real — [[AudioCodec]] decodes WAV/AIFF PCM via
-  * `javax.sound.sampled` (both headless, zero added dependencies).
-  * Only VIDEO stays STUBBED behind [[StubCodec]] (no video libraries
-  * exist in this environment) — swap that one object for a
-  * javacv/ffmpeg binding in a real deployment, nothing else changes.
+  * Codec status: all three modalities are REAL and JDK-only. IMAGES —
+  * [[ImageCodec]] decodes, resizes and feature-extracts PNG/JPEG/GIF/
+  * BMP via `javax.imageio`. AUDIO — [[AudioCodec]] decodes WAV/AIFF PCM
+  * via `javax.sound.sampled`. VIDEO — [[VideoCodec]] parses the AVI
+  * (RIFF) container and decodes uncompressed BI_RGB and MJPEG frames
+  * (MJPEG through the JDK's JPEG reader). Only inter-frame codecs
+  * (H.264/VP9 in MP4) remain behind [[StubCodec]] — no pure-JVM decoder
+  * exists; swap that one object for a javacv/ffmpeg binding in a real
+  * deployment, nothing else changes.
   *
   * Scale design:
   *   - decode cost dominates at 100 TB; [[repartitionForDecode]] spreads
@@ -245,12 +247,273 @@ object Multimodal {
     }
   }
 
-  /** ======== STUB (video only) ========
+  /** Real VIDEO codec for the AVI (RIFF) container — pure JVM, zero
+    * added dependencies, like the image/audio codecs. Two frame
+    * encodings:
+    *
+    *   - `00db` uncompressed BI_RGB 24-bit DIB frames (bottom-up BGR
+    *     rows, 4-byte-aligned) — LOSSLESS, so decoded pixels are
+    *     analytically predictable and the video decode path sits under
+    *     the same exact-integer oracle gate as images (m1/m10);
+    *   - `00dc` MJPEG frames, decoded per frame through `javax.imageio`
+    *     (the JDK ships a JPEG reader) — the compressed real-world
+    *     variant, spec-verified for dimensional/structural agreement.
+    *
+    * This is a CONTAINER parser + frame codec, not a general-purpose
+    * video stack: inter-frame codecs (H.264/VP9/AV1) have no pure-JVM
+    * decoder in this environment and still require an external binding
+    * ([[StubCodec]] remains the documented fallback for unknown
+    * containers/codecs). Malformed bytes yield None/empty — corrupt
+    * assets must never kill a stage. */
+  object VideoCodec {
+    import java.awt.image.BufferedImage
+    import java.nio.{ByteBuffer, ByteOrder}
+
+    final case class VideoInfo(w: Int, h: Int, nFrames: Int, usPerFrame: Long) {
+      def durationMs: Long = nFrames.toLong * usPerFrame / 1000L
+    }
+
+    private def fourcc(s: String): Int =
+      (s(0) & 0xff) | ((s(1) & 0xff) << 8) | ((s(2) & 0xff) << 16) | ((s(3) & 0xff) << 24)
+    private val RIFF = fourcc("RIFF"); private val AVI = fourcc("AVI ")
+    private val LIST = fourcc("LIST"); private val HDRL = fourcc("hdrl")
+    private val AVIH = fourcc("avih"); private val MOVI = fourcc("movi")
+    private val STRL = fourcc("strl"); private val STRH = fourcc("strh")
+    private val STRF = fourcc("strf"); private val IDX1 = fourcc("idx1")
+
+    private def rowBytes(w: Int) = ((w * 3 + 3) / 4) * 4
+
+    /** Encode frames as an uncompressed BI_RGB AVI. All frames must
+      * share the first frame's dimensions. */
+    def encodeAvi(frames: Seq[BufferedImage], fps: Int): Array[Byte] = {
+      require(frames.nonEmpty && fps > 0, "need at least one frame and fps > 0")
+      val (w, h) = (frames.head.getWidth, frames.head.getHeight)
+      require(frames.forall(f => f.getWidth == w && f.getHeight == h),
+        "all frames must share dimensions")
+      val rb = rowBytes(w)
+      val frameBytes = rb * h
+      val n = frames.size
+      val moviContent = 4 + n * (8 + frameBytes)
+      val hdrlContent = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+      val total = 12 + (8 + hdrlContent) + (8 + moviContent) + (8 + 16 * n)
+      val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(RIFF).putInt(total - 8).putInt(AVI)
+      // hdrl
+      buf.putInt(LIST).putInt(hdrlContent).putInt(HDRL)
+      buf.putInt(AVIH).putInt(56)
+      buf.putInt((1000000L / fps).toInt) // µs per frame
+        .putInt(0).putInt(0).putInt(0x10) // maxBytesPerSec, padding, AVIF_HASINDEX
+        .putInt(n).putInt(0).putInt(1).putInt(frameBytes)
+        .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+      buf.putInt(LIST).putInt(4 + (8 + 56) + (8 + 40)).putInt(STRL)
+      buf.putInt(STRH).putInt(56)
+      buf.putInt(fourcc("vids")).putInt(fourcc("DIB "))
+        .putInt(0).putInt(0) // flags, prio+lang
+        .putInt(0).putInt(1).putInt(fps).putInt(0).putInt(n) // init, scale, rate, start, length
+        .putInt(frameBytes).putInt(0).putInt(0) // bufSize, quality, sampleSize
+        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      buf.putInt(STRF).putInt(40)
+      buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(0).putInt(frameBytes).putInt(0).putInt(0).putInt(0).putInt(0)
+      // movi: 00db frames, BGR rows bottom-up, rows padded to 4 bytes
+      buf.putInt(LIST).putInt(moviContent).putInt(MOVI)
+      val moviFourccPos = 12 + (8 + hdrlContent) + 8 // position of the 'movi' fourcc
+      val offsets = frames.map { img =>
+        val off = buf.position() - moviFourccPos // idx1 offsets count from 'movi'
+        buf.putInt(fourcc("00db")).putInt(frameBytes)
+        var y = h - 1
+        while (y >= 0) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            buf.put((rgb & 0xff).toByte)          // B
+            buf.put(((rgb >> 8) & 0xff).toByte)   // G
+            buf.put(((rgb >> 16) & 0xff).toByte)  // R
+            x += 1
+          }
+          var pad = rb - w * 3
+          while (pad > 0) { buf.put(0.toByte); pad -= 1 }
+          y -= 1
+        }
+        off
+      }
+      buf.putInt(IDX1).putInt(16 * n)
+      offsets.foreach { off =>
+        buf.putInt(fourcc("00db")).putInt(0x10).putInt(off).putInt(frameBytes)
+      }
+      buf.array()
+    }
+
+    /** Parse the container header: dimensions, frame count, frame
+      * duration. None for anything that isn't a well-formed AVI. */
+    def probe(bytes: Array[Byte]): Option[VideoInfo] =
+      try {
+        val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+        if (buf.remaining < 24 || buf.getInt() != RIFF) return None
+        buf.getInt() // riff size
+        if (buf.getInt() != AVI) return None
+        var info: Option[VideoInfo] = None
+        while (buf.remaining >= 8 && info.isEmpty) {
+          val id = buf.getInt(); val sz = buf.getInt()
+          if (id == LIST && buf.remaining >= 4) {
+            val listType = buf.getInt()
+            if (listType == HDRL) {
+              // scan the hdrl list for avih
+              val end = buf.position() + sz - 4
+              while (buf.position() < end && info.isEmpty) {
+                val cid = buf.getInt(); val csz = buf.getInt()
+                if (cid == AVIH && csz >= 40) {
+                  val p = buf.position()
+                  val usPerFrame = buf.getInt(p).toLong & 0xffffffffL
+                  val nFrames = buf.getInt(p + 16)
+                  val w = buf.getInt(p + 32); val h = buf.getInt(p + 36)
+                  info = Some(VideoInfo(w, h, nFrames, usPerFrame))
+                }
+                buf.position(buf.position() + csz + (csz & 1))
+              }
+            } else buf.position(buf.position() + sz - 4 + (sz & 1))
+          } else buf.position(buf.position() + sz + (sz & 1))
+        }
+        info.filter(i => i.w > 0 && i.h > 0 && i.nFrames >= 0)
+      } catch { case _: Exception => None }
+
+    /** Decode every frame: `(frame_no, image)` in stream order.
+      * Supports `00db` BI_RGB and `00dc` MJPEG chunks. Undecodable
+      * frames are skipped (corrupt-asset tolerance). */
+    def decodeFrames(bytes: Array[Byte]): Seq[(Int, BufferedImage)] =
+      probe(bytes).map { info =>
+        try {
+          val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+          buf.position(12)
+          val out = Seq.newBuilder[(Int, BufferedImage)]
+          var frameNo = 0
+          while (buf.remaining >= 8) {
+            val id = buf.getInt(); val sz = buf.getInt()
+            if (id == LIST && buf.remaining >= 4) {
+              val listType = buf.getInt()
+              if (listType == MOVI) {
+                val end = buf.position() + sz - 4
+                while (buf.position() < end && buf.remaining >= 8) {
+                  val cid = buf.getInt(); val csz = buf.getInt()
+                  val tag = Array((cid >> 16) & 0xff, (cid >> 24) & 0xff)
+                    .map(_.toChar).mkString
+                  val p = buf.position()
+                  if (tag == "db") {
+                    dibFrame(buf, p, csz, info.w, info.h)
+                      .foreach(img => { out += frameNo -> img; frameNo += 1 })
+                  } else if (tag == "dc") {
+                    val arr = new Array[Byte](csz)
+                    buf.position(p); buf.get(arr)
+                    Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(arr)))
+                      .foreach(img => { out += frameNo -> img; frameNo += 1 })
+                  }
+                  buf.position(p + csz + (csz & 1))
+                }
+              } else buf.position(buf.position() + sz - 4 + (sz & 1))
+            } else buf.position(buf.position() + sz + (sz & 1))
+          }
+          out.result()
+        } catch { case _: Exception => Seq.empty }
+      }.getOrElse(Seq.empty)
+
+    private def dibFrame(
+        buf: ByteBuffer, pos: Int, size: Int, w: Int, h: Int): Option[BufferedImage] = {
+      val rb = rowBytes(w)
+      if (size < rb * h) None
+      else {
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          val rowStart = pos + (h - 1 - y) * rb // bottom-up rows
+          var x = 0
+          while (x < w) {
+            val b = buf.get(rowStart + x * 3) & 0xff
+            val g = buf.get(rowStart + x * 3 + 1) & 0xff
+            val r = buf.get(rowStart + x * 3 + 2) & 0xff
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        Some(img)
+      }
+    }
+
+    /** The frame covering timestamp `tsMs` (clamped to the last frame). */
+    def frameAt(bytes: Array[Byte], tsMs: Long): Option[BufferedImage] =
+      probe(bytes).flatMap { info =>
+        if (info.nFrames == 0 || info.usPerFrame == 0) None
+        else {
+          val idx = math.min(tsMs * 1000 / info.usPerFrame, info.nFrames - 1L).toInt
+          decodeFrames(bytes).collectFirst { case (n, img) if n == idx => img }
+        }
+      }
+
+    /** Real decoded features: frame count, duration, mean luma, and
+      * inter-frame MOTION (mean abs luma delta) — the shot-boundary /
+      * static-asset signal. Zero-padded to `dims`. */
+    def features(bytes: Array[Byte], dims: Int): Array[Float] = {
+      val frames = decodeFrames(bytes)
+      if (frames.isEmpty) return new Array[Float](dims)
+      val info = probe(bytes).get
+      val lumas = frames.map { case (_, img) =>
+        var s = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            s += (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+              114 * (rgb & 0xff)) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        s.toDouble / (img.getWidth * img.getHeight)
+      }
+      val motion =
+        if (lumas.size < 2) 0.0
+        else lumas.sliding(2).map { case Seq(a, b) => math.abs(b - a) }.sum / (lumas.size - 1)
+      val base = Array(
+        frames.size.toFloat,
+        info.durationMs / 1000.0f,
+        (lumas.sum / lumas.size / 255.0).toFloat,
+        (motion / 255.0).toFloat)
+      java.util.Arrays.copyOf(base, dims)
+    }
+
+    /** Deterministic real AVI: `nFrames` of a w×h per-frame gradient
+      * derived from `seed` (frame term 19/23/29 per channel) — the video
+      * analog of [[Multimodal.syntheticPng]], analytically reproducible
+      * pixel by pixel. */
+    def synthesizeAvi(seed: Long, w: Int, h: Int, nFrames: Int, fps: Int): Array[Byte] = {
+      val frames = (0 until nFrames).map { f =>
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val r = ((seed * 31 + f * 19 + x * 7 + y * 13) % 256).toInt & 0xff
+            val g = ((seed * 17 + f * 23 + x * 3 + y * 5) % 256).toInt & 0xff
+            val b = ((seed * 7 + f * 29 + x * 11 + y * 2) % 256).toInt & 0xff
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        img
+      }
+      encodeAvi(frames, fps)
+    }
+  }
+
+  /** ======== STUB (unknown containers/codecs only) ========
     * Deterministic fake codec: derives "decoded" content from an md5 of
-    * the bytes. A real deployment replaces exactly this object with a
-    * codec-backed implementation (e.g. javacv/ffmpeg); all dataset-level
-    * operators below are codec-agnostic. Images go through [[ImageCodec]]
-    * and audio through [[AudioCodec]] — both real, JDK-only.
+    * the bytes. Image ([[ImageCodec]]), audio ([[AudioCodec]]) and AVI
+    * video ([[VideoCodec]]) are REAL, JDK-only; this fallback remains
+    * for containers/codecs with no pure-JVM decoder (H.264/VP9 in MP4 —
+    * swap in a javacv/ffmpeg binding in a deployment with native
+    * libraries; all dataset-level operators below are codec-agnostic).
     */
   object StubCodec {
     private def digest(bytes: Array[Byte], salt: String): Array[Byte] = {
@@ -294,7 +557,9 @@ object Multimodal {
         val feat = a.kind match {
           case "image" => ImageCodec.pixelFeatures(a.bytes, dims)
           case "audio" => AudioCodec.features(a.bytes, dims)
-          case _ => StubCodec.features(a.bytes, dims)
+          case "video" if VideoCodec.probe(a.bytes).isDefined =>
+            VideoCodec.features(a.bytes, dims)
+          case _ => StubCodec.features(a.bytes, dims) // unknown container
         }
         MediaFeatures(a.asset_id, a.kind, a.bytes.length.toLong, feat)
       }
@@ -414,13 +679,28 @@ object Multimodal {
   }
 
   /** Frame sampling: one row per sampled frame every `everyMs` ms of the
-    * asset's duration (videos only) — a lazy 1→N flatMap. */
+    * asset's duration (videos only) — a lazy 1→N flatMap. AVI assets get
+    * the REAL frame covering the timestamp, PNG-re-encoded (losslessly);
+    * unknown containers fall back to the stub. */
   def sampleFrames(ds: Dataset[MediaAsset], everyMs: Long): Dataset[Frame] = {
     import ds.sparkSession.implicits._
     ds.flatMap { a =>
-      if (a.kind != "video" || a.meta.durationMs <= 0) Iterator.empty
-      else (0L until a.meta.durationMs by everyMs).iterator.zipWithIndex.map {
-        case (ts, i) => Frame(a.asset_id, i, ts, StubCodec.frameAt(a.bytes, ts))
+      if (a.kind != "video") Iterator.empty
+      else {
+        val durationMs = VideoCodec.probe(a.bytes)
+          .map(_.durationMs).getOrElse(a.meta.durationMs)
+        if (durationMs <= 0) Iterator.empty
+        else (0L until durationMs by everyMs).iterator.zipWithIndex.map {
+          case (ts, i) =>
+            val frame = VideoCodec.frameAt(a.bytes, ts) match {
+              case Some(img) =>
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(img, "png", bos)
+                bos.toByteArray
+              case None => StubCodec.frameAt(a.bytes, ts)
+            }
+            Frame(a.asset_id, i, ts, frame)
+        }
       }
     }
   }
@@ -617,9 +897,69 @@ object Multimodal {
                   payload_bytes = Some(a.bytes.length.toLong))
               case None => base
             }
-          case _ => // opaque (video): only the payload length is observable
+          case "video" =>
+            VideoCodec.probe(a.bytes) match {
+              case Some(info) =>
+                // exact-integer facts about the DECODED frames: dims,
+                // frame count, duration, and per-channel pixel sums over
+                // ALL frames (lossless BI_RGB ⇒ analytically gateable)
+                var (sr, sg, sb) = (0L, 0L, 0L)
+                VideoCodec.decodeFrames(a.bytes).foreach { case (_, img) =>
+                  var y = 0
+                  while (y < img.getHeight) {
+                    var x = 0
+                    while (x < img.getWidth) {
+                      val rgb = img.getRGB(x, y)
+                      sr += (rgb >> 16) & 0xff
+                      sg += (rgb >> 8) & 0xff
+                      sb += rgb & 0xff
+                      x += 1
+                    }
+                    y += 1
+                  }
+                }
+                base.copy(img_w = Some(info.w.toLong), img_h = Some(info.h.toLong),
+                  sum_r = Some(sr), sum_g = Some(sg), sum_b = Some(sb),
+                  frames = Some(info.nFrames.toLong),
+                  duration_ms = Some(info.durationMs),
+                  payload_bytes = Some(a.bytes.length.toLong))
+              case None => // unknown container: only the length is observable
+                base.copy(payload_bytes = Some(a.bytes.length.toLong))
+            }
+          case _ => // opaque: only the payload length is observable
             base.copy(payload_bytes = Some(a.bytes.length.toLong))
         }
+      }
+    }
+  }
+
+  final case class VideoFrameAudit(
+      asset_id: Long, frame_no: Int, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Per-FRAME exact-integer decode audit (videos only): one row per
+    * decoded frame with channel pixel sums — the frame-level analog of
+    * [[decodeAudit]], and the op a frame-dedup/shot-boundary pipeline
+    * runs first. Lazy 1→N flatMap; a whole video's frames never
+    * co-reside in memory beyond the codec's single in-flight frame. */
+  def videoFrameAudit(ds: Dataset[MediaAsset]): Dataset[VideoFrameAudit] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { a =>
+      if (a.kind != "video") Iterator.empty
+      else VideoCodec.decodeFrames(a.bytes).iterator.map { case (f, img) =>
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        VideoFrameAudit(a.asset_id, f, sr, sg, sb)
       }
     }
   }
@@ -648,9 +988,9 @@ object Multimodal {
   }
 
   /** Synthesize a deterministic media table from ids — test and demo
-    * input without real media files. Image assets carry REAL encoded
-    * PNGs (decodable by [[ImageCodec]]); audio/video carry opaque
-    * payloads for the stub. */
+    * input without real media files. All three kinds carry REAL encoded
+    * payloads: PNGs ([[ImageCodec]]), PCM WAVs ([[AudioCodec]]), and
+    * BI_RGB AVIs ([[VideoCodec]] — 16×12, 2 + id%3 frames at 4 fps). */
   def synthesize(spark: SparkSession, ids: Seq[Long]): Dataset[MediaAsset] = {
     import spark.implicits._
     ids.map { id =>
@@ -667,8 +1007,10 @@ object Multimodal {
           val bytes = AudioCodec.synthesizeWav(220.0 + (id % 8) * 55.0, ms)
           MediaAsset(id, kind, bytes, MediaMeta("audio/wav", 0, 0, 8000, ms.toLong))
         case _ =>
-          val bytes = Array.tabulate[Byte](64 + (id % 32).toInt)(i => ((id * 31 + i) % 127).toByte)
-          MediaAsset(id, kind, bytes, MediaMeta("video/mp4", 1280, 720, 0, 3000L + (id % 5) * 1000))
+          val nFrames = 2 + ((id / 3) % 3).toInt // video ids are ≡2 mod 3; vary on id/3
+          val bytes = VideoCodec.synthesizeAvi(id, w = 16, h = 12, nFrames = nFrames, fps = 4)
+          MediaAsset(id, kind, bytes,
+            MediaMeta("video/x-msvideo", 16, 12, 0, nFrames * 250L))
       }
     }.toDS()
   }

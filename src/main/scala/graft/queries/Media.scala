@@ -43,7 +43,17 @@ object Media {
       |astats AS (
       |  SELECT id, count(*) AS frames, sum(v) AS sample_sum,
       |    sum(CASE WHEN i>0 AND ((v>=0) != (prev>=0)) THEN 1 ELSE 0 END) AS zcr
-      |  FROM lagd GROUP BY id)
+      |  FROM lagd GROUP BY id),
+      |vid AS (SELECT id, 2 + ((id//3) % 3) AS nf FROM ids WHERE id%3=2),
+      |vpx AS (
+      |  SELECT v.id,
+      |    sum((v.id*31 + 19*fs.f + 7*xs.x + 13*ys.y) % 256) AS sum_r,
+      |    sum((v.id*17 + 23*fs.f + 3*xs.x + 5*ys.y) % 256) AS sum_g,
+      |    sum((v.id*7 + 29*fs.f + 11*xs.x + 2*ys.y) % 256) AS sum_b
+      |  FROM vid v, generate_series(0,3) fs(f),
+      |       generate_series(0,15) xs(x), generate_series(0,11) ys(y)
+      |  WHERE fs.f < v.nf
+      |  GROUP BY v.id)
       |SELECT i.id AS asset_id, 'image' AS kind, i.w AS img_w, i.h AS img_h,
       |  p.sum_r, p.sum_g, p.sum_b,
       |  NULL AS sr_hz, NULL AS frames, NULL AS duration_ms,
@@ -54,9 +64,12 @@ object Media {
       |  8000, s.frames, a.ms, s.zcr, s.sample_sum, 44 + 2*s.frames
       |FROM aud a JOIN astats s ON a.id = s.id
       |UNION ALL
-      |SELECT id, 'video', NULL, NULL, NULL, NULL, NULL,
-      |  NULL, NULL, NULL, NULL, NULL, 64 + id%32
-      |FROM ids WHERE id%3=2""".stripMargin) { (s, _) =>
+      |-- video: REAL AVI decode facts — dims, all-frame channel sums,
+      |-- frame count, duration, and the exact container size
+      |-- (232 header/index bytes + 600 per 16×12 BI_RGB frame chunk)
+      |SELECT v.id, 'video', 16, 12, p.sum_r, p.sum_g, p.sum_b,
+      |  NULL, v.nf, 250*v.nf, NULL, NULL, 232 + 600*v.nf
+      |FROM vid v JOIN vpx p ON v.id = p.id""".stripMargin) { (s, _) =>
     Multimodal.decodeAudit(
       Multimodal.repartitionForDecode(Multimodal.synthesize(s, 0L until 60L), 8))
       .toDF()
@@ -395,6 +408,39 @@ object Media {
         col("zcr"), col("sample_sum"), col("payload_bytes"))
   }
 
+  // --- m10_video_frames: REAL video decode under the hash gate — one
+  // row per (asset, frame) with exact per-channel pixel sums over the
+  // decoded raster. The synthesized assets are genuine AVI (RIFF)
+  // containers with uncompressed BI_RGB frames (VideoCodec — container
+  // parse, bottom-up BGR row decode, 4-byte row alignment all
+  // exercised), and BI_RGB is lossless, so the oracle reproduces every
+  // pixel analytically from the synthesis formula (frame term 19/23/29
+  // per channel) exactly as m2 does for PNGs. A header-parse or raster
+  // regression (wrong frame order, row direction, channel order,
+  // padding) hash-mismatches immediately. Scale shape: lazy 1→N
+  // per-partition decode, 3 longs per frame out — pixels never
+  // shuffle. ---
+  val m10VideoFrames = QueryDef.sql(
+    "m10_video_frames",
+    """WITH ids AS (SELECT id FROM generate_series(0,59) t(id)),
+      |vid AS (SELECT id, 2 + ((id//3) % 3) AS nf FROM ids WHERE id%3=2),
+      |fr AS (
+      |  SELECT v.id, fs.f,
+      |    CAST(sum((v.id*31 + 19*fs.f + 7*xs.x + 13*ys.y) % 256) AS BIGINT) AS sum_r,
+      |    CAST(sum((v.id*17 + 23*fs.f + 3*xs.x + 5*ys.y) % 256) AS BIGINT) AS sum_g,
+      |    CAST(sum((v.id*7 + 29*fs.f + 11*xs.x + 2*ys.y) % 256) AS BIGINT) AS sum_b
+      |  FROM vid v, generate_series(0,3) fs(f),
+      |       generate_series(0,15) xs(x), generate_series(0,11) ys(y)
+      |  WHERE fs.f < v.nf
+      |  GROUP BY v.id, fs.f)
+      |SELECT id AS asset_id, f AS frame_no, sum_r, sum_g, sum_b
+      |FROM fr""".stripMargin) { (s, _) =>
+    Multimodal.videoFrameAudit(
+      Multimodal.repartitionForDecode(Multimodal.synthesize(s, 0L until 60L), 8))
+      .toDF()
+  }
+
   val all: Seq[QueryDef] = Seq(m1MediaFeatures, m2ImagePhash, m3AudioEnergy, m4ImageKnn,
-    m5AudioTone, m6ImageNeardup, m7AudioNeardup, m8ImageTiles, m9AudioResample)
+    m5AudioTone, m6ImageNeardup, m7AudioNeardup, m8ImageTiles, m9AudioResample,
+    m10VideoFrames)
 }

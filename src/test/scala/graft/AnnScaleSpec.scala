@@ -86,4 +86,47 @@ class AnnScaleSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("recall@10 survives churn: tombstone deletes, compaction, re-inserts") {
+    // The compaction question: a production index lives under delete +
+    // re-insert churn, and each re-insert of a previously-deleted id is
+    // only visible if compaction folded its tombstone FIRST (tombstones
+    // kill by vec_id — they would shadow the re-inserted row too).
+    // Three churn rounds cycle every third of the corpus through
+    // delete → compact → re-insert; recall@10 against the fixed
+    // full-corpus brute-force truth must stay >= 0.9 after every round
+    // and end within tolerance of the pre-churn index.
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, dir)
+    val truth = truthSets(dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding"))
+    val idx = Files.createTempDirectory("ann-churn").toString + "/idx"
+    Similarity.buildIndex(spark, idx, emb)
+
+    def recall(): Double = recallOf(
+      Similarity.queryIndexLive(spark, idx, queries, k = 10)
+        .select("qid", "cid").as[(Long, Long)].collect().toSeq, truth)
+
+    val pre = recall()
+    val rounds = (0 until 3).map { r =>
+      val slice = emb.filter(col("vec_id") % 3 === r)
+      Similarity.deleteFromIndex(spark, idx, slice.select(col("vec_id")))
+      // mid-churn: the deleted slice is invisible NOW
+      val gone = slice.select(col("vec_id")).as[Long].collect().toSet
+      val mid = Similarity.queryIndexLive(spark, idx, queries, k = 10)
+        .select("cid").as[Long].collect().toSet
+      assert((mid & gone).isEmpty, s"round $r: tombstoned ids surfaced")
+      Similarity.compactIndex(spark, idx)
+      Similarity.appendToIndex(spark, idx, slice)
+      r -> recall()
+    }
+    info(f"pre-churn recall@10: $pre%.3f")
+    rounds.foreach { case (r, rec) => info(f"after churn round $r: $rec%.3f") }
+    rounds.foreach { case (r, rec) =>
+      assert(rec >= 0.9, s"round $r: post-churn recall@10 $rec < 0.9")
+    }
+    assert(rounds.last._2 >= pre - 0.05,
+      s"churn degraded recall: $pre -> ${rounds.last._2}")
+  }
 }

@@ -28,9 +28,13 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.length === 30)
     assert(rows.forall(_.feature.length === 16))
     val byKind = rows.groupBy(_.kind)
-    // video rides the stub: pseudo-activations in [-1, 1)
-    byKind("video").foreach(r =>
-      assert(r.feature.forall(v => v >= -1.0f && v < 1.0f)))
+    // video carries REAL decoded signals: frame count, duration s,
+    // mean luma and motion (then zero padding)
+    byKind("video").foreach { r =>
+      assert(r.feature(0) >= 2.0f && r.feature(0) <= 4.0f, s"frames: ${r.asset_id}")
+      assert(r.feature(1) === r.feature(0) * 0.25f, s"duration at 4 fps: ${r.asset_id}")
+      assert(r.feature(2) > 0.0f && r.feature(2) <= 1.0f, s"mean luma: ${r.asset_id}")
+    }
     // audio carries REAL signal stats: rms/zcr/peak in [0, 1], then zeros
     byKind("audio").foreach { r =>
       assert(r.feature.take(3).forall(v => v >= 0.0f && v <= 1.0f), r.asset_id)
@@ -134,9 +138,13 @@ class MultimodalSpec extends SparkSpec {
     assert(aud.sr_hz === Some(8000L) && aud.duration_ms === Some(300L))
     assert(aud.frames === Some(2400L) && aud.zcr.exists(_ > 0))
     assert(aud.payload_bytes === Some(44L + 2L * 2400L), "44-byte WAV header + 16-bit mono PCM")
-    // video rows are opaque: only payload length observable
-    val vid = audit(2L)
-    assert(vid.payload_bytes === Some(64L + 2L) && vid.img_w.isEmpty && vid.frames.isEmpty)
+    // video rows carry REAL AVI decode facts: dims, frame count,
+    // duration, channel sums, and the exact container size
+    // (232 header/index bytes + 600 per 16×12 BI_RGB frame)
+    val vid = audit(2L) // id 2 → 2 + (2/3)%3 = 2 frames
+    assert(vid.img_w === Some(16L) && vid.img_h === Some(12L))
+    assert(vid.frames === Some(2L) && vid.duration_ms === Some(500L))
+    assert(vid.sum_r.exists(_ > 0) && vid.payload_bytes === Some(232L + 600L * 2))
     // corrupt bytes of a decodable kind degrade to an all-null audit row
     val junk = Seq(MediaAsset(99L, "image", Array.tabulate[Byte](40)(_.toByte),
       MediaMeta("image/png", 5, 5, 0, 0L))).toDS()

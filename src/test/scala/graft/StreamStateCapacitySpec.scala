@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** 100×-capacity evidence for stream-stream join state (the e21/e29
+  * shape): scaling the state footprint (keys held within the watermark
+  * horizon) 10× must grow state rows, on-disk RocksDB state bytes, and
+  * drain wall time ~LINEARLY. A super-linear blowup here is the failure
+  * mode that only shows up in production key cardinalities — this spec
+  * pins the growth curve at test scale so the 100× argument is a
+  * measured slope, not a hope. */
+class StreamStateCapacitySpec extends SparkSpec {
+
+  private case class Drained(
+      stateRows: Long, stateBytes: Long, wallMs: Long, outRows: Long)
+
+  /** e21's topology at `nUsers` keys: per user one matched click→
+    * purchase pair plus one never-matched click (held in state until
+    * the sentinel advances the watermark past its 6 h horizon). */
+  private def drainAt(nUsers: Int): Drained = {
+    import spark.implicits._
+    val root = Files.createTempDirectory(s"state-cap-$nUsers").toString
+    val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val base = 1700000000L // fixed epoch seconds: deterministic feed
+    val clicks = spark.range(nUsers).select(
+      (col("id") * 10 + 1).as("event_id"),
+      timestamp_seconds(lit(base) + col("id") % 600).as("ts"),
+      col("id").as("user_id"), lit("click").as("event_type"))
+    val lateClicks = spark.range(nUsers).select(
+      (col("id") * 10 + 2).as("event_id"),
+      timestamp_seconds(lit(base) + 7200 + col("id") % 600).as("ts"),
+      col("id").as("user_id"), lit("click").as("event_type"))
+    val purchases = spark.range(nUsers).select(
+      (col("id") * 10 + 3).as("event_id"),
+      timestamp_seconds(lit(base) + 1800 + col("id") % 600).as("ts"),
+      col("id").as("user_id"), lit("purchase").as("event_type"))
+    clicks.unionByName(lateClicks).unionByName(purchases)
+      .coalesce(4).write.parquet(feed)
+
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      var maxStateRows = 0L
+      def drain(): Long = {
+        def side(tpe: String) = spark.readStream
+          .schema("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING")
+          .parquet(feed)
+          .filter(col("event_type") === tpe)
+        val c = side("click")
+          .select(col("event_id").as("click_id"), col("ts").as("cts"), col("user_id"))
+          .withWatermark("cts", "1 hour")
+        val p = side("purchase")
+          .select(col("event_id").as("purchase_id"), col("ts").as("pts"),
+            col("user_id").as("p_user"))
+          .withWatermark("pts", "1 hour")
+        val q = c.join(p,
+          col("user_id") === col("p_user") &&
+            col("pts") >= col("cts") &&
+            col("pts") < col("cts") + expr("INTERVAL 6 HOURS"),
+          "left_outer")
+          .select(col("click_id"), col("purchase_id"), col("user_id"))
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        val t0 = System.nanoTime()
+        q.awaitTermination()
+        q.recentProgress.foreach { pr =>
+          pr.stateOperators.foreach(so => maxStateRows = math.max(maxStateRows, so.numRowsTotal))
+        }
+        (System.nanoTime() - t0) / 1000000
+      }
+      var wall = drain()
+      // sentinel pair far in the future retires every real row's state
+      Seq((-1L, base + 40L * 24 * 3600, -1L, "click"),
+        (-2L, base + 40L * 24 * 3600, -1L, "purchase"))
+        .toDF("event_id", "epoch", "user_id", "event_type")
+        .select(col("event_id"), timestamp_seconds(col("epoch")).as("ts"),
+          col("user_id"), col("event_type"))
+        .coalesce(1).write.mode("append").parquet(feed)
+      wall += drain()
+      wall += drain() // second advance flushes remaining unmatched state
+
+      val stateBytes = {
+        val d = new java.io.File(s"$ckpt/state")
+        def size(f: java.io.File): Long =
+          if (f.isFile) f.length
+          else Option(f.listFiles()).getOrElse(Array.empty).map(size).sum
+        size(d)
+      }
+      val outRows = spark.read.parquet(out).filter(col("user_id") >= 0).count()
+      Drained(maxStateRows, stateBytes, wall, outRows)
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("10x keys grow join state rows, RocksDB bytes, and drain time ~linearly") {
+    val small = drainAt(2000)
+    val big = drainAt(20000)
+    info(s"1x:  stateRows=${small.stateRows} stateBytes=${small.stateBytes} wallMs=${small.wallMs} out=${small.outRows}")
+    info(s"10x: stateRows=${big.stateRows} stateBytes=${big.stateBytes} wallMs=${big.wallMs} out=${big.outRows}")
+    // correctness at both scales: matched pair + null-extended late click per user
+    assert(small.outRows === 2L * 2000 && big.outRows === 2L * 20000)
+    // state rows track keys exactly-linearly (slack for watermark bookkeeping)
+    assert(small.stateRows > 0)
+    assert(big.stateRows <= 12L * small.stateRows,
+      s"state rows super-linear: ${small.stateRows} -> ${big.stateRows}")
+    // on-disk state: linear with generous slack for per-store fixed overhead
+    assert(big.stateBytes <= 20L * small.stateBytes,
+      s"state bytes super-linear: ${small.stateBytes} -> ${big.stateBytes}")
+    // wall time: catches quadratic behavior (100x), not noise
+    assert(big.wallMs <= 25L * small.wallMs,
+      s"drain time super-linear: ${small.wallMs} ms -> ${big.wallMs} ms")
+  }
+}

@@ -1,0 +1,143 @@
+package graft
+
+import java.awt.image.BufferedImage
+
+import graft.multimodal.Multimodal.VideoCodec
+
+/** The pure-JVM AVI video codec: lossless BI_RGB round-trip, MJPEG
+  * decode, header probing, timestamp frame lookup, corrupt-byte
+  * tolerance, and the exact container-size formula the m1/m10 oracles
+  * depend on. */
+class VideoCodecSpec extends SparkSpec {
+
+  private def frame(seed: Int, w: Int = 16, h: Int = 12): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((seed * 31 + x * 7 + y * 13) % 256) << 16 |
+        ((seed * 17 + x * 3) % 256) << 8 | ((seed * 7 + y * 2) % 256))
+    img
+  }
+
+  private def pixels(img: BufferedImage): Seq[Int] =
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      yield img.getRGB(x, y) & 0xffffff
+
+  test("BI_RGB encode/decode round-trips pixel-exactly, frames in order") {
+    val frames = (0 until 3).map(frame(_))
+    val avi = VideoCodec.encodeAvi(frames, fps = 4)
+    val decoded = VideoCodec.decodeFrames(avi)
+    assert(decoded.map(_._1) === Seq(0, 1, 2))
+    decoded.zip(frames).foreach { case ((_, got), want) =>
+      assert(pixels(got) === pixels(want), "lossless BI_RGB must round-trip exactly")
+    }
+  }
+
+  test("row padding: widths not divisible by 4 round-trip exactly") {
+    val frames = Seq(frame(1, w = 13, h = 7), frame(2, w = 13, h = 7))
+    val decoded = VideoCodec.decodeFrames(VideoCodec.encodeAvi(frames, fps = 2))
+    assert(decoded.size === 2)
+    decoded.zip(frames).foreach { case ((_, got), want) =>
+      assert(pixels(got) === pixels(want), "4-byte row alignment must be transparent")
+    }
+  }
+
+  test("probe reads dimensions, frame count, and frame duration from the header") {
+    val avi = VideoCodec.synthesizeAvi(5L, w = 16, h = 12, nFrames = 4, fps = 4)
+    val info = VideoCodec.probe(avi).get
+    assert(info.w === 16 && info.h === 12 && info.nFrames === 4)
+    assert(info.usPerFrame === 250000L && info.durationMs === 1000L)
+  }
+
+  test("container size is the oracle formula: 232 + 600 bytes per 16x12 frame") {
+    for (n <- 1 to 4) {
+      val avi = VideoCodec.synthesizeAvi(7L, 16, 12, n, fps = 4)
+      assert(avi.length === 232 + 600 * n, s"n=$n")
+    }
+  }
+
+  test("frameAt returns the frame covering a timestamp, clamped to the last") {
+    val frames = (0 until 4).map(frame(_))
+    val avi = VideoCodec.encodeAvi(frames, fps = 4) // 250 ms per frame
+    assert(pixels(VideoCodec.frameAt(avi, 0L).get) === pixels(frames(0)))
+    assert(pixels(VideoCodec.frameAt(avi, 260L).get) === pixels(frames(1)))
+    assert(pixels(VideoCodec.frameAt(avi, 999L).get) === pixels(frames(3)))
+    assert(pixels(VideoCodec.frameAt(avi, 99999L).get) === pixels(frames(3)), "clamped")
+  }
+
+  test("MJPEG chunks decode through the JDK JPEG reader") {
+    // hand-assemble an AVI whose frames are JPEG-encoded ('00dc') by
+    // patching a BI_RGB container's movi chunks is fragile; instead
+    // verify the decode path directly on a JPEG payload embedded as a
+    // dc chunk in a minimal container built from the encoder's layout
+    val img = frame(3)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val jpeg = bos.toByteArray
+    val avi = mjpegAvi(Seq(jpeg), w = 16, h = 12, fps = 4)
+    val decoded = VideoCodec.decodeFrames(avi)
+    assert(decoded.size === 1)
+    val got = decoded.head._2
+    assert(got.getWidth === 16 && got.getHeight === 12)
+    // JPEG is lossy: structural agreement, not pixel equality — mean
+    // luma must land near the source's
+    def meanLuma(i: BufferedImage): Double =
+      pixels(i).map(p => (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+        114 * (p & 0xff)) / 1000.0).sum / (16 * 12)
+    assert(math.abs(meanLuma(got) - meanLuma(img)) < 16.0)
+  }
+
+  /** Minimal MJPEG AVI built from the same RIFF layout the encoder
+    * writes, with '00dc' JPEG chunks. */
+  private def mjpegAvi(jpegs: Seq[Array[Byte]], w: Int, h: Int, fps: Int): Array[Byte] = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    def fcc(s: String) = (s(0) & 0xff) | ((s(1) & 0xff) << 8) | ((s(2) & 0xff) << 16) | ((s(3) & 0xff) << 24)
+    val padded = jpegs.map(j => j ++ new Array[Byte](j.length & 1))
+    val n = jpegs.size
+    val moviContent = 4 + padded.map(8 + _.length).sum
+    val hdrlContent = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val total = 12 + (8 + hdrlContent) + (8 + moviContent)
+    val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(fcc("RIFF")).putInt(total - 8).putInt(fcc("AVI "))
+    buf.putInt(fcc("LIST")).putInt(hdrlContent).putInt(fcc("hdrl"))
+    buf.putInt(fcc("avih")).putInt(56)
+    buf.putInt(1000000 / fps).putInt(0).putInt(0).putInt(0)
+      .putInt(n).putInt(0).putInt(1).putInt(0)
+      .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    buf.putInt(fcc("LIST")).putInt(4 + (8 + 56) + (8 + 40)).putInt(fcc("strl"))
+    buf.putInt(fcc("strh")).putInt(56)
+    buf.putInt(fcc("vids")).putInt(fcc("MJPG")).putInt(0).putInt(0)
+      .putInt(0).putInt(1).putInt(fps).putInt(0).putInt(n)
+      .putInt(0).putInt(0).putInt(0)
+      .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    buf.putInt(fcc("strf")).putInt(40)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(fcc("MJPG")).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+    buf.putInt(fcc("LIST")).putInt(moviContent).putInt(fcc("movi"))
+    padded.zip(jpegs).foreach { case (p, j) =>
+      buf.putInt(fcc("00dc")).putInt(j.length).put(p)
+    }
+    buf.array()
+  }
+
+  test("corrupt or foreign bytes probe to None and decode to empty") {
+    assert(VideoCodec.probe(Array[Byte](1, 2, 3)).isEmpty)
+    assert(VideoCodec.decodeFrames(Array.tabulate[Byte](500)(_.toByte)).isEmpty)
+    val png = graft.multimodal.Multimodal.syntheticPng(1L, 8, 8)
+    assert(VideoCodec.probe(png).isEmpty, "a PNG is not an AVI")
+    // truncated AVI: header survives, frames degrade gracefully
+    val avi = VideoCodec.synthesizeAvi(3L, 16, 12, 3, 4)
+    val truncated = java.util.Arrays.copyOf(avi, avi.length / 2)
+    assert(VideoCodec.decodeFrames(truncated).size < 3)
+  }
+
+  test("features are real decoded signals: count, duration, luma, motion") {
+    val static = VideoCodec.encodeAvi(Seq(frame(1), frame(1), frame(1)), fps = 4)
+    val moving = VideoCodec.encodeAvi(Seq(frame(1), frame(50), frame(99)), fps = 4)
+    val fs = VideoCodec.features(static, 8)
+    val fm = VideoCodec.features(moving, 8)
+    assert(fs(0) === 3.0f && fs(1) === 0.75f)
+    assert(fs(3) === 0.0f, "identical frames → zero motion")
+    assert(fm(3) > 0.0f, "changing frames → positive motion")
+    assert(VideoCodec.features(Array[Byte](9, 9), 8).forall(_ == 0.0f))
+  }
+}
