@@ -87,31 +87,38 @@ object Multimodal {
       * — row-major, 64 values — exposed directly as an all-integer image
       * embedding (exact-arithmetic distances, oracle-reproducible). */
     def lumaGrid64(bytes: Array[Byte]): Option[Array[Long]] =
-      decode(bytes).map { img =>
-        val (w, h) = (img.getWidth, img.getHeight)
-        val lumas = new Array[Long](64)
-        var gy = 0
-        while (gy < 8) {
-          var gx = 0
-          while (gx < 8) {
-            val rgb = img.getRGB(gx * w / 8, gy * h / 8)
-            val r = (rgb >> 16) & 0xff
-            val g = (rgb >> 8) & 0xff
-            val b = rgb & 0xff
-            lumas(gy * 8 + gx) = (299L * r + 587L * g + 114L * b) / 1000L
-            gx += 1
-          }
-          gy += 1
+      decode(bytes).map(lumaGridOf)
+
+    /** The 8×8 NN luma grid of an already-decoded raster — shared by the
+      * image aHash and the per-FRAME video fingerprints. */
+    private[multimodal] def lumaGridOf(img: BufferedImage): Array[Long] = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val lumas = new Array[Long](64)
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          val rgb = img.getRGB(gx * w / 8, gy * h / 8)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          lumas(gy * 8 + gx) = (299L * r + 587L * g + 114L * b) / 1000L
+          gx += 1
         }
-        lumas
+        gy += 1
       }
+      lumas
+    }
+
+    private[multimodal] def aHashOf(img: BufferedImage): (String, Long) = {
+      val lumas = lumaGridOf(img)
+      val mean = lumas.sum / 64
+      (lumas.map(l => if (l > mean) '1' else '0').mkString,
+        lumas.count(_ > mean).toLong)
+    }
 
     def aHash64(bytes: Array[Byte]): Option[(String, Long)] =
-      lumaGrid64(bytes).map { lumas =>
-        val mean = lumas.sum / 64
-        (lumas.map(l => if (l > mean) '1' else '0').mkString,
-          lumas.count(_ > mean).toLong)
-      }
+      decode(bytes).map(aHashOf)
 
     /** Real pixel features: [meanR, meanG, meanB, meanLuma, aspect] ++
       * a 16-bin normalized luminance histogram, truncated/zero-padded to
@@ -960,6 +967,24 @@ object Multimodal {
           y += 1
         }
         VideoFrameAudit(a.asset_id, f, sr, sg, sb)
+      }
+    }
+  }
+
+  final case class VideoFrameHash(asset_id: Long, frame_no: Int, ahash: String)
+
+  /** Per-FRAME perceptual hashes (videos only): the video FINGERPRINT —
+    * one 64-bit aHash per decoded frame, the representation video
+    * near-dup detection joins on (re-uploads share every aligned frame
+    * hash; trimmed cuts share the common prefix). Same lazy decode
+    * shape as [[videoFrameAudit]]: 8 bytes leave per frame, pixels
+    * never shuffle. */
+  def videoFrameHashes(ds: Dataset[MediaAsset]): Dataset[VideoFrameHash] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { a =>
+      if (a.kind != "video") Iterator.empty
+      else VideoCodec.decodeFrames(a.bytes).iterator.map { case (f, img) =>
+        VideoFrameHash(a.asset_id, f, ImageCodec.aHashOf(img)._1)
       }
     }
   }
