@@ -16,8 +16,8 @@ object GraftSession {
   def builder(
       master: String = "local[*]",
       shufflePartitions: Int = 32,
-      appName: String = "graft"): SparkSession.Builder =
-    SparkSession.builder()
+      appName: String = "graft"): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(master)
       .appName(appName)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
@@ -27,6 +27,12 @@ object GraftSession {
       // otherwise refuses; Tables.events floors the longs to micros
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    // deployment dial: SPARK_GRAFT_SCRATCH points every staging site
+    // (graft.Scratch) at a cluster-visible root without code changes;
+    // unset = conf default (local tmp in local mode, loud fail on a
+    // cluster master)
+    sys.env.get("SPARK_GRAFT_SCRATCH").foldLeft(b)((acc, r) => acc.config(Scratch.RootKey, r))
+  }
 
   def local(cpus: Int): SparkSession = {
     val s = builder(s"local[$cpus]", shufflePartitions = cpus).getOrCreate()

@@ -1004,9 +1004,38 @@ object Graphs {
       .select(col("id").as("vec_id"), col("cluster_id"))
   }
 
+  // --- g19_butterflies: BUTTERFLY (bipartite 4-cycle) census over the
+  // order⋈part graph — the bipartite cohesion metric (Wang et al.,
+  // "Butterfly Counting in Bipartite Networks") that triangle counts
+  // can't express, since a bipartite projection has no triangles of its
+  // own. A butterfly is (o1, o2, p1, p2) with all four purchase edges —
+  // two orders co-containing the same two parts, the smallest unit of
+  // co-purchase redundancy. The landed weighted artifact already IS the
+  // sufficient statistic: w(u,v) counts orders containing both parts,
+  // so butterflies per part pair = C(w, 2), and the full census is one
+  // partial-aggregated pass over the edge table — no 4-way join ever
+  // runs. Output: the cocount histogram (w, edges at w, butterflies at
+  // w), the complete distribution the single global number hides.
+  // Exact integers; at 100× the same one-aggregate shape holds because
+  // the artifact stays edge-sized. ---
+  val g19Butterflies = QueryDef.sql(
+    "g19_butterflies",
+    """WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |e AS (SELECT x.p AS u, y.p AS v, CAST(count(*) AS BIGINT) AS w
+      |      FROM it x JOIN it y ON x.o = y.o AND x.p < y.p GROUP BY x.p, y.p)
+      |SELECT w AS cocount, CAST(count(*) AS BIGINT) AS n_edges,
+      |  CAST(count(*) * (w*(w-1)//2) AS BIGINT) AS butterflies
+      |FROM e GROUP BY w""".stripMargin) { (s, d) =>
+    coPurchaseWeighted(s, d)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_edges"))
+      .select(col("w").as("cocount"), col("n_edges"),
+        (col("n_edges") * expr("w * (w - 1) div 2")).as("butterflies"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     g1Pagerank, g2TriangleCount, g3LabelProp, g4ShortestPath, g5Assortativity,
     g6LinkPredict, g7NeighborhoodJaccard, g8KCore, g9PersonalizedPr, g10Hits,
     g11CheapestPath, g12Modularity, g13RandomWalks, g14HarmonicCentrality,
-    g15Katz, g16ClusteringCoeff, g17Ktruss, g18MutualKnnClusters)
+    g15Katz, g16ClusteringCoeff, g17Ktruss, g18MutualKnnClusters, g19Butterflies)
 }
