@@ -28,7 +28,8 @@ object LintAudit {
     var fatals = 0
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val prefix = name.takeWhile(_ != '_')
-      if (effectful.contains(prefix) || name.startsWith("k1") || name.startsWith("k2")) {
+      if (effectful.contains(prefix) || name.startsWith("k1") ||
+          name.startsWith("k2") || name.startsWith("k3")) {
         println(s"$name: skipped (effectful construction; guarded in PlanSpec)")
       } else {
         try {

@@ -1387,6 +1387,131 @@ object TrainPrep {
       .unionByName(report(3, m2, seq3))
   }
 
+  // --- t39_bpe_encode: BPE APPLY — the other half of the tokenizer
+  // t35 only TRAINS. Merges are learned on the TRAINING slice
+  // (doc_id % 5 ≠ 0: each round's pair counts and argmax see train
+  // docs only) and applied in rank order to the HELD-OUT slice
+  // (doc_id % 5 = 0) — the exact shape of encoding a new corpus with a
+  // frozen tokenizer, and the train/held-out split means the gate
+  // proves the merge TABLE transfers, not just that training converges.
+  // One sequence table carries both slices (fusing is the same
+  // join+filter everywhere; only the counting is sliced), so apply
+  // costs nothing beyond t35's per-round discipline: two equi-joins on
+  // (doc, position), a 1-row broadcast merge, a per-doc window, rounds
+  // restaged to parquet. Output: per held-out doc, token count before
+  // and after the 3 learned merges and how many merges landed — the
+  // per-document compression the tokenizer-parity dashboards track.
+  // The a ≠ b candidate restriction (t35's) keeps greedy application
+  // overlap-free, so the unrolled SQL oracle replays it exactly. ---
+  val t39BpeEncode = QueryDef.sql(
+    "t39_bpe_encode",
+    s"""WITH seq0 AS (SELECT doc_id, i, t[i] AS t FROM
+       |    (SELECT doc_id, $sqlToks AS t FROM documents) d,
+       |    LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) r),
+       |p0 AS (SELECT s1.doc_id, s1.i, s1.t AS t1, s2.t AS t2 FROM seq0 s1
+       |       JOIN seq0 s2 ON s2.doc_id = s1.doc_id AND s2.i = s1.i + 1),
+       |c0 AS (SELECT t1, t2, count(*) AS c FROM p0
+       |       WHERE t1 <> t2 AND doc_id % 5 <> 0 GROUP BY t1, t2),
+       |m0 AS (SELECT t1 AS a, t2 AS b FROM c0 ORDER BY c DESC, t1, t2 LIMIT 1),
+       |x0 AS (SELECT p.doc_id, p.i, m.a || ' ' || m.b AS t
+       |       FROM p0 p, m0 m WHERE p.t1 = m.a AND p.t2 = m.b),
+       |k0 AS (SELECT s.doc_id, s.i, s.t FROM seq0 s
+       |       LEFT JOIN x0 a ON a.doc_id = s.doc_id AND a.i = s.i
+       |       LEFT JOIN x0 b ON b.doc_id = s.doc_id AND b.i = s.i - 1
+       |       WHERE a.i IS NULL AND b.i IS NULL),
+       |seq1 AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i, t
+       |         FROM (SELECT * FROM x0 UNION ALL SELECT * FROM k0) u),
+       |p1 AS (SELECT s1.doc_id, s1.i, s1.t AS t1, s2.t AS t2 FROM seq1 s1
+       |       JOIN seq1 s2 ON s2.doc_id = s1.doc_id AND s2.i = s1.i + 1),
+       |c1 AS (SELECT t1, t2, count(*) AS c FROM p1
+       |       WHERE t1 <> t2 AND doc_id % 5 <> 0 GROUP BY t1, t2),
+       |m1 AS (SELECT t1 AS a, t2 AS b FROM c1 ORDER BY c DESC, t1, t2 LIMIT 1),
+       |x1 AS (SELECT p.doc_id, p.i, m.a || ' ' || m.b AS t
+       |       FROM p1 p, m1 m WHERE p.t1 = m.a AND p.t2 = m.b),
+       |k1 AS (SELECT s.doc_id, s.i, s.t FROM seq1 s
+       |       LEFT JOIN x1 a ON a.doc_id = s.doc_id AND a.i = s.i
+       |       LEFT JOIN x1 b ON b.doc_id = s.doc_id AND b.i = s.i - 1
+       |       WHERE a.i IS NULL AND b.i IS NULL),
+       |seq2 AS (SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i, t
+       |         FROM (SELECT * FROM x1 UNION ALL SELECT * FROM k1) u),
+       |p2 AS (SELECT s1.doc_id, s1.i, s1.t AS t1, s2.t AS t2 FROM seq2 s1
+       |       JOIN seq2 s2 ON s2.doc_id = s1.doc_id AND s2.i = s1.i + 1),
+       |c2 AS (SELECT t1, t2, count(*) AS c FROM p2
+       |       WHERE t1 <> t2 AND doc_id % 5 <> 0 GROUP BY t1, t2),
+       |m2 AS (SELECT t1 AS a, t2 AS b FROM c2 ORDER BY c DESC, t1, t2 LIMIT 1),
+       |x2 AS (SELECT p.doc_id, p.i, m.a || ' ' || m.b AS t
+       |       FROM p2 p, m2 m WHERE p.t1 = m.a AND p.t2 = m.b),
+       |k2 AS (SELECT s.doc_id, s.i, s.t FROM seq2 s
+       |       LEFT JOIN x2 a ON a.doc_id = s.doc_id AND a.i = s.i
+       |       LEFT JOIN x2 b ON b.doc_id = s.doc_id AND b.i = s.i - 1
+       |       WHERE a.i IS NULL AND b.i IS NULL),
+       |seq3 AS (SELECT doc_id, i, t FROM x2 UNION ALL SELECT doc_id, i, t FROM k2),
+       |bef AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tokens_before
+       |        FROM seq0 WHERE doc_id % 5 = 0 GROUP BY doc_id),
+       |aft AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tokens_after
+       |        FROM seq3 WHERE doc_id % 5 = 0 GROUP BY doc_id)
+       |SELECT b.doc_id, b.tokens_before, a.tokens_after,
+       |  b.tokens_before - a.tokens_after AS merges_applied
+       |FROM bef b JOIN aft a ON a.doc_id = b.doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.TextFns
+    // t35's restaging discipline verbatim: every round's sequence and
+    // 1-row merge table are parquet-staged so the 3-round lineage never
+    // re-derives multiplicatively
+    val stageRoot = graft.Scratch.dir("t39-bpe")
+    def stage(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$stageRoot/$name")
+      s.read.parquet(s"$stageRoot/$name")
+    }
+    val seq0 = stage(
+      T.documents(s, d)
+        .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))).as(Seq("i0", "t")))
+        .select(col("doc_id"), (col("i0") + 1).as("i"), col("t")),
+      "seq0")
+
+    def adjacent(seq: DataFrame): DataFrame =
+      seq.select(col("doc_id"), col("i"), col("t").as("t1"))
+        .join(seq.select(col("doc_id"), (col("i") - 1).as("i"), col("t").as("t2")),
+          Seq("doc_id", "i"))
+
+    def round(r: Int, seq: DataFrame): DataFrame = {
+      val p = adjacent(seq)
+      // merge learned on the TRAIN slice only; applied everywhere
+      val m = stage(
+        p.filter(col("t1") =!= col("t2") && col("doc_id") % 5 =!= 0)
+          .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("t1"), col("t2")).limit(1)
+          .select(col("t1").as("a"), col("t2").as("b"))
+          .coalesce(1),
+        s"m$r")
+      val x = p.join(broadcast(m), col("t1") === col("a") && col("t2") === col("b"))
+        .select(col("doc_id"), col("i"), concat(col("a"), lit(" "), col("b")).as("t"))
+      val starts = x.select(col("doc_id"), col("i").as("xi"))
+      val kept = seq
+        .join(starts.withColumnRenamed("xi", "i").withColumn("hitA", lit(1)),
+          Seq("doc_id", "i"), "left")
+        .join(starts.select(col("doc_id"), (col("xi") + 1).as("i"))
+          .withColumn("hitB", lit(1)), Seq("doc_id", "i"), "left")
+        .filter(col("hitA").isNull && col("hitB").isNull)
+        .select(col("doc_id"), col("i"), col("t"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      stage(
+        x.unionByName(kept)
+          .withColumn("ni", row_number().over(w))
+          .select(col("doc_id"), col("ni").as("i"), col("t")),
+        s"seq$r")
+    }
+
+    val seq3 = round(3, round(2, round(1, seq0)))
+    val held = col("doc_id") % 5 === 0
+    val before = seq0.filter(held).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("tokens_before"))
+    val after = seq3.filter(held).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("tokens_after"))
+    before.join(after, Seq("doc_id"))
+      .select(col("doc_id"), col("tokens_before"), col("tokens_after"),
+        (col("tokens_before") - col("tokens_after")).as("merges_applied"))
+  }
+
   // --- t36_span_decontaminate: SPAN-LEVEL eval-set excision — d5/t33
   // DROP whole contaminated documents; production decontamination (the
   // PaLM/Llama recipe) cuts only the overlapping SPANS and keeps the
@@ -1608,7 +1733,7 @@ object TrainPrep {
   }
 
   val all: Seq[QueryDef] = Seq(
-    t38ZipfFit,
+    t38ZipfFit, t39BpeEncode,
     t37RakeKeyphrases,
     t33CorpusPipeline, t34LengthBatching, t35BpeMerges, t36SpanDecontaminate,
     t8PackSequences, t9NgramCounts, t10RedactPii, d5Contamination,
