@@ -1800,7 +1800,81 @@ object Events {
     "e22_transform_with_state", "e23_state_map", "e24_state_list",
     "e25_chained_agg", "e26_session_window", "e31_stream_static_join",
     "e32_stream_semi_join", "e33_stream_versioned_sink",
-    "e34_table_follow")
+    "e34_table_follow", "e36_stream_media_fingerprint")
+
+  // --- e36_stream_media_fingerprint: STREAMING MULTIMODAL ingest — the
+  // missing cross-family cell: BINARY media payloads ride micro-batches
+  // (readStream over a parquet feed of real AVI/PNG/WAV bytes), each
+  // batch decodes its videos and lands per-frame aHash fingerprints
+  // (m11's representation) under `out/batch=N` with per-batch overwrite
+  // — the at-least-once → idempotent sink recipe, since a replayed
+  // batch rewrites the same fingerprints under the same batch id. This
+  // is the ingest half of streaming video dedup: fingerprint on
+  // arrival, block on the hashes downstream. maxFilesPerTrigger=1
+  // forces a genuinely multi-batch run. The gate reconstructs per-asset
+  // facts (frame count, distinct frame hashes, the frame-0 blocking
+  // key) from the landed fingerprints; the oracle recomputes every hash
+  // bit analytically from the synthesis formula, so a decode, batching,
+  // or replay fault hash-mismatches. Scale: 8 bytes leave per decoded
+  // frame; the corpus's pixels never shuffle, never sit in state. ---
+  val e36StreamMediaFingerprint = QueryDef.sql(
+    "e36_stream_media_fingerprint",
+    """WITH ids AS (SELECT id FROM generate_series(0,59) t(id)),
+      |vid AS (SELECT id, 2 + ((id//3) % 3) AS nf FROM ids WHERE id%3=2),
+      |cells AS (SELECT v.id, fs.f, gy.y AS gy, gx.x AS gx,
+      |    (v.id*31 + 19*fs.f + 7*(2*gx.x) + 13*((3*gy.y)//2)) % 256 AS r,
+      |    (v.id*17 + 23*fs.f + 3*(2*gx.x) + 5*((3*gy.y)//2)) % 256 AS g,
+      |    (v.id*7 + 29*fs.f + 11*(2*gx.x) + 2*((3*gy.y)//2)) % 256 AS b
+      |  FROM vid v, generate_series(0,3) fs(f),
+      |       generate_series(0,7) gx(x), generate_series(0,7) gy(y)
+      |  WHERE fs.f < v.nf),
+      |lum AS (SELECT id, f, gy, gx, (299*r + 587*g + 114*b)//1000 AS l FROM cells),
+      |m AS (SELECT id, f, sum(l)//64 AS mean FROM lum GROUP BY id, f),
+      |h AS (SELECT l.id, l.f,
+      |    string_agg(CASE WHEN l.l > m.mean THEN '1' ELSE '0' END, ''
+      |      ORDER BY l.gy, l.gx) AS hash
+      |  FROM lum l JOIN m ON m.id = l.id AND m.f = l.f GROUP BY l.id, l.f)
+      |SELECT id AS asset_id, CAST(count(*) AS BIGINT) AS n_frames,
+      |  CAST(count(DISTINCT hash) AS BIGINT) AS n_distinct,
+      |  min(CASE WHEN f = 0 THEN hash END) AS hash0
+      |FROM h GROUP BY id""".stripMargin) { (s, d) =>
+    withStatePartitions(s, 4) {
+    import graft.multimodal.Multimodal
+    val root = graft.Scratch.dir("e36-media")
+    val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    Multimodal.synthesize(s, 0L until 60L).toDF()
+      .select(col("asset_id"), col("kind"), col("bytes"))
+      .repartition(3) // 3 feed files → 3 micro-batches
+      .write.parquet(feed)
+    val stream = s.readStream
+      .schema("asset_id BIGINT, kind STRING, bytes BINARY")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        import batch.sparkSession.implicits._
+        val assets = batch.select(col("asset_id"), col("kind"), col("bytes"))
+          .as[(Long, String, Array[Byte])]
+          .map { case (id, k, b) =>
+            Multimodal.MediaAsset(id, k, b, Multimodal.MediaMeta("", 0, 0, 0, 0L))
+          }
+        // per-batch overwrite = idempotent under at-least-once replay
+        Multimodal.videoFrameHashes(assets).toDF()
+          .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.option("basePath", out).parquet(s"$out/batch=*")
+      .groupBy(col("asset_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        count_distinct(col("ahash")).as("n_distinct"),
+        min(when(col("frame_no") === 0, col("ahash"))).as("hash0"))
+      .select(col("asset_id"), col("n_frames"), col("n_distinct"), col("hash0"))
+    }
+  }
 
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
@@ -1812,5 +1886,5 @@ object Events {
     e21StreamOuterJoin, e22TransformWithState, e23StateMap, e24StateList,
     e25ChainedAgg, e26SessionWindow, e27SequenceMatch, e28VariantExtract,
     e29StreamFullOuter, e30Attribution, e31StreamStaticJoin, e32StreamSemiJoin,
-    e33StreamVersionedSink, e34TableFollow)
+    e33StreamVersionedSink, e34TableFollow, e36StreamMediaFingerprint)
 }

@@ -99,6 +99,73 @@ class StreamStateCapacitySpec extends SparkSpec {
     }
   }
 
+  /** transformWithState (e22's topology) at `nUsers` keys: three
+    * purchases per user, one milestone crossing each — custom RocksDB
+    * value state, one long per user forever. */
+  private def drainCustomState(nUsers: Int): Drained = {
+    import spark.implicits._
+    import graft.streaming.Milestones
+    val root = Files.createTempDirectory(s"tws-cap-$nUsers").toString
+    val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val purchases = (1 to 3).map { i =>
+      spark.range(nUsers).select(
+        col("id").as("user_id"),
+        (col("id") * 10 + i).as("event_id"),
+        (lit(1700000000000000L) + col("id") + i * 1000000L).as("ts_us"),
+        lit(5000L).as("cents"))
+    }.reduce(_ unionByName _)
+    purchases.coalesce(4).write.parquet(feed)
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = spark.readStream
+        .schema("user_id BIGINT, event_id BIGINT, ts_us BIGINT, cents BIGINT")
+        .parquet(feed)
+        .as[Milestones.Purchase]
+      val q = stream.groupByKey(_.user_id)
+        .transformWithState(
+          new Milestones.SpendMilestones(stepCents = 10000L),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      val t0 = System.nanoTime()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1000000
+      var stateRows = 0L
+      q.recentProgress.foreach(
+        _.stateOperators.foreach(so => stateRows = math.max(stateRows, so.numRowsTotal)))
+      val stateBytes = {
+        def size(f: java.io.File): Long =
+          if (f.isFile) f.length
+          else Option(f.listFiles()).getOrElse(Array.empty).map(size).sum
+        size(new java.io.File(s"$ckpt/state"))
+      }
+      Drained(stateRows, stateBytes, wall, spark.read.parquet(out).count())
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("10x keys grow custom transformWithState RocksDB state ~linearly") {
+    val small = drainCustomState(2000)
+    val big = drainCustomState(20000)
+    info(s"1x:  stateRows=${small.stateRows} stateBytes=${small.stateBytes} wallMs=${small.wallMs} out=${small.outRows}")
+    info(s"10x: stateRows=${big.stateRows} stateBytes=${big.stateBytes} wallMs=${big.wallMs} out=${big.outRows}")
+    // exactly one crossing per user at both scales
+    assert(small.outRows === 2000L && big.outRows === 20000L)
+    // one state row per user — exact linearity
+    assert(small.stateRows === 2000L && big.stateRows === 20000L)
+    assert(big.stateBytes <= 20L * small.stateBytes,
+      s"state bytes super-linear: ${small.stateBytes} -> ${big.stateBytes}")
+    assert(big.wallMs <= 25L * small.wallMs,
+      s"drain time super-linear: ${small.wallMs} ms -> ${big.wallMs} ms")
+  }
+
   test("10x keys grow join state rows, RocksDB bytes, and drain time ~linearly") {
     val small = drainAt(2000)
     val big = drainAt(20000)
