@@ -1403,6 +1403,61 @@ object TrainPrep {
   // per-document compression the tokenizer-parity dashboards track.
   // The a ≠ b candidate restriction (t35's) keeps greedy application
   // overlap-free, so the unrolled SQL oracle replays it exactly. ---
+  // --- t40_dsir: Data Selection via Importance Resampling (the hashed
+  // n-gram importance-weighting scheme of Xie et al. 2023, NeurIPS —
+  // "DSIR"): score every raw document by how target-like its hashed
+  // unigram profile is. Target = the English slice of the corpus; raw =
+  // the whole corpus. Features hash into 256 md5 buckets (t17's hex-
+  // prefix trick — both engines agree with zero conversions); bucket
+  // distributions get +1 Laplace smoothing; a document's weight is
+  // Σ_b cnt_db · ln(p̂_b/q̂_b). Oracle parity: each bucket's log-ratio
+  // is quantized to DECIMAL(12,7) BEFORE the per-doc weighted sum
+  // (t11's discipline), so the sum is exact integer·decimal arithmetic
+  // — order-independent and immune to libm ulp drift. Scale shape: one
+  // explode + one (doc,bucket) partial-aggregated shuffle; the bucket
+  // stats are 256 rows (broadcast), the totals one row (broadcast);
+  // selection is a stateless per-row threshold (weight > 0 ⇔ more
+  // target-like than corpus-average), NOT a global sort — at 100 TB the
+  // resampling step reads the weight column and never ranks globally. ---
+  val t40Dsir = QueryDef.sql(
+    "t40_dsir",
+    s"""WITH toks AS (SELECT doc_id, lang, unnest($sqlToks) AS t FROM documents),
+       |db AS (SELECT doc_id, lang, substr(md5(t), 1, 2) AS b, count(*) AS cnt
+       |  FROM toks GROUP BY doc_id, lang, b),
+       |ab AS (SELECT b, sum(cnt) AS ca FROM db GROUP BY b),
+       |tb AS (SELECT b, sum(cnt) AS ct FROM db WHERE lang = 'en' GROUP BY b),
+       |tot AS (SELECT sum(cnt) AS ta,
+       |    sum(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS tt FROM db),
+       |lr AS (SELECT ab.b,
+       |    CAST(ln((CAST(coalesce(ct, 0) + 1 AS DOUBLE) * CAST(ta + 256 AS DOUBLE)) /
+       |            (CAST(ca + 1 AS DOUBLE) * CAST(tt + 256 AS DOUBLE))) AS DECIMAL(12,7)) AS lr
+       |  FROM ab LEFT JOIN tb USING (b), tot)
+       |SELECT doc_id, lang, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       |  CAST(sum(cnt * lr) AS DOUBLE) AS dsir_weight,
+       |  CAST(CAST(sum(cnt * lr) AS DOUBLE) > 0 AS INT) AS sel
+       |FROM db JOIN lr USING (b)
+       |GROUP BY doc_id, lang""".stripMargin) { (s, d) =>
+    val toks = T.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(TextFns.tokens(col("text"))).as("t"))
+    val db = toks
+      .groupBy(col("doc_id"), col("lang"), substring(md5(col("t")), 1, 2).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val ab = db.groupBy(col("b")).agg(sum(col("cnt")).as("ca"))
+    val tb = db.filter(col("lang") === "en").groupBy(col("b")).agg(sum(col("cnt")).as("ct"))
+    val tot = db.agg(sum(col("cnt")).as("ta"),
+      sum(when(col("lang") === "en", col("cnt")).otherwise(lit(0))).as("tt"))
+    val lr = ab.join(tb, Seq("b"), "left").join(broadcast(tot))
+      .withColumn("lr", log(
+        ((coalesce(col("ct"), lit(0)) + 1).cast("double") * (col("ta") + 256).cast("double")) /
+          ((col("ca") + 1).cast("double") * (col("tt") + 256).cast("double"))).cast("decimal(12,7)"))
+      .select(col("b"), col("lr"))
+    db.join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        sum(col("cnt") * col("lr")).cast("double").as("dsir_weight"))
+      .withColumn("sel", (col("dsir_weight") > 0).cast("int"))
+  }
+
   val t39BpeEncode = QueryDef.sql(
     "t39_bpe_encode",
     s"""WITH seq0 AS (SELECT doc_id, i, t[i] AS t FROM
@@ -1733,7 +1788,7 @@ object TrainPrep {
   }
 
   val all: Seq[QueryDef] = Seq(
-    t38ZipfFit, t39BpeEncode,
+    t38ZipfFit, t39BpeEncode, t40Dsir,
     t37RakeKeyphrases,
     t33CorpusPipeline, t34LengthBatching, t35BpeMerges, t36SpanDecontaminate,
     t8PackSequences, t9NgramCounts, t10RedactPii, d5Contamination,
