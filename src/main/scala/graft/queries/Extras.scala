@@ -2043,7 +2043,109 @@ object Extras {
           .otherwise(lit(false)).as("is_anomaly"))
   }
 
+  // --- a55_fdr_bh: Benjamini-Hochberg false-discovery-rate control —
+  // the MULTIPLE-testing layer the test triad (a38/a41/a42) feeds: run
+  // a41's tie-corrected Mann-Whitney PER EVENT TYPE (variant =
+  // user_id%2, m = 5 simultaneous hypotheses) and apply the BH step-up
+  // to the family of p-values. Exactness: rank sums / tie terms are
+  // exact BIGINTs per group (a41's doubled-rank trick, but with the
+  // cumulative-before as a PER-GROUP window — partitioned by
+  // event_type, so no single-task funnel and no two-pass machinery);
+  // z is IEEE-deterministic (+,-,*,/,sqrt only); the two-sided p uses
+  // the Bowling logistic approximation of Φ (2/(1+exp(1.5976·|z| +
+  // 0.07056·|z|³)) — exp-based, same text both engines, t11's ln
+  // precedent). BH ordering keys on |z| DESC (bit-identical) with
+  // event_type tiebreak; the step-up min_{j≥i}(p_j·m/j) runs as two
+  // broadcast self-joins over the m-row test table — BH is over
+  // HYPOTHESES, which are driver-sized by construction (one row per
+  // test, never per observation), so the m² join is the honest shape
+  // and the observation-scale work stays in the partitioned rank
+  // aggregation. Oracle replays the step-up with ordered windows. ---
+  val a55FdrBh = QueryDef.sql(
+    "a55_fdr_bh",
+    """WITH p AS (SELECT event_type, user_id % 2 AS variant,
+      |    CAST(value AS DECIMAL(10,2)) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |g AS (SELECT event_type, v,
+      |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+      |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      |  FROM p GROUP BY event_type, v),
+      |cum AS (SELECT event_type, c0, c1, c0 + c1 AS c,
+      |    CAST(coalesce(sum(c0 + c1) OVER (PARTITION BY event_type ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+      |  FROM g),
+      |st AS (SELECT event_type,
+      |    CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
+      |    CAST(sum(c1 * (2 * cb + c + 1)) AS BIGINT) AS r1x2,
+      |    CAST(sum(c * c * c - c) AS BIGINT) AS ties
+      |  FROM cum GROUP BY event_type),
+      |zc AS (SELECT event_type, n0, n1,
+      |    (CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2 - CAST(n0 AS DOUBLE) * n1 / 2)
+      |      / sqrt(CAST(n0 AS DOUBLE) * n1 / 12
+      |          * ((n0 + n1 + 1) - CAST(ties AS DOUBLE) / ((n0 + n1) * (n0 + n1 - 1.0)))) AS z
+      |  FROM st),
+      |sc AS (SELECT event_type, n0, n1, z, abs(z) AS az,
+      |    2 / (1 + exp(1.5976 * abs(z) + 0.07056 * abs(z) * abs(z) * abs(z))) AS p_value
+      |  FROM zc),
+      |r AS (SELECT *, row_number() OVER (ORDER BY az DESC, event_type) AS rnk,
+      |    count(*) OVER () AS m FROM sc),
+      |adj AS (SELECT *, min(p_value * m / rnk) OVER (ORDER BY rnk DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn FROM r)
+      |SELECT event_type, n0, n1, z, p_value, CAST(rnk AS BIGINT) AS rnk,
+      |  least(mn, 1.0) AS p_adj,
+      |  CAST(least(mn, 1.0) <= 0.1 AS INT) AS reject
+      |FROM adj""".stripMargin) { (s, d) =>
+    val g = T.events(s, d)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), (col("user_id") % 2).as("variant"),
+        col("value").cast("decimal(10,2)").as("v"))
+      .groupBy(col("event_type"), col("v")).agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("c1"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = g
+      .withColumn("c", col("c0") + col("c1"))
+      .withColumn("cb", coalesce(sum(col("c0") + col("c1")).over(w), lit(0L)))
+    val st = cum.groupBy(col("event_type")).agg(
+      sum(col("c0")).as("n0"), sum(col("c1")).as("n1"),
+      sum(col("c1") * (lit(2L) * col("cb") + col("c") + 1L)).as("r1x2"),
+      sum(col("c") * col("c") * col("c") - col("c")).as("ties"))
+    val u1 = (col("r1x2") - col("n1") * (col("n1") + 1L)).cast("double") / 2
+    val z = (u1 - col("n0").cast("double") * col("n1") / 2) /
+      sqrt(col("n0").cast("double") * col("n1") / 12
+        * ((col("n0") + col("n1") + 1L) - col("ties").cast("double")
+          / ((col("n0") + col("n1")) * (col("n0") + col("n1") - lit(1.0)))))
+    val sc = st.select(col("event_type"), col("n0"), col("n1"), z.as("z"))
+      .withColumn("az", abs(col("z")))
+      .withColumn("p_value", lit(2.0) / (lit(1.0) +
+        exp(lit(1.5976) * col("az") + lit(0.07056) * col("az") * col("az") * col("az"))))
+    // BH over the m-row hypothesis table: rank + count via one broadcast
+    // self-join (rnk = #tests at-or-before in (az DESC, event_type)
+    // order, m rides along), step-up min via a second (j >= i pairs).
+    val o = sc.select(col("event_type").as("et2"), col("az").as("az2"),
+      col("p_value").as("p2"))
+    val ranked = sc.join(broadcast(o),
+        col("az2") > col("az") ||
+          (col("az2") === col("az") && col("et2") <= col("event_type")))
+      .groupBy(col("event_type"), col("n0"), col("n1"), col("z"), col("az"),
+        col("p_value"))
+      .agg(count(lit(1)).as("rnk"))
+    val m = sc.agg(count(lit(1)).as("m"))
+    val rm = ranked.join(broadcast(m))
+    val j = rm.select(col("rnk").as("j"), col("p_value").as("pj"), col("m").as("mj"))
+    rm.join(broadcast(j), col("j") >= col("rnk"))
+      .groupBy(col("event_type"), col("n0"), col("n1"), col("z"), col("p_value"),
+        col("rnk"))
+      .agg(min(col("pj") * col("mj") / col("j")).as("mn"))
+      .select(col("event_type"), col("n0"), col("n1"), col("z"), col("p_value"),
+        col("rnk"),
+        least(col("mn"), lit(1.0)).as("p_adj"),
+        (least(col("mn"), lit(1.0)) <= 0.1).cast("int").as("reject"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    a55FdrBh,
     a44QuantileNormalize,
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
     a16WindowSuite, a17ScalarSuite, a18DateSuite, a19GroupingSets,
