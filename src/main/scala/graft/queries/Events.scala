@@ -1800,7 +1800,7 @@ object Events {
     "e22_transform_with_state", "e23_state_map", "e24_state_list",
     "e25_chained_agg", "e26_session_window", "e31_stream_static_join",
     "e32_stream_semi_join", "e33_stream_versioned_sink",
-    "e34_table_follow", "e36_stream_media_fingerprint")
+    "e34_table_follow", "e36_stream_media_fingerprint", "e37_stream_hll")
 
   // --- e36_stream_media_fingerprint: STREAMING MULTIMODAL ingest — the
   // missing cross-family cell: BINARY media payloads ride micro-batches
@@ -1876,6 +1876,57 @@ object Events {
     }
   }
 
+  // --- e37_stream_hll: streaming DISTINCT-COUNT state — the mergeable
+  // HLL register fold (operators.HllSketch.streamingHllFold) running as
+  // a real micro-batched stream: the events feed lands in two appends,
+  // each drained as its own micro-batch cohort (maxFilesPerTrigger=1
+  // splits further), and every batch folds its per-(event_type, bucket)
+  // max-rho registers into the durable register table under the
+  // staged-swap + ReplayGuard protocol. The gate then estimates from
+  // the LANDED state and hash-compares against the oracle's one-shot
+  // register build over the whole table — an exact-arithmetic proof
+  // that the streaming fold ≡ batch recompute (max-merge idempotence is
+  // what makes at-least-once delivery safe). Scale: state is 256
+  // registers per event type FOREVER — distinct users at 100 TB costs
+  // a few KB of state, where streaming COUNT(DISTINCT) would hold every
+  // user id; each micro-batch pays one partial-agg shuffle of ITS rows
+  // only. exact_n rides along to expose the ~6.5% rse envelope. ---
+  val e37StreamHll = QueryDef.sql(
+    "e37_stream_hll",
+    s"""WITH ${graft.operators.HllSketch.sqlRegisters("events", "event_type", "user_id", "regs")},
+       |e AS (${graft.operators.HllSketch.sqlEstimate("regs", "event_type")}),
+       |x AS (SELECT event_type, count(DISTINCT user_id) AS exact_n
+       |      FROM events GROUP BY event_type)
+       |SELECT e.event_type, e.nz, e.est, x.exact_n
+       |FROM e JOIN x USING (event_type)""".stripMargin) { (s, d) =>
+    withStatePartitions(s, 4) {
+    import graft.operators.{HllSketch, ReplayGuard}
+    val root = graft.Scratch.dir("e37-hll")
+    val feed = s"$root/feed"; val regs = s"$root/regs"; val ckpt = s"$root/ckpt"
+    val ev = T.events(s, d)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    ev.filter(col("event_id") % 2 === 0).drop("event_id")
+      .coalesce(2).write.parquet(feed)
+    val stream = s.readStream
+      .schema("event_type STRING, user_id BIGINT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed)
+    val q = HllSketch.streamingHllFold(
+      stream, regs, Seq("event_type"), col("user_id"), ckpt)
+    q.processAllAvailable()
+    ev.filter(col("event_id") % 2 =!= 0).drop("event_id")
+      .coalesce(2).write.mode("append").parquet(feed)
+    q.processAllAvailable()
+    q.stop()
+    val est = HllSketch.estimate(
+      ReplayGuard.strip(s.read.parquet(regs)), Seq("event_type"))
+    val exact = T.events(s, d).groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_n"))
+    est.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("nz"), col("est"), col("exact_n"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
     e4cAsofForward, e4dAsofSql, e4eAsofTolerance,
@@ -1886,5 +1937,6 @@ object Events {
     e21StreamOuterJoin, e22TransformWithState, e23StateMap, e24StateList,
     e25ChainedAgg, e26SessionWindow, e27SequenceMatch, e28VariantExtract,
     e29StreamFullOuter, e30Attribution, e31StreamStaticJoin, e32StreamSemiJoin,
-    e33StreamVersionedSink, e34TableFollow, e36StreamMediaFingerprint)
+    e33StreamVersionedSink, e34TableFollow, e36StreamMediaFingerprint,
+    e37StreamHll)
 }
