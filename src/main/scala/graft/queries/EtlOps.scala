@@ -2049,7 +2049,86 @@ object EtlOps {
         lit(if (planMatched) 1L else 0L).as("expire_plan_matched"))
   }
 
+  // --- k40_branch_merge: git-like BRANCH + THREE-WAY MERGE on the
+  // versioned store (operators.Branch — Iceberg-refs/Nessie semantics
+  // on k34's zero-copy clone): main commits a base, a branch forks it,
+  // BOTH sides take divergent keyed commits (branch: +10 repricing on
+  // k%7 and new 'B' rows; main: ×2 repricing on k%5 and new 'M' rows),
+  // and the merge classifies every key by null-safe struct comparison
+  // against the recovered base — main-only change, branch-only change,
+  // convergent edit, or CONFLICT (k%35: both repriced differently),
+  // resolved branch-wins here. The gate hashes the full merged state
+  // WITH per-row origin provenance, and the oracle replays the exact
+  // classification with IS NOT DISTINCT FROM logic — a wrong base
+  // recovery, a mis-classified insert, or a conflict resolved the
+  // wrong way all hash-mismatch. Scale: the merge is three keyed
+  // full-outer joins (one pass, no driver logic); the branch itself is
+  // a k-row metadata write. BranchSpec pins fail/ours policies and the
+  // mergeCommit round trip. ---
+  val k40BranchMerge = QueryDef.sql(
+    "k40_branch_merge",
+    """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS p
+      |  FROM orders WHERE o_orderkey % 3 = 0),
+      |br AS (SELECT k, st,
+      |    CASE WHEN k % 7 = 0 THEN CAST(p + 10 AS DECIMAL(12,2)) ELSE p END AS p
+      |  FROM base
+      |  UNION ALL SELECT k + 1000000 AS k, 'B' AS st, p FROM base WHERE k % 13 = 0),
+      |mn AS (SELECT k, st,
+      |    CASE WHEN k % 5 = 0 THEN CAST(p * 2 AS DECIMAL(12,2)) ELSE p END AS p
+      |  FROM base
+      |  UNION ALL SELECT k + 2000000 AS k, 'M' AS st, p FROM base WHERE k % 19 = 0),
+      |b0 AS (SELECT k, st AS bst, p AS bp, TRUE AS bh FROM base),
+      |m0 AS (SELECT k, st AS mst, p AS mp, TRUE AS mh FROM mn),
+      |r0 AS (SELECT k, st AS rst, p AS rp, TRUE AS rh FROM br),
+      |j AS (SELECT * FROM b0 FULL JOIN m0 USING (k) FULL JOIN r0 USING (k)),
+      |c AS (SELECT k, mst, mp, mh, rst, rp, rh,
+      |    CASE WHEN (rst IS NOT DISTINCT FROM bst) AND (rp IS NOT DISTINCT FROM bp)
+      |              AND (rh IS NOT DISTINCT FROM bh) THEN 'main'
+      |         WHEN (mst IS NOT DISTINCT FROM bst) AND (mp IS NOT DISTINCT FROM bp)
+      |              AND (mh IS NOT DISTINCT FROM bh) THEN 'branch'
+      |         WHEN (mst IS NOT DISTINCT FROM rst) AND (mp IS NOT DISTINCT FROM rp)
+      |              AND (mh IS NOT DISTINCT FROM rh) THEN 'both'
+      |         ELSE 'conflict' END AS origin
+      |  FROM j)
+      |SELECT k,
+      |  CASE WHEN origin IN ('main', 'both') THEN mst ELSE rst END AS st,
+      |  CAST(CASE WHEN origin IN ('main', 'both') THEN mp ELSE rp END AS DOUBLE) AS p,
+      |  origin
+      |FROM c
+      |WHERE CASE WHEN origin IN ('main', 'both') THEN mh ELSE rh END""".stripMargin) { (s, d) =>
+    import graft.operators.{Branch, Versioned}
+    val root = graft.Scratch.dir("k40-branch")
+    val mainT = s"$root/main"; val brT = s"$root/branch"
+    val base = T.orders(s, d).filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+        col("o_totalprice").cast("decimal(12,2)").as("p"))
+    Versioned.commit(s, mainT, base, "st", Seq("k"))
+    Branch.create(s, mainT, brT)
+    // branch diverges: repricing + inserts
+    Versioned.commit(s, brT,
+      base.filter(col("k") % 7 === 0)
+        .withColumn("p", (col("p") + lit(10)).cast("decimal(12,2)")),
+      "st", Seq("k"))
+    Versioned.commit(s, brT,
+      base.filter(col("k") % 13 === 0)
+        .select((col("k") + 1000000L).as("k"), lit("B").as("st"), col("p")),
+      "st", Seq("k"))
+    // main diverges too: different repricing + its own inserts
+    Versioned.commit(s, mainT,
+      base.filter(col("k") % 5 === 0)
+        .withColumn("p", (col("p") * 2).cast("decimal(12,2)")),
+      "st", Seq("k"))
+    Versioned.commit(s, mainT,
+      base.filter(col("k") % 19 === 0)
+        .select((col("k") + 2000000L).as("k"), lit("M").as("st"), col("p")),
+      "st", Seq("k"))
+    Branch.merge3(s, mainT, brT, Seq("k"), policy = "theirs")
+      .select(col("k"), col("st"), col("p").cast("double").as("p"), col("origin"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    k40BranchMerge,
     j1FirstWins, j2Flatten, j3Lookup, p2TimeWindow, p4CastValidate,
     p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff,
     j4RangeJoin, j5IntervalOverlap, j6FuzzyMatch, j7EditDistance, j8AutoRangeJoin,
