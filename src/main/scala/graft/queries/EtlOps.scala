@@ -2049,6 +2049,46 @@ object EtlOps {
         lit(if (planMatched) 1L else 0L).as("expire_plan_matched"))
   }
 
+  // --- j12_time_weighted_avg: TIME-WEIGHTED averaging over validity
+  // intervals — the time-series-correct mean (a plain AVG over-weights
+  // bursts; TWA weights each reading by how long it was current, the
+  // standard temporal-table / sensor-rollup operator). Per user: one
+  // partitioned lead() window turns the event stream into
+  // (value, held-for-µs) intervals, then one keyed aggregate forms
+  // Σ v·w / Σ w — both sums EXACT (µs weights are BIGINTs, v·w rides
+  // decimal), only the final division is double. The oracle routes its
+  // wide-decimal → double cast through VARCHAR (DuckDB's direct cast
+  // double-rounds past 2^53). Scale: window and agg share the
+  // user_id partitioning — one shuffle total, no data-dependent state. ---
+  val j12TimeWeightedAvg = QueryDef.sql(
+    "j12_time_weighted_avg",
+    """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tu,
+      |    CAST(value AS DECIMAL(10,2)) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |w AS (SELECT user_id, v,
+      |    lead(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) - tu AS wu
+      |  FROM e),
+      |a AS (SELECT user_id, count(*) AS n_intervals,
+      |    CAST(sum(wu) AS BIGINT) AS total_us,
+      |    CAST(sum(CAST(v AS DECIMAL(19,2)) * wu) AS DECIMAL(38,2)) AS sw
+      |  FROM w WHERE wu IS NOT NULL GROUP BY user_id)
+      |SELECT user_id, n_intervals, total_us,
+      |  CAST(CAST(sw AS VARCHAR) AS DOUBLE) / CAST(total_us AS DOUBLE) AS twa
+      |FROM a""".stripMargin) { (s, d) =>
+    val e = T.events(s, d).filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tu"),
+        col("value").cast("decimal(10,2)").as("v"))
+    val win = Window.partitionBy(col("user_id")).orderBy(col("tu"), col("event_id"))
+    e.withColumn("wu", lead(col("tu"), 1).over(win) - col("tu"))
+      .filter(col("wu").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("wu")).as("total_us"),
+        sum(col("v") * col("wu")).cast("decimal(38,2)").as("sw"))
+      .select(col("user_id"), col("n_intervals"), col("total_us"),
+        (col("sw").cast("double") / col("total_us").cast("double")).as("twa"))
+  }
+
   // --- k40_branch_merge: git-like BRANCH + THREE-WAY MERGE on the
   // versioned store (operators.Branch — Iceberg-refs/Nessie semantics
   // on k34's zero-copy clone): main commits a base, a branch forks it,
@@ -2128,7 +2168,7 @@ object EtlOps {
   }
 
   val all: Seq[QueryDef] = Seq(
-    k40BranchMerge,
+    k40BranchMerge, j12TimeWeightedAvg,
     j1FirstWins, j2Flatten, j3Lookup, p2TimeWindow, p4CastValidate,
     p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff,
     j4RangeJoin, j5IntervalOverlap, j6FuzzyMatch, j7EditDistance, j8AutoRangeJoin,

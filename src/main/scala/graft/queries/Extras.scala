@@ -2144,8 +2144,82 @@ object Extras {
         (least(col("mn"), lit(1.0)) <= 0.1).cast("int").as("reject"))
   }
 
+  // --- a56_kaplan_meier: the Kaplan-Meier product-limit survival
+  // estimator with right-censoring — time-to-event analytics (how long
+  // until a user hits their first 'error', with users who never do
+  // censored at their last observed event). Durations are whole days
+  // (both engines date-cast then day-diff, so the grain is exact);
+  // per-duration death/censor counts are one keyed aggregate. The
+  // at-risk counts and the running survival product both ride
+  // BROADCAST self-joins over the per-duration table — bounded by the
+  // observation horizon in days, NOT by users, so no partition-less
+  // window and no driver loop; the user-scale work is the single
+  // groupBy(user). Exactness: n_risk/death counts are BIGINTs; each
+  // step's ln(1−d/n) is quantized to DECIMAL(12,8) before the exact
+  // cumulative sum (t11's discipline); the d = n "curve hits zero"
+  // step is an explicit flag because Spark's ln(0) is NULL while
+  // DuckDB's is -inf — the flag makes both engines emit exactly 0. ---
+  val a56KaplanMeier = QueryDef.sql(
+    "a56_kaplan_meier",
+    """WITH u AS (SELECT user_id, min(ts) AS t0,
+      |    min(CASE WHEN event_type = 'error' THEN ts END) AS te,
+      |    max(ts) AS tl
+      |  FROM events GROUP BY user_id),
+      |d AS (SELECT user_id,
+      |    CASE WHEN te IS NOT NULL
+      |         THEN date_diff('day', CAST(t0 AS DATE), CAST(te AS DATE))
+      |         ELSE date_diff('day', CAST(t0 AS DATE), CAST(tl AS DATE)) END AS dur,
+      |    CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |  FROM u),
+      |g AS (SELECT dur, CAST(sum(ev) AS BIGINT) AS nd,
+      |    CAST(sum(1 - ev) AS BIGINT) AS nc FROM d GROUP BY dur),
+      |p AS (SELECT a.dur, a.nd, a.nc, CAST(sum(b.nd + b.nc) AS BIGINT) AS n_risk
+      |  FROM g a JOIN g b ON b.dur >= a.dur GROUP BY a.dur, a.nd, a.nc),
+      |f AS (SELECT dur, nd, nc, n_risk,
+      |    CASE WHEN nd < n_risk THEN CAST(ln(1.0 - CAST(nd AS DOUBLE) / CAST(n_risk AS DOUBLE)) AS DECIMAL(12,8))
+      |         ELSE CAST(0 AS DECIMAL(12,8)) END AS lnq,
+      |    CASE WHEN nd = n_risk THEN 1 ELSE 0 END AS dead
+      |  FROM p),
+      |s AS (SELECT a.dur, a.nd, a.nc, a.n_risk,
+      |    CAST(sum(b.lnq) AS DECIMAL(24,8)) AS cum,
+      |    CAST(max(b.dead) AS INT) AS z
+      |  FROM f a JOIN f b ON b.dur <= a.dur GROUP BY a.dur, a.nd, a.nc, a.n_risk)
+      |SELECT dur, nd AS n_events, nc AS n_censored, n_risk,
+      |  CASE WHEN z = 1 THEN 0.0 ELSE exp(CAST(cum AS DOUBLE)) END AS surv
+      |FROM s""".stripMargin) { (s, d) =>
+    val u = T.events(s, d).groupBy(col("user_id")).agg(
+      min(col("ts")).as("t0"),
+      min(when(col("event_type") === "error", col("ts"))).as("te"),
+      max(col("ts")).as("tl"))
+    val dd = u.select(col("user_id"),
+      when(col("te").isNotNull, datediff(col("te").cast("date"), col("t0").cast("date")))
+        .otherwise(datediff(col("tl").cast("date"), col("t0").cast("date"))).as("dur"),
+      when(col("te").isNotNull, lit(1)).otherwise(lit(0)).as("ev"))
+    val g = dd.groupBy(col("dur")).agg(
+      sum(col("ev")).as("nd"), sum(lit(1) - col("ev")).as("nc"))
+    val gb = g.select(col("dur").as("dur2"), col("nd").as("nd2"), col("nc").as("nc2"))
+    val p = g.join(broadcast(gb), col("dur2") >= col("dur"))
+      .groupBy(col("dur"), col("nd"), col("nc"))
+      .agg(sum(col("nd2") + col("nc2")).as("n_risk"))
+    val f = p.select(col("dur"), col("nd"), col("nc"), col("n_risk"),
+      when(col("nd") < col("n_risk"),
+        log(lit(1.0) - col("nd").cast("double") / col("n_risk").cast("double"))
+          .cast("decimal(12,8)"))
+        .otherwise(lit(0).cast("decimal(12,8)")).as("lnq"),
+      when(col("nd") === col("n_risk"), lit(1)).otherwise(lit(0)).as("dead"))
+    val fb = f.select(col("dur").as("dur2"), col("lnq").as("lnq2"), col("dead").as("dead2"))
+    f.join(broadcast(fb), col("dur2") <= col("dur"))
+      .groupBy(col("dur"), col("nd"), col("nc"), col("n_risk"))
+      .agg(sum(col("lnq2")).cast("decimal(24,8)").as("cum"),
+        max(col("dead2")).cast("int").as("z"))
+      .select(col("dur"), col("nd").as("n_events"), col("nc").as("n_censored"),
+        col("n_risk"),
+        when(col("z") === 1, lit(0.0))
+          .otherwise(exp(col("cum").cast("double"))).as("surv"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    a55FdrBh,
+    a55FdrBh, a56KaplanMeier,
     a44QuantileNormalize,
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
     a16WindowSuite, a17ScalarSuite, a18DateSuite, a19GroupingSets,
