@@ -1800,7 +1800,8 @@ object Events {
     "e22_transform_with_state", "e23_state_map", "e24_state_list",
     "e25_chained_agg", "e26_session_window", "e31_stream_static_join",
     "e32_stream_semi_join", "e33_stream_versioned_sink",
-    "e34_table_follow", "e36_stream_media_fingerprint", "e37_stream_hll")
+    "e34_table_follow", "e36_stream_media_fingerprint", "e37_stream_hll",
+    "e38_stream_knn")
 
   // --- e36_stream_media_fingerprint: STREAMING MULTIMODAL ingest — the
   // missing cross-family cell: BINARY media payloads ride micro-batches

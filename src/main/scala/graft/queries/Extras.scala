@@ -2218,8 +2218,94 @@ object Extras {
           .otherwise(exp(col("cum").cast("double"))).as("surv"))
   }
 
+  // --- a57_wasserstein: 1-D earth-mover's distance (Wasserstein-1)
+  // between the two A/B variants' purchase-value distributions — the
+  // INTEGRAL distribution distance completing a38/a41/a42's triad
+  // (means, ranks, CDF max): W₁ = ∫|F₀−F₁| dv, the metric that sees
+  // HOW FAR mass moved, not just whether the CDFs ever diverge.
+  // Exactness: values collapse to integer CENTS; W₁'s Riemann sum is
+  // Σ |f0·n1 − f1·n0| · gap over consecutive distinct values — every
+  // term an exact BIGINT product (document the decimal upgrade these
+  // products need once n reaches ~10⁹), one final division in double.
+  // The running CDFs reuse a41/a42's two-linear-pass machinery
+  // (range-partition value groups, per-partition count sums + each
+  // partition's FIRST value collected driver-side — k scalars — then
+  // one per-partition scan); the cross-partition value gap closes with
+  // the broadcast next-partition-first-value, so each partition emits
+  // ONE partial sum and the global sum is a k-row reduce. The oracle
+  // affords plain ordered windows + lead(). ---
+  val a57Wasserstein = QueryDef.sql(
+    "a57_wasserstein",
+    """WITH p AS (SELECT user_id % 2 AS variant,
+      |    CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS vc
+      |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+      |g AS (SELECT vc,
+      |    CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+      |    CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      |  FROM p GROUP BY vc),
+      |cum AS (SELECT vc,
+      |    CAST(sum(c0) OVER (ORDER BY vc) AS BIGINT) AS f0,
+      |    CAST(sum(c1) OVER (ORDER BY vc) AS BIGINT) AS f1,
+      |    lead(vc) OVER (ORDER BY vc) AS vn
+      |  FROM g),
+      |n AS (SELECT CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1 FROM g),
+      |w AS (SELECT CAST(sum(abs(f0 * n1 - f1 * n0) * (vn - vc)) AS BIGINT) AS wnum
+      |  FROM cum, n WHERE vn IS NOT NULL)
+      |SELECT n0, n1, wnum,
+      |  CAST(wnum AS DOUBLE) / (CAST(n0 AS DOUBLE) * n1 * 100) AS w1
+      |FROM w, n""".stripMargin) { (s, d) =>
+    val g = T.events(s, d)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select((col("user_id") % 2).as("variant"),
+        (col("value").cast("decimal(10,2)") * 100).cast("bigint").as("vc"))
+      .groupBy(col("vc")).agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("c1"))
+    val sorted = g.repartitionByRange(32, col("vc")).sortWithinPartitions(col("vc"))
+    val rdd = sorted.rdd
+    // pass 1: per-partition count sums + first value (k scalars)
+    val parts = rdd.mapPartitionsWithIndex((i, it) => {
+      var s0 = 0L; var s1 = 0L; var first: Option[Long] = None
+      it.foreach { r =>
+        if (first.isEmpty) first = Some(r.getLong(0))
+        s0 += r.getLong(1); s1 += r.getLong(2)
+      }
+      Iterator((i, s0, s1, first))
+    }).collect().sortBy(_._1)
+    val off0 = parts.map(_._2).scanLeft(0L)(_ + _).dropRight(1)
+    val off1 = parts.map(_._3).scanLeft(0L)(_ + _).dropRight(1)
+    val n0 = parts.map(_._2).sum; val n1 = parts.map(_._3).sum
+    // the value that FOLLOWS each partition's last row lives in the
+    // next non-empty partition — k driver-side scalars, broadcast back
+    val nextFirst: Array[Option[Long]] = parts.indices.map { i =>
+      parts.drop(i + 1).flatMap(_._4).headOption
+    }.toArray
+    val bc = s.sparkContext.broadcast((off0, off1, nextFirst, n0, n1))
+    // pass 2: running CDFs + gap-weighted |F0-F1|, ONE partial per task
+    val partials = rdd.mapPartitionsWithIndex { (i, it) =>
+      val (o0, o1, nf, tn0, tn1) = bc.value
+      var f0 = o0(i); var f1 = o1(i); var acc = 0L
+      val bit = it.buffered
+      while (bit.hasNext) {
+        val r = bit.next()
+        f0 += r.getLong(1); f1 += r.getLong(2)
+        val vNext: Option[Long] =
+          if (bit.hasNext) Some(bit.head.getLong(0)) else nf(i)
+        vNext.foreach { vn =>
+          acc += math.abs(f0 * tn1 - f1 * tn0) * (vn - r.getLong(0))
+        }
+      }
+      Iterator(org.apache.spark.sql.Row(acc))
+    }
+    val pDf = s.createDataFrame(partials, new org.apache.spark.sql.types.StructType()
+      .add("acc", org.apache.spark.sql.types.LongType, nullable = false))
+    pDf.agg(sum(col("acc")).cast("bigint").as("wnum"))
+      .select(lit(n0).as("n0"), lit(n1).as("n1"), col("wnum"),
+        (col("wnum").cast("double") / (lit(n0).cast("double") * lit(n1) * 100)).as("w1"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    a55FdrBh, a56KaplanMeier,
+    a55FdrBh, a56KaplanMeier, a57Wasserstein,
     a44QuantileNormalize,
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
     a16WindowSuite, a17ScalarSuite, a18DateSuite, a19GroupingSets,

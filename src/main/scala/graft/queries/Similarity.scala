@@ -1377,7 +1377,57 @@ object Similarity {
             (col("precision") + col("recall"))))
   }
 
+  // --- e38_stream_knn: STREAMING vector retrieval — the online-serving
+  // shape of the v-family (queries arrive continuously; the corpus is
+  // the static side): query vectors ride a micro-batched stream
+  // (maxFilesPerTrigger=1 forces a genuinely multi-batch run), each
+  // batch broadcast-scores its queries against the corpus with the
+  // same exact-integer cosine kernel as v1, and lands its top-10 per
+  // query under out/batch=N with per-batch OVERWRITE — idempotent
+  // under at-least-once replay (e36's sink recipe). Each query lives
+  // in exactly one batch and top-k is per query, so the union of
+  // landed batches is batching-independent; the gate hash-compares it
+  // against the one-shot oracle. Scale: per batch ONE broadcast of the
+  // batch's queries (never the corpus) over the corpus scan — the
+  // standard high-QPS retrieval topology; swap the scan for the IVF
+  // index read (v5) when the corpus outgrows brute force. ---
+  val e38StreamKnn = QueryDef.sql(
+    "e38_stream_knn",
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 15),
+       |pr AS (SELECT qid, c.vec_id AS cid, qe, c.embedding AS ce FROM q, embeddings c WHERE c.vec_id <> qid),
+       |u AS (SELECT qid, cid, unnest(qe) AS x, unnest(ce) AS y FROM pr),
+       |$sqlDots
+       |$sqlTopk""".stripMargin) { (s, d) =>
+    val root = graft.Scratch.dir("e38-sknn")
+    val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    T.embeddings(s, d).filter(col("vec_id") < 15)
+      .select(col("vec_id").as("qid"), col("embedding"))
+      .repartition(3).write.parquet(feed)
+    val stream = s.readStream
+      .schema("qid BIGINT, embedding ARRAY<FLOAT>")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val bs = batch.sparkSession
+        val qs = batch.withColumn("qeq", quantize("embedding"))
+          .select(col("qid"), col("qeq"))
+        val cand = T.embeddings(bs, d).withColumn("ceq", quantize("embedding"))
+          .select(col("vec_id").as("cid"), col("ceq"))
+        scoreTopk(cand.crossJoin(broadcast(qs)).filter(col("cid") =!= col("qid")))
+          .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.option("basePath", out).parquet(s"$out/batch=*")
+      .select(col("qid"), col("cid"), col("cosine"), col("rank"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    e38StreamKnn,
     v1KnnBruteforce, v2AnnLsh, v3EmbeddingNeardup, v5AnnIvf, v6RandomProjection,
     v8MmrRerank, v9PqCodes, v10PqAdc, v11Sq8Knn, v12AnnRecall, v13Ivfpq,
     v14BinaryHamming, v15Mips, v16FilteredKnn, v17HybridRrf, v18AnnTombstone,
