@@ -307,6 +307,30 @@ object Versioned {
       .option("basePath", genRoot(path))
       .parquet(s"${genRoot(path)}/*/*")
 
+  /** Drop whole partitions as a NEW VERSION — `ALTER TABLE … DROP
+    * PARTITION` with time travel: the next manifest simply carries
+    * forward every surviving partition's ref and omits the dropped
+    * ones. METADATA-ONLY (no data touched — at 100 TB dropping a year
+    * of history is a k-row manifest write); older versions still read
+    * the dropped partitions until [[expire]] reclaims their
+    * generations, which is exactly the retention semantics TTL
+    * deletion wants (and [[Forget.scrubVersioned]] is the cousin for
+    * when history must forget too). Returns the new version. */
+  def dropPartitions(
+      spark: SparkSession, path: String, drop: String => Boolean): Long = {
+    val cur = latestVersion(spark, path)
+    require(cur > 0, s"no committed version at $path")
+    val prior = manifestRefs(spark, path, cur)
+    val kept = prior.filterNot { case (p, _) => drop(p) }
+    require(kept.nonEmpty,
+      s"dropPartitions would empty $path — refuse (drop the table instead)")
+    val next = cur + 1
+    import spark.implicits._
+    kept.toDF("pval", "gen").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(manifestPath(path, next))
+    next
+  }
+
   /** The logical stamp version `v` was committed with, if any. */
   def stampOf(spark: SparkSession, path: String, v: Long): Option[Long] = {
     val m = spark.read.parquet(manifestPath(path, v))

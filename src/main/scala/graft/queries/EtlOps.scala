@@ -2089,6 +2089,99 @@ object EtlOps {
         (col("sw").cast("double") / col("total_us").cast("double")).as("twa"))
   }
 
+  // --- k41_drop_partitions: ALTER TABLE … DROP PARTITION with time
+  // travel (Versioned.dropPartitions) — the TTL-deletion shape: after
+  // two keyed commits, the 'P' partition is dropped as a METADATA-ONLY
+  // new version (the next manifest just omits it; a k-row write at any
+  // table size). The gate reads the head (P gone, the k%9 repricing
+  // intact) AND time-travels to the pre-drop version (P fully back —
+  // the drop never touched data, so retention-window readers and
+  // rollbacks still see it; expire later reclaims the generations).
+  // The oracle replays both states from the fixture. ---
+  val k41DropPartitions = QueryDef.sql(
+    "k41_drop_partitions",
+    """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+      |s2 AS (SELECT k, st,
+      |    CASE WHEN k % 9 = 0 THEN CAST(p + 25 AS DECIMAL(12,2)) ELSE p END AS p
+      |  FROM base),
+      |u AS (SELECT 'head' AS tag, st, p FROM s2 WHERE st <> 'P'
+      |  UNION ALL SELECT 'pre_drop' AS tag, st, p FROM s2)
+      |SELECT tag, st AS o_orderstatus, count(*) AS n,
+      |  CAST(sum(p) AS DOUBLE) AS total
+      |FROM u GROUP BY tag, st""".stripMargin) { (s, d) =>
+    import graft.operators.Versioned
+    val root = graft.Scratch.dir("k41-drop")
+    val tbl = s"$root/orders_v"
+    val base = T.orders(s, d).select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("st"), col("o_totalprice").cast("decimal(12,2)").as("p"))
+    Versioned.commit(s, tbl, base, "st", Seq("k"))
+    val v2 = Versioned.commit(s, tbl,
+      base.filter(col("k") % 9 === 0)
+        .withColumn("p", (col("p") + lit(25)).cast("decimal(12,2)")),
+      "st", Seq("k"))
+    Versioned.dropPartitions(s, tbl, _ == "P")
+    def summarize(df: DataFrame, tag: String): DataFrame =
+      df.groupBy(col("st"))
+        .agg(count(lit(1)).as("n"), sum(col("p")).cast("double").as("total"))
+        .select(lit(tag).as("tag"), col("st").as("o_orderstatus"),
+          col("n"), col("total"))
+    summarize(Versioned.readAsOf(s, tbl), "head")
+      .unionByName(summarize(Versioned.readAsOf(s, tbl, v2), "pre_drop"))
+  }
+
+  // --- er6_pprl_clk: PRIVACY-PRESERVING record linkage (operators.Pprl
+  // — the CLK Bloom-encoding scheme of Schnell et al.): two parties'
+  // name columns (here: the er1 part subset vs a perturbed copy with
+  // its 4th character dropped — a deterministic "typo") are each
+  // encoded into 64-bit Bloom bitsets (every character bigram sets two
+  // md5-derived positions), and linkage happens ON THE BITSETS ONLY via
+  // the Dice coefficient — plaintext never crosses the trust boundary,
+  // and the typo degrades Dice instead of breaking equality (the
+  // perturbed self-pairs still clear 0.7). Exactness: bitsets are
+  // position sets, intersections are equi-join counts, Dice is one
+  // double from exact integers — the oracle replays every bit. Scale:
+  // candidates come from a 2-char blocking key, never all-pairs; the
+  // intersect join fans candidates by ≤ 64 positions. ---
+  val er6PprlClk = QueryDef.sql(
+    "er6_pprl_clk",
+    """WITH sub AS (SELECT p_partkey AS k, p_name AS nm FROM part WHERE p_partkey % 23 = 0),
+      |bsub AS (SELECT k, concat(substr(nm, 1, 3), substr(nm, 5)) AS nm FROM sub),
+      |ga AS (SELECT DISTINCT k, g FROM (
+      |    SELECT k, unnest([substr(nm, i, 2) for i in range(1, len(nm))]) AS g
+      |    FROM sub WHERE len(nm) >= 2) t),
+      |gb AS (SELECT DISTINCT k, g FROM (
+      |    SELECT k, unnest([substr(nm, i, 2) for i in range(1, len(nm))]) AS g
+      |    FROM bsub WHERE len(nm) >= 2) t),
+      |pa AS (SELECT DISTINCT k, pos FROM (
+      |    SELECT k, CAST(concat('0x', substr(md5('1:' || g), 1, 2)) AS BIGINT) % 64 AS pos FROM ga
+      |    UNION ALL
+      |    SELECT k, CAST(concat('0x', substr(md5('2:' || g), 1, 2)) AS BIGINT) % 64 FROM ga) t),
+      |pb AS (SELECT DISTINCT k, pos FROM (
+      |    SELECT k, CAST(concat('0x', substr(md5('1:' || g), 1, 2)) AS BIGINT) % 64 AS pos FROM gb
+      |    UNION ALL
+      |    SELECT k, CAST(concat('0x', substr(md5('2:' || g), 1, 2)) AS BIGINT) % 64 FROM gb) t),
+      |ca AS (SELECT k, count(*) AS na FROM pa GROUP BY k),
+      |cb AS (SELECT k, count(*) AS nb FROM pb GROUP BY k),
+      |cand AS (SELECT a.k AS ka, b.k AS kb FROM sub a JOIN bsub b
+      |  ON substr(a.nm, 1, 2) = substr(b.nm, 1, 2)),
+      |inter AS (SELECT c.ka, c.kb, count(*) AS n_common
+      |  FROM cand c JOIN pa ON pa.k = c.ka JOIN pb ON pb.pos = pa.pos AND pb.k = c.kb
+      |  GROUP BY c.ka, c.kb)
+      |SELECT ka, kb, n_common, na, nb, 2.0 * n_common / (na + nb) AS dice
+      |FROM inter JOIN ca ON ca.k = ka JOIN cb ON cb.k = kb
+      |WHERE 2.0 * n_common / (na + nb) >= 0.7""".stripMargin) { (s, d) =>
+    import graft.operators.Pprl
+    val sub = T.part(s, d).filter(col("p_partkey") % 23 === 0)
+      .select(col("p_partkey").as("k"), col("p_name").as("nm"))
+    val bsub = sub.select(col("k"),
+      concat(substring(col("nm"), 1, 3), expr("substring(nm, 5)")).as("nm"))
+    Pprl.diceMatch(sub, bsub, "k", "nm", bits = 64, hashes = 2,
+        blockLen = 2, threshold = 0.7)
+      .select(col("ka"), col("kb"), col("n_common"), col("na"), col("nb"),
+        col("dice"))
+  }
+
   // --- k40_branch_merge: git-like BRANCH + THREE-WAY MERGE on the
   // versioned store (operators.Branch — Iceberg-refs/Nessie semantics
   // on k34's zero-copy clone): main commits a base, a branch forks it,
@@ -2168,7 +2261,7 @@ object EtlOps {
   }
 
   val all: Seq[QueryDef] = Seq(
-    k40BranchMerge, j12TimeWeightedAvg,
+    k40BranchMerge, k41DropPartitions, j12TimeWeightedAvg, er6PprlClk,
     j1FirstWins, j2Flatten, j3Lookup, p2TimeWindow, p4CastValidate,
     p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff,
     j4RangeJoin, j5IntervalOverlap, j6FuzzyMatch, j7EditDistance, j8AutoRangeJoin,

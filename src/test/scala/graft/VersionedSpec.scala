@@ -331,4 +331,30 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.readAsOf(spark, src).as[(Long, String, Double)].collect().toSet ===
       Set((1L, "a", 1.0), (3L, "b", 3.0)))
   }
+
+  test("dropPartitions is a metadata-only TTL delete with time travel; expire reclaims") {
+    val tbl = freshTbl()
+    val v1 = Versioned.commit(spark, tbl,
+      rows(Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0), (4L, "c", 4.0))),
+      "part", Seq("id"))
+    val v2 = Versioned.dropPartitions(spark, tbl, p => p == "c")
+    assert(v2 === v1 + 1)
+    assert(Versioned.readAsOf(spark, tbl).as[(Long, String, Double)].collect().toSet ===
+      Set((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0)), "head omits the dropped partition")
+    assert(Versioned.readAsOf(spark, tbl, v1).as[(Long, String, Double)].collect().toSet ===
+      Set((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0), (4L, "c", 4.0)),
+      "the drop never touched data: pre-drop versions still read it")
+    // the dropped partition's generation survives until retention expires it
+    val fs = new Path(tbl).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(s"$tbl/gen/__gen=1/__p=c")))
+    Versioned.expire(spark, tbl, keep = 1)
+    assert(!fs.exists(new Path(s"$tbl/gen/__gen=1/__p=c")), "expire reclaims the dropped generation")
+    assert(Versioned.readAsOf(spark, tbl).as[(Long, String, Double)].collect().toSet ===
+      Set((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0)))
+    // refusing to drop everything
+    val e = intercept[IllegalArgumentException] {
+      Versioned.dropPartitions(spark, tbl, _ => true)
+    }
+    assert(e.getMessage.contains("refuse"))
+  }
 }
