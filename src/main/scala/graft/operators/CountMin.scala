@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Mergeable Count-Min sketch — the frequency twin of [[HllSketch]]:
   * per-(row, bucket) counter tables estimate how often any value occurs
@@ -52,4 +53,36 @@ object CountMin {
       .join(broadcast(cms), Seq("j", "p"), "left_outer")
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("c"), lit(0L))).as("est_n"))
+
+  /** Maintain a counter table at `path` from a micro-batched stream
+    * under the crash-safe staged swap. Unlike [[HllSketch]]'s max-merge
+    * (idempotent — a replayed batch is harmless), CMS counters are
+    * ADDITIVE: folding a delivered batch twice double-counts, so the
+    * [[ReplayGuard]] is the correctness of this fold, not an
+    * optimization — the e39 gate proves stream-fold ≡ one-shot exactly
+    * because committed replays are skipped. */
+  def streamingCmsFold(
+      stream: DataFrame,
+      path: String,
+      value: Column,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val fsPath = new org.apache.hadoop.fs.Path(path)
+        val fs = fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        Upsert.recoverSwap(fs, path)
+        val run = ReplayGuard.runId(fs, checkpoint)
+        if (!fs.exists(fsPath))
+          ReplayGuard.stamp(sketch(batch, value), run, batchId)
+            .write.mode(SaveMode.Overwrite).parquet(path)
+        else if (!ReplayGuard.isReplay(s.read.parquet(path), run, batchId))
+          Upsert.stagedRewrite(s, path)(base =>
+            ReplayGuard.stamp(
+              merge(ReplayGuard.strip(base), sketch(batch, value)),
+              run, batchId))
+        ()
+      }
+      .start()
 }

@@ -1801,7 +1801,7 @@ object Events {
     "e25_chained_agg", "e26_session_window", "e31_stream_static_join",
     "e32_stream_semi_join", "e33_stream_versioned_sink",
     "e34_table_follow", "e36_stream_media_fingerprint", "e37_stream_hll",
-    "e38_stream_knn")
+    "e38_stream_knn", "e39_stream_cms")
 
   // --- e36_stream_media_fingerprint: STREAMING MULTIMODAL ingest — the
   // missing cross-family cell: BINARY media payloads ride micro-batches
@@ -1928,6 +1928,57 @@ object Events {
     }
   }
 
+  // --- e39_stream_cms: streaming FREQUENCY state — the Count-Min fold
+  // (operators.CountMin.streamingCmsFold) as a real micro-batched
+  // stream over a two-append events feed, gated against a one-shot
+  // sketch build: per-user event counts estimated from 8 KB of counter
+  // state. The instructive contrast with e37: HLL registers max-merge
+  // (idempotent — replays are harmless), CMS counters ADD — a replayed
+  // batch double-counts — so the ReplayGuard run/batch stamps are the
+  // correctness of this fold, and the hash match proves committed
+  // replays were skipped, not merely tolerated. Scale: counter state
+  // is depth×256 rows regardless of user cardinality; each micro-batch
+  // pays one partial-agg shuffle of its own rows. ---
+  val e39StreamCms = QueryDef.sql(
+    "e39_stream_cms",
+    s"""WITH cnt AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+       |  FROM events GROUP BY user_id),
+       |pos AS (SELECT user_id, exact_n, j,
+       |    CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT) AS p
+       |  FROM cnt, LATERAL (SELECT unnest(range(0, ${graft.operators.CountMin.depth})) AS j) r),
+       |counters AS (SELECT j, p, CAST(sum(exact_n) AS BIGINT) AS c FROM pos GROUP BY j, p),
+       |est AS (SELECT user_id, min(coalesce(c.c, 0)) AS est_n
+       |  FROM pos LEFT JOIN counters c ON c.j = pos.j AND c.p = pos.p GROUP BY user_id),
+       |top AS (SELECT user_id, exact_n FROM cnt ORDER BY exact_n DESC, user_id LIMIT 20)
+       |SELECT top.user_id, top.exact_n, est.est_n
+       |FROM top JOIN est ON est.user_id = top.user_id""".stripMargin) { (s, d) =>
+    withStatePartitions(s, 4) {
+    import graft.operators.{CountMin, ReplayGuard}
+    val root = graft.Scratch.dir("e39-cms")
+    val feed = s"$root/feed"; val cms = s"$root/cms"; val ckpt = s"$root/ckpt"
+    val ev = T.events(s, d).select(col("event_id"), col("user_id"))
+    ev.filter(col("event_id") % 2 === 0).select(col("user_id"))
+      .coalesce(2).write.parquet(feed)
+    val stream = s.readStream
+      .schema("user_id BIGINT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed)
+    val q = CountMin.streamingCmsFold(stream, cms, col("user_id"), ckpt)
+    q.processAllAvailable()
+    ev.filter(col("event_id") % 2 =!= 0).select(col("user_id"))
+      .coalesce(2).write.mode("append").parquet(feed)
+    q.processAllAvailable()
+    q.stop()
+    val sketch = ReplayGuard.strip(s.read.parquet(cms))
+    val cnt = T.events(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("exact_n"))
+    val top = cnt.orderBy(col("exact_n").desc, col("user_id")).limit(20)
+    CountMin.lookup(sketch, top, "user_id")
+      .join(top, Seq("user_id"))
+      .select(col("user_id"), col("exact_n"), col("est_n"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
     e4cAsofForward, e4dAsofSql, e4eAsofTolerance,
@@ -1939,5 +1990,5 @@ object Events {
     e25ChainedAgg, e26SessionWindow, e27SequenceMatch, e28VariantExtract,
     e29StreamFullOuter, e30Attribution, e31StreamStaticJoin, e32StreamSemiJoin,
     e33StreamVersionedSink, e34TableFollow, e36StreamMediaFingerprint,
-    e37StreamHll)
+    e37StreamHll, e39StreamCms)
 }

@@ -2304,8 +2304,82 @@ object Extras {
         (col("wnum").cast("double") / (lit(n0).cast("double") * lit(n1) * 100)).as("w1"))
   }
 
+  // --- a58_cuped: CUPED variance reduction (Deng et al. 2013, the
+  // standard production-experimentation adjustment): each user's
+  // post-period purchase total Y is adjusted by their PRE-period total
+  // X — Y_adj = Y − θ(X − X̄), θ = cov(X,Y)/var(X) — so pre-existing
+  // user-level spend differences stop inflating the A/B comparison's
+  // variance. Everything reduces to SIX exact integer sums over cents
+  // (n, ΣX, ΣY, ΣX², ΣXY, ΣY² — one user-keyed aggregate then a 1-row
+  // reduce, broadcast back); θ, the per-variant adjusted means, and
+  // the variance-reduction factor ρ² are closed-form doubles from
+  // identical BIGINTs, so both engines agree bit-for-bit. Scale: two
+  // keyed aggregates sharing the user partitioning + two broadcast
+  // scalars — the same shape at 10⁹ users (document: the Σ products
+  // need decimal once n·ΣXY approaches 2⁶³). ---
+  val a58Cuped = QueryDef.sql(
+    "a58_cuped",
+    """WITH p AS (SELECT user_id, user_id % 2 AS variant,
+      |    CAST(CAST(value AS DECIMAL(10,2)) * 100 AS BIGINT) AS cents,
+      |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS pre
+      |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+      |u AS (SELECT user_id, variant,
+      |    CAST(sum(CASE WHEN pre = 1 THEN cents ELSE 0 END) AS BIGINT) AS x,
+      |    CAST(sum(CASE WHEN pre = 0 THEN cents ELSE 0 END) AS BIGINT) AS y
+      |  FROM p GROUP BY user_id, variant),
+      |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM u),
+      |t AS (SELECT *,
+      |    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS theta,
+      |    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |      * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+      |      / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+      |         * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) AS rho2
+      |  FROM g),
+      |v AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+      |    CAST(sum(x) AS BIGINT) AS sxv, CAST(sum(y) AS BIGINT) AS syv
+      |  FROM u GROUP BY variant)
+      |SELECT variant, n_users,
+      |  CAST(syv AS DOUBLE) / n_users / 100 AS mean_y,
+      |  (CAST(syv AS DOUBLE) / n_users
+      |    - theta * (CAST(sxv AS DOUBLE) / n_users - CAST(sx AS DOUBLE) / n)) / 100 AS mean_adj,
+      |  theta, rho2
+      |FROM v, t""".stripMargin) { (s, d) =>
+    val p = T.events(s, d)
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(col("user_id"), (col("user_id") % 2).as("variant"),
+        (col("value").cast("decimal(10,2)") * 100).cast("bigint").as("cents"),
+        when(col("ts") < to_timestamp(lit("2024-01-16")), lit(1)).otherwise(lit(0)).as("pre"))
+    val u = p.groupBy(col("user_id"), col("variant")).agg(
+      sum(when(col("pre") === 1, col("cents")).otherwise(0L)).as("x"),
+      sum(when(col("pre") === 0, col("cents")).otherwise(0L)).as("y"))
+    val g = u.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    def dbl(c: String) = col(c).cast("double")
+    val covNum = dbl("n") * col("sxy") - dbl("sx") * col("sy")
+    val varX = dbl("n") * col("sxx") - dbl("sx") * col("sx")
+    val varY = dbl("n") * col("syy") - dbl("sy") * col("sy")
+    val t = g.select(col("*"),
+      (covNum / varX).as("theta"),
+      (covNum * covNum / (varX * varY)).as("rho2"))
+    val v = u.groupBy(col("variant")).agg(count(lit(1)).as("n_users"),
+      sum(col("x")).as("sxv"), sum(col("y")).as("syv"))
+    v.join(broadcast(t))
+      .select(col("variant"), col("n_users"),
+        (dbl("syv") / col("n_users") / 100).as("mean_y"),
+        ((dbl("syv") / col("n_users")
+          - col("theta") * (dbl("sxv") / col("n_users") - dbl("sx") / col("n"))) / 100).as("mean_adj"),
+        col("theta"), col("rho2"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    a55FdrBh, a56KaplanMeier, a57Wasserstein,
+    a55FdrBh, a56KaplanMeier, a57Wasserstein, a58Cuped,
     a44QuantileNormalize,
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
     a16WindowSuite, a17ScalarSuite, a18DateSuite, a19GroupingSets,

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import graft.operators.HllSketch
+import graft.operators.{CountMin, HllSketch}
 
 /** HLL sketch semantics beyond the a22/k10 DuckDB hash gates: accuracy
   * band, merge algebra, and the incremental streaming fold. */
@@ -86,5 +86,33 @@ class SketchesSpec extends SparkSpec {
     q2.processAllAvailable(); q2.stop()
     val again = graft.operators.ReplayGuard.strip(spark.read.parquet(path))
     assert(again.exceptAll(want).isEmpty && want.exceptAll(again).isEmpty)
+  }
+
+  test("streaming CMS fold equals the one-shot sketch and a committed replay never double-counts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val path = Files.createTempDirectory("cms-stream").toString + "/cms"
+    val ckpt = Files.createTempDirectory("cms-ckpt").toString
+    val input = MemoryStream[Long]
+    val df = input.toDF().toDF("v")
+    val q = CountMin.streamingCmsFold(df, path, col("v"), ckpt)
+    input.addData((1 to 400).map(i => (i % 37).toLong): _*)
+    q.processAllAvailable()
+    input.addData((1 to 400).map(i => (i % 53).toLong): _*)
+    q.processAllAvailable(); q.stop()
+    val want = CountMin.sketch(
+      ((1 to 400).map(i => (i % 37).toLong) ++ (1 to 400).map(i => (i % 53).toLong))
+        .toDF("v"), col("v"))
+    val got = graft.operators.ReplayGuard.strip(spark.read.parquet(path))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // redeliver batch 1 (crash between swap and checkpoint commit): an
+    // ADDITIVE sketch would double-count without the guard
+    assert(new java.io.File(s"$ckpt/commits/1").delete())
+    new java.io.File(s"$ckpt/commits/.1.crc").delete()
+    val q2 = CountMin.streamingCmsFold(df, path, col("v"), ckpt)
+    q2.processAllAvailable(); q2.stop()
+    val again = graft.operators.ReplayGuard.strip(spark.read.parquet(path))
+    assert(again.exceptAll(want).isEmpty && want.exceptAll(again).isEmpty,
+      "replayed batch must be skipped, not re-added")
   }
 }
