@@ -307,6 +307,57 @@ object Versioned {
       .option("basePath", genRoot(path))
       .parquet(s"${genRoot(path)}/*/*")
 
+  /** Row-level DELETE as a NEW VERSION — `DELETE FROM … WHERE key IN
+    * (…)` with time travel: the partitions containing any of `keys`
+    * are rewritten WITHOUT those rows under the next generation
+    * (merge-on-write, localized like [[commit]]'s upsert path: one
+    * key-probe scan discovers the affected partitions — pair it with
+    * [[BloomIndex]]/[[ZoneMap]] pruning at scale — then the REWRITE is
+    * O(affected partitions), never O(table)); untouched partitions
+    * carry their manifest refs
+    * forward, and a partition whose last row is deleted drops out of
+    * the manifest entirely ([[dropPartitions]] semantics). History is
+    * untouched: older versions still read the deleted rows until
+    * [[expire]] reclaims them — for history-destroying governance
+    * deletes, use [[Forget.scrubVersioned]]. A later [[commit]] of a
+    * deleted key simply re-inserts it (versions are full states, not
+    * tombstone chains — no delete/upsert ordering ambiguity). Returns
+    * the new version (the current one if no key matched). */
+  def deleteKeys(
+      spark: SparkSession,
+      path: String,
+      keys: DataFrame,
+      keyCols: Seq[String]): Long = {
+    val cur = latestVersion(spark, path)
+    require(cur > 0, s"no committed version at $path")
+    val prior = manifestRefs(spark, path, cur)
+    val state = readRefs(spark, path, prior)
+    val hit = state.join(keys.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+    // partition domain is driver-sized by design (commit's discipline)
+    val affected: Seq[String] =
+      hit.select(col("__p")).distinct().collect().map(_.getString(0)).toSeq
+    if (affected.isEmpty) return cur
+    val affectedSet = affected.toSet
+    val next = cur + 1
+    val affectedRefs = prior.filter { case (p, _) => affectedSet(p) }
+    val rewritten = readRefs(spark, path, affectedRefs)
+      .join(keys.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
+    rewritten.write.mode(SaveMode.Overwrite).partitionBy("__p")
+      .parquet(s"${genRoot(path)}/__gen=$next")
+    // partitions whose every row was deleted write no directory — they
+    // leave the manifest (a ref to a missing dir would corrupt reads)
+    val survivors: Set[String] = rewritten.select(col("__p")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val carried = prior.filterNot { case (p, _) => affectedSet(p) }
+    val entries = carried ++ affected.filter(survivors).map(_ -> next)
+    require(entries.nonEmpty,
+      s"deleteKeys would empty $path — refuse (drop the table instead)")
+    import spark.implicits._
+    entries.toDF("pval", "gen").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(manifestPath(path, next))
+    next
+  }
+
   /** Drop whole partitions as a NEW VERSION — `ALTER TABLE … DROP
     * PARTITION` with time travel: the next manifest simply carries
     * forward every surviving partition's ref and omits the dropped

@@ -2130,6 +2130,54 @@ object EtlOps {
       .unionByName(summarize(Versioned.readAsOf(s, tbl, v2), "pre_drop"))
   }
 
+  // --- k42_delete_keys: row-level DELETE as a new version
+  // (Versioned.deleteKeys) — the merge-on-write `DELETE FROM … WHERE
+  // key IN (…)` the branch-merge caveat pointed at: delete the k%4
+  // keys (spread across every status partition), then RE-COMMIT one
+  // deleted slice (k%8) with new prices — versions are full states, so
+  // resurrection is a plain upsert with no tombstone-ordering
+  // ambiguity. The gate reads THREE states — head (k%8 back at +999,
+  // other k%4 gone), the post-delete version (all k%4 gone), and the
+  // pre-delete version (everything — history untouched until expire) —
+  // and the oracle replays all three. Scale: discovery is one
+  // key-probe scan (bloom/zone-map prunable); the rewrite touches only
+  // affected partitions. ---
+  val k42DeleteKeys = QueryDef.sql(
+    "k42_delete_keys",
+    """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+      |post_del AS (SELECT k, st, p FROM base WHERE k % 4 <> 0),
+      |head AS (SELECT k, st, p FROM post_del
+      |  UNION ALL SELECT k, st, CAST(p + 999 AS DECIMAL(12,2)) AS p
+      |    FROM base WHERE k % 8 = 0),
+      |u AS (SELECT 'head' AS tag, st, p FROM head
+      |  UNION ALL SELECT 'post_delete' AS tag, st, p FROM post_del
+      |  UNION ALL SELECT 'pre_delete' AS tag, st, p FROM base)
+      |SELECT tag, st AS o_orderstatus, count(*) AS n,
+      |  CAST(sum(p) AS DOUBLE) AS total
+      |FROM u GROUP BY tag, st""".stripMargin) { (s, d) =>
+    import graft.operators.Versioned
+    val root = graft.Scratch.dir("k42-del")
+    val tbl = s"$root/orders_v"
+    val base = T.orders(s, d).select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("st"), col("o_totalprice").cast("decimal(12,2)").as("p"))
+    val v1 = Versioned.commit(s, tbl, base, "st", Seq("k"))
+    val v2 = Versioned.deleteKeys(s, tbl,
+      base.filter(col("k") % 4 === 0).select(col("k")), Seq("k"))
+    Versioned.commit(s, tbl,
+      base.filter(col("k") % 8 === 0)
+        .withColumn("p", (col("p") + lit(999)).cast("decimal(12,2)")),
+      "st", Seq("k"))
+    def summarize(df: DataFrame, tag: String): DataFrame =
+      df.groupBy(col("st"))
+        .agg(count(lit(1)).as("n"), sum(col("p")).cast("double").as("total"))
+        .select(lit(tag).as("tag"), col("st").as("o_orderstatus"),
+          col("n"), col("total"))
+    summarize(Versioned.readAsOf(s, tbl), "head")
+      .unionByName(summarize(Versioned.readAsOf(s, tbl, v2), "post_delete"))
+      .unionByName(summarize(Versioned.readAsOf(s, tbl, v1), "pre_delete"))
+  }
+
   // --- er6_pprl_clk: PRIVACY-PRESERVING record linkage (operators.Pprl
   // — the CLK Bloom-encoding scheme of Schnell et al.): two parties'
   // name columns (here: the er1 part subset vs a perturbed copy with
@@ -2261,7 +2309,7 @@ object EtlOps {
   }
 
   val all: Seq[QueryDef] = Seq(
-    k40BranchMerge, k41DropPartitions, j12TimeWeightedAvg, er6PprlClk,
+    k40BranchMerge, k41DropPartitions, k42DeleteKeys, j12TimeWeightedAvg, er6PprlClk,
     j1FirstWins, j2Flatten, j3Lookup, p2TimeWindow, p4CastValidate,
     p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff,
     j4RangeJoin, j5IntervalOverlap, j6FuzzyMatch, j7EditDistance, j8AutoRangeJoin,

@@ -699,7 +699,43 @@ object Quality {
       "c_mktsegment" -> (_ => Masking.redact)))
   }
 
-  val all: Seq[QueryDef] = Seq(dq1Expectations, dq2KAnonymity, dq3RefIntegrity, dq4DriftPsi,
+  // --- dq16_fd_discovery: functional-dependency MINING — dq12 audits
+  // DECLARED FDs; dq16 discovers which candidate dependencies actually
+  // hold: for every ordered pair (A→B) over the profiled column set,
+  // violations = Σ_a (distinct B within a − 1), and the FD holds iff
+  // that sum is zero (the standard TANE-style check, enumerated over a
+  // declared candidate set — real miners prune the lattice, but the
+  // per-pair check IS this aggregate). Scale: one partial-aggregated
+  // (A, B)-distinct count per pair, each its own keyed shuffle over
+  // the pair's two columns only (column pruning reaches the scan);
+  // pairs are schema-bounded, never data-bounded. Profiled over the
+  // lineitem status/flag/quantity triple — whichever direction holds
+  // is the discovery, zeros and all. ---
+  val dq16FdDiscovery: QueryDef = {
+    val cols = Seq("l_returnflag", "l_linestatus", "l_quantity")
+    val pairs = for { a <- cols; b <- cols if a != b } yield (a, b)
+    val sql = pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS lhs, '$b' AS rhs,
+         |  CAST(count(*) AS BIGINT) AS n_groups,
+         |  CAST(sum(nd - 1) AS BIGINT) AS violations,
+         |  CAST(sum(nd - 1) = 0 AS INT) AS holds
+         |FROM (SELECT $a, count(DISTINCT $b) AS nd FROM lineitem GROUP BY $a) t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    QueryDef.sql("dq16_fd_discovery", sql) { (s, d) =>
+      val o = T.lineitem(s, d)
+      pairs.map { case (a, b) =>
+        o.groupBy(col(a)).agg(countDistinct(col(b)).as("nd"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(col("nd") - 1).as("violations"),
+            (sum(col("nd") - 1) === 0).cast("int").as("holds"))
+          .select(lit(a).as("lhs"), lit(b).as("rhs"),
+            col("n_groups"), col("violations"), col("holds"))
+      }.reduce(_ unionByName _)
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(dq16FdDiscovery,
+    dq1Expectations, dq2KAnonymity, dq3RefIntegrity, dq4DriftPsi,
     dq5Freshness, dq6Benford, dq7OutlierIqr, dq8Reconciliation, dq9LDiversity,
     dq10TCloseness, dq11BoundedContribution, dq12FdViolations, dq13SchemaDrift,
     dq14NullDrift, dq15MaskingPolicy)

@@ -357,4 +357,32 @@ class VersionedSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("refuse"))
   }
+
+  test("deleteKeys rewrites only affected partitions, empties drop out, history intact") {
+    val tbl = freshTbl()
+    val v1 = Versioned.commit(spark, tbl,
+      rows(Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0), (4L, "c", 4.0))),
+      "part", Seq("id"))
+    // no-match delete is a no-op returning the current version
+    assert(Versioned.deleteKeys(spark, tbl, Seq(99L).toDF("id"), Seq("id")) === v1)
+    // delete 2 (partial partition a) and 4 (ALL of partition c)
+    val v2 = Versioned.deleteKeys(spark, tbl, Seq(2L, 4L).toDF("id"), Seq("id"))
+    assert(v2 === v1 + 1)
+    assert(Versioned.readAsOf(spark, tbl).as[(Long, String, Double)].collect().toSet ===
+      Set((1L, "a", 1.0), (3L, "b", 3.0)))
+    assert(Versioned.readAsOf(spark, tbl, v1).as[(Long, String, Double)].collect().toSet ===
+      Set((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0), (4L, "c", 4.0)),
+      "history untouched")
+    // partition b was untouched: its generation ref must still be gen 1
+    // (rewrite localized to affected partitions only)
+    val refs = spark.read.parquet(s"$tbl/manifest/v=$v2")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(refs("b") === 1L, s"untouched partition must carry its old gen: $refs")
+    assert(refs("a") === v2, "affected partition rewritten under the new gen")
+    assert(!refs.contains("c"), "fully-deleted partition leaves the manifest")
+    // a later commit resurrects a deleted key (full-state semantics)
+    Versioned.commit(spark, tbl, rows(Seq((4L, "c", 44.0))), "part", Seq("id"))
+    assert(Versioned.readAsOf(spark, tbl).as[(Long, String, Double)].collect().toSet ===
+      Set((1L, "a", 1.0), (3L, "b", 3.0), (4L, "c", 44.0)))
+  }
 }
