@@ -31,13 +31,10 @@ import org.apache.spark.sql.functions._
   *
   * The merged frame carries an `origin` provenance column
   * (main/branch/both/conflict) so audits can see exactly which side
-  * supplied each row. [[mergeCommit]] lands the resolution as one new
-  * keyed commit on main. Caveat (inherent to upsert-shaped commits):
-  * [[Versioned.commit]] merges by key, so a row the merge REMOVES
-  * (delete on one side) is dropped from the merge output but a plain
-  * commit of that output cannot erase it from main's prior state —
-  * pair with the scoped full-merge / scrub machinery when branch
-  * deletes must propagate.
+  * supplied each row. [[mergeCommit]] lands the resolution on main —
+  * rows the merge removes (a branch-side [[Versioned.deleteKeys]])
+  * propagate through a deleteKeys version, then the surviving state
+  * commits, so main's head equals the merge output exactly.
   */
 object Branch {
 
@@ -106,15 +103,25 @@ object Branch {
     out
   }
 
-  /** Merge `branch` into `main` and COMMIT the resolution as one new
-    * keyed version on main. Returns the new main version. */
+  /** Merge `branch` into `main` and COMMIT the resolution on main.
+    * Rows the merge resolution REMOVES (a branch-side
+    * [[Versioned.deleteKeys]] that won, or an `ours`-resolved conflict
+    * against a main-side delete) are propagated with a deleteKeys
+    * version first, then the surviving state commits as an upsert —
+    * so the main head equals [[merge3]]'s output exactly, deletes
+    * included. Returns the final main version. */
   def mergeCommit(
       spark: SparkSession,
       main: String,
       branch: String,
       partCol: String,
       keys: Seq[String],
-      policy: String = "fail"): Long =
-    Versioned.commit(spark, main,
-      merge3(spark, main, branch, keys, policy).drop("origin"), partCol, keys)
+      policy: String = "fail"): Long = {
+    val merged = merge3(spark, main, branch, keys, policy).drop("origin")
+    val removed = Versioned.readAsOf(spark, main)
+      .select(keys.map(col): _*)
+      .join(merged.select(keys.map(col): _*), keys, "left_anti")
+    Versioned.deleteKeys(spark, main, removed, keys)
+    Versioned.commit(spark, main, merged, partCol, keys)
+  }
 }

@@ -93,4 +93,22 @@ class BranchSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not a branch"))
   }
+
+  test("branch-side deleteKeys propagates through mergeCommit") {
+    val root = freshRoot()
+    val main = s"$root/main"; val br = s"$root/branch"
+    Versioned.commit(spark, main, rows(Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))), "part", Seq("id"))
+    Branch.create(spark, main, br)
+    // branch deletes key 2 and updates key 3; main is quiet
+    Versioned.deleteKeys(spark, br, Seq(2L).toDF("id"), Seq("id"))
+    Versioned.commit(spark, br, rows(Seq((3L, "b", 30.0))), "part", Seq("id"))
+    val m = Branch.merge3(spark, main, br, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(m === Map(1L -> "main", 3L -> "branch"), s"delete must drop key 2: $m")
+    Branch.mergeCommit(spark, main, br, "part", Seq("id"))
+    assert(Versioned.readAsOf(spark, main).as[(Long, String, Double)].collect().toSet ===
+      Set((1L, "a", 1.0), (3L, "b", 30.0)),
+      "main head must equal the merge output, delete included")
+  }
 }
