@@ -1033,9 +1033,92 @@ object Graphs {
         (col("n_edges") * expr("w * (w - 1) div 2")).as("butterflies"))
   }
 
+  // --- g20_hyperball: the HyperBall neighborhood function (Boldi &
+  // Vigna 2013 — the algorithm behind the "four degrees of separation"
+  // measurements): |B(v,h)|, the number of nodes within h hops of v,
+  // estimated for EVERY node simultaneously by giving each node a tiny
+  // HLL counter (m=16 registers here — rse ≈ 26%, the right dial for
+  // ball-size/effective-diameter curves) and max-merging neighbors'
+  // counters each hop: regs_{h+1}(v) = max(regs_h(v), regs_h(w) ∀ w~v).
+  // THE scale algorithm for reachability statistics — exact per-node
+  // BFS from every node is Θ(n·m); HyperBall is h rounds of one
+  // edges⋈registers join + partial-agg max, ≤ 16 rows of state per
+  // node. Registers are md5-derived (HllSketch's arithmetic at m=16,
+  // rho cap 24 keeps the harmonic sum in exact BIGINT), so the oracle
+  // replays every register and estimate bit-for-bit through two
+  // materialized rounds. Gate: hops 1 and 2 for the g4 seed set, with
+  // rounds staged to scratch parquet (Components' restage discipline). ---
+  val g20Hyperball: QueryDef = {
+    val hexOf = "instr('0123456789abcdef', %s) - 1"
+    val alphaNum: String = {
+      val v = 0.673 * 256.0 * 16777216.0
+      s"CAST('${v.toString}' AS DOUBLE)"
+    }
+    def sqlRound(prev: String, out: String): String =
+      s"""$out AS MATERIALIZED (SELECT nid, bkt, max(mr) AS mr FROM (
+         |    SELECT e.v AS nid, r.bkt, r.mr FROM edges e JOIN $prev r ON r.nid = e.u
+         |    UNION ALL SELECT nid, bkt, mr FROM $prev) t GROUP BY nid, bkt)""".stripMargin
+    def sqlEst(regs: String, hop: Int): String =
+      s"""SELECT $hop AS hop, nid AS part_id, CAST(count(*) AS BIGINT) AS nz,
+         |  $alphaNum / CAST(sum(CAST(pow(2, 24 - mr) AS BIGINT)) + (16 - count(*)) * 16777216 AS DOUBLE) AS est
+         |FROM $regs WHERE nid % 97 = 0 GROUP BY nid""".stripMargin
+    QueryDef.sql(
+      "g20_hyperball",
+      s"""WITH it AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e0 AS (SELECT DISTINCT x.p AS u, y.p AS v FROM it x JOIN it y ON x.o = y.o AND x.p < y.p),
+         |edges AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+         |nodes AS (SELECT DISTINCT u AS nid FROM edges),
+         |h0 AS (SELECT nid, md5(CAST(nid AS VARCHAR)) AS hx FROM nodes),
+         |r0 AS MATERIALIZED (SELECT nid,
+         |    (${hexOf.format("substr(hx,1,1)")}) AS bkt,
+         |    least(4*length(regexp_extract(substr(hx,2,30), '^(0*)', 1))
+         |      + (CASE WHEN ${hexOf.format("substr(hx, 2 + length(regexp_extract(substr(hx,2,30), '^(0*)', 1)), 1)")} >= 8 THEN 0
+         |              WHEN ${hexOf.format("substr(hx, 2 + length(regexp_extract(substr(hx,2,30), '^(0*)', 1)), 1)")} >= 4 THEN 1
+         |              WHEN ${hexOf.format("substr(hx, 2 + length(regexp_extract(substr(hx,2,30), '^(0*)', 1)), 1)")} >= 2 THEN 2
+         |              ELSE 3 END) + 1, 24) AS mr
+         |  FROM h0),
+         |${sqlRound("r0", "r1")},
+         |${sqlRound("r1", "r2")}
+         |${sqlEst("r1", 1)}
+         |UNION ALL
+         |${sqlEst("r2", 2)}""".stripMargin) { (s, d) =>
+      val edges = coPurchaseUndirected(s, d).select(col("u"), col("v"))
+      val nodes = edges.select(col("u").as("nid")).distinct()
+      val r0 = nodes
+        .withColumn("hx", md5(col("nid").cast("string")))
+        .withColumn("bkt", expr(hexOf.format("substr(hx,1,1)")))
+        .withColumn("z", expr("length(regexp_extract(substr(hx,2,30), '^(0*)', 1))"))
+        .withColumn("dd", expr(hexOf.format("substr(hx, 2 + z, 1)")))
+        .withColumn("mr", expr(
+          "least(4*z + (CASE WHEN dd>=8 THEN 0 WHEN dd>=4 THEN 1 WHEN dd>=2 THEN 2 ELSE 3 END) + 1, 24)"))
+        .select(col("nid"), col("bkt"), col("mr"))
+      val stage = graft.Scratch.dir("g20-hyperball")
+      def round(prev: DataFrame, h: Int): DataFrame = {
+        prev.join(edges.withColumnRenamed("u", "nid"), Seq("nid"))
+          .select(col("v").as("nid"), col("bkt"), col("mr"))
+          .unionByName(prev)
+          .groupBy(col("nid"), col("bkt")).agg(max(col("mr")).as("mr"))
+          .write.mode("overwrite").parquet(s"$stage/r$h")
+        s.read.parquet(s"$stage/r$h")
+      }
+      val r1 = round(r0, 1)
+      val r2 = round(r1, 2)
+      def est(regs: DataFrame, hop: Int): DataFrame =
+        regs.filter(col("nid") % 97 === 0)
+          .groupBy(col("nid"))
+          .agg(count(lit(1)).as("nz"),
+            sum(expr("CAST(pow(2, 24 - mr) AS BIGINT)")).as("isum"))
+          .select(lit(hop).as("hop"), col("nid").as("part_id"), col("nz"),
+            (expr(alphaNum) /
+              (col("isum") + (lit(16) - col("nz")) * 16777216L).cast("double")).as("est"))
+      est(r1, 1).unionByName(est(r2, 2))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     g1Pagerank, g2TriangleCount, g3LabelProp, g4ShortestPath, g5Assortativity,
     g6LinkPredict, g7NeighborhoodJaccard, g8KCore, g9PersonalizedPr, g10Hits,
     g11CheapestPath, g12Modularity, g13RandomWalks, g14HarmonicCentrality,
-    g15Katz, g16ClusteringCoeff, g17Ktruss, g18MutualKnnClusters, g19Butterflies)
+    g15Katz, g16ClusteringCoeff, g17Ktruss, g18MutualKnnClusters, g19Butterflies,
+    g20Hyperball)
 }
