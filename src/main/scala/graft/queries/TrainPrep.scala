@@ -1458,6 +1458,41 @@ object TrainPrep {
       .withColumn("sel", (col("dsir_weight") > 0).cast("int"))
   }
 
+  // --- t41_ngram_novelty: first-occurrence novelty — per document, the
+  // fraction of its distinct token trigrams whose FIRST corpus
+  // occurrence (min doc_id — in production, min ingest sequence) is
+  // this document. The curation dial between d-family dedup (is this a
+  // copy?) and mixing (t13/t16): novelty ≈ 0 marks documents that only
+  // restate earlier corpus content even when no single source matches
+  // (boilerplate recombination), novelty ≈ 1 marks genuinely new text.
+  // Two partial-aggregated shuffles — distinct (doc, trigram), then
+  // the trigram→min(doc) first-occurrence table joined back — the
+  // same shape as t9's n-gram stats, so it scales exactly as far. ---
+  val t41NgramNovelty = QueryDef.sql(
+    "t41_ngram_novelty",
+    s"""WITH sh AS (SELECT DISTINCT doc_id, g FROM (
+       |    SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+       |    FROM (SELECT doc_id, $sqlToks AS t FROM documents) toks,
+       |    LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r) x),
+       |firsts AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g)
+       |SELECT sh.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_shingles,
+       |  CAST(count(*) FILTER (WHERE first_doc = sh.doc_id) AS BIGINT) AS n_novel,
+       |  CAST(count(*) FILTER (WHERE first_doc = sh.doc_id) AS DOUBLE) / count(*) AS novelty
+       |FROM sh JOIN firsts USING (g)
+       |GROUP BY sh.doc_id""".stripMargin) { (s, d) =>
+    val sh = T.documents(s, d)
+      .select(col("doc_id"), explode(TextFns.shinglesRegex(col("text"), 3)).as("g"))
+      .distinct()
+    val firsts = sh.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(firsts, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("first_doc") === col("doc_id"), lit(1))).as("n_novel"),
+        (count(when(col("first_doc") === col("doc_id"), lit(1))).cast("double")
+          / count(lit(1))).as("novelty"))
+  }
+
   val t39BpeEncode = QueryDef.sql(
     "t39_bpe_encode",
     s"""WITH seq0 AS (SELECT doc_id, i, t[i] AS t FROM
@@ -1788,7 +1823,7 @@ object TrainPrep {
   }
 
   val all: Seq[QueryDef] = Seq(
-    t38ZipfFit, t39BpeEncode, t40Dsir,
+    t38ZipfFit, t39BpeEncode, t40Dsir, t41NgramNovelty,
     t37RakeKeyphrases,
     t33CorpusPipeline, t34LengthBatching, t35BpeMerges, t36SpanDecontaminate,
     t8PackSequences, t9NgramCounts, t10RedactPii, d5Contamination,
