@@ -89,7 +89,7 @@ object Publish {
     * filesystem's create is check-then-act — NOT atomic — so `file:`
     * goes through O_EXCL (`Files.createFile`), which the race spec
     * exercises with two simultaneous publishers. */
-  private def claimExclusive(
+  private[operators] def claimExclusive(
       fs: org.apache.hadoop.fs.FileSystem, p: Path): Boolean =
     if (fs.getScheme == "file")
       try {

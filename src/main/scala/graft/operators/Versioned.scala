@@ -204,10 +204,83 @@ object Versioned {
       keys: Seq[String],
       stamp: Option[Long] = None): Long = {
     val cur = latestVersion(spark, path)
-    val next = cur + 1
-    val prior: Seq[(String, Long)] =
-      if (cur == 0) Nil else manifestRefs(spark, path, cur)
+    commitAt(spark, path, delta, partCol, keys, stamp, cur + 1,
+      if (cur == 0) Nil else manifestRefs(spark, path, cur))
+  }
 
+  private def reservationDir(path: String) = s"${manifestDir(path)}/reservations"
+
+  /** Multi-writer commit with OPTIMISTIC concurrency (Delta-style):
+    * the version number is claimed via a create-exclusive reservation
+    * (the same CAS primitive as [[Publish]]'s run ids — a NameNode
+    * atomic create on HDFS, conditional put on object stores, O_EXCL
+    * on `file:`), then the committer WAITS until every lower version
+    * has landed before writing its manifest — so each manifest always
+    * carries its true predecessor's refs and concurrent writers
+    * serialize into consecutive versions with no lost updates (the
+    * race [[commit]] alone would lose: two writers both computing
+    * `cur+1` and clobbering one generation). A writer that crashes
+    * between reserving and committing stalls its successors until
+    * `waitMs` — they then fail LOUDLY with the stale reservation named
+    * (delete it to resume) rather than committing past the gap, which
+    * could silently drop the slow writer's update if it landed later. */
+  def commitCas(
+      spark: SparkSession,
+      path: String,
+      delta: DataFrame,
+      partCol: String,
+      keys: Seq[String],
+      stamp: Option[Long] = None,
+      waitMs: Long = 60000L): Long = {
+    val fs = fsOf(spark, path)
+    val rDir = new Path(reservationDir(path))
+    fs.mkdirs(rDir)
+    var next = -1L
+    while (next < 0) {
+      val maxReserved = fs.listStatus(rDir).toSeq
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("v=") => n.stripPrefix("v=").toLong }
+        .foldLeft(0L)(math.max)
+      val candidate = math.max(latestVersion(spark, path), maxReserved) + 1
+      if (Publish.claimExclusive(fs, new Path(rDir, s"v=$candidate")))
+        next = candidate
+      // lost the race for `candidate`: re-list and try the next slot
+    }
+    val deadline = System.currentTimeMillis() + waitMs
+    while (latestVersion(spark, path) < next - 1) {
+      if (System.currentTimeMillis() >= deadline) {
+        // release OUR claim before failing — otherwise every timed-out
+        // attempt would itself become a stale gap stalling successors
+        fs.delete(new Path(rDir, s"v=$next"), false)
+        throw new IllegalArgumentException(
+          s"a version below $next of $path is reserved but uncommitted after " +
+            s"${waitMs}ms — crashed writer? delete its file under " +
+            s"${reservationDir(path)} and retry (committing past the gap " +
+            s"could lose its update)")
+      }
+      Thread.sleep(50L)
+    }
+    val v = commitAt(spark, path, delta, partCol, keys, stamp, next,
+      if (next == 1) Nil else manifestRefs(spark, path, next - 1))
+    // reservations at or below a committed version are spent — reap them
+    // so the k-file reservation dir stays bounded by in-flight writers
+    fs.listStatus(rDir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v=") && n.stripPrefix("v=").toLong < next)
+        fs.delete(st.getPath, false)
+    }
+    v
+  }
+
+  private def commitAt(
+      spark: SparkSession,
+      path: String,
+      delta: DataFrame,
+      partCol: String,
+      keys: Seq[String],
+      stamp: Option[Long],
+      next: Long,
+      prior: Seq[(String, Long)]): Long = {
     val tagged = delta.withColumn("__p", col(partCol).cast("string"))
     // distinct partition values of the delta: bounded by the partition
     // domain (the same driver-side affected-set Upsert's partitioned

@@ -385,4 +385,43 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.readAsOf(spark, tbl).as[(Long, String, Double)].collect().toSet ===
       Set((1L, "a", 1.0), (3L, "b", 3.0), (4L, "c", 44.0)))
   }
+
+  test("commitCas serializes two concurrent writers into consecutive lossless versions") {
+    val tbl = freshTbl()
+    Versioned.commit(spark, tbl, rows(Seq((1L, "a", 1.0), (2L, "b", 2.0))),
+      "part", Seq("id"))
+    // two writers with disjoint keys race; CAS must serialize them so the
+    // later manifest carries the earlier one's refs (no lost update)
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val go = new CountDownLatch(1)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    def writer(delta: Seq[(Long, String, Double)]): Runnable = () => {
+      go.await()
+      results.add(Versioned.commitCas(spark, tbl, rows(delta), "part", Seq("id")))
+    }
+    pool.submit(writer(Seq((3L, "a", 3.0))))
+    pool.submit(writer(Seq((4L, "b", 4.0))))
+    go.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    val vs = results.toArray(Array.empty[java.lang.Long]).map(_.toLong).sorted
+    assert(vs.toSeq === Seq(2L, 3L), s"consecutive versions expected: ${vs.toSeq}")
+    assert(Versioned.readAsOf(spark, tbl).as[(Long, String, Double)].collect().toSet ===
+      Set((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0), (4L, "b", 4.0)),
+      "both writers' deltas must survive")
+    // a crashed reservation stalls successors loudly instead of losing updates
+    val fs = new Path(tbl).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.createNewFile(new Path(s"$tbl/manifest/reservations/v=4")))
+    val e = intercept[IllegalArgumentException] {
+      Versioned.commitCas(spark, tbl, rows(Seq((5L, "a", 5.0))), "part", Seq("id"),
+        waitMs = 300L)
+    }
+    assert(e.getMessage.contains("reserved but uncommitted"))
+    // operator-guided recovery: delete the stale reservation and retry
+    fs.delete(new Path(s"$tbl/manifest/reservations/v=4"), false)
+    val v = Versioned.commitCas(spark, tbl, rows(Seq((5L, "a", 5.0))), "part", Seq("id"))
+    assert(v === 4L, s"retry reclaims the cleaned slot: $v")
+    assert(Versioned.readAsOf(spark, tbl).count() === 5)
+  }
 }
