@@ -754,6 +754,87 @@ object Clustering {
       .crossJoin(broadcast(acc))
   }
 
+  // --- c9_calibration: model CALIBRATION evaluation — the reliability
+  // curve + Brier score for c5's trained logistic filter (c7 answers
+  // "does it rank right?"; c9 answers "do its probabilities MEAN
+  // anything?" — the question a quality-filter threshold actually
+  // depends on). Replays c5's two exact GD rounds, buckets the
+  // round-2 probabilities into deciles, and per bucket compares mean
+  // predicted probability to the observed positive rate; the Brier
+  // score Σ(p−y)²/n rides the same exact-decimal discipline (σ
+  // quantized to DECIMAL(9,6) per row BEFORE squaring/summing, so
+  // every aggregate is order-independent). Scale: c5's data-parallel
+  // GD topology + one 10-bucket aggregate. ---
+  val c9Calibration = QueryDef.sql(
+    "c9_calibration",
+    """WITH f AS (SELECT vec_id AS i,
+      |    CASE WHEN label = 0 THEN 1 ELSE 0 END AS y,
+      |    j, CAST(CAST(embedding[j] AS DOUBLE) AS DECIMAL(10,6)) AS x
+      |  FROM embeddings, (SELECT unnest(range(1, 5)) AS j) js),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+      |g1 AS (SELECT j, sum((y - CAST(0.5 AS DECIMAL(9,6))) * x) AS sr FROM f GROUP BY j),
+      |w1 AS (SELECT j, CAST(0.5 * CAST(sr AS DOUBLE) / n AS DECIMAL(12,8)) AS w
+      |  FROM g1, nn),
+      |z2 AS (SELECT i, y, sum(w * x) AS z FROM f JOIN w1 USING (j) GROUP BY i, y),
+      |s2 AS (SELECT i,
+      |    CAST(1.0 / (1.0 + exp(-CAST(z AS DOUBLE))) AS DECIMAL(9,6)) AS g FROM z2),
+      |g2 AS (SELECT j, sum((f.y - s2.g) * f.x) AS sr
+      |  FROM s2 JOIN f ON f.i = s2.i GROUP BY j),
+      |w2 AS (SELECT w1.j,
+      |    CAST(CAST(w1.w AS DOUBLE) + 0.5 * CAST(g2.sr AS DOUBLE) / n AS DECIMAL(12,8)) AS w
+      |  FROM w1 JOIN g2 ON g2.j = w1.j, nn),
+      |z3 AS (SELECT i, y, sum(w * x) AS z FROM f JOIN w2 USING (j) GROUP BY i, y),
+      |pr AS (SELECT i, y,
+      |    CAST(1.0 / (1.0 + exp(-CAST(z AS DOUBLE))) AS DECIMAL(9,6)) AS p FROM z3),
+      |b AS (SELECT least(CAST(floor(CAST(p AS DOUBLE) * 10) AS INT), 9) AS bucket, y, p
+      |  FROM pr),
+      |br AS (SELECT CAST(sum(CAST(p - y AS DECIMAL(9,6)) * CAST(p - y AS DECIMAL(9,6))) AS DOUBLE)
+      |    / count(*) AS brier FROM b)
+      |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(p) AS DOUBLE) / count(*) AS mean_p,
+      |  CAST(sum(y) AS DOUBLE) / count(*) AS obs_rate,
+      |  brier
+      |FROM b, br GROUP BY bucket, brier""".stripMargin) { (s, d) =>
+    val emb = T.embeddings(s, d)
+    val f = emb.select(col("vec_id").as("i"),
+        when(col("label") === 0, 1L).otherwise(0L).as("y"),
+        posexplode(expr("slice(embedding, 1, 4)")).as(Seq("j0", "xf")))
+      .select(col("i"), col("y"), (col("j0") + 1).as("j"),
+        col("xf").cast("double").cast("decimal(10,6)").as("x"))
+    val nn = emb.agg(count(lit(1)).as("n"))
+    val g1 = f.groupBy(col("j"))
+      .agg(sum((col("y") - lit(0.5).cast("decimal(9,6)")) * col("x")).as("sr"))
+    val w1 = g1.crossJoin(broadcast(nn))
+      .select(col("j"),
+        (lit(0.5) * col("sr").cast("double") / col("n")).cast("decimal(12,8)").as("w"))
+    val z2 = f.join(broadcast(w1), Seq("j"))
+      .groupBy(col("i"), col("y")).agg(sum(col("w") * col("x")).as("z"))
+    val s2 = z2.select(col("i"),
+      (lit(1.0) / (lit(1.0) + exp(-col("z").cast("double")))).cast("decimal(9,6)").as("g"))
+    val g2 = s2.join(f, Seq("i"))
+      .groupBy(col("j")).agg(sum((col("y") - col("g")) * col("x")).as("sr"))
+    val w2 = w1.join(g2.withColumnRenamed("sr", "sr2"), Seq("j"))
+      .crossJoin(broadcast(nn))
+      .select(col("j"),
+        (col("w").cast("double") + lit(0.5) * col("sr2").cast("double") / col("n"))
+          .cast("decimal(12,8)").as("w"))
+    val z3 = f.join(broadcast(w2), Seq("j"))
+      .groupBy(col("i"), col("y")).agg(sum(col("w") * col("x")).as("z"))
+    val pr = z3.select(col("i"), col("y"),
+      (lit(1.0) / (lit(1.0) + exp(-col("z").cast("double")))).cast("decimal(9,6)").as("p"))
+    val b = pr.select(
+      least(floor(col("p").cast("double") * 10).cast("int"), lit(9)).as("bucket"),
+      col("y"), col("p"))
+    val dz = (col("p") - col("y")).cast("decimal(9,6)")
+    val br = b.agg((sum(dz * dz).cast("double") / count(lit(1))).as("brier"))
+    b.crossJoin(broadcast(br))
+      .groupBy(col("bucket"), col("brier"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("p")).cast("double") / count(lit(1))).as("mean_p"),
+        (sum(col("y")).cast("double") / count(lit(1))).as("obs_rate"))
+      .select(col("bucket"), col("n"), col("mean_p"), col("obs_rate"), col("brier"))
+  }
+
   val all: Seq[QueryDef] = Seq(c1Kmeans, c2Silhouette, d7SemanticDedup, v7NearestCentroid,
-    c3NaiveBayes, c4DecisionStump, c5Logreg, c8Adaboost)
+    c3NaiveBayes, c4DecisionStump, c5Logreg, c8Adaboost, c9Calibration)
 }
