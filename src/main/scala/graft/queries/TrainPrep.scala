@@ -1493,6 +1493,58 @@ object TrainPrep {
           / count(lit(1))).as("novelty"))
   }
 
+  // --- t42_chat_template: SFT chat-template rendering with loss-mask
+  // accounting — the step that turns curated documents into
+  // instruction-tuning examples: split each document into a prompt
+  // (first sentence) and completion, render the chat markup
+  // (<|system|>…<|user|>…<|assistant|>…), and count EXACTLY which
+  // tokens are loss-masked (markers + system + prompt) vs trained on
+  // (completion) plus a context-budget fit flag — the numbers a packing
+  // stage (t8/t34) consumes and a data card (t25) reports. Pure
+  // per-row string expressions — no shuffle at all; the whole operator
+  // is a codegen'd projection at any corpus size. Determinism: both
+  // engines split on the same collapsed whitespace and the same
+  // 1-based character positions. ---
+  val t42ChatTemplate = QueryDef.sql(
+    "t42_chat_template",
+    s"""WITH p0 AS (SELECT doc_id, text, instr(text, '. ') AS pos FROM documents),
+       |pc AS (SELECT doc_id,
+       |    CASE WHEN pos > 0 THEN substr(text, 1, pos) ELSE text END AS prompt,
+       |    CASE WHEN pos > 0 THEN substr(text, pos + 2) ELSE '' END AS completion
+       |  FROM p0),
+       |tk AS (SELECT doc_id, prompt, completion,
+       |    len(string_split(trim(regexp_replace(prompt, '\\s+', ' ', 'g')), ' ')) AS npt,
+       |    CASE WHEN completion = '' THEN 0
+       |         ELSE len(string_split(trim(regexp_replace(completion, '\\s+', ' ', 'g')), ' ')) END AS nct
+       |  FROM pc)
+       |SELECT doc_id,
+       |  length('<|system|>You are a helpful assistant.<|user|>' || prompt
+       |    || '<|assistant|>' || completion) AS rendered_len,
+       |  CAST(npt AS BIGINT) AS n_prompt_tokens,
+       |  CAST(nct AS BIGINT) AS n_completion_tokens,
+       |  CAST(3 + 5 + npt AS BIGINT) AS n_masked,
+       |  CAST(3 + 5 + npt + nct AS BIGINT) AS n_total,
+       |  CAST(3 + 5 + npt + nct <= 128 AS INT) AS fits_context
+       |FROM tk""".stripMargin) { (s, d) =>
+    val pc = T.documents(s, d)
+      .select(col("doc_id"), col("text"), instr(col("text"), ". ").as("pos"))
+      .select(col("doc_id"),
+        expr("CASE WHEN pos > 0 THEN substring(text, 1, pos) ELSE text END").as("prompt"),
+        expr("CASE WHEN pos > 0 THEN substring(text, pos + 2) ELSE '' END").as("completion"))
+    val tk = pc
+      .withColumn("npt", size(TextFns.tokens(col("prompt"))))
+      .withColumn("nct", when(col("completion") === "", lit(0))
+        .otherwise(size(TextFns.tokens(col("completion")))))
+    tk.select(col("doc_id"),
+      length(concat(lit("<|system|>You are a helpful assistant.<|user|>"),
+        col("prompt"), lit("<|assistant|>"), col("completion"))).as("rendered_len"),
+      col("npt").cast("bigint").as("n_prompt_tokens"),
+      col("nct").cast("bigint").as("n_completion_tokens"),
+      (lit(8) + col("npt")).cast("bigint").as("n_masked"),
+      (lit(8) + col("npt") + col("nct")).cast("bigint").as("n_total"),
+      ((lit(8) + col("npt") + col("nct")) <= 128).cast("int").as("fits_context"))
+  }
+
   val t39BpeEncode = QueryDef.sql(
     "t39_bpe_encode",
     s"""WITH seq0 AS (SELECT doc_id, i, t[i] AS t FROM
@@ -1823,7 +1875,7 @@ object TrainPrep {
   }
 
   val all: Seq[QueryDef] = Seq(
-    t38ZipfFit, t39BpeEncode, t40Dsir, t41NgramNovelty,
+    t38ZipfFit, t39BpeEncode, t40Dsir, t41NgramNovelty, t42ChatTemplate,
     t37RakeKeyphrases,
     t33CorpusPipeline, t34LengthBatching, t35BpeMerges, t36SpanDecontaminate,
     t8PackSequences, t9NgramCounts, t10RedactPii, d5Contamination,
