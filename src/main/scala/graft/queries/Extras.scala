@@ -2378,8 +2378,63 @@ object Extras {
         col("theta"), col("rho2"))
   }
 
+  // --- a59_relative_risk: 2×2 effect-size panel — relative risk, odds
+  // ratio, and the Katz log-interval CI for "does the B variant hit
+  // errors more often?" (a43's chi² says WHETHER association exists;
+  // a59 says HOW BIG and with what uncertainty — the epidemiology/
+  // experimentation standard). Outcome = "heavy error user" (≥ 14
+  // error events — every user errors at least once in this feed, so
+  // the ever-errored outcome would be degenerate); one per-user
+  // aggregate then one 4-cell reduce; RR/OR and the
+  // ln ± 1.96·SE interval are closed-form doubles from exact BIGINT
+  // cells, identical expression text both engines (ln/exp/sqrt only —
+  // t11's precedent). Scale: two keyed aggregates, 1-row output. ---
+  val a59RelativeRisk = QueryDef.sql(
+    "a59_relative_risk",
+    """WITH u AS (SELECT user_id, user_id % 2 AS variant,
+      |    CASE WHEN sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) >= 14
+      |         THEN 1 ELSE 0 END AS hit
+      |  FROM events GROUP BY user_id, user_id % 2),
+      |c AS (SELECT
+      |    CAST(sum(CASE WHEN variant = 1 AND hit = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+      |    CAST(sum(CASE WHEN variant = 1 AND hit = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+      |    CAST(sum(CASE WHEN variant = 0 AND hit = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+      |    CAST(sum(CASE WHEN variant = 0 AND hit = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d0
+      |  FROM u),
+      |r AS (SELECT a, b, c0, d0,
+      |    (CAST(a AS DOUBLE) / (a + b)) / (CAST(c0 AS DOUBLE) / (c0 + d0)) AS rr,
+      |    sqrt(1.0 / a - 1.0 / (a + b) + 1.0 / c0 - 1.0 / (c0 + d0)) AS se
+      |  FROM c)
+      |SELECT a AS exposed_cases, b AS exposed_ok,
+      |  c0 AS control_cases, d0 AS control_ok, rr,
+      |  (CAST(a AS DOUBLE) * d0) / (CAST(b AS DOUBLE) * c0) AS odds_ratio,
+      |  exp(ln(rr) - 1.96 * se) AS rr_ci_lo,
+      |  exp(ln(rr) + 1.96 * se) AS rr_ci_hi
+      |FROM r""".stripMargin) { (s, d) =>
+    val u = T.events(s, d)
+      .groupBy(col("user_id"), (col("user_id") % 2).as("variant"))
+      .agg(when(sum(when(col("event_type") === "error", 1).otherwise(0)) >= 14,
+        1).otherwise(0).as("hit"))
+    val c = u.agg(
+      sum(when(col("variant") === 1 && col("hit") === 1, 1L).otherwise(0L)).as("a"),
+      sum(when(col("variant") === 1 && col("hit") === 0, 1L).otherwise(0L)).as("b"),
+      sum(when(col("variant") === 0 && col("hit") === 1, 1L).otherwise(0L)).as("c0"),
+      sum(when(col("variant") === 0 && col("hit") === 0, 1L).otherwise(0L)).as("d0"))
+    val rr = (col("a").cast("double") / (col("a") + col("b"))) /
+      (col("c0").cast("double") / (col("c0") + col("d0")))
+    val se = sqrt(lit(1.0) / col("a") - lit(1.0) / (col("a") + col("b"))
+      + lit(1.0) / col("c0") - lit(1.0) / (col("c0") + col("d0")))
+    c.select(col("a"), col("b"), col("c0"), col("d0"), rr.as("rr"), se.as("se"))
+      .select(col("a").as("exposed_cases"), col("b").as("exposed_ok"),
+        col("c0").as("control_cases"), col("d0").as("control_ok"), col("rr"),
+        ((col("a").cast("double") * col("d0")) /
+          (col("b").cast("double") * col("c0"))).as("odds_ratio"),
+        exp(log(col("rr")) - lit(1.96) * col("se")).as("rr_ci_lo"),
+        exp(log(col("rr")) + lit(1.96) * col("se")).as("rr_ci_hi"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    a55FdrBh, a56KaplanMeier, a57Wasserstein, a58Cuped,
+    a55FdrBh, a56KaplanMeier, a57Wasserstein, a58Cuped, a59RelativeRisk,
     a44QuantileNormalize,
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,
     a16WindowSuite, a17ScalarSuite, a18DateSuite, a19GroupingSets,
