@@ -2230,6 +2230,82 @@ object EtlOps {
         col("dice"))
   }
 
+  // --- j13_interp_join: INTERPOLATION join — align query timestamps
+  // onto an irregular reference series by LINEAR interpolation between
+  // the bracketing observations (the sensor-fusion/mark-to-market
+  // alignment; e4's as-of join carries the nearest value, j13 carries
+  // the value the series was passing THROUGH). Per user: views are
+  // query points, purchases the reference series; one union + two
+  // same-partitioning window passes (last-non-null backward for the
+  // previous observation, first-non-null forward for the next) — a
+  // single user_id shuffle total, no self-join, no per-point probe.
+  // Edges hold flat (only-prev / only-next); users with no reference
+  // series drop. Exactness: timestamps are µs BIGINTs, values exact
+  // decimals; only the final lerp runs in double with identical
+  // expression text (same-µs brackets guarded to avoid 0/0). ---
+  val j13InterpJoin = QueryDef.sql(
+    "j13_interp_join",
+    """WITH src AS (SELECT user_id, event_id, epoch_us(ts) AS tu,
+      |    CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END AS kind,
+      |    CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(10,2)) END AS pv,
+      |    CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END AS ptu
+      |  FROM events WHERE event_type IN ('purchase', 'view')),
+      |w AS (SELECT user_id, event_id, tu, kind,
+      |    last_value(pv IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY tu, kind, event_id ROWS UNBOUNDED PRECEDING) AS prev_v,
+      |    last_value(ptu IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY tu, kind, event_id ROWS UNBOUNDED PRECEDING) AS prev_t,
+      |    first_value(pv IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY tu, kind, event_id
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+      |    first_value(ptu IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY tu, kind, event_id
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_t
+      |  FROM src)
+      |SELECT user_id, event_id, tu,
+      |  CASE WHEN prev_t IS NOT NULL AND next_t IS NOT NULL AND next_t <> prev_t
+      |       THEN CAST(prev_v AS DOUBLE) + (CAST(next_v AS DOUBLE) - CAST(prev_v AS DOUBLE))
+      |            * CAST(tu - prev_t AS DOUBLE) / (next_t - prev_t)
+      |       WHEN prev_t IS NOT NULL THEN CAST(prev_v AS DOUBLE)
+      |       ELSE CAST(next_v AS DOUBLE) END AS v_interp,
+      |  CASE WHEN prev_t IS NOT NULL AND next_t IS NOT NULL AND next_t <> prev_t
+      |       THEN 'interp'
+      |       WHEN prev_t IS NOT NULL THEN 'hold_prev'
+      |       ELSE 'hold_next' END AS mode
+      |FROM w
+      |WHERE kind = 1 AND (prev_t IS NOT NULL OR next_t IS NOT NULL)""".stripMargin) { (s, d) =>
+    val src = T.events(s, d)
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tu"),
+        when(col("event_type") === "purchase", 0).otherwise(1).as("kind"),
+        when(col("event_type") === "purchase",
+          col("value").cast("decimal(10,2)")).as("pv"),
+        when(col("event_type") === "purchase", unix_micros(col("ts"))).as("ptu"))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("tu"), col("kind"), col("event_id"))
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val w = src
+      .withColumn("prev_v", last(col("pv"), ignoreNulls = true).over(back))
+      .withColumn("prev_t", last(col("ptu"), ignoreNulls = true).over(back))
+      .withColumn("next_v", first(col("pv"), ignoreNulls = true).over(fwd))
+      .withColumn("next_t", first(col("ptu"), ignoreNulls = true).over(fwd))
+    val bracket = col("prev_t").isNotNull && col("next_t").isNotNull &&
+      col("next_t") =!= col("prev_t")
+    w.filter(col("kind") === 1 &&
+        (col("prev_t").isNotNull || col("next_t").isNotNull))
+      .select(col("user_id"), col("event_id"), col("tu"),
+        when(bracket,
+          col("prev_v").cast("double") +
+            (col("next_v").cast("double") - col("prev_v").cast("double")) *
+            (col("tu") - col("prev_t")).cast("double") / (col("next_t") - col("prev_t")))
+          .when(col("prev_t").isNotNull, col("prev_v").cast("double"))
+          .otherwise(col("next_v").cast("double")).as("v_interp"),
+        when(bracket, lit("interp"))
+          .when(col("prev_t").isNotNull, lit("hold_prev"))
+          .otherwise(lit("hold_next")).as("mode"))
+  }
+
   // --- k40_branch_merge: git-like BRANCH + THREE-WAY MERGE on the
   // versioned store (operators.Branch — Iceberg-refs/Nessie semantics
   // on k34's zero-copy clone): main commits a base, a branch forks it,
@@ -2309,7 +2385,7 @@ object EtlOps {
   }
 
   val all: Seq[QueryDef] = Seq(
-    k40BranchMerge, k41DropPartitions, k42DeleteKeys, j12TimeWeightedAvg, er6PprlClk,
+    k40BranchMerge, k41DropPartitions, k42DeleteKeys, j12TimeWeightedAvg, j13InterpJoin, er6PprlClk,
     j1FirstWins, j2Flatten, j3Lookup, p2TimeWindow, p4CastValidate,
     p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff,
     j4RangeJoin, j5IntervalOverlap, j6FuzzyMatch, j7EditDistance, j8AutoRangeJoin,
