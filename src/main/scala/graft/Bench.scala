@@ -27,18 +27,40 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Noise sentinel: one fixed, query-independent computation timed at
+    // the head of every measured pass. Round-over-round per-query deltas
+    // are only interpretable if box noise is deconvolvable from plan
+    // regressions; the sentinel series IS that record — if the sentinel
+    // drifted 1.5× between rounds, so did the box. spark.range is pure
+    // CPU+scheduler (no disk), sized ~1s so contention shows up in it.
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 400000000L, 1L, cpus)
+        .selectExpr("sum(id * 3 + 1) as s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
     // SPARK_GRAFT_ONLY=a1,d3 benches a comma-separated subset (dev loop;
     // the driver never sets it, so official runs still cover the registry)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.registry.map(_.name).filter(n => only.forall(_.contains(n)))
     names.foreach(materialize) // warmup pass (JIT + page cache), unmeasured
-    // three measured passes interleaved whole-registry (not 3× back-to-
-    // back per query), min per query: this box shows ±40% wall-clock
-    // noise under background load; the min across spread-out samples
-    // reports the query's actual cost rather than the scheduler's worst
-    // moment, and keeps round-over-round deltas meaningful
-    val passes = (1 to 3).map(_ => names.map(n => n -> materialize(n)).toMap)
+    // measured passes (default 3; SPARK_GRAFT_PASSES for A/B runs)
+    // interleaved whole-registry (not N× back-to-back per query), min per
+    // query: this box shows ±40% wall-clock noise under background load;
+    // the min across spread-out samples reports the query's actual cost
+    // rather than the scheduler's worst moment, and keeps round-over-round
+    // deltas meaningful
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    sentinel() // sentinel warmup (JIT the range/sum codegen)
+    val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val passes = (1 to nPasses).map { _ =>
+      sentinels += sentinel()
+      names.map(n => n -> materialize(n)).toMap
+    }
     val results = names.map(n => n -> passes.map(_(n)).min)
+    val sentinelJson = sentinels.map(v => f"$v%.3f").mkString("[", ",", "]")
 
     val total = results.map(_._2).sum
     // batch vs streaming subtotals: the 13 true-streaming queries carry
@@ -60,7 +82,7 @@ object Bench {
     def line(entries: Seq[(String, Double)], extra: String): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","batch_total":$batchTotal%.3f,"stream_total":$streamTotal%.3f,"families":$fams$extra,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","batch_total":$batchTotal%.3f,"stream_total":$streamTotal%.3f,"sentinel_secs":$sentinelJson,"families":$fams$extra,"queries":$qs,"sf":"$sfDir"}"""
     }
     // The full per-query record goes to a FILE, not the log: the harness
     // keeps only a ~2000-byte log tail, and a 171-query JSON line (~6 KB)

@@ -120,4 +120,31 @@ object Scratch {
 
   private def sanitize(tag: String): String =
     tag.replaceAll("[^A-Za-z0-9._-]", "-")
+
+  /** Eager round-staging for iterative operators: round k's parquet
+    * supersedes round k−`window`, which is deleted as soon as the new
+    * round has durably landed (the write is synchronous). Bounds scratch
+    * growth to `window` round tables per chain instead of one per
+    * iteration — over a multi-pass whole-registry run the difference is
+    * every iterative query's full round history on disk.
+    *
+    * `window` = 1 when only the latest round is referenced (BFS labels,
+    * Katz scores, truss peels); 2 when the loop still reads the previous
+    * round after staging the next (Bellman-Ford's improvement probe).
+    * Frames that stay referenced across rounds (a nodes table, MS-BFS
+    * frontier levels consumed by the final expansion) must NOT go
+    * through a chain — stage them plainly and free them explicitly (or
+    * let app-end cleanup take them). */
+  final class RoundChain(spark: SparkSession, window: Int = 1) {
+    private val live = scala.collection.mutable.Queue.empty[String]
+
+    /** Write `df` to `path`, read it back, and drop any chain entry
+      * older than `window` rounds. */
+    def stage(df: org.apache.spark.sql.DataFrame, path: String): org.apache.spark.sql.DataFrame = {
+      df.write.mode("overwrite").parquet(path)
+      live.enqueue(path)
+      while (live.size > window) cleanup(spark, live.dequeue())
+      spark.read.parquet(path)
+    }
+  }
 }

@@ -351,6 +351,99 @@ object Multimodal {
       buf.array()
     }
 
+    /** Per-frame JPEG encode with explicit quality (the MJPEG payload).
+      * ImageIO's JPEG writer is deterministic for a fixed raster. */
+    private def jpegBytes(img: BufferedImage, quality: Float): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(quality)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      } finally { ios.close(); writer.dispose() }
+      bos.toByteArray
+    }
+
+    /** Encode frames as an MJPEG AVI — the first genuinely COMPRESSED
+      * video format in the codec stack, with zero new dependencies:
+      * every `00dc` chunk is a standalone JPEG the JDK both writes
+      * (here) and reads ([[decodeFrames]]' `dc` branch). Container
+      * layout mirrors [[encodeAvi]] with `MJPG` as the stream handler
+      * and biCompression, and variable-size chunks (JPEG) instead of
+      * fixed-size DIBs. */
+    def encodeMjpegAvi(
+        frames: Seq[BufferedImage], fps: Int, quality: Float = 0.9f): Array[Byte] = {
+      require(frames.nonEmpty && fps > 0, "need at least one frame and fps > 0")
+      val (w, h) = (frames.head.getWidth, frames.head.getHeight)
+      require(frames.forall(f => f.getWidth == w && f.getHeight == h),
+        "all frames must share dimensions")
+      val jpegs = frames.map(jpegBytes(_, quality))
+      val n = frames.size
+      val padded = jpegs.map(j => j.length + (j.length & 1)) // chunks even-align
+      val maxChunk = jpegs.map(_.length).max
+      val moviContent = 4 + padded.map(8 + _).sum
+      val hdrlContent = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+      val total = 12 + (8 + hdrlContent) + (8 + moviContent) + (8 + 16 * n)
+      val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(RIFF).putInt(total - 8).putInt(AVI)
+      buf.putInt(LIST).putInt(hdrlContent).putInt(HDRL)
+      buf.putInt(AVIH).putInt(56)
+      buf.putInt((1000000L / fps).toInt) // µs per frame
+        .putInt(0).putInt(0).putInt(0x10) // maxBytesPerSec, padding, AVIF_HASINDEX
+        .putInt(n).putInt(0).putInt(1).putInt(maxChunk)
+        .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+      buf.putInt(LIST).putInt(4 + (8 + 56) + (8 + 40)).putInt(STRL)
+      buf.putInt(STRH).putInt(56)
+      buf.putInt(fourcc("vids")).putInt(fourcc("MJPG"))
+        .putInt(0).putInt(0) // flags, prio+lang
+        .putInt(0).putInt(1).putInt(fps).putInt(0).putInt(n) // init, scale, rate, start, length
+        .putInt(maxChunk).putInt(0).putInt(0) // bufSize, quality, sampleSize
+        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      buf.putInt(STRF).putInt(40)
+      buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(fourcc("MJPG")).putInt(maxChunk).putInt(0).putInt(0).putInt(0).putInt(0)
+      buf.putInt(LIST).putInt(moviContent).putInt(MOVI)
+      val moviFourccPos = 12 + (8 + hdrlContent) + 8
+      val offsets = jpegs.map { j =>
+        val off = buf.position() - moviFourccPos
+        buf.putInt(fourcc("00dc")).putInt(j.length)
+        buf.put(j)
+        if ((j.length & 1) == 1) buf.put(0.toByte)
+        off
+      }
+      buf.putInt(IDX1).putInt(16 * n)
+      offsets.zip(jpegs).foreach { case (off, j) =>
+        buf.putInt(fourcc("00dc")).putInt(0x10).putInt(off).putInt(j.length)
+      }
+      buf.array()
+    }
+
+    /** Deterministic MJPEG AVI: `nFrames` SOLID-GRAY frames, gray value
+      * `(seed*31 + f*19) % 200 + 28` per frame f. Solid gray survives
+      * JPEG exactly at this quality (R=G=B ⇒ chroma 128 exactly; a
+      * constant block is DC-only and the DC step at q=0.9 preserves the
+      * used values — pinned by MultimodalSpec), so per-frame mean luma
+      * is analytically reproducible from the formula — the m12 gate. */
+    def synthesizeMjpegAvi(
+        seed: Long, w: Int, h: Int, nFrames: Int, fps: Int): Array[Byte] = {
+      val frames = (0 until nFrames).map { f =>
+        val g = ((seed * 31 + f * 19) % 200 + 28).toInt
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val rgb = (g << 16) | (g << 8) | g
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        img
+      }
+      encodeMjpegAvi(frames, fps)
+    }
+
     /** Parse the container header: dimensions, frame count, frame
       * duration. None for anything that isn't a well-formed AVI. */
     def probe(bytes: Array[Byte]): Option[VideoInfo] =
@@ -969,6 +1062,50 @@ object Multimodal {
         VideoFrameAudit(a.asset_id, f, sr, sg, sb)
       }
     }
+  }
+
+  final case class MjpegFrameAudit(
+      asset_id: Long, frame_no: Int, w: Int, h: Int, sum_luma: Long)
+
+  /** Per-FRAME integer-luma audit for COMPRESSED (MJPEG) videos: one
+    * row per decoded frame with dimensions and the exact integer luma
+    * sum Σ (299r+587g+114b)/1000 over the raster. For the solid-gray
+    * [[VideoCodec.synthesizeMjpegAvi]] fixtures the decoded luma is
+    * analytically predictable (solid gray survives the JPEG round trip
+    * exactly — MultimodalSpec pins it), so this audit sits under the
+    * same exact-integer oracle gate as the lossless m10 path. Same lazy
+    * 1→N decode shape: 3 ints + a long leave per frame. */
+  def mjpegFrameAudit(ds: Dataset[MediaAsset]): Dataset[MjpegFrameAudit] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { a =>
+      if (a.kind != "video") Iterator.empty
+      else VideoCodec.decodeFrames(a.bytes).iterator.map { case (f, img) =>
+        var s = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            s += (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)) / 1000L
+            x += 1
+          }
+          y += 1
+        }
+        MjpegFrameAudit(a.asset_id, f, img.getWidth, img.getHeight, s)
+      }
+    }
+  }
+
+  /** Synthesize a deterministic MJPEG-only media table — the fixture
+    * set for the compressed-video gate (m12). */
+  def synthesizeMjpeg(spark: SparkSession, ids: Seq[Long]): Dataset[MediaAsset] = {
+    import spark.implicits._
+    ids.map { id =>
+      val nF = 2 + (id % 4).toInt
+      val bytes = VideoCodec.synthesizeMjpegAvi(id, w = 32, h = 24, nFrames = nF, fps = 4)
+      MediaAsset(id, "video", bytes, MediaMeta("video/x-msvideo", 32, 24, 0, nF * 250L))
+    }.toDS()
   }
 
   final case class VideoFrameHash(asset_id: Long, frame_no: Int, ahash: String)

@@ -37,10 +37,10 @@ object Bfs {
       rounds: Int,
       stagePath: String): DataFrame = {
     val spark = edges.sparkSession
-    def stage(df: DataFrame, name: String): DataFrame = {
-      df.write.mode("overwrite").parquet(s"$stagePath/$name")
-      spark.read.parquet(s"$stagePath/$name")
-    }
+    // window 1: only the latest label round is ever referenced again
+    val chain = new graft.Scratch.RoundChain(spark)
+    def stage(df: DataFrame, name: String): DataFrame =
+      chain.stage(df, s"$stagePath/$name")
     var labels = stage(
       seeds.select(col("id")).distinct().select(col("id"), lit(0).as("dist")),
       "l0")
@@ -77,10 +77,10 @@ object Bfs {
       rounds: Int,
       stagePath: String): DataFrame = {
     val spark = edges.sparkSession
-    def stage(df: DataFrame, name: String): DataFrame = {
-      df.write.mode("overwrite").parquet(s"$stagePath/$name")
-      spark.read.parquet(s"$stagePath/$name")
-    }
+    // window 1: only the latest label round is ever referenced again
+    val chain = new graft.Scratch.RoundChain(spark)
+    def stage(df: DataFrame, name: String): DataFrame =
+      chain.stage(df, s"$stagePath/$name")
     var labels = stage(
       seeds.select(col("id")).distinct()
         .select(col("id").as("src"), col("id"), lit(0).as("dist")),
@@ -134,6 +134,10 @@ object Bfs {
       df.write.mode("overwrite").parquet(s"$stagePath/$name")
       spark.read.parquet(s"$stagePath/$name")
     }
+    // only the cumulative-reach rounds supersede each other; the f_d
+    // frontier levels stay referenced by the final expansion and must
+    // NOT chain
+    val reachChain = new graft.Scratch.RoundChain(spark)
     val bitsPerWord = 60
     // deterministic seed → bit index without a partition-less window:
     // idx = |{seeds with smaller id}| (seed set is dimension-sized)
@@ -153,7 +157,7 @@ object Bfs {
             .otherwise(0L).as(m)
         }): _*)
     // R: cumulative reached mask per node; F: this round's new mask
-    var reach = stage(seedMasks, "r0")
+    var reach = reachChain.stage(seedMasks, s"$stagePath/r0")
     var frontier = reach
     val levels = scala.collection.mutable.Buffer.empty[DataFrame]
     for (d <- 1 to rounds) {
@@ -171,14 +175,14 @@ object Bfs {
           .filter(words.map(m => col(m) =!= 0L).reduce(_ || _)),
         s"f$d")
       levels += fNew.withColumn("dist", lit(d))
-      reach = stage(
+      reach = reachChain.stage(
         reach.select((col("id") +: words.map(m => col(m).as(s"r_$m"))): _*)
           .join(fNew.select((col("id") +: words.map(m => col(m).as(s"f_$m"))): _*),
             Seq("id"), "full_outer")
           .select((col("id") +: words.map(m =>
             expr(s"coalesce(r_$m, CAST(0 AS BIGINT)) | coalesce(f_$m, CAST(0 AS BIGINT))")
               .as(m))): _*),
-        s"r$d")
+        s"$stagePath/r$d")
       frontier = fNew
     }
     // expand (node, mask, dist) → (src, id, dist) against the broadcast
@@ -223,10 +227,11 @@ object Bfs {
       rounds: Int,
       stagePath: String): DataFrame = {
     val spark = edges.sparkSession
-    def stage(df: DataFrame, name: String): DataFrame = {
-      df.write.mode("overwrite").parquet(s"$stagePath/$name")
-      spark.read.parquet(s"$stagePath/$name")
-    }
+    // window 2: the improvement probe still reads round r−1 after
+    // round r lands (frontier = next ⋈ previous labels)
+    val chain = new graft.Scratch.RoundChain(spark, window = 2)
+    def stage(df: DataFrame, name: String): DataFrame =
+      chain.stage(df, s"$stagePath/$name")
     var labels = stage(
       seeds.select(col("id")).distinct().select(col("id"), lit(0L).as("dist")),
       "w0")

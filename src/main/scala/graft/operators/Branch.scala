@@ -58,8 +58,15 @@ object Branch {
     val (srcPath, bound) = Versioned.sourceRef(spark, branch).getOrElse(
       throw new IllegalArgumentException(
         s"$branch is not a branch of anything (no clone marker)"))
-    require(new org.apache.hadoop.fs.Path(srcPath).toUri.getPath ==
-      new org.apache.hadoop.fs.Path(main).toUri.getPath,
+    // compare FULLY-QUALIFIED URIs: a bare path comparison would let a
+    // branch of s3a://bucketA/t merge into s3a://bucketB/t (or hdfs vs
+    // file) with the same path component — silently against the wrong base
+    def qualified(p: String) = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(hp).toUri
+    }
+    require(qualified(srcPath) == qualified(main),
       s"$branch is a branch of $srcPath, not of $main")
     // The clone's first manifest version IS the base bound — the branch
     // at `bound` is bit-identical to main at clone time (k34's gate).
@@ -103,13 +110,15 @@ object Branch {
     out
   }
 
-  /** Merge `branch` into `main` and COMMIT the resolution on main.
-    * Rows the merge resolution REMOVES (a branch-side
-    * [[Versioned.deleteKeys]] that won, or an `ours`-resolved conflict
-    * against a main-side delete) are propagated with a deleteKeys
-    * version first, then the surviving state commits as an upsert —
-    * so the main head equals [[merge3]]'s output exactly, deletes
-    * included. Returns the final main version. */
+  /** Merge `branch` into `main` and COMMIT the resolution as ONE new
+    * main version ([[Versioned.commitMerge]]): rows the resolution
+    * REMOVES (a branch-side [[Versioned.deleteKeys]] that won) and rows
+    * it changes land in the same manifest write, so concurrent readers
+    * see either the old head or the fully merged head — never an
+    * intermediate delete-only state, and a crash can't strand deletes
+    * without the updates. The delta is only the rows the merge actually
+    * changed (origin ≠ main), so untouched partitions carry forward.
+    * Returns the final main version. */
   def mergeCommit(
       spark: SparkSession,
       main: String,
@@ -117,11 +126,11 @@ object Branch {
       partCol: String,
       keys: Seq[String],
       policy: String = "fail"): Long = {
-    val merged = merge3(spark, main, branch, keys, policy).drop("origin")
+    val merged = merge3(spark, main, branch, keys, policy)
+    val delta = merged.filter(col("origin") =!= "main").drop("origin")
     val removed = Versioned.readAsOf(spark, main)
       .select(keys.map(col): _*)
       .join(merged.select(keys.map(col): _*), keys, "left_anti")
-    Versioned.deleteKeys(spark, main, removed, keys)
-    Versioned.commit(spark, main, merged, partCol, keys)
+    Versioned.commitMerge(spark, main, delta, removed, partCol, keys)
   }
 }

@@ -36,6 +36,8 @@ object Components {
       .select(col("id"), col("id").as("lbl"))
     var converged = false
     var iter = 0
+    // window 1: a restage supersedes the previous restage (eagerly freed)
+    val chain = new graft.Scratch.RoundChain(spark)
     while (!converged && iter < maxIters) {
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("lbl")), Seq("b"))
@@ -50,9 +52,7 @@ object Components {
       iter += 1
       converged = changed == 0
       if (!converged && iter % restageEvery == 0) stagePath.foreach { p =>
-        val dir = s"$p/labels-$iter"
-        labels.write.mode("overwrite").parquet(dir)
-        labels = spark.read.parquet(dir) // flat lineage for the next rounds
+        labels = chain.stage(labels, s"$p/labels-$iter") // flat lineage onward
       }
     }
     labels.select(col("id"), col("lbl").as("cluster_id"))
@@ -82,9 +82,13 @@ object Components {
     val edges = stage(
       edges0.select(col("a"), col("b"))
         .unionByName(edges0.select(col("b").as("a"), col("a").as("b"))), "edges")
-    var labels = stage(
+    // window 2: the convergence probe reads round i−1 after round i
+    // lands; the staged `edges` frame is NOT on the chain (referenced
+    // every round)
+    val chain = new graft.Scratch.RoundChain(spark, window = 2)
+    var labels = chain.stage(
       edges.select(col("a").as("id")).distinct()
-        .select(col("id"), col("id").as("lbl")), "labels-0")
+        .select(col("id"), col("id").as("lbl")), s"$stagePath/labels-0")
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -101,7 +105,7 @@ object Components {
         .join(prop.select(col("id").as("lbl"), col("lbl").as("ll")).as("y"),
           Seq("lbl"), "left_outer")
         .select(col("id"), least(col("lbl"), coalesce(col("ll"), col("lbl"))).as("lbl"))
-      val staged = stage(next, s"labels-${iter + 1}")
+      val staged = chain.stage(next, s"$stagePath/labels-${iter + 1}")
       converged = staged.join(labels.select(col("id"), col("lbl").as("prev")), Seq("id"))
         .filter(col("lbl") =!= col("prev")).isEmpty
       labels = staged

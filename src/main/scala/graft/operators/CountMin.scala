@@ -74,6 +74,11 @@ object CountMin {
         val fs = fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         Upsert.recoverSwap(fs, path)
         val run = ReplayGuard.runId(fs, checkpoint)
+        // ADDITIVE fold: a reset checkpoint (new run id) over kept state
+        // would make isReplay false for every redelivered batch — the
+        // ownership stamp turns that silent double-count into an error,
+        // same as the Scd2/IncrementalAgg folds.
+        ReplayGuard.assertOwnership(fs, path, run, fs.exists(fsPath))
         if (!fs.exists(fsPath))
           ReplayGuard.stamp(sketch(batch, value), run, batchId)
             .write.mode(SaveMode.Overwrite).parquet(path)

@@ -69,6 +69,11 @@ object Hits {
       .unionByName(edges.select(col("dst").as("id"))).distinct()
     var h = nodes.select(col("id"), lit(scale).as("h"))
     var a = nodes.select(col("id"), lit(0L).as("a"))
+    // window 1 per vector: each staged round supersedes the previous.
+    // The h round staged at i reads a-i (already durably landed), so
+    // freeing a-(i-1)/h-(i-1) when i lands is safe.
+    val aChain = new graft.Scratch.RoundChain(spark)
+    val hChain = new graft.Scratch.RoundChain(spark)
     for (i <- 1 to iters) {
       val araw = edges
         .join(h.select(col("id").as("src"), col("h")), Seq("src"))
@@ -91,10 +96,8 @@ object Hits {
         .select(col("id"),
           coalesce(expr(s"x div (mx div $scale)"), lit(0L)).as("h"))
       stagePath.foreach { p =>
-        a.write.mode("overwrite").parquet(s"$p/a-$i")
-        a = spark.read.parquet(s"$p/a-$i")
-        h.write.mode("overwrite").parquet(s"$p/h-$i")
-        h = spark.read.parquet(s"$p/h-$i")
+        a = aChain.stage(a, s"$p/a-$i")
+        h = hChain.stage(h, s"$p/h-$i")
       }
     }
     h.join(a, Seq("id"))
@@ -126,6 +129,9 @@ object Hits {
     var a = nodes.select(col("id"), lit(0L).as("a"))
     var rounds = 0
     var delta = Long.MaxValue
+    // window 2: the delta probe reads round i−1 after round i lands
+    val aChain = new graft.Scratch.RoundChain(spark, window = 2)
+    val hChain = new graft.Scratch.RoundChain(spark, window = 2)
     while (rounds < maxRounds && delta > toleranceUnits) {
       val (hPrev, aPrev) = (h, a)
       val i = rounds + 1
@@ -149,10 +155,8 @@ object Hits {
         .crossJoin(broadcast(hmax))
         .select(col("id"),
           coalesce(expr(s"x div (mx div $scale)"), lit(0L)).as("h"))
-      a.write.mode("overwrite").parquet(s"$stage/a-$i")
-      a = spark.read.parquet(s"$stage/a-$i")
-      h.write.mode("overwrite").parquet(s"$stage/h-$i")
-      h = spark.read.parquet(s"$stage/h-$i")
+      a = aChain.stage(a, s"$stage/a-$i")
+      h = hChain.stage(h, s"$stage/h-$i")
       delta = h.join(hPrev.select(col("id"), col("h").as("__p")), Seq("id"))
         .agg(coalesce(max(abs(col("h") - col("__p"))), lit(0L)).as("d"))
         .collect()(0).getLong(0)

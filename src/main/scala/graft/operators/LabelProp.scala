@@ -38,6 +38,8 @@ object LabelProp {
     val stage = stagePath.getOrElse(
       graft.Scratch.dir("labelprop-rounds"))
     var lab = seeds.select(col("id"), col("label"))
+    // window 1: each staged round supersedes the previous (eagerly freed)
+    val chain = new graft.Scratch.RoundChain(spark)
     for (r <- 1 to rounds) {
       val nbr = edges.join(lab.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src"), col("label"))
@@ -47,8 +49,7 @@ object LabelProp {
         .select(col("src").as("id"), col("b.l").as("label"))
       val next = lab.unionByName(
         maj.join(lab.select(col("id")), Seq("id"), "left_anti"))
-      next.write.mode("overwrite").parquet(s"$stage/round=$r")
-      lab = spark.read.parquet(s"$stage/round=$r")
+      lab = chain.stage(next, s"$stage/round=$r")
     }
     lab
   }

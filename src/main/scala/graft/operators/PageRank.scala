@@ -59,13 +59,11 @@ object PageRank {
     val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
     var r = nodes.crossJoin(broadcast(nTot))
       .select(col("id"), expr(s"$scale div n_nodes").as("r"))
+    // window 1: each staged round supersedes the previous (eagerly freed)
+    val chain = new graft.Scratch.RoundChain(spark)
     for (i <- 1 to iters) {
       r = step(edges, nodes, outw, nTot, r, scale)
-      stagePath.foreach { p =>
-        val dir = s"$p/rank-$i"
-        r.write.mode("overwrite").parquet(dir)
-        r = spark.read.parquet(dir)
-      }
+      stagePath.foreach { p => r = chain.stage(r, s"$p/rank-$i") }
     }
     r
   }
@@ -102,12 +100,12 @@ object PageRank {
       .select(col("id"), expr(s"$scale div n_nodes").as("r"))
     var rounds = 0
     var delta = Long.MaxValue
+    // window 2: the delta probe reads round r−1 after round r lands
+    val chain = new graft.Scratch.RoundChain(spark, window = 2)
     while (rounds < maxRounds && delta > toleranceUnits) {
       val prev = r
-      val dir = s"$stage/rank-${rounds + 1}"
-      step(edges, nodes, outw, nTot, prev, scale)
-        .write.mode("overwrite").parquet(dir)
-      r = spark.read.parquet(dir)
+      r = chain.stage(
+        step(edges, nodes, outw, nTot, prev, scale), s"$stage/rank-${rounds + 1}")
       // the probe: one node-sized equi-join, 1-row max to the driver
       delta = r.join(prev.select(col("id"), col("r").as("__p")), Seq("id"))
         .agg(coalesce(max(abs(col("r") - col("__p"))), lit(0L)).as("d"))
@@ -141,6 +139,8 @@ object PageRank {
       .crossJoin(broadcast(st))
       .select(col("id"),
         expr(s"CASE WHEN __seed IS NOT NULL THEN $scale div n_seeds ELSE CAST(0 AS BIGINT) END").as("r"))
+    // window 1: each staged round supersedes the previous (eagerly freed)
+    val ppChain = new graft.Scratch.RoundChain(spark)
     for (i <- 1 to iters) {
       val contrib = edges
         .join(outw, Seq("src"))
@@ -154,11 +154,7 @@ object PageRank {
         .select(col("id"), expr(
           s"""CASE WHEN __seed IS NOT NULL THEN ((15 * $scale) div 100) div n_seeds
              |ELSE CAST(0 AS BIGINT) END + (85 * coalesce(s, 0)) div 100""".stripMargin).as("r"))
-      stagePath.foreach { p =>
-        val dir = s"$p/pprank-$i"
-        r.write.mode("overwrite").parquet(dir)
-        r = spark.read.parquet(dir)
-      }
+      stagePath.foreach { p => r = ppChain.stage(r, s"$p/pprank-$i") }
     }
     r
   }

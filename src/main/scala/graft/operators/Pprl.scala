@@ -46,27 +46,38 @@ object Pprl {
     }.reduce(_ unionByName _).distinct()
   }
 
-  /** Dice-coefficient linkage of two CLK-encoded sources. Candidates
-    * are blocked on the first `blockLen` name characters (the blocking
-    * key is computed per side BEFORE encoding — in a real deployment it
-    * is a shared phonetic/prefix code, not plaintext). Emits
-    * (ka, kb, n_common, na, nb, dice) for pairs with dice ≥ threshold. */
-  def diceMatch(
-      a: DataFrame,
-      b: DataFrame,
+  /** Per-side blocking codes (k, bk): md5 of the name's first
+    * `blockLen` characters under a shared salt. Each party runs this on
+    * ITS OWN plaintext; only the hashed code crosses the boundary, so
+    * the linkage job ([[diceMatchEncoded]]) never sees a name. (A
+    * phonetic code like Soundex, salted the same way, slots in here
+    * unchanged.) */
+  def blockingCodes(
+      df: DataFrame,
       key: String,
       name: String,
-      bits: Int = 64,
-      hashes: Int = 2,
       blockLen: Int = 2,
+      salt: String = "pprl-block"): DataFrame =
+    df.select(col(key).as("k"),
+      md5(concat(lit(s"$salt:"), lower(substring(col(name), 1, blockLen)))).as("bk"))
+
+  /** Dice-coefficient linkage over PRE-ENCODED inputs — the form whose
+    * signature matches the privacy claim: each party supplies only its
+    * CLK positions (k, pos) from [[clk]] and its hashed blocking codes
+    * (k, bk) from [[blockingCodes]], both computed on the party's own
+    * side, so no plaintext ever reaches the linkage job. Candidates are
+    * pairs sharing a blocking code (never all-pairs); emits
+    * (ka, kb, n_common, na, nb, dice) for pairs with dice ≥ threshold. */
+  def diceMatchEncoded(
+      pa: DataFrame,
+      blockA: DataFrame,
+      pb: DataFrame,
+      blockB: DataFrame,
       threshold: Double = 0.7): DataFrame = {
-    val pa = clk(a, key, name, bits, hashes)
-    val pb = clk(b, key, name, bits, hashes)
     val ca = pa.groupBy(col("k")).agg(count(lit(1)).as("na"))
     val cb = pb.groupBy(col("k")).agg(count(lit(1)).as("nb"))
-    val cand = a
-      .select(col(key).as("ka"), substring(col(name), 1, blockLen).as("bk"))
-      .join(b.select(col(key).as("kb"), substring(col(name), 1, blockLen).as("bk")), Seq("bk"))
+    val cand = blockA.select(col("k").as("ka"), col("bk"))
+      .join(blockB.select(col("k").as("kb"), col("bk")), Seq("bk"))
       .select(col("ka"), col("kb"))
     val inter = cand
       .join(pa.select(col("k").as("ka"), col("pos")), Seq("ka"))
@@ -81,4 +92,24 @@ object Pprl {
         dice.as("dice"))
       .filter(col("dice") >= threshold)
   }
+
+  /** Single-job convenience wrapper: encodes both sides and links them
+    * in one session. This is a DEMO of the scoring scheme, not the
+    * deployment shape — it requires both parties' plaintext co-located,
+    * which a real PPRL deployment forbids. There, each party runs
+    * [[clk]] + [[blockingCodes]] locally and ships only the encodings
+    * to [[diceMatchEncoded]]. */
+  def diceMatch(
+      a: DataFrame,
+      b: DataFrame,
+      key: String,
+      name: String,
+      bits: Int = 64,
+      hashes: Int = 2,
+      blockLen: Int = 2,
+      threshold: Double = 0.7): DataFrame =
+    diceMatchEncoded(
+      clk(a, key, name, bits, hashes), blockingCodes(a, key, name, blockLen),
+      clk(b, key, name, bits, hashes), blockingCodes(b, key, name, blockLen),
+      threshold)
 }

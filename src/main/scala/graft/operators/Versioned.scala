@@ -260,8 +260,19 @@ object Versioned {
       }
       Thread.sleep(50L)
     }
-    val v = commitAt(spark, path, delta, partCol, keys, stamp, next,
-      if (next == 1) Nil else manifestRefs(spark, path, next - 1))
+    // release the claimed slot on ANY in-process commit failure (bad
+    // delta, analysis error, write failure) — a leaked v=N reservation
+    // stalls every subsequent writer for waitMs. A hard crash still
+    // leaks; that's the documented delete-and-retry path above.
+    val v =
+      try commitAt(spark, path, delta, partCol, keys, stamp, next,
+        if (next == 1) Nil else manifestRefs(spark, path, next - 1))
+      catch {
+        case e: Throwable =>
+          try fs.delete(new Path(rDir, s"v=$next"), false)
+          catch { case _: java.io.IOException => () }
+          throw e
+      }
     // reservations at or below a committed version are spent — reap them
     // so the k-file reservation dir stays bounded by in-flight writers
     fs.listStatus(rDir).foreach { st =>
@@ -427,6 +438,63 @@ object Versioned {
       s"deleteKeys would empty $path — refuse (drop the table instead)")
     import spark.implicits._
     entries.toDF("pval", "gen").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(manifestPath(path, next))
+    next
+  }
+
+  /** Combined upsert + delete as ONE NEW VERSION — the atomic form of
+    * `deleteKeys(rm); commit(delta)`, which lands TWO versions and lets
+    * concurrent readers observe the intermediate delete-only state (and
+    * a crash between them leaves deletes applied but updates lost).
+    * Here the affected partitions — those holding a removed key OR
+    * receiving a delta row — are rewritten once with both effects, and
+    * a single manifest write commits the result, so readers see either
+    * the old head or the fully merged head, never a half-merge.
+    * Precedence: `delta` wins — a key in both `removeKeys` and `delta`
+    * ends up with the delta row (remove-then-upsert order). Returns the
+    * new version (the current one if nothing was affected). */
+  def commitMerge(
+      spark: SparkSession,
+      path: String,
+      delta: DataFrame,
+      removeKeys: DataFrame,
+      partCol: String,
+      keys: Seq[String],
+      stamp: Option[Long] = None): Long = {
+    val cur = latestVersion(spark, path)
+    require(cur > 0, s"no committed version at $path")
+    val prior = manifestRefs(spark, path, cur)
+    val state = readRefs(spark, path, prior)
+    val rm = removeKeys.select(keys.map(col).toIndexedSeq: _*).distinct()
+    val tagged = delta.withColumn("__p", col(partCol).cast("string"))
+    // both affected sets are partition-domain-sized (commit's discipline)
+    val upsertParts = tagged.select(col("__p")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val hitParts = state.join(rm, keys, "left_semi")
+      .select(col("__p")).distinct().collect().map(_.getString(0)).toSeq
+    val affected = (upsertParts ++ hitParts).distinct
+    if (affected.isEmpty) return cur
+    val affectedSet = affected.toSet
+    val next = cur + 1
+    val affectedRefs = prior.filter { case (p, _) => affectedSet(p) }
+    val merged =
+      if (affectedRefs.isEmpty) tagged
+      else Upsert.merge(
+        readRefs(spark, path, affectedRefs).join(rm, keys, "left_anti"),
+        tagged, keys)
+    merged.write.mode(SaveMode.Overwrite).partitionBy("__p")
+      .parquet(s"${genRoot(path)}/__gen=$next")
+    // a partition whose every row was removed drops out of the manifest
+    val survivors: Set[String] = merged.select(col("__p")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val carried = prior.filterNot { case (p, _) => affectedSet(p) }
+    val entries = carried ++ affected.filter(survivors).map(_ -> next)
+    require(entries.nonEmpty,
+      s"commitMerge would empty $path — refuse (drop the table instead)")
+    import spark.implicits._
+    val manifest0 = entries.toDF("pval", "gen")
+    stamp.fold(manifest0)(t => manifest0.withColumn("stamp", lit(t)))
+      .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(manifestPath(path, next))
     next
   }

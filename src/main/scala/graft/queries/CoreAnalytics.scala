@@ -141,13 +141,18 @@ object CoreAnalytics {
       .select(col("c_custkey"), col("c_name"))
   }
 
-  // --- a7_anti_join: NOT EXISTS via left_anti (customers with no orders) ---
+  // --- a7_anti_join: NOT EXISTS via left_anti (customers with no URGENT
+  // order — the fixture generator gives every customer at least one order,
+  // so the bare no-orders predicate was vacuous at sf0.01; the priority
+  // restriction keeps the anti-join shape and emits real rows) ---
   val a7AntiJoin = QueryDef.sql(
     "a7_anti_join",
     """SELECT c_custkey, c_name FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin) { (s, d) =>
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin) { (s, d) =>
+    val urgent = T.orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
     T.customer(s, d)
-      .join(T.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
   }
 
@@ -205,10 +210,11 @@ object CoreAnalytics {
     "a12_scan_filter_project",
     """SELECT l_orderkey, l_partkey, l_quantity, l_shipdate
       |FROM lineitem
-      |WHERE l_shipdate BETWEEN TIMESTAMP '1994-01-01' AND TIMESTAMP '1994-03-31'
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1995-03-31'
       |  AND l_quantity > 45""".stripMargin) { (s, d) =>
+    // fixture shipdates start 1995-01-02, so a 1994 window was vacuous
     T.lineitem(s, d)
-      .filter(col("l_shipdate").between(to_timestamp(lit("1994-01-01")), to_timestamp(lit("1994-03-31")))
+      .filter(col("l_shipdate").between(to_timestamp(lit("1995-01-01")), to_timestamp(lit("1995-03-31")))
         && col("l_quantity") > 45)
       .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"), col("l_shipdate"))
   }

@@ -453,20 +453,18 @@ object Graphs {
     // shrinking rounds. The staged table is the live edge list (small
     // and shrinking), exactly what a cluster would land between rounds.
     val stage = graft.Scratch.dir("g8-kcore")
-    def restage(df: org.apache.spark.sql.DataFrame, name: String) = {
-      df.write.mode("overwrite").parquet(s"$stage/$name")
-      s.read.parquet(s"$stage/$name")
-    }
-    var edges = restage(
+    // each peel round supersedes the previous — eagerly freed
+    val chain = new graft.Scratch.RoundChain(s)
+    var edges = chain.stage(
       e0.select(col("u").as("a"), col("v").as("b"))
-        .unionByName(e0.select(col("v").as("a"), col("u").as("b"))), "r0")
+        .unionByName(e0.select(col("v").as("a"), col("u").as("b"))), s"$stage/r0")
     for (r <- 1 to 3) {
       val surv = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= 2).select(col("a").as("sa"))
-      edges = restage(
+      edges = chain.stage(
         edges
           .join(surv, col("a") === col("sa"), "left_semi")
-          .join(surv, col("b") === col("sa"), "left_semi"), s"r$r")
+          .join(surv, col("b") === col("sa"), "left_semi"), s"$stage/r$r")
     }
     edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg_core"))
   }
@@ -765,16 +763,19 @@ object Graphs {
       df.write.mode("overwrite").parquet(s"$stage/$name")
       s.read.parquet(s"$stage/$name")
     }
+    // nodes stays referenced every round — NOT on the chain; the y
+    // rounds supersede each other (eagerly freed)
+    val chain = new graft.Scratch.RoundChain(s)
     val nodes = staged(edges.select(col("u").as("id")).distinct(), "nodes")
     var y = nodes.withColumn("y", lit(1L))
     for (k <- 1 to 3) {
       val gathered = edges.join(y.select(col("id").as("u"), col("y")), Seq("u"))
         .groupBy(col("v").as("id")).agg(sum(col("y")).as("s"))
-      y = staged(
+      y = chain.stage(
         nodes.join(gathered, Seq("id"), "left")
           .select(col("id"),
             (lit(math.pow(8, k).toLong) + coalesce(col("s"), lit(0L))).as("y")),
-        s"y$k")
+        s"$stage/y$k")
     }
     y.select(col("id").as("part_id"), col("y").as("katz_scaled"),
       (col("y").cast("double") / 512).as("katz"))
@@ -945,21 +946,28 @@ object Graphs {
        |${sqlTrussRound("t2", 3)}
        |SELECT u, v, s FROM t3""".stripMargin) { (s, d) =>
     val pb = T.part(s, d).select(col("p_partkey"), col("p_brand"))
-    val e0 = coPurchaseEdges(s, d)
+    val tmp = graft.Scratch.dir("g17-truss")
+    // stage e0 FIRST: both the hub probe and peel round 1 consume it,
+    // and an unstaged e0 would re-execute the co-purchase ⋈ brand join
+    // once per consumer (the round-7 probe cost exactly one extra
+    // derivation — the r8 A/B's g17 delta)
+    coPurchaseEdges(s, d)
       .join(pb.select(col("p_partkey").as("u"), col("p_brand").as("bu")), Seq("u"))
       .join(pb.select(col("p_partkey").as("v"), col("p_brand").as("bv")), Seq("v"))
       .filter(col("bu") === col("bv"))
       .select(col("u"), col("v"))
+      .write.mode("overwrite").parquet(s"$tmp/r0")
+    val e0 = s.read.parquet(s"$tmp/r0")
     // total degree upper-bounds oriented out-degree in every peel round
     // (rounds only remove edges), so one probe up front covers them all
     assertNoAdjacencyHub(
       e0.select(col("u").as("src")).unionAll(e0.select(col("v").as("src"))))
-    val tmp = graft.Scratch.dir("g17-truss")
     var out: DataFrame = e0
     for (r <- 1 to 3) {
       val kept = trussPeelRound(out.select(col("u"), col("v")), minSup = 2L)
       kept.write.mode("overwrite").parquet(s"$tmp/r$r")
       out = s.read.parquet(s"$tmp/r$r")
+      graft.Scratch.cleanup(s, s"$tmp/r${r - 1}") // superseded round freed
     }
     out.select(col("u"), col("v"), col("s"))
   }

@@ -511,7 +511,34 @@ object Media {
       .select(col("id_a"), col("id_b"), col("aligned_frames"), col("hamming"))
   }
 
+  // --- m12_mjpeg_frames: COMPRESSED video decode under the hash gate —
+  // the first inter-opaque (JPEG-compressed) format in the codec stack,
+  // zero new dependencies: every AVI `00dc` chunk is a standalone JPEG
+  // the JDK writes (encodeMjpegAvi) and reads (decodeFrames). The
+  // fixtures are SOLID-GRAY frames (gray = (id·31 + f·19) % 200 + 28):
+  // R=G=B makes chroma exactly 128 and a constant raster is DC-only, so
+  // the JPEG round trip returns the gray value EXACTLY (pinned by
+  // MultimodalSpec across all 200 values) — which lifts a lossy codec
+  // into the same exact-integer oracle discipline as the lossless m10
+  // path: per-frame luma sums are recomputed analytically from the
+  // synthesis formula. A container, chunk-alignment, or JPEG decode
+  // regression hash-mismatches immediately. Scale shape: lazy 1→N
+  // per-partition decode, 3 ints + 1 long per frame out. ---
+  val m12MjpegFrames = QueryDef.sql(
+    "m12_mjpeg_frames",
+    """WITH ids AS (SELECT id FROM generate_series(0,47) t(id)),
+      |vid AS (SELECT id, 2 + (id % 4) AS nf FROM ids),
+      |fr AS (SELECT v.id, fs.f, ((v.id*31 + fs.f*19) % 200 + 28) AS g
+      |  FROM vid v, generate_series(0,4) fs(f) WHERE fs.f < v.nf)
+      |SELECT id AS asset_id, f AS frame_no, 32 AS w, 24 AS h,
+      |  CAST(g * 32 * 24 AS BIGINT) AS sum_luma
+      |FROM fr""".stripMargin) { (s, _) =>
+    Multimodal.mjpegFrameAudit(
+      Multimodal.repartitionForDecode(Multimodal.synthesizeMjpeg(s, 0L until 48L), 8))
+      .toDF()
+  }
+
   val all: Seq[QueryDef] = Seq(m1MediaFeatures, m2ImagePhash, m3AudioEnergy, m4ImageKnn,
     m5AudioTone, m6ImageNeardup, m7AudioNeardup, m8ImageTiles, m9AudioResample,
-    m10VideoFrames, m11VideoNeardup)
+    m10VideoFrames, m11VideoNeardup, m12MjpegFrames)
 }

@@ -440,8 +440,10 @@ object TpchShapes {
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
   }
 
-  // --- q22_global_sales: above-average-balance customers with no orders
-  // (Q22 shape: scalar-subquery average + anti join) ---
+  // --- q22_global_sales: above-average-balance customers with no RECENT
+  // orders (Q22 shape: scalar-subquery average + anti join; the fixture
+  // generator gives every customer an order, so "no orders at all" was a
+  // vacuous gate — "lapsed since 2000" keeps the anti-join non-empty) ---
   val q22GlobalSales = QueryDef.sql(
     "q22_global_sales",
     """WITH avg_bal AS (
@@ -451,14 +453,17 @@ object TpchShapes {
       |  FROM customer WHERE CAST(c_acctbal AS DECIMAL(12,2)) > (SELECT a FROM avg_bal))
       |SELECT c_nationkey, count(*) AS numcust, CAST(sum(bal) AS DOUBLE) AS totacctbal
       |FROM eligible
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01')
       |GROUP BY c_nationkey""".stripMargin) { (s, d) =>
     val cust = T.customer(s, d).withColumn("bal", dec(col("c_acctbal")))
     val avgBal = cust.filter(col("c_acctbal") > 0)
       .agg(avg(col("bal")).as("a"))
     val eligible = cust.join(broadcast(avgBal)).filter(col("bal") > col("a"))
+    val recent = T.orders(s, d)
+      .filter(col("o_orderdate") >= to_timestamp(lit("2000-01-01")))
     eligible
-      .join(T.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("numcust"), sum(col("bal")).cast("double").as("totacctbal"))
   }

@@ -77,6 +77,45 @@ class ScratchSpec extends SparkSpec {
     }
   }
 
+  test("RoundChain bounds staged rounds to its window and keeps results readable") {
+    val root = Files.createTempDirectory("scratch-root-rc").toString
+    withRoot(root) {
+      import org.apache.spark.sql.functions._
+      val stage = Scratch.dir(spark, "chain")
+      val chain = new Scratch.RoundChain(spark)
+      var df = spark.range(10).toDF("id")
+      for (r <- 1 to 5)
+        df = chain.stage(df.withColumn("id", col("id") + 1), s"$stage/r$r")
+      val live = Option(new java.io.File(new Path(stage).toUri.getPath).listFiles())
+        .getOrElse(Array.empty).map(_.getName).sorted
+      assert(live.toSeq === Seq("r5"),
+        s"window-1 chain must keep only the latest round, saw ${live.mkString(",")}")
+      // the surviving round is the result and still reads correctly
+      assert(df.agg(sum(col("id"))).collect()(0).getLong(0) === 95L)
+    }
+  }
+
+  test("iterative BFS leaves only a bounded number of round tables on scratch") {
+    val root = Files.createTempDirectory("scratch-root-bfs").toString
+    withRoot(root) {
+      import org.apache.spark.sql.functions._
+      val edges0 = spark.createDataFrame(
+        (1L to 40L).map(i => (i, i + 1))).toDF("u", "v")
+      val seeds = spark.createDataFrame(Seq(Tuple1(1L))).toDF("id")
+      val stage = Scratch.dir(spark, "bfs-bound")
+      edges0.write.mode("overwrite").parquet(s"$stage/edges")
+      val labels = operators.Bfs.distances(
+        spark.read.parquet(s"$stage/edges"), seeds, rounds = 6, s"$stage/lab")
+      assert(labels.count() === 7L) // seed + 6 hops down the chain
+      val rounds = Option(new java.io.File(new Path(s"$stage/lab").toUri.getPath)
+        .listFiles()).getOrElse(Array.empty).map(_.getName)
+      assert(rounds.toSeq === Seq("l6"),
+        s"6-round BFS must keep only its final label table, saw ${rounds.mkString(",")}")
+      // the result is the surviving round — still fully readable
+      assert(labels.agg(max(col("dist"))).collect()(0).getInt(0) === 6)
+    }
+  }
+
   test("eager cleanup deletes a staging dir") {
     val root = Files.createTempDirectory("scratch-root-cl").toString
     withRoot(root) {

@@ -119,6 +119,53 @@ class VideoCodecSpec extends SparkSpec {
     buf.array()
   }
 
+  test("MJPEG encoder: container probes correctly and every frame decodes in order") {
+    val frames = (0 until 3).map(frame(_))
+    val avi = VideoCodec.encodeMjpegAvi(frames, fps = 4)
+    val info = VideoCodec.probe(avi).get
+    assert(info.w === 16 && info.h === 12 && info.nFrames === 3)
+    assert(info.usPerFrame === 250000L)
+    val decoded = VideoCodec.decodeFrames(avi)
+    assert(decoded.map(_._1) === Seq(0, 1, 2))
+    assert(decoded.forall { case (_, i) => i.getWidth === 16 && i.getHeight === 12 })
+  }
+
+  test("solid gray survives the JPEG round trip exactly — the m12 gate's premise") {
+    val bad = (28 until 228).flatMap { g =>
+      val img = new BufferedImage(32, 24, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 32) img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      val avi = VideoCodec.encodeMjpegAvi(Seq(img), fps = 4)
+      val got = VideoCodec.decodeFrames(avi).head._2
+      if (pixels(got).forall(_ == ((g << 16) | (g << 8) | g))) None else Some(g)
+    }
+    assert(bad.isEmpty, s"gray values not preserved by the JPEG round trip: $bad")
+  }
+
+  test("odd-length JPEG chunks keep the stream aligned (even-byte padding)") {
+    // force varied chunk sizes with varied frames; all must still decode
+    val frames = (0 until 5).map(s => frame(s * 13 + 1, w = 17, h = 11))
+    val decoded = VideoCodec.decodeFrames(VideoCodec.encodeMjpegAvi(frames, fps = 2))
+    assert(decoded.map(_._1) === (0 until 5))
+  }
+
+  test("MJPEG re-encode of BI_RGB footage stays near-dup by frame fingerprints") {
+    import graft.multimodal.Multimodal
+    val frames = (0 until 3).map(frame(_))
+    val meta = Multimodal.MediaMeta("video/x-msvideo", 16, 12, 0, 750L)
+    val assets = Seq(
+      Multimodal.MediaAsset(1L, "video", VideoCodec.encodeAvi(frames, fps = 4), meta),
+      Multimodal.MediaAsset(2L, "video",
+        VideoCodec.encodeMjpegAvi(frames, fps = 4, quality = 0.95f), meta))
+    import spark.implicits._
+    val fh = Multimodal.videoFrameHashes(assets.toDS()).collect()
+      .groupBy(_.asset_id).view.mapValues(_.sortBy(_.frame_no).map(_.ahash)).toMap
+    val dists = fh(1L).zip(fh(2L)).map { case (a, b) =>
+      a.zip(b).count { case (x, y) => x != y }
+    }
+    assert(dists.size === 3)
+    assert(dists.forall(_ <= 8), s"per-frame aHash hamming too large: ${dists.toSeq}")
+  }
+
   test("corrupt or foreign bytes probe to None and decode to empty") {
     assert(VideoCodec.probe(Array[Byte](1, 2, 3)).isEmpty)
     assert(VideoCodec.decodeFrames(Array.tabulate[Byte](500)(_.toByte)).isEmpty)

@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""Registry latency-budget guard (dev tooling, driver-side python).
+
+Usage: python3 tools/latency_guard.py <prev_bench.json> <curr_bench.json>
+       [--factor 1.4] [--min-secs 0.5]
+
+Compares two bench JSONs (the one-line format Bench.scala emits — either
+the stdout line or target/bench_full.json) and loudly reports every query
+whose current min-of-N exceeds the previous round's min by more than
+`factor`, after normalizing for measured box drift via the noise
+sentinel series (`sentinel_secs`: a fixed CPU-only computation timed at
+the head of every measured pass — if the sentinel's min moved 1.3x
+between rounds, the box did, and per-query budgets scale with it).
+
+Exit code 1 when any query breaches its budget — wire into the round
+close-out so a silent plan regression can't ride a green gate again.
+Queries absent from either file are reported informationally (new /
+removed) but never fail the guard.
+"""
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        txt = f.read()
+    # driver BENCH_rN.json files wrap the bench stdout in a {"tail": …}
+    # envelope — unwrap it so the metric line inside becomes scannable
+    try:
+        env = json.loads(txt)
+        if isinstance(env, dict) and "queries" in env:
+            return env
+        if isinstance(env, dict) and "tail" in env:
+            txt = env["tail"]
+    except json.JSONDecodeError:
+        pass
+    # the text may hold logs around the JSON line; take the last line
+    # that parses and contains "queries"
+    doc = None
+    for line in txt.splitlines():
+        line = line.strip()
+        i = line.find('{"metric"')
+        if i < 0:
+            continue
+        try:
+            cand = json.loads(line[i:])
+        except json.JSONDecodeError:
+            continue
+        if "queries" in cand:
+            doc = cand
+    if doc is None:
+        raise SystemExit(f"no parseable bench JSON line in {path}")
+    return doc
+
+
+def main(argv):
+    args = [a for a in argv if not a.startswith("--")]
+    opts = {a.split("=")[0]: a.split("=")[1] for a in argv
+            if a.startswith("--") and "=" in a}
+    if len(args) != 2:
+        raise SystemExit(__doc__)
+    factor = float(opts.get("--factor", "1.4"))
+    min_secs = float(opts.get("--min-secs", "0.5"))
+    prev, curr = load(args[0]), load(args[1])
+    pq, cq = prev["queries"], curr["queries"]
+
+    # box-drift normalization: scale the budget by the sentinel ratio
+    # (capped at [1, 2] — a >2x sentinel move means the runs aren't
+    # comparable at all; say so rather than silently absorbing it)
+    drift = 1.0
+    ps, cs = prev.get("sentinel_secs"), curr.get("sentinel_secs")
+    if ps and cs:
+        drift = max(1.0, min(cs) / min(ps))
+        if drift > 2.0:
+            print(f"WARN sentinel drifted {drift:.2f}x between runs — "
+                  "box conditions not comparable; capping normalization at 2x")
+            drift = 2.0
+
+    breaches, improved = [], []
+    for name in sorted(set(pq) & set(cq)):
+        p, c = pq[name], cq[name]
+        if p < min_secs and c < min_secs:
+            continue  # noise floor: sub-half-second queries never gate
+        budget = p * factor * drift
+        if c > budget:
+            breaches.append((name, p, c, c / p))
+        elif c < p / factor:
+            improved.append((name, p, c))
+    for name in sorted(set(cq) - set(pq)):
+        print(f"INFO new query {name}: {cq[name]:.2f}s (no budget yet)")
+    for name in sorted(set(pq) - set(cq)):
+        print(f"INFO query {name} absent from current run")
+    for name, p, c in improved:
+        print(f"OK   {name} improved {p:.2f}s -> {c:.2f}s")
+    if breaches:
+        print(f"\n== {len(breaches)} queries breached their latency budget "
+              f"(factor {factor}, sentinel drift {drift:.2f}x):")
+        for name, p, c, r in sorted(breaches, key=lambda b: -b[3]):
+            print(f"FAIL {name}: {p:.2f}s -> {c:.2f}s ({r:.2f}x)")
+        print("Explain each (committed A/B note) or reclaim before close-out.")
+        return 1
+    print(f"== latency budgets held for {len(set(pq) & set(cq))} common "
+          f"queries (factor {factor}, sentinel drift {drift:.2f}x)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
