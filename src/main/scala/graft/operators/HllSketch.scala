@@ -33,7 +33,7 @@ object HllSketch {
     * bare decimal literals in DECIMAL arithmetic, which drifts from
     * Spark's double folding in the 9th digit; a string-cast literal plus
     * a single division is bit-identical everywhere). */
-  private val alphaNum: String = {
+  private[operators] val alphaNum: String = {
     val v = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 1099511627776.0
     s"CAST('${v.toString}' AS DOUBLE)"
   }

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable DETERMINISTIC quantile summary — the rank-sketch
+  * counterpart of [[HllSketch]]: per-group weighted sample tables with
+  * a provable rank-error bound that MERGE by plain union, so a 100 TB
+  * table's quantiles (and the range-partition splitters a distributed
+  * sort needs) are maintained incrementally and combined across
+  * partitions, days, or clusters without ever re-sorting history.
+  *
+  * Algorithm (the sample-sort splitter selection TeraSort popularized,
+  * grouped): rows scatter into `buckets` content-defined cells
+  * (md5-derived — no RNG, no partitioner dependence), each cell keeps
+  * every stride-th value of its sorted run with weight = stride
+  * (+ a tail sample carrying the remainder, so weights sum EXACTLY to
+  * the cell count). An n-row group therefore keeps ≤ buckets·k samples,
+  * and the estimate "min v whose cumulative weight ≥ ⌈q·n⌉" has true
+  * rank within n/k + buckets of the target — the bound each gate's
+  * `within_bound` column re-derives from exact ranks.
+  *
+  * Everything is deterministic integer/sort arithmetic on exact
+  * weights, so (unlike t-digest/KLL, whose RNG makes results
+  * partitioning-dependent) a DuckDB oracle reproduces the summary
+  * bit-for-bit and `merge(summarize(A), summarize(B))` is a valid
+  * summary of A ∪ B with additive bounds — an exact hash gate, not a
+  * tolerance band.
+  *
+  * Scale shape: one range-free shuffle into (group × bucket) cells +
+  * an in-cell sort of n/buckets rows (size `buckets` to taste — the
+  * cells are the parallelism), then every downstream step runs on the
+  * SKETCH (≤ buckets·k rows per group, independent of n): the
+  * cumulative-weight window partitions by group over sketch-sized
+  * partitions, HllSketch's 256-registers-per-group shape, never a
+  * data-sized funnel. */
+object QuantileSketch {
+
+  private val hexOf = "instr('0123456789abcdef', %s) - 1"
+
+  /** Per-group weighted sample table `(group…, v DOUBLE, wt BIGINT)`
+    * for one batch of rows. `key` must be a row-unique column/expr
+    * (cast to string for the md5 scatter); `buckets` cells × ≤ `k`
+    * samples each bound the summary size. Weights per group sum
+    * exactly to the group's row count. */
+  def summarize(
+      df: DataFrame,
+      group: Seq[String],
+      value: Column,
+      key: Column,
+      buckets: Int,
+      k: Int): DataFrame = {
+    val cell = df.select(
+        group.map(col) :+ value.cast("double").as("v") :+
+          md5(key.cast("string")).as("hx"): _*)
+      .withColumn("b", expr(
+        s"((${hexOf.format("substr(hx,1,1)")}) * 16 + ${hexOf.format("substr(hx,2,1)")}) % $buckets"))
+    val w = Window.partitionBy((group :+ "b").map(col): _*).orderBy(col("v"))
+    val cw = Window.partitionBy((group :+ "b").map(col): _*)
+    cell
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(cw))
+      .withColumn("stride", expr(s"(cnt + ${k - 1}) div $k"))
+      .filter(col("rn") % col("stride") === 0 ||
+        (col("rn") === col("cnt") && col("cnt") % col("stride") =!= 0))
+      .select(group.map(col) :+ col("v") :+
+        when(col("rn") % col("stride") === 0, col("stride"))
+          .otherwise(col("cnt") % col("stride")).cast("long").as("wt"): _*)
+  }
+
+  /** Merge summaries (associative, commutative): weighted samples of
+    * disjoint batches union into a valid summary of the union with
+    * additive rank bounds — no recompression, no history rescan. */
+  def merge(a: DataFrame, b: DataFrame): DataFrame = a.unionByName(b)
+
+  /** Per-group quantile estimates off a summary: for each q in `qs`,
+    * the smallest sample value whose VALUE-cumulative weight reaches
+    * ⌈q · totalWeight⌉. Returns (group…, q, est). The window partitions
+    * by group over the sketch (≤ buckets·k rows/group by construction);
+    * the q frame is a broadcast literal. */
+  def quantiles(summary: DataFrame, group: Seq[String], qs: Seq[Double]): DataFrame = {
+    val g = summary.groupBy((group :+ "v").map(col): _*)
+      .agg(sum(col("wt")).as("wt"))
+    val wv = Window.partitionBy(group.map(col): _*).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g.withColumn("cw", sum(col("wt")).over(wv))
+    val tot = summary.groupBy(group.map(col): _*).agg(sum(col("wt")).as("tot"))
+    val spark = summary.sparkSession
+    import spark.implicits._
+    val qf = broadcast(qs.toDF("q"))
+    val targets = tot.crossJoin(qf)
+      .withColumn("t", ceil(col("q") * col("tot").cast("double")).cast("long"))
+    targets.join(cum, group)
+      .filter(col("cw") >= col("t"))
+      .groupBy((group :+ "q").map(col): _*)
+      .agg(min(col("v")).as("est"))
+  }
+}

@@ -44,6 +44,7 @@ object Versioned {
   private[graft] def partDir(path: String, pval: String, gen: Long) =
     s"${genRoot(path)}/__gen=$gen/__p=$pval"
   private def sourceMarker(path: String) = new Path(path, "__source")
+  private def clonesDir(path: String) = new Path(path, "__clones")
 
   /** Shallow-clone source pointer, if this root is a clone: the source
     * table path recorded by [[shallowClone]]. */
@@ -75,6 +76,67 @@ object Versioned {
       }
     }
   }
+
+  /** CLONE REGISTRY — what makes retention clone-aware. [[shallowClone]]
+    * drops a marker under `<src>/__clones/` naming the clone and its
+    * base bound, so the SOURCE knows who still resolves into its
+    * generation directories. [[expire]] on the source then PINS every
+    * generation a live clone still references instead of silently
+    * corrupting it (the caveat Delta shares but this engine — owning
+    * both sides — can close). A registration goes stale when the clone
+    * is deleted from disk or [[materialize]]d to independence; stale
+    * entries are reaped on the next listing. Registration is one level
+    * deep: a clone-of-a-clone registers with ITS source — deep chains
+    * should materialize intermediate hops before expiring them. */
+  private def cloneMarkerName(dst: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dst.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** Live clones registered under `src` as (clonePath, baseBound).
+    * A registration whose clone no longer exists (its `__source` marker
+    * gone or re-pointed) is reaped here. */
+  private[graft] def registeredClones(
+      spark: SparkSession, src: String): Seq[(String, Long)] = {
+    val fs = fsOf(spark, src)
+    val dir = clonesDir(src)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq.flatMap { st =>
+      val in = fs.open(st.getPath)
+      val text =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
+        finally in.close()
+      text.split('\n').map(_.trim) match {
+        case Array(dst, bound) =>
+          val alive =
+            try sourceRef(spark, dst).exists(_._1 == src)
+            catch { case _: java.io.IOException => false }
+          if (alive) Some((dst, bound.toLong))
+          else { fs.delete(st.getPath, false); None } // dropped clone: reap
+        case _ => None
+      }
+    }
+  }
+
+  private[graft] def unregisterClone(
+      spark: SparkSession, src: String, dst: String): Unit = {
+    fsOf(spark, src).delete(new Path(clonesDir(src), cloneMarkerName(dst)), false)
+    ()
+  }
+
+  /** The (pval, gen) refs of THIS table's generations that live clones
+    * still serve: every retained clone manifest's refs at or below the
+    * clone's base bound whose directory is not clone-local. [[expire]]
+    * treats these as live. */
+  private def clonePinnedRefs(
+      spark: SparkSession, path: String): Set[(String, Long)] =
+    registeredClones(spark, path).flatMap { case (dst, bound) =>
+      val cfs = fsOf(spark, dst)
+      retainedVersions(spark, dst)
+        .flatMap(v => manifestRefs(spark, dst, v)).distinct
+        .filter(_._2 <= bound)
+        .filterNot { case (p, g) => cfs.exists(new Path(partDir(dst, p, g))) }
+    }.toSet
 
   /** Resolve the directory serving `(pval, gen)` for `path`: the local
     * generation dir when it exists, else (for shallow clones, and only
@@ -573,11 +635,16 @@ object Versioned {
     * inert without one (a dangling pointer file is debris, not a table);
     * the manifest's `_SUCCESS` is the commit point, as everywhere.
     *
-    * Caveats (inherent to shared storage, same as Delta's): `expire` on
-    * the SOURCE can reclaim generations a clone still references — treat
-    * clones as pinning source retention, or [[materialize]] them;
-    * `Forget.scrubVersioned` refuses to run on a clone that still shares
-    * directories (scrubbing in place would mutate the source's files).
+    * Retention: clones REGISTER under the source (`__clones/` marker),
+    * and the source's [[expire]] pins every generation a live clone
+    * still resolves — so source-side retention can no longer corrupt
+    * clones. The pin releases when the clone [[materialize]]s to full
+    * independence, expires away its sharing versions, or is deleted
+    * from disk. Remaining caveat: `Forget.scrubVersioned` refuses to
+    * run on a clone that still shares directories (scrubbing in place
+    * would mutate the source's files), and a source-side scrub rewrites
+    * shared directories in place — clones observe the scrub, which is
+    * the right-to-be-forgotten semantics shared storage implies.
     */
   def shallowClone(
       spark: SparkSession, src: String, dst: String, version: Long = -1L): Long = {
@@ -600,6 +667,13 @@ object Versioned {
     val out = fs.create(sourceMarker(dst), true)
     try out.write(s"$src\n$v0".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // register under the SOURCE (its own fs — cross-scheme clones) so
+    // source-side expire pins the generations this clone references
+    val srcFs = fsOf(spark, src)
+    srcFs.mkdirs(clonesDir(src))
+    val reg = srcFs.create(new Path(clonesDir(src), cloneMarkerName(dst)), true)
+    try reg.write(s"$dst\n$v0".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally reg.close()
 
     import spark.implicits._
     refs.toDF("pval", "gen").coalesce(1)
@@ -640,6 +714,18 @@ object Versioned {
     import spark.implicits._
     entries.toDF("pval", "gen").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(manifestPath(path, next))
+    // fully independent now? release the source-side retention pin so
+    // the source's expire stops holding generations for this clone.
+    // (Older retained clone versions may still share — only a clone
+    // whose EVERY retained ref is local unregisters.)
+    sourceRef(spark, path).foreach { case (src, _) =>
+      val stillShared = retainedVersions(spark, path).exists { v =>
+        manifestRefs(spark, path, v).exists { case (p, g) =>
+          !fs.exists(new Path(partDir(path, p, g)))
+        }
+      }
+      if (!stillShared) unregisterClone(spark, src, path)
+    }
     next
   }
 
@@ -660,7 +746,8 @@ object Versioned {
     val droppedVersions = retainedVersions(spark, path).filter(_ < retained.head)
     val live: Set[(String, Long)] = retained
       .filter(v => fs.exists(new Path(manifestPath(path, v), "_SUCCESS")))
-      .flatMap(v => manifestRefs(spark, path, v)).toSet
+      .flatMap(v => manifestRefs(spark, path, v)).toSet ++
+      clonePinnedRefs(spark, path) // same pins expire honors
     val gRoot = new Path(genRoot(path))
     var reclaim = 0L
     var kept = 0L
@@ -683,7 +770,12 @@ object Versioned {
 
   /** Drop all but the last `keep` versions and every generation
     * directory no retained manifest references. Readers of retained
-    * versions are unaffected (their files are never touched). */
+    * versions are unaffected (their files are never touched).
+    * CLONE-AWARE: generations a registered live clone still resolves
+    * from this table are PINNED (treated as live) even when no retained
+    * manifest here references them — expire on a cloned source can no
+    * longer corrupt its clones. Pins clear when the clone is
+    * [[materialize]]d to independence or deleted from disk. */
   def expire(spark: SparkSession, path: String, keep: Int): Unit = {
     require(keep >= 1)
     val fs = fsOf(spark, path)
@@ -692,7 +784,8 @@ object Versioned {
     val retained = ((latest - keep + 1) max 1L) to latest
     val live: Set[(String, Long)] = retained
       .filter(v => fs.exists(new Path(manifestPath(path, v), "_SUCCESS")))
-      .flatMap(v => manifestRefs(spark, path, v)).toSet
+      .flatMap(v => manifestRefs(spark, path, v)).toSet ++
+      clonePinnedRefs(spark, path)
 
     val mDir = new Path(manifestDir(path))
     fs.listStatus(mDir).foreach { st =>
@@ -723,5 +816,105 @@ object Versioned {
           fs.delete(gSt.getPath, true)
       }
     }
+    // a CLONE that just expired away its last source-sharing versions
+    // releases its source-side retention pin
+    sourceRef(spark, path).foreach { case (src, _) =>
+      val stillShared = retainedVersions(spark, path).exists { v =>
+        manifestRefs(spark, path, v).exists { case (p, g) =>
+          !fs.exists(new Path(partDir(path, p, g)))
+        }
+      }
+      if (!stillShared) unregisterClone(spark, src, path)
+    }
+  }
+
+  /** Order-independent per-partition content fingerprints for a
+    * partitioned parquet directory read as `df` with partition column
+    * `pcol`: (pval, rows, xh) where xh = bit-XOR of xxhash64 over every
+    * data column (name-sorted, so projection order can't drift). One
+    * partial-aggregated scan; XOR commutes, so the fingerprint is
+    * partitioning- and task-order-independent. */
+  private def partFingerprints(df: DataFrame, pcol: String): DataFrame = {
+    val dataCols = df.columns.filterNot(_ == pcol).sorted
+    df.select(col(pcol), xxhash64(dataCols.map(col): _*).as("h"))
+      .groupBy(col(pcol))
+      .agg(count(lit(1)).as("rows"), expr("bit_xor(h)").as("xh"))
+  }
+
+  /** SNAPSHOT EXPORT — the cold-archive / cross-cluster portability
+    * path: write version `version` (default latest) of the table at
+    * `path` into `dest` as one SELF-CONTAINED bundle readable by any
+    * parquet consumer, no manifest protocol required:
+    *
+    *   dest/data/__p=<pval>/   byte-copied partition directories
+    *   dest/meta/              (pval, rows, xh, src_version) checksums
+    *
+    * Data moves by BYTE COPY of the write-once generation directories
+    * (never re-encoded — a 100 TB export is pure I/O, zero shuffle),
+    * and the checksum manifest is computed by ONE partial-aggregated
+    * scan of the copied bytes, so it attests what actually landed at
+    * `dest`, not what the source held. [[importSnapshot]] re-derives
+    * the same fingerprints at the far end — a bit flipped in transit
+    * (distcp, tape, object-store migration) fails the import loudly.
+    * Returns (exported version, total rows). */
+  def exportSnapshot(
+      spark: SparkSession, path: String, dest: String, version: Long = -1L): (Long, Long) = {
+    val v = if (version < 0) latestVersion(spark, path) else version
+    require(v > 0, s"no committed version at $path")
+    val srcFs = fsOf(spark, path)
+    require(srcFs.exists(new Path(manifestPath(path, v), "_SUCCESS")),
+      s"version $v was never committed at $path")
+    val dstFs = fsOf(spark, dest)
+    val conf = spark.sparkContext.hadoopConfiguration
+    manifestRefs(spark, path, v).foreach { case (p, g) =>
+      val from = new Path(resolvePartDir(spark, path, p, g))
+      org.apache.hadoop.fs.FileUtil.copy(
+        srcFs, from, dstFs, new Path(s"$dest/data/__p=$p"), false, true, conf)
+    }
+    val copied = spark.read.parquet(s"$dest/data")
+    val meta = partFingerprints(copied, "__p")
+      .withColumn("src_version", lit(v))
+    meta.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dest/meta")
+    val total = spark.read.parquet(s"$dest/meta")
+      .agg(sum(col("rows"))).collect()(0).getLong(0) // 1 row — driver-sized
+    (v, total)
+  }
+
+  /** SNAPSHOT IMPORT — re-admit an [[exportSnapshot]] bundle at `src`
+    * as version 1 of a FRESH versioned table at `dst`, verifying every
+    * partition's row count and content fingerprint against the bundle's
+    * checksum manifest BEFORE any manifest lands (a corrupted bundle
+    * fails loudly with the offending partitions named; the target stays
+    * an empty non-table). Data moves by byte copy into generation 1;
+    * the imported table then versions forward independently (commits
+    * number generations 2 upward — no collision with the import).
+    * Returns the committed version (always 1). */
+  def importSnapshot(spark: SparkSession, src: String, dst: String): Long = {
+    require(latestVersion(spark, dst) == 0L,
+      s"import target $dst already has committed versions")
+    val expected = spark.read.parquet(s"$src/meta")
+      .select(col("__p"), col("rows"), col("xh"))
+      .collect() // k rows: one per partition — driver-sized by design
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val actual = partFingerprints(spark.read.parquet(s"$src/data"), "__p")
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val bad = (expected.keySet ++ actual.keySet).filter(p =>
+      expected.get(p) != actual.get(p))
+    require(bad.isEmpty,
+      s"snapshot bundle at $src failed verification for partitions: ${bad.toSeq.sorted.mkString(", ")}")
+    val srcFs = fsOf(spark, src)
+    val dstFs = fsOf(spark, dst)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val pvals = expected.keySet.toSeq.sorted
+    pvals.foreach { p =>
+      org.apache.hadoop.fs.FileUtil.copy(
+        srcFs, new Path(s"$src/data/__p=$p"),
+        dstFs, new Path(partDir(dst, p, 1L)), false, true, conf)
+    }
+    import spark.implicits._
+    pvals.map(p => (p, 1L)).toDF("pval", "gen").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(manifestPath(dst, 1L))
+    1L
   }
 }

@@ -1371,6 +1371,132 @@ object EtlOps {
         col("nulls_p"))
   }
 
+  // --- k43_ndv_stats: MERGEABLE NDV in the stats store — the piece a
+  // 100 TB join planner reads before touching either table. The gate
+  // lands orders partitioned by status with per-partition HLL registers
+  // in the stats rows (StatsStore.rebuild), mutates ONE partition's key
+  // column through a keyed upsert, refreshes stats for exactly that
+  // partition (registers recomputed only for 'O'), then reports: each
+  // partition's NDV estimate off its stored registers, the whole-table
+  // estimate formed by MERGING the stored registers (element-wise max —
+  // no rescan of any partition), and the |orders ⋈ customer| output-size
+  // estimate read off the two stats stores (|A|·|B| / max(ndv)). The
+  // oracle recomputes every register from the mutated fixture via the
+  // shared md5 dialect — a refresh that missed the 'O' change, a merge
+  // that dropped a register, or a join estimate off stale NDV all
+  // hash-mismatch (the registers are deterministic; there is no
+  // tolerance band). ---
+  val k43NdvStats = QueryDef.sql(
+    "k43_ndv_stats",
+    s"""WITH t AS (SELECT o_orderstatus AS part,
+       |    CASE WHEN o_orderstatus = 'O' AND o_orderkey % 13 = 0
+       |         THEN o_custkey + 1000000 ELSE o_custkey END AS k
+       |  FROM orders),
+       |${graft.operators.HllSketch.sqlRegisters("t", "part", "k", "oreg")},
+       |per AS (${graft.operators.HllSketch.sqlEstimate("oreg", "part")}),
+       |${graft.operators.HllSketch.sqlRegisters("t", "1 AS g", "k", "goreg")},
+       |gl AS (${graft.operators.HllSketch.sqlEstimate("goreg", "g")}),
+       |${graft.operators.HllSketch.sqlRegisters("customer", "1 AS g", "c_custkey", "creg")},
+       |cgl AS (${graft.operators.HllSketch.sqlEstimate("creg", "g")}),
+       |n AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM orders) AS ra,
+       |             (SELECT CAST(count(*) AS DOUBLE) FROM customer) AS rb)
+       |SELECT part, CAST(nz AS BIGINT) AS nz, est AS ndv_est FROM per
+       |UNION ALL SELECT '__all__' AS part, CAST(nz AS BIGINT) AS nz, est AS ndv_est FROM gl
+       |UNION ALL SELECT '__join_est__' AS part, CAST(0 AS BIGINT) AS nz,
+       |  ra * rb / greatest(gl.est, cgl.est) AS ndv_est FROM n, gl, cgl""".stripMargin) { (s, d) =>
+    import graft.operators.StatsStore
+    val root = graft.Scratch.dir("k43-ndv")
+    val oTbl = s"$root/orders"; val oSt = s"$root/orders_stats"
+    val cTbl = s"$root/customer"; val cSt = s"$root/cust_stats"
+    T.orders(s, d)
+      .select(col("o_orderstatus").as("st"), col("o_orderkey"),
+        col("o_custkey").as("k"))
+      .write.partitionBy("st").parquet(oTbl)
+    StatsStore.rebuild(s, oTbl, oSt, "st", Seq("k"))
+    T.customer(s, d)
+      .select(col("c_mktsegment").as("seg"), col("c_custkey").as("ck"))
+      .write.partitionBy("seg").parquet(cTbl)
+    StatsStore.rebuild(s, cTbl, cSt, "seg", Seq("ck"))
+    // keyed upsert rewrites ONE partition's key column; the incremental
+    // refresh recomputes registers for exactly that partition
+    val delta = s.read.parquet(oTbl)
+      .filter(col("st") === "O" && col("o_orderkey") % 13 === 0)
+      .withColumn("k", col("k") + lit(1000000L))
+    Upsert.upsertParquet(s, oTbl, delta, Seq("o_orderkey"), partitionBy = Seq("st"))
+    StatsStore.refreshPartitions(s, oTbl, oSt, "st", Seq("k"), changed = Seq("O"))
+    val st = StatsStore.read(s, oSt)
+    val per = StatsStore.ndvPerPartition(st, "st", "k")
+      .select(col("st").as("part"), col("nz").cast("long").as("nz"), col("ndv_est"))
+    val glob = StatsStore.ndvGlobal(st, "k")
+      .select(lit("__all__").as("part"), col("nz").cast("long").as("nz"), col("ndv_est"))
+    val joinEst = StatsStore.estimateJoinRows(s, oSt, "k", cSt, "ck")
+    val joinRow = s.range(1).select(lit("__join_est__").as("part"),
+      lit(0L).as("nz"), lit(joinEst).as("ndv_est"))
+    per.unionByName(glob).unionByName(joinRow)
+  }
+
+  // --- k44_snapshot_export: PORTABLE snapshot export/import
+  // (Versioned.exportSnapshot/importSnapshot) — the cold-archive /
+  // cross-cluster migration path Delta answers with DEEP CLONE: version
+  // 1 of a two-version table exports as a self-contained bundle (byte-
+  // copied partition dirs + a checksum manifest fingerprinting what
+  // actually LANDED), imports into a fresh root only after every
+  // partition re-verifies rows + content XOR-hash, and the imported
+  // table then versions forward independently. The gate reads the
+  // imported base (must equal the source AT v1 — exporting the
+  // HISTORICAL version, not head), the imported table's own head (its
+  // post-import commit applied), and the source head (diverged, v2) —
+  // a copy that dropped a partition, a checksum pass that lied, or an
+  // import that can't take commits all hash-mismatch. At 100 TB the
+  // export is pure I/O (write-once dirs byte-copied, zero shuffle) and
+  // the verification is one partial-agg scan per side. Tamper rejection
+  // is spec-pinned (VersionedSpec: a flipped byte fails the import
+  // loudly, target stays a non-table). ---
+  val k44SnapshotExport = QueryDef.sql(
+    "k44_snapshot_export",
+    """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS p FROM orders),
+      |v1 AS (SELECT k, st, p FROM base WHERE k % 3 IN (0, 1)),
+      |imp_head AS (SELECT k, st,
+      |    CASE WHEN k % 9 = 1 THEN p + 1000 ELSE p END AS p FROM v1),
+      |src_head AS (SELECT k, st,
+      |    CASE WHEN k % 9 = 0 THEN p + 100 ELSE p END AS p FROM base),
+      |u AS (SELECT 'import_v1' AS tag, st, p FROM v1
+      |  UNION ALL SELECT 'import_head' AS tag, st, p FROM imp_head
+      |  UNION ALL SELECT 'src_head' AS tag, st, p FROM src_head)
+      |SELECT tag, st AS o_orderstatus, count(*) AS n,
+      |  CAST(sum(p) AS DOUBLE) AS total
+      |FROM u GROUP BY tag, st""".stripMargin) { (s, d) =>
+    import graft.operators.Versioned
+    val root = graft.Scratch.dir("k44-export")
+    val srcT = s"$root/src"; val bundle = s"$root/bundle"; val impT = s"$root/imp"
+    val base = T.orders(s, d).select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("st"), col("o_totalprice").cast("decimal(12,2)").as("p"))
+    Versioned.commit(s, srcT, base.filter(col("k") % 3 < 2), "st", Seq("k"))
+    Versioned.commit(s, srcT,
+      base.filter(col("k") % 3 === 2).unionByName(
+        base.filter(col("k") % 9 === 0)
+          .withColumn("p", (col("p") + lit(100)).cast("decimal(12,2)"))),
+      "st", Seq("k"))
+    // export the HISTORICAL v1, not head — snapshot portability is
+    // time-travel-aware; import verifies every partition fingerprint
+    Versioned.exportSnapshot(s, srcT, bundle, version = 1L)
+    Versioned.importSnapshot(s, bundle, impT)
+    // the imported table versions forward on its own
+    Versioned.commit(s, impT,
+      base.filter(col("k") % 9 === 1)
+        .withColumn("p", (col("p") + lit(1000)).cast("decimal(12,2)")),
+      "st", Seq("k"))
+    def summarize(df: DataFrame, tag: String): DataFrame =
+      df.groupBy(col("st"))
+        .agg(count(lit(1)).as("n"), sum(col("p")).cast("double").as("total"))
+        .select(lit(tag).as("tag"), col("st").as("o_orderstatus"),
+          col("n"), col("total"))
+    summarize(Versioned.readAsOf(s, impT, 1L), "import_v1")
+      .unionByName(summarize(Versioned.readAsOf(s, impT), "import_head"))
+      .unionByName(summarize(Versioned.readAsOf(s, srcT), "src_head"))
+  }
+
   // --- k38_checked_commit: CONSTRAINT-enforced writes — Delta's
   // CHECK/NOT NULL at the commit path: the violating batch is REFUSED
   // (no version, no orphan generation, other readers never see it),
@@ -2230,6 +2356,66 @@ object EtlOps {
         col("dice"))
   }
 
+  // --- j14_resample: GRID resampling with forward-fill — turn each
+  // user's irregular purchase series into a regular 6-hour grid
+  // carrying the last observation (the resample/ffill every time-series
+  // store exposes; j12 integrates over intervals, j13 aligns onto query
+  // points, j14 materializes the regular series downstream models
+  // consume). Per user: one partial-agg for the [first, last] bounds,
+  // sequence() explodes the grid (no cross join — each user generates
+  // only ITS points), then grid ∪ observations under ONE user_id
+  // window pass carries the last value and its age forward. Grid
+  // points before the first observation drop; values are exact
+  // decimals carried untouched (the double cast is representation,
+  // not arithmetic), staleness is exact µs BIGINT. Ties at the same
+  // µs break on (kind, event_id) in both engines. ---
+  val j14Resample = QueryDef.sql(
+    "j14_resample",
+    """WITH obs AS (SELECT user_id, event_id, epoch_us(ts) AS tu,
+      |    CAST(value AS DECIMAL(10,2)) AS v
+      |  FROM events WHERE event_type = 'purchase'),
+      |b AS (SELECT user_id, min(tu) AS t0, max(tu) AS t1 FROM obs GROUP BY user_id),
+      |grid AS (SELECT user_id, gt FROM b, LATERAL
+      |  (SELECT unnest(range(t0 - t0 % 21600000000, t1 + 1, 21600000000)) AS gt) r),
+      |pts AS (SELECT user_id, gt AS tu, 1 AS kind,
+      |    CAST(NULL AS DECIMAL(10,2)) AS v, CAST(NULL AS BIGINT) AS eid FROM grid
+      |  UNION ALL SELECT user_id, tu, 0, v, event_id FROM obs),
+      |w AS (SELECT user_id, tu, kind,
+      |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY tu, kind, eid ROWS UNBOUNDED PRECEDING) AS fv,
+      |    last_value(CASE WHEN kind = 0 THEN tu END IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY tu, kind, eid
+      |      ROWS UNBOUNDED PRECEDING) AS ot
+      |  FROM pts)
+      |SELECT user_id, tu AS grid_tu, CAST(fv AS DOUBLE) AS v_ffill,
+      |  tu - ot AS stale_us
+      |FROM w WHERE kind = 1 AND fv IS NOT NULL""".stripMargin) { (s, d) =>
+    val step = 21600000000L // 6 h in µs
+    val obs = T.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").cast("long").as("eid"),
+        unix_micros(col("ts")).as("tu"), col("value").cast("decimal(10,2)").as("v"))
+    val grid = obs.groupBy(col("user_id"))
+      .agg(min(col("tu")).as("t0"), max(col("tu")).as("t1"))
+      .select(col("user_id"),
+        explode(sequence(expr(s"t0 - t0 % ${step}L"), col("t1"), lit(step))).as("tu"))
+    val pts = grid
+      .select(col("user_id"), col("tu"), lit(1).as("kind"),
+        lit(null).cast("decimal(10,2)").as("v"), lit(null).cast("long").as("eid"))
+      .unionByName(obs.select(col("user_id"), col("tu"), lit(0).as("kind"),
+        col("v"), col("eid")))
+    val back = Window.partitionBy(col("user_id"))
+      .orderBy(col("tu"), col("kind"), col("eid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts
+      .withColumn("fv", last(col("v"), ignoreNulls = true).over(back))
+      .withColumn("ot", last(when(col("kind") === 0, col("tu")),
+        ignoreNulls = true).over(back))
+      .filter(col("kind") === 1 && col("fv").isNotNull)
+      .select(col("user_id"), col("tu").as("grid_tu"),
+        col("fv").cast("double").as("v_ffill"),
+        (col("tu") - col("ot")).as("stale_us"))
+  }
+
   // --- j13_interp_join: INTERPOLATION join — align query timestamps
   // onto an irregular reference series by LINEAR interpolation between
   // the bracketing observations (the sensor-fusion/mark-to-market
@@ -2385,7 +2571,7 @@ object EtlOps {
   }
 
   val all: Seq[QueryDef] = Seq(
-    k40BranchMerge, k41DropPartitions, k42DeleteKeys, j12TimeWeightedAvg, j13InterpJoin, er6PprlClk,
+    k40BranchMerge, k41DropPartitions, k42DeleteKeys, j12TimeWeightedAvg, j13InterpJoin, j14Resample, er6PprlClk,
     j1FirstWins, j2Flatten, j3Lookup, p2TimeWindow, p4CastValidate,
     p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff,
     j4RangeJoin, j5IntervalOverlap, j6FuzzyMatch, j7EditDistance, j8AutoRangeJoin,
@@ -2398,6 +2584,6 @@ object EtlOps {
     k22MvRewrite, k23ZorderGate, k24FullMerge, k25RetractableAgg, k26ScrubHistory,
     k28PartitionEvolution, k29ZonemapGate, k31WarehouseCompose, k32VersionDiff, k33ManifestFsck,
     k34ShallowClone, k35AsofStamp, k36BloomIndex, k37IncrementalStats,
-    k38CheckedCommit, k39GovernanceGate,
+    k38CheckedCommit, k39GovernanceGate, k43NdvStats, k44SnapshotExport,
     k27WapGate)
 }

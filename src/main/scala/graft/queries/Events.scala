@@ -1801,7 +1801,77 @@ object Events {
     "e25_chained_agg", "e26_session_window", "e31_stream_static_join",
     "e32_stream_semi_join", "e33_stream_versioned_sink",
     "e34_table_follow", "e36_stream_media_fingerprint", "e37_stream_hll",
-    "e38_stream_knn", "e39_stream_cms")
+    "e38_stream_knn", "e39_stream_cms", "e40_stream_stats_follow")
+
+  // --- e40_stream_stats_follow: STATS THAT FOLLOW THE TABLE — e33
+  // lands a stream into the store; e40 keeps the OPTIMIZER FEED current
+  // while it lands: every micro-batch upserts its rows, then refreshes
+  // StatsStore for exactly the partitions that batch touched
+  // (partition-pruned scan + dynamic overwrite of those stats rows —
+  // never a full ANALYZE), NDV registers included. The gate reads the
+  // FINAL stats table and checks it equals the full-table truth the
+  // oracle recomputes from the fixture: a refresh that missed a batch's
+  // partition, double-applied one, or carried stale registers all
+  // hash-mismatch. Replay safety is convergence (e33's argument): the
+  // upsert re-lands identical keyed rows and the refresh RECOMPUTES
+  // from the table, so a re-delivered batch changes nothing — the
+  // recompute-from-current-state shape is idempotent by construction,
+  // which is why this fold needs no ReplayGuard while IncrementalAgg's
+  // additive one does. ---
+  val e40StreamStatsFollow = QueryDef.sql(
+    "e40_stream_stats_follow",
+    s"""WITH t AS (SELECT 'p' || CAST(user_id % 4 AS VARCHAR) AS part, event_id, user_id,
+       |    CAST(value AS DECIMAL(10,2)) AS v
+       |  FROM events WHERE event_type = 'purchase'),
+       |base AS (SELECT part, CAST(count(*) AS BIGINT) AS "rows",
+       |    CAST(min(v) AS DOUBLE) AS min_v, CAST(max(v) AS DOUBLE) AS max_v,
+       |    CAST(0 AS BIGINT) AS nulls_v FROM t GROUP BY part),
+       |${graft.operators.HllSketch.sqlRegisters("t", "part", "user_id", "ureg")},
+       |per AS (${graft.operators.HllSketch.sqlEstimate("ureg", "part")})
+       |SELECT base.part, base."rows", base.min_v, base.max_v, base.nulls_v,
+       |  CAST(per.nz AS BIGINT) AS nz, per.est AS ndv_est
+       |FROM base JOIN per ON per.part = base.part""".stripMargin) { (s, d) =>
+    withStatePartitions(s, 4) {
+    import graft.operators.{StatsStore, Upsert}
+    val root = graft.Scratch.dir("e40-stats")
+    val feed = s"$root/feed"; val tbl = s"$root/table"
+    val st = s"$root/stats"; val ckpt = s"$root/ckpt"
+    T.events(s, d).filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .repartition(3) // 3 feed files → 3 micro-batches → 3 refreshes
+      .write.parquet(feed)
+    val stream = s.readStream
+      .schema("event_id BIGINT, user_id BIGINT, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val delta = batch.select(col("event_id"), col("user_id"),
+            concat(lit("p"), (col("user_id") % 4).cast("string")).as("part"),
+            col("value").cast("decimal(10,2)").as("v"))
+          Upsert.upsertParquet(s, tbl, delta, Seq("event_id"),
+            partitionBy = Seq("part"))
+          val touched = delta.select(col("part")).distinct()
+            .collect().map(_.getString(0)).toSeq // ≤ 4 values — driver-sized
+          StatsStore.refreshPartitions(s, tbl, st, "part",
+            Seq("v", "user_id"), changed = touched)
+          ()
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val stats = StatsStore.read(s, st)
+    stats
+      .join(StatsStore.ndvPerPartition(stats, "part", "user_id"), Seq("part"))
+      .select(col("part"), col("rows"),
+        col("min_v").cast("double").as("min_v"),
+        col("max_v").cast("double").as("max_v"), col("nulls_v"),
+        col("nz").cast("long").as("nz"), col("ndv_est"))
+    }
+  }
 
   // --- e36_stream_media_fingerprint: STREAMING MULTIMODAL ingest — the
   // missing cross-family cell: BINARY media payloads ride micro-batches
@@ -1990,5 +2060,5 @@ object Events {
     e25ChainedAgg, e26SessionWindow, e27SequenceMatch, e28VariantExtract,
     e29StreamFullOuter, e30Attribution, e31StreamStaticJoin, e32StreamSemiJoin,
     e33StreamVersionedSink, e34TableFollow, e36StreamMediaFingerprint,
-    e37StreamHll, e39StreamCms)
+    e37StreamHll, e39StreamCms, e40StreamStatsFollow)
 }

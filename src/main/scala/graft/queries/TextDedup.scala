@@ -532,10 +532,87 @@ object TextDedup {
           .as("dup_coverage"))
   }
 
+  // --- d14_exact_substr: SUBSTRING-level corpus self-dedup (the
+  // ExactSubstr recipe of Lee et al. 2021, "Deduplicating Training Data
+  // Makes Language Models Better") — d1 drops whole duplicate documents;
+  // this excises every token span that verbatim-repeats ACROSS documents
+  // while keeping one canonical copy. Every 5-gram occurring in ≥ 2
+  // distinct docs marks its occurrences OUTSIDE the minimal-doc_id owner
+  // as hits [i, i+4]; overlapping hits merge into maximal excision spans
+  // per doc (t36's gaps-and-islands on positions), yielding per-doc
+  // spans cut / tokens removed / kept — all exact integers. The paper
+  // builds a suffix array; the distributed equivalent is this
+  // shingle-grouped shuffle: gram hash is the ONLY shuffle key (no pair
+  // space, no suffix sort), first-owner is a partial-agg min, and the
+  // islands windows partition BY DOC — every stage linear in corpus
+  // 5-gram count, the right 100 TB shape. ---
+  val d14ExactSubstr = QueryDef.sql(
+    "d14_exact_substr",
+    s"""WITH g AS (SELECT doc_id, i AS b,
+       |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] AS s
+       |  FROM (SELECT doc_id, $sqlToks AS t FROM documents) d,
+       |  LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i) r),
+       |dup AS (SELECT s, min(doc_id) AS d0 FROM g GROUP BY s
+       |  HAVING count(DISTINCT doc_id) >= 2),
+       |hits AS (SELECT g.doc_id, g.b, g.b + 4 AS e
+       |  FROM g JOIN dup ON g.s = dup.s WHERE g.doc_id <> dup.d0),
+       |isl AS (SELECT doc_id, b, e,
+       |    CASE WHEN b > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY b
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS ns
+       |  FROM hits),
+       |grp AS (SELECT doc_id, b, e,
+       |    sum(ns) OVER (PARTITION BY doc_id ORDER BY b
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g2
+       |  FROM isl),
+       |spans AS (SELECT doc_id, g2, min(b) AS b, max(e) AS e FROM grp GROUP BY doc_id, g2),
+       |per_doc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |    CAST(sum(e - b + 1) AS BIGINT) AS tokens_removed
+       |  FROM spans GROUP BY doc_id),
+       |dl AS (SELECT doc_id, CAST(len($sqlToks) AS BIGINT) AS n_tokens FROM documents)
+       |SELECT dl.doc_id, dl.n_tokens,
+       |  coalesce(p.n_spans, 0) AS n_spans,
+       |  coalesce(p.tokens_removed, 0) AS tokens_removed,
+       |  dl.n_tokens - coalesce(p.tokens_removed, 0) AS tokens_kept,
+       |  p.doc_id IS NULL AS clean
+       |FROM dl LEFT JOIN per_doc p ON p.doc_id = dl.doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = T.documents(s, d)
+    val sh = docs.select(col("doc_id"),
+      posexplode(TextFns.shinglesRegex(col("text"), 5)).as(Seq("i0", "str")))
+      .select(col("doc_id"), (col("i0") + 1).as("b"), xxhash64(col("str")).as("h"))
+    val owners = sh.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("d0"), countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"), col("d0"))
+    val hits = sh.join(owners, Seq("h"))
+      .filter(col("doc_id") =!= col("d0"))
+      .select(col("doc_id"), col("b"), (col("b") + 4).as("e"))
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = hits
+      .withColumn("ns",
+        when(col("b") > coalesce(max(col("e")).over(wPrev), lit(-1L)), 1).otherwise(0))
+      .withColumn("g2", sum(col("ns")).over(wRun))
+      .groupBy(col("doc_id"), col("g2"))
+      .agg(min(col("b")).as("b"), max(col("e")).as("e"))
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("b") + 1).as("tokens_removed"))
+      .withColumn("hit", lit(1))
+    docs.select(col("doc_id"), size(toks).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
+        (col("n_tokens") - coalesce(col("tokens_removed"), lit(0L))).as("tokens_kept"),
+        col("hit").isNull.as("clean"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     t1TokenStats, t2QualityScore, t3LangId, t4Fingerprint, t5Profile,
     t6HashSample, t7StratifiedSample,
     d1ExactDedup, d2NgramJaccard, d3MinhashLsh, d4Simhash, d6DedupClusters,
-    d11ClusterSurvivor, d12FuzzyNameMatch, d13JaroWinklerMatch,
+    d11ClusterSurvivor, d12FuzzyNameMatch, d13JaroWinklerMatch, d14ExactSubstr,
     t13RebalanceMix, t31DupNgramCoverage)
 }

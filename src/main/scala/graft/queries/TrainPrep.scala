@@ -1874,7 +1874,61 @@ object TrainPrep {
       ((dbl("sy") - slope * dbl("sx")) / dbl("n")).as("intercept"))
   }
 
+  // --- t43_phrase_search: POSITIONAL inverted-index phrase retrieval —
+  // t28's BM25 ranks bag-of-words matches; a phrase query ("exact words
+  // in exact order") needs the index to carry positions. The posting
+  // table (term → doc, position) IS the inverted index in relational
+  // form — shuffled by term it is the layout a search engine stores —
+  // and an n-term phrase match is the n-way positional self-join:
+  // postings(w0) ⋈ postings(w1) at p+1 ⋈ postings(w2) at p+2, the
+  // standard adjacency plan. Probe phrases derive deterministically
+  // from the corpus (first trigram of every doc_id % 97 = 1 doc),
+  // broadcast to both arms. The oracle answers the same queries by
+  // DIRECT shingle scan (trigram = phrase), so the hash match proves
+  // index-based retrieval ≡ full scan — the contract that matters
+  // when the 100 TB corpus is indexed once and scanned never. ---
+  val t43PhraseSearch = QueryDef.sql(
+    "t43_phrase_search",
+    s"""WITH sh AS (SELECT doc_id, i AS b, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+       |  FROM (SELECT doc_id, $sqlToks AS t FROM documents) d,
+       |  LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) r),
+       |probes AS (SELECT DISTINCT t[1] || ' ' || t[2] || ' ' || t[3] AS phrase
+       |  FROM (SELECT $sqlToks AS t FROM documents WHERE doc_id % 97 = 1) q
+       |  WHERE len(t) >= 3)
+       |SELECT p.phrase, sh.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_matches,
+       |  CAST(min(sh.b) AS BIGINT) AS first_pos
+       |FROM sh JOIN probes p ON sh.s = p.phrase
+       |GROUP BY p.phrase, sh.doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.TextFns
+    val docs = T.documents(s, d)
+    // the positional posting table: (term, doc, position) — the
+    // inverted index in relational form, shuffled by term
+    val post = docs.select(col("doc_id"),
+      posexplode(TextFns.tokens(col("text"))).as(Seq("p0", "w")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("w"))
+    val probes = docs.filter(col("doc_id") % 97 === 1)
+      .select(TextFns.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(concat_ws(" ", col("t")(0), col("t")(1), col("t")(2)).as("phrase"),
+        col("t")(0).as("w0"), col("t")(1).as("w1"), col("t")(2).as("w2"))
+      .distinct()
+    // n-way positional adjacency join — each arm prunes by its term
+    // (probes broadcast), then aligns on (doc, position ± offset)
+    val m0 = post.join(broadcast(probes), col("w") === col("w0"))
+      .select(col("phrase"), col("w1"), col("w2"), col("doc_id"), col("p"))
+    val p1 = post.select(col("doc_id").as("d1"), col("p").as("p1"), col("w").as("x1"))
+    val p2 = post.select(col("doc_id").as("d2"), col("p").as("p2"), col("w").as("x2"))
+    m0.join(p1, col("doc_id") === col("d1") && col("p1") === col("p") + 1 &&
+        col("x1") === col("w1"))
+      .join(p2, col("doc_id") === col("d2") && col("p2") === col("p") + 2 &&
+        col("x2") === col("w2"))
+      .groupBy(col("phrase"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("p")).cast("long").as("first_pos"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    t43PhraseSearch,
     t38ZipfFit, t39BpeEncode, t40Dsir, t41NgramNovelty, t42ChatTemplate,
     t37RakeKeyphrases,
     t33CorpusPipeline, t34LengthBatching, t35BpeMerges, t36SpanDecontaminate,

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.QuantileSketch
+
+/** Deterministic mergeable quantile summary: size bound, exact weight
+  * conservation, partitioning-independence, and the n/k rank guarantee
+  * for both one-shot and merged summaries (skewed data included —
+  * md5-scatter cells see a uniform slice of any value distribution). */
+class QuantileSketchSpec extends SparkSpec {
+
+  private val B = 16
+  private val K = 32
+
+  // log-skewed values with a row-unique key, two groups of different sizes
+  private def data(n: Int) = spark.range(n).selectExpr(
+    "CASE WHEN id % 3 = 0 THEN 'x' ELSE 'y' END AS g",
+    "CAST(id AS STRING) AS k",
+    "pow(1.001, CAST(id % 9973 AS DOUBLE)) AS v")
+
+  private def summ(df: org.apache.spark.sql.DataFrame) =
+    QuantileSketch.summarize(df, Seq("g"), col("v"), col("k"), B, K)
+
+  test("summary is bounded by buckets*k per group and conserves weight exactly") {
+    val df = data(50000)
+    val s = summ(df)
+    val byG = s.groupBy("g").agg(count(lit(1)).as("rows"), sum("wt").as("w"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val truth = df.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (g, n) =>
+      val (rows, w) = byG(g)
+      assert(w === n, s"group $g: sample weights must sum to the row count")
+      assert(rows <= B.toLong * K, s"group $g: $rows samples exceeds B*K = ${B * K}")
+    }
+  }
+
+  test("summary is partitioning-independent (deterministic)") {
+    val df = data(20000)
+    val a = summ(df).collect().map(_.toString).sorted.toSeq
+    val b = summ(df.repartition(13, col("k"))).collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+  }
+
+  test("estimates land within the n/k + B rank bound, one-shot and merged") {
+    val df = data(40000)
+    val qs = Seq(0.01, 0.25, 0.5, 0.75, 0.99)
+    val oneshot = QuantileSketch.quantiles(summ(df), Seq("g"), qs)
+    val merged = QuantileSketch.quantiles(
+      QuantileSketch.merge(
+        summ(df.filter(col("k").cast("long") % 2 === 0)),
+        summ(df.filter(col("k").cast("long") % 2 === 1))),
+      Seq("g"), qs)
+    val truth = df.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def check(est: org.apache.spark.sql.DataFrame, factor: Int, tag: String): Unit =
+      est.collect().foreach { r =>
+        val (g, q, e) = (r.getString(0), r.getDouble(1), r.getDouble(2))
+        val n = truth(g)
+        val rank = df.filter(col("g") === g && col("v") <= e).count()
+        val target = math.ceil(q * n).toLong
+        val slack = factor * (n / K + B) + 2
+        assert(math.abs(rank - target) <= slack,
+          s"$tag g=$g q=$q: rank $rank vs target $target (slack $slack)")
+      }
+    check(oneshot, 1, "oneshot")
+    check(merged, 2, "merged")
+  }
+}

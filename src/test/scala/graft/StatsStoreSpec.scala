@@ -63,6 +63,55 @@ class StatsStoreSpec extends SparkSpec {
       StatsStore.read(spark, s"$root/stats2").orderBy("part").collect().map(_.toString).toSeq)
   }
 
+  test("NDV registers: incremental ≡ rebuild, merged estimate tracks truth, join sizes read off stats") {
+    val root = Files.createTempDirectory("graft-stats-ndv").toString
+    val tbl = s"$root/t"; val st = s"$root/stats"
+    // 4 partitions × 250 rows; k spans 0..499 with heavy cross-partition
+    // overlap so the merged NDV differs from the per-partition sum
+    val df = spark.range(1000)
+      .selectExpr("id", "concat('p', id % 4) AS part", "CAST(id % 500 AS LONG) AS k")
+    df.write.partitionBy("part").parquet(tbl)
+    StatsStore.rebuild(spark, tbl, st, "part", Seq("k"))
+
+    // per-partition and merged estimates land within HLL's error band
+    // (6.5% rse at m=256; assert 4 sigma)
+    val global = StatsStore.ndvGlobal(StatsStore.read(spark, st), "k")
+      .collect()(0).getDouble(1)
+    assert(math.abs(global - 500.0) / 500.0 < 0.26, s"global NDV est $global vs 500")
+    val per = StatsStore.ndvPerPartition(StatsStore.read(spark, st), "part", "k")
+      .orderBy("part").collect()
+    assert(per.length === 4)
+    per.foreach(r => assert(math.abs(r.getDouble(2) - 250.0) / 250.0 < 0.26,
+      s"partition ${r.getString(0)} NDV est ${r.getDouble(2)} vs 250"))
+
+    // mutate one partition (new k values) and refresh ONLY it:
+    // incremental stats — registers included — equal a full rebuild
+    spark.range(1000, 1100)
+      .selectExpr("id", "'p0' AS part", "CAST(id AS LONG) AS k")
+      .drop("part").toDF("id", "k")
+      .write.mode("append").parquet(s"$tbl/part=p0")
+    StatsStore.refreshPartitions(spark, tbl, st, "part", Seq("k"), Seq("p0"))
+    StatsStore.rebuild(spark, tbl, s"$root/stats2", "part", Seq("k"))
+    assert(StatsStore.read(spark, st).orderBy("part").collect().map(_.toString).toSeq ===
+      StatsStore.read(spark, s"$root/stats2").orderBy("part").collect().map(_.toString).toSeq,
+      "incremental refresh must equal rebuild INCLUDING the NDV registers")
+    // the merged estimate moved with the new distincts (500 → 600 true)
+    val global2 = StatsStore.ndvGlobal(StatsStore.read(spark, st), "k")
+      .collect()(0).getDouble(1)
+    assert(global2 > global, "new distinct values must raise the merged NDV")
+
+    // CBO consumer: |A ⋈ B| estimate off two stats stores, no table scan
+    val tblB = s"$root/tb"; val stB = s"$root/statsB"
+    spark.range(2000)
+      .selectExpr("id", "concat('q', id % 2) AS part", "CAST(id % 100 AS LONG) AS k")
+      .write.partitionBy("part").parquet(tblB)
+    StatsStore.rebuild(spark, tblB, stB, "part", Seq("k"))
+    val est = StatsStore.estimateJoinRows(spark, st, "k", stB, "k")
+    val actual = spark.read.parquet(tbl).join(spark.read.parquet(tblB), "k").count()
+    assert(est > 0 && math.abs(est - actual) / actual < 0.5,
+      s"join-size estimate $est vs actual $actual")
+  }
+
   test("commitChecked refuses violating deltas and leaves the table untouched") {
     val root = Files.createTempDirectory("graft-checked").toString
     val tbl = s"$root/t"

@@ -151,37 +151,57 @@ class StreamStateCapacitySpec extends SparkSpec {
     }
   }
 
-  test("10x keys grow custom transformWithState RocksDB state ~linearly") {
-    val small = drainCustomState(2000)
-    val big = drainCustomState(20000)
-    info(s"1x:  stateRows=${small.stateRows} stateBytes=${small.stateBytes} wallMs=${small.wallMs} out=${small.outRows}")
-    info(s"10x: stateRows=${big.stateRows} stateBytes=${big.stateBytes} wallMs=${big.wallMs} out=${big.outRows}")
-    // exactly one crossing per user at both scales
-    assert(small.outRows === 2000L && big.outRows === 20000L)
-    // one state row per user — exact linearity
-    assert(small.stateRows === 2000L && big.stateRows === 20000L)
-    assert(big.stateBytes <= 20L * small.stateBytes,
-      s"state bytes super-linear: ${small.stateBytes} -> ${big.stateBytes}")
-    assert(big.wallMs <= 25L * small.wallMs,
-      s"drain time super-linear: ${small.wallMs} ms -> ${big.wallMs} ms")
+  test("2k/20k/200k keys: custom transformWithState RocksDB state ~linear (three-point fit)") {
+    val pts = Seq(2000, 20000, 200000).map(n => n -> drainCustomState(n))
+    pts.foreach { case (n, d) =>
+      info(f"$n%6d keys: stateRows=${d.stateRows} stateBytes=${d.stateBytes} wallMs=${d.wallMs} out=${d.outRows}")
+    }
+    val Seq((_, p1), (_, p10), (_, p100)) = pts
+    // exactly one crossing and one state row per user at every scale
+    assert(p1.outRows === 2000L && p10.outRows === 20000L && p100.outRows === 200000L)
+    assert(p1.stateRows === 2000L && p10.stateRows === 20000L && p100.stateRows === 200000L)
+    // per-hop bounds (slack for per-store fixed overhead at the small point)
+    assert(p10.stateBytes <= 20L * p1.stateBytes && p100.stateBytes <= 20L * p10.stateBytes,
+      s"state bytes super-linear: ${pts.map(_._2.stateBytes).mkString(" -> ")}")
+    assert(p10.wallMs <= 25L * p1.wallMs && p100.wallMs <= 25L * p10.wallMs,
+      s"drain time super-linear: ${pts.map(_._2.wallMs).mkString(" -> ")} ms")
+    // the three-point FIT: marginal cost per key must stop growing once
+    // fixed overhead amortizes — the 10x→100x per-key slopes are the
+    // linearity evidence the 1x→10x hop alone can't give
+    val bytesPerKey10 = p10.stateBytes.toDouble / 20000
+    val bytesPerKey100 = p100.stateBytes.toDouble / 200000
+    assert(bytesPerKey100 <= 2.0 * bytesPerKey10,
+      f"per-key state bytes still growing at 100x: $bytesPerKey10%.1f -> $bytesPerKey100%.1f")
+    val wallPerKey10 = p10.wallMs.toDouble / 20000
+    val wallPerKey100 = p100.wallMs.toDouble / 200000
+    assert(wallPerKey100 <= 3.0 * wallPerKey10,
+      f"per-key drain time still growing at 100x: $wallPerKey10%.3f -> $wallPerKey100%.3f ms")
   }
 
-  test("10x keys grow join state rows, RocksDB bytes, and drain time ~linearly") {
-    val small = drainAt(2000)
-    val big = drainAt(20000)
-    info(s"1x:  stateRows=${small.stateRows} stateBytes=${small.stateBytes} wallMs=${small.wallMs} out=${small.outRows}")
-    info(s"10x: stateRows=${big.stateRows} stateBytes=${big.stateBytes} wallMs=${big.wallMs} out=${big.outRows}")
-    // correctness at both scales: matched pair + null-extended late click per user
-    assert(small.outRows === 2L * 2000 && big.outRows === 2L * 20000)
-    // state rows track keys exactly-linearly (slack for watermark bookkeeping)
-    assert(small.stateRows > 0)
-    assert(big.stateRows <= 12L * small.stateRows,
-      s"state rows super-linear: ${small.stateRows} -> ${big.stateRows}")
-    // on-disk state: linear with generous slack for per-store fixed overhead
-    assert(big.stateBytes <= 20L * small.stateBytes,
-      s"state bytes super-linear: ${small.stateBytes} -> ${big.stateBytes}")
-    // wall time: catches quadratic behavior (100x), not noise
-    assert(big.wallMs <= 25L * small.wallMs,
-      s"drain time super-linear: ${small.wallMs} ms -> ${big.wallMs} ms")
+  test("2k/20k/200k keys: join state rows, RocksDB bytes, drain time ~linear (three-point fit)") {
+    val pts = Seq(2000, 20000, 200000).map(n => n -> drainAt(n))
+    pts.foreach { case (n, d) =>
+      info(f"$n%6d keys: stateRows=${d.stateRows} stateBytes=${d.stateBytes} wallMs=${d.wallMs} out=${d.outRows}")
+    }
+    val Seq((_, p1), (_, p10), (_, p100)) = pts
+    // correctness at every scale: matched pair + null-extended late click per user
+    assert(p1.outRows === 4000L && p10.outRows === 40000L && p100.outRows === 400000L)
+    // state rows track keys (slack for watermark bookkeeping)
+    assert(p1.stateRows > 0)
+    assert(p10.stateRows <= 12L * p1.stateRows && p100.stateRows <= 12L * p10.stateRows,
+      s"state rows super-linear: ${pts.map(_._2.stateRows).mkString(" -> ")}")
+    assert(p10.stateBytes <= 20L * p1.stateBytes && p100.stateBytes <= 20L * p10.stateBytes,
+      s"state bytes super-linear: ${pts.map(_._2.stateBytes).mkString(" -> ")}")
+    assert(p10.wallMs <= 25L * p1.wallMs && p100.wallMs <= 25L * p10.wallMs,
+      s"drain time super-linear: ${pts.map(_._2.wallMs).mkString(" -> ")} ms")
+    // three-point fit: per-key marginals must flatten by the 100x point
+    val bytesPerKey10 = p10.stateBytes.toDouble / 20000
+    val bytesPerKey100 = p100.stateBytes.toDouble / 200000
+    assert(bytesPerKey100 <= 2.0 * bytesPerKey10,
+      f"per-key state bytes still growing at 100x: $bytesPerKey10%.1f -> $bytesPerKey100%.1f")
+    val wallPerKey10 = p10.wallMs.toDouble / 20000
+    val wallPerKey100 = p100.wallMs.toDouble / 200000
+    assert(wallPerKey100 <= 3.0 * wallPerKey10,
+      f"per-key drain time still growing at 100x: $wallPerKey10%.3f -> $wallPerKey100%.3f ms")
   }
 }

@@ -156,6 +156,90 @@ class VersionedSpec extends SparkSpec {
       Set((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0)))
   }
 
+  test("expire on a cloned source pins every generation the clone references") {
+    val tbl = freshTbl()
+    // three versions touching partition a — only gen 3 would survive
+    // expire(keep=1) without the clone pin
+    Versioned.commit(spark, tbl, rows(Seq((1L, "a", 1.0), (3L, "b", 3.0))), "part", Seq("id"))
+    val cloneAt = Versioned.commit(spark, tbl, rows(Seq((2L, "a", 2.0))), "part", Seq("id"))
+    val clone = freshTbl()
+    Versioned.shallowClone(spark, tbl, clone, cloneAt)
+    val cloneState = Versioned.readAsOf(spark, clone)
+      .as[(Long, String, Double)].collect().toSet
+    Versioned.commit(spark, tbl, rows(Seq((1L, "a", 10.0))), "part", Seq("id"))
+
+    Versioned.expire(spark, tbl, keep = 1)
+    // the clone still reads its exact snapshot: gens 1 (b) and 2 (a)
+    // were pinned even though no retained SOURCE manifest references
+    // gen 2's partition a
+    assert(Versioned.readAsOf(spark, clone)
+      .as[(Long, String, Double)].collect().toSet === cloneState)
+    val (_, _, missing, _) = Versioned.fsck(spark, clone)
+    assert(missing === 0L, "clone must fsck green after source-side expire")
+
+    // materialize → full independence → pin released → expire reclaims
+    Versioned.materialize(spark, clone)
+    Versioned.expire(spark, clone, keep = 1) // drop the still-shared clone v2
+    Versioned.expire(spark, tbl, keep = 1)
+    val fs = new Path(tbl).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$tbl/gen/__gen=2/__p=a")),
+      "released pin must let the source reclaim the clone's old generation")
+    // and the clone still reads its snapshot from its OWN files
+    assert(Versioned.readAsOf(spark, clone)
+      .as[(Long, String, Double)].collect().toSet === cloneState)
+  }
+
+  test("snapshot export/import round-trips a historical version and rejects a tampered bundle") {
+    val tbl = freshTbl()
+    Versioned.commit(spark, tbl,
+      rows(Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))), "part", Seq("id"))
+    Versioned.commit(spark, tbl, rows(Seq((2L, "a", 20.0), (4L, "c", 4.0))), "part", Seq("id"))
+    val root = Files.createTempDirectory("graft-export").toString
+    val bundle = s"$root/bundle"
+
+    // export the HISTORICAL v1 (not head) and re-import elsewhere
+    val (v, total) = Versioned.exportSnapshot(spark, tbl, bundle, version = 1L)
+    assert(v === 1L && total === 3L)
+    val imp = freshTbl()
+    assert(Versioned.importSnapshot(spark, bundle, imp) === 1L)
+    assert(Versioned.readAsOf(spark, imp).as[(Long, String, Double)].collect().toSet ===
+      Versioned.readAsOf(spark, tbl, 1L).as[(Long, String, Double)].collect().toSet)
+    // the imported table versions forward independently
+    Versioned.commit(spark, imp, rows(Seq((5L, "b", 5.0))), "part", Seq("id"))
+    assert(Versioned.readAsOf(spark, imp).count() === 4L)
+    val (_, _, missing, _) = Versioned.fsck(spark, imp)
+    assert(missing === 0L)
+
+    // tamper: drop a data file from one partition — import must refuse
+    // loudly, naming the partition, and leave the target a non-table
+    val fs = new Path(bundle).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aDir = new Path(s"$bundle/data/__p=a")
+    val dataFile = fs.listStatus(aDir).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).head
+    fs.delete(dataFile, false)
+    val imp2 = freshTbl()
+    val ex = intercept[IllegalArgumentException](
+      Versioned.importSnapshot(spark, bundle, imp2))
+    assert(ex.getMessage.contains("failed verification") &&
+      ex.getMessage.endsWith("a"), ex.getMessage)
+    assert(Versioned.latestVersion(spark, imp2) === 0L)
+  }
+
+  test("a deleted clone's registration is reaped and stops pinning") {
+    val tbl = freshTbl()
+    Versioned.commit(spark, tbl, rows(Seq((1L, "a", 1.0))), "part", Seq("id"))
+    Versioned.commit(spark, tbl, rows(Seq((2L, "a", 2.0))), "part", Seq("id"))
+    val clone = freshTbl()
+    Versioned.shallowClone(spark, tbl, clone)
+    Versioned.commit(spark, tbl, rows(Seq((1L, "a", 10.0))), "part", Seq("id"))
+    // drop the clone from disk entirely — the registration goes stale
+    val fs = new Path(clone).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(clone), true)
+    Versioned.expire(spark, tbl, keep = 1)
+    assert(!fs.exists(new Path(s"$tbl/gen/__gen=2/__p=a")),
+      "a deleted clone must not pin source retention")
+  }
+
   test("scrub-crash residue between scrub and expire survives expire and heals on the next scrub") {
     import graft.operators.Forget
     val tbl = freshTbl()
