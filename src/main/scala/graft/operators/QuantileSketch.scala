@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Mergeable DETERMINISTIC quantile summary — the rank-sketch
   * counterpart of [[HllSketch]]: per-group weighted sample tables with
@@ -73,6 +74,46 @@ object QuantileSketch {
     * disjoint batches union into a valid summary of the union with
     * additive rank bounds — no recompression, no history rescan. */
   def merge(a: DataFrame, b: DataFrame): DataFrame = a.unionByName(b)
+
+  /** Maintain a durable summary table at `path` from a micro-batched
+    * stream: each batch's weighted samples APPEND into the summary
+    * (merge = union — no recompression, no rescan of prior batches),
+    * under the crash-safe staged swap. Appending is ADDITIVE semantics
+    * — a replayed batch's samples would inflate every weight — so the
+    * [[ReplayGuard]] run/batch stamps are the fold's correctness
+    * (CountMin's discipline, not HllSketch's idempotent max-merge).
+    * State grows by ≤ buckets·k sample rows per group per BATCH (not
+    * per input row); a compaction pass can re-[[summarize]] the summary
+    * itself when batch count grows large. */
+  def streamingQuantileFold(
+      stream: DataFrame,
+      path: String,
+      group: Seq[String],
+      value: Column,
+      key: Column,
+      buckets: Int,
+      k: Int,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val fsPath = new org.apache.hadoop.fs.Path(path)
+        val fs = fsPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        Upsert.recoverSwap(fs, path)
+        val run = ReplayGuard.runId(fs, checkpoint)
+        ReplayGuard.assertOwnership(fs, path, run, fs.exists(fsPath))
+        val summ = summarize(batch, group, value, key, buckets, k)
+        if (!fs.exists(fsPath))
+          ReplayGuard.stamp(summ, run, batchId)
+            .write.mode(SaveMode.Overwrite).parquet(path)
+        else if (!ReplayGuard.isReplay(s.read.parquet(path), run, batchId))
+          Upsert.stagedRewrite(s, path)(base =>
+            ReplayGuard.stamp(
+              merge(ReplayGuard.strip(base), summ), run, batchId))
+        ()
+      }
+      .start()
 
   /** Per-group quantile estimates off a summary: for each q in `qs`,
     * the smallest sample value whose VALUE-cumulative weight reaches

@@ -1435,6 +1435,75 @@ object EtlOps {
     per.unionByName(glob).unionByName(joinRow)
   }
 
+  // --- k46_join_advisor: STATS-DRIVEN join ordering — the planning
+  // loop closed end-to-end: k37 maintains per-partition stats
+  // incrementally, k43 carries mergeable HLL NDV registers in them,
+  // and k46 makes a PLANNING DECISION from nothing but those stats
+  // rows (operators.JoinAdvisor): rank the two candidate first joins
+  // of the lineitem–orders–customer chain by |A|·|B| / max(ndv) —
+  // Selinger's estimate off an incrementally-maintained ANALYZE, no
+  // planning-time scan. Registers are md5-deterministic, so the
+  // estimates AND the chosen order reproduce bit-for-bit in the
+  // oracle's SQL recomputation; actual join counts ride along to show
+  // the estimate's ranking is right for the right reason (orders⋈
+  // customer is genuinely the smaller first join). Ties break by
+  // label on both sides. ---
+  val k46JoinAdvisor = QueryDef.sql(
+    "k46_join_advisor",
+    s"""WITH ${graft.operators.HllSketch.sqlRegisters("lineitem", "1 AS g", "l_orderkey", "lreg")},
+       |le AS (${graft.operators.HllSketch.sqlEstimate("lreg", "g")}),
+       |${graft.operators.HllSketch.sqlRegisters("orders", "1 AS g", "o_orderkey", "okreg")},
+       |oke AS (${graft.operators.HllSketch.sqlEstimate("okreg", "g")}),
+       |${graft.operators.HllSketch.sqlRegisters("orders", "1 AS g", "o_custkey", "ckreg")},
+       |cke AS (${graft.operators.HllSketch.sqlEstimate("ckreg", "g")}),
+       |${graft.operators.HllSketch.sqlRegisters("customer", "1 AS g", "c_custkey", "creg")},
+       |ce AS (${graft.operators.HllSketch.sqlEstimate("creg", "g")}),
+       |n AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM lineitem) AS rl,
+       |             (SELECT CAST(count(*) AS DOUBLE) FROM orders) AS ro,
+       |             (SELECT CAST(count(*) AS DOUBLE) FROM customer) AS rc),
+       |est AS (SELECT rl * ro / greatest(le.est, oke.est) AS e_lo,
+       |    ro * rc / greatest(cke.est, ce.est) AS e_oc
+       |  FROM n, le, oke, cke, ce),
+       |act AS (SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem JOIN orders ON l_orderkey = o_orderkey) AS a_lo,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM orders JOIN customer ON o_custkey = c_custkey) AS a_oc)
+       |SELECT 'L_join_O' AS candidate, e_lo AS est_rows, a_lo AS actual_rows,
+       |  e_lo <= e_oc AS chosen FROM est, act
+       |UNION ALL
+       |SELECT 'O_join_C', e_oc, a_oc, e_oc < e_lo FROM est, act""".stripMargin) { (s, d) =>
+    import graft.operators.{JoinAdvisor, StatsStore}
+    import JoinAdvisor.{Candidate, Rel}
+    val root = graft.Scratch.dir("k46-adv")
+    val lTbl = s"$root/l"; val lSt = s"$root/l_stats"
+    val oTbl = s"$root/o"; val oSt = s"$root/o_stats"
+    val cTbl = s"$root/c"; val cSt = s"$root/c_stats"
+    T.lineitem(s, d).select(col("l_returnflag").as("rf"), col("l_orderkey").as("lok"))
+      .write.partitionBy("rf").parquet(lTbl)
+    StatsStore.rebuild(s, lTbl, lSt, "rf", Seq("lok"))
+    T.orders(s, d).select(col("o_orderstatus").as("st"),
+        col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+      .write.partitionBy("st").parquet(oTbl)
+    StatsStore.rebuild(s, oTbl, oSt, "st", Seq("ok", "ck"))
+    T.customer(s, d).select(col("c_mktsegment").as("seg"), col("c_custkey").as("cck"))
+      .write.partitionBy("seg").parquet(cTbl)
+    StatsStore.rebuild(s, cTbl, cSt, "seg", Seq("cck"))
+    val ranked = JoinAdvisor.rank(s, Seq(
+      Candidate("L_join_O", Rel("L", lSt), "lok", Rel("O", oSt), "ok"),
+      Candidate("O_join_C", Rel("O", oSt), "ck", Rel("C", cSt), "cck")))
+    val chosen = ranked.head._1
+    val aLo = T.lineitem(s, d).select(col("l_orderkey"))
+      .join(T.orders(s, d).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey")).count()
+    val aOc = T.orders(s, d).select(col("o_custkey"))
+      .join(T.customer(s, d).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey")).count()
+    val actual = Map("L_join_O" -> aLo, "O_join_C" -> aOc)
+    import s.implicits._
+    ranked.map { case (label, est) =>
+      (label, est, actual(label), label == chosen)
+    }.toDF("candidate", "est_rows", "actual_rows", "chosen")
+  }
+
   // --- k44_snapshot_export: PORTABLE snapshot export/import
   // (Versioned.exportSnapshot/importSnapshot) — the cold-archive /
   // cross-cluster migration path Delta answers with DEEP CLONE: version
@@ -2570,7 +2639,68 @@ object EtlOps {
       .select(col("k"), col("st"), col("p").cast("double").as("p"), col("origin"))
   }
 
+  // --- k45_key_history: PER-KEY CHANGE HISTORY across retained
+  // versions — the row-level audit trail beside k32's version-level
+  // diff ("what happened to THIS key?"): three commits land (base,
+  // status flip for %7 keys, price bump for %5 keys), then the history
+  // reconstructs by reading every retained version AS OF, tagging it,
+  // and keeping exactly the rows where the key's payload CHANGED vs its
+  // previous version (first appearance counts) — an SCD2-shaped record
+  // derived from the version store itself, no change capture needed at
+  // write time. Output restricted to the %10 key sample to keep the
+  // audit delta-sized. Scale: each AS-OF read is manifest-resolved;
+  // the change detection is one window over (key, version) on the
+  // key-sampled union — versions × sample rows, never table² — and the
+  // lag compares only the tracked payload columns. Oracle derives all
+  // three versions' payloads analytically from the fixture arithmetic. ---
+  val k45KeyHistory = QueryDef.sql(
+    "k45_key_history",
+    """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(o_totalprice AS DOUBLE) AS pr
+      |  FROM orders WHERE o_orderkey % 10 = 0),
+      |v1 AS (SELECT k, 1 AS version, st, pr FROM base),
+      |v2 AS (SELECT k, 2, 'X', pr FROM base WHERE k % 7 = 0),
+      |v3 AS (SELECT k, 3, CASE WHEN k % 7 = 0 THEN 'X' ELSE st END,
+      |    pr + 10.0 FROM base WHERE k % 5 = 0)
+      |SELECT k AS o_orderkey, version, st AS o_orderstatus, pr AS price
+      |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3)""".stripMargin) {
+    (s, d) =>
+    import graft.operators.Versioned
+    import org.apache.spark.sql.expressions.Window
+    val root = graft.Scratch.dir("k45-khist")
+    val tbl = s"$root/orders_v"
+    val base = T.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderstatus"), col("o_totalprice"))
+    Versioned.commit(s, tbl, base, "o_orderpriority", Seq("o_orderkey"))
+    Versioned.commit(s, tbl,
+      base.filter(col("o_orderkey") % 7 === 0).withColumn("o_orderstatus", lit("X")),
+      "o_orderpriority", Seq("o_orderkey"))
+    Versioned.commit(s, tbl,
+      base.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 7 === 0, lit("X")).otherwise(col("o_orderstatus")))
+        .withColumn("o_totalprice", col("o_totalprice") + 10.0),
+      "o_orderpriority", Seq("o_orderkey"))
+    val latest = Versioned.latestVersion(s, tbl)
+    val tagged = (1 to latest.toInt).map { v =>
+      Versioned.readAsOf(s, tbl, v)
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit(v).as("version"),
+          col("o_orderstatus"), col("o_totalprice").cast("double").as("price"))
+    }.reduce(_.unionByName(_))
+    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("version"))
+    tagged
+      .withColumn("p_st", lag(col("o_orderstatus"), 1).over(w))
+      .withColumn("p_pr", lag(col("price"), 1).over(w))
+      .filter(col("p_st").isNull ||
+        col("o_orderstatus") =!= col("p_st") || col("price") =!= col("p_pr"))
+      .select(col("o_orderkey"), col("version"),
+        col("o_orderstatus"), col("price"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    k45KeyHistory,
     k40BranchMerge, k41DropPartitions, k42DeleteKeys, j12TimeWeightedAvg, j13InterpJoin, j14Resample, er6PprlClk,
     j1FirstWins, j2Flatten, j3Lookup, p2TimeWindow, p4CastValidate,
     p10DefaultsConcat, k1UpsertMerge, k7Scd2, k8IncrAgg, k9SnapshotDiff,
@@ -2585,5 +2715,6 @@ object EtlOps {
     k28PartitionEvolution, k29ZonemapGate, k31WarehouseCompose, k32VersionDiff, k33ManifestFsck,
     k34ShallowClone, k35AsofStamp, k36BloomIndex, k37IncrementalStats,
     k38CheckedCommit, k39GovernanceGate, k43NdvStats, k44SnapshotExport,
+    k46JoinAdvisor,
     k27WapGate)
 }

@@ -1801,7 +1801,8 @@ object Events {
     "e25_chained_agg", "e26_session_window", "e31_stream_static_join",
     "e32_stream_semi_join", "e33_stream_versioned_sink",
     "e34_table_follow", "e36_stream_media_fingerprint", "e37_stream_hll",
-    "e38_stream_knn", "e39_stream_cms", "e40_stream_stats_follow")
+    "e38_stream_knn", "e39_stream_cms", "e40_stream_stats_follow",
+    "e41_stream_quantile")
 
   // --- e40_stream_stats_follow: STATS THAT FOLLOW THE TABLE — e33
   // lands a stream into the store; e40 keeps the OPTIMIZER FEED current
@@ -2049,6 +2050,100 @@ object Events {
     }
   }
 
+  // --- e41_stream_quantile: streaming RANK state — the mergeable
+  // deterministic quantile summary (operators.QuantileSketch) folded
+  // from a real micro-batched stream, completing the streaming-sketch
+  // triad: e37 distincts (max-merge, idempotent), e39 frequencies
+  // (additive counters), e41 ranks (additive SAMPLES — merge = union,
+  // so a replayed batch would inflate every weight; ReplayGuard's
+  // run/batch stamps are the fold's correctness, CMS's discipline).
+  // The feed lands in two single-file appends (event_id parity) with
+  // maxFilesPerTrigger=1, so the micro-batch cohorts are exactly the
+  // parity classes and the oracle reproduces the LANDED state
+  // bit-for-bit: the union of the two per-cohort summaries (a60's
+  // "merged" algebra with half = event_id % 2). Estimates read off the
+  // landed summary join their EXACT ranks back from the base table,
+  // and within_bound re-derives the additive two-part rank guarantee.
+  // Scale: state is ≤ buckets·k sample rows per (event_type, batch) —
+  // value-cardinality-independent; each micro-batch pays one
+  // (group × cell) shuffle of ITS rows only. ---
+  private val e41B = 32
+  private val e41K = 64
+
+  val e41StreamQuantile = QueryDef.sql(
+    "e41_stream_quantile", {
+      val hx = "md5(CAST(event_id AS VARCHAR))"
+      val hexOf = "instr('0123456789abcdef', %s) - 1"
+      s"""WITH base AS (SELECT event_type, CAST(value AS DOUBLE) AS v,
+         |    ((${hexOf.format(s"substr($hx,1,1)")}) * 16 + ${hexOf.format(s"substr($hx,2,1)")}) % $e41B AS b,
+         |    event_id % 2 AS half
+         |  FROM events WHERE value IS NOT NULL),
+         |s AS (SELECT event_type, v,
+         |    row_number() OVER (PARTITION BY event_type, b, half ORDER BY v) AS rn,
+         |    count(*) OVER (PARTITION BY event_type, b, half) AS cnt FROM base),
+         |u AS (SELECT *, (cnt + ${e41K - 1}) // $e41K AS stride FROM s),
+         |samp AS (SELECT event_type, v,
+         |    CASE WHEN rn % stride = 0 THEN stride ELSE cnt % stride END AS wt
+         |  FROM u WHERE rn % stride = 0 OR (rn = cnt AND cnt % stride <> 0)),
+         |g AS (SELECT event_type, v, CAST(sum(wt) AS BIGINT) AS wt FROM samp GROUP BY ALL),
+         |cum AS (SELECT event_type, v,
+         |    sum(wt) OVER (PARTITION BY event_type ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw
+         |  FROM g),
+         |tot AS (SELECT event_type, CAST(sum(wt) AS BIGINT) AS tot FROM g GROUP BY ALL),
+         |qs AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+         |    CAST(0.75 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS q),
+         |tg AS (SELECT event_type, q, tot,
+         |    CAST(ceil(q * CAST(tot AS DOUBLE)) AS BIGINT) AS t FROM tot, qs),
+         |est AS (SELECT tg.event_type, tg.q, tg.tot AS n, tg.t, min(cum.v) AS est
+         |  FROM tg JOIN cum ON cum.event_type = tg.event_type
+         |  WHERE cum.cw >= tg.t GROUP BY ALL),
+         |rk AS (SELECT e.event_type, q, est, n, t,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM base WHERE base.event_type = e.event_type AND base.v <= e.est) AS exact_rank
+         |  FROM est e)
+         |SELECT event_type, q, est, exact_rank, n,
+         |  abs(exact_rank - t) <= ((4 * n) // $e41K + ${2 * e41B + 2}) AS within_bound
+         |FROM rk""".stripMargin
+    }) { (s, d) =>
+    withStatePartitions(s, 4) {
+    import graft.operators.{QuantileSketch, ReplayGuard}
+    val root = graft.Scratch.dir("e41-qsk")
+    val feed = s"$root/feed"; val summ = s"$root/summ"; val ckpt = s"$root/ckpt"
+    val ev = T.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value"))
+    // two single-file appends → deterministic micro-batch cohorts
+    ev.filter(col("event_id") % 2 === 0)
+      .coalesce(1).write.parquet(feed)
+    val stream = s.readStream
+      .schema("event_id BIGINT, event_type STRING, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed)
+    val q = QuantileSketch.streamingQuantileFold(
+      stream, summ, Seq("event_type"), col("value"), col("event_id"),
+      e41B, e41K, ckpt)
+    q.processAllAvailable()
+    ev.filter(col("event_id") % 2 =!= 0)
+      .coalesce(1).write.mode("append").parquet(feed)
+    q.processAllAvailable()
+    q.stop()
+    val landed = ReplayGuard.strip(s.read.parquet(summ))
+      .select(col("event_type"), col("v"), col("wt"))
+    val qs = Seq(0.25, 0.5, 0.75, 0.9)
+    val ests = QuantileSketch.quantiles(landed, Seq("event_type"), qs)
+    val base = ev.select(col("event_type"), col("value").cast("double").as("v"))
+    val n = base.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val ranks = base.join(broadcast(ests), Seq("event_type"))
+      .filter(col("v") <= col("est"))
+      .groupBy(col("event_type"), col("q"), col("est"))
+      .agg(count(lit(1)).as("exact_rank"))
+    ranks.join(n, Seq("event_type"))
+      .withColumn("t", ceil(col("q") * col("n").cast("double")).cast("long"))
+      .select(col("event_type"), col("q"), col("est"),
+        col("exact_rank"), col("n"),
+        (abs(col("exact_rank") - col("t")) <=
+          expr(s"(4 * n) div $e41K + ${2 * e41B + 2}")).as("within_bound"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
     e4cAsofForward, e4dAsofSql, e4eAsofTolerance,
@@ -2060,5 +2155,5 @@ object Events {
     e25ChainedAgg, e26SessionWindow, e27SequenceMatch, e28VariantExtract,
     e29StreamFullOuter, e30Attribution, e31StreamStaticJoin, e32StreamSemiJoin,
     e33StreamVersionedSink, e34TableFollow, e36StreamMediaFingerprint,
-    e37StreamHll, e39StreamCms, e40StreamStatsFollow)
+    e37StreamHll, e39StreamCms, e40StreamStatsFollow, e41StreamQuantile)
 }

@@ -2433,7 +2433,86 @@ object Extras {
         exp(log(col("rr")) + lit(1.96) * col("se")).as("rr_ci_hi"))
   }
 
+  // --- a61_spearman: Spearman rank correlation per returnflag between
+  // quantity and discount — the rank-based member completing the
+  // correlation family (a27 Pearson, a52 partial, a53 Kendall). Ties
+  // get AVERAGE ranks; to keep every sufficient statistic an exact
+  // integer the query works with DOUBLED ranks R = 2·avg_rank =
+  // 2·cum_count − tie_count + 1 (always integral; Pearson is
+  // scale-invariant, so corr(Rx, Ry) IS Spearman's ρ). Scale shape:
+  // both variables have bounded domains (~50 quantities, 11 discounts),
+  // so the rank tables are tiny per-group value aggregates — cumulative
+  // windows run PER GROUP over value-domain-sized frames (a21's
+  // discipline, never a partition-less window), rows pick up their
+  // ranks via two broadcast joins, and the five sufficient sums are one
+  // partial-aggregated pass, exact DECIMAL until the single closed-form
+  // double division. ---
+  val a61Spearman = QueryDef.sql(
+    "a61_spearman",
+    """WITH vx AS (SELECT l_returnflag AS g, l_quantity AS v, count(*) AS c
+      |  FROM lineitem GROUP BY ALL),
+      |rx AS (SELECT g, v,
+      |    2 * CAST(sum(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) - c + 1 AS r
+      |  FROM vx),
+      |vy AS (SELECT l_returnflag AS g, l_discount AS v, count(*) AS c
+      |  FROM lineitem GROUP BY ALL),
+      |ry AS (SELECT g, v,
+      |    2 * CAST(sum(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) - c + 1 AS r
+      |  FROM vy),
+      |rows_r AS (SELECT l.l_returnflag AS g,
+      |    rx.r AS x, ry.r AS y
+      |  FROM lineitem l
+      |  JOIN rx ON rx.g = l.l_returnflag AND rx.v = l.l_quantity
+      |  JOIN ry ON ry.g = l.l_returnflag AND ry.v = l.l_discount),
+      |s AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+      |    CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+      |    CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxx,
+      |    CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS syy,
+      |    CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0))) AS DECIMAL(38,0)) AS sxy
+      |  FROM rows_r GROUP BY g)
+      |SELECT g AS l_returnflag, n,
+      |  (CAST(n AS DOUBLE) * CAST(CAST(sxy AS VARCHAR) AS DOUBLE)
+      |     - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE)) /
+      |  (sqrt(CAST(n AS DOUBLE) * CAST(CAST(sxx AS VARCHAR) AS DOUBLE)
+      |     - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE)) *
+      |   sqrt(CAST(n AS DOUBLE) * CAST(CAST(syy AS VARCHAR) AS DOUBLE)
+      |     - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE))) AS spearman_rho
+      |FROM s""".stripMargin) { (s, d) =>
+    val li = T.lineitem(s, d)
+      .select(col("l_returnflag").as("g"), col("l_quantity").as("xv"),
+        col("l_discount").as("yv"))
+    def rankTable(valueCol: String): DataFrame = {
+      val vc = li.groupBy(col("g"), col(valueCol).as("v"))
+        .agg(count(lit(1)).as("c"))
+      vc.withColumn("cc",
+          sum(col("c")).over(Window.partitionBy(col("g")).orderBy(col("v"))))
+        .select(col("g"), col("v"),
+          (lit(2L) * col("cc") - col("c") + 1L).as("r"))
+    }
+    val rx = rankTable("xv").withColumnRenamed("v", "xv").withColumnRenamed("r", "x")
+    val ry = rankTable("yv").withColumnRenamed("v", "yv").withColumnRenamed("r", "y")
+    val ranked = li
+      .join(broadcast(rx), Seq("g", "xv"))
+      .join(broadcast(ry), Seq("g", "yv"))
+    val dec = "DECIMAL(19,0)"
+    val st = ranked.groupBy(col("g")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast("decimal(38,0)")).cast("decimal(38,0)").as("sx"),
+      sum(col("y").cast("decimal(38,0)")).cast("decimal(38,0)").as("sy"),
+      sum(expr(s"CAST(x AS $dec) * CAST(x AS $dec)")).cast("decimal(38,0)").as("sxx"),
+      sum(expr(s"CAST(y AS $dec) * CAST(y AS $dec)")).cast("decimal(38,0)").as("syy"),
+      sum(expr(s"CAST(x AS $dec) * CAST(y AS $dec)")).cast("decimal(38,0)").as("sxy"))
+    def dd(c: String) = expr(s"CAST(CAST($c AS STRING) AS DOUBLE)")
+    val nd = col("n").cast("double")
+    st.select(col("g").as("l_returnflag"), col("n"),
+      ((nd * dd("sxy") - dd("sx") * dd("sy")) /
+        (sqrt(nd * dd("sxx") - dd("sx") * dd("sx")) *
+          sqrt(nd * dd("syy") - dd("sy") * dd("sy")))).as("spearman_rho"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    a61Spearman,
     a55FdrBh, a56KaplanMeier, a57Wasserstein, a58Cuped, a59RelativeRisk,
     a44QuantileNormalize,
     a13Cube, a14Pivot, sql1SharedDialect, v4KnnFast, a15ApproxSketch,

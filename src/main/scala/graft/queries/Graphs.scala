@@ -1123,7 +1123,68 @@ object Graphs {
     }
   }
 
+  // --- g21_temporal_reach: TIME-RESPECTING reachability — the temporal
+  // graph member of the family: an edge is traversable only at or after
+  // the time you ARRIVE at its source, so reach is "who could the
+  // information have flowed to", not static connectivity (a static BFS
+  // over the same edges overcounts by ignoring edge order). Substrate:
+  // per-part purchase CHAINS — each part's orders sorted by
+  // (orderdate, orderkey), customer i linked to the NEXT purchaser of
+  // the same part at that purchase's date (|it| edges, never the
+  // per-part clique). Seeds (custkey % 97) start at their own earliest
+  // order; three rounds propagate earliest ARRIVAL time: arrival(dst) =
+  // min over in-edges with t ≥ arrival(src) of t — the min-merge makes
+  // rounds idempotent and order-independent. Scale: rounds are staged
+  // equi-joins on src + partial-agg min (RoundChain frees superseded
+  // rounds); the time predicate rides the hash join as a residual,
+  // never a range-only join. Oracle unrolls the three rounds with
+  // MATERIALIZED CTEs. ---
+  val g21TemporalReach = QueryDef.sql(
+    "g21_temporal_reach", {
+      def round(prev: String, k: Int): String =
+        s"""r$k AS MATERIALIZED (SELECT id, min(arr) AS arr FROM (
+           |  SELECT id, arr FROM $prev
+           |  UNION ALL
+           |  SELECT e.dst AS id, e.t AS arr
+           |  FROM edges e JOIN $prev p ON p.id = e.src AND e.t >= p.arr)
+           |GROUP BY id)""".stripMargin
+      s"""WITH it AS (SELECT DISTINCT l_partkey AS p, o_custkey AS c,
+         |    o_orderdate AS dt, o_orderkey AS ok
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |ch AS (SELECT c AS src,
+         |    lead(c) OVER (PARTITION BY p ORDER BY dt, ok) AS dst,
+         |    lead(dt) OVER (PARTITION BY p ORDER BY dt, ok) AS t
+         |  FROM it),
+         |edges AS (SELECT src, dst, t FROM ch WHERE dst IS NOT NULL AND src <> dst),
+         |l0 AS (SELECT c AS id, min(dt) AS arr FROM it WHERE c % 97 = 0 GROUP BY c),
+         |${round("l0", 1)},
+         |${round("r1", 2)},
+         |${round("r2", 3)}
+         |SELECT id AS cust_id, arr AS arrival FROM r3""".stripMargin
+    }) { (s, d) =>
+    val stage = graft.Scratch.dir("g21-treach")
+    val it = T.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      .join(T.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey").as("p"), col("o_custkey").as("c"),
+        col("o_orderdate").as("dt"), col("o_orderkey").as("ok"))
+      .distinct()
+    val w = Window.partitionBy(col("p")).orderBy(col("dt"), col("ok"))
+    // landed once: every round reads the parquet, not the join lineage
+    it.select(col("c").as("src"),
+        lead(col("c"), 1).over(w).as("dst"),
+        lead(col("dt"), 1).over(w).as("t"))
+      .filter(col("dst").isNotNull && col("src") =!= col("dst"))
+      .write.mode("overwrite").parquet(s"$stage/edges")
+    val edges = s.read.parquet(s"$stage/edges")
+    val seeds = it.filter(col("c") % 97 === 0)
+      .groupBy(col("c").as("id")).agg(min(col("dt")).as("arr"))
+    graft.operators.TemporalReach.earliestArrival(edges, seeds, rounds = 3, stage)
+      .select(col("id").as("cust_id"), col("arr").as("arrival"))
+  }
+
   val all: Seq[QueryDef] = Seq(
+    g21TemporalReach,
     g1Pagerank, g2TriangleCount, g3LabelProp, g4ShortestPath, g5Assortativity,
     g6LinkPredict, g7NeighborhoodJaccard, g8KCore, g9PersonalizedPr, g10Hits,
     g11CheapestPath, g12Modularity, g13RandomWalks, g14HarmonicCentrality,

@@ -66,4 +66,33 @@ class QuantileSketchSpec extends SparkSpec {
     check(oneshot, 1, "oneshot")
     check(merged, 2, "merged")
   }
+
+  test("streaming fold lands exactly the union of per-batch summaries") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-qfold").toString
+    val feed = s"$root/feed"; val summPath = s"$root/summ"; val ckpt = s"$root/ckpt"
+    val df = data(30000).withColumn("idl", col("k").cast("long"))
+    // two single-file appends -> two micro-batch cohorts (id parity)
+    df.filter(col("idl") % 2 === 0).drop("idl").coalesce(1).write.parquet(feed)
+    val stream = spark.readStream
+      .schema("g STRING, k STRING, v DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed)
+    val q = QuantileSketch.streamingQuantileFold(
+      stream, summPath, Seq("g"), col("v"), col("k"), B, K, ckpt)
+    q.processAllAvailable()
+    df.filter(col("idl") % 2 === 1).drop("idl").coalesce(1)
+      .write.mode("append").parquet(feed)
+    q.processAllAvailable()
+    q.stop()
+    val landed = graft.operators.ReplayGuard.strip(spark.read.parquet(summPath))
+      .select(col("g"), col("v"), col("wt"))
+      .collect().map(_.toString).sorted.toSeq
+    val expected = QuantileSketch.merge(
+        summ(df.filter(col("idl") % 2 === 0).drop("idl")),
+        summ(df.filter(col("idl") % 2 === 1).drop("idl")))
+      .collect().map(_.toString).sorted.toSeq
+    assert(landed === expected,
+      "streamed summary must equal the union of the two cohort summaries")
+  }
 }
