@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** CROSS-TABLE atomic transactions over [[Versioned]] tables — the
+  * multi-table guarantee single-table manifest formats punt on (Delta
+  * and Iceberg commit one table at a time; a ledger and its summary
+  * can drift forever in the crash window between two commits). Classic
+  * presumed-abort two-phase commit with the transaction directory as
+  * the coordinator log:
+  *
+  *   PREPARE  every table's next version slot is LOCKED via the same
+  *            create-exclusive reservation commitCas uses (concurrent
+  *            writers queue behind it), the delta is staged durably
+  *            under the txn dir, and an intent record (table, keys,
+  *            reserved version, staged path) is written.
+  *   COMMIT   one create-exclusive `_COMMIT` marker — THE atomic
+  *            decision point. Before it exists the transaction is
+  *            presumed aborted; after, its outcome is commit at every
+  *            table, no matter what crashes.
+  *   APPLY    each intent lands through Versioned's ordinary commit
+  *            machinery at its RESERVED version. Idempotent: an intent
+  *            whose manifest version already exists is skipped, so
+  *            [[recover]] can re-drive apply after any crash.
+  *
+  * [[recover]] is the whole crash story: `_COMMIT` present → roll
+  * FORWARD (finish the unapplied intents); absent → roll BACK (release
+  * the reservations, drop the staged deltas — nothing ever became
+  * visible). Readers wanting a cross-table-consistent snapshot read
+  * each table AS OF the versions [[versions]] reports for a completed
+  * transaction.
+  *
+  * Scale shape: prepare stages each delta once (delta-sized I/O);
+  * apply is Versioned's O(delta) partition-localized commit; the
+  * coordinator log is a handful of driver-written marker files. Locks
+  * are held from prepare to apply — keep transactions short, as on any
+  * MVCC store.
+  */
+object Txn {
+
+  /** One table write inside a transaction. */
+  final case class Write(table: String, delta: DataFrame, partCol: String, keys: Seq[String])
+
+  private def commitMarker(dir: String) = new Path(dir, "_COMMIT")
+  private def doneMarker(dir: String) = new Path(dir, "_DONE")
+  private def abortMarker(dir: String) = new Path(dir, "_ABORTED")
+  private def intentPath(dir: String, i: Int) = new Path(dir, s"intent-$i")
+  private def deltaPath(dir: String, i: Int) = s"$dir/delta-$i"
+
+  private def fsOf(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private final case class Intent(
+      table: String, partCol: String, keys: Seq[String], version: Long, delta: String)
+
+  // intent record: one field per line (paths/columns never hold \n);
+  // table + version lead so even a truncated record still identifies
+  // the reservation rollback must release. Written TWICE per write:
+  // a minimal (table, version) record the instant the slot is claimed
+  // — so a failure anywhere in staging still releases the lock — then
+  // the full record once the delta is durably staged.
+  private def writeIntent(
+      spark: SparkSession, dir: String, i: Int, fields: String, overwrite: Boolean): Unit = {
+    val fs = fsOf(spark, dir)
+    val out = fs.create(intentPath(dir, i), overwrite)
+    try out.write(fields.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readIntentFields(spark: SparkSession, dir: String): Seq[Map[String, String]] = {
+    val fs = fsOf(spark, dir)
+    fs.listStatus(new Path(dir)).toSeq
+      .filter(_.getPath.getName.startsWith("intent-"))
+      .sortBy(_.getPath.getName.stripPrefix("intent-").toInt)
+      .map { st =>
+        val buf = new Array[Byte](st.getLen.toInt)
+        val in = fs.open(st.getPath)
+        try in.readFully(0, buf) finally in.close()
+        new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+          .linesIterator.filter(_.contains("="))
+          .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }.toMap
+      }
+  }
+
+  private def readIntents(spark: SparkSession, dir: String): Seq[Intent] =
+    readIntentFields(spark, dir).map { kv =>
+      Intent(kv("table"), kv("partCol"),
+        kv("keys").split(",").toSeq.filter(_.nonEmpty), kv("version").toLong, kv("delta"))
+    }
+
+  /** Run `writes` as one atomic transaction coordinated through
+    * `dir` (a fresh directory, e.g. `Scratch.dir("txn")`). Returns the
+    * committed (table → version) map. Tables must be distinct. On any
+    * prepare failure the transaction rolls back (reservations
+    * released); once the `_COMMIT` marker lands, the outcome is commit
+    * everywhere — a crash mid-apply is finished by [[recover]]. */
+  def run(spark: SparkSession, dir: String, writes: Seq[Write]): Map[String, Long] = {
+    require(writes.map(_.table).distinct.size == writes.size,
+      "one write per table per transaction")
+    val fs = fsOf(spark, dir)
+    fs.mkdirs(new Path(dir))
+    // PREPARE — lock slots in sorted-table order (deadlock-free against
+    // any other transaction locking the same tables)
+    val prepared =
+      try writes.sortBy(_.table).zipWithIndex.map { case (w, i) =>
+        val v = Versioned.reserveVersion(spark, w.table)
+        // lock recorded BEFORE staging: if the delta fails to
+        // materialize, rollback still finds and releases this slot
+        writeIntent(spark, dir, i, s"table=${w.table}\nversion=$v\n", overwrite = false)
+        val dp = deltaPath(dir, i)
+        w.delta.write.parquet(dp)
+        writeIntent(spark, dir, i,
+          s"table=${w.table}\nversion=$v\npartCol=${w.partCol}\n" +
+            s"keys=${w.keys.mkString(",")}\ndelta=$dp\n", overwrite = true)
+        Intent(w.table, w.partCol, w.keys, v, dp)
+      }
+      catch { case e: Throwable => rollback(spark, dir); throw e }
+    // COMMIT POINT — create-exclusive marker; fails if dir was reused
+    if (!Publish.claimExclusive(fs, commitMarker(dir))) {
+      rollback(spark, dir)
+      throw new IllegalStateException(s"$dir already holds a _COMMIT marker — " +
+        "transaction directories are single-use")
+    }
+    applyIntents(spark, dir, prepared)
+    prepared.map(in => in.table -> in.version).toMap
+  }
+
+  /** Finish or discard an interrupted transaction: `_COMMIT` present →
+    * roll forward (apply every intent not yet at its version) and
+    * return "forward"; absent → roll back (release reservations, drop
+    * staged state) and return "rolledback"; `_DONE` already present →
+    * "noop". Safe to call repeatedly and on live directories of
+    * CRASHED coordinators only — it re-drives their decision. */
+  def recover(spark: SparkSession, dir: String): String = {
+    val fs = fsOf(spark, dir)
+    if (fs.exists(doneMarker(dir))) "noop"
+    else if (fs.exists(commitMarker(dir))) {
+      applyIntents(spark, dir, readIntents(spark, dir)); "forward"
+    } else { rollback(spark, dir); "rolledback" }
+  }
+
+  /** The (table → version) map a completed transaction committed —
+    * the cross-table-consistent snapshot readers should AS-OF. */
+  def versions(spark: SparkSession, dir: String): Map[String, Long] =
+    readIntents(spark, dir).map(in => in.table -> in.version).toMap
+
+  private def applyIntents(spark: SparkSession, dir: String, intents: Seq[Intent]): Unit = {
+    val fs = fsOf(spark, dir)
+    intents.foreach { in =>
+      // idempotent apply: the reserved version already committed means
+      // a prior attempt landed this intent — skip, never double-commit
+      val cur = Versioned.latestVersion(spark, in.table)
+      if (cur < in.version - 1)
+        throw new IllegalStateException(
+          s"cannot apply txn intent v=${in.version} on ${in.table}: table is at " +
+            s"v=$cur — a lower reserved version is uncommitted (crashed writer? " +
+            "commit or release it, then re-run Txn.recover)")
+      if (cur < in.version) {
+        val prior =
+          if (in.version == 1) Nil
+          else Versioned.manifestRefs(spark, in.table, in.version - 1)
+        Versioned.commitAt(spark, in.table, spark.read.parquet(in.delta),
+          in.partCol, in.keys, None, in.version, prior)
+      }
+      Versioned.reapSpentReservations(spark, in.table, in.version)
+    }
+    val out = fs.create(doneMarker(dir), true)
+    out.close()
+  }
+
+  private def rollback(spark: SparkSession, dir: String): Unit = {
+    val fs = fsOf(spark, dir)
+    // tolerant parse: a crash mid-intent-write leaves a truncated record;
+    // table+version lead the format so its reservation still releases
+    readIntentFields(spark, dir).foreach { kv =>
+      for (t <- kv.get("table"); v <- kv.get("version"))
+        Versioned.releaseVersionClaim(spark, t, v.toLong)
+    }
+    // staged deltas + intents die with the txn dir; keep the marker so
+    // a later recover() call reports the outcome instead of re-rolling
+    fs.listStatus(new Path(dir)).foreach { st =>
+      if (st.getPath.getName != "_ABORTED") fs.delete(st.getPath, true)
+    }
+    val out = fs.create(abortMarker(dir), true)
+    out.close()
+  }
+}

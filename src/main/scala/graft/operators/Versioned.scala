@@ -272,6 +272,46 @@ object Versioned {
 
   private def reservationDir(path: String) = s"${manifestDir(path)}/reservations"
 
+  /** Claim the next version slot via the create-exclusive reservation
+    * protocol (shared with [[commitCas]]; [[Txn]] uses it to lock each
+    * table's slot during 2-phase prepare). The claim serializes against
+    * every commitCas/Txn writer; plain [[commit]] callers bypass it by
+    * contract (single-writer tables). */
+  private[operators] def reserveVersion(spark: SparkSession, path: String): Long = {
+    val fs = fsOf(spark, path)
+    val rDir = new Path(reservationDir(path))
+    fs.mkdirs(rDir)
+    var next = -1L
+    while (next < 0) {
+      val maxReserved = fs.listStatus(rDir).toSeq
+        .map(_.getPath.getName)
+        .collect { case n if n.startsWith("v=") => n.stripPrefix("v=").toLong }
+        .foldLeft(0L)(math.max)
+      val candidate = math.max(latestVersion(spark, path), maxReserved) + 1
+      if (Publish.claimExclusive(fs, new Path(rDir, s"v=$candidate")))
+        next = candidate
+    }
+    next
+  }
+
+  /** Release a claimed-but-uncommitted version slot (Txn rollback). */
+  private[operators] def releaseVersionClaim(spark: SparkSession, path: String, v: Long): Unit = {
+    val fs = fsOf(spark, path)
+    try fs.delete(new Path(reservationDir(path), s"v=$v"), false)
+    catch { case _: java.io.IOException => () }
+  }
+
+  /** Reap reservations at or below a committed version (bounded dir). */
+  private[operators] def reapSpentReservations(spark: SparkSession, path: String, upTo: Long): Unit = {
+    val fs = fsOf(spark, path)
+    val rDir = new Path(reservationDir(path))
+    if (fs.exists(rDir)) fs.listStatus(rDir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v=") && n.stripPrefix("v=").toLong <= upTo)
+        fs.delete(st.getPath, false)
+    }
+  }
+
   /** Multi-writer commit with OPTIMISTIC concurrency (Delta-style):
     * the version number is claimed via a create-exclusive reservation
     * (the same CAS primitive as [[Publish]]'s run ids — a NameNode
@@ -296,18 +336,7 @@ object Versioned {
       waitMs: Long = 60000L): Long = {
     val fs = fsOf(spark, path)
     val rDir = new Path(reservationDir(path))
-    fs.mkdirs(rDir)
-    var next = -1L
-    while (next < 0) {
-      val maxReserved = fs.listStatus(rDir).toSeq
-        .map(_.getPath.getName)
-        .collect { case n if n.startsWith("v=") => n.stripPrefix("v=").toLong }
-        .foldLeft(0L)(math.max)
-      val candidate = math.max(latestVersion(spark, path), maxReserved) + 1
-      if (Publish.claimExclusive(fs, new Path(rDir, s"v=$candidate")))
-        next = candidate
-      // lost the race for `candidate`: re-list and try the next slot
-    }
+    val next = reserveVersion(spark, path)
     val deadline = System.currentTimeMillis() + waitMs
     while (latestVersion(spark, path) < next - 1) {
       if (System.currentTimeMillis() >= deadline) {
@@ -345,7 +374,7 @@ object Versioned {
     v
   }
 
-  private def commitAt(
+  private[operators] def commitAt(
       spark: SparkSession,
       path: String,
       delta: DataFrame,

@@ -1504,6 +1504,72 @@ object EtlOps {
     }.toDF("candidate", "est_rows", "actual_rows", "chosen")
   }
 
+  // --- k47_txn_commit: CROSS-TABLE atomic transactions — the
+  // multi-table guarantee single-table manifest formats punt on
+  // (operators.Txn, presumed-abort 2PC with a coordinator-log dir):
+  // a ledger table and its per-priority summary must MOVE TOGETHER.
+  // The gate runs three transactions: txn1 commits base ledger +
+  // summary atomically; txn2 is poisoned mid-prepare (raise_error in
+  // the summary delta) and must roll back WITHOUT minting a version
+  // on either table (its reservations release — the follow-up txn3
+  // proceeds unstalled); txn3 flips %7 amounts and lands the updated
+  // summary in the same transaction. Output: both tables' final
+  // per-priority facts side by side + their version numbers — summary
+  // ≡ aggregate-of-ledger proves they never drifted, version = 2 on
+  // both proves the aborted transaction left no trace. Crash-window
+  // recovery in both directions (roll forward past _COMMIT, roll back
+  // before it) is TxnSpec's fabricated-crash territory. ---
+  val k47TxnCommit = QueryDef.sql(
+    "k47_txn_commit",
+    """WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS pr,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS amt FROM orders),
+      |post AS (SELECT k, pr,
+      |    CASE WHEN k % 7 = 0 THEN amt + 100 ELSE amt END AS amt FROM base),
+      |s AS (SELECT pr, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(amt) AS DOUBLE) AS total FROM post GROUP BY pr)
+      |SELECT 'ledger' AS src, pr AS o_orderpriority, n, total,
+      |  CAST(2 AS BIGINT) AS version FROM s
+      |UNION ALL
+      |SELECT 'summary', pr, n, total, CAST(2 AS BIGINT) FROM s""".stripMargin) {
+    (s, d) =>
+    import graft.operators.{Txn, Versioned}
+    val root = graft.Scratch.dir("k47-txn")
+    val a = s"$root/ledger"; val b = s"$root/summary"
+    val base = T.orders(s, d).select(col("o_orderkey").as("k"),
+      col("o_orderpriority").as("pr"),
+      col("o_totalprice").cast("decimal(18,2)").as("amt"))
+    def summaryOf(df: DataFrame): DataFrame =
+      df.groupBy(col("pr")).agg(count(lit(1)).as("n"), sum(col("amt")).as("total"))
+    Txn.run(s, s"$root/txn1", Seq(
+      Txn.Write(a, base, "pr", Seq("k")),
+      Txn.Write(b, summaryOf(base), "pr", Seq("pr"))))
+    // txn2: poisoned prepare — must abort both sides, release its locks
+    val poison = summaryOf(base)
+      .withColumn("n", expr("raise_error('txn2 poison')").cast("long"))
+    val aborted = scala.util.Try(Txn.run(s, s"$root/txn2", Seq(
+      Txn.Write(a, base.limit(10), "pr", Seq("k")),
+      Txn.Write(b, poison, "pr", Seq("pr")))))
+    require(aborted.isFailure, "poisoned transaction must fail")
+    // txn3: the coupled update — %7 amounts bumped, summary re-derived
+    val deltaA = base.filter(col("k") % 7 === 0)
+      .withColumn("amt", col("amt") + lit(100))
+    val post = base.withColumn("amt",
+      when(col("k") % 7 === 0, col("amt") + lit(100)).otherwise(col("amt")))
+    Txn.run(s, s"$root/txn3", Seq(
+      Txn.Write(a, deltaA, "pr", Seq("k")),
+      Txn.Write(b, summaryOf(post), "pr", Seq("pr"))))
+    val fromLedger = Versioned.readAsOf(s, a)
+      .groupBy(col("pr")).agg(count(lit(1)).as("n"),
+        sum(col("amt")).cast("double").as("total"))
+      .select(lit("ledger").as("src"), col("pr").as("o_orderpriority"),
+        col("n"), col("total"), lit(Versioned.latestVersion(s, a)).as("version"))
+    val fromSummary = Versioned.readAsOf(s, b)
+      .select(lit("summary").as("src"), col("pr").as("o_orderpriority"),
+        col("n"), col("total").cast("double").as("total"),
+        lit(Versioned.latestVersion(s, b)).as("version"))
+    fromLedger.unionByName(fromSummary)
+  }
+
   // --- k44_snapshot_export: PORTABLE snapshot export/import
   // (Versioned.exportSnapshot/importSnapshot) — the cold-archive /
   // cross-cluster migration path Delta answers with DEEP CLONE: version
@@ -2715,6 +2781,6 @@ object EtlOps {
     k28PartitionEvolution, k29ZonemapGate, k31WarehouseCompose, k32VersionDiff, k33ManifestFsck,
     k34ShallowClone, k35AsofStamp, k36BloomIndex, k37IncrementalStats,
     k38CheckedCommit, k39GovernanceGate, k43NdvStats, k44SnapshotExport,
-    k46JoinAdvisor,
+    k46JoinAdvisor, k47TxnCommit,
     k27WapGate)
 }

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.operators.{Txn, Versioned}
+
+/** Cross-table 2PC: atomic commit across tables, presumed-abort
+  * rollback (reservations released), and crash recovery in both
+  * directions — roll FORWARD after the _COMMIT marker (fabricated
+  * partial-apply state), roll BACK before it. */
+class TxnSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def newRoot() =
+    java.nio.file.Files.createTempDirectory("graft-txn").toString
+
+  private def ledger(n: Int, bump: Long = 0L) =
+    (1 to n).map(i => (i.toLong, s"p${i % 3}", i * 10L + bump))
+      .toDF("k", "part", "amount")
+
+  private def summaryOf(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy(col("part")).agg(count(lit(1)).as("n"), sum(col("amount")).as("total"))
+
+  test("a committed transaction moves every table together") {
+    val root = newRoot()
+    val a = s"$root/ledger"; val b = s"$root/summary"
+    val base = ledger(30)
+    val got = Txn.run(spark, s"$root/txn1", Seq(
+      Txn.Write(a, base, "part", Seq("k")),
+      Txn.Write(b, summaryOf(base), "part", Seq("part"))))
+    assert(got === Map(a -> 1L, b -> 1L))
+    assert(Versioned.latestVersion(spark, a) === 1L)
+    assert(Versioned.latestVersion(spark, b) === 1L)
+    // summary table IS the aggregate of the ledger table
+    val fromA = summaryOf(Versioned.readAsOf(spark, a))
+      .collect().map(_.toString).sorted.toSeq
+    val fromB = Versioned.readAsOf(spark, b)
+      .select(col("part"), col("n"), col("total"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(fromA === fromB)
+    assert(Txn.versions(spark, s"$root/txn1") === got)
+    assert(Txn.recover(spark, s"$root/txn1") === "noop")
+  }
+
+  test("prepare failure rolls back: nothing visible, reservations released") {
+    val root = newRoot()
+    val a = s"$root/ledger"; val b = s"$root/summary"
+    val base = ledger(30)
+    Txn.run(spark, s"$root/t1", Seq(
+      Txn.Write(a, base, "part", Seq("k")),
+      Txn.Write(b, summaryOf(base), "part", Seq("part"))))
+    // second txn dies during prepare: the B delta throws on materialize
+    val poison = summaryOf(base)
+      .withColumn("n", expr("assert_true(n < 0)").cast("long"))
+    intercept[Throwable] {
+      Txn.run(spark, s"$root/t2", Seq(
+        Txn.Write(a, ledger(30, bump = 5L), "part", Seq("k")),
+        Txn.Write(b, poison, "part", Seq("part"))))
+    }
+    assert(Versioned.latestVersion(spark, a) === 1L, "aborted txn minted no version")
+    assert(Versioned.latestVersion(spark, b) === 1L)
+    // reservations were released: a CAS commit proceeds without stalling
+    val v = Versioned.commitCas(spark, a, ledger(5, bump = 1L), "part", Seq("k"),
+      waitMs = 2000L)
+    assert(v === 2L)
+    assert(Txn.recover(spark, s"$root/t2") === "rolledback")
+  }
+
+  test("crash after _COMMIT with one table applied: recover rolls forward") {
+    val root = newRoot()
+    val a = s"$root/ledger"; val b = s"$root/summary"
+    val base = ledger(30)
+    Txn.run(spark, s"$root/t1", Seq(
+      Txn.Write(a, base, "part", Seq("k")),
+      Txn.Write(b, summaryOf(base), "part", Seq("part"))))
+    // fabricate the crash state of txn2 (documented coordinator-log
+    // format): deltas staged, intents recorded, _COMMIT present, table
+    // A applied at its reserved version, table B not
+    val dir = s"$root/t2"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(dir))
+    val deltaA = ledger(30, bump = 7L)
+    val deltaB = summaryOf(deltaA)
+    deltaA.write.parquet(s"$dir/delta-0")
+    deltaB.write.parquet(s"$dir/delta-1")
+    def intent(i: Int, table: String, partCol: String, keys: String, v: Long, dp: String): Unit = {
+      val out = fs.create(new Path(dir, s"intent-$i"), false)
+      out.write(s"table=$table\nversion=$v\npartCol=$partCol\nkeys=$keys\ndelta=$dp\n"
+        .getBytes("UTF-8"))
+      out.close()
+    }
+    intent(0, a, "part", "k", 2L, s"$dir/delta-0")
+    intent(1, b, "part", "part", 2L, s"$dir/delta-1")
+    fs.create(new Path(dir, "_COMMIT"), false).close()
+    Versioned.commit(spark, a, deltaA, "part", Seq("k")) // A landed pre-crash
+    assert(Versioned.latestVersion(spark, a) === 2L)
+    assert(Versioned.latestVersion(spark, b) === 1L, "the drift window")
+
+    assert(Txn.recover(spark, dir) === "forward")
+    assert(Versioned.latestVersion(spark, a) === 2L, "A not double-committed")
+    assert(Versioned.latestVersion(spark, b) === 2L, "B finished by recover")
+    val fromA = summaryOf(Versioned.readAsOf(spark, a))
+      .collect().map(_.toString).sorted.toSeq
+    val fromB = Versioned.readAsOf(spark, b)
+      .select(col("part"), col("n"), col("total"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(fromA === fromB, "tables consistent after roll-forward")
+    assert(Txn.recover(spark, dir) === "noop")
+  }
+
+  test("recover before _COMMIT rolls back a prepared-but-undecided txn") {
+    val root = newRoot()
+    val a = s"$root/ledger"
+    Versioned.commit(spark, a, ledger(10), "part", Seq("k"))
+    val dir = s"$root/tx"
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(dir))
+    ledger(10, bump = 3L).write.parquet(s"$dir/delta-0")
+    val out = fs.create(new Path(dir, "intent-0"), false)
+    out.write(s"table=$a\nversion=2\npartCol=part\nkeys=k\ndelta=$dir/delta-0\n"
+      .getBytes("UTF-8"))
+    out.close()
+    assert(Txn.recover(spark, dir) === "rolledback")
+    assert(Versioned.latestVersion(spark, a) === 1L)
+    assert(fs.exists(new Path(dir, "_ABORTED")))
+  }
+}
