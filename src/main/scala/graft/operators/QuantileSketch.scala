@@ -115,6 +115,34 @@ object QuantileSketch {
       }
       .start()
 
+  /** COMPACT a (possibly many-batch) summary back to ≤ `maxSamples`
+    * weighted rows per group — the maintenance pass that keeps
+    * [[streamingQuantileFold]]'s append-only state bounded over an
+    * unbounded stream. Weighted, deterministic, RNG-free: duplicate
+    * values merge first (the canonical form), then one cumulative-
+    * weight pass keeps exactly the samples where a stride boundary
+    * (stride = ⌈W / maxSamples⌉) falls inside the row's weight span,
+    * re-weighting each kept sample to the span since the previous kept
+    * one — weights still sum EXACTLY to W, and the added rank error is
+    * ≤ stride per estimate (on top of the input summary's own bound).
+    * The cumulative window partitions per group over sketch-sized
+    * input, never data-sized. */
+  def compact(summary: DataFrame, group: Seq[String], maxSamples: Int): DataFrame = {
+    val g = summary.groupBy((group :+ "v").map(col): _*)
+      .agg(sum(col("wt")).as("wt"))
+    val wv = Window.partitionBy(group.map(col): _*).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g.withColumn("cw", sum(col("wt")).over(wv))
+      .withColumn("tot", max(col("cw")).over(Window.partitionBy(group.map(col): _*)))
+      .withColumn("stride", expr(s"(tot + ${maxSamples - 1}) div $maxSamples"))
+    val kept = cum.filter(
+      expr("(cw div stride) > ((cw - wt) div stride)") || col("cw") === col("tot"))
+    val kw = Window.partitionBy(group.map(col): _*).orderBy(col("v"))
+    kept
+      .withColumn("pcw", coalesce(lag(col("cw"), 1).over(kw), lit(0L)))
+      .select(group.map(col) :+ col("v") :+ (col("cw") - col("pcw")).as("wt"): _*)
+  }
+
   /** Per-group quantile estimates off a summary: for each q in `qs`,
     * the smallest sample value whose VALUE-cumulative weight reaches
     * ⌈q · totalWeight⌉. Returns (group…, q, est). The window partitions

@@ -39,8 +39,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Txn {
 
-  /** One table write inside a transaction. */
-  final case class Write(table: String, delta: DataFrame, partCol: String, keys: Seq[String])
+  /** One table write inside a transaction. `stamp` rides into the
+    * table's manifest (Versioned's caller-clock logical timestamp) —
+    * a streaming sink stamps batchId so replays are detectable from
+    * the committed state itself (e42's exactly-once discipline). */
+  final case class Write(table: String, delta: DataFrame, partCol: String,
+      keys: Seq[String], stamp: Option[Long] = None)
 
   private def commitMarker(dir: String) = new Path(dir, "_COMMIT")
   private def doneMarker(dir: String) = new Path(dir, "_DONE")
@@ -52,7 +56,8 @@ object Txn {
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private final case class Intent(
-      table: String, partCol: String, keys: Seq[String], version: Long, delta: String)
+      table: String, partCol: String, keys: Seq[String], version: Long,
+      delta: String, stamp: Option[Long])
 
   // intent record: one field per line (paths/columns never hold \n);
   // table + version lead so even a truncated record still identifies
@@ -86,7 +91,8 @@ object Txn {
   private def readIntents(spark: SparkSession, dir: String): Seq[Intent] =
     readIntentFields(spark, dir).map { kv =>
       Intent(kv("table"), kv("partCol"),
-        kv("keys").split(",").toSeq.filter(_.nonEmpty), kv("version").toLong, kv("delta"))
+        kv("keys").split(",").toSeq.filter(_.nonEmpty), kv("version").toLong,
+        kv("delta"), kv.get("stamp").map(_.toLong))
     }
 
   /** Run `writes` as one atomic transaction coordinated through
@@ -112,8 +118,9 @@ object Txn {
         w.delta.write.parquet(dp)
         writeIntent(spark, dir, i,
           s"table=${w.table}\nversion=$v\npartCol=${w.partCol}\n" +
-            s"keys=${w.keys.mkString(",")}\ndelta=$dp\n", overwrite = true)
-        Intent(w.table, w.partCol, w.keys, v, dp)
+            s"keys=${w.keys.mkString(",")}\ndelta=$dp\n" +
+            w.stamp.fold("")(t => s"stamp=$t\n"), overwrite = true)
+        Intent(w.table, w.partCol, w.keys, v, dp, w.stamp)
       }
       catch { case e: Throwable => rollback(spark, dir); throw e }
     // COMMIT POINT — create-exclusive marker; fails if dir was reused
@@ -145,23 +152,33 @@ object Txn {
   def versions(spark: SparkSession, dir: String): Map[String, Long] =
     readIntents(spark, dir).map(in => in.table -> in.version).toMap
 
-  private def applyIntents(spark: SparkSession, dir: String, intents: Seq[Intent]): Unit = {
+  private def applyIntents(
+      spark: SparkSession, dir: String, intents: Seq[Intent],
+      waitMs: Long = 60000L): Unit = {
     val fs = fsOf(spark, dir)
     intents.foreach { in =>
-      // idempotent apply: the reserved version already committed means
-      // a prior attempt landed this intent — skip, never double-commit
-      val cur = Versioned.latestVersion(spark, in.table)
+      // a concurrent transaction may hold the slot below ours — wait
+      // for it to land (commitCas's discipline), then fail LOUDLY if
+      // it never does: applying past the gap could lose its update
+      val deadline = System.currentTimeMillis() + waitMs
+      var cur = Versioned.latestVersion(spark, in.table)
+      while (cur < in.version - 1 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(50L)
+        cur = Versioned.latestVersion(spark, in.table)
+      }
       if (cur < in.version - 1)
         throw new IllegalStateException(
           s"cannot apply txn intent v=${in.version} on ${in.table}: table is at " +
-            s"v=$cur — a lower reserved version is uncommitted (crashed writer? " +
-            "commit or release it, then re-run Txn.recover)")
+            s"v=$cur after ${waitMs}ms — a lower reserved version is uncommitted " +
+            "(crashed writer? commit or release it, then re-run Txn.recover)")
+      // idempotent apply: the reserved version already committed means
+      // a prior attempt landed this intent — skip, never double-commit
       if (cur < in.version) {
         val prior =
           if (in.version == 1) Nil
           else Versioned.manifestRefs(spark, in.table, in.version - 1)
         Versioned.commitAt(spark, in.table, spark.read.parquet(in.delta),
-          in.partCol, in.keys, None, in.version, prior)
+          in.partCol, in.keys, in.stamp, in.version, prior)
       }
       Versioned.reapSpentReservations(spark, in.table, in.version)
     }

@@ -1802,7 +1802,7 @@ object Events {
     "e32_stream_semi_join", "e33_stream_versioned_sink",
     "e34_table_follow", "e36_stream_media_fingerprint", "e37_stream_hll",
     "e38_stream_knn", "e39_stream_cms", "e40_stream_stats_follow",
-    "e41_stream_quantile")
+    "e41_stream_quantile", "e42_stream_txn_sink")
 
   // --- e40_stream_stats_follow: STATS THAT FOLLOW THE TABLE — e33
   // lands a stream into the store; e40 keeps the OPTIMIZER FEED current
@@ -2144,6 +2144,93 @@ object Events {
     }
   }
 
+  // --- e42_stream_txn_sink: EXACTLY-ONCE MULTI-TABLE streaming sink —
+  // e33 lands a stream into ONE versioned table; e42 composes the
+  // stream with operators.Txn so every micro-batch commits a ledger
+  // (keyed rows) AND its running per-type summary (additive counts +
+  // exact-decimal totals) in ONE cross-table transaction — no batch
+  // boundary ever observes the ledger without its summary. Exactly-once
+  // comes from the committed state itself: each transaction stamps
+  // batchId+1 into both manifests, and a redelivered batch is detected
+  // by stampOf(latest) ≥ batchId+1 and SKIPPED — the replay guard IS
+  // the table metadata, transactional with the data it guards (no
+  // side-channel state file to drift). The gate drains a 3-file feed
+  // through AvailableNow, then hash-compares ledger-aggregate, summary
+  // state, and a version-parity flag against the oracle's recompute —
+  // drift in either table, a double-counted replay, or a half-applied
+  // batch all mismatch. Scale: each batch pays O(batch) ledger upsert
+  // + |types| summary rows; the summary update reads k summary rows,
+  // never the ledger. ---
+  val e42StreamTxnSink = QueryDef.sql(
+    "e42_stream_txn_sink",
+    """WITH base AS (SELECT event_type, CAST(value AS DECIMAL(10,2)) AS amt
+      |  FROM events WHERE value IS NOT NULL),
+      |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(amt) AS DOUBLE) AS total FROM base GROUP BY event_type)
+      |SELECT 'ledger' AS src, event_type, n, total, TRUE AS versions_in_step FROM s
+      |UNION ALL
+      |SELECT 'summary', event_type, n, total, TRUE FROM s""".stripMargin) { (s, d) =>
+    withStatePartitions(s, 4) {
+    import graft.operators.{Txn, Versioned}
+    val root = graft.Scratch.dir("e42-txnsink")
+    val feed = s"$root/feed"; val ckpt = s"$root/ckpt"
+    val ledger = s"$root/ledger"; val summary = s"$root/summary"
+    T.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"),
+        col("value").cast("decimal(10,2)").as("amt"))
+      .repartition(3) // 3 feed files → 3 micro-batches → 3 transactions
+      .write.parquet(feed)
+    val stream = s.readStream
+      .schema("event_id BIGINT, event_type STRING, amt DECIMAL(10,2)")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val vS = Versioned.latestVersion(s, summary)
+          val replayed = vS > 0 &&
+            Versioned.stampOf(s, summary, vS).exists(_ >= batchId + 1)
+          if (!replayed) {
+            val bAgg = batch.groupBy(col("event_type"))
+              .agg(count(lit(1)).as("bn"), sum(col("amt")).as("bt"))
+            val cur =
+              if (vS > 0) Versioned.readAsOf(s, summary)
+                .select(col("event_type"), col("n"), col("total"))
+              else bAgg.select(col("event_type"), lit(0L).as("n"),
+                lit(BigDecimal(0)).cast("decimal(20,2)").as("total")).limit(0)
+            val sDelta = bAgg.join(cur, Seq("event_type"), "left_outer")
+              .select(col("event_type"),
+                (coalesce(col("n"), lit(0L)) + col("bn")).as("n"),
+                (coalesce(col("total"), lit(BigDecimal(0)).cast("decimal(20,2)"))
+                  + col("bt")).cast("decimal(20,2)").as("total"))
+            Txn.run(s, s"$root/txn-$batchId", Seq(
+              Txn.Write(ledger, batch, "event_type", Seq("event_id"),
+                stamp = Some(batchId + 1)),
+              Txn.Write(summary, sDelta, "event_type", Seq("event_type"),
+                stamp = Some(batchId + 1))))
+          }
+          ()
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val vL = Versioned.latestVersion(s, ledger)
+    val vS = Versioned.latestVersion(s, summary)
+    require(vL >= 2, "multi-batch run must commit multiple transactions")
+    val fromLedger = Versioned.readAsOf(s, ledger)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("amt")).cast("double").as("total"))
+      .select(lit("ledger").as("src"), col("event_type"), col("n"),
+        col("total"), lit(vL == vS).as("versions_in_step"))
+    val fromSummary = Versioned.readAsOf(s, summary)
+      .select(lit("summary").as("src"), col("event_type"), col("n"),
+        col("total").cast("double").as("total"), lit(vL == vS).as("versions_in_step"))
+    fromLedger.unionByName(fromSummary)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
     e4cAsofForward, e4dAsofSql, e4eAsofTolerance,
@@ -2155,5 +2242,6 @@ object Events {
     e25ChainedAgg, e26SessionWindow, e27SequenceMatch, e28VariantExtract,
     e29StreamFullOuter, e30Attribution, e31StreamStaticJoin, e32StreamSemiJoin,
     e33StreamVersionedSink, e34TableFollow, e36StreamMediaFingerprint,
-    e37StreamHll, e39StreamCms, e40StreamStatsFollow, e41StreamQuantile)
+    e37StreamHll, e39StreamCms, e40StreamStatsFollow, e41StreamQuantile,
+    e42StreamTxnSink)
 }

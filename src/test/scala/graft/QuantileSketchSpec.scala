@@ -67,6 +67,38 @@ class QuantileSketchSpec extends SparkSpec {
     check(merged, 2, "merged")
   }
 
+  test("compact bounds the summary, conserves weight, keeps the rank bound") {
+    val df = data(40000)
+    val many = QuantileSketch.merge(
+      QuantileSketch.merge(
+        summ(df.filter(col("k").cast("long") % 3 === 0)),
+        summ(df.filter(col("k").cast("long") % 3 === 1))),
+      summ(df.filter(col("k").cast("long") % 3 === 2)))
+    val maxS = 64
+    val c = QuantileSketch.compact(many, Seq("g"), maxS)
+    val truth = df.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byG = c.groupBy("g").agg(count(lit(1)).as("rows"), sum("wt").as("w"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    truth.foreach { case (g, n) =>
+      val (rows, w) = byG(g)
+      assert(w === n, s"group $g: compacted weights must still sum to n")
+      assert(rows <= maxS + 1, s"group $g: $rows rows exceeds maxSamples")
+    }
+    // estimates off the compacted sketch: input bound (3-way merge) +
+    // compaction stride (~n/maxS) of extra rank slack
+    val qs = Seq(0.25, 0.5, 0.75)
+    QuantileSketch.quantiles(c, Seq("g"), qs).collect().foreach { r =>
+      val (g, q, e) = (r.getString(0), r.getDouble(1), r.getDouble(2))
+      val n = truth(g)
+      val rank = df.filter(col("g") === g && col("v") <= e).count()
+      val target = math.ceil(q * n).toLong
+      val slack = 3 * (n / K + B) + n / maxS + 4
+      assert(math.abs(rank - target) <= slack,
+        s"compacted g=$g q=$q: rank $rank vs target $target (slack $slack)")
+    }
+  }
+
   test("streaming fold lands exactly the union of per-batch summaries") {
     import org.apache.spark.sql.functions.col
     val root = java.nio.file.Files.createTempDirectory("graft-qfold").toString

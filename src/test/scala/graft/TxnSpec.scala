@@ -109,6 +109,35 @@ class TxnSpec extends SparkSpec {
     assert(Txn.recover(spark, dir) === "noop")
   }
 
+  test("two concurrent transactions over the same tables serialize") {
+    val root = newRoot()
+    val a = s"$root/ledger"; val b = s"$root/mirror"
+    val base = ledger(10)
+    Txn.run(spark, s"$root/t0", Seq(
+      Txn.Write(a, base, "part", Seq("k")),
+      Txn.Write(b, base, "part", Seq("k"))))
+    // each concurrent txn upserts a disjoint key range into BOTH tables
+    def job(tag: Int): Thread = {
+      val t = new Thread(() => {
+        val rows = (100 * tag to 100 * tag + 9)
+          .map(i => (i.toLong, s"p${i % 3}", i.toLong)).toDF("k", "part", "amount")
+        Txn.run(spark, s"$root/tc$tag", Seq(
+          Txn.Write(a, rows, "part", Seq("k")),
+          Txn.Write(b, rows, "part", Seq("k"))))
+        ()
+      })
+      t.start(); t
+    }
+    val threads = Seq(job(1), job(2))
+    threads.foreach(_.join(120000))
+    assert(Versioned.latestVersion(spark, a) === 3L, "2 txns serialized after v1")
+    assert(Versioned.latestVersion(spark, b) === 3L)
+    val inA = Versioned.readAsOf(spark, a).collect().map(_.toString).sorted.toSeq
+    val inB = Versioned.readAsOf(spark, b).collect().map(_.toString).sorted.toSeq
+    assert(inA === inB, "both tables saw both transactions")
+    assert(inA.length === 30, "base 10 + two disjoint 10-row upserts")
+  }
+
   test("recover before _COMMIT rolls back a prepared-but-undecided txn") {
     val root = newRoot()
     val a = s"$root/ledger"
