@@ -605,6 +605,36 @@ object Multimodal {
       }
       encodeAvi(frames, fps)
     }
+
+    /** Synthesize an AVI containing a SCENE CUT: gray frames (R=G=B ⇒
+      * luma IS the pixel value) whose spatial pattern swaps its x/y
+      * coefficients at `cutAt` — a different gradient orientation, so
+      * frame fingerprints flip hard at the boundary — while the
+      * per-frame term is a small wrap-free brightness ramp (pattern ≤
+      * 95 + 10·f ≤ 145 < 256), which shifts every pixel AND the frame
+      * mean equally, leaving aHash bits EXACTLY stable inside a scene.
+      * Pixel math only; m13's oracle replays both scenes analytically. */
+    def synthesizeCutAvi(
+        seed: Long, w: Int, h: Int, nFrames: Int, cutAt: Int, fps: Int): Array[Byte] = {
+      val frames = (0 until nFrames).map { f =>
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p =
+              if (f < cutAt) (seed + x * 7 + y * 13) % 96
+              else (seed + x * 13 + y * 7) % 96
+            val v = (p + f * 10).toInt & 0xff
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        img
+      }
+      encodeAvi(frames, fps)
+    }
   }
 
   /** ======== STUB (unknown containers/codecs only) ========
@@ -1147,6 +1177,17 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** Deterministic 6-frame cut-scene AVIs (every id is a video): scene
+    * boundary at frame 2 + id % 3 — the m13 shot-detection fixture. */
+  def synthesizeCutVideos(spark: SparkSession, ids: Seq[Long]): Dataset[MediaAsset] = {
+    import spark.implicits._
+    ids.map { id =>
+      val bytes = VideoCodec.synthesizeCutAvi(
+        id, w = 16, h = 12, nFrames = 6, cutAt = 2 + (id % 3).toInt, fps = 4)
+      MediaAsset(id, "video", bytes, MediaMeta("video/x-msvideo", 16, 12, 0, 1500L))
+    }.toDS()
   }
 
   /** Synthesize a deterministic media table from ids — test and demo

@@ -538,7 +538,56 @@ object Media {
       .toDF()
   }
 
+  // --- m13_shot_boundaries: VIDEO CUT DETECTION — the shot-boundary
+  // pass every video-corpus pipeline runs before sampling keyframes,
+  // composed on the real codec stack: decode frames (VideoCodec),
+  // fingerprint each with the 8×8 aHash (ImageCodec's grid), then flag
+  // frames whose Hamming distance to the PREVIOUS frame crosses the
+  // threshold. Fixtures are synthesized cut-scene AVIs (scene A's
+  // gradient swaps its x/y coefficients at frame 2 + id % 3), so the
+  // orientation flip moves the fingerprint hard at the boundary while
+  // staying stable inside scenes; the oracle replays BOTH scenes'
+  // pixels, the sampling grid, per-frame means, bits, and the
+  // consecutive-frame compare analytically — exact gate, not a recall
+  // estimate. Scale shape: 8 bytes/frame leave the decode; the
+  // consecutive compare is a per-asset window over frame counts,
+  // never a frame self-join. ---
+  val m13ShotBoundaries = QueryDef.sql(
+    "m13_shot_boundaries",
+    """WITH ids AS (SELECT id FROM generate_series(0,39) t(id)),
+      |vid AS (SELECT id, 2 + id % 3 AS cut FROM ids),
+      |lum AS (SELECT v.id, fs.f, gy.y AS gy, gx.x AS gx,
+      |    (CASE WHEN fs.f < v.cut
+      |      THEN (v.id + 7*(2*gx.x) + 13*((3*gy.y)//2)) % 96
+      |      ELSE (v.id + 13*(2*gx.x) + 7*((3*gy.y)//2)) % 96 END) + 10*fs.f AS l
+      |  FROM vid v, generate_series(0,5) fs(f),
+      |       generate_series(0,7) gx(x), generate_series(0,7) gy(y)),
+      |m AS (SELECT id, f, sum(l)//64 AS mean FROM lum GROUP BY id, f),
+      |bits AS (SELECT l.id, l.f, l.gy, l.gx,
+      |    CASE WHEN l.l > m.mean THEN 1 ELSE 0 END AS bit
+      |  FROM lum l JOIN m ON m.id = l.id AND m.f = l.f),
+      |j AS (SELECT a.id, a.f,
+      |    CAST(sum(CASE WHEN a.bit != b.bit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+      |  FROM bits a JOIN bits b ON b.id = a.id AND b.f = a.f - 1
+      |    AND b.gy = a.gy AND b.gx = a.gx
+      |  GROUP BY a.id, a.f)
+      |SELECT id AS asset_id, f AS frame_no, hamming, hamming >= 12 AS is_cut
+      |FROM j""".stripMargin) { (s, _) =>
+    import org.apache.spark.sql.expressions.Window
+    val fh = Multimodal.videoFrameHashes(
+        Multimodal.repartitionForDecode(Multimodal.synthesizeCutVideos(s, 0L until 40L), 8))
+      .toDF()
+    val w = Window.partitionBy(col("asset_id")).orderBy(col("frame_no"))
+    fh.withColumn("ph", lag(col("ahash"), 1).over(w))
+      .filter(col("ph").isNotNull)
+      .withColumn("hamming", expr(
+        "size(filter(sequence(1, 64), i -> substring(ahash, i, 1) != substring(ph, i, 1)))")
+        .cast("long"))
+      .select(col("asset_id"), col("frame_no"), col("hamming"),
+        (col("hamming") >= 12).as("is_cut"))
+  }
+
   val all: Seq[QueryDef] = Seq(m1MediaFeatures, m2ImagePhash, m3AudioEnergy, m4ImageKnn,
     m5AudioTone, m6ImageNeardup, m7AudioNeardup, m8ImageTiles, m9AudioResample,
-    m10VideoFrames, m11VideoNeardup, m12MjpegFrames)
+    m10VideoFrames, m11VideoNeardup, m12MjpegFrames, m13ShotBoundaries)
 }
