@@ -37,7 +37,7 @@ object BloomIndex {
     * probe positions for every key a `Seq[Long]` probe can express, and
     * non-integral values only widen the candidate set (conservative),
     * never shrink it. */
-  private def positions(key: org.apache.spark.sql.Column, bits: Int) = {
+  private[operators] def positions(key: org.apache.spark.sql.Column, bits: Int) = {
     val k = key.cast("long")
     Seq(
       pmod(xxhash64(k), lit(bits.toLong)),

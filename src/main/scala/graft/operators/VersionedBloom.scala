@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Secondary index maintained TRANSACTIONALLY with its table — the
+  * "indexes can never go stale" composition: a partition-level bloom
+  * index over a [[Versioned]] table, itself stored as a (tiny)
+  * Versioned table, with every table commit and its index delta landing
+  * in ONE [[Txn]] — no reader can ever observe a table version whose
+  * index predates it (the drift every external secondary index suffers
+  * between a write and the index refresh job).
+  *
+  * Partition granularity is what makes the delta O(delta): a Versioned
+  * commit rewrites exactly its affected partitions, so the index delta
+  * is the recomputed bloom row of those partitions' POST-state —
+  * keyed upsert by pval replaces the stale rows, untouched partitions
+  * keep their index rows. [[BloomIndex]]'s k=2 sparse-positions
+  * representation, conservative by construction: lookups open every
+  * candidate partition (false positive = extra partition read, false
+  * negative impossible), then the exact key filter runs — a pruned
+  * lookup returns exactly what a full scan would, which is what the
+  * k48 gate hash-proves.
+  */
+object VersionedBloom {
+
+  private val DefaultBits = 1 << 16
+
+  /** The index rows for `delta`'s affected partitions as they will
+    * stand AFTER the commit: bloom positions over merge(current
+    * affected partitions, delta). Compute this BEFORE the commit and
+    * hand both frames to one [[Txn]] — (pval, entries, bloom), keyed
+    * and partitioned by pval. */
+  def indexDelta(
+      spark: SparkSession,
+      tablePath: String,
+      delta: DataFrame,
+      partCol: String,
+      keys: Seq[String],
+      keyCol: String,
+      bits: Int = DefaultBits): DataFrame = {
+    val affected = delta.select(col(partCol)).distinct().collect()
+      .map(_.get(0)).toSeq // partition domain — driver-sized by design
+    val merged =
+      if (Versioned.latestVersion(spark, tablePath) == 0) delta
+      else Upsert.merge(
+        Versioned.readAsOf(spark, tablePath)
+          .filter(col(partCol).isin(affected: _*)),
+        delta, keys)
+    merged
+      .select(col(partCol).cast("string").as("pval"),
+        explode(array(BloomIndex.positions(col(keyCol), bits): _*)).as("p"))
+      .groupBy(col("pval"))
+      .agg(count(lit(1)).as("entries"),
+        sort_array(collect_set(col("p"))).as("bloom"))
+  }
+
+  /** Commit `delta` and its index maintenance as one atomic
+    * transaction. Returns the committed (table → version) map —
+    * table and index versions move in lockstep. */
+  def commitIndexed(
+      spark: SparkSession,
+      txnDir: String,
+      tablePath: String,
+      indexPath: String,
+      delta: DataFrame,
+      partCol: String,
+      keys: Seq[String],
+      keyCol: String,
+      bits: Int = DefaultBits): Map[String, Long] =
+    Txn.run(spark, txnDir, Seq(
+      Txn.Write(tablePath, delta, partCol, keys),
+      Txn.Write(indexPath,
+        indexDelta(spark, tablePath, delta, partCol, keys, keyCol, bits),
+        "pval", Seq("pval"))))
+
+  /** The partitions that MAY hold at least one of `keys` (all k hash
+    * positions present in the partition's bloom row). */
+  def candidatePartitions(
+      spark: SparkSession,
+      indexPath: String,
+      keys: Seq[Long],
+      bits: Int = DefaultBits): Seq[String] = {
+    import spark.implicits._
+    val probes = keys.toDF("k")
+      .select(array(BloomIndex.positions(col("k"), bits): _*).as("ps"))
+    Versioned.readAsOf(spark, indexPath)
+      .crossJoin(broadcast(probes))
+      .filter(expr("forall(ps, p -> array_contains(bloom, p))"))
+      .select(col("pval")).distinct()
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** Index-pruned point lookup: resolve the table's CURRENT manifest,
+    * open ONLY the candidate partitions' directories (true partition
+    * pruning — non-candidates are never listed, let alone read), then
+    * apply the exact key filter. Equals full-scan-and-filter by
+    * construction. */
+  def lookup(
+      spark: SparkSession,
+      tablePath: String,
+      indexPath: String,
+      keyCol: String,
+      keys: Seq[Long],
+      bits: Int = DefaultBits): DataFrame = {
+    val cand = candidatePartitions(spark, indexPath, keys, bits).toSet
+    val refs = Versioned
+      .manifestRefs(spark, tablePath, Versioned.latestVersion(spark, tablePath))
+      .filter { case (pval, _) => cand(pval) }
+    val base =
+      if (refs.isEmpty)
+        Versioned.readAsOf(spark, tablePath).limit(0).drop("__p")
+      else Versioned.readRefs(spark, tablePath, refs).drop("__p")
+    base.filter(col(keyCol).isin(keys: _*))
+  }
+}

@@ -1570,6 +1570,60 @@ object EtlOps {
     fromLedger.unionByName(fromSummary)
   }
 
+  // --- k48_indexed_commit: SECONDARY INDEX THAT CANNOT GO STALE —
+  // operators.VersionedBloom composes k36's bloom pruning, the
+  // versioned store, and k47's cross-table Txn: every table commit
+  // lands WITH its index delta in one transaction (index rows are
+  // per-PARTITION blooms, so the delta is exactly the affected
+  // partitions' recomputed rows — O(delta), keyed upsert replaces the
+  // stale rows). The gate commits a base, then a delta that MOVES %9
+  // keys' custkey (+1,000,000 — the index content change that strands
+  // every refresh-job-based index), and probes five post-state
+  // custkeys spanning moved and unmoved through the index-pruned
+  // lookup: candidate partitions come from the index, only their
+  // manifest refs are opened (true partition pruning), and the result
+  // must equal the oracle's full recompute. versions_lockstep rides
+  // along: table and index versions move in lockstep or the hash
+  // breaks. ---
+  val k48IndexedCommit = QueryDef.sql(
+    "k48_indexed_commit",
+    """WITH post AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CASE WHEN o_orderkey % 9 = 0 THEN o_custkey + 1000000
+      |         ELSE o_custkey END AS ck,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS amt FROM orders),
+      |lo AS (SELECT DISTINCT ck FROM post ORDER BY ck LIMIT 3),
+      |hi AS (SELECT DISTINCT ck FROM post ORDER BY ck DESC LIMIT 2),
+      |probes AS (SELECT ck FROM lo UNION ALL SELECT ck FROM hi)
+      |SELECT p.ck AS o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(amt) AS DOUBLE) AS total, TRUE AS versions_lockstep
+      |FROM post JOIN probes p ON post.ck = p.ck
+      |GROUP BY p.ck""".stripMargin) { (s, d) =>
+    import graft.operators.{Versioned, VersionedBloom}
+    val root = graft.Scratch.dir("k48-vidx")
+    val tbl = s"$root/orders"; val idx = s"$root/idx"
+    val base = T.orders(s, d).select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("st"), col("o_custkey").as("ck"),
+      col("o_totalprice").cast("decimal(12,2)").as("amt"))
+    VersionedBloom.commitIndexed(s, s"$root/txn1", tbl, idx, base,
+      "st", Seq("k"), "ck")
+    val delta = base.filter(col("k") % 9 === 0)
+      .withColumn("ck", col("ck") + lit(1000000L))
+    VersionedBloom.commitIndexed(s, s"$root/txn2", tbl, idx, delta,
+      "st", Seq("k"), "ck")
+    val post = base.withColumn("ck",
+      when(col("k") % 9 === 0, col("ck") + lit(1000000L)).otherwise(col("ck")))
+    val cks = post.select(col("ck")).distinct()
+    val probes: Seq[Long] =
+      cks.orderBy(col("ck")).limit(3).collect().map(_.getLong(0)).toSeq ++
+      cks.orderBy(col("ck").desc).limit(2).collect().map(_.getLong(0)).toSeq
+    val lockstep = Versioned.latestVersion(s, tbl) == Versioned.latestVersion(s, idx)
+    VersionedBloom.lookup(s, tbl, idx, "ck", probes)
+      .groupBy(col("ck").as("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("amt")).cast("double").as("total"))
+      .withColumn("versions_lockstep", lit(lockstep))
+  }
+
   // --- k44_snapshot_export: PORTABLE snapshot export/import
   // (Versioned.exportSnapshot/importSnapshot) — the cold-archive /
   // cross-cluster migration path Delta answers with DEEP CLONE: version
@@ -2781,6 +2835,6 @@ object EtlOps {
     k28PartitionEvolution, k29ZonemapGate, k31WarehouseCompose, k32VersionDiff, k33ManifestFsck,
     k34ShallowClone, k35AsofStamp, k36BloomIndex, k37IncrementalStats,
     k38CheckedCommit, k39GovernanceGate, k43NdvStats, k44SnapshotExport,
-    k46JoinAdvisor, k47TxnCommit,
+    k46JoinAdvisor, k47TxnCommit, k48IndexedCommit,
     k27WapGate)
 }
