@@ -188,20 +188,67 @@ object PageRank {
   /** The same computation as unrolled ANSI SQL CTEs (DuckDB oracle):
     * emits `e` (from `edgesCte`), nodes/nt/ow, then c1/r1 … c$iters/
     * r$iters. The final rank table is `r$iters` (id, r). */
-  def sqlRanks(edgesCte: String, iters: Int, scale: Long = 1000000000000L): String = {
+  def sqlRanks(edgesCte: String, iters: Int, scale: Long = 1000000000000L): String =
+    sqlRanksPrefixed(edgesCte, iters, scale, prefix = "", init = None)
+
+  /** [[sqlRanks]] with namespaced CTEs (`<prefix>e`, `<prefix>r<i>`, …)
+    * so one oracle can unroll SEVERAL rank computations (g22's
+    * old-graph / warm-started / cold chains), and an optional custom
+    * `init` SQL for `<prefix>r0` — it may reference `<prefix>nodes` /
+    * `<prefix>nt` and any earlier prefix's CTEs (warm starts). */
+  def sqlRanksPrefixed(
+      edgesCte: String,
+      iters: Int,
+      scale: Long = 1000000000000L,
+      prefix: String = "",
+      init: Option[String] = None): String = {
+    val p = prefix
+    val r0 = init.getOrElse(
+      s"SELECT id, $scale // n_nodes AS r FROM ${p}nodes, ${p}nt")
     val header =
-      s"""e AS ($edgesCte),
-         |nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e) u),
-         |nt AS (SELECT count(*) AS n_nodes FROM nodes),
-         |ow AS (SELECT src, sum(w) AS wout FROM e GROUP BY src),
-         |r0 AS (SELECT id, $scale // n_nodes AS r FROM nodes, nt)""".stripMargin
+      s"""${p}e AS ($edgesCte),
+         |${p}nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM ${p}e UNION ALL SELECT dst FROM ${p}e) u),
+         |${p}nt AS (SELECT count(*) AS n_nodes FROM ${p}nodes),
+         |${p}ow AS (SELECT src, sum(w) AS wout FROM ${p}e GROUP BY src),
+         |${p}r0 AS ($r0)""".stripMargin
     val rounds = (1 to iters).map { i =>
-      s"""c$i AS (SELECT e.dst, CAST(sum((p.r * e.w) // ow.wout) AS BIGINT) AS s
-         |  FROM e JOIN ow USING (src) JOIN r${i - 1} p ON p.id = e.src GROUP BY e.dst),
-         |r$i AS (SELECT n.id,
-         |    ((15 * $scale) // 100) // nt.n_nodes + (85 * coalesce(c$i.s, 0)) // 100 AS r
-         |  FROM nodes n LEFT JOIN c$i ON c$i.dst = n.id, nt)""".stripMargin
+      s"""${p}c$i AS (SELECT ${p}e.dst, CAST(sum((p.r * ${p}e.w) // ${p}ow.wout) AS BIGINT) AS s
+         |  FROM ${p}e JOIN ${p}ow USING (src) JOIN ${p}r${i - 1} p ON p.id = ${p}e.src GROUP BY ${p}e.dst),
+         |${p}r$i AS (SELECT n.id,
+         |    ((15 * $scale) // 100) // ${p}nt.n_nodes + (85 * coalesce(${p}c$i.s, 0)) // 100 AS r
+         |  FROM ${p}nodes n LEFT JOIN ${p}c$i ON ${p}c$i.dst = n.id, ${p}nt)""".stripMargin
     }
     (header +: rounds).mkString(",\n")
+  }
+
+  /** WARM-START ranks: like [[ranks]] but round 0 is `init` (id, r) —
+    * nodes absent from `init` (new nodes after a graph change) start at
+    * the uniform share. The incremental-maintenance primitive: after a
+    * delta of edges lands, a couple of warm rounds from the previous
+    * fixed point replace a full cold recompute (g22's gate runs both
+    * and reports the agreement delta). Same exact-integer determinism
+    * as [[ranks]]. */
+  def ranksFrom(
+      edges: DataFrame,
+      init: DataFrame,
+      iters: Int,
+      scale: Long = 1000000000000L,
+      stagePath: Option[String] = None): DataFrame = {
+    val spark = edges.sparkSession
+    val nodes = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id"))).distinct()
+    val nTot = nodes.agg(count(lit(1)).as("n_nodes"))
+    val outw = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+    var r = nodes
+      .join(init.select(col("id"), col("r").as("__init")), Seq("id"), "left_outer")
+      .crossJoin(broadcast(nTot))
+      .select(col("id"),
+        coalesce(col("__init"), expr(s"$scale div n_nodes")).as("r"))
+    val chain = new graft.Scratch.RoundChain(spark)
+    for (i <- 1 to iters) {
+      r = step(edges, nodes, outw, nTot, r, scale)
+      stagePath.foreach { p => r = chain.stage(r, s"$p/rank-$i") }
+    }
+    r
   }
 }
