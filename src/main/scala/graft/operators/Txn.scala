@@ -42,9 +42,22 @@ object Txn {
   /** One table write inside a transaction. `stamp` rides into the
     * table's manifest (Versioned's caller-clock logical timestamp) —
     * a streaming sink stamps batchId so replays are detectable from
-    * the committed state itself (e42's exactly-once discipline). */
+    * the committed state itself (e42's exactly-once discipline).
+    * `expectedVersion` is OPTIMISTIC concurrency control (Delta's
+    * snapshot-conflict check): the version this write's delta was
+    * COMPUTED FROM — if anyone committed or reserved past it by
+    * prepare time, the whole transaction aborts with
+    * [[TxnConflictException]] instead of silently stacking a write
+    * derived from a stale snapshot (lost-update prevention; re-read
+    * and retry is the caller's loop). */
   final case class Write(table: String, delta: DataFrame, partCol: String,
-      keys: Seq[String], stamp: Option[Long] = None)
+      keys: Seq[String], stamp: Option[Long] = None,
+      expectedVersion: Option[Long] = None)
+
+  /** A write's base snapshot went stale before the transaction could
+    * lock its slot — the caller should re-derive the delta from the
+    * current version and retry. */
+  final class TxnConflictException(msg: String) extends RuntimeException(msg)
 
   private def commitMarker(dir: String) = new Path(dir, "_COMMIT")
   private def doneMarker(dir: String) = new Path(dir, "_DONE")
@@ -114,6 +127,13 @@ object Txn {
         // lock recorded BEFORE staging: if the delta fails to
         // materialize, rollback still finds and releases this slot
         writeIntent(spark, dir, i, s"table=${w.table}\nversion=$v\n", overwrite = false)
+        w.expectedVersion.foreach { exp =>
+          if (v != exp + 1)
+            throw new TxnConflictException(
+              s"write-write conflict on ${w.table}: delta was derived from " +
+                s"v=$exp but the next free slot is v=$v — another transaction " +
+                "committed or reserved in between; re-read and retry")
+        }
         val dp = deltaPath(dir, i)
         w.delta.write.parquet(dp)
         writeIntent(spark, dir, i,

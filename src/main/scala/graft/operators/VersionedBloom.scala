@@ -67,12 +67,13 @@ object VersionedBloom {
       partCol: String,
       keys: Seq[String],
       keyCol: String,
-      bits: Int = DefaultBits): Map[String, Long] =
+      bits: Int = DefaultBits,
+      stamp: Option[Long] = None): Map[String, Long] =
     Txn.run(spark, txnDir, Seq(
-      Txn.Write(tablePath, delta, partCol, keys),
+      Txn.Write(tablePath, delta, partCol, keys, stamp),
       Txn.Write(indexPath,
         indexDelta(spark, tablePath, delta, partCol, keys, keyCol, bits),
-        "pval", Seq("pval"))))
+        "pval", Seq("pval"), stamp)))
 
   /** The partitions that MAY hold at least one of `keys` (all k hash
     * positions present in the partition's bloom row). */

@@ -1802,7 +1802,7 @@ object Events {
     "e32_stream_semi_join", "e33_stream_versioned_sink",
     "e34_table_follow", "e36_stream_media_fingerprint", "e37_stream_hll",
     "e38_stream_knn", "e39_stream_cms", "e40_stream_stats_follow",
-    "e41_stream_quantile", "e42_stream_txn_sink")
+    "e41_stream_quantile", "e42_stream_txn_sink", "e43_stream_indexed_sink")
 
   // --- e40_stream_stats_follow: STATS THAT FOLLOW THE TABLE — e33
   // lands a stream into the store; e40 keeps the OPTIMIZER FEED current
@@ -2231,6 +2231,73 @@ object Events {
     }
   }
 
+  // --- e43_stream_indexed_sink: STREAMING INGEST WITH A LIVE SECONDARY
+  // INDEX — k48's transactional index composed under e42's streaming
+  // exactly-once discipline: every micro-batch lands ledger rows AND
+  // the affected partitions' recomputed bloom rows in one Txn
+  // (VersionedBloom.commitIndexed with batchId stamps), so the index
+  // is queryable and CORRECT after every batch — there is no "index
+  // refresh lag" state at any point of the ingest. The gate drains a
+  // 3-file feed, then answers five point lookups on the SECONDARY key
+  // (user_id) through the index-pruned path — candidate partitions
+  // from the index, only their manifest refs opened — and the oracle
+  // recomputes the answers from the raw events. A stale index row, a
+  // missed batch, or a replayed batch all hash-mismatch. ---
+  val e43StreamIndexedSink = QueryDef.sql(
+    "e43_stream_indexed_sink",
+    """WITH base AS (SELECT event_id, event_type, user_id,
+      |    CAST(value AS DECIMAL(10,2)) AS amt
+      |  FROM events WHERE value IS NOT NULL),
+      |lo AS (SELECT DISTINCT user_id FROM base ORDER BY user_id LIMIT 5)
+      |SELECT b.user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(amt) AS DOUBLE) AS total, TRUE AS versions_lockstep
+      |FROM base b JOIN lo ON lo.user_id = b.user_id
+      |GROUP BY b.user_id""".stripMargin) { (s, d) =>
+    withStatePartitions(s, 4) {
+    import graft.operators.{Versioned, VersionedBloom}
+    val root = graft.Scratch.dir("e43-idxsink")
+    val feed = s"$root/feed"; val ckpt = s"$root/ckpt"
+    val ledger = s"$root/ledger"; val idx = s"$root/idx"
+    val ev = T.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        col("value").cast("decimal(10,2)").as("amt"))
+    ev.repartition(3).write.parquet(feed)
+    val stream = s.readStream
+      .schema("event_id BIGINT, event_type STRING, user_id BIGINT, amt DECIMAL(10,2)")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val vI = Versioned.latestVersion(s, idx)
+          val replayed = vI > 0 &&
+            Versioned.stampOf(s, idx, vI).exists(_ >= batchId + 1)
+          if (!replayed)
+            VersionedBloom.commitIndexed(s, s"$root/txn-$batchId", ledger, idx,
+              batch, "event_type", Seq("event_id"), "user_id",
+              stamp = Some(batchId + 1))
+          ()
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(Versioned.latestVersion(s, ledger) >= 2,
+      "multi-batch run must commit multiple transactions")
+    val lockstep =
+      Versioned.latestVersion(s, ledger) == Versioned.latestVersion(s, idx)
+    val probes: Seq[Long] = ev.select(col("user_id")).distinct()
+      .orderBy(col("user_id")).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    VersionedBloom.lookup(s, ledger, idx, "user_id", probes)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("amt")).cast("double").as("total"))
+      .withColumn("versions_lockstep", lit(lockstep))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
     e4cAsofForward, e4dAsofSql, e4eAsofTolerance,
@@ -2243,5 +2310,5 @@ object Events {
     e29StreamFullOuter, e30Attribution, e31StreamStaticJoin, e32StreamSemiJoin,
     e33StreamVersionedSink, e34TableFollow, e36StreamMediaFingerprint,
     e37StreamHll, e39StreamCms, e40StreamStatsFollow, e41StreamQuantile,
-    e42StreamTxnSink)
+    e42StreamTxnSink, e43StreamIndexedSink)
 }

@@ -138,6 +138,27 @@ class TxnSpec extends SparkSpec {
     assert(inA.length === 30, "base 10 + two disjoint 10-row upserts")
   }
 
+  test("optimistic conflict check: a stale-snapshot write aborts the txn") {
+    val root = newRoot()
+    val a = s"$root/ledger"
+    Versioned.commit(spark, a, ledger(10), "part", Seq("k"))
+    // both writers derive their deltas from v1
+    Txn.run(spark, s"$root/w1", Seq(
+      Txn.Write(a, ledger(10, bump = 1L), "part", Seq("k"), expectedVersion = Some(1L))))
+    assert(Versioned.latestVersion(spark, a) === 2L)
+    // the second writer's snapshot is stale -> conflict, nothing lands
+    val e = intercept[graft.operators.Txn.TxnConflictException] {
+      Txn.run(spark, s"$root/w2", Seq(
+        Txn.Write(a, ledger(10, bump = 2L), "part", Seq("k"), expectedVersion = Some(1L))))
+    }
+    assert(e.getMessage.contains("write-write conflict"))
+    assert(Versioned.latestVersion(spark, a) === 2L, "conflicted txn minted nothing")
+    // retry from the CURRENT snapshot succeeds
+    Txn.run(spark, s"$root/w3", Seq(
+      Txn.Write(a, ledger(10, bump = 2L), "part", Seq("k"), expectedVersion = Some(2L))))
+    assert(Versioned.latestVersion(spark, a) === 3L)
+  }
+
   test("recover before _COMMIT rolls back a prepared-but-undecided txn") {
     val root = newRoot()
     val a = s"$root/ledger"
