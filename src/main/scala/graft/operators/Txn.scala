@@ -115,34 +115,8 @@ object Txn {
     * released); once the `_COMMIT` marker lands, the outcome is commit
     * everywhere — a crash mid-apply is finished by [[recover]]. */
   def run(spark: SparkSession, dir: String, writes: Seq[Write]): Map[String, Long] = {
-    require(writes.map(_.table).distinct.size == writes.size,
-      "one write per table per transaction")
+    val prepared = prepareAll(spark, dir, writes)
     val fs = fsOf(spark, dir)
-    fs.mkdirs(new Path(dir))
-    // PREPARE — lock slots in sorted-table order (deadlock-free against
-    // any other transaction locking the same tables)
-    val prepared =
-      try writes.sortBy(_.table).zipWithIndex.map { case (w, i) =>
-        val v = Versioned.reserveVersion(spark, w.table)
-        // lock recorded BEFORE staging: if the delta fails to
-        // materialize, rollback still finds and releases this slot
-        writeIntent(spark, dir, i, s"table=${w.table}\nversion=$v\n", overwrite = false)
-        w.expectedVersion.foreach { exp =>
-          if (v != exp + 1)
-            throw new TxnConflictException(
-              s"write-write conflict on ${w.table}: delta was derived from " +
-                s"v=$exp but the next free slot is v=$v — another transaction " +
-                "committed or reserved in between; re-read and retry")
-        }
-        val dp = deltaPath(dir, i)
-        w.delta.write.parquet(dp)
-        writeIntent(spark, dir, i,
-          s"table=${w.table}\nversion=$v\npartCol=${w.partCol}\n" +
-            s"keys=${w.keys.mkString(",")}\ndelta=$dp\n" +
-            w.stamp.fold("")(t => s"stamp=$t\n"), overwrite = true)
-        Intent(w.table, w.partCol, w.keys, v, dp, w.stamp)
-      }
-      catch { case e: Throwable => rollback(spark, dir); throw e }
     // COMMIT POINT — create-exclusive marker; fails if dir was reused
     if (!Publish.claimExclusive(fs, commitMarker(dir))) {
       rollback(spark, dir)
@@ -153,18 +127,94 @@ object Txn {
     prepared.map(in => in.table -> in.version).toMap
   }
 
+  // PREPARE — lock slots in sorted-table order (deadlock-free against
+  // any other transaction locking the same tables); any failure rolls
+  // the whole prepare back before rethrowing
+  private def prepareAll(
+      spark: SparkSession, dir: String, writes: Seq[Write]): Seq[Intent] = {
+    require(writes.map(_.table).distinct.size == writes.size,
+      "one write per table per transaction")
+    val fs = fsOf(spark, dir)
+    fs.mkdirs(new Path(dir))
+    try writes.sortBy(_.table).zipWithIndex.map { case (w, i) =>
+      val v = Versioned.reserveVersion(spark, w.table)
+      // lock recorded BEFORE staging: if the delta fails to
+      // materialize, rollback still finds and releases this slot
+      writeIntent(spark, dir, i, s"table=${w.table}\nversion=$v\n", overwrite = false)
+      w.expectedVersion.foreach { exp =>
+        if (v != exp + 1)
+          throw new TxnConflictException(
+            s"write-write conflict on ${w.table}: delta was derived from " +
+              s"v=$exp but the next free slot is v=$v — another transaction " +
+              "committed or reserved in between; re-read and retry")
+      }
+      val dp = deltaPath(dir, i)
+      w.delta.write.parquet(dp)
+      writeIntent(spark, dir, i,
+        s"table=${w.table}\nversion=$v\npartCol=${w.partCol}\n" +
+          s"keys=${w.keys.mkString(",")}\ndelta=$dp\n" +
+          w.stamp.fold("")(t => s"stamp=$t\n"), overwrite = true)
+      Intent(w.table, w.partCol, w.keys, v, dp, w.stamp)
+    }
+    catch { case e: Throwable => rollback(spark, dir); throw e }
+  }
+
+  /** CRASH SIMULATION (tests + restart gates): run the full prepare
+    * phase — slots locked, deltas staged, intents durable — then stop
+    * dead, exactly as a coordinator that died before its `_COMMIT`
+    * decision point would. The directory is left for [[recover]] /
+    * [[recoverAll]] to roll back; until the janitor runs, the locked
+    * slots stall every writer of the same tables, which is precisely
+    * the wedge the restart-time sweep exists to clear. */
+  private[graft] def crashAfterPrepare(
+      spark: SparkSession, dir: String, writes: Seq[Write]): Unit = {
+    prepareAll(spark, dir, writes)
+    ()
+  }
+
   /** Finish or discard an interrupted transaction: `_COMMIT` present →
     * roll forward (apply every intent not yet at its version) and
     * return "forward"; absent → roll back (release reservations, drop
-    * staged state) and return "rolledback"; `_DONE` already present →
-    * "noop". Safe to call repeatedly and on live directories of
-    * CRASHED coordinators only — it re-drives their decision. */
+    * staged state) and return "rolledback"; `_DONE` or `_ABORTED`
+    * already present → "noop". Safe to call repeatedly and on live
+    * directories of CRASHED coordinators only — it re-drives their
+    * decision. */
   def recover(spark: SparkSession, dir: String): String = {
     val fs = fsOf(spark, dir)
-    if (fs.exists(doneMarker(dir))) "noop"
+    if (fs.exists(doneMarker(dir)) || fs.exists(abortMarker(dir))) "noop"
     else if (fs.exists(commitMarker(dir))) {
       applyIntents(spark, dir, readIntents(spark, dir)); "forward"
     } else { rollback(spark, dir); "rolledback" }
+  }
+
+  /** Run `writes` under a coordinator directory the library allocates
+    * and REGISTERS beneath the well-known `root` — so a crashed
+    * coordinator is discoverable by [[recoverAll]] with no surviving
+    * caller holding the dir handle (the janitor gap plain [[run]]
+    * leaves: its single-use dir is known only to the crashed process).
+    * Returns the committed (table → version) map. */
+  def runManaged(spark: SparkSession, root: String, writes: Seq[Write]): Map[String, Long] = {
+    val fs = fsOf(spark, root)
+    fs.mkdirs(new Path(root))
+    run(spark, s"$root/txn-${java.util.UUID.randomUUID()}", writes)
+  }
+
+  /** JANITOR — sweep every coordinator directory under `root`,
+    * finishing or discarding whatever a crash left behind: roll FORWARD
+    * past `_COMMIT`, roll BACK otherwise, skip completed dirs. Returns
+    * dir → outcome ("forward" / "rolledback" / "noop"). Run it at
+    * process start before taking new work (e42's restart discipline) —
+    * the root must not be shared with coordinators still LIVE in other
+    * processes (per-job roots, the usual WAL-directory contract). Cost:
+    * one listing + per-orphan marker reads; completed dirs are
+    * metadata-only noops. */
+  def recoverAll(spark: SparkSession, root: String): Map[String, String] = {
+    val fs = fsOf(spark, root)
+    if (!fs.exists(new Path(root))) Map.empty
+    else fs.listStatus(new Path(root)).toSeq
+      .filter(_.isDirectory)
+      .map(st => st.getPath.toString -> recover(spark, st.getPath.toString))
+      .toMap
   }
 
   /** The (table → version) map a completed transaction committed —
@@ -177,16 +227,27 @@ object Txn {
       waitMs: Long = 60000L): Unit = {
     val fs = fsOf(spark, dir)
     intents.foreach { in =>
-      // a concurrent transaction may hold the slot below ours — wait
-      // for it to land (commitCas's discipline), then fail LOUDLY if
-      // it never does: applying past the gap could lose its update
+      // a concurrent transaction may hold a LIVE slot below ours — wait
+      // for it to land (commitCas's discipline), then fail LOUDLY if it
+      // never does: applying past a live slot could lose its update. A
+      // DEAD gap is different: a slot that is neither claimed nor
+      // committed was RELEASED (a peer's rollback or commitCas failure)
+      // and — while our own reservation at in.version exists —
+      // reserveVersion can never re-issue it, so waiting on it would
+      // wedge the table forever and void the "after _COMMIT the outcome
+      // is commit" guarantee. Commit ACROSS dead gaps, carrying the
+      // highest committed manifest forward as prior.
       val deadline = System.currentTimeMillis() + waitMs
       var cur = Versioned.latestVersion(spark, in.table)
-      while (cur < in.version - 1 && System.currentTimeMillis() < deadline) {
+      def liveGap(): Boolean =
+        ((cur + 1) until in.version).exists(g => Versioned.slotLive(spark, in.table, g))
+      while (cur < in.version - 1 && liveGap()
+          && System.currentTimeMillis() < deadline) {
         Thread.sleep(50L)
         cur = Versioned.latestVersion(spark, in.table)
       }
-      if (cur < in.version - 1)
+      cur = Versioned.latestVersion(spark, in.table)
+      if (cur < in.version - 1 && liveGap())
         throw new IllegalStateException(
           s"cannot apply txn intent v=${in.version} on ${in.table}: table is at " +
             s"v=$cur after ${waitMs}ms — a lower reserved version is uncommitted " +
@@ -195,8 +256,8 @@ object Txn {
       // a prior attempt landed this intent — skip, never double-commit
       if (cur < in.version) {
         val prior =
-          if (in.version == 1) Nil
-          else Versioned.manifestRefs(spark, in.table, in.version - 1)
+          if (cur == 0) Nil
+          else Versioned.manifestRefs(spark, in.table, cur)
         Versioned.commitAt(spark, in.table, spark.read.parquet(in.delta),
           in.partCol, in.keys, in.stamp, in.version, prior)
       }

@@ -294,6 +294,25 @@ object Versioned {
     next
   }
 
+  /** Can version slot `v` still land? True iff the slot is CLAIMED (a
+    * reservation file exists) or already COMMITTED (its manifest's
+    * `_SUCCESS` exists). A slot that is neither was RELEASED — by a Txn
+    * rollback or a commitCas failure path — and, while any higher
+    * reservation is outstanding, [[reserveVersion]] can never re-issue
+    * it (candidates always sit above maxReserved), so the gap is
+    * PERMANENT: waiters blocked on it may commit across, carrying the
+    * highest committed manifest forward as prior. Check order matters:
+    * reservation FIRST, then manifest — a reservation vanishes either
+    * by release (manifest never appears) or by post-commit reaping
+    * (manifest already durable before the reap), so reading
+    * "no reservation, then no manifest" proves the release case with
+    * no race window. */
+  private[operators] def slotLive(spark: SparkSession, path: String, v: Long): Boolean = {
+    val fs = fsOf(spark, path)
+    fs.exists(new Path(reservationDir(path), s"v=$v")) ||
+      fs.exists(new Path(manifestPath(path, v), "_SUCCESS"))
+  }
+
   /** Release a claimed-but-uncommitted version slot (Txn rollback). */
   private[operators] def releaseVersionClaim(spark: SparkSession, path: String, v: Long): Unit = {
     val fs = fsOf(spark, path)
@@ -338,7 +357,16 @@ object Versioned {
     val rDir = new Path(reservationDir(path))
     val next = reserveVersion(spark, path)
     val deadline = System.currentTimeMillis() + waitMs
-    while (latestVersion(spark, path) < next - 1) {
+    // wait only on LIVE lower slots (claimed or committed). A slot that
+    // is neither was released — Txn rollback or a peer's failure path —
+    // and can never be re-issued while our own v=next claim exists
+    // ([[slotLive]]'s argument), so waiting on it would wedge the table
+    // forever; commit across it instead, carrying the highest committed
+    // manifest forward.
+    var cur = latestVersion(spark, path)
+    def liveGap(): Boolean =
+      ((cur + 1) until next).exists(g => slotLive(spark, path, g))
+    while (cur < next - 1 && liveGap()) {
       if (System.currentTimeMillis() >= deadline) {
         // release OUR claim before failing — otherwise every timed-out
         // attempt would itself become a stale gap stalling successors
@@ -350,14 +378,16 @@ object Versioned {
             s"could lose its update)")
       }
       Thread.sleep(50L)
+      cur = latestVersion(spark, path)
     }
+    cur = latestVersion(spark, path)
     // release the claimed slot on ANY in-process commit failure (bad
     // delta, analysis error, write failure) — a leaked v=N reservation
     // stalls every subsequent writer for waitMs. A hard crash still
     // leaks; that's the documented delete-and-retry path above.
     val v =
       try commitAt(spark, path, delta, partCol, keys, stamp, next,
-        if (next == 1) Nil else manifestRefs(spark, path, next - 1))
+        if (cur == 0) Nil else manifestRefs(spark, path, cur))
       catch {
         case e: Throwable =>
           try fs.delete(new Path(rDir, s"v=$next"), false)
@@ -900,7 +930,11 @@ object Versioned {
       org.apache.hadoop.fs.FileUtil.copy(
         srcFs, from, dstFs, new Path(s"$dest/data/__p=$p"), false, true, conf)
     }
+    // partition-directory inference would type a numeric-looking __p as
+    // IntegerType, drifting the meta schema from Versioned's string-pval
+    // convention — pin it back to string before fingerprinting
     val copied = spark.read.parquet(s"$dest/data")
+      .withColumn("__p", col("__p").cast("string"))
     val meta = partFingerprints(copied, "__p")
       .withColumn("src_version", lit(v))
     meta.coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dest/meta")
@@ -921,11 +955,16 @@ object Versioned {
   def importSnapshot(spark: SparkSession, src: String, dst: String): Long = {
     require(latestVersion(spark, dst) == 0L,
       s"import target $dst already has committed versions")
+    // cast __p on BOTH sides: older bundles' meta may carry an inferred
+    // numeric __p, and the data read re-infers from the directory names —
+    // string is Versioned's pval convention everywhere else
     val expected = spark.read.parquet(s"$src/meta")
-      .select(col("__p"), col("rows"), col("xh"))
+      .select(col("__p").cast("string"), col("rows"), col("xh"))
       .collect() // k rows: one per partition — driver-sized by design
       .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
-    val actual = partFingerprints(spark.read.parquet(s"$src/data"), "__p")
+    val actual = partFingerprints(
+        spark.read.parquet(s"$src/data")
+          .withColumn("__p", col("__p").cast("string")), "__p")
       .collect()
       .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
     val bad = (expected.keySet ++ actual.keySet).filter(p =>

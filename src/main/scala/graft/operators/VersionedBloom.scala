@@ -27,10 +27,17 @@ object VersionedBloom {
   private val DefaultBits = 1 << 16
 
   /** The index rows for `delta`'s affected partitions as they will
-    * stand AFTER the commit: bloom positions over merge(current
-    * affected partitions, delta). Compute this BEFORE the commit and
-    * hand both frames to one [[Txn]] — (pval, entries, bloom), keyed
-    * and partitioned by pval. */
+    * stand AFTER the commit: bloom positions over merge(affected
+    * partitions AS OF `asOfVersion`, delta). Compute this BEFORE the
+    * commit and hand both frames to one [[Txn]] — (pval, entries,
+    * bloom), keyed and partitioned by pval. `asOfVersion` pins the
+    * base snapshot the merge reads (-1 = current latest); callers that
+    * commit the result MUST pin it and pass the same version as the
+    * table write's `expectedVersion` (see [[commitIndexed]]), or a
+    * commit landing between this computation and the transaction's
+    * prepare would leave the index missing that commit's keys in
+    * shared partitions — a bloom FALSE NEGATIVE, the one failure mode
+    * this index is designed to make impossible. */
   def indexDelta(
       spark: SparkSession,
       tablePath: String,
@@ -38,13 +45,16 @@ object VersionedBloom {
       partCol: String,
       keys: Seq[String],
       keyCol: String,
-      bits: Int = DefaultBits): DataFrame = {
+      bits: Int = DefaultBits,
+      asOfVersion: Long = -1L): DataFrame = {
+    val base =
+      if (asOfVersion < 0) Versioned.latestVersion(spark, tablePath) else asOfVersion
     val affected = delta.select(col(partCol)).distinct().collect()
       .map(_.get(0)).toSeq // partition domain — driver-sized by design
     val merged =
-      if (Versioned.latestVersion(spark, tablePath) == 0) delta
+      if (base == 0) delta
       else Upsert.merge(
-        Versioned.readAsOf(spark, tablePath)
+        Versioned.readAsOf(spark, tablePath, base)
           .filter(col(partCol).isin(affected: _*)),
         delta, keys)
     merged
@@ -57,7 +67,16 @@ object VersionedBloom {
 
   /** Commit `delta` and its index maintenance as one atomic
     * transaction. Returns the committed (table → version) map —
-    * table and index versions move in lockstep. */
+    * table and index versions move in lockstep.
+    *
+    * The base version the index delta is computed from is pinned and
+    * passed as the table write's `expectedVersion`: a concurrent commit
+    * landing between the index computation and the transaction's
+    * prepare aborts the whole transaction with
+    * [[Txn.TxnConflictException]] (the caller re-derives and retries)
+    * instead of silently committing index rows that are missing the
+    * interleaved commit's keys — stale-base index deltas are the one
+    * path to a bloom false negative, so they are refused, not raced. */
   def commitIndexed(
       spark: SparkSession,
       txnDir: String,
@@ -68,12 +87,16 @@ object VersionedBloom {
       keys: Seq[String],
       keyCol: String,
       bits: Int = DefaultBits,
-      stamp: Option[Long] = None): Map[String, Long] =
+      stamp: Option[Long] = None): Map[String, Long] = {
+    val base = Versioned.latestVersion(spark, tablePath)
     Txn.run(spark, txnDir, Seq(
-      Txn.Write(tablePath, delta, partCol, keys, stamp),
+      Txn.Write(tablePath, delta, partCol, keys, stamp,
+        expectedVersion = Some(base)),
       Txn.Write(indexPath,
-        indexDelta(spark, tablePath, delta, partCol, keys, keyCol, bits),
+        indexDelta(spark, tablePath, delta, partCol, keys, keyCol, bits,
+          asOfVersion = base),
         "pval", Seq("pval"), stamp)))
+  }
 
   /** The partitions that MAY hold at least one of `keys` (all k hash
     * positions present in the partition's bloom row). */

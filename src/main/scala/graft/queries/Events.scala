@@ -2184,6 +2184,24 @@ object Events {
       .schema("event_id BIGINT, event_type STRING, amt DECIMAL(10,2)")
       .option("maxFilesPerTrigger", 1)
       .parquet(feed)
+    // RESTART DISCIPLINE: every coordinator dir lives under ONE
+    // well-known root, so a janitor finds crashed transactions with no
+    // caller holding the dir handle. Plant a coordinator that died
+    // right after PREPARE (ledger slot LOCKED, poison delta staged, no
+    // _COMMIT) — without the sweep the first micro-batch's Txn would
+    // stall on that locked slot until timeout; Txn.recoverAll rolls it
+    // back (slot released, poison rows never land — the 'bogus' type
+    // would hash-mismatch the oracle if they did) before the stream
+    // takes any work.
+    val txnRoot = s"$root/txns"
+    Txn.crashAfterPrepare(s, s"$txnRoot/txn-crashed", Seq(
+      Txn.Write(ledger,
+        s.sql("SELECT CAST(-1 AS BIGINT) AS event_id, 'bogus' AS event_type, " +
+          "CAST(9.99 AS DECIMAL(10,2)) AS amt"),
+        "event_type", Seq("event_id"))))
+    val swept = Txn.recoverAll(s, txnRoot)
+    require(swept.valuesIterator.contains("rolledback"),
+      s"janitor must roll back the planted crashed coordinator, got $swept")
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
@@ -2203,7 +2221,7 @@ object Events {
                 (coalesce(col("n"), lit(0L)) + col("bn")).as("n"),
                 (coalesce(col("total"), lit(BigDecimal(0)).cast("decimal(20,2)"))
                   + col("bt")).cast("decimal(20,2)").as("total"))
-            Txn.run(s, s"$root/txn-$batchId", Seq(
+            Txn.run(s, s"$txnRoot/txn-$batchId", Seq(
               Txn.Write(ledger, batch, "event_type", Seq("event_id"),
                 stamp = Some(batchId + 1)),
               Txn.Write(summary, sDelta, "event_type", Seq("event_type"),
@@ -2216,6 +2234,10 @@ object Events {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // a SECOND sweep models the next restart: completed coordinators
+    // are metadata-only noops, nothing is re-applied or re-rolled
+    require(Txn.recoverAll(s, txnRoot).valuesIterator.forall(_ == "noop"),
+      "post-run janitor sweep must find only completed coordinators")
     val vL = Versioned.latestVersion(s, ledger)
     val vS = Versioned.latestVersion(s, summary)
     require(vL >= 2, "multi-batch run must commit multiple transactions")

@@ -64,7 +64,9 @@ class TxnSpec extends SparkSpec {
     val v = Versioned.commitCas(spark, a, ledger(5, bump = 1L), "part", Seq("k"),
       waitMs = 2000L)
     assert(v === 2L)
-    assert(Txn.recover(spark, s"$root/t2") === "rolledback")
+    // prepare failure already rolled t2 back (its _ABORTED marker is
+    // durable), so a later recover is a no-op, not a second rollback
+    assert(Txn.recover(spark, s"$root/t2") === "noop")
   }
 
   test("crash after _COMMIT with one table applied: recover rolls forward") {
@@ -157,6 +159,73 @@ class TxnSpec extends SparkSpec {
     Txn.run(spark, s"$root/w3", Seq(
       Txn.Write(a, ledger(10, bump = 2L), "part", Seq("k"), expectedVersion = Some(2L))))
     assert(Versioned.latestVersion(spark, a) === 3L)
+  }
+
+  test("a released slot below a committed txn does not wedge apply (gap skip)") {
+    val root = newRoot()
+    val a = s"$root/ledger"
+    Versioned.commit(spark, a, ledger(10), "part", Seq("k"))
+    // txn LOW crashes after prepare: slot v=2 locked, no _COMMIT
+    Txn.crashAfterPrepare(spark, s"$root/low", Seq(
+      Txn.Write(a, ledger(10, bump = 9L), "part", Seq("k"))))
+    // txn HIGH reserves v=3, writes its _COMMIT, then blocks in apply
+    // waiting for the (live) v=2 slot
+    val deltaHigh = ledger(5, bump = 4L)
+    @volatile var highResult: Option[Map[String, Long]] = None
+    val high = new Thread(() => {
+      highResult = Some(Txn.run(spark, s"$root/high", Seq(
+        Txn.Write(a, deltaHigh, "part", Seq("k")))))
+    })
+    high.start()
+    // wait until HIGH is past its decision point (outcome now fixed:
+    // commit — the guarantee the gap must not be able to void)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deadline = System.currentTimeMillis() + 60000
+    while (!fs.exists(new Path(s"$root/high", "_COMMIT"))
+        && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(fs.exists(new Path(s"$root/high", "_COMMIT")))
+    // the janitor rolls LOW back — v=2 released; HIGH's own v=3
+    // reservation makes the slot unreachable forever (reserveVersion
+    // picks above maxReserved), so HIGH must commit ACROSS the gap
+    assert(Txn.recover(spark, s"$root/low") === "rolledback")
+    high.join(60000)
+    assert(highResult === Some(Map(a -> 3L)), "HIGH applied at its reserved slot")
+    assert(Versioned.latestVersion(spark, a) === 3L)
+    // v=3 carries v=1 forward as prior: merge(v1, deltaHigh), no v=2
+    val got = Versioned.readAsOf(spark, a)
+      .select(col("k"), col("amount")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (1 to 10).map(i => i.toLong -> i * 10L).toMap ++
+      (1 to 5).map(i => i.toLong -> (i * 10L + 4L)).toMap
+    assert(got === want, "content is merge(v1, HIGH's delta) — LOW never landed")
+  }
+
+  test("recoverAll sweeps a root: crashed coordinators found without handles") {
+    val root = newRoot()
+    val a = s"$root/ledger"; val b = s"$root/summary"
+    val base = ledger(20)
+    // one COMPLETED transaction through the managed path (dir allocated
+    // by the library — the caller never learns it)
+    val got = Txn.runManaged(spark, s"$root/txns", Seq(
+      Txn.Write(a, base, "part", Seq("k")),
+      Txn.Write(b, summaryOf(base), "part", Seq("part"))))
+    assert(got === Map(a -> 1L, b -> 1L))
+    // one CRASHED-after-prepare coordinator under the same root: slots
+    // locked on both tables, nothing visible
+    Txn.crashAfterPrepare(spark, s"$root/txns/txn-dead", Seq(
+      Txn.Write(a, ledger(20, bump = 3L), "part", Seq("k")),
+      Txn.Write(b, summaryOf(ledger(20, bump = 3L)), "part", Seq("part"))))
+    val swept = Txn.recoverAll(spark, s"$root/txns")
+    assert(swept.size === 2)
+    assert(swept.values.toSeq.sorted === Seq("noop", "rolledback"))
+    assert(Versioned.latestVersion(spark, a) === 1L, "crashed txn minted nothing")
+    assert(Versioned.latestVersion(spark, b) === 1L)
+    // the released slots are actually usable again: a plain CAS commit
+    // proceeds without stalling on a stale reservation
+    assert(Versioned.commitCas(spark, a, ledger(3, bump = 1L), "part", Seq("k"),
+      waitMs = 2000L) === 2L)
+    // a second sweep is all-noop (idempotent janitor)
+    assert(Txn.recoverAll(spark, s"$root/txns").valuesIterator.forall(_ == "noop"))
   }
 
   test("recover before _COMMIT rolls back a prepared-but-undecided txn") {

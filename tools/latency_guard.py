@@ -54,9 +54,23 @@ def load(path):
 
 
 def main(argv):
-    args = [a for a in argv if not a.startswith("--")]
-    opts = {a.split("=")[0]: a.split("=")[1] for a in argv
-            if a.startswith("--") and "=" in a}
+    # accept both --factor=1.4 and --factor 1.4 (the docstring shows the
+    # space form, so the parser must too)
+    args, opts, i = [], {}, 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--"):
+            if "=" in a:
+                k, v = a.split("=", 1)
+                opts[k] = v
+            elif i + 1 < len(argv):
+                opts[a] = argv[i + 1]
+                i += 1
+            else:
+                raise SystemExit(f"option {a} needs a value\n\n{__doc__}")
+        else:
+            args.append(a)
+        i += 1
     if len(args) != 2:
         raise SystemExit(__doc__)
     factor = float(opts.get("--factor", "1.4"))
