@@ -55,12 +55,35 @@ object Bench {
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
     sentinel() // sentinel warmup (JIT the range/sum codegen)
     val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // PER-FAMILY sentinels: one pass-head sentinel cannot normalize
+    // intra-pass load spikes (observed 4.3x swings across one pass's
+    // series) — so the sentinel is re-timed immediately BEFORE each
+    // family within each pass, giving every query a LOCAL load proxy
+    // taken seconds, not minutes, from its own measurement. The guard
+    // normalizes each query's budget by the sentinel of the pass that
+    // produced its min (min_pass below), falling back to the family
+    // minimum, then to the global head sentinel for older files.
+    def famOf(n: String) = n.takeWhile(!_.isDigit)
+    val famOrder = names.map(famOf).distinct
+    val famSentinels = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.ArrayBuffer[Double]]()
     val passes = (1 to nPasses).map { _ =>
       sentinels += sentinel()
-      names.map(n => n -> materialize(n)).toMap
+      famOrder.flatMap { f =>
+        famSentinels.getOrElseUpdate(f,
+          scala.collection.mutable.ArrayBuffer.empty[Double]) += sentinel()
+        names.filter(famOf(_) == f).map(n => n -> materialize(n))
+      }.toMap
     }
     val results = names.map(n => n -> passes.map(_(n)).min)
+    // which pass (1-based) produced each query's min — the guard pairs
+    // it with that pass's family sentinel for local normalization
+    val minPass = names.map(n =>
+      n -> (passes.map(_(n)).zipWithIndex.minBy(_._1)._2 + 1)).toMap
     val sentinelJson = sentinels.map(v => f"$v%.3f").mkString("[", ",", "]")
+    val famSentJson = famSentinels.map { case (f, xs) =>
+      "\"" + f + "\":" + xs.map(v => f"$v%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
 
     val total = results.map(_._2).sum
     // batch vs streaming subtotals: the 13 true-streaming queries carry
@@ -82,21 +105,26 @@ object Bench {
     def line(entries: Seq[(String, Double)], extra: String): String = {
       val qs = entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
         .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","batch_total":$batchTotal%.3f,"stream_total":$streamTotal%.3f,"sentinel_secs":$sentinelJson,"families":$fams$extra,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","batch_total":$batchTotal%.3f,"stream_total":$streamTotal%.3f,"sentinel_secs":$sentinelJson,"sentinel_by_family":$famSentJson,"families":$fams$extra,"queries":$qs,"sf":"$sfDir"}"""
     }
     // The full per-query record goes to a FILE, not the log: the harness
     // keeps only a ~2000-byte log tail, and a 171-query JSON line (~6 KB)
     // printed before the compact one would leave a truncated JSON
     // fragment at the tail's head that can shadow the parseable line.
+    val minPassJson = names.map(n => "\"" + n + "\":" + minPass(n))
+      .mkString("{", ",", "}")
     val fullPath = java.nio.file.Paths.get("target", "bench_full.json")
     java.nio.file.Files.createDirectories(fullPath.getParent)
     java.nio.file.Files.write(fullPath,
-      (line(results, "") + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (line(results, s""","min_pass":$minPassJson""") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // stdout gets ONE compact line sized to survive the 2000-byte log
     // tail alongside sbt's trailing [success] line: the slowest queries
     // are kept (they carry the optimization signal); the omitted fast
-    // ones are summarized by count + total.
-    val budget = 1200 // families (~250 B) now share the ~2 KB log tail
+    // ones are summarized by count + total. min_pass lives only in the
+    // full file; sentinel_by_family (~15 families x nPasses, ~400 B)
+    // earns its tail space — the guard can't normalize without it.
+    val budget = 900 // families + per-family sentinels share the tail
     val bySlowest = results.sortBy(-_._2)
     val kept = bySlowest
       .scanLeft(("", 0.0, 60)) { case ((_, _, acc), (k, v)) => (k, v, acc + k.length + 15) }

@@ -76,45 +76,69 @@ def main(argv):
     factor = float(opts.get("--factor", "1.4"))
     min_secs = float(opts.get("--min-secs", "0.5"))
     prev, curr = load(args[0]), load(args[1])
+    return report(prev, curr, factor, min_secs)
+
+
+def _local_sentinel(doc, name):
+    """The most LOCAL load proxy available for `name`'s measurement:
+    the sentinel timed right before its family in the pass that produced
+    its min (min_pass x sentinel_by_family), else the family's sentinel
+    minimum, else the global pass-head sentinel minimum, else None."""
+    fam = name[:next((i for i, ch in enumerate(name) if ch.isdigit()),
+                     len(name))]
+    series = (doc.get("sentinel_by_family") or {}).get(fam)
+    if series:
+        mp = (doc.get("min_pass") or {}).get(name)
+        if isinstance(mp, int) and 1 <= mp <= len(series):
+            return series[mp - 1]
+        return min(series)
+    ss = doc.get("sentinel_secs")
+    return min(ss) if ss else None
+
+
+def compute(prev, curr, factor=1.4, min_secs=0.5):
+    """Returns (breaches, improved, new, absent). Each breach is
+    (name, prev_s, curr_s, ratio, drift_used). Budgets are normalized
+    per query by the LOCAL sentinel ratio (see _local_sentinel), capped
+    at [1, 2] — a >2x local move means the samples aren't comparable;
+    absorb 2x and let the rest surface."""
     pq, cq = prev["queries"], curr["queries"]
-
-    # box-drift normalization: scale the budget by the sentinel ratio
-    # (capped at [1, 2] — a >2x sentinel move means the runs aren't
-    # comparable at all; say so rather than silently absorbing it)
-    drift = 1.0
-    ps, cs = prev.get("sentinel_secs"), curr.get("sentinel_secs")
-    if ps and cs:
-        drift = max(1.0, min(cs) / min(ps))
-        if drift > 2.0:
-            print(f"WARN sentinel drifted {drift:.2f}x between runs — "
-                  "box conditions not comparable; capping normalization at 2x")
-            drift = 2.0
-
     breaches, improved = [], []
     for name in sorted(set(pq) & set(cq)):
         p, c = pq[name], cq[name]
         if p < min_secs and c < min_secs:
             continue  # noise floor: sub-half-second queries never gate
-        budget = p * factor * drift
-        if c > budget:
-            breaches.append((name, p, c, c / p))
+        sp, sc = _local_sentinel(prev, name), _local_sentinel(curr, name)
+        drift = 1.0
+        if sp and sc:
+            drift = min(2.0, max(1.0, sc / sp))
+        if c > p * factor * drift:
+            breaches.append((name, p, c, c / p, drift))
         elif c < p / factor:
             improved.append((name, p, c))
-    for name in sorted(set(cq) - set(pq)):
-        print(f"INFO new query {name}: {cq[name]:.2f}s (no budget yet)")
-    for name in sorted(set(pq) - set(cq)):
+    return (breaches, improved,
+            sorted(set(cq) - set(pq)), sorted(set(pq) - set(cq)))
+
+
+def report(prev, curr, factor=1.4, min_secs=0.5):
+    breaches, improved, new, absent = compute(prev, curr, factor, min_secs)
+    for name in new:
+        print(f"INFO new query {name}: {curr['queries'][name]:.2f}s (no budget yet)")
+    for name in absent:
         print(f"INFO query {name} absent from current run")
     for name, p, c in improved:
         print(f"OK   {name} improved {p:.2f}s -> {c:.2f}s")
+    common = len(set(prev["queries"]) & set(curr["queries"]))
     if breaches:
         print(f"\n== {len(breaches)} queries breached their latency budget "
-              f"(factor {factor}, sentinel drift {drift:.2f}x):")
-        for name, p, c, r in sorted(breaches, key=lambda b: -b[3]):
-            print(f"FAIL {name}: {p:.2f}s -> {c:.2f}s ({r:.2f}x)")
+              f"(factor {factor}, per-query local-sentinel normalization):")
+        for name, p, c, r, drift in sorted(breaches, key=lambda b: -b[3]):
+            print(f"FAIL {name}: {p:.2f}s -> {c:.2f}s ({r:.2f}x, "
+                  f"local sentinel drift {drift:.2f}x)")
         print("Explain each (committed A/B note) or reclaim before close-out.")
         return 1
-    print(f"== latency budgets held for {len(set(pq) & set(cq))} common "
-          f"queries (factor {factor}, sentinel drift {drift:.2f}x)")
+    print(f"== latency budgets held for {common} common "
+          f"queries (factor {factor}, per-query local-sentinel normalization)")
     return 0
 
 
