@@ -512,6 +512,59 @@ object Versioned {
       .option("basePath", genRoot(path))
       .parquet(s"${genRoot(path)}/*/*")
 
+  /** PER-KEY CHANGE HISTORY derived from the CHANGE FEED's post-images
+    * — "what happened to THIS key?" (the k45 audit) in O(Σ deltas),
+    * never O(versions × table): every commit already landed exactly its
+    * affected partitions' POST-IMAGE rows under `__gen=<version>`, so
+    * the union of generation files IS the per-version state feed of
+    * every key that ever sat in a rewritten partition. The AS-OF
+    * alternative (read each retained version in full, window over the
+    * union) re-reads every partition once per version it is merely
+    * CARRIED through — at 1000 versions that is a 1000× table scan for
+    * a history whose information lives in the deltas. This plan reads
+    * each generation file exactly once.
+    *
+    * Orphan generations (crash debris with no committed manifest) are
+    * excluded by the manifest-derived (partition, gen) event set —
+    * driver-sized (versions × partitions), broadcast as a semi-join so
+    * the scan itself stays Σ-delta-rows. Returns (keyCols…, version,
+    * payloadCols…) at every version where the key's payload CHANGED
+    * (null-safe compare; first appearance counts): partition-level
+    * granularity means a key rides along in rewrites that didn't touch
+    * it, and those rows are dropped by the change filter. History is
+    * as deep as the retained manifests — [[expire]] truncates it, as
+    * with any change feed. */
+  def keyHistory(
+      spark: SparkSession,
+      path: String,
+      keyCols: Seq[String],
+      payloadCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // (partition, gen) pairs where gen was COMMITTED as that version:
+    // refs with g == v are the partitions version v actually rewrote
+    val events: Seq[(String, Long)] = retainedVersions(spark, path).flatMap { v =>
+      manifestRefs(spark, path, v).collect { case (p, g) if g == v => (p, v) }
+    }.distinct
+    import spark.implicits._
+    val eventDf = events.toDF("__pe", "__ge")
+    val feed = spark.read
+      .option("basePath", genRoot(path))
+      .parquet(s"${genRoot(path)}/*/*")
+      .withColumn("__p", col("__p").cast("string"))
+      .withColumn("__gen", col("__gen").cast("long"))
+      .join(broadcast(eventDf),
+        col("__p") === col("__pe") && col("__gen") === col("__ge"), "left_semi")
+    val w = Window.partitionBy(keyCols.map(col).toIndexedSeq: _*).orderBy(col("__gen"))
+    val changed = payloadCols
+      .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduceLeft(_ || _) || lag(lit(1), 1).over(w).isNull
+    feed
+      .withColumn("__chg", changed)
+      .filter(col("__chg"))
+      .select((keyCols.map(col) :+ col("__gen").as("version"))
+        ++ payloadCols.map(col): _*)
+  }
+
   /** Row-level DELETE as a NEW VERSION — `DELETE FROM … WHERE key IN
     * (…)` with time travel: the partitions containing any of `keys`
     * are rewritten WITHOUT those rows under the next generation

@@ -2759,20 +2759,22 @@ object EtlOps {
       .select(col("k"), col("st"), col("p").cast("double").as("p"), col("origin"))
   }
 
-  // --- k45_key_history: PER-KEY CHANGE HISTORY across retained
-  // versions — the row-level audit trail beside k32's version-level
-  // diff ("what happened to THIS key?"): three commits land (base,
-  // status flip for %7 keys, price bump for %5 keys), then the history
-  // reconstructs by reading every retained version AS OF, tagging it,
-  // and keeping exactly the rows where the key's payload CHANGED vs its
-  // previous version (first appearance counts) — an SCD2-shaped record
-  // derived from the version store itself, no change capture needed at
-  // write time. Output restricted to the %10 key sample to keep the
-  // audit delta-sized. Scale: each AS-OF read is manifest-resolved;
-  // the change detection is one window over (key, version) on the
-  // key-sampled union — versions × sample rows, never table² — and the
-  // lag compares only the tracked payload columns. Oracle derives all
-  // three versions' payloads analytically from the fixture arithmetic. ---
+  // --- k45_key_history: PER-KEY CHANGE HISTORY from the CHANGE FEED —
+  // the row-level audit trail beside k32's version-level diff ("what
+  // happened to THIS key?"): three commits land (base, status flip for
+  // %7 keys, price bump for %5 keys), then Versioned.keyHistory derives
+  // the history from the generation files the commits ALREADY wrote —
+  // each version's post-image rows sit under __gen=<v>, so the feed is
+  // read once, O(Σ deltas), never O(versions × table) (the AS-OF-union
+  // alternative re-reads every partition once per version it is merely
+  // carried through — 1000 versions = a 1000× table scan). Change rows
+  // are where the key's payload differs from its previous committed
+  // state (first appearance counts); keys riding along in partition
+  // rewrites that didn't touch them are dropped by the change filter.
+  // Output restricted to the %10 key sample to keep the audit
+  // delta-sized. VersionedSpec pins the plan evidence: scan rows equal
+  // Σ generation-delta rows. Oracle derives all three versions'
+  // payloads analytically from the fixture arithmetic. ---
   val k45KeyHistory = QueryDef.sql(
     "k45_key_history",
     """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
@@ -2786,7 +2788,6 @@ object EtlOps {
       |FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3)""".stripMargin) {
     (s, d) =>
     import graft.operators.Versioned
-    import org.apache.spark.sql.expressions.Window
     val root = graft.Scratch.dir("k45-khist")
     val tbl = s"$root/orders_v"
     val base = T.orders(s, d)
@@ -2802,21 +2803,11 @@ object EtlOps {
           when(col("o_orderkey") % 7 === 0, lit("X")).otherwise(col("o_orderstatus")))
         .withColumn("o_totalprice", col("o_totalprice") + 10.0),
       "o_orderpriority", Seq("o_orderkey"))
-    val latest = Versioned.latestVersion(s, tbl)
-    val tagged = (1 to latest.toInt).map { v =>
-      Versioned.readAsOf(s, tbl, v)
-        .filter(col("o_orderkey") % 10 === 0)
-        .select(col("o_orderkey"), lit(v).as("version"),
-          col("o_orderstatus"), col("o_totalprice").cast("double").as("price"))
-    }.reduce(_.unionByName(_))
-    val w = Window.partitionBy(col("o_orderkey")).orderBy(col("version"))
-    tagged
-      .withColumn("p_st", lag(col("o_orderstatus"), 1).over(w))
-      .withColumn("p_pr", lag(col("price"), 1).over(w))
-      .filter(col("p_st").isNull ||
-        col("o_orderstatus") =!= col("p_st") || col("price") =!= col("p_pr"))
-      .select(col("o_orderkey"), col("version"),
-        col("o_orderstatus"), col("price"))
+    Versioned.keyHistory(s, tbl,
+        Seq("o_orderkey"), Seq("o_orderstatus", "o_totalprice"))
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("version").cast("int").as("version"),
+        col("o_orderstatus"), col("o_totalprice").cast("double").as("price"))
   }
 
   val all: Seq[QueryDef] = Seq(

@@ -353,6 +353,45 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.fsck(spark, tbl)._3 === 0L)
   }
 
+  test("keyHistory derives per-key changes from generation files, O(sum of deltas)") {
+    val tbl = freshTbl()
+    // v1: 4 keys across 2 partitions; v2 rewrites partition a (id=2
+    // changed, id=1 rides along unchanged); v3 rewrites b (id=3 changed)
+    Versioned.commit(spark, tbl,
+      rows(Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0), (4L, "b", 4.0))),
+      "part", Seq("id"))
+    Versioned.commit(spark, tbl, rows(Seq((2L, "a", 20.0))), "part", Seq("id"))
+    Versioned.commit(spark, tbl, rows(Seq((3L, "b", 30.0))), "part", Seq("id"))
+    // plant ORPHAN crash debris: generation data, no manifest — it must
+    // never surface in the history
+    rows(Seq((9L, "a", 99.0))).withColumn("__p", col("part").cast("string"))
+      .write.mode("overwrite").partitionBy("__p").parquet(s"$tbl/gen/__gen=7")
+
+    val hist = Versioned.keyHistory(spark, tbl, Seq("id"), Seq("value"))
+    val got = hist.select(col("id"), col("version"), col("value"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, 1.0), (2L, 1L, 2.0), (3L, 1L, 3.0), (4L, 1L, 4.0), // first appearance
+      (2L, 2L, 20.0), (3L, 3L, 30.0)), // only the keys that CHANGED
+      "ride-along rows dropped, orphan debris invisible")
+
+    // PLAN EVIDENCE: the parquet scan reads each generation file ONCE —
+    // committed post-image rows v1=4, v2=2 (partition a post-state),
+    // v3=2 (partition b), plus the 1 orphan row the manifest semi-join
+    // drops post-scan = 9 total — strictly below the versions x table
+    // cost (3 x 4 = 12) the AS-OF-union plan would pay, and the gap
+    // widens with every version. The semi-join output is exactly the
+    // committed rows (8).
+    val metrics = graft.plans.PlanMetrics.actualRows(hist)
+    val scanRows = metrics.filter(_.node.toLowerCase.contains("scan parquet"))
+      .flatMap(_.outputRows).sum
+    assert(scanRows === 9L, s"scan must read gen files once, got $scanRows")
+    assert(scanRows < 3L * 4L + 1L, "strictly below the versions x table bound")
+    val joinRows = graft.plans.PlanMetrics.rowsOf(metrics, "BroadcastHashJoin")
+    assert(joinRows === Some(8L),
+      s"manifest semi-join keeps exactly the committed post-image rows, got $joinRows")
+  }
+
   test("followChanges discovers each commit's files incrementally across restarts") {
     val root = Files.createTempDirectory("graft-follow").toString
     val tbl = s"$root/t"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
