@@ -41,4 +41,91 @@ object JoinAdvisor {
       c.label -> StatsStore.estimateJoinRows(
         spark, c.left.statsPath, c.leftKey, c.right.statsPath, c.rightKey)
     }.sortBy { case (l, e) => (e, l) }
+
+  /** One equi-join edge of a join graph: `left.leftCol = right.rightCol`
+    * (rel names, not stats paths — [[planLeftDeep]] resolves stats). */
+  final case class Edge(left: String, leftCol: String,
+      right: String, rightCol: String) {
+    def label: String = s"${left}_join_$right"
+    def touches(rel: String): Boolean = rel == left || rel == right
+  }
+
+  /** One greedy step: the edge picked, the relation it pulled into the
+    * left-deep prefix, and the estimated rows AFTER this join. */
+  final case class Step(edge: Edge, added: String, estRows: Double)
+
+  /** GREEDY LEFT-DEEP join-order enumeration over a join graph of ≥2
+    * relations — the full Selinger-lite loop [[rank]] only seeds:
+    * start from the globally cheapest edge, then repeatedly extend the
+    * prefix with the connected edge whose estimated output is smallest,
+    * until every relation joined. Estimates read NOTHING but stats
+    * stores (row counts + mergeable HLL NDV registers — driver-sized
+    * folds, no data-table I/O).
+    *
+    * NDV PROPAGATION under the containment assumption (System R's):
+    * the intermediate inherits each surviving column's BASE-table NDV,
+    * capped by the intermediate's own estimated cardinality —
+    * ndv_I(c) = min(ndv_base(c), |I|) — so a selective early join
+    * correctly shrinks the key domain later joins divide by. Each
+    * extension estimates |I ⋈ R| = |I|·|R| / max(ndv_I(key), ndv_R(key)).
+    *
+    * Determinism: register arrays are md5-derived and max-merged, so
+    * estimates — and therefore the chosen order — reproduce
+    * bit-for-bit in a SQL recomputation (the k49 gate); ties break by
+    * edge label. Like every CBO output this is a RANKING signal, not a
+    * cardinality promise — gates report estimated and ACTUAL rows side
+    * by side, and the JoinAdvisorSpec measures the intermediate-row
+    * delta between the chosen and the naive order on executed plans. */
+  def planLeftDeep(
+      spark: SparkSession, rels: Seq[Rel], edges: Seq[Edge]): Seq[Step] = {
+    require(rels.size >= 2 && edges.nonEmpty, "need a joinable graph")
+    val byName = rels.map(r => r.name -> r).toMap
+    // one stats fold per (rel, col) actually referenced by an edge
+    val needed: Seq[(String, String)] = edges
+      .flatMap(e => Seq(e.left -> e.leftCol, e.right -> e.rightCol)).distinct
+    val rowsOf: Map[String, Double] = needed.map(_._1).distinct.map { r =>
+      r -> StatsStore.read(spark, byName(r).statsPath)
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("rows")))
+        .collect()(0).getLong(0).toDouble
+    }.toMap
+    val ndvOf: Map[(String, String), Double] = needed.map { case (r, c) =>
+      (r, c) -> StatsStore.ndvGlobal(
+        StatsStore.read(spark, byName(r).statsPath), c)
+        .collect()(0).getDouble(1)
+    }.toMap
+
+    def est(insideRows: Double, insideNdv: Double, outside: String, outsideCol: String): Double = {
+      val maxNdv = math.max(insideNdv, ndvOf((outside, outsideCol)))
+      if (maxNdv <= 0.0) 0.0 else insideRows * rowsOf(outside) / maxNdv
+    }
+    // seed: the globally cheapest single edge
+    val first = edges.map { e =>
+      (est(rowsOf(e.left), ndvOf((e.left, e.leftCol)), e.right, e.rightCol), e)
+    }.minBy { case (v, e) => (v, e.label) }
+    var inSet = Set(first._2.left, first._2.right)
+    var curRows = first._1
+    val steps = scala.collection.mutable.ArrayBuffer(
+      Step(first._2, first._2.right, curRows))
+    var remaining = edges.filterNot(_ == first._2)
+    while (remaining.exists(e => inSet(e.left) ^ inSet(e.right))) {
+      val (v, e) = remaining
+        .filter(e => inSet(e.left) ^ inSet(e.right))
+        .map { e =>
+          // orient: the in-prefix side's NDV is containment-capped
+          val (inRel, inCol, outRel, outCol) =
+            if (inSet(e.left)) (e.left, e.leftCol, e.right, e.rightCol)
+            else (e.right, e.rightCol, e.left, e.leftCol)
+          val ndvIn = math.min(ndvOf((inRel, inCol)), curRows)
+          (est(curRows, ndvIn, outRel, outCol), e)
+        }
+        .minBy { case (v, e) => (v, e.label) }
+      val added = if (inSet(e.left)) e.right else e.left
+      inSet += added
+      curRows = v
+      steps += Step(e, added, v)
+      remaining = remaining.filterNot(_ == e)
+    }
+    steps.toSeq
+  }
 }

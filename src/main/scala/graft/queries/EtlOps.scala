@@ -1504,6 +1504,96 @@ object EtlOps {
     }.toDF("candidate", "est_rows", "actual_rows", "chosen")
   }
 
+  // --- k49_leftdeep_advisor: GREEDY LEFT-DEEP join-order enumeration —
+  // k46 ranks candidate FIRST joins; k49 runs the full Selinger-lite
+  // loop over the 3-relation lineitem–orders–customer chain
+  // (JoinAdvisor.planLeftDeep): seed with the globally cheapest edge,
+  // then extend the prefix with the cheapest connected edge, NDV
+  // propagated under the containment assumption (the intermediate
+  // inherits each base column's NDV capped by the intermediate's own
+  // estimated cardinality — ndv_I = least(ndv_base, |I|)). Stats-only
+  // planning: row counts + md5-deterministic HLL registers, so the
+  // oracle recomputes the identical estimates AND the identical greedy
+  // decisions in SQL (CASE mirrors the tie-break: label order on equal
+  // estimates). Actual per-prefix join counts ride along — the chosen
+  // first join (orders⋈customer, ~|orders| rows) is 4× smaller than
+  // the naive lineitem-first intermediate, the measured delta
+  // JoinAdvisorSpec pins on executed plans with PlanMetrics. ---
+  val k49LeftdeepAdvisor = QueryDef.sql(
+    "k49_leftdeep_advisor",
+    s"""WITH ${graft.operators.HllSketch.sqlRegisters("lineitem", "1 AS g", "l_orderkey", "lreg")},
+       |le AS (${graft.operators.HllSketch.sqlEstimate("lreg", "g")}),
+       |${graft.operators.HllSketch.sqlRegisters("orders", "1 AS g", "o_orderkey", "okreg")},
+       |oke AS (${graft.operators.HllSketch.sqlEstimate("okreg", "g")}),
+       |${graft.operators.HllSketch.sqlRegisters("orders", "1 AS g", "o_custkey", "ckreg")},
+       |cke AS (${graft.operators.HllSketch.sqlEstimate("ckreg", "g")}),
+       |${graft.operators.HllSketch.sqlRegisters("customer", "1 AS g", "c_custkey", "creg")},
+       |ce AS (${graft.operators.HllSketch.sqlEstimate("creg", "g")}),
+       |n AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM lineitem) AS rl,
+       |             (SELECT CAST(count(*) AS DOUBLE) FROM orders) AS ro,
+       |             (SELECT CAST(count(*) AS DOUBLE) FROM customer) AS rc),
+       |est AS (SELECT rl * ro / greatest(le.est, oke.est) AS e_lo,
+       |    ro * rc / greatest(cke.est, ce.est) AS e_oc,
+       |    le.est AS le, oke.est AS oke, cke.est AS cke, ce.est AS ce,
+       |    rl, ro, rc FROM n, le, oke, cke, ce),
+       |plan AS (SELECT
+       |    CASE WHEN e_lo <= e_oc THEN 'L_join_O' ELSE 'O_join_C' END AS first_label,
+       |    CASE WHEN e_lo <= e_oc THEN e_lo ELSE e_oc END AS e_first,
+       |    CASE WHEN e_lo <= e_oc THEN 'O_join_C' ELSE 'L_join_O' END AS second_label,
+       |    CASE WHEN e_lo <= e_oc
+       |      THEN e_lo * rc / greatest(least(cke, e_lo), ce)
+       |      ELSE e_oc * rl / greatest(least(oke, e_oc), le) END AS e_second
+       |  FROM est),
+       |act AS (SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem JOIN orders ON l_orderkey = o_orderkey) AS a_lo,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM orders JOIN customer ON o_custkey = c_custkey) AS a_oc,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |     JOIN customer ON o_custkey = c_custkey) AS a_all)
+       |SELECT 1 AS step, first_label AS joined, e_first AS est_rows,
+       |  CASE WHEN first_label = 'L_join_O' THEN a_lo ELSE a_oc END AS actual_rows
+       |FROM plan, act
+       |UNION ALL
+       |SELECT 2, second_label, e_second, a_all FROM plan, act""".stripMargin) { (s, d) =>
+    import graft.operators.{JoinAdvisor, StatsStore}
+    import JoinAdvisor.{Edge, Rel}
+    val root = graft.Scratch.dir("k49-leftdeep")
+    val lTbl = s"$root/l"; val lSt = s"$root/l_stats"
+    val oTbl = s"$root/o"; val oSt = s"$root/o_stats"
+    val cTbl = s"$root/c"; val cSt = s"$root/c_stats"
+    T.lineitem(s, d).select(col("l_returnflag").as("rf"), col("l_orderkey").as("lok"))
+      .write.partitionBy("rf").parquet(lTbl)
+    StatsStore.rebuild(s, lTbl, lSt, "rf", Seq("lok"))
+    T.orders(s, d).select(col("o_orderstatus").as("st"),
+        col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+      .write.partitionBy("st").parquet(oTbl)
+    StatsStore.rebuild(s, oTbl, oSt, "st", Seq("ok", "ck"))
+    T.customer(s, d).select(col("c_mktsegment").as("seg"), col("c_custkey").as("cck"))
+      .write.partitionBy("seg").parquet(cTbl)
+    StatsStore.rebuild(s, cTbl, cSt, "seg", Seq("cck"))
+    val steps = JoinAdvisor.planLeftDeep(s,
+      Seq(Rel("L", lSt), Rel("O", oSt), Rel("C", cSt)),
+      Seq(Edge("L", "lok", "O", "ok"), Edge("O", "ck", "C", "cck")))
+    // actual rows for exactly the prefixes the plan chose
+    val lo = T.lineitem(s, d).select(col("l_orderkey"))
+      .join(T.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+    val oc = T.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+      .join(T.customer(s, d).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"))
+    val firstActual = steps.head.edge.label match {
+      case "L_join_O" => lo.count()
+      case _ => oc.count()
+    }
+    val allActual = lo
+      .join(T.customer(s, d).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey")).count()
+    import s.implicits._
+    steps.zipWithIndex.map { case (st, i) =>
+      (i + 1, st.edge.label, st.estRows,
+        if (i == 0) firstActual else allActual)
+    }.toDF("step", "joined", "est_rows", "actual_rows")
+  }
+
   // --- k47_txn_commit: CROSS-TABLE atomic transactions — the
   // multi-table guarantee single-table manifest formats punt on
   // (operators.Txn, presumed-abort 2PC with a coordinator-log dir):
@@ -2826,6 +2916,6 @@ object EtlOps {
     k28PartitionEvolution, k29ZonemapGate, k31WarehouseCompose, k32VersionDiff, k33ManifestFsck,
     k34ShallowClone, k35AsofStamp, k36BloomIndex, k37IncrementalStats,
     k38CheckedCommit, k39GovernanceGate, k43NdvStats, k44SnapshotExport,
-    k46JoinAdvisor, k47TxnCommit, k48IndexedCommit,
+    k46JoinAdvisor, k47TxnCommit, k48IndexedCommit, k49LeftdeepAdvisor,
     k27WapGate)
 }
