@@ -127,4 +127,40 @@ class QuantileSketchSpec extends SparkSpec {
     assert(landed === expected,
       "streamed summary must equal the union of the two cohort summaries")
   }
+
+  test("streaming fold with MULTI-FILE batches matches union-of-cohorts") {
+    // e41 pins determinism with maxFilesPerTrigger=1; here each
+    // micro-batch carries SEVERAL files with adversarial splits (range-
+    // partitioned by value, so per-file distributions differ wildly) —
+    // the md5-keyed scatter makes the batch summary a function of the
+    // batch's ROW SET alone, so file count, file order, and in-batch
+    // partitioning must all be invisible. The equality below is also
+    // the proof the batches really were multi-file: had the source
+    // split per file, the landed state would be a union of 7 per-FILE
+    // summaries, whose strides differ from the 2 per-cohort ones.
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-qfoldmf").toString
+    val feed = s"$root/feed"; val summPath = s"$root/summ"; val ckpt = s"$root/ckpt"
+    val df = data(30000).withColumn("idl", col("k").cast("long"))
+    val c1 = df.filter(col("idl") % 2 === 0).drop("idl")
+    val c2 = df.filter(col("idl") % 2 === 1).drop("idl")
+    c1.repartitionByRange(3, col("v")).write.parquet(feed)
+    val stream = spark.readStream
+      .schema("g STRING, k STRING, v DOUBLE")
+      .option("maxFilesPerTrigger", 8) // > files per append: whole cohort per batch
+      .parquet(feed)
+    val q = QuantileSketch.streamingQuantileFold(
+      stream, summPath, Seq("g"), col("v"), col("k"), B, K, ckpt)
+    q.processAllAvailable()
+    c2.repartitionByRange(4, col("v")).write.mode("append").parquet(feed)
+    q.processAllAvailable()
+    q.stop()
+    val landed = graft.operators.ReplayGuard.strip(spark.read.parquet(summPath))
+      .select(col("g"), col("v"), col("wt"))
+      .collect().map(_.toString).sorted.toSeq
+    val expected = QuantileSketch.merge(summ(c1), summ(c2))
+      .collect().map(_.toString).sorted.toSeq
+    assert(landed === expected,
+      "multi-file micro-batches must fold exactly like their cohort unions")
+  }
 }
