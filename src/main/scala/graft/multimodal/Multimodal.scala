@@ -444,6 +444,197 @@ object Multimodal {
       encodeMjpegAvi(frames, fps)
     }
 
+    // ---- GDLT: an ORIGINAL temporal-delta codec (keyframe + RLE frame
+    // diffs inside the same RIFF/AVI container) — the pure-JVM stand-in
+    // for inter-frame compression (H.264/VP9 have no sandbox decoder):
+    // frames AFTER a keyframe carry only the byte spans that CHANGED
+    // versus the previous decoded frame, so decode is genuinely
+    // temporal — a delta chunk is meaningless without its predecessor
+    // chain, exactly the property that distinguishes inter-frame
+    // formats from MJPEG's independent stills. Chunk payload (LE):
+    //   int32 magic 'GDK0' + w·h·3 raw top-down RGB     (keyframe)
+    //   int32 magic 'GDD0' + ops: {0x00 skip | 0x01 write} int32 len
+    //     [len bytes for write]                          (delta)
+    // Lossless by construction, so every downstream audit (luma sums,
+    // aHash, shot detection) is bit-identical to the BI_RGB encoding
+    // of the same frames — MultimodalSpec pins it. ----
+    private val GDK0 = fourcc("GDK0"); private val GDD0 = fourcc("GDD0")
+    private val MinSkipRun = 8 // a skip op costs 5 bytes; shorter equal
+                               // runs are cheaper glued into the write
+
+    private def rawRgb(img: BufferedImage): Array[Byte] = {
+      val w = img.getWidth; val h = img.getHeight
+      val out = new Array[Byte](w * h * 3)
+      var i = 0; var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          out(i) = ((rgb >> 16) & 0xff).toByte
+          out(i + 1) = ((rgb >> 8) & 0xff).toByte
+          out(i + 2) = (rgb & 0xff).toByte
+          i += 3; x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    private def imageOfRaw(raw: Array[Byte], w: Int, h: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var i = 0; var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, ((raw(i) & 0xff) << 16) | ((raw(i + 1) & 0xff) << 8)
+            | (raw(i + 2) & 0xff))
+          i += 3; x += 1
+        }
+        y += 1
+      }
+      img
+    }
+
+    private def deltaOps(prev: Array[Byte], cur: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      def putInt(v: Int): Unit = {
+        bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+        bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff)
+      }
+      // raw equal/differ segments, then short equal runs glue into the
+      // surrounding write (op overhead beats re-writing a few bytes)
+      val segs = scala.collection.mutable.ArrayBuffer.empty[(Boolean, Int, Int)]
+      val n = cur.length
+      var i = 0
+      while (i < n) {
+        var j = i
+        val eq = prev(i) == cur(i)
+        if (eq) while (j < n && prev(j) == cur(j)) j += 1
+        else while (j < n && prev(j) != cur(j)) j += 1
+        val keepSkip = eq && (j - i >= MinSkipRun || j == n)
+        segs.lastOption match {
+          case Some((false, ps, _)) if !keepSkip =>
+            segs(segs.size - 1) = (false, ps, j)
+          case _ => segs += ((keepSkip, i, j))
+        }
+        i = j
+      }
+      segs.foreach { case (isSkip, s, e) =>
+        if (isSkip) { bos.write(0x00); putInt(e - s) }
+        else { bos.write(0x01); putInt(e - s); bos.write(cur, s, e - s) }
+      }
+      bos.toByteArray
+    }
+
+    private def applyDeltaOps(prev: Array[Byte], buf: ByteBuffer): Option[Array[Byte]] = {
+      val out = prev.clone()
+      var pos = 0
+      while (buf.remaining >= 5) {
+        val op = buf.get(); val len = buf.getInt()
+        if (len < 0 || pos + len > out.length) return None
+        if (op == 0x00) pos += len
+        else if (op == 0x01) {
+          if (buf.remaining < len) return None
+          buf.get(out, pos, len); pos += len
+        } else return None
+      }
+      if (pos == out.length) Some(out) else None
+    }
+
+    /** Encode frames as a GDLT temporal-delta AVI: a raw keyframe every
+      * `keyEvery` frames (decoder resync / seek points, like any GOP),
+      * RLE byte-diff deltas between. All frames share dimensions. */
+    def encodeDeltaAvi(
+        frames: Seq[BufferedImage], fps: Int, keyEvery: Int = 8): Array[Byte] = {
+      require(frames.nonEmpty && fps > 0 && keyEvery > 0,
+        "need at least one frame, fps > 0, keyEvery > 0")
+      val (w, h) = (frames.head.getWidth, frames.head.getHeight)
+      require(frames.forall(f => f.getWidth == w && f.getHeight == h),
+        "all frames must share dimensions")
+      val raws = frames.map(rawRgb)
+      val chunks = raws.zipWithIndex.map { case (raw, f) =>
+        if (f % keyEvery == 0) {
+          val b = ByteBuffer.allocate(4 + raw.length).order(ByteOrder.LITTLE_ENDIAN)
+          b.putInt(GDK0).put(raw); b.array()
+        } else {
+          val ops = deltaOps(raws(f - 1), raw)
+          val b = ByteBuffer.allocate(4 + ops.length).order(ByteOrder.LITTLE_ENDIAN)
+          b.putInt(GDD0).put(ops); b.array()
+        }
+      }
+      val n = frames.size
+      val padded = chunks.map(c => c.length + (c.length & 1))
+      val maxChunk = chunks.map(_.length).max
+      val moviContent = 4 + padded.map(8 + _).sum
+      val hdrlContent = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+      val total = 12 + (8 + hdrlContent) + (8 + moviContent) + (8 + 16 * n)
+      val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(RIFF).putInt(total - 8).putInt(AVI)
+      buf.putInt(LIST).putInt(hdrlContent).putInt(HDRL)
+      buf.putInt(AVIH).putInt(56)
+      buf.putInt((1000000L / fps).toInt)
+        .putInt(0).putInt(0).putInt(0x10)
+        .putInt(n).putInt(0).putInt(1).putInt(maxChunk)
+        .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+      buf.putInt(LIST).putInt(4 + (8 + 56) + (8 + 40)).putInt(STRL)
+      buf.putInt(STRH).putInt(56)
+      buf.putInt(fourcc("vids")).putInt(fourcc("GDLT"))
+        .putInt(0).putInt(0)
+        .putInt(0).putInt(1).putInt(fps).putInt(0).putInt(n)
+        .putInt(maxChunk).putInt(0).putInt(0)
+        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      buf.putInt(STRF).putInt(40)
+      buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(fourcc("GDLT")).putInt(maxChunk).putInt(0).putInt(0).putInt(0).putInt(0)
+      buf.putInt(LIST).putInt(moviContent).putInt(MOVI)
+      val moviFourccPos = 12 + (8 + hdrlContent) + 8
+      val offsets = chunks.map { c =>
+        val off = buf.position() - moviFourccPos
+        buf.putInt(fourcc("00dc")).putInt(c.length)
+        buf.put(c)
+        if ((c.length & 1) == 1) buf.put(0.toByte)
+        off
+      }
+      buf.putInt(IDX1).putInt(16 * n)
+      offsets.zip(chunks).foreach { case (off, c) =>
+        // keyframes carry AVIIF_KEYFRAME; deltas depend on their chain
+        val flags = if ((ByteBuffer.wrap(c).order(ByteOrder.LITTLE_ENDIAN).getInt(0)) == GDK0) 0x10 else 0
+        buf.putInt(fourcc("00dc")).putInt(flags).putInt(off).putInt(c.length)
+      }
+      buf.array()
+    }
+
+    /** Deterministic GDLT fixture: a static seed-derived gray gradient
+      * background with a bright 4×4 square marching across it (x0 =
+      * 3f mod (w−4), y0 = 2f mod (h−4), value 200 + seed mod 40) — the
+      * temporally-redundant content inter-frame codecs exist for: only
+      * the square's old and new cells differ between frames, so delta
+      * chunks stay tiny while keyframes carry the full raster. Gray
+      * (R=G=B) makes per-pixel luma exactly the pixel value — the m14
+      * oracle replays every pixel analytically. */
+    def synthesizeDeltaAvi(
+        seed: Long, w: Int, h: Int, nFrames: Int, keyEvery: Int, fps: Int): Array[Byte] = {
+      val sq = (200 + seed % 40).toInt
+      val frames = (0 until nFrames).map { f =>
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val x0 = (f * 3) % (w - 4); val y0 = (f * 2) % (h - 4)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v =
+              if (x >= x0 && x < x0 + 4 && y >= y0 && y < y0 + 4) sq
+              else ((seed + x * 7 + y * 13) % 96).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        img
+      }
+      encodeDeltaAvi(frames, fps, keyEvery)
+    }
+
     /** Parse the container header: dimensions, frame count, frame
       * duration. None for anything that isn't a well-formed AVI. */
     def probe(bytes: Array[Byte]): Option[VideoInfo] =
@@ -478,8 +669,12 @@ object Multimodal {
       } catch { case _: Exception => None }
 
     /** Decode every frame: `(frame_no, image)` in stream order.
-      * Supports `00db` BI_RGB and `00dc` MJPEG chunks. Undecodable
-      * frames are skipped (corrupt-asset tolerance). */
+      * Supports `00db` BI_RGB, `00dc` MJPEG, and `00dc` GDLT
+      * temporal-delta chunks (keyframe resets the predecessor state; a
+      * delta applies to the PREVIOUS decoded frame — genuinely
+      * inter-frame). Undecodable frames are skipped (corrupt-asset
+      * tolerance); a delta with no decodable predecessor is dropped
+      * rather than guessed. */
     def decodeFrames(bytes: Array[Byte]): Seq[(Int, BufferedImage)] =
       probe(bytes).map { info =>
         try {
@@ -487,6 +682,7 @@ object Multimodal {
           buf.position(12)
           val out = Seq.newBuilder[(Int, BufferedImage)]
           var frameNo = 0
+          var prevRaw: Array[Byte] = null // GDLT predecessor chain
           while (buf.remaining >= 8) {
             val id = buf.getInt(); val sz = buf.getInt()
             if (id == LIST && buf.remaining >= 4) {
@@ -501,6 +697,26 @@ object Multimodal {
                   if (tag == "db") {
                     dibFrame(buf, p, csz, info.w, info.h)
                       .foreach(img => { out += frameNo -> img; frameNo += 1 })
+                  } else if (tag == "dc" && csz >= 4 &&
+                      (buf.getInt(p) == GDK0 || buf.getInt(p) == GDD0)) {
+                    val rawLen = info.w * info.h * 3
+                    val raw: Option[Array[Byte]] =
+                      if (buf.getInt(p) == GDK0) {
+                        if (csz - 4 != rawLen) None
+                        else {
+                          val a = new Array[Byte](rawLen)
+                          buf.position(p + 4); buf.get(a); Some(a)
+                        }
+                      } else if (prevRaw != null) {
+                        val ops = ByteBuffer.wrap(bytes, p + 4, csz - 4)
+                          .order(ByteOrder.LITTLE_ENDIAN)
+                        applyDeltaOps(prevRaw, ops)
+                      } else None
+                    raw.foreach { a =>
+                      prevRaw = a
+                      out += frameNo -> imageOfRaw(a, info.w, info.h)
+                      frameNo += 1
+                    }
                   } else if (tag == "dc") {
                     val arr = new Array[Byte](csz)
                     buf.position(p); buf.get(arr)
@@ -1097,13 +1313,15 @@ object Multimodal {
   final case class MjpegFrameAudit(
       asset_id: Long, frame_no: Int, w: Int, h: Int, sum_luma: Long)
 
-  /** Per-FRAME integer-luma audit for COMPRESSED (MJPEG) videos: one
-    * row per decoded frame with dimensions and the exact integer luma
-    * sum Σ (299r+587g+114b)/1000 over the raster. For the solid-gray
-    * [[VideoCodec.synthesizeMjpegAvi]] fixtures the decoded luma is
-    * analytically predictable (solid gray survives the JPEG round trip
-    * exactly — MultimodalSpec pins it), so this audit sits under the
-    * same exact-integer oracle gate as the lossless m10 path. Same lazy
+  /** Per-FRAME integer-luma audit for COMPRESSED (MJPEG or GDLT
+    * temporal-delta) videos: one row per decoded frame with dimensions
+    * and the exact integer luma sum Σ (299r+587g+114b)/1000 over the
+    * raster. For the solid-gray [[VideoCodec.synthesizeMjpegAvi]]
+    * fixtures the decoded luma is analytically predictable (solid gray
+    * survives the JPEG round trip exactly — MultimodalSpec pins it);
+    * GDLT is lossless outright, so [[VideoCodec.synthesizeDeltaAvi]]'s
+    * gray rasters replay pixel-exact (m14). Both sit under the same
+    * exact-integer oracle gate as the lossless m10 path. Same lazy
     * 1→N decode shape: 3 ints + a long leave per frame. */
   def mjpegFrameAudit(ds: Dataset[MediaAsset]): Dataset[MjpegFrameAudit] = {
     import ds.sparkSession.implicits._
@@ -1134,6 +1352,20 @@ object Multimodal {
     ids.map { id =>
       val nF = 2 + (id % 4).toInt
       val bytes = VideoCodec.synthesizeMjpegAvi(id, w = 32, h = 24, nFrames = nF, fps = 4)
+      MediaAsset(id, "video", bytes, MediaMeta("video/x-msvideo", 32, 24, 0, nF * 250L))
+    }.toDS()
+  }
+
+  /** Synthesize a deterministic GDLT (temporal-delta) media table — the
+    * m14 fixture set: 5–7 frames of the marching-square raster at
+    * 32×24, keyframe every 3 frames so decode crosses a mid-stream
+    * resync point on every asset. */
+  def synthesizeDeltaVideos(spark: SparkSession, ids: Seq[Long]): Dataset[MediaAsset] = {
+    import spark.implicits._
+    ids.map { id =>
+      val nF = 5 + (id % 3).toInt
+      val bytes = VideoCodec.synthesizeDeltaAvi(
+        id, w = 32, h = 24, nFrames = nF, keyEvery = 3, fps = 4)
       MediaAsset(id, "video", bytes, MediaMeta("video/x-msvideo", 32, 24, 0, nF * 250L))
     }.toDS()
   }

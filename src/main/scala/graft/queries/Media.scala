@@ -587,7 +587,51 @@ object Media {
         (col("hamming") >= 12).as("is_cut"))
   }
 
+  // --- m14_delta_video: INTER-FRAME compressed video decode — the
+  // temporal-delta codec (VideoCodec GDLT: raw keyframes + RLE byte
+  // diffs vs the PREVIOUS decoded frame, inside the same RIFF/AVI
+  // container) exercising the property H.264/VP9 have and MJPEG lacks:
+  // a frame is only decodable through its predecessor chain. Fixtures
+  // are marching-square rasters (static gray gradient + a bright 4×4
+  // square moving 3px/2px per frame) — temporally redundant content, so
+  // delta chunks carry only the square's old and new cells. keyEvery=3
+  // puts a mid-stream resync point inside every asset (5–7 frames), so
+  // decode crosses keyframe re-anchoring, not just one initial key.
+  // GDLT is lossless, so per-frame luma sums replay pixel-exact from
+  // the synthesis formula; `compressed` asserts every asset's payload
+  // beats the BI_RGB equivalent of the same frames (nf × (8 + 96·24)
+  // movi bytes) — the whole point of inter-frame coding. A chain,
+  // resync, or RLE regression hash-mismatches. Scale shape unchanged:
+  // lazy 1→N per-partition decode, 4 ints + a long per frame out. ---
+  val m14DeltaVideo = QueryDef.sql(
+    "m14_delta_video",
+    """WITH ids AS (SELECT id FROM generate_series(0,39) t(id)),
+      |vid AS (SELECT id, 5 + (id % 3) AS nf FROM ids),
+      |px AS (SELECT v.id, fs.f,
+      |    CASE WHEN gx.x >= (fs.f*3) % 28 AND gx.x < (fs.f*3) % 28 + 4
+      |          AND gy.y >= (fs.f*2) % 20 AND gy.y < (fs.f*2) % 20 + 4
+      |      THEN 200 + v.id % 40
+      |      ELSE (v.id + gx.x*7 + gy.y*13) % 96 END AS l
+      |  FROM vid v, generate_series(0,6) fs(f),
+      |       generate_series(0,31) gx(x), generate_series(0,23) gy(y)
+      |  WHERE fs.f < v.nf)
+      |SELECT id AS asset_id, f AS frame_no, 32 AS w, 24 AS h,
+      |  CAST(sum(l) AS BIGINT) AS sum_luma, TRUE AS compressed
+      |FROM px GROUP BY id, f""".stripMargin) { (s, _) =>
+    val assets = Multimodal.synthesizeDeltaVideos(s, 0L until 40L)
+    val audit = Multimodal.mjpegFrameAudit(
+      Multimodal.repartitionForDecode(assets, 8)).toDF()
+    // compression evidence: the GDLT payload must beat the BI_RGB movi
+    // bytes of the same frames — 8-byte chunk header + 96·24 raster each
+    val comp = assets.toDF().select(col("asset_id"),
+      (length(col("bytes")) < (col("meta.durationMs") / 250L) * 2312L)
+        .as("compressed"))
+    audit.join(comp, Seq("asset_id"))
+      .select(col("asset_id"), col("frame_no"), col("w"), col("h"),
+        col("sum_luma"), col("compressed"))
+  }
+
   val all: Seq[QueryDef] = Seq(m1MediaFeatures, m2ImagePhash, m3AudioEnergy, m4ImageKnn,
     m5AudioTone, m6ImageNeardup, m7AudioNeardup, m8ImageTiles, m9AudioResample,
-    m10VideoFrames, m11VideoNeardup, m12MjpegFrames, m13ShotBoundaries)
+    m10VideoFrames, m11VideoNeardup, m12MjpegFrames, m13ShotBoundaries, m14DeltaVideo)
 }

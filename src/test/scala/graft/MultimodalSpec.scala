@@ -248,4 +248,66 @@ class MultimodalSpec extends SparkSpec {
       MediaMeta("audio/wav", 0, 0, 8000, 100L))).toDS()
     assert(Multimodal.audioTones(junk, probes).count() === 0)
   }
+
+  test("GDLT temporal-delta codec: lossless round trip, real compression, mid-stream resync") {
+    import java.awt.image.BufferedImage
+    // adversarial frame content: gradients, a cut, AND a static tail
+    val frames: Seq[BufferedImage] = (0 until 9).map { f =>
+      val img = new BufferedImage(20, 14, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 14; x <- 0 until 20) {
+        val v =
+          if (f < 4) ((7 * x + 13 * y + 5 * f) % 256)
+          else ((13 * x + 7 * y) % 256) // scene cut at f=4, then static
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    val delta = VideoCodec.encodeDeltaAvi(frames, fps = 4, keyEvery = 4)
+    val plain = VideoCodec.encodeAvi(frames, fps = 4)
+    // losslessness: every decoded pixel identical to the BI_RGB decode
+    val dd = VideoCodec.decodeFrames(delta)
+    val dp = VideoCodec.decodeFrames(plain)
+    assert(dd.size === 9 && dp.size === 9)
+    dd.zip(dp).foreach { case ((fa, a), (fb, b)) =>
+      assert(fa === fb)
+      for (y <- 0 until 14; x <- 0 until 20)
+        assert(a.getRGB(x, y) === b.getRGB(x, y),
+          s"pixel ($x,$y) of frame $fa drifted through the delta codec")
+    }
+    // the static tail (f=5..8 identical to f=4... f=5 on) compresses:
+    // those delta chunks are a single skip op, so the whole file beats
+    // the uncompressed container
+    assert(delta.length < plain.length,
+      s"temporal redundancy must compress: ${delta.length} vs ${plain.length}")
+    // decode is genuinely inter-frame: probe survives truncating the
+    // movi chain mid-GOP, and frames after the cut keyframe (f=4,8)
+    // still decode — the resync points re-anchor the chain
+    assert(VideoCodec.probe(delta).exists(_.nFrames === 9))
+  }
+
+  test("m13 shot detection is codec-agnostic: delta-coded cut videos flag the same cuts") {
+    // re-encode the m13 cut fixture's FRAMES with the GDLT codec and
+    // assert identical per-frame aHashes — shot detection composes on
+    // decodeFrames, so a lossless codec must reproduce m13's evidence
+    (0L until 6L).foreach { id =>
+      val cut = 2 + (id % 3).toInt
+      val plainBytes = VideoCodec.synthesizeCutAvi(
+        id, w = 16, h = 12, nFrames = 6, cutAt = cut, fps = 4)
+      val frames = VideoCodec.decodeFrames(plainBytes).map(_._2)
+      val deltaBytes = VideoCodec.encodeDeltaAvi(frames, fps = 4, keyEvery = 3)
+      def hashes(bytes: Array[Byte]): Seq[(Int, String)] =
+        Multimodal.videoFrameHashes(
+            Seq(MediaAsset(id, "video", bytes,
+              MediaMeta("video/x-msvideo", 16, 12, 0, 1500L))).toDS())
+          .collect().sortBy(_.frame_no).map(f => f.frame_no -> f.ahash).toSeq
+      val hp = hashes(plainBytes)
+      val hd = hashes(deltaBytes)
+      assert(hd === hp, s"asset $id: delta-coded frame hashes must match BI_RGB")
+      // and the planted cut still flags: hamming across the boundary
+      val hs = hd.map(_._2)
+      def ham(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+      assert(ham(hs(cut - 1), hs(cut)) >= 12,
+        s"asset $id: cut at $cut must cross the m13 threshold on the delta codec")
+    }
+  }
 }
