@@ -42,6 +42,57 @@ object JoinAdvisor {
         spark, c.left.statsPath, c.leftKey, c.right.statsPath, c.rightKey)
     }.sortBy { case (l, e) => (e, l) }
 
+  /** PHYSICAL-strategy advice for one equi-join, off stats row counts
+    * alone (exact per-partition counts, not HLL — the one stat that is
+    * never an estimate): broadcast the smaller side iff its rows fit
+    * `maxBroadcastRows`, else shuffle both. Returns ("left"|"right"|
+    * "shuffle", leftRows, rightRows). This is the second decision the
+    * stats loop informs (k46/k49 pick the ORDER; this picks the
+    * STRATEGY) — at 100 TB a dim table broadcast instead of shuffled
+    * removes the largest exchange in the plan, and a fact table
+    * broadcast by mistake OOMs every executor, so the advisor refuses
+    * anything over the threshold no matter how it compares to the other
+    * side. Deterministic: exact counts, label-free tie-break (left
+    * wins an exact tie — broadcast cost is symmetric there). */
+  def broadcastSide(
+      spark: SparkSession,
+      left: Rel, right: Rel,
+      maxBroadcastRows: Long): (String, Long, Long) = {
+    def rowsOf(r: Rel): Long =
+      StatsStore.read(spark, r.statsPath)
+        .agg(org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.col("rows")))
+        .collect()(0).getLong(0)
+    val (lr, rr) = (rowsOf(left), rowsOf(right))
+    val side =
+      if (lr <= rr && lr <= maxBroadcastRows) "left"
+      else if (rr < lr && rr <= maxBroadcastRows) "right"
+      else "shuffle"
+    (side, lr, rr)
+  }
+
+  /** Apply [[broadcastSide]]'s advice to an actual join: the advised
+    * side gets the `broadcast()` hint (Catalyst plans a
+    * BroadcastHashJoin regardless of autoBroadcastJoinThreshold, which
+    * at scale is routinely disabled or mis-sized for freshly-landed
+    * tables that have no file statistics yet); "shuffle" leaves the
+    * planner alone. */
+  def advisedJoin(
+      spark: SparkSession,
+      leftDf: org.apache.spark.sql.DataFrame, left: Rel,
+      rightDf: org.apache.spark.sql.DataFrame, right: Rel,
+      joinExprs: org.apache.spark.sql.Column,
+      maxBroadcastRows: Long): (org.apache.spark.sql.DataFrame, String) = {
+    import org.apache.spark.sql.functions.broadcast
+    val (side, _, _) = broadcastSide(spark, left, right, maxBroadcastRows)
+    val joined = side match {
+      case "left" => broadcast(leftDf).join(rightDf, joinExprs)
+      case "right" => leftDf.join(broadcast(rightDf), joinExprs)
+      case _ => leftDf.join(rightDf, joinExprs)
+    }
+    (joined, side)
+  }
+
   /** One equi-join edge of a join graph: `left.leftCol = right.rightCol`
     * (rel names, not stats paths — [[planLeftDeep]] resolves stats). */
   final case class Edge(left: String, leftCol: String,

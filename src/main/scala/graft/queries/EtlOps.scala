@@ -1594,6 +1594,114 @@ object EtlOps {
     }.toDF("step", "joined", "est_rows", "actual_rows")
   }
 
+  // --- k50_broadcast_advisor: STATS-DRIVEN physical join strategy —
+  // the SECOND decision the stats loop informs (k46/k49 chose the
+  // ORDER; k50 chooses broadcast vs shuffle): off exact stats row
+  // counts alone, broadcast the smaller side iff it fits the row
+  // budget, refuse anything over it no matter the comparison (a fact
+  // table broadcast by mistake OOMs every executor; a dim table
+  // shuffled by default is the largest exchange in the plan — and at
+  // scale autoBroadcastJoinThreshold is routinely disabled or blind to
+  // freshly-landed tables with no file stats). The decision is
+  // deterministic arithmetic on exact counts, so the oracle replays it
+  // as a CASE; the advised join's row count rides along to prove the
+  // hinted plan computes the same answer. JoinAdvisorSpec pins the
+  // plan shape: the hint plans a BroadcastHashJoin with the threshold
+  // disabled, and the advisor refuses oversized sides. ---
+  val k50BroadcastAdvisor = QueryDef.sql(
+    "k50_broadcast_advisor",
+    """WITH n AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders) AS ro,
+      |            (SELECT CAST(count(*) AS BIGINT) FROM customer) AS rc),
+      |j AS (SELECT CAST(count(*) AS BIGINT) AS nj
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |SELECT CASE WHEN ro <= rc AND ro <= 100000 THEN 'left'
+      |            WHEN rc < ro AND rc <= 100000 THEN 'right'
+      |            ELSE 'shuffle' END AS advised,
+      |  ro AS left_rows, rc AS right_rows, nj AS n_join_rows
+      |FROM n, j""".stripMargin) { (s, d) =>
+    import graft.operators.{JoinAdvisor, StatsStore}
+    import JoinAdvisor.Rel
+    val root = graft.Scratch.dir("k50-bcast")
+    val oTbl = s"$root/o"; val oSt = s"$root/o_stats"
+    val cTbl = s"$root/c"; val cSt = s"$root/c_stats"
+    T.orders(s, d).select(col("o_orderstatus").as("st"), col("o_custkey").as("ck"))
+      .write.partitionBy("st").parquet(oTbl)
+    StatsStore.rebuild(s, oTbl, oSt, "st", Seq("ck"))
+    T.customer(s, d).select(col("c_mktsegment").as("seg"), col("c_custkey").as("cck"))
+      .write.partitionBy("seg").parquet(cTbl)
+    StatsStore.rebuild(s, cTbl, cSt, "seg", Seq("cck"))
+    val (joined, side) = JoinAdvisor.advisedJoin(s,
+      s.read.parquet(oTbl), Rel("O", oSt),
+      s.read.parquet(cTbl), Rel("C", cSt),
+      col("ck") === col("cck"), maxBroadcastRows = 100000L)
+    val (_, lr, rr) = JoinAdvisor.broadcastSide(
+      s, Rel("O", oSt), Rel("C", cSt), 100000L)
+    val nj = joined.count()
+    import s.implicits._
+    Seq((side, lr, rr, nj))
+      .toDF("advised", "left_rows", "right_rows", "n_join_rows")
+  }
+
+  // --- k51_snapshot_read: CROSS-TABLE CONSISTENT READS at a
+  // transaction's committed versions — the read half of k47's write
+  // guarantee, gated: txn1 lands base ledger+summary, txn2 lands the
+  // %7 repricing in both, then an UNRELATED ledger-only commit drifts
+  // the head (latest ledger is past the latest summary). A reader
+  // holding txn2's (table → version) map reads each table AS OF those
+  // versions and gets a state where summary ≡ aggregate-of-ledger
+  // EXACTLY (the `consistent` flag compares them row by row) even
+  // though the same comparison at head would fail — `head_drifted`
+  // proves the danger was real, not vacuous. Scale: AS-OF reads are
+  // manifest-resolved; the consistency check is one delta-sized
+  // aggregate + a k-row join. ---
+  val k51SnapshotRead = QueryDef.sql(
+    "k51_snapshot_read",
+    """WITH base AS (SELECT o_orderkey AS k, o_orderpriority AS pr,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS amt FROM orders),
+      |post AS (SELECT k, pr,
+      |    CASE WHEN k % 7 = 0 THEN amt + 100 ELSE amt END AS amt FROM base),
+      |s AS (SELECT pr, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(amt) AS DOUBLE) AS total FROM post GROUP BY pr)
+      |SELECT pr AS o_orderpriority, n, total,
+      |  TRUE AS consistent, TRUE AS head_drifted FROM s""".stripMargin) { (s, d) =>
+    import graft.operators.{Txn, Versioned}
+    val root = graft.Scratch.dir("k51-snap")
+    val a = s"$root/ledger"; val b = s"$root/summary"
+    val base = T.orders(s, d).select(col("o_orderkey").as("k"),
+      col("o_orderpriority").as("pr"),
+      col("o_totalprice").cast("decimal(18,2)").as("amt"))
+    def summaryOf(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("pr")).agg(count(lit(1)).as("n"),
+        sum(col("amt")).cast("decimal(20,2)").as("total"))
+    Txn.run(s, s"$root/txn1", Seq(
+      Txn.Write(a, base, "pr", Seq("k")),
+      Txn.Write(b, summaryOf(base), "pr", Seq("pr"))))
+    val post = base.withColumn("amt",
+      when(col("k") % 7 === 0, col("amt") + 100).otherwise(col("amt"))
+        .cast("decimal(18,2)"))
+    Txn.run(s, s"$root/txn2", Seq(
+      Txn.Write(a, post.filter(col("k") % 7 === 0), "pr", Seq("k")),
+      Txn.Write(b, summaryOf(post), "pr", Seq("pr"))))
+    // an unrelated single-table writer drifts the ledger HEAD past the
+    // summary — the window every external-index/summary system lives in
+    Versioned.commit(s, a,
+      base.filter(col("k") % 3 === 0)
+        .withColumn("amt", (col("amt") + 50).cast("decimal(18,2)")),
+      "pr", Seq("k"))
+    val vmap = Txn.versions(s, s"$root/txn2")
+    val ledgerAt = Versioned.readAsOf(s, a, vmap(a))
+    val summaryAt = Versioned.readAsOf(s, b, vmap(b))
+      .select(col("pr"), col("n"), col("total"))
+    val fromLedger = summaryOf(ledgerAt.select(col("k"), col("pr"), col("amt")))
+      .select(col("pr"), col("n").as("n2"), col("total").as("total2"))
+    val drifted = Versioned.latestVersion(s, a) > vmap(a)
+    summaryAt.join(fromLedger, Seq("pr"))
+      .select(col("pr").as("o_orderpriority"), col("n"),
+        col("total").cast("double").as("total"),
+        (col("n") === col("n2") && col("total") === col("total2")).as("consistent"),
+        lit(drifted).as("head_drifted"))
+  }
+
   // --- k47_txn_commit: CROSS-TABLE atomic transactions — the
   // multi-table guarantee single-table manifest formats punt on
   // (operators.Txn, presumed-abort 2PC with a coordinator-log dir):
@@ -2917,5 +3025,6 @@ object EtlOps {
     k34ShallowClone, k35AsofStamp, k36BloomIndex, k37IncrementalStats,
     k38CheckedCommit, k39GovernanceGate, k43NdvStats, k44SnapshotExport,
     k46JoinAdvisor, k47TxnCommit, k48IndexedCommit, k49LeftdeepAdvisor,
+    k50BroadcastAdvisor, k51SnapshotRead,
     k27WapGate)
 }

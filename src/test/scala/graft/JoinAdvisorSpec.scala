@@ -70,4 +70,45 @@ class JoinAdvisorSpec extends SparkSpec {
     assert(chosenRows * 10 <= naiveRows,
       "the advisor's order saves an order of magnitude of intermediate rows")
   }
+
+  test("broadcastSide advice plans a BroadcastHashJoin even with the threshold disabled") {
+    val r = root()
+    val big = (0 until 20000).map(i => ((i % 500).toLong, (i % 4).toString))
+      .toDF("k", "p")
+    val dim = (0 until 500).map(i => (i.toLong, (i % 4).toString)).toDF("k", "p")
+    big.write.partitionBy("p").parquet(s"$r/big")
+    StatsStore.rebuild(spark, s"$r/big", s"$r/big_stats", "p", Seq("k"))
+    dim.write.partitionBy("p").parquet(s"$r/dim")
+    StatsStore.rebuild(spark, s"$r/dim", s"$r/dim_stats", "p", Seq("k"))
+    val bigRel = Rel("big", s"$r/big_stats"); val dimRel = Rel("dim", s"$r/dim_stats")
+    // advice: the dim side fits; the fact side must be refused even as
+    // the smaller side of some other comparison
+    assert(JoinAdvisor.broadcastSide(spark, bigRel, dimRel, 1000L)
+      === (("right", 20000L, 500L)))
+    assert(JoinAdvisor.broadcastSide(spark, dimRel, bigRel, 1000L)
+      === (("left", 500L, 20000L)))
+    assert(JoinAdvisor.broadcastSide(spark, bigRel, bigRel, 1000L)._1 === "shuffle",
+      "an oversized smaller side is refused, not broadcast")
+    // plan shape: with autoBroadcastJoinThreshold DISABLED (the 100 TB
+    // default posture against mis-sized estimates), the advised hint
+    // still plans a broadcast join; the unhinted plan shuffles
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bigDf = spark.read.parquet(s"$r/big").select(col("k"))
+      val dimDf = spark.read.parquet(s"$r/dim")
+        .select(col("k").as("dk"))
+      val (advised, side) = JoinAdvisor.advisedJoin(spark,
+        bigDf, bigRel, dimDf, dimRel, col("k") === col("dk"), 1000L)
+      assert(side === "right")
+      val hinted = PlanMetrics.actualRows(advised).map(_.node).mkString(" ")
+      assert(hinted.contains("BroadcastHashJoin"),
+        s"advised plan must broadcast the dim side, got: $hinted")
+      val unhinted = PlanMetrics
+        .actualRows(bigDf.join(dimDf, col("k") === col("dk")))
+        .map(_.node).mkString(" ")
+      assert(!unhinted.contains("BroadcastHashJoin"),
+        s"without the hint the disabled threshold shuffles, got: $unhinted")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
