@@ -49,10 +49,22 @@ object Txn {
     * prepare time, the whole transaction aborts with
     * [[TxnConflictException]] instead of silently stacking a write
     * derived from a stale snapshot (lost-update prevention; re-read
-    * and retry is the caller's loop). */
+    * and retry is the caller's loop).
+    *
+    * `op` selects the write's semantics at apply time: "upsert" (the
+    * default — `delta` merges by `keys` into affected partitions) or
+    * "delete" (`delta` is a KEY frame; matching rows are removed,
+    * emptied partitions leave the manifest, `partCol` is unused) —
+    * the atomic cross-table erasure a GDPR pipeline needs (ledger AND
+    * its secondary index forget a subject in one decision point; see
+    * [[VersionedBloom.deleteIndexed]]). A delete that matches nothing
+    * still mints its reserved version as a carry-forward manifest, so
+    * [[versions]] stays a real cross-table snapshot. */
   final case class Write(table: String, delta: DataFrame, partCol: String,
       keys: Seq[String], stamp: Option[Long] = None,
-      expectedVersion: Option[Long] = None)
+      expectedVersion: Option[Long] = None, op: String = "upsert") {
+    require(op == "upsert" || op == "delete", s"unknown txn write op: $op")
+  }
 
   /** A write's base snapshot went stale before the transaction could
     * lock its slot — the caller should re-derive the delta from the
@@ -70,7 +82,7 @@ object Txn {
 
   private final case class Intent(
       table: String, partCol: String, keys: Seq[String], version: Long,
-      delta: String, stamp: Option[Long])
+      delta: String, stamp: Option[Long], op: String)
 
   // intent record: one field per line (paths/columns never hold \n);
   // table + version lead so even a truncated record still identifies
@@ -105,7 +117,8 @@ object Txn {
     readIntentFields(spark, dir).map { kv =>
       Intent(kv("table"), kv("partCol"),
         kv("keys").split(",").toSeq.filter(_.nonEmpty), kv("version").toLong,
-        kv("delta"), kv.get("stamp").map(_.toLong))
+        kv("delta"), kv.get("stamp").map(_.toLong),
+        kv.getOrElse("op", "upsert")) // pre-op coordinator logs are upserts
     }
 
   /** Run `writes` as one atomic transaction coordinated through
@@ -152,9 +165,9 @@ object Txn {
       w.delta.write.parquet(dp)
       writeIntent(spark, dir, i,
         s"table=${w.table}\nversion=$v\npartCol=${w.partCol}\n" +
-          s"keys=${w.keys.mkString(",")}\ndelta=$dp\n" +
+          s"keys=${w.keys.mkString(",")}\ndelta=$dp\nop=${w.op}\n" +
           w.stamp.fold("")(t => s"stamp=$t\n"), overwrite = true)
-      Intent(w.table, w.partCol, w.keys, v, dp, w.stamp)
+      Intent(w.table, w.partCol, w.keys, v, dp, w.stamp, w.op)
     }
     catch { case e: Throwable => rollback(spark, dir); throw e }
   }
@@ -258,8 +271,12 @@ object Txn {
         val prior =
           if (cur == 0) Nil
           else Versioned.manifestRefs(spark, in.table, cur)
-        Versioned.commitAt(spark, in.table, spark.read.parquet(in.delta),
-          in.partCol, in.keys, in.stamp, in.version, prior)
+        if (in.op == "delete")
+          Versioned.deleteKeysAt(spark, in.table, spark.read.parquet(in.delta),
+            in.keys, in.stamp, in.version, prior, mintIfEmpty = true)
+        else
+          Versioned.commitAt(spark, in.table, spark.read.parquet(in.delta),
+            in.partCol, in.keys, in.stamp, in.version, prior)
       }
       Versioned.reapSpentReservations(spark, in.table, in.version)
     }

@@ -588,30 +588,55 @@ object Versioned {
       keyCols: Seq[String]): Long = {
     val cur = latestVersion(spark, path)
     require(cur > 0, s"no committed version at $path")
-    val prior = manifestRefs(spark, path, cur)
+    deleteKeysAt(spark, path, keys, keyCols, None, cur + 1,
+      manifestRefs(spark, path, cur), mintIfEmpty = false)
+  }
+
+  /** The delete core with an EXPLICIT version slot and prior refs —
+    * [[deleteKeys]] resolves them from the head; [[Txn]] passes its
+    * reserved slot (and the gap-skip-aware prior) so a delete can ride
+    * a cross-table transaction. `mintIfEmpty=true` writes a pure
+    * carry-forward manifest even when no key matched (a transaction's
+    * version map must be real at every table); false preserves
+    * deleteKeys' no-op contract (returns `next - 1`, nothing minted). */
+  private[operators] def deleteKeysAt(
+      spark: SparkSession,
+      path: String,
+      keys: DataFrame,
+      keyCols: Seq[String],
+      stamp: Option[Long],
+      next: Long,
+      prior: Seq[(String, Long)],
+      mintIfEmpty: Boolean): Long = {
     val state = readRefs(spark, path, prior)
-    val hit = state.join(keys.select(keyCols.map(col): _*).distinct(), keyCols, "left_semi")
+    val rm = keys.select(keyCols.map(col).toIndexedSeq: _*).distinct()
+    val hit = state.join(rm, keyCols, "left_semi")
     // partition domain is driver-sized by design (commit's discipline)
     val affected: Seq[String] =
       hit.select(col("__p")).distinct().collect().map(_.getString(0)).toSeq
-    if (affected.isEmpty) return cur
+    if (affected.isEmpty && !mintIfEmpty) return next - 1
     val affectedSet = affected.toSet
-    val next = cur + 1
-    val affectedRefs = prior.filter { case (p, _) => affectedSet(p) }
-    val rewritten = readRefs(spark, path, affectedRefs)
-      .join(keys.select(keyCols.map(col): _*).distinct(), keyCols, "left_anti")
-    rewritten.write.mode(SaveMode.Overwrite).partitionBy("__p")
-      .parquet(s"${genRoot(path)}/__gen=$next")
-    // partitions whose every row was deleted write no directory — they
-    // leave the manifest (a ref to a missing dir would corrupt reads)
-    val survivors: Set[String] = rewritten.select(col("__p")).distinct()
-      .collect().map(_.getString(0)).toSet
+    val survivors: Set[String] =
+      if (affected.isEmpty) Set.empty
+      else {
+        val affectedRefs = prior.filter { case (p, _) => affectedSet(p) }
+        val rewritten = readRefs(spark, path, affectedRefs)
+          .join(rm, keyCols, "left_anti")
+        rewritten.write.mode(SaveMode.Overwrite).partitionBy("__p")
+          .parquet(s"${genRoot(path)}/__gen=$next")
+        // partitions whose every row was deleted write no directory —
+        // they leave the manifest (a ref to a missing dir would corrupt)
+        rewritten.select(col("__p")).distinct()
+          .collect().map(_.getString(0)).toSet
+      }
     val carried = prior.filterNot { case (p, _) => affectedSet(p) }
     val entries = carried ++ affected.filter(survivors).map(_ -> next)
     require(entries.nonEmpty,
       s"deleteKeys would empty $path — refuse (drop the table instead)")
     import spark.implicits._
-    entries.toDF("pval", "gen").coalesce(1)
+    val manifest0 = entries.toDF("pval", "gen")
+    stamp.fold(manifest0)(t => manifest0.withColumn("stamp", lit(t)))
+      .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(manifestPath(path, next))
     next
   }

@@ -98,6 +98,62 @@ object VersionedBloom {
         "pval", Seq("pval"), stamp)))
   }
 
+  /** Atomic ERASURE with index maintenance — the GDPR composition:
+    * remove the `keys` rows from the table AND land the affected
+    * partitions' POST-DELETE bloom rows in ONE transaction (a
+    * [[Txn]] delete write + an index upsert under one `_COMMIT`).
+    * Surviving affected partitions get tight recomputed registers;
+    * partitions the delete EMPTIES get an (entries=0, bloom=[]) row —
+    * never a candidate again. Leaving the index untouched would be
+    * merely conservative (bloom false positives cost extra partition
+    * opens, never wrong answers), but an erasure pipeline must also
+    * stop PROBING a forgotten subject's key against storage, so the
+    * index forgets in the same decision point as the data. The base
+    * snapshot is pinned as `expectedVersion` (commitIndexed's stale-
+    * base refusal). HEAD erasure only: older versions still read the
+    * rows until [[Versioned.expire]] / Forget.scrubVersioned reclaims
+    * them — pair with a scrub for history-destroying deletes. */
+  def deleteIndexed(
+      spark: SparkSession,
+      txnDir: String,
+      tablePath: String,
+      indexPath: String,
+      keys: DataFrame,
+      keyCols: Seq[String],
+      keyCol: String,
+      bits: Int = DefaultBits,
+      stamp: Option[Long] = None): Map[String, Long] = {
+    val base = Versioned.latestVersion(spark, tablePath)
+    require(base > 0, s"no committed version at $tablePath")
+    // readRefs keeps the __p partition tag readAsOf strips — the
+    // affected-set probe and post-delete recompute key off it
+    val state = Versioned.readRefs(spark, tablePath,
+      Versioned.manifestRefs(spark, tablePath, base))
+    val rm = keys.select(keyCols.map(col).toIndexedSeq: _*).distinct()
+    // partition domain — driver-sized by design (commit's discipline)
+    val affected: Seq[String] = state.join(rm, keyCols, "left_semi")
+      .select(col("__p")).distinct().collect().map(_.getString(0)).toSeq
+    val affectedPred =
+      if (affected.isEmpty) lit(false) else col("__p").isin(affected: _*)
+    val survivors = state.filter(affectedPred)
+      .join(rm, keyCols, "left_anti")
+      .select(col("__p").as("pval"),
+        explode(array(BloomIndex.positions(col(keyCol), bits): _*)).as("pos"))
+      .groupBy(col("pval"))
+      .agg(count(lit(1)).as("entries"),
+        sort_array(collect_set(col("pos"))).as("bloom"))
+    import spark.implicits._
+    val emptied = affected.toDF("pval")
+      .join(survivors.select(col("pval")), Seq("pval"), "left_anti")
+      .select(col("pval"), lit(0L).as("entries"),
+        array().cast("array<bigint>").as("bloom"))
+    Txn.run(spark, txnDir, Seq(
+      Txn.Write(tablePath, rm, partCol = "", keys = keyCols, stamp,
+        expectedVersion = Some(base), op = "delete"),
+      Txn.Write(indexPath, survivors.unionByName(emptied),
+        "pval", Seq("pval"), stamp)))
+  }
+
   /** The partitions that MAY hold at least one of `keys` (all k hash
     * positions present in the partition's bloom row). */
   def candidatePartitions(

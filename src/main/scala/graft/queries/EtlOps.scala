@@ -1822,6 +1822,65 @@ object EtlOps {
       .withColumn("versions_lockstep", lit(lockstep))
   }
 
+  // --- k52_txn_forget: ATOMIC CROSS-TABLE ERASURE — the GDPR
+  // composition: forget a set of subjects from the ledger AND its
+  // secondary bloom index in ONE transaction (Txn delete write + index
+  // upsert under one _COMMIT — VersionedBloom.deleteIndexed). The
+  // index's affected partitions get tight POST-DELETE registers
+  // (emptied partitions become never-candidates), so the pipeline
+  // stops even PROBING a forgotten subject's key against storage, in
+  // the same decision point that removes the data. The gate forgets
+  // every order of %7 customers, then answers five probes (3 lowest
+  // surviving + 2 lowest forgotten subjects) THROUGH the index-pruned
+  // path with a left join, so a forgotten subject positively reports
+  // 0 rows rather than vanishing from the output; versions stay in
+  // lockstep. Head erasure: history scrubbing is Forget/expire
+  // territory (k26). Scale: the delete rewrites only partitions
+  // holding a forgotten row; index delta is k rows. ---
+  val k52TxnForget = QueryDef.sql(
+    "k52_txn_forget",
+    """WITH base AS (SELECT o_orderkey AS k, o_custkey AS ck,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS amt FROM orders),
+      |surv AS (SELECT * FROM base WHERE ck % 7 <> 0),
+      |plo AS (SELECT DISTINCT ck FROM surv ORDER BY ck LIMIT 3),
+      |pfo AS (SELECT DISTINCT ck FROM base WHERE ck % 7 = 0 ORDER BY ck LIMIT 2),
+      |probes AS (SELECT ck FROM plo UNION ALL SELECT ck FROM pfo),
+      |agg AS (SELECT ck, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(amt) AS DOUBLE) AS total FROM surv GROUP BY ck)
+      |SELECT p.ck AS o_custkey, coalesce(agg.n, 0) AS n_orders,
+      |  coalesce(agg.total, CAST(0 AS DOUBLE)) AS total,
+      |  p.ck % 7 = 0 AS forgotten, TRUE AS versions_lockstep
+      |FROM probes p LEFT JOIN agg ON agg.ck = p.ck""".stripMargin) { (s, d) =>
+    import graft.operators.{Versioned, VersionedBloom}
+    val root = graft.Scratch.dir("k52-forget")
+    val tbl = s"$root/orders"; val idx = s"$root/idx"
+    val base = T.orders(s, d).select(col("o_orderkey").as("k"),
+      col("o_orderstatus").as("st"), col("o_custkey").as("ck"),
+      col("o_totalprice").cast("decimal(12,2)").as("amt"))
+    VersionedBloom.commitIndexed(s, s"$root/txn1", tbl, idx, base,
+      "st", Seq("k"), "ck")
+    // the erasure: every order key belonging to a %7 subject, atomically
+    // removed from ledger + index
+    VersionedBloom.deleteIndexed(s, s"$root/txn2", tbl, idx,
+      base.filter(col("ck") % 7 === 0).select(col("k")), Seq("k"), "ck")
+    val survCks = base.filter(col("ck") % 7 =!= 0).select(col("ck")).distinct()
+    val forgCks = base.filter(col("ck") % 7 === 0).select(col("ck")).distinct()
+    val probes: Seq[Long] =
+      survCks.orderBy(col("ck")).limit(3).collect().map(_.getLong(0)).toSeq ++
+      forgCks.orderBy(col("ck")).limit(2).collect().map(_.getLong(0)).toSeq
+    val lockstep = Versioned.latestVersion(s, tbl) == Versioned.latestVersion(s, idx)
+    val looked = VersionedBloom.lookup(s, tbl, idx, "ck", probes)
+      .groupBy(col("ck"))
+      .agg(count(lit(1)).as("n"), sum(col("amt")).cast("double").as("t"))
+    import s.implicits._
+    probes.toDF("ck").join(looked, Seq("ck"), "left_outer")
+      .select(col("ck").as("o_custkey"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        coalesce(col("t"), lit(0.0)).as("total"),
+        (col("ck") % 7 === 0).as("forgotten"),
+        lit(lockstep).as("versions_lockstep"))
+  }
+
   // --- k44_snapshot_export: PORTABLE snapshot export/import
   // (Versioned.exportSnapshot/importSnapshot) — the cold-archive /
   // cross-cluster migration path Delta answers with DEEP CLONE: version
@@ -3025,6 +3084,6 @@ object EtlOps {
     k34ShallowClone, k35AsofStamp, k36BloomIndex, k37IncrementalStats,
     k38CheckedCommit, k39GovernanceGate, k43NdvStats, k44SnapshotExport,
     k46JoinAdvisor, k47TxnCommit, k48IndexedCommit, k49LeftdeepAdvisor,
-    k50BroadcastAdvisor, k51SnapshotRead,
+    k50BroadcastAdvisor, k51SnapshotRead, k52TxnForget,
     k27WapGate)
 }

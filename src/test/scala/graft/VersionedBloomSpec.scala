@@ -64,4 +64,38 @@ class VersionedBloomSpec extends SparkSpec {
     val (_, tbl, idx, _) = fixture()
     assert(VersionedBloom.lookup(spark, tbl, idx, "ck", Seq(123456789L)).count() === 0L)
   }
+
+  test("deleteIndexed: atomic erasure, index forgets, emptied partition never a candidate") {
+    val (root, tbl, idx, base) = fixture()
+    // forget partition p1 ENTIRELY plus a few rows of p2: p1 must
+    // vanish from manifest AND index candidacy; p2's registers tighten
+    val rm = base.filter(col("part") === "p1" ||
+      (col("part") === "p2" && col("k") <= 20L)).select(col("k"))
+    val got = VersionedBloom.deleteIndexed(
+      spark, s"$root/txf", tbl, idx, rm, Seq("k"), "ck")
+    assert(got === Map(tbl -> 2L, idx -> 2L), "both tables move in lockstep")
+    // lookup ≡ scan on the post-delete head, for survivors and forgotten
+    val probeKeys = Seq(7L, 1042L, 2099L, 2001L)
+    val pruned = VersionedBloom.lookup(spark, tbl, idx, "ck", probeKeys)
+      .collect().map(_.toString).sorted.toSeq
+    val full = Versioned.readAsOf(spark, tbl)
+      .filter(col("ck").isin(probeKeys: _*))
+      .collect().map(_.toString).sorted.toSeq
+    assert(pruned === full)
+    // p1 is gone from the manifest and from index candidacy: a ck that
+    // lived only in p1 (1000..1099 range) finds no candidate partition
+    val candP1 = VersionedBloom.candidatePartitions(spark, idx, Seq(1042L))
+    assert(!candP1.contains("p1"), s"emptied partition still a candidate: $candP1")
+    assert(Versioned.readAsOf(spark, tbl).filter(col("part") === "p1").count() === 0L)
+    // the index row for p1 is the never-candidate form, not a stale ghost
+    val p1Row = Versioned.readAsOf(spark, idx).filter(col("pval") === "p1")
+      .select(col("entries")).collect()
+    assert(p1Row.map(_.getLong(0)).toSeq === Seq(0L))
+    // deleting nothing still mints lockstep versions (carry-forward)
+    val got2 = VersionedBloom.deleteIndexed(
+      spark, s"$root/txf2", tbl, idx, Seq(999999999L).toDF("k"), Seq("k"), "ck")
+    assert(got2 === Map(tbl -> 3L, idx -> 3L))
+    assert(Versioned.readAsOf(spark, tbl).count() ===
+      Versioned.readAsOf(spark, tbl, 2L).count(), "no-op delete changed nothing")
+  }
 }
