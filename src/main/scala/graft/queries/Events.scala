@@ -1802,7 +1802,8 @@ object Events {
     "e32_stream_semi_join", "e33_stream_versioned_sink",
     "e34_table_follow", "e36_stream_media_fingerprint", "e37_stream_hll",
     "e38_stream_knn", "e39_stream_cms", "e40_stream_stats_follow",
-    "e41_stream_quantile", "e42_stream_txn_sink", "e43_stream_indexed_sink")
+    "e41_stream_quantile", "e42_stream_txn_sink", "e43_stream_indexed_sink",
+    "e44_stream_forget")
 
   // --- e40_stream_stats_follow: STATS THAT FOLLOW THE TABLE — e33
   // lands a stream into the store; e40 keeps the OPTIMIZER FEED current
@@ -2320,6 +2321,101 @@ object Events {
     }
   }
 
+  // --- e44_stream_forget: STREAMING GDPR ERASURE — forget REQUESTS
+  // arrive as a stream (the real shape of right-to-be-forgotten: a
+  // queue of subject ids, not a batch job), and each micro-batch
+  // erases its subjects from the ledger AND the secondary index in one
+  // atomic transaction (k52's VersionedBloom.deleteIndexed, stamped
+  // with batchId for e42's replay discipline). The erasure DOGFOODS
+  // the index: the subjects' row keys are resolved through the
+  // index-pruned lookup path, so only candidate partitions are read to
+  // find what to delete. After the drain, five probes (3 lowest
+  // surviving + 2 lowest forgotten subjects) answer through the index
+  // with a left join — a forgotten subject positively reports 0 rows.
+  // A missed batch, a replayed batch, a stale index row, or a
+  // half-applied erasure all hash-mismatch. Scale: each batch rewrites
+  // only partitions holding its subjects' rows; the per-batch subject
+  // set rides the driver as a probe list (broadcast the subject frame
+  // against the index for queue-sized batches). ---
+  val e44StreamForget = QueryDef.sql(
+    "e44_stream_forget",
+    """WITH base AS (SELECT event_id, user_id, CAST(value AS DECIMAL(10,2)) AS amt
+      |  FROM events WHERE value IS NOT NULL),
+      |surv AS (SELECT * FROM base WHERE user_id % 7 <> 0),
+      |plo AS (SELECT DISTINCT user_id FROM surv ORDER BY user_id LIMIT 3),
+      |pfo AS (SELECT DISTINCT user_id FROM base WHERE user_id % 7 = 0
+      |  ORDER BY user_id LIMIT 2),
+      |probes AS (SELECT user_id FROM plo UNION ALL SELECT user_id FROM pfo),
+      |agg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(amt) AS DOUBLE) AS total FROM surv GROUP BY user_id)
+      |SELECT p.user_id, coalesce(agg.n, 0) AS n_events,
+      |  coalesce(agg.total, CAST(0 AS DOUBLE)) AS total,
+      |  p.user_id % 7 = 0 AS forgotten, TRUE AS versions_lockstep
+      |FROM probes p LEFT JOIN agg ON agg.user_id = p.user_id""".stripMargin) { (s, d) =>
+    withStatePartitions(s, 4) {
+    import graft.operators.{Versioned, VersionedBloom}
+    val root = graft.Scratch.dir("e44-forget")
+    val feed = s"$root/feed"; val ckpt = s"$root/ckpt"
+    val ledger = s"$root/ledger"; val idx = s"$root/idx"
+    val ev = T.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        col("value").cast("decimal(10,2)").as("amt"))
+    VersionedBloom.commitIndexed(s, s"$root/txn0", ledger, idx, ev,
+      "event_type", Seq("event_id"), "user_id")
+    // the forget queue: every %7 subject, in two micro-batch files
+    ev.filter(col("user_id") % 7 === 0).select(col("user_id")).distinct()
+      .repartition(2).write.parquet(feed)
+    val stream = s.readStream
+      .schema("user_id BIGINT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val vI = Versioned.latestVersion(s, idx)
+          val replayed = vI > 1 &&
+            Versioned.stampOf(s, idx, vI).exists(_ >= batchId + 1)
+          if (!replayed) {
+            val subjects = batch.select(col("user_id")).distinct()
+              .collect().map(_.getLong(0)).toSeq // queue-sized by design
+            val rmKeys = VersionedBloom
+              .lookup(s, ledger, idx, "user_id", subjects)
+              .select(col("event_id"))
+            VersionedBloom.deleteIndexed(s, s"$root/txn-$batchId",
+              ledger, idx, rmKeys, Seq("event_id"), "user_id",
+              stamp = Some(batchId + 1))
+          }
+          ()
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(Versioned.latestVersion(s, ledger) >= 3,
+      "multi-batch erasure must commit multiple transactions")
+    val lockstep =
+      Versioned.latestVersion(s, ledger) == Versioned.latestVersion(s, idx)
+    val survUsers = ev.filter(col("user_id") % 7 =!= 0)
+      .select(col("user_id")).distinct()
+    val forgUsers = ev.filter(col("user_id") % 7 === 0)
+      .select(col("user_id")).distinct()
+    val probes: Seq[Long] =
+      survUsers.orderBy(col("user_id")).limit(3).collect().map(_.getLong(0)).toSeq ++
+      forgUsers.orderBy(col("user_id")).limit(2).collect().map(_.getLong(0)).toSeq
+    val looked = VersionedBloom.lookup(s, ledger, idx, "user_id", probes)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("amt")).cast("double").as("t"))
+    import s.implicits._
+    probes.toDF("user_id").join(looked, Seq("user_id"), "left_outer")
+      .select(col("user_id"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        coalesce(col("t"), lit(0.0)).as("total"),
+        (col("user_id") % 7 === 0).as("forgotten"),
+        lit(lockstep).as("versions_lockstep"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     e1WindowedAgg, e2Sessionization, e3EventFunnel, e4AsofJoin, e4bAsofNative,
     e4cAsofForward, e4dAsofSql, e4eAsofTolerance,
@@ -2332,5 +2428,5 @@ object Events {
     e29StreamFullOuter, e30Attribution, e31StreamStaticJoin, e32StreamSemiJoin,
     e33StreamVersionedSink, e34TableFollow, e36StreamMediaFingerprint,
     e37StreamHll, e39StreamCms, e40StreamStatsFollow, e41StreamQuantile,
-    e42StreamTxnSink, e43StreamIndexedSink)
+    e42StreamTxnSink, e43StreamIndexedSink, e44StreamForget)
 }
