@@ -83,8 +83,10 @@ object QuantileSketch {
     * [[ReplayGuard]] run/batch stamps are the fold's correctness
     * (CountMin's discipline, not HllSketch's idempotent max-merge).
     * State grows by ≤ buckets·k sample rows per group per BATCH (not
-    * per input row); a compaction pass can re-[[summarize]] the summary
-    * itself when batch count grows large. */
+    * per input row) under the default unbounded append;
+    * `maxSamplesPerGroup` caps it by running [[compact]] inline on
+    * every fold — bounded state over an unbounded stream, at ≤
+    * ⌈W/bound⌉ extra rank error per fold. */
   def streamingQuantileFold(
       stream: DataFrame,
       path: String,
@@ -93,7 +95,8 @@ object QuantileSketch {
       key: Column,
       buckets: Int,
       k: Int,
-      checkpoint: String): StreamingQuery =
+      checkpoint: String,
+      maxSamplesPerGroup: Int = Int.MaxValue): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -104,13 +107,22 @@ object QuantileSketch {
         val run = ReplayGuard.runId(fs, checkpoint)
         ReplayGuard.assertOwnership(fs, path, run, fs.exists(fsPath))
         val summ = summarize(batch, group, value, key, buckets, k)
+        // the bounded-state knob: the default appends forever (exact
+        // union algebra, e41's hash-gated shape); a finite bound runs
+        // [[compact]] inline so per-group state stays ≤ the bound over
+        // an UNBOUNDED stream, trading ≤ ⌈W/bound⌉ extra rank error per
+        // batch fold — compact is deterministic, so the folded state
+        // remains bit-reproducible for a given batch cohort sequence
+        def bounded(df: DataFrame): DataFrame =
+          if (maxSamplesPerGroup == Int.MaxValue) df
+          else compact(df, group, maxSamplesPerGroup)
         if (!fs.exists(fsPath))
-          ReplayGuard.stamp(summ, run, batchId)
+          ReplayGuard.stamp(bounded(summ), run, batchId)
             .write.mode(SaveMode.Overwrite).parquet(path)
         else if (!ReplayGuard.isReplay(s.read.parquet(path), run, batchId))
           Upsert.stagedRewrite(s, path)(base =>
             ReplayGuard.stamp(
-              merge(ReplayGuard.strip(base), summ), run, batchId))
+              bounded(merge(ReplayGuard.strip(base), summ)), run, batchId))
         ()
       }
       .start()

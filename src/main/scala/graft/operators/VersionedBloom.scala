@@ -98,6 +98,40 @@ object VersionedBloom {
         "pval", Seq("pval"), stamp)))
   }
 
+  /** [[commitIndexed]] with the optimistic-conflict RETRY LOOP callers
+    * otherwise hand-roll: on [[Txn.TxnConflictException]] the base
+    * snapshot is re-read and the index delta re-derived against it
+    * (the delta argument is a lazy plan, so re-invocation re-evaluates
+    * everything at the new head), under a FRESH coordinator directory
+    * per attempt (coordinator dirs are single-use — the conflicted
+    * attempt's `_ABORTED` marker stays behind as its own record).
+    * Bounded attempts: livelock under heavy contention surfaces as a
+    * loud failure carrying the last conflict, not an infinite loop. */
+  def commitIndexedRetry(
+      spark: SparkSession,
+      txnDir: String,
+      tablePath: String,
+      indexPath: String,
+      delta: DataFrame,
+      partCol: String,
+      keys: Seq[String],
+      keyCol: String,
+      bits: Int = DefaultBits,
+      stamp: Option[Long] = None,
+      maxRetries: Int = 5): Map[String, Long] = {
+    var attempt = 0
+    var last: Txn.TxnConflictException = null
+    while (attempt <= maxRetries) {
+      try return commitIndexed(spark, s"$txnDir-a$attempt", tablePath,
+        indexPath, delta, partCol, keys, keyCol, bits, stamp)
+      catch { case e: Txn.TxnConflictException => last = e; attempt += 1 }
+    }
+    throw new IllegalStateException(
+      s"commitIndexed still conflicting after $maxRetries retries on " +
+        s"$tablePath — contention too high for optimistic concurrency; " +
+        s"last conflict: ${last.getMessage}")
+  }
+
   /** Atomic ERASURE with index maintenance — the GDPR composition:
     * remove the `keys` rows from the table AND land the affected
     * partitions' POST-DELETE bloom rows in ONE transaction (a

@@ -163,4 +163,54 @@ class QuantileSketchSpec extends SparkSpec {
     assert(landed === expected,
       "multi-file micro-batches must fold exactly like their cohort unions")
   }
+
+  test("bounded fold: maxSamplesPerGroup caps state over many batches, bound holds") {
+    // the default fold appends ≤ B·K rows per group per BATCH forever;
+    // the bound runs compact() inline so an unbounded stream carries
+    // bounded state, paying ≤ ceil(W/bound) extra rank error per fold
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-qfoldcap").toString
+    val feed = s"$root/feed"; val summPath = s"$root/summ"; val ckpt = s"$root/ckpt"
+    val maxS = 64
+    val df = data(40000).withColumn("idl", col("k").cast("long"))
+    df.filter(col("idl") % 4 === 0).drop("idl").coalesce(1).write.parquet(feed)
+    val stream = spark.readStream
+      .schema("g STRING, k STRING, v DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed)
+    val q = QuantileSketch.streamingQuantileFold(
+      stream, summPath, Seq("g"), col("v"), col("k"), B, K, ckpt,
+      maxSamplesPerGroup = maxS)
+    (1 to 3).foreach { r =>
+      q.processAllAvailable()
+      df.filter(col("idl") % 4 === r).drop("idl").coalesce(1)
+        .write.mode("append").parquet(feed)
+    }
+    q.processAllAvailable()
+    q.stop()
+    val landed = graft.operators.ReplayGuard.strip(spark.read.parquet(summPath))
+    // state bound: ≤ maxS (+1 for the forced last sample) per group,
+    // where unbounded appending would hold 4 batches x ≤ B·K rows
+    val perGroup = landed.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perGroup.foreach { case (g, n) =>
+      assert(n <= maxS + 1, s"group $g state $n exceeds the $maxS bound") }
+    // weight conservation survives every compaction
+    val w = landed.groupBy("g").sum("wt").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truth = df.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w === truth, "weights still sum exactly to the stream's row counts")
+    // rank quality: 4 folds each add ≤ ceil(W/maxS) error on top of the
+    // per-batch summarize bound — check the median lands inside it
+    val ests = QuantileSketch.quantiles(landed, Seq("g"), Seq(0.5))
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toMap
+    truth.foreach { case (g, n) =>
+      val est = ests(g)
+      val rank = df.filter(col("g") === g && col("v") <= est).count()
+      val slack = 4L * (n / K + B) + 4L * (n / maxS + 1)
+      assert(math.abs(rank - math.ceil(0.5 * n).toLong) <= slack,
+        s"group $g median rank $rank vs ${math.ceil(0.5 * n).toLong} (slack $slack)")
+    }
+  }
 }

@@ -98,4 +98,69 @@ class VersionedBloomSpec extends SparkSpec {
     assert(Versioned.readAsOf(spark, tbl).count() ===
       Versioned.readAsOf(spark, tbl, 2L).count(), "no-op delete changed nothing")
   }
+
+  test("commitIndexed refuses a stale base; commitIndexedRetry re-derives and lands") {
+    import graft.operators.Txn
+    val (root, tbl, idx, base) = fixture() // tbl and idx at v1
+    // a peer holds the table's next slot (crashed after prepare): the
+    // indexed commit computes its delta from v1 but reserves v3 ≠ 2 —
+    // the stale-base refusal, deterministically provoked
+    Txn.crashAfterPrepare(spark, s"$root/holder", Seq(
+      Txn.Write(tbl, base.limit(1), "part", Seq("k"))))
+    val delta = base.filter(col("k") === 5L).withColumn("ck", lit(555555L))
+    intercept[Txn.TxnConflictException] {
+      VersionedBloom.commitIndexed(spark, s"$root/tc", tbl, idx, delta,
+        "part", Seq("k"), "ck")
+    }
+    assert(Versioned.latestVersion(spark, tbl) === 1L, "conflict minted nothing")
+    // the janitor clears the holder; the RETRY path then lands cleanly
+    assert(Txn.recover(spark, s"$root/holder") === "rolledback")
+    val got = VersionedBloom.commitIndexedRetry(spark, s"$root/tr", tbl, idx,
+      delta, "part", Seq("k"), "ck")
+    assert(got === Map(tbl -> 2L, idx -> 2L))
+    // the moved key answers through the index at its new value
+    val hit = VersionedBloom.lookup(spark, tbl, idx, "ck", Seq(555555L))
+      .select(col("k")).collect().map(_.getLong(0)).toSeq
+    assert(hit === Seq(5L))
+  }
+
+  test("two concurrent indexed commits both land via the retry loop, index exact") {
+    import java.util.concurrent.Executors
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val (root, tbl, idx, base) = fixture()
+    // disjoint key ranges, same table+index: whichever loses the slot
+    // race conflicts and retries against the winner's head
+    val pool = Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    def job(tag: Int): Future[Map[String, Long]] = Future {
+      val delta = base.filter(col("k") % 2 === tag % 2)
+        .withColumn("ck", col("ck") + lit(tag * 100000L))
+      VersionedBloom.commitIndexedRetry(spark, s"$root/cc$tag", tbl, idx,
+        delta, "part", Seq("k"), "ck", maxRetries = 10)
+    }
+    val results = Await.result(Future.sequence(Seq(job(1), job(2))), 180.seconds)
+    pool.shutdown()
+    assert(results.map(_(tbl)).sorted === Seq(2L, 3L), "serialized into 2 and 3")
+    // numeric version EQUALITY between table and index only holds under
+    // identical traffic: a conflicted attempt burns an index slot (the
+    // loser reserves the index before hitting the table conflict), the
+    // winner commits ACROSS the dead gap, and the retry lands higher.
+    // The real invariant is per-transaction: each returned map is a
+    // consistent cross-table snapshot, and the head index is exact.
+    results.foreach { m =>
+      assert(Versioned.retainedVersions(spark, idx).contains(m(idx)),
+        s"each txn's index version ${m(idx)} is a real committed snapshot")
+    }
+    assert(Versioned.latestVersion(spark, idx) >= 3L)
+    // index answers exactly on the post-state for keys from BOTH writers
+    val full = Versioned.readAsOf(spark, tbl)
+    val someCk = full.orderBy(col("ck").desc).limit(3)
+      .select(col("ck")).collect().map(_.getLong(0)).toSeq
+    val pruned = VersionedBloom.lookup(spark, tbl, idx, "ck", someCk)
+      .collect().map(_.toString).sorted.toSeq
+    val scan = full.filter(col("ck").isin(someCk: _*))
+      .collect().map(_.toString).sorted.toSeq
+    assert(pruned === scan && pruned.nonEmpty)
+  }
 }
