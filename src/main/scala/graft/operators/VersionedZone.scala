@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** RANGE secondary index maintained TRANSACTIONALLY with its table —
+  * [[VersionedBloom]]'s sibling for range predicates: a
+  * partition-level zone (min/max) index over a [[Versioned]] table,
+  * itself stored as a (tiny) Versioned table, with every table commit
+  * and its index delta landing in ONE [[Txn]] — no reader can observe
+  * a table version whose zone index predates it.
+  *
+  * [[ZoneMap]] (k29) skips FILES of a static parquet table and must be
+  * rebuilt after every write; this skips PARTITIONS of a versioned
+  * table and can never go stale — the commit that moves a value moves
+  * its index row at the same decision point. The 100 TB case is the
+  * time-partitioned fact table: a quarter's range query resolves its
+  * candidate partitions from k index rows BEFORE any listing, then
+  * opens only their manifest refs. Pruning is CONSERVATIVE by
+  * construction: a partition is skipped only when its [min, max]
+  * provably misses the range (min/max ignore NULLs, and NULL values
+  * never satisfy a range predicate, so all-NULL partitions prune
+  * safely); a pruned read returns exactly what a full scan would —
+  * the k53 gate hash-proves it. */
+object VersionedZone {
+
+  /** The zone rows for `delta`'s affected partitions as they will
+    * stand AFTER the commit: (pval, rows, min_v, max_v, n_nulls) over
+    * merge(affected partitions AS OF `asOfVersion`, delta). Callers
+    * that commit the result MUST pin `asOfVersion` and pass the same
+    * version as the table write's `expectedVersion` (see
+    * [[commitIndexed]]) — a stale-base zone row could understate
+    * min/max and prune a partition that now holds matching rows. */
+  def indexDelta(
+      spark: SparkSession,
+      tablePath: String,
+      delta: DataFrame,
+      partCol: String,
+      keys: Seq[String],
+      valCol: String,
+      asOfVersion: Long = -1L): DataFrame = {
+    val base =
+      if (asOfVersion < 0) Versioned.latestVersion(spark, tablePath) else asOfVersion
+    val affected = delta.select(col(partCol)).distinct().collect()
+      .map(_.get(0)).toSeq // partition domain — driver-sized by design
+    val merged =
+      if (base == 0) delta
+      else Upsert.merge(
+        Versioned.readAsOf(spark, tablePath, base)
+          .filter(col(partCol).isin(affected: _*)),
+        delta, keys)
+    merged
+      .groupBy(col(partCol).cast("string").as("pval"))
+      .agg(count(lit(1)).as("rows"),
+        min(col(valCol)).as("min_v"), max(col(valCol)).as("max_v"),
+        count(when(col(valCol).isNull, 1)).as("n_nulls"))
+  }
+
+  /** Commit `delta` and its zone-index maintenance as one atomic
+    * transaction; the base snapshot the index delta is computed from
+    * rides as the table write's `expectedVersion`, so an interleaving
+    * commit aborts with [[Txn.TxnConflictException]] instead of
+    * shipping an understated zone row (the one path to a wrongly
+    * pruned partition). Returns the (table → version) map. */
+  def commitIndexed(
+      spark: SparkSession,
+      txnDir: String,
+      tablePath: String,
+      indexPath: String,
+      delta: DataFrame,
+      partCol: String,
+      keys: Seq[String],
+      valCol: String,
+      stamp: Option[Long] = None): Map[String, Long] = {
+    val base = Versioned.latestVersion(spark, tablePath)
+    Txn.run(spark, txnDir, Seq(
+      Txn.Write(tablePath, delta, partCol, keys, stamp,
+        expectedVersion = Some(base)),
+      Txn.Write(indexPath,
+        indexDelta(spark, tablePath, delta, partCol, keys, valCol,
+          asOfVersion = base),
+        "pval", Seq("pval"), stamp)))
+  }
+
+  /** The partitions that MAY hold a value in [lo, hi]: zone rows whose
+    * [min_v, max_v] interval intersects it. K index rows scanned, no
+    * data I/O; NULL min/max (all-NULL partition) yields NULL in the
+    * predicate and drops — conservative either way. */
+  def candidatePartitions(
+      spark: SparkSession, indexPath: String, lo: Column, hi: Column): Seq[String] =
+    Versioned.readAsOf(spark, indexPath)
+      .filter(!(col("max_v") < lo || col("min_v") > hi))
+      .select(col("pval")).distinct()
+      .collect().map(_.getString(0)).toSeq
+
+  /** Zone-pruned range read: resolve the table's CURRENT manifest,
+    * open ONLY candidate partitions' directories, then apply the exact
+    * range filter. Equals full-scan-and-filter by construction. */
+  def lookupRange(
+      spark: SparkSession,
+      tablePath: String,
+      indexPath: String,
+      valCol: String,
+      lo: Column,
+      hi: Column): DataFrame = {
+    val cand = candidatePartitions(spark, indexPath, lo, hi).toSet
+    val refs = Versioned
+      .manifestRefs(spark, tablePath, Versioned.latestVersion(spark, tablePath))
+      .filter { case (pval, _) => cand(pval) }
+    val base =
+      if (refs.isEmpty)
+        Versioned.readAsOf(spark, tablePath).limit(0).drop("__p")
+      else Versioned.readRefs(spark, tablePath, refs).drop("__p")
+    base.filter(col(valCol) >= lo && col(valCol) <= hi)
+  }
+}

@@ -1881,6 +1881,58 @@ object EtlOps {
         lit(lockstep).as("versions_lockstep"))
   }
 
+  // --- k53_range_index: TRANSACTIONAL RANGE (zone) secondary index —
+  // VersionedBloom's sibling for range predicates (k48 answers point
+  // lookups; k53 answers the time-range scan every fact table serves):
+  // per-partition min/max/rows of the indexed column, maintained in
+  // the SAME transaction as every commit (VersionedZone.commitIndexed,
+  // stale-base refused via expectedVersion — an understated zone row
+  // is the one path to a wrongly pruned partition). The ledger is
+  // month-partitioned orders with the order DATE as the zone column;
+  // a second commit moves %13 orders to their month's 15th (partition
+  // stable, zone rows recompute). The Q1-1996 range query resolves ~3
+  // candidate months from k index rows before any listing — the gate
+  // require()s real pruning (candidates < partitions) and the oracle
+  // recomputes the post-state range aggregate from the fixture
+  // arithmetic. Scale: at 100 TB the quarter query opens a quarter's
+  // partitions; the index fold is k rows. ---
+  val k53RangeIndex = QueryDef.sql(
+    "k53_range_index",
+    """WITH base AS (SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS amt FROM orders),
+      |post AS (SELECT k,
+      |    CASE WHEN k % 13 = 0
+      |      THEN make_date(CAST(year(d) AS INT), CAST(month(d) AS INT), 15)
+      |      ELSE d END AS d, amt FROM base),
+      |r AS (SELECT * FROM post
+      |  WHERE d >= DATE '1996-01-01' AND d <= DATE '1996-03-31')
+      |SELECT strftime(d, '%Y-%m') AS mon, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(amt) AS DOUBLE) AS total, TRUE AS pruned
+      |FROM r GROUP BY mon""".stripMargin) { (s, d) =>
+    import graft.operators.{Versioned, VersionedZone}
+    val root = graft.Scratch.dir("k53-zone")
+    val tbl = s"$root/orders"; val idx = s"$root/zone"
+    val base = T.orders(s, d).select(col("o_orderkey").as("k"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
+      col("o_orderdate").cast("date").as("d"),
+      col("o_totalprice").cast("decimal(12,2)").as("amt"))
+    VersionedZone.commitIndexed(s, s"$root/txn1", tbl, idx, base,
+      "mon", Seq("k"), "d")
+    val delta = base.filter(col("k") % 13 === 0)
+      .withColumn("d", expr("make_date(year(d), month(d), 15)"))
+    VersionedZone.commitIndexed(s, s"$root/txn2", tbl, idx, delta,
+      "mon", Seq("k"), "d")
+    val lo = expr("DATE'1996-01-01'"); val hi = expr("DATE'1996-03-31'")
+    val nParts = Versioned.readAsOf(s, idx).count()
+    val cands = VersionedZone.candidatePartitions(s, idx, lo, hi)
+    require(cands.nonEmpty && cands.size < nParts,
+      s"zone pruning must be real: ${cands.size} of $nParts partitions")
+    VersionedZone.lookupRange(s, tbl, idx, "d", lo, hi)
+      .groupBy(date_format(col("d"), "yyyy-MM").as("mon"))
+      .agg(count(lit(1)).as("n"), sum(col("amt")).cast("double").as("total"))
+      .withColumn("pruned", lit(cands.size < nParts))
+  }
+
   // --- k44_snapshot_export: PORTABLE snapshot export/import
   // (Versioned.exportSnapshot/importSnapshot) — the cold-archive /
   // cross-cluster migration path Delta answers with DEEP CLONE: version
@@ -3084,6 +3136,6 @@ object EtlOps {
     k34ShallowClone, k35AsofStamp, k36BloomIndex, k37IncrementalStats,
     k38CheckedCommit, k39GovernanceGate, k43NdvStats, k44SnapshotExport,
     k46JoinAdvisor, k47TxnCommit, k48IndexedCommit, k49LeftdeepAdvisor,
-    k50BroadcastAdvisor, k51SnapshotRead, k52TxnForget,
+    k50BroadcastAdvisor, k51SnapshotRead, k52TxnForget, k53RangeIndex,
     k27WapGate)
 }
