@@ -1888,20 +1888,24 @@ object EtlOps {
   // the SAME transaction as every commit (VersionedZone.commitIndexed,
   // stale-base refused via expectedVersion — an understated zone row
   // is the one path to a wrongly pruned partition). The ledger is
-  // month-partitioned orders with the order DATE as the zone column;
-  // a second commit moves %13 orders to their month's 15th (partition
-  // stable, zone rows recompute). The Q1-1996 range query resolves ~3
-  // candidate months from k index rows before any listing — the gate
-  // require()s real pruning (candidates < partitions) and the oracle
-  // recomputes the post-state range aggregate from the fixture
-  // arithmetic. Scale: at 100 TB the quarter query opens a quarter's
-  // partitions; the index fold is k rows. ---
+  // QUARTER-partitioned orders (~27 partitions over the fixture's
+  // 1995–2001 span — coarse enough that two full commits stay cheap,
+  // fine enough that pruning is sharp) with the order DATE as the zone
+  // column; a second commit moves 1996's %13 orders to their
+  // month's 15th (partition stable, 4 affected quarters — the delta
+  // rewrite is localized, as any real backfill is). The Q1-1996 range query
+  // resolves ONE candidate quarter from k index rows before any
+  // listing — the gate require()s real pruning (candidates <
+  // partitions) and the oracle recomputes the post-state range
+  // aggregate from the fixture arithmetic. Scale: at 100 TB the
+  // quarter query opens a quarter's partitions; the index fold is k
+  // rows. ---
   val k53RangeIndex = QueryDef.sql(
     "k53_range_index",
     """WITH base AS (SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d,
       |    CAST(o_totalprice AS DECIMAL(12,2)) AS amt FROM orders),
       |post AS (SELECT k,
-      |    CASE WHEN k % 13 = 0
+      |    CASE WHEN k % 13 = 0 AND year(d) = 1996
       |      THEN make_date(CAST(year(d) AS INT), CAST(month(d) AS INT), 15)
       |      ELSE d END AS d, amt FROM base),
       |r AS (SELECT * FROM post
@@ -1913,15 +1917,16 @@ object EtlOps {
     val root = graft.Scratch.dir("k53-zone")
     val tbl = s"$root/orders"; val idx = s"$root/zone"
     val base = T.orders(s, d).select(col("o_orderkey").as("k"),
-      date_format(col("o_orderdate"), "yyyy-MM").as("mon"),
+      expr("concat(year(CAST(o_orderdate AS DATE)), '-Q', " +
+        "quarter(CAST(o_orderdate AS DATE)))").as("qtr"),
       col("o_orderdate").cast("date").as("d"),
       col("o_totalprice").cast("decimal(12,2)").as("amt"))
     VersionedZone.commitIndexed(s, s"$root/txn1", tbl, idx, base,
-      "mon", Seq("k"), "d")
-    val delta = base.filter(col("k") % 13 === 0)
+      "qtr", Seq("k"), "d")
+    val delta = base.filter(col("k") % 13 === 0 && expr("year(d) = 1996"))
       .withColumn("d", expr("make_date(year(d), month(d), 15)"))
     VersionedZone.commitIndexed(s, s"$root/txn2", tbl, idx, delta,
-      "mon", Seq("k"), "d")
+      "qtr", Seq("k"), "d")
     val lo = expr("DATE'1996-01-01'"); val hi = expr("DATE'1996-03-31'")
     val nParts = Versioned.readAsOf(s, idx).count()
     val cands = VersionedZone.candidatePartitions(s, idx, lo, hi)
