@@ -712,10 +712,18 @@ object Multimodal {
                           .order(ByteOrder.LITTLE_ENDIAN)
                         applyDeltaOps(prevRaw, ops)
                       } else None
-                    raw.foreach { a =>
-                      prevRaw = a
-                      out += frameNo -> imageOfRaw(a, info.w, info.h)
-                      frameNo += 1
+                    raw match {
+                      case Some(a) =>
+                        prevRaw = a
+                        out += frameNo -> imageOfRaw(a, info.w, info.h)
+                        frameNo += 1
+                      case None =>
+                        // a failed key or delta BREAKS the predecessor
+                        // chain: applying later deltas to the frame
+                        // from two steps back would pass every length
+                        // check and emit silently wrong pixels — drop
+                        // the chain and re-anchor at the next keyframe
+                        prevRaw = null
                     }
                   } else if (tag == "dc") {
                     val arr = new Array[Byte](csz)

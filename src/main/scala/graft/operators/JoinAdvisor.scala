@@ -159,6 +159,10 @@ object JoinAdvisor {
     val steps = scala.collection.mutable.ArrayBuffer(
       Step(first._2, first._2.right, curRows))
     var remaining = edges.filterNot(_ == first._2)
+    // frontier extension; edges whose BOTH endpoints are already in the
+    // prefix are cycle edges — residual filter predicates the caller
+    // applies after the joins, never a new relation (they are left in
+    // `remaining` and simply not steps)
     while (remaining.exists(e => inSet(e.left) ^ inSet(e.right))) {
       val (v, e) = remaining
         .filter(e => inSet(e.left) ^ inSet(e.right))
@@ -177,6 +181,14 @@ object JoinAdvisor {
       steps += Step(e, added, v)
       remaining = remaining.filterNot(_ == e)
     }
+    // a left-deep plan must COVER the graph: a disconnected input would
+    // otherwise return a partial plan the caller silently trusts (the
+    // missing relations would need a cross join — refuse, don't guess)
+    val uncovered = rels.map(_.name).filterNot(inSet)
+    require(uncovered.isEmpty,
+      s"join graph is disconnected: no edge reaches ${uncovered.mkString(", ")} " +
+        "from the planned prefix — add the join predicate or plan the " +
+        "components separately")
     steps.toSeq
   }
 }

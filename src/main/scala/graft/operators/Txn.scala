@@ -163,6 +163,30 @@ object Txn {
       }
       val dp = deltaPath(dir, i)
       w.delta.write.parquet(dp)
+      if (w.op == "delete") {
+        // the would-empty-the-table refusal must fire BEFORE the
+        // _COMMIT decision point: Versioned cannot represent an empty
+        // table, and a committed transaction that can never apply is a
+        // permanent wedge (the guarantee says commit). One early-out
+        // survivor probe against the base the slot now locks. A
+        // concurrent lower-slot delete erasing the last survivors
+        // between this check and apply remains theoretically possible
+        // — deleteKeysAt's own require then names the resolution.
+        val cur = Versioned.latestVersion(spark, w.table)
+        if (cur > 0) {
+          val rm = spark.read.parquet(dp)
+            .select(w.keys.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+            .distinct()
+          val survives = Versioned
+            .readRefs(spark, w.table, Versioned.manifestRefs(spark, w.table, cur))
+            .join(rm, w.keys, "left_anti")
+            .limit(1).count() > 0
+          if (!survives)
+            throw new IllegalArgumentException(
+              s"transaction delete would empty ${w.table} — refused at " +
+                "prepare (drop the table instead)")
+        }
+      }
       writeIntent(spark, dir, i,
         s"table=${w.table}\nversion=$v\npartCol=${w.partCol}\n" +
           s"keys=${w.keys.mkString(",")}\ndelta=$dp\nop=${w.op}\n" +
@@ -215,18 +239,31 @@ object Txn {
   /** JANITOR — sweep every coordinator directory under `root`,
     * finishing or discarding whatever a crash left behind: roll FORWARD
     * past `_COMMIT`, roll BACK otherwise, skip completed dirs. Returns
-    * dir → outcome ("forward" / "rolledback" / "noop"). Run it at
-    * process start before taking new work (e42's restart discipline) —
-    * the root must not be shared with coordinators still LIVE in other
-    * processes (per-job roots, the usual WAL-directory contract). Cost:
-    * one listing + per-orphan marker reads; completed dirs are
-    * metadata-only noops. */
+    * dir → outcome ("forward" / "rolledback" / "noop" / "skipped").
+    * ONLY directories that are recognizably coordinators — holding a
+    * `_COMMIT`/`_DONE`/`_ABORTED` marker or at least one `intent-*`
+    * record — are touched; anything else under the root (a table, a
+    * checkpoint, a feed a caller parked beside its txns) is reported
+    * "skipped", NEVER rolled back — rollback deletes a directory's
+    * contents, which on a non-coordinator would be data loss, not
+    * recovery. Run at process start before taking new work (e42/e43/
+    * e44's restart discipline) — the root must not be shared with
+    * coordinators still LIVE in other processes (per-job roots, the
+    * usual WAL-directory contract). Cost: one listing + per-dir marker
+    * probes; completed dirs are metadata-only noops. */
   def recoverAll(spark: SparkSession, root: String): Map[String, String] = {
     val fs = fsOf(spark, root)
     if (!fs.exists(new Path(root))) Map.empty
     else fs.listStatus(new Path(root)).toSeq
       .filter(_.isDirectory)
-      .map(st => st.getPath.toString -> recover(spark, st.getPath.toString))
+      .map { st =>
+        val dir = st.getPath.toString
+        val isCoordinator =
+          fs.exists(commitMarker(dir)) || fs.exists(doneMarker(dir)) ||
+            fs.exists(abortMarker(dir)) ||
+            fs.listStatus(st.getPath).exists(_.getPath.getName.startsWith("intent-"))
+        dir -> (if (isCoordinator) recover(spark, dir) else "skipped")
+      }
       .toMap
   }
 

@@ -63,6 +63,14 @@ object VersionedBloom {
       .groupBy(col("pval"))
       .agg(count(lit(1)).as("entries"),
         sort_array(collect_set(col("p"))).as("bloom"))
+      // tv = the TABLE version this row describes (base + 1, the slot
+      // the paired table write intends): [[lookup]] compares it with
+      // the manifest's per-partition generation and treats any
+      // mismatch as an unconditional candidate — the freshness
+      // reconciliation that makes reads exact under EVERY interleaving
+      // of a concurrent commitIndexed's two applies (a burned-slot
+      // conflict leaves tv < gen, which only errs conservative)
+      .withColumn("tv", lit(base + 1))
   }
 
   /** Commit `delta` and its index maintenance as one atomic
@@ -146,7 +154,16 @@ object VersionedBloom {
     * snapshot is pinned as `expectedVersion` (commitIndexed's stale-
     * base refusal). HEAD erasure only: older versions still read the
     * rows until [[Versioned.expire]] / Forget.scrubVersioned reclaims
-    * them — pair with a scrub for history-destroying deletes. */
+    * them — pair with a scrub for history-destroying deletes.
+    *
+    * Cost note: the affected-partition probe runs here (for the index
+    * rows) AND again inside the delete's apply — recomputing from the
+    * staged key frame is the deliberate trade: a staged affected-set
+    * hint is only valid while the base cannot move under the prepared
+    * transaction, and recovery re-drives apply in exactly the crash
+    * states where trusting stale prepare-time metadata is how erasures
+    * get lost. Two delta-probe scans buy an erasure that is correct
+    * from any crash point. */
   def deleteIndexed(
       spark: SparkSession,
       txnDir: String,
@@ -176,11 +193,12 @@ object VersionedBloom {
       .groupBy(col("pval"))
       .agg(count(lit(1)).as("entries"),
         sort_array(collect_set(col("pos"))).as("bloom"))
+      .withColumn("tv", lit(base + 1)) // lookup's freshness tag
     import spark.implicits._
     val emptied = affected.toDF("pval")
       .join(survivors.select(col("pval")), Seq("pval"), "left_anti")
       .select(col("pval"), lit(0L).as("entries"),
-        array().cast("array<bigint>").as("bloom"))
+        array().cast("array<bigint>").as("bloom"), lit(base + 1).as("tv"))
     Txn.run(spark, txnDir, Seq(
       Txn.Write(tablePath, rm, partCol = "", keys = keyCols, stamp,
         expectedVersion = Some(base), op = "delete"),
@@ -189,7 +207,11 @@ object VersionedBloom {
   }
 
   /** The partitions that MAY hold at least one of `keys` (all k hash
-    * positions present in the partition's bloom row). */
+    * positions present in the partition's bloom row). Index-only view,
+    * NO freshness reconciliation against the table manifest — use
+    * [[lookup]] for reads that must stay exact under concurrent
+    * commits; this is the raw pruning signal (specs, diagnostics,
+    * quiescent tables). */
   def candidatePartitions(
       spark: SparkSession,
       indexPath: String,
@@ -209,7 +231,14 @@ object VersionedBloom {
     * open ONLY the candidate partitions' directories (true partition
     * pruning — non-candidates are never listed, let alone read), then
     * apply the exact key filter. Equals full-scan-and-filter by
-    * construction. */
+    * construction — INCLUDING under a concurrent commitIndexed: the
+    * transaction applies its two writes sequentially, so a reader can
+    * land between them and pair a newer table with an older index row
+    * (or vice versa). Each index row carries `tv`, the table version
+    * it describes; any partition whose manifest generation differs
+    * from its index row's tv (or that has no index row) is a candidate
+    * UNCONDITIONALLY — staleness can only widen the read, never drop a
+    * row. */
   def lookup(
       spark: SparkSession,
       tablePath: String,
@@ -217,14 +246,26 @@ object VersionedBloom {
       keyCol: String,
       keys: Seq[Long],
       bits: Int = DefaultBits): DataFrame = {
-    val cand = candidatePartitions(spark, indexPath, keys, bits).toSet
+    import spark.implicits._
     val refs = Versioned
       .manifestRefs(spark, tablePath, Versioned.latestVersion(spark, tablePath))
-      .filter { case (pval, _) => cand(pval) }
+    val idx = Versioned.readAsOf(spark, indexPath)
+    val probes = keys.toDF("k")
+      .select(array(BloomIndex.positions(col("k"), bits): _*).as("ps"))
+    val matched: Set[String] = idx
+      .crossJoin(broadcast(probes))
+      .filter(expr("forall(ps, p -> array_contains(bloom, p))"))
+      .select(col("pval")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val tv: Map[String, Long] = idx.select(col("pval"), col("tv"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cand = refs.filter { case (pval, gen) =>
+      matched(pval) || !tv.get(pval).contains(gen)
+    }
     val base =
-      if (refs.isEmpty)
+      if (cand.isEmpty)
         Versioned.readAsOf(spark, tablePath).limit(0).drop("__p")
-      else Versioned.readRefs(spark, tablePath, refs).drop("__p")
+      else Versioned.readRefs(spark, tablePath, cand).drop("__p")
     base.filter(col(keyCol).isin(keys: _*))
   }
 }

@@ -54,6 +54,9 @@ object VersionedZone {
       .agg(count(lit(1)).as("rows"),
         min(col(valCol)).as("min_v"), max(col(valCol)).as("max_v"),
         count(when(col(valCol).isNull, 1)).as("n_nulls"))
+      // tv = the table version this row describes — [[lookupRange]]'s
+      // freshness tag (see VersionedBloom.indexDelta for the argument)
+      .withColumn("tv", lit(base + 1))
   }
 
   /** Commit `delta` and its zone-index maintenance as one atomic
@@ -85,7 +88,10 @@ object VersionedZone {
   /** The partitions that MAY hold a value in [lo, hi]: zone rows whose
     * [min_v, max_v] interval intersects it. K index rows scanned, no
     * data I/O; NULL min/max (all-NULL partition) yields NULL in the
-    * predicate and drops — conservative either way. */
+    * predicate and drops — conservative either way. Index-only view,
+    * NO freshness reconciliation against the table manifest — use
+    * [[lookupRange]] for reads that must stay exact under concurrent
+    * commits. */
   def candidatePartitions(
       spark: SparkSession, indexPath: String, lo: Column, hi: Column): Seq[String] =
     Versioned.readAsOf(spark, indexPath)
@@ -95,7 +101,13 @@ object VersionedZone {
 
   /** Zone-pruned range read: resolve the table's CURRENT manifest,
     * open ONLY candidate partitions' directories, then apply the exact
-    * range filter. Equals full-scan-and-filter by construction. */
+    * range filter. Equals full-scan-and-filter by construction —
+    * INCLUDING under a concurrent commitIndexed: a reader landing
+    * between the transaction's two applies could pair a newer table
+    * with an understated zone row, so any partition whose manifest
+    * generation differs from its zone row's `tv` (or that has no zone
+    * row) is a candidate UNCONDITIONALLY — staleness can only widen
+    * the read, never wrongly prune. */
   def lookupRange(
       spark: SparkSession,
       tablePath: String,
@@ -103,14 +115,22 @@ object VersionedZone {
       valCol: String,
       lo: Column,
       hi: Column): DataFrame = {
-    val cand = candidatePartitions(spark, indexPath, lo, hi).toSet
     val refs = Versioned
       .manifestRefs(spark, tablePath, Versioned.latestVersion(spark, tablePath))
-      .filter { case (pval, _) => cand(pval) }
+    val idx = Versioned.readAsOf(spark, indexPath)
+    val matched: Set[String] = idx
+      .filter(!(col("max_v") < lo || col("min_v") > hi))
+      .select(col("pval")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val tv: Map[String, Long] = idx.select(col("pval"), col("tv"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cand = refs.filter { case (pval, gen) =>
+      matched(pval) || !tv.get(pval).contains(gen)
+    }
     val base =
-      if (refs.isEmpty)
+      if (cand.isEmpty)
         Versioned.readAsOf(spark, tablePath).limit(0).drop("__p")
-      else Versioned.readRefs(spark, tablePath, refs).drop("__p")
+      else Versioned.readRefs(spark, tablePath, cand).drop("__p")
     base.filter(col(valCol) >= lo && col(valCol) <= hi)
   }
 }

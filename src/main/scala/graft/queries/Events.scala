@@ -2206,6 +2206,11 @@ object Events {
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          // per-batch sweep closes the mid-run half-apply window too
+          // (the pre-stream sweep only covers the restart path); the
+          // stamp check below reads the SUMMARY — the alphabetically
+          // last table, applied last, so its stamp proves full apply
+          Txn.recoverAll(s, txnRoot)
           val vS = Versioned.latestVersion(s, summary)
           val replayed = vS > 0 &&
             Versioned.stampOf(s, summary, vS).exists(_ >= batchId + 1)
@@ -2292,12 +2297,21 @@ object Events {
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val vI = Versioned.latestVersion(s, idx)
-          val replayed = vI > 0 &&
-            Versioned.stampOf(s, idx, vI).exists(_ >= batchId + 1)
+          // restart discipline: sweep the coordinator root first — a
+          // crash between a txn's _COMMIT and its full apply leaves the
+          // LEDGER write pending while the index (the alphabetically
+          // first table, applied first) already carries the batch
+          // stamp; rolling forward here closes that window before the
+          // replay check reads any stamp
+          graft.operators.Txn.recoverAll(s, s"$root/txns")
+          // replay check on the LAST-applied table (ledger sorts after
+          // idx): its stamp present means the whole txn applied
+          val vL = Versioned.latestVersion(s, ledger)
+          val replayed = vL > 0 &&
+            Versioned.stampOf(s, ledger, vL).exists(_ >= batchId + 1)
           if (!replayed)
-            VersionedBloom.commitIndexed(s, s"$root/txn-$batchId", ledger, idx,
-              batch, "event_type", Seq("event_id"), "user_id",
+            VersionedBloom.commitIndexed(s, s"$root/txns/txn-$batchId", ledger,
+              idx, batch, "event_type", Seq("event_id"), "user_id",
               stamp = Some(batchId + 1))
           ()
         }
@@ -2360,7 +2374,7 @@ object Events {
     val ev = T.events(s, d).filter(col("value").isNotNull)
       .select(col("event_id"), col("event_type"), col("user_id"),
         col("value").cast("decimal(10,2)").as("amt"))
-    VersionedBloom.commitIndexed(s, s"$root/txn0", ledger, idx, ev,
+    VersionedBloom.commitIndexed(s, s"$root/txns/txn0", ledger, idx, ev,
       "event_type", Seq("event_id"), "user_id")
     // the forget queue: every %7 subject, in two micro-batch files
     ev.filter(col("user_id") % 7 === 0).select(col("user_id")).distinct()
@@ -2372,16 +2386,23 @@ object Events {
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val vI = Versioned.latestVersion(s, idx)
-          val replayed = vI > 1 &&
-            Versioned.stampOf(s, idx, vI).exists(_ >= batchId + 1)
+          // restart discipline: roll any _COMMIT-ed half-applied
+          // erasure forward BEFORE reading stamps — the index (applied
+          // first, alphabetical order) can carry a batch stamp whose
+          // ledger delete is still pending after a crash; skipping on
+          // that stamp alone would lose the erasure forever
+          graft.operators.Txn.recoverAll(s, s"$root/txns")
+          // replay check on the LAST-applied table (the ledger)
+          val vL = Versioned.latestVersion(s, ledger)
+          val replayed = vL > 1 &&
+            Versioned.stampOf(s, ledger, vL).exists(_ >= batchId + 1)
           if (!replayed) {
             val subjects = batch.select(col("user_id")).distinct()
               .collect().map(_.getLong(0)).toSeq // queue-sized by design
             val rmKeys = VersionedBloom
               .lookup(s, ledger, idx, "user_id", subjects)
               .select(col("event_id"))
-            VersionedBloom.deleteIndexed(s, s"$root/txn-$batchId",
+            VersionedBloom.deleteIndexed(s, s"$root/txns/txn-$batchId",
               ledger, idx, rmKeys, Seq("event_id"), "user_id",
               stamp = Some(batchId + 1))
           }

@@ -285,6 +285,45 @@ class MultimodalSpec extends SparkSpec {
     assert(VideoCodec.probe(delta).exists(_.nFrames === 9))
   }
 
+  test("GDLT: a corrupt delta breaks the chain until the next keyframe, never guesses") {
+    import java.awt.image.BufferedImage
+    val frames: Seq[BufferedImage] = (0 until 9).map { f =>
+      val img = new BufferedImage(12, 8, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 12) {
+        val v = (11 * x + 5 * y + 17 * f) % 256
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    val bytes = VideoCodec.encodeDeltaAvi(frames, fps = 4, keyEvery = 4)
+    // corrupt the THIRD 00dc chunk (frame 2, a delta): invalid op byte
+    val tag = "00dc".getBytes("US-ASCII")
+    var found = 0; var pos = -1; var i = 0
+    while (i < bytes.length - 4 && pos < 0) {
+      if (bytes(i) == tag(0) && bytes(i + 1) == tag(1)
+          && bytes(i + 2) == tag(2) && bytes(i + 3) == tag(3)) {
+        found += 1
+        if (found == 3) pos = i
+      }
+      i += 1
+    }
+    assert(pos > 0, "fixture must contain the third chunk")
+    bytes(pos + 12) = 0x7f.toByte // first op byte of the delta payload
+    val decoded = VideoCodec.decodeFrames(bytes)
+    // frames 0,1 decode; 2 fails; 3 (a delta on the broken chain) is
+    // DROPPED rather than applied to the stale predecessor; the GOP at
+    // frame 4 re-anchors and 4..8 decode — 7 survivors total
+    assert(decoded.size === 7, s"expected 7 surviving frames, got ${decoded.size}")
+    val good = VideoCodec.decodeFrames(VideoCodec.encodeDeltaAvi(frames, 4, 4))
+    val surviving = Seq(0, 1, 4, 5, 6, 7, 8)
+    decoded.map(_._2).zip(surviving.map(good(_)._2)).zipWithIndex.foreach {
+      case ((a, b), j) =>
+        for (y <- 0 until 8; x <- 0 until 12)
+          assert(a.getRGB(x, y) === b.getRGB(x, y),
+            s"survivor $j (original frame ${surviving(j)}) pixel ($x,$y) wrong")
+    }
+  }
+
   test("m13 shot detection is codec-agnostic: delta-coded cut videos flag the same cuts") {
     // re-encode the m13 cut fixture's FRAMES with the GDLT codec and
     // assert identical per-frame aHashes — shot detection composes on

@@ -215,17 +215,49 @@ class TxnSpec extends SparkSpec {
     Txn.crashAfterPrepare(spark, s"$root/txns/txn-dead", Seq(
       Txn.Write(a, ledger(20, bump = 3L), "part", Seq("k")),
       Txn.Write(b, summaryOf(ledger(20, bump = 3L)), "part", Seq("part"))))
+    // a BYSTANDER directory under the same root (a table, a feed, a
+    // checkpoint someone parked there) must be skipped, never rolled back
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(s"$root/txns/not-a-txn"))
+    val out = fs.create(new Path(s"$root/txns/not-a-txn/data.txt"), false)
+    out.write("precious".getBytes("UTF-8")); out.close()
     val swept = Txn.recoverAll(spark, s"$root/txns")
-    assert(swept.size === 2)
-    assert(swept.values.toSeq.sorted === Seq("noop", "rolledback"))
+    assert(swept.size === 3)
+    assert(swept.values.toSeq.sorted === Seq("noop", "rolledback", "skipped"))
+    assert(fs.exists(new Path(s"$root/txns/not-a-txn/data.txt")),
+      "janitor must not touch non-coordinator directories")
     assert(Versioned.latestVersion(spark, a) === 1L, "crashed txn minted nothing")
     assert(Versioned.latestVersion(spark, b) === 1L)
     // the released slots are actually usable again: a plain CAS commit
     // proceeds without stalling on a stale reservation
     assert(Versioned.commitCas(spark, a, ledger(3, bump = 1L), "part", Seq("k"),
       waitMs = 2000L) === 2L)
-    // a second sweep is all-noop (idempotent janitor)
-    assert(Txn.recoverAll(spark, s"$root/txns").valuesIterator.forall(_ == "noop"))
+    // a second sweep is all-noop/skipped (idempotent janitor)
+    assert(Txn.recoverAll(spark, s"$root/txns")
+      .valuesIterator.forall(o => o == "noop" || o == "skipped"))
+  }
+
+  test("a delete that would empty a table is refused at PREPARE, never post-commit") {
+    val root = newRoot()
+    val a = s"$root/ledger"
+    Versioned.commit(spark, a, ledger(10), "part", Seq("k"))
+    val e = intercept[IllegalArgumentException] {
+      Txn.run(spark, s"$root/td", Seq(
+        Txn.Write(a, ledger(10).select(col("k")), "", Seq("k"), op = "delete")))
+    }
+    assert(e.getMessage.contains("refused at prepare"))
+    assert(Versioned.latestVersion(spark, a) === 1L, "nothing minted")
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$root/td", "_COMMIT")),
+      "the refusal fired before the decision point")
+    // the table is NOT wedged: the released slot takes the next commit
+    assert(Versioned.commitCas(spark, a, ledger(3, bump = 2L), "part", Seq("k"),
+      waitMs = 2000L) === 2L)
+    // a partial delete through the same op still works
+    val got = Txn.run(spark, s"$root/tp", Seq(
+      Txn.Write(a, ledger(4).select(col("k")), "", Seq("k"), op = "delete")))
+    assert(got === Map(a -> 3L))
+    assert(Versioned.readAsOf(spark, a).filter(col("k") <= 4L).count() === 0L)
   }
 
   test("recover before _COMMIT rolls back a prepared-but-undecided txn") {

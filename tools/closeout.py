@@ -45,21 +45,7 @@ def latest_driver_bench(repo):
 
 
 def main(argv):
-    args, opts, i = [], {}, 0
-    while i < len(argv):
-        a = argv[i]
-        if a.startswith("--"):
-            if "=" in a:
-                k, v = a.split("=", 1)
-                opts[k] = v
-            elif i + 1 < len(argv):
-                opts[a] = argv[i + 1]
-                i += 1
-            else:
-                raise SystemExit(f"option {a} needs a value\n\n{__doc__}")
-        else:
-            args.append(a)
-        i += 1
+    args, opts = latency_guard.parse_args(argv, __doc__)
     if args:
         raise SystemExit(__doc__)
     repo = opts.get("--repo", os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -53,9 +53,9 @@ def load(path):
     return doc
 
 
-def main(argv):
-    # accept both --factor=1.4 and --factor 1.4 (the docstring shows the
-    # space form, so the parser must too)
+def parse_args(argv, doc):
+    """Split argv into (positionals, {--opt: value}); accepts both
+    --factor=1.4 and --factor 1.4 (shared with closeout.py)."""
     args, opts, i = [], {}, 0
     while i < len(argv):
         a = argv[i]
@@ -67,10 +67,15 @@ def main(argv):
                 opts[a] = argv[i + 1]
                 i += 1
             else:
-                raise SystemExit(f"option {a} needs a value\n\n{__doc__}")
+                raise SystemExit(f"option {a} needs a value\n\n{doc}")
         else:
             args.append(a)
         i += 1
+    return args, opts
+
+
+def main(argv):
+    args, opts = parse_args(argv, __doc__)
     if len(args) != 2:
         raise SystemExit(__doc__)
     factor = float(opts.get("--factor", "1.4"))
