@@ -392,6 +392,33 @@ class VersionedSpec extends SparkSpec {
       s"manifest semi-join keeps exactly the committed post-image rows, got $joinRows")
   }
 
+  test("keyHistory cost scales with deltas, not versions x table (20-version chain)") {
+    val tbl = freshTbl()
+    // base: 100 rows over 10 partitions, then 20 single-key commits,
+    // each touching ONE partition — the long-history shape where the
+    // AS-OF-union plan pays 21 full table reads (2100 rows) and the
+    // change feed pays base + 20 partition post-images
+    val base = (0 until 100).map(i => (i.toLong, s"p${i % 10}", i.toDouble))
+      .toDF("id", "part", "value")
+    Versioned.commit(spark, tbl, base, "part", Seq("id"))
+    (1 to 20).foreach { v =>
+      Versioned.commit(spark, tbl,
+        rows(Seq(((v % 100).toLong, s"p${v % 10}", 1000.0 + v))), "part", Seq("id"))
+    }
+    val hist = Versioned.keyHistory(spark, tbl, Seq("id"), Seq("value"))
+    val metrics = graft.plans.PlanMetrics.actualRows(hist)
+    val scanRows = metrics.filter(_.node.toLowerCase.contains("scan parquet"))
+      .flatMap(_.outputRows).sum
+    // each single-key commit rewrites its 10-row partition post-image:
+    // 100 (base) + 20 x 10 = 300 scanned rows, vs 21 x 100 = 2100 for
+    // the per-version union — the gap widens linearly with history
+    assert(scanRows === 300L, s"change-feed scan must be delta-sized, got $scanRows")
+    assert(scanRows * 7 === 2100L, "7x below the versions x table cost at 21 versions")
+    // and the history itself is right: each touched key shows its change
+    val changed = hist.filter(col("version") > 1).count()
+    assert(changed === 20L, s"20 single-key commits -> 20 change rows, got $changed")
+  }
+
   test("followChanges discovers each commit's files incrementally across restarts") {
     val root = Files.createTempDirectory("graft-follow").toString
     val tbl = s"$root/t"; val out = s"$root/out"; val ckpt = s"$root/ckpt"

@@ -41,12 +41,22 @@ class VersionedZoneSpec extends SparkSpec {
   }
 
   test("candidates genuinely prune: a one-partition range opens one partition") {
-    val (_, _, idx, _) = fixture()
+    val (_, tbl, idx, _) = fixture()
     assert(VersionedZone.candidatePartitions(spark, idx, lit(1010L), lit(1020L))
       === Seq("p1"))
     // a range between the partitions' value bands matches nothing
     assert(VersionedZone.candidatePartitions(spark, idx, lit(150L), lit(900L))
       .isEmpty)
+    // EXECUTED-plan evidence: the pruned read touches at most p1's 100
+    // rows (zone pruning keeps the other 200 rows' files unopened; the
+    // pushed range filter then trims within the partition — both
+    // layers measured here as emitted scan rows well under the table)
+    val metrics = graft.plans.PlanMetrics.actualRows(
+      VersionedZone.lookupRange(spark, tbl, idx, "v", lit(1010L), lit(1020L)))
+    val scanRows = metrics.filter(_.node.toLowerCase.contains("scan parquet"))
+      .flatMap(_.outputRows).sum
+    assert(scanRows <= 100L && scanRows > 0L,
+      s"pruned read must stay within one partition's rows, got $scanRows")
   }
 
   test("a value move is visible through the zone index in the same commit") {
