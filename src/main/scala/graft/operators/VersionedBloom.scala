@@ -140,6 +140,58 @@ object VersionedBloom {
         s"last conflict: ${last.getMessage}")
   }
 
+  /** COMPOSED point∧range lookup — the "customer X's orders in Q1"
+    * shape: candidates are the INTERSECTION of the bloom index's
+    * point-key candidates and the zone index's range candidates, both
+    * over the SAME table (each maintained transactionally with it —
+    * one [[Txn]] can carry the table write plus BOTH index deltas; the
+    * k54 gate does). Conservative composition: each side's candidate
+    * set is a superset of its true set (match ∪ stale-tv ∪ absent —
+    * [[lookup]]'s freshness argument), and an intersection of
+    * supersets is a superset of the true intersection, so the read
+    * stays exact while each index prunes the dimension the other
+    * cannot. K index rows per side, no data I/O before the candidate
+    * refs open. */
+  def lookupKeysInRange(
+      spark: SparkSession,
+      tablePath: String,
+      bloomIdxPath: String,
+      zoneIdxPath: String,
+      keyCol: String,
+      keys: Seq[Long],
+      valCol: String,
+      lo: org.apache.spark.sql.Column,
+      hi: org.apache.spark.sql.Column,
+      bits: Int = DefaultBits): DataFrame = {
+    import spark.implicits._
+    val refs = Versioned
+      .manifestRefs(spark, tablePath, Versioned.latestVersion(spark, tablePath))
+    def tvOf(idx: DataFrame): Map[String, Long] =
+      idx.select(col("pval"), col("tv")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bIdx = Versioned.readAsOf(spark, bloomIdxPath)
+    val probes = keys.toDF("k")
+      .select(array(BloomIndex.positions(col("k"), bits): _*).as("ps"))
+    val bMatch: Set[String] = bIdx.crossJoin(broadcast(probes))
+      .filter(expr("forall(ps, p -> array_contains(bloom, p))"))
+      .select(col("pval")).distinct().collect().map(_.getString(0)).toSet
+    val bTv = tvOf(bIdx)
+    val zIdx = Versioned.readAsOf(spark, zoneIdxPath)
+    val zMatch: Set[String] = zIdx
+      .filter(!(col("max_v") < lo || col("min_v") > hi))
+      .select(col("pval")).distinct().collect().map(_.getString(0)).toSet
+    val zTv = tvOf(zIdx)
+    val cand = refs.filter { case (p, g) =>
+      (bMatch(p) || !bTv.get(p).contains(g)) &&
+        (zMatch(p) || !zTv.get(p).contains(g))
+    }
+    val base =
+      if (cand.isEmpty)
+        Versioned.readAsOf(spark, tablePath).limit(0).drop("__p")
+      else Versioned.readRefs(spark, tablePath, cand).drop("__p")
+    base.filter(col(keyCol).isin(keys: _*) && col(valCol) >= lo && col(valCol) <= hi)
+  }
+
   /** Atomic ERASURE with index maintenance — the GDPR composition:
     * remove the `keys` rows from the table AND land the affected
     * partitions' POST-DELETE bloom rows in ONE transaction (a

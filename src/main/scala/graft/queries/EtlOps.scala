@@ -1938,6 +1938,74 @@ object EtlOps {
       .withColumn("pruned", lit(cands.size < nParts))
   }
 
+  // --- k54_composed_index: COMPOSED point∧range pruning — "customer
+  // X's orders in 1996": the bloom index answers WHO (point key), the
+  // zone index answers WHEN (value range), and their candidate sets
+  // INTERSECT before any data file opens; both indexes are maintained
+  // with the table in ONE three-write transaction (table + bloom delta
+  // + zone delta under a single _COMMIT — Txn is N-table, not
+  // pairwise), so neither can lag the other or the data. The gate
+  // probes the 3 lowest customers over calendar-1996 through the
+  // composed path with a left join (a customer with no 1996 orders
+  // positively reports 0), and require()s that the intersection prunes
+  // below BOTH single-index candidate sets and the partition count.
+  // Scale: each index is k rows; the composed read opens only
+  // quarters-in-range that may hold the customer. ---
+  val k54ComposedIndex = QueryDef.sql(
+    "k54_composed_index",
+    """WITH base AS (SELECT o_orderkey AS k, o_custkey AS ck,
+      |    CAST(o_orderdate AS DATE) AS d,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS amt FROM orders),
+      |probes AS (SELECT DISTINCT ck FROM base ORDER BY ck LIMIT 3),
+      |r AS (SELECT * FROM base
+      |  WHERE d >= DATE '1996-01-01' AND d <= DATE '1996-12-31'),
+      |agg AS (SELECT ck, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(amt) AS DOUBLE) AS total FROM r GROUP BY ck)
+      |SELECT p.ck AS o_custkey, coalesce(agg.n, 0) AS n_orders,
+      |  coalesce(agg.total, CAST(0 AS DOUBLE)) AS total, TRUE AS composed
+      |FROM probes p LEFT JOIN agg ON agg.ck = p.ck""".stripMargin) { (s, d) =>
+    import graft.operators.{Txn, Versioned, VersionedBloom, VersionedZone}
+    val root = graft.Scratch.dir("k54-composed")
+    val tbl = s"$root/orders"
+    val bIdx = s"$root/bloom"; val zIdx = s"$root/zone"
+    val base = T.orders(s, d).select(col("o_orderkey").as("k"),
+      expr("concat(year(CAST(o_orderdate AS DATE)), '-Q', " +
+        "quarter(CAST(o_orderdate AS DATE)))").as("qtr"),
+      col("o_custkey").as("ck"),
+      col("o_orderdate").cast("date").as("d"),
+      col("o_totalprice").cast("decimal(12,2)").as("amt"))
+    // ONE transaction, THREE tables: the ledger and both of its indexes
+    Txn.run(s, s"$root/txn1", Seq(
+      Txn.Write(tbl, base, "qtr", Seq("k"), expectedVersion = Some(0L)),
+      Txn.Write(bIdx,
+        VersionedBloom.indexDelta(s, tbl, base, "qtr", Seq("k"), "ck",
+          asOfVersion = 0L), "pval", Seq("pval")),
+      Txn.Write(zIdx,
+        VersionedZone.indexDelta(s, tbl, base, "qtr", Seq("k"), "d",
+          asOfVersion = 0L), "pval", Seq("pval"))))
+    val probes: Seq[Long] = base.select(col("ck")).distinct()
+      .orderBy(col("ck")).limit(3).collect().map(_.getLong(0)).toSeq
+    val lo = expr("DATE'1996-01-01'"); val hi = expr("DATE'1996-12-31'")
+    // pruning evidence: the composition must beat both single indexes
+    val nParts = Versioned.readAsOf(s, zIdx).count()
+    val zCands = VersionedZone.candidatePartitions(s, zIdx, lo, hi).toSet
+    val bCands = VersionedBloom.candidatePartitions(s, bIdx, probes).toSet
+    val inter = zCands intersect bCands
+    require(inter.size <= math.min(zCands.size, bCands.size) && inter.size < nParts,
+      s"composition must prune: |bloom|=${bCands.size} |zone|=${zCands.size} " +
+        s"|inter|=${inter.size} of $nParts partitions")
+    val looked = VersionedBloom.lookupKeysInRange(s, tbl, bIdx, zIdx,
+        "ck", probes, "d", lo, hi)
+      .groupBy(col("ck"))
+      .agg(count(lit(1)).as("n"), sum(col("amt")).cast("double").as("t"))
+    import s.implicits._
+    probes.toDF("ck").join(looked, Seq("ck"), "left_outer")
+      .select(col("ck").as("o_custkey"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        coalesce(col("t"), lit(0.0)).as("total"),
+        lit(true).as("composed"))
+  }
+
   // --- k44_snapshot_export: PORTABLE snapshot export/import
   // (Versioned.exportSnapshot/importSnapshot) — the cold-archive /
   // cross-cluster migration path Delta answers with DEEP CLONE: version
@@ -3142,5 +3210,6 @@ object EtlOps {
     k38CheckedCommit, k39GovernanceGate, k43NdvStats, k44SnapshotExport,
     k46JoinAdvisor, k47TxnCommit, k48IndexedCommit, k49LeftdeepAdvisor,
     k50BroadcastAdvisor, k51SnapshotRead, k52TxnForget, k53RangeIndex,
+    k54ComposedIndex,
     k27WapGate)
 }
