@@ -32,6 +32,26 @@ object JoinAdvisor {
   final case class Candidate(label: String,
       left: Rel, leftKey: String, right: Rel, rightKey: String)
 
+  /** Total row count from a stats store, GUARDED: an empty or missing
+    * stats table folds `sum(rows)` to NULL, and advice computed off a
+    * bare NPE-or-zero is worse than no advice — require a positive
+    * count with the stats path named, so "rebuild the stats" is the
+    * error message, not a stack trace. */
+  private def statsRowCount(spark: SparkSession, r: Rel): Long = {
+    val row = StatsStore.read(spark, r.statsPath)
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("rows")))
+      .collect()(0)
+    require(!row.isNullAt(0),
+      s"stats store at ${r.statsPath} (rel '${r.name}') is empty — " +
+        "rebuild it (StatsStore.rebuild) before asking for join advice")
+    val n = row.getLong(0)
+    require(n > 0,
+      s"stats store at ${r.statsPath} (rel '${r.name}') reports $n total " +
+        "rows — join advice needs a positive row count; rebuild the stats")
+    n
+  }
+
   /** Rank candidates by estimated output rows, ascending — the advisor
     * picks `ranked.head`. Driver-sized: two stats folds per candidate,
     * no data-table I/O. Returns (label, estRows) pairs sorted by
@@ -58,12 +78,7 @@ object JoinAdvisor {
       spark: SparkSession,
       left: Rel, right: Rel,
       maxBroadcastRows: Long): (String, Long, Long) = {
-    def rowsOf(r: Rel): Long =
-      StatsStore.read(spark, r.statsPath)
-        .agg(org.apache.spark.sql.functions.sum(
-          org.apache.spark.sql.functions.col("rows")))
-        .collect()(0).getLong(0)
-    val (lr, rr) = (rowsOf(left), rowsOf(right))
+    val (lr, rr) = (statsRowCount(spark, left), statsRowCount(spark, right))
     val side =
       if (lr <= rr && lr <= maxBroadcastRows) "left"
       else if (rr < lr && rr <= maxBroadcastRows) "right"
@@ -135,15 +150,15 @@ object JoinAdvisor {
     val needed: Seq[(String, String)] = edges
       .flatMap(e => Seq(e.left -> e.leftCol, e.right -> e.rightCol)).distinct
     val rowsOf: Map[String, Double] = needed.map(_._1).distinct.map { r =>
-      r -> StatsStore.read(spark, byName(r).statsPath)
-        .agg(org.apache.spark.sql.functions.sum(
-          org.apache.spark.sql.functions.col("rows")))
-        .collect()(0).getLong(0).toDouble
+      r -> statsRowCount(spark, byName(r)).toDouble
     }.toMap
     val ndvOf: Map[(String, String), Double] = needed.map { case (r, c) =>
-      (r, c) -> StatsStore.ndvGlobal(
-        StatsStore.read(spark, byName(r).statsPath), c)
-        .collect()(0).getDouble(1)
+      val row = StatsStore.ndvGlobal(
+        StatsStore.read(spark, byName(r).statsPath), c).collect()(0)
+      require(!row.isNullAt(1) && row.getDouble(1) > 0.0,
+        s"stats store at ${byName(r).statsPath} (rel '$r') has no NDV " +
+          s"registers for column '$c' — rebuild the stats tracking it")
+      (r, c) -> row.getDouble(1)
     }.toMap
 
     def est(insideRows: Double, insideNdv: Double, outside: String, outsideCol: String): Double = {

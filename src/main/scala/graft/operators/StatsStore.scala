@@ -164,9 +164,11 @@ object StatsStore {
       statsPathB: String, colB: String): Double = {
     def side(path: String, c: String): (Long, Double) = {
       val st = read(spark, path)
-      val rows = st.agg(sum(col("rows"))).collect()(0).getLong(0)
+      val rowsRow = st.agg(sum(col("rows"))).collect()(0)
+      require(!rowsRow.isNullAt(0),
+        s"stats store at $path is empty — rebuild it before estimating")
       val ndv = ndvGlobal(st, c).collect()(0).getDouble(1)
-      (rows, ndv)
+      (rowsRow.getLong(0), ndv)
     }
     val (ra, na) = side(statsPathA, colA)
     val (rb, nb) = side(statsPathB, colB)

@@ -164,14 +164,15 @@ object Txn {
       val dp = deltaPath(dir, i)
       w.delta.write.parquet(dp)
       if (w.op == "delete") {
-        // the would-empty-the-table refusal must fire BEFORE the
-        // _COMMIT decision point: Versioned cannot represent an empty
-        // table, and a committed transaction that can never apply is a
-        // permanent wedge (the guarantee says commit). One early-out
-        // survivor probe against the base the slot now locks. A
-        // concurrent lower-slot delete erasing the last survivors
-        // between this check and apply remains theoretically possible
-        // — deleteKeysAt's own require then names the resolution.
+        // the would-empty-the-table refusal fires BEFORE the _COMMIT
+        // decision point: emptying a table is almost always a caller
+        // bug, so it bounces while bouncing is still allowed (presumed
+        // abort). One early-out survivor probe against the base the
+        // slot now locks. A concurrent lower-slot delete erasing the
+        // last survivors between this check and apply remains possible
+        // — apply then resolves it by minting an explicit empty-table
+        // version (allowEmptyTable below) so the committed outcome
+        // always completes.
         val cur = Versioned.latestVersion(spark, w.table)
         if (cur > 0) {
           val rm = spark.read.parquet(dp)
@@ -213,12 +214,14 @@ object Txn {
     * roll forward (apply every intent not yet at its version) and
     * return "forward"; absent → roll back (release reservations, drop
     * staged state) and return "rolledback"; `_DONE` or `_ABORTED`
-    * already present → "noop". Safe to call repeatedly and on live
-    * directories of CRASHED coordinators only — it re-drives their
+    * already present — or the directory gone entirely (reaped by a
+    * prior [[recoverAll]] sweep) → "noop". Safe to call repeatedly and
+    * on directories of CRASHED coordinators only — it re-drives their
     * decision. */
   def recover(spark: SparkSession, dir: String): String = {
     val fs = fsOf(spark, dir)
-    if (fs.exists(doneMarker(dir)) || fs.exists(abortMarker(dir))) "noop"
+    if (!fs.exists(new Path(dir))) "noop"
+    else if (fs.exists(doneMarker(dir)) || fs.exists(abortMarker(dir))) "noop"
     else if (fs.exists(commitMarker(dir))) {
       applyIntents(spark, dir, readIntents(spark, dir)); "forward"
     } else { rollback(spark, dir); "rolledback" }
@@ -236,33 +239,73 @@ object Txn {
     run(spark, s"$root/txn-${java.util.UUID.randomUUID()}", writes)
   }
 
+  /** Sub-directory completed coordinators are reaped into: one listing
+    * entry no matter how many transactions ever ran under the root, so
+    * the per-sweep cost is bounded by IN-FLIGHT dirs, not history. */
+  private def doneRoot(root: String) = new Path(root, "_done")
+
   /** JANITOR — sweep every coordinator directory under `root`,
     * finishing or discarding whatever a crash left behind: roll FORWARD
     * past `_COMMIT`, roll BACK otherwise, skip completed dirs. Returns
-    * dir → outcome ("forward" / "rolledback" / "noop" / "skipped").
-    * ONLY directories that are recognizably coordinators — holding a
-    * `_COMMIT`/`_DONE`/`_ABORTED` marker or at least one `intent-*`
-    * record — are touched; anything else under the root (a table, a
-    * checkpoint, a feed a caller parked beside its txns) is reported
-    * "skipped", NEVER rolled back — rollback deletes a directory's
-    * contents, which on a non-coordinator would be data loss, not
-    * recovery. Run at process start before taking new work (e42/e43/
-    * e44's restart discipline) — the root must not be shared with
-    * coordinators still LIVE in other processes (per-job roots, the
-    * usual WAL-directory contract). Cost: one listing + per-dir marker
-    * probes; completed dirs are metadata-only noops. */
-  def recoverAll(spark: SparkSession, root: String): Map[String, String] = {
+    * dir → outcome ("forward" / "rolledback" / "noop" / "skipped" /
+    * "live"). ONLY directories that are recognizably coordinators —
+    * holding a `_COMMIT`/`_DONE`/`_ABORTED` marker or at least one
+    * `intent-*` record — are touched; anything else under the root (a
+    * table, a checkpoint, a feed a caller parked beside its txns) is
+    * reported "skipped", NEVER rolled back — rollback deletes a
+    * directory's contents, which on a non-coordinator would be data
+    * loss, not recovery.
+    *
+    * TERMINAL-STATE REAPING (on by default): a coordinator that is
+    * already decided and fully applied or aborted (`_DONE`/`_ABORTED`
+    * present) is MOVED under `<root>/_done/` — one rename, then no
+    * later sweep ever lists or probes it again. Without this, a
+    * per-micro-batch sweep (e42/e43/e44's discipline) pays one listing
+    * entry plus marker probes per completed transaction FOREVER; with
+    * it the sweep cost is bounded by in-flight coordinators (each
+    * completed dir is touched exactly once more, by the sweep that
+    * reaps it). Reaped dirs still report "noop"; [[recover]] on a
+    * reaped path also reports "noop". Callers that read
+    * [[versions]] from a coordinator dir should do so before the next
+    * sweep (or under `reapCompleted = false`).
+    *
+    * LIVENESS GUARD: rolling back a coordinator that is still LIVE in
+    * another process destroys its prepare mid-flight, so a non-terminal
+    * dir whose newest file is younger than `liveLeaseMs` is reported
+    * "live" and left untouched. The default 0 keeps restart semantics
+    * (the process sweeping its OWN root at startup knows no coordinator
+    * is live — waiting a lease there only delays recovery); pass a
+    * lease (e.g. 60000) for shared-root or periodic sweeps where a
+    * peer may be mid-prepare. */
+  def recoverAll(
+      spark: SparkSession,
+      root: String,
+      liveLeaseMs: Long = 0L,
+      reapCompleted: Boolean = true): Map[String, String] = {
     val fs = fsOf(spark, root)
     if (!fs.exists(new Path(root))) Map.empty
     else fs.listStatus(new Path(root)).toSeq
-      .filter(_.isDirectory)
+      .filter(st => st.isDirectory && st.getPath.getName != "_done")
       .map { st =>
         val dir = st.getPath.toString
-        val isCoordinator =
-          fs.exists(commitMarker(dir)) || fs.exists(doneMarker(dir)) ||
-            fs.exists(abortMarker(dir)) ||
-            fs.listStatus(st.getPath).exists(_.getPath.getName.startsWith("intent-"))
-        dir -> (if (isCoordinator) recover(spark, dir) else "skipped")
+        val children = fs.listStatus(st.getPath).toSeq
+        val terminal = fs.exists(doneMarker(dir)) || fs.exists(abortMarker(dir))
+        val isCoordinator = terminal || fs.exists(commitMarker(dir)) ||
+          children.exists(_.getPath.getName.startsWith("intent-"))
+        val outcome =
+          if (!isCoordinator) "skipped"
+          else if (terminal) {
+            if (reapCompleted) {
+              fs.mkdirs(doneRoot(root))
+              fs.rename(st.getPath, new Path(doneRoot(root), st.getPath.getName))
+            }
+            "noop"
+          } else if (liveLeaseMs > 0 && children.nonEmpty &&
+              children.map(_.getModificationTime).max >
+                System.currentTimeMillis() - liveLeaseMs)
+            "live" // possibly mid-prepare in a peer — not ours to decide yet
+          else recover(spark, dir)
+        dir -> outcome
       }
       .toMap
   }
@@ -308,9 +351,18 @@ object Txn {
         val prior =
           if (cur == 0) Nil
           else Versioned.manifestRefs(spark, in.table, cur)
+        // allowEmptyTable: the prepare-time would-empty refusal can be
+        // raced by a concurrent lower-slot delete erasing the last
+        // survivors between prepare and apply — but after _COMMIT the
+        // outcome IS commit, so the apply resolves the race by minting
+        // an explicit EMPTY-table version (zero-ref manifest) instead
+        // of throwing forever out of every recover() (the permanent
+        // wedge that would void the commit guarantee). Readers of the
+        // empty version get zero rows; a later commit repopulates.
         if (in.op == "delete")
           Versioned.deleteKeysAt(spark, in.table, spark.read.parquet(in.delta),
-            in.keys, in.stamp, in.version, prior, mintIfEmpty = true)
+            in.keys, in.stamp, in.version, prior, mintIfEmpty = true,
+            allowEmptyTable = true)
         else
           Versioned.commitAt(spark, in.table, spark.read.parquet(in.delta),
             in.partCol, in.keys, in.stamp, in.version, prior)

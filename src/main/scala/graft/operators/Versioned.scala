@@ -531,38 +531,101 @@ object Versioned {
     * payloadCols…) at every version where the key's payload CHANGED
     * (null-safe compare; first appearance counts): partition-level
     * granularity means a key rides along in rewrites that didn't touch
-    * it, and those rows are dropped by the change filter. History is
-    * as deep as the retained manifests — [[expire]] truncates it, as
-    * with any change feed. */
+    * it, and those rows are dropped by the change filter.
+    *
+    * DELETES emit TOMBSTONES — (keyCols…, version, all-NULL payload) at
+    * the version the key disappeared: a key present in a partition's
+    * image at one event but absent from that partition's NEXT event
+    * (a [[deleteKeys]]/[[deleteKeysAt]] rewrite, or the whole partition
+    * leaving the manifest — emptied or [[dropPartitions]]'d) reads as
+    * deleted, never as "still the last payload" — the audit-trail lie
+    * a GDPR pipeline cannot afford. A key re-inserted after a
+    * tombstone re-emits even when the payload is unchanged. Caveat: a
+    * key whose payload is entirely NULL is indistinguishable from its
+    * tombstone. History is as deep as the retained manifests —
+    * [[expire]] truncates it, as with any change feed. */
   def keyHistory(
       spark: SparkSession,
       path: String,
       keyCols: Seq[String],
       payloadCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val versions = retainedVersions(spark, path)
+    val refsByV: Map[Long, Seq[(String, Long)]] =
+      versions.map(v => v -> manifestRefs(spark, path, v)).toMap
     // (partition, gen) pairs where gen was COMMITTED as that version:
     // refs with g == v are the partitions version v actually rewrote
-    val events: Seq[(String, Long)] = retainedVersions(spark, path).flatMap { v =>
-      manifestRefs(spark, path, v).collect { case (p, g) if g == v => (p, v) }
+    val rewriteEvents: Seq[(String, Long)] = versions.flatMap { v =>
+      refsByV(v).collect { case (p, g) if g == v => (p, v) }
     }.distinct
+    // partitions that DISAPPEARED between consecutive retained
+    // manifests (emptied by a delete, or dropPartitions): every key
+    // alive in them tombstones at the disappearing version
+    val dropEvents: Seq[(String, Long)] = versions.sliding(2).toSeq.collect {
+      case Seq(a, b) =>
+        val after = refsByV(b).map(_._1).toSet
+        refsByV(a).map(_._1).filterNot(after).map(p => (p, b))
+    }.flatten.distinct
+    // per partition: for each rewrite event, the NEXT event gen (rewrite
+    // or disappearance) — a key missing from its partition's next event
+    // was deleted there. Driver-sized: versions × partitions.
+    val evByP: Map[String, Seq[Long]] = (rewriteEvents ++ dropEvents)
+      .groupBy(_._1).map { case (p, es) => p -> es.map(_._2).distinct.sorted }
+    val nextRows: Seq[(String, Long, Option[Long])] = rewriteEvents.map {
+      case (p, g) => (p, g, evByP(p).find(_ > g))
+    }
     import spark.implicits._
-    val eventDf = events.toDF("__pe", "__ge")
+    val nextDf = nextRows.toDF("__pe", "__ge", "__nx")
     val feed = spark.read
       .option("basePath", genRoot(path))
       .parquet(s"${genRoot(path)}/*/*")
       .withColumn("__p", col("__p").cast("string"))
       .withColumn("__gen", col("__gen").cast("long"))
-      .join(broadcast(eventDf),
-        col("__p") === col("__pe") && col("__gen") === col("__ge"), "left_semi")
-    val w = Window.partitionBy(keyCols.map(col).toIndexedSeq: _*).orderBy(col("__gen"))
-    val changed = payloadCols
+      .join(broadcast(nextDf),
+        col("__p") === col("__pe") && col("__gen") === col("__ge"))
+      .drop("__pe", "__ge")
+    val kCols = keyCols.map(col)
+    // tombstone detection per (key, partition), ONE scan of the feed:
+    // the key's next row in THIS partition skips (or never reaches) the
+    // partition's next event → the key was absent from that event's
+    // image. Each such row EXPANDS into itself plus a tombstone copy
+    // (version = the skipped event, payload nulled) via a conditional
+    // explode — never a second read of the generation files (the
+    // O(Σ deltas) scan bound is this operator's whole point).
+    val wp = Window.partitionBy((kCols :+ col("__p")).toIndexedSeq: _*)
+      .orderBy(col("__gen"))
+    // window result lands as a plain column first — a Generate operator
+    // cannot host window expressions
+    val tombCond = col("__nx").isNotNull &&
+      (col("__leadg").isNull || col("__leadg") > col("__nx"))
+    val expanded = feed
+      .withColumn("__leadg", lead(col("__gen"), 1).over(wp))
+      .withColumn("__tomb", explode(
+        when(tombCond, array(lit(false), lit(true))).otherwise(array(lit(false)))))
+      .select((kCols
+        :+ when(col("__tomb"), col("__nx")).otherwise(col("__gen")).as("__v"))
+        ++ payloadCols.map(c =>
+          when(col("__tomb"), lit(null).cast(feed.schema(c).dataType))
+            .otherwise(col(c)).as(c))
+        :+ col("__tomb").as("__del"): _*)
+    // a key "deleted" from one partition but present at the same
+    // version in another MOVED partitions, not died — suppress that
+    // tombstone (its same-version value row sorts right after it)
+    val w = Window.partitionBy(kCols.toIndexedSeq: _*)
+      .orderBy(col("__v"), col("__del").desc)
+    val survivors = expanded
+      .withColumn("__shadow",
+        col("__del") && lead(col("__v"), 1).over(w) === col("__v"))
+      .filter(!coalesce(col("__shadow"), lit(false)))
+    val changed = (payloadCols
       .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
-      .reduceLeft(_ || _) || lag(lit(1), 1).over(w).isNull
-    feed
+      .reduceLeft(_ || _)
+      || (col("__del") =!= lag(col("__del"), 1).over(w))
+      || lag(lit(1), 1).over(w).isNull)
+    survivors
       .withColumn("__chg", changed)
       .filter(col("__chg"))
-      .select((keyCols.map(col) :+ col("__gen").as("version"))
-        ++ payloadCols.map(col): _*)
+      .select((kCols :+ col("__v").as("version")) ++ payloadCols.map(col): _*)
   }
 
   /** Row-level DELETE as a NEW VERSION — `DELETE FROM … WHERE key IN
@@ -598,7 +661,14 @@ object Versioned {
     * a cross-table transaction. `mintIfEmpty=true` writes a pure
     * carry-forward manifest even when no key matched (a transaction's
     * version map must be real at every table); false preserves
-    * deleteKeys' no-op contract (returns `next - 1`, nothing minted). */
+    * deleteKeys' no-op contract (returns `next - 1`, nothing minted).
+    * `allowEmptyTable=true` lets a delete that removes the LAST
+    * surviving rows complete by writing a zero-ref EMPTY manifest (the
+    * table reads as zero rows at that version — [[readAsOf]] borrows
+    * the schema from the nearest ref-bearing retained version) instead
+    * of refusing; only [[Txn]]'s post-`_COMMIT` apply passes it,
+    * because a committed transaction must complete no matter what a
+    * concurrent lower-slot delete raced away. */
   private[operators] def deleteKeysAt(
       spark: SparkSession,
       path: String,
@@ -607,7 +677,8 @@ object Versioned {
       stamp: Option[Long],
       next: Long,
       prior: Seq[(String, Long)],
-      mintIfEmpty: Boolean): Long = {
+      mintIfEmpty: Boolean,
+      allowEmptyTable: Boolean = false): Long = {
     val state = readRefs(spark, path, prior)
     val rm = keys.select(keyCols.map(col).toIndexedSeq: _*).distinct()
     val hit = state.join(rm, keyCols, "left_semi")
@@ -631,9 +702,11 @@ object Versioned {
       }
     val carried = prior.filterNot { case (p, _) => affectedSet(p) }
     val entries = carried ++ affected.filter(survivors).map(_ -> next)
-    require(entries.nonEmpty,
+    require(entries.nonEmpty || allowEmptyTable,
       s"deleteKeys would empty $path — refuse (drop the table instead)")
     import spark.implicits._
+    // entries may be EMPTY here (allowEmptyTable): the zero-row manifest
+    // is the explicit empty-table state — committed like any other
     val manifest0 = entries.toDF("pval", "gen")
     stamp.fold(manifest0)(t => manifest0.withColumn("stamp", lit(t)))
       .coalesce(1)
@@ -745,14 +818,29 @@ object Versioned {
     readAsOf(spark, path, candidates.max)
   }
 
-  /** Read the table exactly as of version `v` (defaults to latest). */
+  /** Read the table exactly as of version `v` (defaults to latest).
+    * A zero-ref EMPTY version (a committed transaction's delete that
+    * removed the last rows — see [[deleteKeysAt]]'s `allowEmptyTable`)
+    * reads as zero rows, with the schema borrowed from the nearest
+    * ref-bearing retained version (preferring earlier — the state the
+    * delete emptied). */
   def readAsOf(spark: SparkSession, path: String, version: Long = -1L): DataFrame = {
     val v = if (version < 0) latestVersion(spark, path) else version
     require(v > 0, s"no committed version at $path")
     val fs = fsOf(spark, path)
     require(fs.exists(new Path(manifestPath(path, v), "_SUCCESS")),
       s"version $v was never committed at $path")
-    readRefs(spark, path, manifestRefs(spark, path, v)).drop("__p")
+    val refs = manifestRefs(spark, path, v)
+    if (refs.nonEmpty) readRefs(spark, path, refs).drop("__p")
+    else {
+      val donor = retainedVersions(spark, path).filter(_ != v)
+        .sortBy(dv => (if (dv < v) 0 else 1, math.abs(dv - v)))
+        .find(dv => manifestRefs(spark, path, dv).nonEmpty)
+      require(donor.nonEmpty,
+        s"version $v of $path is empty and no retained version carries a schema")
+      readRefs(spark, path, manifestRefs(spark, path, donor.get))
+        .drop("__p").limit(0)
+    }
   }
 
   /** Shallow (zero-copy) clone: `dst` becomes an independently-evolving

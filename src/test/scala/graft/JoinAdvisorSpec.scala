@@ -111,4 +111,30 @@ class JoinAdvisorSpec extends SparkSpec {
         s"without the hint the disabled threshold shuffles, got: $unhinted")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("empty or rowless stats are refused with the stats path named, never an NPE") {
+    val r = root()
+    // a stats table with the right schema but ZERO rows — sum(rows)
+    // folds to NULL, the shape that used to surface as a bare NPE
+    spark.range(0)
+      .select(col("id").cast("string").as("p"), col("id").as("rows"))
+      .write.parquet(s"$r/empty_stats")
+    // and a healthy side to pair it with
+    val ok = (0 until 100).map(i => (i.toLong, (i % 4).toString)).toDF("k", "p")
+    ok.write.partitionBy("p").parquet(s"$r/ok")
+    StatsStore.rebuild(spark, s"$r/ok", s"$r/ok_stats", "p", Seq("k"))
+    val okRel = Rel("ok", s"$r/ok_stats")
+    val emptyRel = Rel("hollow", s"$r/empty_stats")
+    val e = intercept[IllegalArgumentException] {
+      JoinAdvisor.broadcastSide(spark, okRel, emptyRel, 1000L)
+    }
+    assert(e.getMessage.contains(s"$r/empty_stats") &&
+      e.getMessage.contains("hollow") && e.getMessage.contains("rebuild"),
+      s"error must name the stats path and rel: ${e.getMessage}")
+    val e2 = intercept[IllegalArgumentException] {
+      JoinAdvisor.planLeftDeep(spark, Seq(okRel, emptyRel),
+        Seq(Edge("ok", "k", "hollow", "k")))
+    }
+    assert(e2.getMessage.contains(s"$r/empty_stats"))
+  }
 }

@@ -260,6 +260,87 @@ class TxnSpec extends SparkSpec {
     assert(Versioned.readAsOf(spark, a).filter(col("k") <= 4L).count() === 0L)
   }
 
+  test("a COMMITTED delete raced into emptying the table still completes (empty-state mint)") {
+    val root = newRoot()
+    val a = s"$root/ledger"
+    Versioned.commit(spark, a, ledger(10), "part", Seq("k"))
+    // two deletes whose union is the whole table, both past PREPARE
+    // against head v1 (each sees survivors, so both refusals pass),
+    // then both cross their _COMMIT decision point — the race the
+    // prepare-time check cannot see
+    Txn.crashAfterPrepare(spark, s"$root/lowDel", Seq(
+      Txn.Write(a, ledger(5).select(col("k")), "", Seq("k"), op = "delete")))
+    Txn.crashAfterPrepare(spark, s"$root/highDel", Seq(
+      Txn.Write(a, ledger(10).filter(col("k") > 5L).select(col("k")), "",
+        Seq("k"), op = "delete")))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("lowDel", "highDel").foreach { d =>
+      val out = fs.create(new Path(s"$root/$d", "_COMMIT"), false); out.close()
+    }
+    assert(Txn.recover(spark, s"$root/lowDel") === "forward")
+    assert(Versioned.readAsOf(spark, a).count() === 5L)
+    // the high delete now erases the LAST survivors — after _COMMIT the
+    // outcome is commit, so it must complete (explicit empty version),
+    // not throw forever out of every recover()
+    assert(Txn.recover(spark, s"$root/highDel") === "forward")
+    assert(Versioned.latestVersion(spark, a) === 3L)
+    val empty = Versioned.readAsOf(spark, a)
+    assert(empty.count() === 0L, "v3 is the explicit empty-table state")
+    assert(empty.columns.sorted.toSeq === Seq("amount", "k", "part"),
+      "empty version keeps the schema (borrowed from ref-bearing history)")
+    assert(Txn.recover(spark, s"$root/highDel") === "noop", "re-recover settles")
+    // history is intact and the table takes new commits
+    assert(Versioned.readAsOf(spark, a, 1L).count() === 10L)
+    assert(Versioned.commit(spark, a, ledger(3, bump = 7L), "part", Seq("k")) === 4L)
+    assert(Versioned.readAsOf(spark, a).count() === 3L)
+  }
+
+  test("recoverAll liveness lease: a fresh (possibly live) coordinator is not rolled back") {
+    val root = newRoot()
+    val a = s"$root/ledger"
+    Versioned.commit(spark, a, ledger(10), "part", Seq("k"))
+    Txn.crashAfterPrepare(spark, s"$root/txns/txn-fresh", Seq(
+      Txn.Write(a, ledger(10, bump = 1L), "part", Seq("k"))))
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // under a lease, the just-prepared coordinator reads as LIVE: a
+    // peer may be between prepare and _COMMIT — destroying its staged
+    // state would break the peer mid-transaction
+    val guarded = Txn.recoverAll(spark, s"$root/txns", liveLeaseMs = 600000L)
+    assert(guarded.valuesIterator.toSeq === Seq("live"))
+    assert(fs.exists(new Path(s"$root/txns/txn-fresh", "intent-0")),
+      "lease-guarded coordinator untouched")
+    // lease 0 = restart semantics (no peer can be live): swept normally
+    val swept = Txn.recoverAll(spark, s"$root/txns")
+    assert(swept.valuesIterator.toSeq === Seq("rolledback"))
+    assert(Versioned.latestVersion(spark, a) === 1L)
+  }
+
+  test("sweep cost is bounded by in-flight coordinators, not completed-txn history") {
+    val root = newRoot()
+    val a = s"$root/ledger"
+    (1 to 4).foreach { i =>
+      Txn.runManaged(spark, s"$root/txns", Seq(
+        Txn.Write(a, ledger(5, bump = i.toLong), "part", Seq("k"))))
+    }
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // first sweep reaps the 4 completed coordinators into _done
+    val first = Txn.recoverAll(spark, s"$root/txns")
+    assert(first.size === 4 && first.valuesIterator.forall(_ == "noop"))
+    // a later sweep no longer lists them at all: the root holds only
+    // the _done bucket (one listing entry forever) + in-flight dirs
+    assert(Txn.recoverAll(spark, s"$root/txns") === Map.empty)
+    val listed = fs.listStatus(new Path(s"$root/txns")).map(_.getPath.getName).toSet
+    assert(listed === Set("_done"), s"root holds only the _done bucket, got $listed")
+    // one new in-flight crash is the ONLY thing the next sweep touches
+    Txn.crashAfterPrepare(spark, s"$root/txns/txn-live", Seq(
+      Txn.Write(a, ledger(5, bump = 9L), "part", Seq("k"))))
+    val next = Txn.recoverAll(spark, s"$root/txns")
+    assert(next.size === 1 && next.valuesIterator.toSeq === Seq("rolledback"))
+    // recover() on a reaped path settles as noop (callers re-driving
+    // an old handle after the janitor moved it)
+    assert(Txn.recover(spark, first.keys.head) === "noop")
+  }
+
   test("recover before _COMMIT rolls back a prepared-but-undecided txn") {
     val root = newRoot()
     val a = s"$root/ledger"

@@ -392,6 +392,44 @@ class VersionedSpec extends SparkSpec {
       s"manifest semi-join keeps exactly the committed post-image rows, got $joinRows")
   }
 
+  test("keyHistory tombstones deletes: a forgotten key's last payload never reads as current") {
+    val tbl = freshTbl()
+    // v1: 4 keys / 2 partitions; v2: in-partition delete (id=2 removed,
+    // id=1 survives the rewrite of a); v3: partition b EMPTIED by
+    // deleting both its keys (b leaves the manifest — no gen dir at
+    // v3); v4: id=2 REINSERTED with its ORIGINAL payload
+    Versioned.commit(spark, tbl,
+      rows(Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0), (4L, "b", 4.0))),
+      "part", Seq("id"))
+    Versioned.deleteKeys(spark, tbl, Seq(2L).toDF("id"), Seq("id"))
+    Versioned.deleteKeys(spark, tbl, Seq(3L, 4L).toDF("id"), Seq("id"))
+    Versioned.commit(spark, tbl, rows(Seq((2L, "a", 2.0))), "part", Seq("id"))
+    val hist = Versioned.keyHistory(spark, tbl, Seq("id"), Seq("value"))
+    val got = hist.select(col("id"), col("version"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(got === Set(
+      (1L, 1L, Some(1.0)), (2L, 1L, Some(2.0)),
+      (3L, 1L, Some(3.0)), (4L, 1L, Some(4.0)),
+      (2L, 2L, None), // in-partition delete tombstone
+      (3L, 3L, None), (4L, 3L, None), // emptied-partition tombstones
+      (2L, 4L, Some(2.0))), // reinsert emits even with unchanged payload
+      "every deletion leaves a tombstone; reinserts after a tombstone re-emit")
+    // the audit-trail question that motivated this: id=3's LAST event
+    // is a null-payload tombstone, not its old payload
+    val last3 = hist.filter(col("id") === 3L)
+      .orderBy(col("version").desc).limit(1).collect()(0)
+    assert(last3.isNullAt(last3.fieldIndex("value")),
+      "a forgotten key's history ends in a tombstone")
+    // still ONE scan of the generation files (the O(sum deltas) bound):
+    // v1=4 rows, v2 rewrote a as 1 survivor row, v4 rewrote a as 2 rows
+    val metrics = graft.plans.PlanMetrics.actualRows(hist)
+    val scanRows = metrics.filter(_.node.toLowerCase.contains("scan parquet"))
+      .flatMap(_.outputRows).sum
+    assert(scanRows === 7L, s"tombstones must not re-scan the feed, got $scanRows")
+  }
+
   test("keyHistory cost scales with deltas, not versions x table (20-version chain)") {
     val tbl = freshTbl()
     // base: 100 rows over 10 partitions, then 20 single-key commits,

@@ -5,8 +5,12 @@ latency breaches (dev tooling, driver-side python).
 Usage: python3 tools/closeout.py [--repo <dir>] [--curr <bench.json>]
        [--factor 1.4] [--min-secs 0.5]
 
-1. Finds the LATEST driver bench (BENCH_r{N}.json) in the repo root —
-   the budgets every query must hold this round.
+1. Picks the budget baseline: the LATEST committed FULL builder record
+   (tools/bench_history/r{N}_builder_full*.json — every registered
+   query, not just the driver's slowest-35 tail), falling back to the
+   latest driver bench (BENCH_r{N}.json) if no full record exists.
+   Full-record budgets mean EVERY query carries a round-over-round
+   budget; the driver tail alone lets a mid-pack query triple silently.
 2. Runs the latency guard (latency_guard.compute — per-query
    local-sentinel normalization) against the current bench, default
    target/bench_full.json (Bench.scala's full per-query record).
@@ -44,6 +48,20 @@ def latest_driver_bench(repo):
     return best
 
 
+def latest_full_record(repo):
+    """Latest committed full builder record: r{N}_builder_full{Q}.json,
+    highest round first, then most queries within a round."""
+    hist = os.path.join(repo, "tools", "bench_history")
+    if not os.path.isdir(hist):
+        return None
+    best, best_key = None, (-1, -1)
+    for f in os.listdir(hist):
+        m = re.fullmatch(r"r(\d+)_builder_full(\d+)\.json", f)
+        if m and (int(m.group(1)), int(m.group(2))) > best_key:
+            best, best_key = f, (int(m.group(1)), int(m.group(2)))
+    return best
+
+
 def main(argv):
     args, opts = latency_guard.parse_args(argv, __doc__)
     if args:
@@ -53,17 +71,26 @@ def main(argv):
     factor = float(opts.get("--factor", "1.4"))
     min_secs = float(opts.get("--min-secs", "0.5"))
 
-    prev_name = latest_driver_bench(repo)
-    if prev_name is None:
-        print("INFO no driver BENCH_r*.json yet — nothing to guard")
-        return 0
+    full_name = latest_full_record(repo)
+    if full_name is not None:
+        prev_name = full_name
+        prev_path = os.path.join(repo, "tools", "bench_history", full_name)
+    else:
+        prev_name = latest_driver_bench(repo)
+        if prev_name is None:
+            print("INFO no bench baseline yet — nothing to guard")
+            return 0
+        prev_path = os.path.join(repo, prev_name)
     if not os.path.exists(curr_path):
         print(f"FAIL current bench {curr_path} missing — run graft.Bench first")
         return 1
-    prev = latency_guard.load(os.path.join(repo, prev_name))
+    prev = latency_guard.load(prev_path)
     curr = latency_guard.load(curr_path)
     print(f"== close-out guard: {prev_name} -> {curr_path}")
     breaches, _, _, _ = latency_guard.compute(prev, curr, factor, min_secs)
+    common = len(set(prev["queries"]) & set(curr["queries"]))
+    print(f"== budgets checked for {common} common queries "
+          f"({len(prev['queries'])} in baseline, {len(curr['queries'])} current)")
 
     explained = {}
     exp_path = os.path.join(repo, "tools", "bench_history", "explained.json")
