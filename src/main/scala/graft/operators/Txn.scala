@@ -59,11 +59,15 @@ object Txn {
     * its secondary index forget a subject in one decision point; see
     * [[VersionedBloom.deleteIndexed]]). A delete that matches nothing
     * still mints its reserved version as a carry-forward manifest, so
-    * [[versions]] stays a real cross-table snapshot. */
+    * [[versions]] stays a real cross-table snapshot. "replace" rewrites
+    * the delta's partitions VERBATIM (no key merge, one file per
+    * partition — [[Versioned.compactPartitions]]'s layout primitive;
+    * `keys` is unused). */
   final case class Write(table: String, delta: DataFrame, partCol: String,
       keys: Seq[String], stamp: Option[Long] = None,
       expectedVersion: Option[Long] = None, op: String = "upsert") {
-    require(op == "upsert" || op == "delete", s"unknown txn write op: $op")
+    require(op == "upsert" || op == "delete" || op == "replace",
+      s"unknown txn write op: $op")
   }
 
   /** A write's base snapshot went stale before the transaction could
@@ -363,6 +367,9 @@ object Txn {
           Versioned.deleteKeysAt(spark, in.table, spark.read.parquet(in.delta),
             in.keys, in.stamp, in.version, prior, mintIfEmpty = true,
             allowEmptyTable = true)
+        else if (in.op == "replace")
+          Versioned.replacePartitionsAt(spark, in.table,
+            spark.read.parquet(in.delta), in.partCol, in.stamp, in.version, prior)
         else
           Versioned.commitAt(spark, in.table, spark.read.parquet(in.delta),
             in.partCol, in.keys, in.stamp, in.version, prior)

@@ -714,6 +714,110 @@ object Versioned {
     next
   }
 
+  /** REPLACE the delta's partitions VERBATIM as the next version — no
+    * key merge: each partition present in `delta` is rewritten to
+    * exactly the delta's rows for it (INSERT OVERWRITE PARTITION with
+    * time travel); untouched partitions carry forward. The delta is
+    * `repartition`-ed by the partition key before the write, so every
+    * replaced partition lands as ONE file per partition — the layout
+    * control [[compactPartitions]] is built on (commitAt's merge path
+    * writes one file per task instead, fragmenting wide shuffles into
+    * many small files). */
+  private[operators] def replacePartitionsAt(
+      spark: SparkSession,
+      path: String,
+      delta: DataFrame,
+      partCol: String,
+      stamp: Option[Long],
+      next: Long,
+      prior: Seq[(String, Long)]): Long = {
+    val tagged = delta.withColumn("__p", col(partCol).cast("string"))
+    val affected: Seq[String] =
+      tagged.select(col("__p")).distinct().collect().map(_.getString(0)).toSeq
+    val affectedSet = affected.toSet
+    tagged.repartition(col("__p"))
+      .write.mode(SaveMode.Overwrite).partitionBy("__p")
+      .parquet(s"${genRoot(path)}/__gen=$next")
+    val carried = prior.filterNot { case (p, _) => affectedSet(p) }
+    val entries = carried ++ affected.map(_ -> next)
+    import spark.implicits._
+    val manifest0 = entries.toDF("pval", "gen")
+    stamp.fold(manifest0)(t => manifest0.withColumn("stamp", lit(t)))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(manifestPath(path, next))
+    next
+  }
+
+  /** Data-file census of version `v` (default latest): (partitions,
+    * data files) summed over the manifest's resolved directories —
+    * the small-file fragmentation readout [[compactPartitions]]'s
+    * gate proves against. Metadata-only (one listing per referenced
+    * partition directory). */
+  def dataFileCount(spark: SparkSession, path: String, version: Long = -1L): (Long, Long) = {
+    val v = if (version < 0) latestVersion(spark, path) else version
+    require(v > 0, s"no committed version at $path")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val refs = manifestRefs(spark, path, v)
+    val files = refs.map { case (p, g) =>
+      val dir = new Path(resolvePartDir(spark, path, p, g))
+      dir.getFileSystem(conf).listStatus(dir)
+        .count(st => st.isFile && !st.getPath.getName.startsWith("_")
+          && !st.getPath.getName.startsWith(".")).toLong
+    }.sum
+    (refs.size.toLong, files)
+  }
+
+  /** COMPACTION as a transaction — re-land every fragmented partition
+    * (currently served by `minFiles`-or-more data files) as a fresh
+    * one-file-per-partition generation, AND bump the freshness tag
+    * (`tv`) of those partitions' rows in every transactional secondary
+    * index ([[VersionedBloom]]/[[VersionedZone]]) in the SAME [[Txn]].
+    * Without the co-maintenance the indexes would go conservatively
+    * stale: their `tv` no longer matches the compacted partitions'
+    * manifest generation, so every lookup treats those partitions as
+    * unconditional candidates — correct, but pruning is dead exactly
+    * where the table is hottest. Index CONTENT is untouched (compaction
+    * preserves rows bit-for-bit; only the layout changes), so the index
+    * delta is a k-row tv rewrite, never a register recompute.
+    *
+    * The base version rides as `expectedVersion` — a concurrent commit
+    * aborts the compaction (re-run it) rather than racing the rewrite.
+    * Returns the committed (table/index → version) map, or empty when
+    * nothing is fragmented. At 100 TB: the rewrite is one column-
+    * untouched pass over the fragmented partitions only; history stays
+    * readable and [[expire]] reclaims the superseded small generations. */
+  def compactPartitions(
+      spark: SparkSession,
+      txnDir: String,
+      path: String,
+      partCol: String,
+      minFiles: Int = 2,
+      indexPaths: Seq[String] = Nil): Map[String, Long] = {
+    require(minFiles >= 2, "minFiles < 2 would rewrite already-compact partitions")
+    val base = latestVersion(spark, path)
+    require(base > 0, s"no committed version at $path")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val refs = manifestRefs(spark, path, base)
+    val fragmented = refs.filter { case (p, g) =>
+      val dir = new Path(resolvePartDir(spark, path, p, g))
+      dir.getFileSystem(conf).listStatus(dir)
+        .count(st => st.isFile && !st.getPath.getName.startsWith("_")
+          && !st.getPath.getName.startsWith(".")) >= minFiles
+    }
+    if (fragmented.isEmpty) return Map.empty
+    val fragSet = fragmented.map(_._1).toSet
+    val content = readRefs(spark, path, fragmented).drop("__p")
+    val idxWrites = indexPaths.map { idx =>
+      val bumped = readAsOf(spark, idx)
+        .filter(col("pval").isin(fragSet.toSeq: _*))
+        .withColumn("tv", lit(base + 1))
+      Txn.Write(idx, bumped, "pval", Seq("pval"))
+    }
+    Txn.run(spark, txnDir,
+      Txn.Write(path, content, partCol, keys = Nil,
+        expectedVersion = Some(base), op = "replace") +: idxWrites)
+  }
+
   /** Combined upsert + delete as ONE NEW VERSION — the atomic form of
     * `deleteKeys(rm); commit(delta)`, which lands TWO versions and lets
     * concurrent readers observe the intermediate delete-only state (and

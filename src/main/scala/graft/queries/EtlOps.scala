@@ -2006,6 +2006,105 @@ object EtlOps {
         lit(true).as("composed"))
   }
 
+  // --- k56_compaction: VERSIONED COMPACTION with transactional index
+  // co-maintenance — the maintenance path a long-lived table needs:
+  // incremental commits fragment hot partitions into many small files
+  // (every merge write lands one file per shuffle task), and a naive
+  // rewrite would strand the bloom/zone secondary indexes (their tv
+  // freshness tag would no longer match the compacted partitions'
+  // manifest generation, so every lookup would conservatively open
+  // them — pruning dead exactly where the table is hottest).
+  // Versioned.compactPartitions re-lands each fragmented partition as
+  // ONE file AND bumps both indexes' tv rows in the SAME Txn (k48/k53's
+  // discipline; the table write carries expectedVersion so a concurrent
+  // commit aborts the compaction instead of racing it). The gate
+  // builds the k54 shape (quarter-partitioned orders + bloom(ck) +
+  // zone(d), two 3-write transactions — the second fragments the 1996
+  // quarters), then require()s: file count strictly drops to one file
+  // per partition; the full-table xxhash fingerprint is bit-identical
+  // across the compaction; EVERY partition's zone tv equals its
+  // manifest generation (the invariant the co-maintenance exists for);
+  // and zone pruning stays real. Output = the post-state Q1-1996 range
+  // aggregate through the pruned path; the oracle recomputes it from
+  // the fixture arithmetic — a compaction that dropped or duplicated a
+  // row hash-mismatches. Scale: the rewrite reads only fragmented
+  // partitions; the index delta is a k-row tv bump, never a register
+  // recompute; expire then reclaims the superseded small generations. ---
+  val k56Compaction = QueryDef.sql(
+    "k56_compaction",
+    """WITH base AS (SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS amt FROM orders),
+      |post AS (SELECT k,
+      |    CASE WHEN k % 13 = 0 AND year(d) = 1996
+      |      THEN make_date(CAST(year(d) AS INT), CAST(month(d) AS INT), 15)
+      |      ELSE d END AS d, amt FROM base),
+      |r AS (SELECT * FROM post
+      |  WHERE d >= DATE '1996-01-01' AND d <= DATE '1996-03-31')
+      |SELECT strftime(d, '%Y-%m') AS mon, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(amt) AS DOUBLE) AS total, TRUE AS compacted
+      |FROM r GROUP BY mon""".stripMargin) { (s, d) =>
+    import graft.operators.{Txn, Versioned, VersionedBloom, VersionedZone}
+    val root = graft.Scratch.dir("k56-compact")
+    val tbl = s"$root/orders"
+    val bIdx = s"$root/bloom"; val zIdx = s"$root/zone"
+    val base = T.orders(s, d).select(col("o_orderkey").as("k"),
+      expr("concat(year(CAST(o_orderdate AS DATE)), '-Q', " +
+        "quarter(CAST(o_orderdate AS DATE)))").as("qtr"),
+      col("o_custkey").as("ck"),
+      col("o_orderdate").cast("date").as("d"),
+      col("o_totalprice").cast("decimal(12,2)").as("amt"))
+    def indexedCommit(txn: String, delta: DataFrame, expect: Long): Unit = {
+      Txn.run(s, txn, Seq(
+        Txn.Write(tbl, delta, "qtr", Seq("k"), expectedVersion = Some(expect)),
+        Txn.Write(bIdx,
+          VersionedBloom.indexDelta(s, tbl, delta, "qtr", Seq("k"), "ck",
+            asOfVersion = expect), "pval", Seq("pval")),
+        Txn.Write(zIdx,
+          VersionedZone.indexDelta(s, tbl, delta, "qtr", Seq("k"), "d",
+            asOfVersion = expect), "pval", Seq("pval"))))
+      ()
+    }
+    indexedCommit(s"$root/txn1", base, 0L)
+    // the fragmenting delta: merge writes one file per shuffle task,
+    // so the four affected 1996 quarters end up multi-file
+    indexedCommit(s"$root/txn2",
+      base.filter(col("k") % 13 === 0 && expr("year(d) = 1996"))
+        .withColumn("d", expr("make_date(year(d), month(d), 15)")), 1L)
+    def fingerprint(): Long = Versioned.readAsOf(s, tbl)
+      .select(xxhash64(col("k"), col("qtr"), col("ck"), col("d"), col("amt")).as("h"))
+      .agg(expr("bit_xor(h)")).collect()(0).getLong(0)
+    val (nParts, filesBefore) = Versioned.dataFileCount(s, tbl)
+    val hashBefore = fingerprint()
+    require(filesBefore > nParts,
+      s"fixture must be fragmented before compaction: $filesBefore files / $nParts parts")
+    val vmap = Versioned.compactPartitions(s, s"$root/txnC", tbl, "qtr",
+      minFiles = 2, indexPaths = Seq(bIdx, zIdx))
+    require(vmap.nonEmpty, "compaction must find fragmented partitions")
+    val (nParts2, filesAfter) = Versioned.dataFileCount(s, tbl)
+    require(nParts2 == nParts && filesAfter == nParts && filesAfter < filesBefore,
+      s"compaction must land one file per partition: $filesBefore -> $filesAfter / $nParts")
+    require(fingerprint() == hashBefore,
+      "compaction must preserve the table content bit-for-bit")
+    // the co-maintenance invariant: every partition's index tv equals
+    // its manifest generation — no conservatively-stale candidates
+    val gens = Versioned
+      .manifestRefs(s, tbl, Versioned.latestVersion(s, tbl)).toMap
+    Seq(bIdx, zIdx).foreach { idx =>
+      val tv = Versioned.readAsOf(s, idx).select(col("pval"), col("tv"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(gens.forall { case (p, g) => tv.get(p).contains(g) },
+        s"index $idx tv must track every partition's manifest generation")
+    }
+    val lo = expr("DATE'1996-01-01'"); val hi = expr("DATE'1996-03-31'")
+    val cands = VersionedZone.candidatePartitions(s, zIdx, lo, hi)
+    require(cands.nonEmpty && cands.size < nParts,
+      s"zone pruning must survive compaction: ${cands.size} of $nParts")
+    VersionedZone.lookupRange(s, tbl, zIdx, "d", lo, hi)
+      .groupBy(date_format(col("d"), "yyyy-MM").as("mon"))
+      .agg(count(lit(1)).as("n"), sum(col("amt")).cast("double").as("total"))
+      .withColumn("compacted", lit(true))
+  }
+
   // --- k44_snapshot_export: PORTABLE snapshot export/import
   // (Versioned.exportSnapshot/importSnapshot) — the cold-archive /
   // cross-cluster migration path Delta answers with DEEP CLONE: version
@@ -3210,6 +3309,6 @@ object EtlOps {
     k38CheckedCommit, k39GovernanceGate, k43NdvStats, k44SnapshotExport,
     k46JoinAdvisor, k47TxnCommit, k48IndexedCommit, k49LeftdeepAdvisor,
     k50BroadcastAdvisor, k51SnapshotRead, k52TxnForget, k53RangeIndex,
-    k54ComposedIndex,
+    k54ComposedIndex, k56Compaction,
     k27WapGate)
 }
