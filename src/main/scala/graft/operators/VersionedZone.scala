@@ -85,6 +85,120 @@ object VersionedZone {
         "pval", Seq("pval"), stamp)))
   }
 
+  /** MULTI-COLUMN zone rows — one (min_<c>, max_<c>, nulls_<c>) triple
+    * per indexed column, one row per partition: the time-partitioned
+    * fact table at 100 TB prunes on (ship_date, receipt_date, quantity)
+    * SIMULTANEOUSLY, and a conjunction of per-column interval tests
+    * over one k-row index beats intersecting k separate indexes (one
+    * scan, no per-index tv reconciliation drift). Same base-pinning
+    * contract as [[indexDelta]]; each column keeps its own type (dates
+    * compare as dates, decimals as decimals — no stringly min/max). */
+  def indexDeltaMulti(
+      spark: SparkSession,
+      tablePath: String,
+      delta: DataFrame,
+      partCol: String,
+      keys: Seq[String],
+      valCols: Seq[String],
+      asOfVersion: Long = -1L): DataFrame = {
+    require(valCols.nonEmpty, "need at least one indexed column")
+    val base =
+      if (asOfVersion < 0) Versioned.latestVersion(spark, tablePath) else asOfVersion
+    val affected = delta.select(col(partCol)).distinct().collect()
+      .map(_.get(0)).toSeq // partition domain — driver-sized by design
+    val merged =
+      if (base == 0) delta
+      else Upsert.merge(
+        Versioned.readAsOf(spark, tablePath, base)
+          .filter(col(partCol).isin(affected: _*)),
+        delta, keys)
+    val aggs = count(lit(1)).as("rows") +: valCols.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+        count(when(col(c).isNull, 1)).as(s"nulls_$c"))
+    }
+    merged
+      .groupBy(col(partCol).cast("string").as("pval"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("tv", lit(base + 1)) // freshness tag, as in indexDelta
+  }
+
+  /** Commit `delta` and its MULTI-COLUMN zone maintenance as one atomic
+    * transaction ([[commitIndexed]]'s contract, column list instead of
+    * one column). */
+  def commitIndexedMulti(
+      spark: SparkSession,
+      txnDir: String,
+      tablePath: String,
+      indexPath: String,
+      delta: DataFrame,
+      partCol: String,
+      keys: Seq[String],
+      valCols: Seq[String],
+      stamp: Option[Long] = None): Map[String, Long] = {
+    val base = Versioned.latestVersion(spark, tablePath)
+    Txn.run(spark, txnDir, Seq(
+      Txn.Write(tablePath, delta, partCol, keys, stamp,
+        expectedVersion = Some(base)),
+      Txn.Write(indexPath,
+        indexDeltaMulti(spark, tablePath, delta, partCol, keys, valCols,
+          asOfVersion = base),
+        "pval", Seq("pval"), stamp)))
+  }
+
+  /** One column's interval test over a multi-column zone row: NOT
+    * provably disjoint from [lo, hi]. NULL min/max (all-NULL partition)
+    * yields NULL and drops — conservative, as in
+    * [[candidatePartitions]]. */
+  private def intersects(c: String, lo: Column, hi: Column): Column =
+    !(col(s"max_$c") < lo || col(s"min_$c") > hi)
+
+  /** The partitions that MAY satisfy EVERY predicate in `preds`
+    * (column, lo, hi): the conjunction of per-column interval tests —
+    * each conjunct only removes provably-disjoint partitions, so the
+    * intersection is still a conservative superset of the true set.
+    * K index rows scanned, no data I/O. */
+  def candidatePartitionsMulti(
+      spark: SparkSession,
+      indexPath: String,
+      preds: Seq[(String, Column, Column)]): Seq[String] = {
+    require(preds.nonEmpty, "need at least one range predicate")
+    Versioned.readAsOf(spark, indexPath)
+      .filter(preds.map { case (c, lo, hi) => intersects(c, lo, hi) }.reduce(_ && _))
+      .select(col("pval")).distinct()
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** Multi-predicate zone-pruned read: open only partitions whose zone
+    * row intersects EVERY range, plus any partition whose zone row is
+    * stale or missing (tv ≠ manifest generation — [[lookupRange]]'s
+    * freshness reconciliation), then apply the exact conjunctive
+    * filter. Equals full-scan-and-filter by construction. */
+  def lookupRangeMulti(
+      spark: SparkSession,
+      tablePath: String,
+      indexPath: String,
+      preds: Seq[(String, Column, Column)]): DataFrame = {
+    require(preds.nonEmpty, "need at least one range predicate")
+    val refs = Versioned
+      .manifestRefs(spark, tablePath, Versioned.latestVersion(spark, tablePath))
+    val idx = Versioned.readAsOf(spark, indexPath)
+    val matched: Set[String] = idx
+      .filter(preds.map { case (c, lo, hi) => intersects(c, lo, hi) }.reduce(_ && _))
+      .select(col("pval")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val tv: Map[String, Long] = idx.select(col("pval"), col("tv"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cand = refs.filter { case (pval, gen) =>
+      matched(pval) || !tv.get(pval).contains(gen)
+    }
+    val base =
+      if (cand.isEmpty)
+        Versioned.readAsOf(spark, tablePath).limit(0).drop("__p")
+      else Versioned.readRefs(spark, tablePath, cand).drop("__p")
+    base.filter(preds.map { case (c, lo, hi) => col(c) >= lo && col(c) <= hi }
+      .reduce(_ && _))
+  }
+
   /** The partitions that MAY hold a value in [lo, hi]: zone rows whose
     * [min_v, max_v] interval intersects it. K index rows scanned, no
     * data I/O; NULL min/max (all-NULL partition) yields NULL in the

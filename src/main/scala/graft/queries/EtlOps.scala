@@ -2006,6 +2006,77 @@ object EtlOps {
         lit(true).as("composed"))
   }
 
+  // --- k57_multizone_index: MULTI-COLUMN zone index — one
+  // (min, max, nulls) triple PER COLUMN per partition row, so a
+  // conjunctive range query prunes on every dimension from ONE k-row
+  // index scan (the 100 TB fact-table shape: WHERE ship_date BETWEEN …
+  // AND quantity BETWEEN … — each column alone keeps 4 quarters, the
+  // conjunction keeps 2). The ledger is quarter-partitioned orders with
+  // zone columns (d, amt2) where amt2 carries a 10M-per-year offset —
+  // engineered so the date range (1996-07..1997-06) and the amt2 band
+  // (the 1997 band) select DIFFERENT 4-quarter sets whose intersection
+  // is exactly 1997-Q1..Q2; the gate require()s the composed candidate
+  // set strictly below BOTH single-column sets and the partition count.
+  // A second transactional commit (1997 %13 orders: day→15, amt2+5000)
+  // proves maintenance under churn — the oracle recomputes the
+  // post-state from fixture arithmetic, so a stale zone row that
+  // wrongly pruned (or a lookup that missed the delta) hash-mismatches.
+  // Both commits land table+index in one Txn (commitIndexedMulti,
+  // stale-base refused via expectedVersion). ---
+  val k57MultizoneIndex = QueryDef.sql(
+    "k57_multizone_index",
+    """WITH base AS (SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2))
+      |      + CAST((year(CAST(o_orderdate AS DATE)) - 1995) * 10000000
+      |             AS DECIMAL(14,2)) AS DECIMAL(15,2)) AS amt2 FROM orders),
+      |post AS (SELECT k,
+      |    CASE WHEN k % 13 = 0 AND year(d) = 1997
+      |      THEN make_date(CAST(year(d) AS INT), CAST(month(d) AS INT), 15)
+      |      ELSE d END AS d,
+      |    CASE WHEN k % 13 = 0 AND year(d) = 1997
+      |      THEN CAST(amt2 + 5000 AS DECIMAL(15,2)) ELSE amt2 END AS amt2
+      |  FROM base),
+      |r AS (SELECT * FROM post
+      |  WHERE d >= DATE '1996-07-01' AND d <= DATE '1997-06-30'
+      |    AND amt2 >= 20000000 AND amt2 <= 29999999)
+      |SELECT strftime(d, '%Y-%m') AS mon, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(amt2) AS DOUBLE) AS total, TRUE AS multi_pruned
+      |FROM r GROUP BY mon""".stripMargin) { (s, d) =>
+    import graft.operators.{Versioned, VersionedZone}
+    val root = graft.Scratch.dir("k57-multizone")
+    val tbl = s"$root/orders"; val idx = s"$root/zone"
+    val base = T.orders(s, d).select(col("o_orderkey").as("k"),
+      expr("concat(year(CAST(o_orderdate AS DATE)), '-Q', " +
+        "quarter(CAST(o_orderdate AS DATE)))").as("qtr"),
+      col("o_orderdate").cast("date").as("d"),
+      expr("""CAST(CAST(o_totalprice AS DECIMAL(12,2))
+        + CAST((year(CAST(o_orderdate AS DATE)) - 1995) * 10000000
+               AS DECIMAL(14,2)) AS DECIMAL(15,2))""").as("amt2"))
+    VersionedZone.commitIndexedMulti(s, s"$root/txn1", tbl, idx, base,
+      "qtr", Seq("k"), Seq("d", "amt2"))
+    val delta = base.filter(col("k") % 13 === 0 && expr("year(d) = 1997"))
+      .withColumn("d", expr("make_date(year(d), month(d), 15)"))
+      .withColumn("amt2", expr("CAST(amt2 + 5000 AS DECIMAL(15,2))"))
+    VersionedZone.commitIndexedMulti(s, s"$root/txn2", tbl, idx, delta,
+      "qtr", Seq("k"), Seq("d", "amt2"))
+    val dPred = ("d", expr("DATE'1996-07-01'"), expr("DATE'1997-06-30'"))
+    val aPred = ("amt2", lit(20000000).cast("decimal(15,2)"),
+      lit(29999999).cast("decimal(15,2)"))
+    val nParts = Versioned.readAsOf(s, idx).count()
+    val dCands = VersionedZone.candidatePartitionsMulti(s, idx, Seq(dPred)).toSet
+    val aCands = VersionedZone.candidatePartitionsMulti(s, idx, Seq(aPred)).toSet
+    val mCands = VersionedZone.candidatePartitionsMulti(s, idx, Seq(dPred, aPred)).toSet
+    require(mCands.nonEmpty
+        && mCands.size < dCands.size && mCands.size < aCands.size
+        && mCands.size < nParts,
+      s"conjunctive pruning must beat every single column: |d|=${dCands.size} " +
+        s"|amt2|=${aCands.size} |both|=${mCands.size} of $nParts partitions")
+    VersionedZone.lookupRangeMulti(s, tbl, idx, Seq(dPred, aPred))
+      .groupBy(date_format(col("d"), "yyyy-MM").as("mon"))
+      .agg(count(lit(1)).as("n"), sum(col("amt2")).cast("double").as("total"))
+      .withColumn("multi_pruned", lit(true))
+  }
+
   // --- k56_compaction: VERSIONED COMPACTION with transactional index
   // co-maintenance — the maintenance path a long-lived table needs:
   // incremental commits fragment hot partitions into many small files
@@ -3309,6 +3380,6 @@ object EtlOps {
     k38CheckedCommit, k39GovernanceGate, k43NdvStats, k44SnapshotExport,
     k46JoinAdvisor, k47TxnCommit, k48IndexedCommit, k49LeftdeepAdvisor,
     k50BroadcastAdvisor, k51SnapshotRead, k52TxnForget, k53RangeIndex,
-    k54ComposedIndex, k56Compaction,
+    k54ComposedIndex, k56Compaction, k57MultizoneIndex,
     k27WapGate)
 }
