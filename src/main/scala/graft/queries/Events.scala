@@ -2335,6 +2335,97 @@ object Events {
     }
   }
 
+  // --- e45_stream_range_index: STREAMING INGEST WITH A LIVE RANGE
+  // (zone) INDEX — k53 composed under e42's streaming exactly-once
+  // discipline, the WHEN counterpart of e43's WHO: every micro-batch
+  // lands day-partitioned ledger rows AND the affected days' recomputed
+  // zone rows (min/max event ts) in one stamped Txn
+  // (VersionedZone.commitIndexed), so a time-range query is answerable
+  // THROUGH THE INDEX after every batch — no refresh-lag state exists
+  // at any point of the ingest. MID-INGEST the gate probes a 3-day
+  // window between transactions and require()s both the pruning bound
+  // (candidates ≤ the 3 probe days — the zone rows can never implicate
+  // a day outside the window) and exactness (the pruned read equals
+  // the full-scan-and-filter row count on the partial table). After
+  // the drain the final window aggregate answers through the pruned
+  // path; the oracle recomputes it from the raw events — a missed
+  // batch, a replayed batch, or a stale zone row that wrongly pruned
+  // all hash-mismatch. Scale: each batch rewrites only its days'
+  // partitions; the probe folds k index rows before touching data. ---
+  val e45StreamRangeIndex = QueryDef.sql(
+    "e45_stream_range_index",
+    """WITH base AS (SELECT event_id, CAST(ts AS DATE) AS d, ts,
+      |    CAST(value AS DECIMAL(10,2)) AS amt
+      |  FROM events WHERE value IS NOT NULL),
+      |r AS (SELECT * FROM base
+      |  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |    AND ts <= TIMESTAMP '2024-01-12 23:59:59.999999')
+      |SELECT strftime(d, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(amt) AS DOUBLE) AS total, TRUE AS pruned
+      |FROM r GROUP BY day""".stripMargin) { (s, d) =>
+    withStatePartitions(s, 4) {
+    import graft.operators.{Txn, Versioned, VersionedZone}
+    val root = graft.Scratch.dir("e45-zonesink")
+    val feed = s"$root/feed"; val ckpt = s"$root/ckpt"
+    val ledger = s"$root/ledger"; val idx = s"$root/idx"
+    val ev = T.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("ts"), col("value").cast("decimal(10,2)").as("amt"))
+    ev.repartition(3).write.parquet(feed)
+    val stream = s.readStream
+      .schema("event_id BIGINT, day STRING, ts TIMESTAMP, amt DECIMAL(10,2)")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed)
+    val lo = expr("TIMESTAMP'2024-01-10 00:00:00'")
+    val hi = expr("TIMESTAMP'2024-01-12 23:59:59.999999'")
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          // e43's restart + replay discipline: idx sorts before ledger,
+          // so the ledger (applied last) carrying the stamp proves the
+          // whole txn applied
+          Txn.recoverAll(s, s"$root/txns")
+          val vL = Versioned.latestVersion(s, ledger)
+          val replayed = vL > 0 &&
+            Versioned.stampOf(s, ledger, vL).exists(_ >= batchId + 1)
+          if (!replayed)
+            VersionedZone.commitIndexed(s, s"$root/txns/txn-$batchId", ledger,
+              idx, batch, "day", Seq("event_id"), "ts",
+              stamp = Some(batchId + 1))
+          // MID-INGEST probe between transactions: the window is live
+          // and correctly bounded right now, not just after the drain
+          val cands = VersionedZone.candidatePartitions(s, idx, lo, hi)
+          require(cands.nonEmpty && cands.size <= 3,
+            s"mid-ingest zone candidates must stay within the 3 probe " +
+              s"days, got ${cands.size}")
+          val prunedN = VersionedZone.lookupRange(s, ledger, idx, "ts", lo, hi)
+            .count()
+          val scanN = Versioned.readAsOf(s, ledger)
+            .filter(col("ts") >= lo && col("ts") <= hi).count()
+          require(prunedN == scanN,
+            s"mid-ingest pruned read must equal full scan: $prunedN vs $scanN")
+          ()
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(Versioned.latestVersion(s, ledger) >= 2,
+      "multi-batch run must commit multiple transactions")
+    val lockstep =
+      Versioned.latestVersion(s, ledger) == Versioned.latestVersion(s, idx)
+    val nParts = Versioned.readAsOf(s, idx).count()
+    val cands = VersionedZone.candidatePartitions(s, idx, lo, hi)
+    require(lockstep && cands.nonEmpty && cands.size < nParts,
+      s"final pruning must be real: ${cands.size} of $nParts day partitions")
+    VersionedZone.lookupRange(s, ledger, idx, "ts", lo, hi)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("amt")).cast("double").as("total"))
+      .withColumn("pruned", lit(true))
+    }
+  }
+
   // --- e44_stream_forget: STREAMING GDPR ERASURE — forget REQUESTS
   // arrive as a stream (the real shape of right-to-be-forgotten: a
   // queue of subject ids, not a batch job), and each micro-batch
@@ -2449,5 +2540,6 @@ object Events {
     e29StreamFullOuter, e30Attribution, e31StreamStaticJoin, e32StreamSemiJoin,
     e33StreamVersionedSink, e34TableFollow, e36StreamMediaFingerprint,
     e37StreamHll, e39StreamCms, e40StreamStatsFollow, e41StreamQuantile,
-    e42StreamTxnSink, e43StreamIndexedSink, e44StreamForget)
+    e42StreamTxnSink, e43StreamIndexedSink, e44StreamForget,
+    e45StreamRangeIndex)
 }
