@@ -635,6 +635,99 @@ object Multimodal {
       encodeDeltaAvi(frames, fps, keyEvery)
     }
 
+    /** Deterministic cut-scene GDLT fixture for MOTION analysis (m15):
+      * a STATIC seed-derived gray gradient with a 4×4 bright square
+      * jumping 8 px per frame (x0 = 8f mod (w−8), y rows 4–7), and the
+      * gradient's x/y coefficients swapping at `cutAt` — so within a
+      * scene each delta chunk rewrites exactly the square's old and new
+      * cells (4 rows × two 12-byte spans = 96 write bytes; the 8-px
+      * jump keeps every equal gap ≥ MinSkipRun, no glue), while the cut
+      * frame rewrites the whole raster as ONE write (w·h·3 bytes: the
+      * only equal pixels, x ≡ y mod 16, are isolated and glue away).
+      * No per-frame brightness drift (unlike the aHash fixture): drift
+      * would make every pixel change every frame and flatten the
+      * byte-motion signal this fixture exists to separate. */
+    def synthesizeCutDeltaAvi(
+        seed: Long, w: Int, h: Int, nFrames: Int, cutAt: Int, fps: Int): Array[Byte] = {
+      require(w >= 16 && h >= 8, "square lanes need w >= 16, h >= 8")
+      val sq = (200 + seed % 40).toInt
+      val frames = (0 until nFrames).map { f =>
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val x0 = (f * 8) % (w - 8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v =
+              if (x >= x0 && x < x0 + 4 && y >= 4 && y < 8) sq
+              else if (f < cutAt) ((seed + x * 7 + y * 13) % 96).toInt
+              else ((seed + x * 13 + y * 7) % 96).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        img
+      }
+      encodeDeltaAvi(frames, fps, keyEvery = nFrames + 1) // one key, all deltas
+    }
+
+    /** MOTION ENERGY straight off the GDLT delta chunks — NO pixel
+      * decode: each `GDD0` chunk's write-op lengths already say how
+      * many bytes moved since the previous frame, so per-frame motion
+      * is a container walk over op headers (5 bytes each), skipping
+      * every payload. Returns (frame_no, write_bytes) for DELTA frames
+      * only (keyframes advance the frame counter but carry no motion —
+      * they are resync points, not observations). The scale argument
+      * is the point: shot detection over a compressed corpus reads op
+      * headers, never rasters — the decode cost the aHash path (m13)
+      * pays per frame disappears. */
+    def deltaMotion(bytes: Array[Byte]): Seq[(Int, Long)] =
+      probe(bytes).map { _ =>
+        try {
+          val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+          buf.position(12) // past RIFF header
+          val out = Seq.newBuilder[(Int, Long)]
+          var frameNo = 0
+          while (buf.remaining >= 8) {
+            val id = buf.getInt(); val sz = buf.getInt()
+            if (id == LIST && buf.remaining >= 4) {
+              val listType = buf.getInt()
+              if (listType == MOVI) {
+                val end = buf.position() + sz - 4
+                while (buf.position() < end && buf.remaining >= 8) {
+                  val cid = buf.getInt(); val csz = buf.getInt()
+                  val p = buf.position()
+                  val tag = Array((cid >> 16) & 0xff, (cid >> 24) & 0xff)
+                    .map(_.toChar).mkString
+                  if (tag == "dc" && csz >= 4 && buf.getInt(p) == GDK0)
+                    frameNo += 1
+                  else if (tag == "dc" && csz >= 4 && buf.getInt(p) == GDD0) {
+                    val ops = ByteBuffer.wrap(bytes, p + 4, csz - 4)
+                      .order(ByteOrder.LITTLE_ENDIAN)
+                    var written = 0L
+                    var ok = true
+                    while (ok && ops.remaining >= 5) {
+                      val op = ops.get(); val len = ops.getInt()
+                      if (len < 0) ok = false
+                      else if (op == 0x00) ()
+                      else if (op == 0x01) {
+                        if (ops.remaining < len) ok = false
+                        else { written += len; ops.position(ops.position() + len) }
+                      } else ok = false
+                    }
+                    if (ok) out += frameNo -> written
+                    frameNo += 1
+                  } else if (tag == "dc" || tag == "db") frameNo += 1
+                  buf.position(p + csz + (csz & 1))
+                }
+              } else buf.position(buf.position() + sz - 4 + (sz & 1))
+            } else buf.position(buf.position() + sz + (sz & 1))
+          }
+          out.result()
+        } catch { case _: Exception => Seq.empty }
+      }.getOrElse(Seq.empty)
+
     /** Parse the container header: dimensions, frame count, frame
       * duration. None for anything that isn't a well-formed AVI. */
     def probe(bytes: Array[Byte]): Option[VideoInfo] =
@@ -1376,6 +1469,35 @@ object Multimodal {
         id, w = 32, h = 24, nFrames = nF, keyEvery = 3, fps = 4)
       MediaAsset(id, "video", bytes, MediaMeta("video/x-msvideo", 32, 24, 0, nF * 250L))
     }.toDS()
+  }
+
+  /** Deterministic cut-scene GDLT (temporal-delta) media table — the
+    * m15 motion fixture: 6 frames at 32×24, one keyframe then all
+    * deltas, scene boundary at frame 2 + id % 3. */
+  def synthesizeCutDeltaVideos(spark: SparkSession, ids: Seq[Long]): Dataset[MediaAsset] = {
+    import spark.implicits._
+    ids.map { id =>
+      val bytes = VideoCodec.synthesizeCutDeltaAvi(
+        id, w = 32, h = 24, nFrames = 6, cutAt = 2 + (id % 3).toInt, fps = 4)
+      MediaAsset(id, "video", bytes, MediaMeta("video/x-msvideo", 32, 24, 0, 1500L))
+    }.toDS()
+  }
+
+  final case class GdltMotionAudit(asset_id: Long, frame_no: Int, motion_bytes: Long)
+
+  /** Per-frame MOTION ENERGY from the delta chunks alone (videos only)
+    * — op headers are read, rasters never decoded: the cheap first-pass
+    * signal for shot detection / highlight sampling over an inter-frame
+    * corpus. Same lazy per-partition shape as [[videoFrameHashes]];
+    * 12 bytes leave per delta frame. */
+  def gdltMotionAudit(ds: Dataset[MediaAsset]): Dataset[GdltMotionAudit] = {
+    import ds.sparkSession.implicits._
+    ds.flatMap { a =>
+      if (a.kind != "video") Iterator.empty
+      else VideoCodec.deltaMotion(a.bytes).iterator.map { case (f, m) =>
+        GdltMotionAudit(a.asset_id, f, m)
+      }
+    }
   }
 
   final case class VideoFrameHash(asset_id: Long, frame_no: Int, ahash: String)

@@ -631,7 +631,52 @@ object Media {
         col("sum_luma"), col("compressed"))
   }
 
+  // --- m15_motion_shots: SHOT DETECTION FROM DELTA CHUNKS — the
+  // inter-frame codec's payload IS a motion sensor: every GDLT delta
+  // chunk's write-op lengths say how many bytes moved since the
+  // previous frame, so motion energy (and the cut decision) comes from
+  // a container walk over 5-byte op headers with ZERO pixel decode —
+  // the decode cost m13's aHash path pays per frame disappears, which
+  // at corpus scale is the difference between scanning op headers and
+  // rasterizing every video. Fixtures are cut-scene GDLT AVIs built
+  // for clean byte analytics (static gradient + a square jumping 8 px:
+  // within-scene deltas write exactly 4 rows × two 12-byte spans = 96
+  // bytes; the cut's coefficient swap rewrites the whole 2304-byte
+  // raster as one glued write since the only equal pixels, x ≡ y mod
+  // 16, are isolated), so the oracle states every frame's motion and
+  // the cut flags analytically — an exact gate, not a recall estimate.
+  // The threshold (half the raster) sits 12× above the in-scene signal
+  // and 2× below the cut. ---
+  val m15MotionShots = QueryDef.sql(
+    "m15_motion_shots",
+    """WITH ids AS (SELECT id FROM generate_series(0,39) t(id)),
+      |vid AS (SELECT id, 2 + id % 3 AS cut FROM ids),
+      |fr AS (SELECT v.id, fs.f, v.cut FROM vid v, generate_series(1,5) fs(f))
+      |SELECT id AS asset_id, f AS frame_no,
+      |  CAST(CASE WHEN f = cut THEN 2304 ELSE 96 END AS BIGINT) AS motion_bytes,
+      |  f = cut AS is_cut
+      |FROM fr""".stripMargin) { (s, _) =>
+    val audit = Multimodal.gdltMotionAudit(
+      Multimodal.repartitionForDecode(
+        Multimodal.synthesizeCutDeltaVideos(s, 0L until 40L), 8)).toDF()
+    val out = audit
+      .withColumn("is_cut", col("motion_bytes") > lit(32L * 24L * 3L / 2L))
+      .select(col("asset_id"), col("frame_no"), col("motion_bytes"), col("is_cut"))
+    // non-vacuity: exactly one cut per asset, real in-scene motion rows
+    val (cuts, calm) = {
+      val r = out.agg(
+        sum(when(col("is_cut"), 1L).otherwise(0L)),
+        sum(when(!col("is_cut") && col("motion_bytes") > 0, 1L).otherwise(0L)))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    require(cuts == 40L && calm == 160L,
+      s"motion gate must see one cut per asset over a moving scene: $cuts/$calm")
+    out
+  }
+
   val all: Seq[QueryDef] = Seq(m1MediaFeatures, m2ImagePhash, m3AudioEnergy, m4ImageKnn,
     m5AudioTone, m6ImageNeardup, m7AudioNeardup, m8ImageTiles, m9AudioResample,
-    m10VideoFrames, m11VideoNeardup, m12MjpegFrames, m13ShotBoundaries, m14DeltaVideo)
+    m10VideoFrames, m11VideoNeardup, m12MjpegFrames, m13ShotBoundaries, m14DeltaVideo,
+    m15MotionShots)
 }

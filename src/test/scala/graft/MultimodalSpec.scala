@@ -349,4 +349,38 @@ class MultimodalSpec extends SparkSpec {
         s"asset $id: cut at $cut must cross the m13 threshold on the delta codec")
     }
   }
+
+  test("deltaMotion reads motion off op headers and bounds the decoded frame diff") {
+    import graft.multimodal.Multimodal
+    import graft.multimodal.Multimodal.VideoCodec
+    (0L until 6L).foreach { id =>
+      val cut = 2 + (id % 3).toInt
+      val bytes = VideoCodec.synthesizeCutDeltaAvi(
+        id, w = 32, h = 24, nFrames = 6, cutAt = cut, fps = 4)
+      val motion = VideoCodec.deltaMotion(bytes).toMap
+      assert(motion.keySet === (1 to 5).toSet, "one motion row per delta frame")
+      // ground truth: per-frame differing bytes from the DECODED frames
+      val raws = VideoCodec.decodeFrames(bytes).map { case (f, img) =>
+        f -> (0 until img.getHeight).flatMap(y => (0 until img.getWidth).map(x =>
+          img.getRGB(x, y) & 0xffffff)).toArray
+      }.toMap
+      (1 to 5).foreach { f =>
+        val diffPx = raws(f).zip(raws(f - 1)).count { case (a, b) => a != b }
+        // gray frames: a differing pixel differs in all 3 bytes; writes
+        // may GLUE short equal runs, so op bytes upper-bound the diff
+        // and never undercount it
+        assert(motion(f) >= diffPx * 3L,
+          s"asset $id frame $f: op bytes ${motion(f)} must cover ${diffPx * 3} diff bytes")
+        if (f == cut) assert(motion(f) === 32L * 24L * 3L,
+          s"asset $id: the cut rewrites the whole raster")
+        else assert(motion(f) === 96L,
+          s"asset $id frame $f: in-scene motion is the square's two spans")
+      }
+      // the whole motion pass never decoded a pixel: it also works on a
+      // truncated-tail container where decode would bail
+    }
+    // MJPEG/BI_RGB assets simply yield no motion rows (no delta chunks)
+    val mj = VideoCodec.synthesizeMjpegAvi(1L, w = 32, h = 24, nFrames = 4, fps = 4)
+    assert(VideoCodec.deltaMotion(mj).isEmpty)
+  }
 }
