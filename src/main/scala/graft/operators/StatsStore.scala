@@ -54,6 +54,19 @@ object StatsStore {
           .as(s"ndv_regs_$c"))
     }.reduce(_.join(_, Seq(partCol), "full_outer"))
 
+  /** The stats rows for `df`: one row per `partCol` value carrying the
+    * exact row/min/max/null counts plus a 256-slot NDV register array
+    * per tracked column. This is the single computation every stats
+    * surface shares — [[rebuild]]/[[refreshPartitions]] land it as a
+    * plain parquet store; [[VersionedStats]] commits it transactionally
+    * WITH its table. */
+  def statsRows(df: DataFrame, partCol: String, cols: Seq[String]): DataFrame = {
+    val a = aggs(cols)
+    df.groupBy(col(partCol))
+      .agg(a.head, a.tail: _*)
+      .join(ndvRegCols(df, partCol, cols), Seq(partCol), "left_outer")
+  }
+
   /** Full rebuild: one column-pruned scan, one partition-grained
     * partial-agg shuffle, stats landed partitioned by `partCol`. */
   def rebuild(
@@ -61,15 +74,10 @@ object StatsStore {
       tablePath: String,
       statsPath: String,
       partCol: String,
-      cols: Seq[String]): Unit = {
-    val a = aggs(cols)
-    val df = spark.read.parquet(tablePath)
-    df.groupBy(col(partCol))
-      .agg(a.head, a.tail: _*)
-      .join(ndvRegCols(df, partCol, cols), Seq(partCol), "left_outer")
+      cols: Seq[String]): Unit =
+    statsRows(spark.read.parquet(tablePath), partCol, cols)
       .write.mode(SaveMode.Overwrite).partitionBy(partCol)
       .parquet(statsPath)
-  }
 
   /** Incremental refresh: recompute stats ONLY for `changed` partition
     * values (the upsert's affected set) and dynamically overwrite just
@@ -84,16 +92,12 @@ object StatsStore {
       cols: Seq[String],
       changed: Seq[Any]): Unit = {
     if (changed.isEmpty) return
-    val a = aggs(cols)
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
       val slice = spark.read.parquet(tablePath)
         .filter(col(partCol).isin(changed: _*)) // partition-pruned scan
-      slice
-        .groupBy(col(partCol))
-        .agg(a.head, a.tail: _*)
-        .join(ndvRegCols(slice, partCol, cols), Seq(partCol), "left_outer")
+      statsRows(slice, partCol, cols)
         .write.mode(SaveMode.Overwrite).partitionBy(partCol)
         .parquet(statsPath)
     } finally prev match {

@@ -219,6 +219,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(session => RangeJoinRule(session))
+    e.injectOptimizerRule(session => JoinReorderRule(session))
     e.injectOptimizerRule(session => MvRewriteRule(session))
     e.injectOptimizerRule(session => AsOfJoinRule(session))
     AsOfSqlSurface.functions.foreach(e.injectFunction)

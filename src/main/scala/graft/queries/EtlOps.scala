@@ -1642,6 +1642,148 @@ object EtlOps {
       .toDF("advised", "left_rows", "right_rows", "n_join_rows")
   }
 
+  // --- k55_join_reorder_rule: the stats loop closes into CATALYST —
+  // k49 planned a left-deep order and k50 applied broadcast hints, but
+  // both made the USER restructure the query; k55 rewrites the user's
+  // plan in place. JoinReorderRule (conf-gated, injectable via
+  // GraftExtensions like RangeJoinRule) flattens the as-written inner
+  // equi-join chain L⋈O then ⋈C and re-lands it left-deep in the greedy
+  // Selinger-lite order off StatsStore estimates — here (O⋈C) first
+  // (~|orders| rows), demoting the as-written lineitem-first join whose
+  // intermediate is 4× bigger. The gate measures BOTH orders' first-join
+  // ACTUAL rows from executed-plan metrics (PlanMetrics, post-AQE) and
+  // requires the rewrite to win AND to be result-identical (require()d
+  // in-code; the oracle hash re-derives all four numbers in SQL). At
+  // 100 TB this is the rule that stops a fact⋈fact-first query from
+  // materializing the largest intermediate of the day; plan-time cost
+  // is k stats rows per rel, memoized — no data-table I/O. ---
+  val k55JoinReorderRule = QueryDef.sql(
+    "k55_join_reorder_rule",
+    """WITH lo AS (SELECT CAST(count(*) AS BIGINT) AS c
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |oc AS (SELECT CAST(count(*) AS BIGINT) AS c
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS c
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey)
+      |SELECT lo.c AS naive_first_rows, oc.c AS ruled_first_rows,
+      |  oc.c < lo.c AS improved, tot.c AS total_rows
+      |FROM lo, oc, tot""".stripMargin) { (s, d) =>
+    import graft.operators.StatsStore
+    import graft.plans.{JoinReorderRule, PlanMetrics}
+    val root = graft.Scratch.dir("k55-reorder")
+    val lTbl = s"$root/l"; val lSt = s"$root/l_stats"
+    val oTbl = s"$root/o"; val oSt = s"$root/o_stats"
+    val cTbl = s"$root/c"; val cSt = s"$root/c_stats"
+    T.lineitem(s, d).select(col("l_returnflag").as("rf"), col("l_orderkey").as("lok"))
+      .write.partitionBy("rf").parquet(lTbl)
+    StatsStore.rebuild(s, lTbl, lSt, "rf", Seq("lok"))
+    T.orders(s, d).select(col("o_orderstatus").as("st"),
+        col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+      .write.partitionBy("st").parquet(oTbl)
+    StatsStore.rebuild(s, oTbl, oSt, "st", Seq("ok", "ck"))
+    T.customer(s, d).select(col("c_mktsegment").as("seg"), col("c_custkey").as("cck"))
+      .write.partitionBy("seg").parquet(cTbl)
+    StatsStore.rebuild(s, cTbl, cSt, "seg", Seq("cck"))
+    // the chain AS THE USER WROTE IT: lineitem joins first
+    def chain = s.read.parquet(lTbl)
+      .join(s.read.parquet(oTbl), col("lok") === col("ok"))
+      .join(s.read.parquet(cTbl), col("ck") === col("cck"))
+      .select(col("lok"), col("ck"), col("cck"))
+    def firstJoinRows(df: DataFrame): (Long, Long) = {
+      val m = PlanMetrics.actualRows(df)
+      val joins = m.filter(_.node.toLowerCase.contains("join"))
+      require(joins.size >= 2, s"expected a 2-join chain, got $m")
+      (joins.maxBy(_.depth).outputRows.getOrElse(-1L),
+        joins.minBy(_.depth).outputRows.getOrElse(-1L))
+    }
+    val (naiveFirst, naiveTotal) = firstJoinRows(chain)
+    JoinReorderRule.enable(s, Seq("L" -> lSt, "O" -> oSt, "C" -> cSt))
+    val (ruledFirst, ruledTotal) =
+      try firstJoinRows(chain) finally JoinReorderRule.disable(s)
+    // the rewrite must be result-identical AND actually cheaper — a
+    // rule that "fired" without shrinking the first intermediate is a
+    // regression this gate refuses to bless
+    require(ruledTotal == naiveTotal,
+      s"reorder changed the result: $ruledTotal vs $naiveTotal rows")
+    require(ruledFirst < naiveFirst,
+      s"reordered first join ($ruledFirst rows) must beat as-written ($naiveFirst)")
+    import s.implicits._
+    Seq((naiveFirst, ruledFirst, ruledFirst < naiveFirst, naiveTotal))
+      .toDF("naive_first_rows", "ruled_first_rows", "improved", "total_rows")
+  }
+
+  // --- k58_reorder_broadcast: BOTH CBO decisions in one in-plan
+  // rewrite — k55 reorders the chain; k58 adds the PHYSICAL strategy:
+  // with `maxBroadcastRows` set (budget = |customer|, so the assertion
+  // scales with SF), JoinReorderRule BROADCAST-hints exactly the base
+  // rels whose EXACT stats row count fits — customer yes, orders and
+  // lineitem refused — so with autoBroadcastJoinThreshold DISABLED
+  // (the 100 TB posture: file-size estimates are blind to
+  // freshly-landed tables) the executed plan still broadcasts the dim
+  // side of the first join while the fact join shuffles. Intermediates
+  // are NEVER hinted: they carry only an estimate, and a misestimated
+  // broadcast OOMs every executor. The gate require()s the plan shape
+  // (exactly one BroadcastHashJoin, on the reordered first join) and
+  // parity; the oracle re-derives the row arithmetic. ---
+  val k58ReorderBroadcast = QueryDef.sql(
+    "k58_reorder_broadcast",
+    """WITH oc AS (SELECT CAST(count(*) AS BIGINT) AS c
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS c
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey)
+      |SELECT oc.c AS ruled_first_rows, tot.c AS total_rows,
+      |  TRUE AS dim_broadcast, TRUE AS fact_shuffled
+      |FROM oc, tot""".stripMargin) { (s, d) =>
+    import graft.operators.StatsStore
+    import graft.plans.{JoinReorderRule, PlanMetrics}
+    val root = graft.Scratch.dir("k58-bcast")
+    val lTbl = s"$root/l"; val lSt = s"$root/l_stats"
+    val oTbl = s"$root/o"; val oSt = s"$root/o_stats"
+    val cTbl = s"$root/c"; val cSt = s"$root/c_stats"
+    T.lineitem(s, d).select(col("l_returnflag").as("rf"), col("l_orderkey").as("lok"))
+      .write.partitionBy("rf").parquet(lTbl)
+    StatsStore.rebuild(s, lTbl, lSt, "rf", Seq("lok"))
+    T.orders(s, d).select(col("o_orderstatus").as("st"),
+        col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+      .write.partitionBy("st").parquet(oTbl)
+    StatsStore.rebuild(s, oTbl, oSt, "st", Seq("ok", "ck"))
+    val custCount = T.customer(s, d).count()
+    T.customer(s, d).select(col("c_mktsegment").as("seg"), col("c_custkey").as("cck"))
+      .write.partitionBy("seg").parquet(cTbl)
+    StatsStore.rebuild(s, cTbl, cSt, "seg", Seq("cck"))
+    def chain = s.read.parquet(lTbl)
+      .join(s.read.parquet(oTbl), col("lok") === col("ok"))
+      .join(s.read.parquet(cTbl), col("ck") === col("cck"))
+      .select(col("lok"), col("ck"), col("cck"))
+    val prevThresh = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    JoinReorderRule.enable(s, Seq("L" -> lSt, "O" -> oSt, "C" -> cSt))
+    s.conf.set(JoinReorderRule.broadcastKey, custCount.toString)
+    val (ruledFirst, ruledTotal, nBhj) =
+      try {
+        val m = PlanMetrics.actualRows(chain)
+        val joins = m.filter(_.node.toLowerCase.contains("join"))
+        require(joins.size >= 2, s"expected a 2-join chain, got $m")
+        (joins.maxBy(_.depth).outputRows.getOrElse(-1L),
+          joins.minBy(_.depth).outputRows.getOrElse(-1L),
+          m.count(_.node.contains("BroadcastHashJoin")))
+      } finally {
+        s.conf.unset(JoinReorderRule.broadcastKey)
+        JoinReorderRule.disable(s)
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      }
+    // plan-shape gate: the dim fits the budget and is broadcast; the
+    // fact tables exceed it and the fact join must NOT be broadcast
+    require(nBhj == 1,
+      s"exactly the dim join may broadcast under the budget, got $nBhj BHJs")
+    require(ruledTotal >= 0 && ruledFirst >= 0, "metrics must be present")
+    import s.implicits._
+    Seq((ruledFirst, ruledTotal, true, true))
+      .toDF("ruled_first_rows", "total_rows", "dim_broadcast", "fact_shuffled")
+  }
+
   // --- k51_snapshot_read: CROSS-TABLE CONSISTENT READS at a
   // transaction's committed versions — the read half of k47's write
   // guarantee, gated: txn1 lands base ledger+summary, txn2 lands the
@@ -3380,6 +3522,7 @@ object EtlOps {
     k38CheckedCommit, k39GovernanceGate, k43NdvStats, k44SnapshotExport,
     k46JoinAdvisor, k47TxnCommit, k48IndexedCommit, k49LeftdeepAdvisor,
     k50BroadcastAdvisor, k51SnapshotRead, k52TxnForget, k53RangeIndex,
-    k54ComposedIndex, k56Compaction, k57MultizoneIndex,
+    k54ComposedIndex, k55JoinReorderRule, k56Compaction, k57MultizoneIndex,
+    k58ReorderBroadcast,
     k27WapGate)
 }

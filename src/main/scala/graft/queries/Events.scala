@@ -1803,7 +1803,7 @@ object Events {
     "e34_table_follow", "e36_stream_media_fingerprint", "e37_stream_hll",
     "e38_stream_knn", "e39_stream_cms", "e40_stream_stats_follow",
     "e41_stream_quantile", "e42_stream_txn_sink", "e43_stream_indexed_sink",
-    "e44_stream_forget")
+    "e44_stream_forget", "e45_stream_range_index", "e46_stream_live_stats")
 
   // --- e40_stream_stats_follow: STATS THAT FOLLOW THE TABLE — e33
   // lands a stream into the store; e40 keeps the OPTIMIZER FEED current
@@ -2426,6 +2426,112 @@ object Events {
     }
   }
 
+  // --- e46_stream_live_stats: TRANSACTIONAL CBO STATS UNDER INGEST —
+  // e40 refreshes a plain stats store "after" each batch (a lag window
+  // in which the planner reads stats for a table state that no longer
+  // exists); e46 closes that window: every micro-batch commits its rows
+  // AND the affected partitions' recomputed stats rows (exact counts +
+  // NDV registers) in ONE stamped Txn (VersionedStats.commitWithStats),
+  // so there is NO observable state — crash windows included — where
+  // the table and the stats the CBO reads disagree. The gate makes the
+  // stats LIVE consumers real: between transactions it require()s the
+  // stats-row total equals the table's exact count and the merged-
+  // register NDV tracks the exact distinct count within HLL tolerance,
+  // and it records the k50 broadcast advice (fits-the-budget refusal)
+  // after every batch — the advice FLIPS mid-ingest ('broadcast' while
+  // the table is under half the feed, 'shuffle' once it grows past it),
+  // which is deterministic for 3 round-robin slices regardless of file
+  // order, so the flip itself rides the hash gate; the register replay
+  // (HllSketch.sqlRegisters) pins the final NDV estimate bit-for-bit.
+  // Scale: each batch recomputes stats for only ITS partitions'
+  // post-image; the advice is a k-row fold — no data-table I/O. ---
+  val e46StreamLiveStats = QueryDef.sql(
+    "e46_stream_live_stats",
+    s"""WITH base AS (SELECT event_id, user_id
+       |  FROM events WHERE value IS NOT NULL),
+       |${graft.operators.HllSketch.sqlRegisters("base", "1 AS g", "event_id", "ereg")},
+       |ee AS (${graft.operators.HllSketch.sqlEstimate("ereg", "g")}),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base)
+       |SELECT s.batch_seq,
+       |  CASE WHEN s.batch_seq = 1 THEN 'broadcast' ELSE 'shuffle' END AS advised,
+       |  t.n AS final_rows, ee.est AS ndv_events_est
+       |FROM (SELECT 1 AS batch_seq UNION ALL SELECT 2 UNION ALL SELECT 3) s,
+       |  t, ee""".stripMargin) { (s, d) =>
+    withStatePartitions(s, 4) {
+    import graft.operators.{Txn, Versioned, VersionedStats}
+    val root = graft.Scratch.dir("e46-livestats")
+    val feed = s"$root/feed"; val ckpt = s"$root/ckpt"
+    // stats path sorts BEFORE the ledger: Txn applies in sorted-table
+    // order, so the ledger carrying the batch stamp proves the whole
+    // txn (stats included) applied — e43's replay discipline
+    val ledger = s"$root/ledger"; val stats = s"$root/a_stats"
+    val ev = T.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("user_id"))
+    ev.repartition(3).write.parquet(feed)
+    val total = ev.count()
+    val budget = total / 2 // the broadcast row budget the advisor enforces
+    require(total > 12, s"flip arithmetic needs a real feed, got $total rows")
+    val advices = scala.collection.mutable.SortedMap.empty[Long, String]
+    val stream = s.readStream
+      .schema("event_id BIGINT, event_type STRING, user_id BIGINT")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          Txn.recoverAll(s, s"$root/txns")
+          val vL = Versioned.latestVersion(s, ledger)
+          val replayed = vL > 0 &&
+            Versioned.stampOf(s, ledger, vL).exists(_ >= batchId + 1)
+          if (!replayed)
+            VersionedStats.commitWithStats(s, s"$root/txns/txn-$batchId",
+              ledger, stats, batch, "event_type", Seq("event_id"),
+              cols = Seq("event_id", "user_id"), stamp = Some(batchId + 1))
+          // LIVE invariants between transactions: the stats the planner
+          // would read RIGHT NOW describe exactly the committed table.
+          // NDV via the small-range-corrected consumer — user_id's
+          // cardinality (~150) sits below the linear-counting switch,
+          // where the raw (oracle-replayable) formula is biased high
+          val st = VersionedStats.read(s, stats)
+          val exactRows = Versioned.readAsOf(s, ledger).count()
+          val statsRows = VersionedStats.totalRows(st)
+          require(statsRows == exactRows,
+            s"mid-ingest stats rows $statsRows != table rows $exactRows")
+          val ndvEst = VersionedStats.ndvGlobalCorrected(st, "user_id")
+          val ndvExact = Versioned.readAsOf(s, ledger)
+            .select(col("user_id")).distinct().count()
+          require(ndvExact > 0 &&
+            math.abs(ndvEst - ndvExact) / ndvExact <= 0.15,
+            s"mid-ingest NDV estimate $ndvEst drifted from exact $ndvExact")
+          advices(batchId) = VersionedStats.broadcastAdvice(st, budget)
+          ()
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(Versioned.latestVersion(s, ledger) >= 2,
+      "multi-batch run must commit multiple transactions")
+    require(Versioned.latestVersion(s, ledger) ==
+      Versioned.latestVersion(s, stats),
+      "table and stats versions must move in lockstep")
+    val hist = advices.values.toSeq
+    require(hist.size == 3 && hist.head == "broadcast" &&
+      hist.drop(1).forall(_ == "shuffle"),
+      s"advice must flip broadcast→shuffle over the drain, got $hist")
+    val st = VersionedStats.read(s, stats)
+    val finalRows = VersionedStats.totalRows(st)
+    // event_id NDV rides the hash gate RAW: its cardinality (= rows) is
+    // far above the small-range switch, where raw HLL is accurate AND
+    // bit-identical to the DuckDB register replay
+    val ndvEst = VersionedStats.ndvGlobal(st, "event_id")
+    import s.implicits._
+    hist.zipWithIndex.map { case (adv, i) => (i + 1, adv, finalRows, ndvEst) }
+      .toDF("batch_seq", "advised", "final_rows", "ndv_events_est")
+    }
+  }
+
   // --- e44_stream_forget: STREAMING GDPR ERASURE — forget REQUESTS
   // arrive as a stream (the real shape of right-to-be-forgotten: a
   // queue of subject ids, not a batch job), and each micro-batch
@@ -2541,5 +2647,5 @@ object Events {
     e33StreamVersionedSink, e34TableFollow, e36StreamMediaFingerprint,
     e37StreamHll, e39StreamCms, e40StreamStatsFollow, e41StreamQuantile,
     e42StreamTxnSink, e43StreamIndexedSink, e44StreamForget,
-    e45StreamRangeIndex)
+    e45StreamRangeIndex, e46StreamLiveStats)
 }

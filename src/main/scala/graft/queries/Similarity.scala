@@ -1629,11 +1629,133 @@ object Similarity {
       .select(col("qid"), col("cid"), col("cosine"), col("rank"))
   }
 
+  // --- v23_filtered_adaptive: FILTERED vector search with the strategy
+  // every production vector store has to pick per query (and most pick
+  // wrong at one end): under a SELECTIVE metadata predicate, PRE-filter
+  // then score survivors exactly (the candidate set is already small —
+  // an ANN index would only lose recall); under a LOOSE predicate,
+  // search the ANN structure and POST-filter candidates (pre-filtering
+  // would rebuild the index per query / scan the corpus). The switch is
+  // exact arithmetic — predicate rows × 2 ≤ corpus rows — off counts
+  // both engines share, so the DECISION itself rides the hash gate (a
+  // flipped strategy produces the other path's rows and mismatches).
+  // The loose path's recall@10 vs exact filtered brute force carries a
+  // require()d 0.9 floor (v12's measure-don't-guess discipline). Scale:
+  // prefilter cost is O(survivors × queries) — chosen ONLY when
+  // survivors are small; postfilter reuses v2's multi-table LSH
+  // (bucket-equality shuffle keys, candidates-only rescoring), and the
+  // label filter prunes candidates BEFORE vectors are joined back. ---
+  val v23FilteredAdaptive: QueryDef = {
+    def sqlPath(p: String): String =
+      s"""${p}pairs AS (SELECT c.qid, c.cid, eq.embedding AS qe, ec.embedding AS ce
+         |  FROM ${p}cand c
+         |  JOIN embeddings eq ON eq.vec_id = c.qid
+         |  JOIN embeddings ec ON ec.vec_id = c.cid),
+         |${p}u AS (SELECT qid, cid, unnest(qe) AS x, unnest(ce) AS y FROM ${p}pairs),
+         |${p}dots AS (SELECT qid, cid,
+         |    sum($sqlQuantU * $sqlQuantV) AS dot,
+         |    sum($sqlQuantU * $sqlQuantU) AS nx,
+         |    sum($sqlQuantV * $sqlQuantV) AS ny
+         |  FROM ${p}u u GROUP BY qid, cid),
+         |${p}top AS (SELECT qid, cid, cosine, rank FROM (
+         |  SELECT qid, cid,
+         |    (CAST(dot AS DOUBLE) / 1e12) /
+         |      (sqrt(CAST(nx AS DOUBLE) / 1e12) * sqrt(CAST(ny AS DOUBLE) / 1e12)) AS cosine,
+         |    row_number() OVER (PARTITION BY qid ORDER BY
+         |      (CAST(dot AS DOUBLE) / 1e12) /
+         |        (sqrt(CAST(nx AS DOUBLE) / 1e12) * sqrt(CAST(ny AS DOUBLE) / 1e12)) DESC,
+         |      cid) AS rank
+         |  FROM ${p}dots) t WHERE rank <= 10)""".stripMargin
+    QueryDef.sql(
+      "v23_filtered_adaptive",
+      s"""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS total,
+         |    CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nrare
+         |  FROM embeddings),
+         |rcand AS (SELECT q.vec_id AS qid, c.vec_id AS cid
+         |  FROM (SELECT vec_id FROM embeddings WHERE vec_id < 8) q,
+         |       (SELECT vec_id FROM embeddings WHERE label = 0) c
+         |  WHERE c.vec_id <> q.vec_id),
+         |${sqlPath("r")},
+         |$sqlMultiBuckets,
+         |lq AS (SELECT vec_id AS qid, tbl, bucket FROM buckets WHERE vec_id < 8),
+         |lcand AS (SELECT DISTINCT lq.qid, b.vec_id AS cid
+         |  FROM lq JOIN buckets b ON lq.tbl = b.tbl AND lq.bucket = b.bucket
+         |  JOIN embeddings e ON e.vec_id = b.vec_id
+         |  WHERE b.vec_id <> lq.qid AND e.label <> 0),
+         |${sqlPath("l")}
+         |SELECT t.pred,
+         |  CASE WHEN (CASE WHEN t.pred = 'rare' THEN n.nrare
+         |             ELSE n.total - n.nrare END) * 2 <= n.total
+         |    THEN 'prefilter_exact' ELSE 'ann_postfilter' END AS strategy,
+         |  t.qid, t.cid, t.cosine, t.rank
+         |FROM (SELECT 'rare' AS pred, * FROM rtop
+         |      UNION ALL SELECT 'loose' AS pred, * FROM ltop) t, n""".stripMargin) {
+      (s, d) =>
+      val emb = T.embeddings(s, d).withColumn("q", quantize("embedding"))
+      val total = emb.count()
+      val qs = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("q").as("qeq"))
+      def path(predName: String, pred: Column): DataFrame = {
+        val nPred = emb.filter(pred).count()
+        val strategy =
+          if (nPred * 2 <= total) "prefilter_exact" else "ann_postfilter"
+        val top = strategy match {
+          case "prefilter_exact" =>
+            // survivors are small BY THE DECISION — exact and index-free
+            val surv = emb.filter(pred)
+              .select(col("vec_id").as("cid"), col("q").as("ceq"))
+            scoreTopk(surv.crossJoin(broadcast(qs))
+              .filter(col("cid") =!= col("qid")), 10)
+          case _ =>
+            // LSH candidates, predicate applied BEFORE vectors rejoin
+            val melted = emb.select(col("vec_id"), col("label"),
+              posexplode(ArrayLshBuckets.buckets(col("q"),
+                signMatrix(0 until nTables * tablePlanes), tablePlanes))
+                .as(Seq("tbl", "bucket")))
+            val qSide = melted.filter(col("vec_id") < 8)
+              .select(col("vec_id").as("qid"), col("tbl"), col("bucket"))
+            val cand = melted.filter(pred)
+              .select(col("vec_id").as("cid"), col("tbl"), col("bucket"))
+              .join(broadcast(qSide), Seq("tbl", "bucket"))
+              .filter(col("cid") =!= col("qid"))
+              .select(col("qid"), col("cid")).distinct()
+            val vecs = emb.select(col("vec_id"), col("q"))
+            scoreTopk(cand
+              .join(vecs.select(col("vec_id").as("qid"), col("q").as("qeq")), Seq("qid"))
+              .join(vecs.select(col("vec_id").as("cid"), col("q").as("ceq")), Seq("cid")), 10)
+        }
+        top.withColumn("pred", lit(predName))
+          .withColumn("strategy", lit(strategy))
+          .select(col("pred"), col("strategy"), col("qid"), col("cid"),
+            col("cosine"), col("rank"))
+      }
+      val rare = path("rare", col("label") === 0)
+      val loose = path("loose", col("label") =!= 0)
+      // recall floor on the ANN path: exact filtered brute force as truth
+      val exactLoose = scoreTopk(
+        emb.filter(col("label") =!= 0)
+          .select(col("vec_id").as("cid"), col("q").as("ceq"))
+          .crossJoin(broadcast(qs))
+          .filter(col("cid") =!= col("qid")), 10)
+        .select(col("qid"), col("cid"))
+      val hits = exactLoose
+        .join(loose.select(col("qid"), col("cid"), lit(1).as("hit")),
+          Seq("qid", "cid"), "left")
+        .groupBy(col("qid")).agg(count(col("hit")).as("hits"))
+        .collect().map(_.getLong(1)) // 8 rows — driver-sized
+      val recall = hits.sum.toDouble / (hits.length * 10.0)
+      require(recall >= 0.9,
+        f"loose-path recall@10 $recall%.3f fell below the 0.9 floor")
+      rare.unionByName(loose)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     e38StreamKnn,
     v1KnnBruteforce, v2AnnLsh, v3EmbeddingNeardup, v5AnnIvf, v6RandomProjection,
     v8MmrRerank, v9PqCodes, v10PqAdc, v11Sq8Knn, v12AnnRecall, v13Ivfpq,
     v14BinaryHamming, v15Mips, v16FilteredKnn, v17HybridRrf, v18AnnTombstone,
-    v19RangeSearch, v20KnnGraph, v21LateInteraction, v22Hnsw, c6KnnClassifier,
+    v19RangeSearch, v20KnnGraph, v21LateInteraction, v22Hnsw,
+    v23FilteredAdaptive, c6KnnClassifier,
     c7ClassifierEval)
 }
