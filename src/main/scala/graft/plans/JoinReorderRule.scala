@@ -72,31 +72,45 @@ case class JoinReorderRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** Stats per configured rel, memoized per conf string (k-row driver
-    * folds, but the optimizer calls apply() once per fixpoint pass).
-    * The loads themselves compile queries — the ThreadLocal re-entrancy
-    * latch keeps this rule out of its own stats plans. */
-  private def loadStats(conf: String): Seq[RelStats] =
-    statsCache.synchronized {
-      statsCache.getOrElseUpdate(conf, {
-        loading.set(true)
-        try parseRels(conf).map { case (name, path) =>
-          val st = StatsStore.read(spark, path)
-          val rowsRow = st.agg(org.apache.spark.sql.functions.sum(
-            org.apache.spark.sql.functions.col("rows"))).collect()(0)
-          require(!rowsRow.isNullAt(0) && rowsRow.getLong(0) > 0,
-            s"stats store at $path (rel '$name') is empty — rebuild it " +
-              "(StatsStore.rebuild) before enabling join reorder")
-          val tracked = st.schema.fieldNames.collect {
-            case f if f.startsWith("ndv_regs_") => f.stripPrefix("ndv_regs_")
-          }.toSeq
-          val ndv = tracked.map { c =>
-            c -> StatsStore.ndvGlobal(st, c).collect()(0).getDouble(1)
-          }.toMap
-          RelStats(name, rowsRow.getLong(0).toDouble, ndv)
-        } finally loading.set(false)
-      })
-    }
+  /** Stats per configured rel, memoized per (conf, per-path VERSION)
+    * key (k-row driver folds, but the optimizer calls apply() once per
+    * fixpoint pass). A path may be a plain [[StatsStore]] parquet dir
+    * OR a [[graft.operators.VersionedStats]] table — the versioned form
+    * is what makes the rule's stats LIVE: a transactional stats commit
+    * bumps the table version, which changes the memo key, so the very
+    * next query plans against the new cardinalities with no re-enable
+    * (the k59 gate's flip). The loads themselves compile queries — the
+    * ThreadLocal re-entrancy latch keeps this rule out of its own
+    * stats plans. */
+  private def loadStats(conf: String): Seq[RelStats] = {
+    loading.set(true)
+    try {
+      val rels = parseRels(conf)
+      val versions = rels.map { case (_, p) =>
+        graft.operators.Versioned.latestVersion(spark, p) }
+      val key = conf + "|" + versions.mkString(",")
+      statsCache.synchronized {
+        statsCache.getOrElseUpdate(key,
+          rels.zip(versions).map { case ((name, path), v) =>
+            val st =
+              if (v > 0) graft.operators.Versioned.readAsOf(spark, path)
+              else StatsStore.read(spark, path)
+            val rowsRow = st.agg(org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.col("rows"))).collect()(0)
+            require(!rowsRow.isNullAt(0) && rowsRow.getLong(0) > 0,
+              s"stats store at $path (rel '$name') is empty — rebuild it " +
+                "(StatsStore.rebuild) before enabling join reorder")
+            val tracked = st.schema.fieldNames.collect {
+              case f if f.startsWith("ndv_regs_") => f.stripPrefix("ndv_regs_")
+            }.toSeq
+            val ndv = tracked.map { c =>
+              c -> StatsStore.ndvGlobal(st, c).collect()(0).getDouble(1)
+            }.toMap
+            RelStats(name, rowsRow.getLong(0).toDouble, ndv)
+          })
+      }
+    } finally loading.set(false)
+  }
 
   /** Flatten an inner hint-free join chain, looking through the
     * attribute-only Projects column pruning inserts between joins.

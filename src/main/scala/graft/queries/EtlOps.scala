@@ -1784,6 +1784,100 @@ object EtlOps {
       .toDF("ruled_first_rows", "total_rows", "dim_broadcast", "fact_shuffled")
   }
 
+  // --- k59_live_reorder_flip: the WHOLE CBO loop closed — k55 rewrites
+  // plans from stats, e46 commits stats transactionally WITH the data;
+  // k59 proves the composition: JoinReorderRule reads VERSIONED stats
+  // (memo keyed by table version), so a VersionedStats.commitWithStats
+  // that skews a relation FLIPS the very next query's join order with
+  // NO re-enable, no cache poke, no ANALYZE. Phase pre: B is 50 keys —
+  // the rule demotes the as-written F⋈A and joins F⋈B first. Phase
+  // post: one transactional commit lands a 2·|orders| B delta (heavily
+  // duplicated keys — the shape whose join CAN explode) plus its stats
+  // rows; the next plan puts F⋈A first, which here equals the
+  // as-written order (the rule correctly stands down). The delta's keys
+  // are shifted OUT of F's domain, so the estimate moves (that is what
+  // the planner must act on — a join that COULD explode) while the
+  // actual flow stays small: the gate's counts prove each phase's
+  // first join identity under the hash. Scale: the flip costs one
+  // version listing + a k-row stats fold at plan time. ---
+  val k59LiveReorderFlip = QueryDef.sql(
+    "k59_live_reorder_flip",
+    """WITH f AS (SELECT o_orderkey % 2000 AS k1, o_orderkey % 1000 AS k2
+      |  FROM orders),
+      |a AS (SELECT DISTINCT o_orderkey % 2000 AS ak1 FROM orders),
+      |bpre AS (SELECT DISTINCT k2 AS bk2 FROM f ORDER BY 1 LIMIT 50),
+      |fb AS (SELECT CAST(count(*) AS BIGINT) AS c
+      |  FROM f JOIN bpre ON f.k2 = bpre.bk2),
+      |fa AS (SELECT CAST(count(*) AS BIGINT) AS c
+      |  FROM f JOIN a ON f.k1 = a.ak1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS c
+      |  FROM f JOIN a ON f.k1 = a.ak1 JOIN bpre b ON f.k2 = b.bk2)
+      |SELECT 'pre' AS phase, 'F_B' AS first_join, fb.c AS first_rows,
+      |  tot.c AS total_rows FROM fb, tot
+      |UNION ALL
+      |SELECT 'post', 'F_A', fa.c, tot.c FROM fa, tot""".stripMargin) { (s, d) =>
+    import graft.operators.VersionedStats
+    import graft.plans.{JoinReorderRule, PlanMetrics}
+    val root = graft.Scratch.dir("k59-flip")
+    val fT = s"$root/f"; val aT = s"$root/a"; val bT = s"$root/b"
+    val fS = s"$root/f_st"; val aS = s"$root/a_st"; val bS = s"$root/b_st"
+    val f = T.orders(s, d).select(
+      (col("o_orderkey") % 2000).as("k1"), (col("o_orderkey") % 1000).as("k2"),
+      col("o_orderkey").as("fid"), (col("o_orderkey") % 4).cast("string").as("p"))
+    VersionedStats.commitWithStats(s, s"$root/t1", fT, fS, f,
+      "p", Seq("fid"), Seq("k1", "k2"))
+    val a = f.select(col("k1").as("ak1")).distinct()
+      .withColumn("p", (col("ak1") % 4).cast("string"))
+    VersionedStats.commitWithStats(s, s"$root/t2", aT, aS, a,
+      "p", Seq("ak1"), Seq("ak1"))
+    val bPre = f.select(col("k2").as("bk2")).distinct()
+      .orderBy(col("bk2")).limit(50)
+      .select(col("bk2"), col("bk2").as("bid"),
+        (col("bk2") % 4).cast("string").as("p"))
+    VersionedStats.commitWithStats(s, s"$root/t3", bT, bS, bPre,
+      "p", Seq("bid"), Seq("bk2"))
+    def chain = graft.operators.Versioned.readAsOf(s, fT)
+      .join(graft.operators.Versioned.readAsOf(s, aT), col("k1") === col("ak1"))
+      .join(graft.operators.Versioned.readAsOf(s, bT), col("k2") === col("bk2"))
+      .select(col("fid"), col("ak1"), col("bk2"))
+    def firstAndTotal(): (Long, Long) = {
+      val m = PlanMetrics.actualRows(chain)
+      val joins = m.filter(_.node.toLowerCase.contains("join"))
+      require(joins.size >= 2, s"expected a 2-join chain, got $m")
+      (joins.maxBy(_.depth).outputRows.getOrElse(-1L),
+        joins.minBy(_.depth).outputRows.getOrElse(-1L))
+    }
+    JoinReorderRule.enable(s, Seq("F" -> fS, "A" -> aS, "B" -> bS))
+    val ((preFirst, preTot), (postFirst, postTot)) =
+      try {
+        val pre = firstAndTotal()
+        // ONE transactional commit: B grows by 2·|orders| rows of
+        // heavily-duplicated keys OUTSIDE F's domain — stats move, the
+        // actual match set does not
+        val delta = T.orders(s, d).select(col("o_orderkey"))
+          .withColumn("c", explode(array(lit(0L), lit(1L))))
+          .select((lit(10000) + col("o_orderkey") % 500).as("bk2"),
+            (lit(1000000L) + col("o_orderkey") * 2 + col("c")).as("bid"))
+          .withColumn("p", (col("bk2") % 4).cast("string"))
+        VersionedStats.commitWithStats(s, s"$root/t4", bT, bS, delta,
+          "p", Seq("bid"), Seq("bk2"))
+        (pre, firstAndTotal())
+      } finally JoinReorderRule.disable(s)
+    // the phase identities, proved by count: pre must have joined F⋈B
+    // first (the 50-key probe), post must have stood down to F⋈A first
+    val fbCnt = f.join(bPre.select(col("bk2")), col("k2") === col("bk2")).count()
+    val faCnt = f.join(a.select(col("ak1")), col("k1") === col("ak1")).count()
+    require(preFirst == fbCnt,
+      s"pre-phase first join must be F⋈B ($fbCnt rows), got $preFirst")
+    require(postFirst == faCnt,
+      s"post-phase first join must be F⋈A ($faCnt rows), got $postFirst")
+    require(preTot == postTot,
+      s"delta keys are out-of-domain: totals must agree, $preTot vs $postTot")
+    import s.implicits._
+    Seq(("pre", "F_B", preFirst, preTot), ("post", "F_A", postFirst, postTot))
+      .toDF("phase", "first_join", "first_rows", "total_rows")
+  }
+
   // --- k51_snapshot_read: CROSS-TABLE CONSISTENT READS at a
   // transaction's committed versions — the read half of k47's write
   // guarantee, gated: txn1 lands base ledger+summary, txn2 lands the
@@ -3523,6 +3617,6 @@ object EtlOps {
     k46JoinAdvisor, k47TxnCommit, k48IndexedCommit, k49LeftdeepAdvisor,
     k50BroadcastAdvisor, k51SnapshotRead, k52TxnForget, k53RangeIndex,
     k54ComposedIndex, k55JoinReorderRule, k56Compaction, k57MultizoneIndex,
-    k58ReorderBroadcast,
+    k58ReorderBroadcast, k59LiveReorderFlip,
     k27WapGate)
 }

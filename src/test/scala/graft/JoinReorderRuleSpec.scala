@@ -167,6 +167,50 @@ class JoinReorderRuleSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("5-relation star: greedy order holds at depth, all conjuncts kept") {
+    val r = root()
+    // F joins 4 dims; selectivities (match fraction of F) are engineered
+    // distinct: B 5%, C 25%, D 100%, A 100% with the largest domain.
+    val f = (0 until 20000).map(i => ((i % 2000).toLong, (i % 1000).toLong,
+      (i % 400).toLong, (i % 10).toLong, (i % 4).toString))
+      .toDF("k1", "k2", "k3", "k4", "p")
+    def land(df: org.apache.spark.sql.DataFrame, name: String, cols: Seq[String]) = {
+      df.write.partitionBy("p").parquet(s"$r/$name")
+      StatsStore.rebuild(spark, s"$r/$name", s"$r/${name}_stats", "p", cols)
+      s"$r/${name}_stats"
+    }
+    val fSt = land(f, "f", Seq("k1", "k2", "k3", "k4"))
+    val aSt = land((0 until 2000).map(i => (i.toLong, (i % 4).toString))
+      .toDF("ak1", "p"), "a", Seq("ak1"))
+    val bSt = land((1 to 50).map(i => (i.toLong, (i % 4).toString))
+      .toDF("bk2", "p"), "b", Seq("bk2"))
+    val cSt = land((0 until 100).map(i => (i.toLong, (i % 4).toString))
+      .toDF("ck3", "p"), "c", Seq("ck3"))
+    val dSt = land((0 until 10).map(i => (i.toLong, (i % 4).toString))
+      .toDF("dk4", "p"), "d", Seq("dk4"))
+    def chain = spark.read.parquet(s"$r/f")
+      .join(spark.read.parquet(s"$r/a"), col("k1") === col("ak1"))
+      .join(spark.read.parquet(s"$r/b"), col("k2") === col("bk2"))
+      .join(spark.read.parquet(s"$r/c"), col("k3") === col("ck3"))
+      .join(spark.read.parquet(s"$r/d"), col("k4") === col("dk4"))
+      .select(col("k1"), col("k2"), col("k3"), col("k4"))
+    val expected = chain.count()
+    withRule(Seq("F" -> fSt, "A" -> aSt, "B" -> bSt, "C" -> cSt, "D" -> dSt)) {
+      val m = PlanMetrics.actualRows(chain)
+      val joins = m.filter(_.node.toLowerCase.contains("join"))
+        .sortBy(-_.depth).flatMap(_.outputRows)
+      assert(joins.size === 4, s"4-join chain expected, got ${m.map(_.node)}")
+      // the selective B edge (5% of F) must run first: 1000 rows, then
+      // every later intermediate stays at most that size — the whole
+      // point of the greedy order at depth (the as-written order would
+      // carry 20000 rows through three joins)
+      assert(joins.head === 1000L, s"B-first expected, got $joins")
+      assert(joins.forall(_ <= 1000L),
+        s"intermediates must never re-explode, got $joins")
+      assert(chain.count() === expected, "reorder is result-identical")
+    }
+  }
+
   test("GraftExtensions registration injects the rule end-to-end") {
     import org.apache.spark.sql.SparkSession
     val (r, rels) = fixture()
