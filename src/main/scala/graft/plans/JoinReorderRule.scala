@@ -90,6 +90,11 @@ case class JoinReorderRule(spark: SparkSession) extends Rule[LogicalPlan] {
         graft.operators.Versioned.latestVersion(spark, p) }
       val key = conf + "|" + versions.mkString(",")
       statsCache.synchronized {
+        // a long-lived session committing versioned stats mints a new
+        // key per commit — bound the memo (driver heap) instead of
+        // growing with txn history; a clear only costs k-row refolds
+        if (statsCache.size > 64 && !statsCache.contains(key))
+          statsCache.clear()
         statsCache.getOrElseUpdate(key,
           rels.zip(versions).map { case ((name, path), v) =>
             val st =
