@@ -144,17 +144,27 @@ class QuantileSketchSpec extends SparkSpec {
     val df = data(30000).withColumn("idl", col("k").cast("long"))
     val c1 = df.filter(col("idl") % 2 === 0).drop("idl")
     val c2 = df.filter(col("idl") % 2 === 1).drop("idl")
+    // each cohort is drained by a query that STARTS AFTER the cohort's
+    // multi-file write completes (checkpoint continuity across the
+    // restart keeps the seen-file state): a continuously-polling query
+    // can list a multi-file append MID-WRITE and split the cohort into
+    // partial batches under load — a real-world ingest race, but this
+    // test pins exact 2-cohort batch structure, so the write must be
+    // quiescent when the source lists
+    def drain(): Unit = {
+      val stream = spark.readStream
+        .schema("g STRING, k STRING, v DOUBLE")
+        .option("maxFilesPerTrigger", 8) // > files per append: whole cohort per batch
+        .parquet(feed)
+      val q = QuantileSketch.streamingQuantileFold(
+        stream, summPath, Seq("g"), col("v"), col("k"), B, K, ckpt)
+      q.processAllAvailable()
+      q.stop()
+    }
     c1.repartitionByRange(3, col("v")).write.parquet(feed)
-    val stream = spark.readStream
-      .schema("g STRING, k STRING, v DOUBLE")
-      .option("maxFilesPerTrigger", 8) // > files per append: whole cohort per batch
-      .parquet(feed)
-    val q = QuantileSketch.streamingQuantileFold(
-      stream, summPath, Seq("g"), col("v"), col("k"), B, K, ckpt)
-    q.processAllAvailable()
+    drain()
     c2.repartitionByRange(4, col("v")).write.mode("append").parquet(feed)
-    q.processAllAvailable()
-    q.stop()
+    drain()
     val landed = graft.operators.ReplayGuard.strip(spark.read.parquet(summPath))
       .select(col("g"), col("v"), col("wt"))
       .collect().map(_.toString).sorted.toSeq
