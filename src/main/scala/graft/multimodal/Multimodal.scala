@@ -459,6 +459,13 @@ object Multimodal {
     // aHash, shot detection) is bit-identical to the BI_RGB encoding
     // of the same frames — MultimodalSpec pins it. ----
     private val GDK0 = fourcc("GDK0"); private val GDD0 = fourcc("GDD0")
+    // GDM0 = MOTION-COMPENSATED delta (m16): int32 magic + int32 dx +
+    // int32 dy, then GDD0-style ops applied against the PREDICTED frame
+    // prev translated by (dx, dy) — the panning-scene case where a
+    // plain byte diff rewrites the whole raster but a global motion
+    // vector plus a seam residual is a few hundred bytes. Original
+    // format, same predecessor-chain decode contract as GDD0.
+    private val GDM0 = fourcc("GDM0")
     private val MinSkipRun = 8 // a skip op costs 5 bytes; shorter equal
                                // runs are cheaper glued into the write
 
@@ -541,11 +548,75 @@ object Multimodal {
       if (pos == out.length) Some(out) else None
     }
 
+    /** The motion-predicted raster: prev translated by (dx, dy) —
+      * predicted(x, y) = prev(x − dx, y − dy) where in bounds, 0 (black)
+      * at the uncovered seam. Shared by the GDM0 encoder and decoder:
+      * they can never disagree on the prediction. */
+    private def mcPredict(
+        prev: Array[Byte], w: Int, h: Int, dx: Int, dy: Int): Array[Byte] = {
+      val out = new Array[Byte](prev.length)
+      var y = 0
+      while (y < h) {
+        val sy = y - dy
+        if (sy >= 0 && sy < h) {
+          // the in-bounds x span [x0, x1) maps to one contiguous copy
+          val x0 = math.max(0, dx); val x1 = math.min(w, w + dx)
+          if (x1 > x0)
+            System.arraycopy(prev, (sy * w + (x0 - dx)) * 3,
+              out, (y * w + x0) * 3, (x1 - x0) * 3)
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Deterministic global-translation search: argmax over a small
+      * window of the SAMPLED pixel agreement between cur and
+      * prev-translated-by-(dx, dy); first strict improvement in (dy,
+      * dx) scan order wins, so the result is reproducible. Sampling
+      * every 3rd pixel per axis keeps the 105-candidate search ~12× the
+      * cost of one full-frame diff. */
+    private def mcSearch(
+        prev: Array[Byte], cur: Array[Byte], w: Int, h: Int): (Int, Int) = {
+      var best = (0, 0); var bestScore = -1L
+      var dy = -3
+      while (dy <= 3) {
+        var dx = -7
+        while (dx <= 7) {
+          var score = 0L
+          var y = 0
+          while (y < h) {
+            val sy = y - dy
+            if (sy >= 0 && sy < h) {
+              var x = math.max(0, dx)
+              val xEnd = math.min(w, w + dx)
+              while (x < xEnd) {
+                val pi = (sy * w + (x - dx)) * 3; val ci = (y * w + x) * 3
+                if (prev(pi) == cur(ci) && prev(pi + 1) == cur(ci + 1)
+                    && prev(pi + 2) == cur(ci + 2)) score += 1
+                x += 3
+              }
+            }
+            y += 3
+          }
+          if (score > bestScore) { bestScore = score; best = (dx, dy) }
+          dx += 1
+        }
+        dy += 1
+      }
+      best
+    }
+
     /** Encode frames as a GDLT temporal-delta AVI: a raw keyframe every
       * `keyEvery` frames (decoder resync / seek points, like any GOP),
-      * RLE byte-diff deltas between. All frames share dimensions. */
+      * RLE byte-diff deltas between. All frames share dimensions. With
+      * `motion = true` each delta frame additionally runs the global
+      * translation search and emits a GDM0 motion-compensated chunk
+      * (vector + seam residual) whenever that beats the plain diff —
+      * static scenes fall back to GDD0 byte-for-byte. */
     def encodeDeltaAvi(
-        frames: Seq[BufferedImage], fps: Int, keyEvery: Int = 8): Array[Byte] = {
+        frames: Seq[BufferedImage], fps: Int, keyEvery: Int = 8,
+        motion: Boolean = false): Array[Byte] = {
       require(frames.nonEmpty && fps > 0 && keyEvery > 0,
         "need at least one frame, fps > 0, keyEvery > 0")
       val (w, h) = (frames.head.getWidth, frames.head.getHeight)
@@ -558,8 +629,25 @@ object Multimodal {
           b.putInt(GDK0).put(raw); b.array()
         } else {
           val ops = deltaOps(raws(f - 1), raw)
-          val b = ByteBuffer.allocate(4 + ops.length).order(ByteOrder.LITTLE_ENDIAN)
-          b.putInt(GDD0).put(ops); b.array()
+          val mc: Option[(Int, Int, Array[Byte])] =
+            if (!motion) None
+            else {
+              val (dx, dy) = mcSearch(raws(f - 1), raw, w, h)
+              if (dx == 0 && dy == 0) None
+              else Some((dx, dy,
+                deltaOps(mcPredict(raws(f - 1), w, h, dx, dy), raw)))
+            }
+          mc match {
+            // the vector costs 8 bytes — it must pay for itself
+            case Some((dx, dy, mops)) if mops.length + 8 < ops.length =>
+              val b = ByteBuffer.allocate(12 + mops.length)
+                .order(ByteOrder.LITTLE_ENDIAN)
+              b.putInt(GDM0).putInt(dx).putInt(dy).put(mops); b.array()
+            case _ =>
+              val b = ByteBuffer.allocate(4 + ops.length)
+                .order(ByteOrder.LITTLE_ENDIAN)
+              b.putInt(GDD0).put(ops); b.array()
+          }
         }
       }
       val n = frames.size
@@ -672,6 +760,39 @@ object Multimodal {
       encodeDeltaAvi(frames, fps, keyEvery = nFrames + 1) // one key, all deltas
     }
 
+    /** Deterministic PANNING fixture for MOTION COMPENSATION (m16): a
+      * seed-derived gray gradient that translates 5 px left per frame
+      * with wraparound — v(x, y, f) = (seed + ((x + 5f) mod w)·7 +
+      * y·13) mod 96. A plain byte diff rewrites essentially the whole
+      * raster every frame (the gradient has no 5-px period), while the
+      * (dx = −5, dy = 0) motion vector predicts everything except the
+      * 5-column wrap seam — the content class inter-frame codecs grow
+      * motion search FOR. Gray (R=G=B) keeps per-pixel luma analytic
+      * for the m16 oracle; the x-shift permutes columns, so each
+      * frame's luma SUM is replayable per frame from the formula.
+      * `motion = false` encodes the same frames as plain GDLT — the
+      * A/B that proves the vector, not the container, earns the
+      * compression. */
+    def synthesizePanAvi(
+        seed: Long, w: Int, h: Int, nFrames: Int, keyEvery: Int, fps: Int,
+        motion: Boolean): Array[Byte] = {
+      val frames = (0 until nFrames).map { f =>
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = ((seed + ((x + 5 * f) % w) * 7 + y * 13) % 96).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        img
+      }
+      encodeDeltaAvi(frames, fps, keyEvery, motion)
+    }
+
     /** MOTION ENERGY straight off the GDLT delta chunks — NO pixel
       * decode: each `GDD0` chunk's write-op lengths already say how
       * many bytes moved since the previous frame, so per-frame motion
@@ -702,8 +823,14 @@ object Multimodal {
                     .map(_.toChar).mkString
                   if (tag == "dc" && csz >= 4 && buf.getInt(p) == GDK0)
                     frameNo += 1
-                  else if (tag == "dc" && csz >= 4 && buf.getInt(p) == GDD0) {
-                    val ops = ByteBuffer.wrap(bytes, p + 4, csz - 4)
+                  else if (tag == "dc" && csz >= 4 &&
+                      (buf.getInt(p) == GDD0 ||
+                        (buf.getInt(p) == GDM0 && csz >= 12))) {
+                    // GDM0 residual ops sit after the 8-byte vector —
+                    // motion energy reads the RESIDUAL (what the vector
+                    // could not explain), still zero pixel decode
+                    val skip = if (buf.getInt(p) == GDD0) 4 else 12
+                    val ops = ByteBuffer.wrap(bytes, p + skip, csz - skip)
                       .order(ByteOrder.LITTLE_ENDIAN)
                     var written = 0L
                     var ok = true
@@ -791,7 +918,8 @@ object Multimodal {
                     dibFrame(buf, p, csz, info.w, info.h)
                       .foreach(img => { out += frameNo -> img; frameNo += 1 })
                   } else if (tag == "dc" && csz >= 4 &&
-                      (buf.getInt(p) == GDK0 || buf.getInt(p) == GDD0)) {
+                      (buf.getInt(p) == GDK0 || buf.getInt(p) == GDD0
+                        || buf.getInt(p) == GDM0)) {
                     val rawLen = info.w * info.h * 3
                     val raw: Option[Array[Byte]] =
                       if (buf.getInt(p) == GDK0) {
@@ -799,6 +927,20 @@ object Multimodal {
                         else {
                           val a = new Array[Byte](rawLen)
                           buf.position(p + 4); buf.get(a); Some(a)
+                        }
+                      } else if (buf.getInt(p) == GDM0) {
+                        // motion-compensated: rebuild the shared
+                        // prediction, then apply the residual ops to it
+                        if (prevRaw == null || csz < 12) None
+                        else {
+                          val dx = buf.getInt(p + 4); val dy = buf.getInt(p + 8)
+                          if (math.abs(dx) >= info.w || math.abs(dy) >= info.h) None
+                          else {
+                            val ops = ByteBuffer.wrap(bytes, p + 12, csz - 12)
+                              .order(ByteOrder.LITTLE_ENDIAN)
+                            applyDeltaOps(
+                              mcPredict(prevRaw, info.w, info.h, dx, dy), ops)
+                          }
                         }
                       } else if (prevRaw != null) {
                         val ops = ByteBuffer.wrap(bytes, p + 4, csz - 4)
@@ -1480,6 +1622,20 @@ object Multimodal {
       val bytes = VideoCodec.synthesizeCutDeltaAvi(
         id, w = 32, h = 24, nFrames = 6, cutAt = 2 + (id % 3).toInt, fps = 4)
       MediaAsset(id, "video", bytes, MediaMeta("video/x-msvideo", 32, 24, 0, 1500L))
+    }.toDS()
+  }
+
+  /** Deterministic PANNING media table — the m16 motion-compensation
+    * fixture: 5–7 frames of the wrap-panning gradient at 32×24,
+    * keyframe every 3 frames (decode crosses a mid-stream resync with
+    * GDM0 chunks on both sides), encoded WITH motion search. */
+  def synthesizeMcVideos(spark: SparkSession, ids: Seq[Long]): Dataset[MediaAsset] = {
+    import spark.implicits._
+    ids.map { id =>
+      val nF = 5 + (id % 3).toInt
+      val bytes = VideoCodec.synthesizePanAvi(
+        id, w = 32, h = 24, nFrames = nF, keyEvery = 3, fps = 4, motion = true)
+      MediaAsset(id, "video", bytes, MediaMeta("video/x-msvideo", 32, 24, 0, nF * 250L))
     }.toDS()
   }
 

@@ -163,7 +163,7 @@ object Versioned {
     * their owning gen-root so partition-directory inference (which needs
     * one `basePath` per read) survives the clone's split ownership; the
     * groups union back losslessly (identical schemas). */
-  private[operators] def readRefs(
+  private[graft] def readRefs(
       spark: SparkSession, path: String, refs: Seq[(String, Long)]): DataFrame = {
     val byRoot: Map[String, Seq[String]] = refs
       .map { case (p, g) =>

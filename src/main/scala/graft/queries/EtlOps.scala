@@ -3598,6 +3598,70 @@ object EtlOps {
         col("o_orderstatus"), col("o_totalprice").cast("double").as("price"))
   }
 
+  // --- k61_txn_mv: TRANSACTIONALLY-MAINTAINED MATERIALIZED VIEW — the
+  // index family's "can never go stale" discipline applied to an
+  // AGGREGATE: a (status → count, sum) view over quarter-partitioned
+  // orders, maintained RETRACTION-style (new MV row = old + partial(new
+  // images) − partial(replaced old images)) in the SAME Txn as every
+  // base commit, stale-base refused via expectedVersion (retracting
+  // against a moved snapshot double-counts — the MV analogue of the
+  // bloom false negative). k22 proves query REWRITE onto a view; k17/
+  // e18 prove IVM as dataflow; k61 closes the remaining gap — the view
+  // as a TABLE with transactional freshness, readable at k rows with
+  // zero base I/O. The gate commits the full ledger, then a churn delta
+  // (%13 orders reprice +100, a pure UPDATE — the case where naive
+  // add-only IVM double-counts and retraction is forced), require()s
+  // the executed read plan scanned exactly |groups| rows, and emits the
+  // view; the oracle recomputes count/sum/avg from post-state
+  // arithmetic — a double-count, a missed retraction, or a stale row
+  // all hash-mismatch. Scale: maintenance reads the delta and its
+  // replaced keys' old images (a key-pruned probe that composes with
+  // the k48 bloom), never the base table; the read is k rows. ---
+  val k61TxnMv = QueryDef.sql(
+    "k61_txn_mv",
+    """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS g,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS v FROM orders),
+      |post AS (SELECT k, g,
+      |    CASE WHEN k % 13 = 0 THEN CAST(v + 100 AS DECIMAL(12,2))
+      |      ELSE v END AS v FROM base)
+      |SELECT g AS status, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE) AS total,
+      |  CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE) / count(*) AS avg_price,
+      |  TRUE AS from_view
+      |FROM post GROUP BY g""".stripMargin) { (s, d) =>
+    import graft.operators.{Versioned, VersionedMv}
+    val root = graft.Scratch.dir("k61-txnmv")
+    val tbl = s"$root/orders"; val mv = s"$root/mv"
+    val base = T.orders(s, d).select(col("o_orderkey").as("k"),
+      expr("concat(year(CAST(o_orderdate AS DATE)), '-Q', " +
+        "quarter(CAST(o_orderdate AS DATE)))").as("qtr"),
+      col("o_orderstatus").as("g"),
+      col("o_totalprice").cast("decimal(12,2)").as("v"))
+    VersionedMv.commitWithMv(s, s"$root/txn1", tbl, mv, base,
+      "qtr", Seq("k"), Seq("g"), "v")
+    // churn: a pure UPDATE (same keys, same groups, new values) — the
+    // shape where add-only IVM double-counts and retraction is forced
+    val delta = base.filter(col("k") % 13 === 0)
+      .withColumn("v", (col("v") + lit(100)).cast("decimal(12,2)"))
+    VersionedMv.commitWithMv(s, s"$root/txn2", tbl, mv, delta,
+      "qtr", Seq("k"), Seq("g"), "v")
+    require(Versioned.latestVersion(s, tbl) == 2L
+        && Versioned.latestVersion(s, mv) == 2L,
+      "base and view versions must move in lockstep")
+    val view = VersionedMv.read(s, mv, Seq("g"))
+    // the read IS k rows: executed-plan evidence, not a promise
+    val nGroups = view.count()
+    val scanRows = graft.plans.PlanMetrics.actualRows(view)
+      .filter(_.node.toLowerCase.contains("scan parquet"))
+      .flatMap(_.outputRows).sum
+    require(scanRows == nGroups && nGroups > 0,
+      s"view read must scan exactly the $nGroups group rows, got $scanRows")
+    view.select(col("g").as("status"), col("n"),
+      col("s").cast("double").as("total"),
+      (col("s").cast("double") / col("n")).as("avg_price"),
+      lit(true).as("from_view"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     k45KeyHistory,
     k40BranchMerge, k41DropPartitions, k42DeleteKeys, j12TimeWeightedAvg, j13InterpJoin, j14Resample, er6PprlClk,
@@ -3617,6 +3681,7 @@ object EtlOps {
     k46JoinAdvisor, k47TxnCommit, k48IndexedCommit, k49LeftdeepAdvisor,
     k50BroadcastAdvisor, k51SnapshotRead, k52TxnForget, k53RangeIndex,
     k54ComposedIndex, k55JoinReorderRule, k56Compaction, k57MultizoneIndex,
-    k58ReorderBroadcast, k59LiveReorderFlip,
+    k58ReorderBroadcast, k59LiveReorderFlip, k61TxnMv,
     k27WapGate)
+
 }

@@ -1803,7 +1803,8 @@ object Events {
     "e34_table_follow", "e36_stream_media_fingerprint", "e37_stream_hll",
     "e38_stream_knn", "e39_stream_cms", "e40_stream_stats_follow",
     "e41_stream_quantile", "e42_stream_txn_sink", "e43_stream_indexed_sink",
-    "e44_stream_forget", "e45_stream_range_index", "e46_stream_live_stats")
+    "e44_stream_forget", "e45_stream_range_index", "e46_stream_live_stats",
+    "e47_stream_compact")
 
   // --- e40_stream_stats_follow: STATS THAT FOLLOW THE TABLE — e33
   // lands a stream into the store; e40 keeps the OPTIMIZER FEED current
@@ -2426,6 +2427,124 @@ object Events {
     }
   }
 
+  // --- e47_stream_compact: COMPACTION UNDER LIVE INGEST — the
+  // maintenance/streaming composition a long-running pipeline actually
+  // hits: every micro-batch rewrites its day partitions (merge lands
+  // one file per shuffle task, so hot partitions fragment within
+  // hours), and the fix — k56's transactional compaction — must run
+  // WITHOUT stopping the stream or breaking a reader that pinned a
+  // version. Mid-stream (after batch 2's commit) the gate pins the
+  // pre-compaction snapshot (count + xxhash64 bit_xor fingerprint),
+  // require()s real fragmentation (files > partitions), compacts with
+  // the zone index co-maintained in the same Txn, then require()s:
+  // file count drops to one per partition, the PINNED SNAPSHOT still
+  // reads bit-identically (time travel across a replace — the live
+  // reader's isolation), every index tv equals its manifest
+  // generation, and the NEXT batch commits on the compacted table with
+  // versions still in lockstep. After the drain the 3-day window
+  // answers through zone pruning; the oracle recomputes it from the
+  // raw events — a compaction that dropped/duplicated a row, or a
+  // post-compaction batch that merged wrong, hash-mismatches. Scale:
+  // compaction reads only fragmented partitions and never blocks the
+  // writer beyond the optimistic expectedVersion window; the reader
+  // needs no coordination at all (old generations serve pinned reads
+  // until expire). ---
+  val e47StreamCompact = QueryDef.sql(
+    "e47_stream_compact",
+    """WITH base AS (SELECT event_id, CAST(ts AS DATE) AS d, ts,
+      |    CAST(value AS DECIMAL(10,2)) AS amt
+      |  FROM events WHERE value IS NOT NULL),
+      |r AS (SELECT * FROM base
+      |  WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      |    AND ts <= TIMESTAMP '2024-01-12 23:59:59.999999')
+      |SELECT strftime(d, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(amt) AS DOUBLE) AS total, TRUE AS compacted
+      |FROM r GROUP BY day""".stripMargin) { (s, d) =>
+    withStatePartitions(s, 4) {
+    import graft.operators.{Txn, Versioned, VersionedZone}
+    val root = graft.Scratch.dir("e47-streamcompact")
+    val feed = s"$root/feed"; val ckpt = s"$root/ckpt"
+    val ledger = s"$root/ledger"; val idx = s"$root/idx"
+    val ev = T.events(s, d).filter(col("value").isNotNull)
+      .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("ts"), col("value").cast("decimal(10,2)").as("amt"))
+    // round-robin slices: every batch touches every day, so day
+    // partitions fragment batch over batch — the compaction fixture
+    ev.repartition(3).write.parquet(feed)
+    def fingerprintAt(v: Long): (Long, Long) = {
+      val df = Versioned.readAsOf(s, ledger, v)
+      (df.count(),
+        df.select(xxhash64(col("event_id"), col("day"), col("ts"),
+          col("amt")).as("h")).agg(expr("bit_xor(h)")).collect()(0).getLong(0))
+    }
+    val stream = s.readStream
+      .schema("event_id BIGINT, day STRING, ts TIMESTAMP, amt DECIMAL(10,2)")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          Txn.recoverAll(s, s"$root/txns")
+          // replay check scans ALL versions' stamps: a compaction
+          // version carries none, so "latest stamp" would lie here
+          val vL = Versioned.latestVersion(s, ledger)
+          val replayed = (1L to vL).exists(v =>
+            Versioned.stampOf(s, ledger, v).exists(_ >= batchId + 1))
+          if (!replayed)
+            VersionedZone.commitIndexed(s, s"$root/txns/txn-$batchId", ledger,
+              idx, batch, "day", Seq("event_id"), "ts",
+              stamp = Some(batchId + 1))
+          if (batchId == 1L) {
+            // MID-STREAM maintenance: compact under a pinned reader
+            val vPin = Versioned.latestVersion(s, ledger)
+            val pinned = fingerprintAt(vPin)
+            val (nParts, filesBefore) = Versioned.dataFileCount(s, ledger)
+            require(filesBefore > nParts,
+              s"ingest must fragment before compaction: $filesBefore files" +
+                s" / $nParts partitions")
+            val vmap = Versioned.compactPartitions(s, s"$root/txns/txn-compact",
+              ledger, "day", minFiles = 2, indexPaths = Seq(idx))
+            require(vmap.nonEmpty, "compaction must find fragmented partitions")
+            val (nParts2, filesAfter) = Versioned.dataFileCount(s, ledger)
+            require(nParts2 == nParts && filesAfter == nParts,
+              s"compaction must land one file per partition: " +
+                s"$filesBefore -> $filesAfter / $nParts")
+            // the live reader's isolation: the pinned version still
+            // reads bit-identically THROUGH the replace
+            require(fingerprintAt(vPin) == pinned,
+              "pinned snapshot must survive compaction bit-for-bit")
+            // co-maintenance: no index row may lag its partition
+            val gens = Versioned
+              .manifestRefs(s, ledger, Versioned.latestVersion(s, ledger)).toMap
+            val tv = Versioned.readAsOf(s, idx).select(col("pval"), col("tv"))
+              .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+            require(gens.forall { case (p, g) => tv.get(p).contains(g) },
+              "index tv must track every partition generation post-compaction")
+          }
+          ()
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // 3 batches + 1 compaction, table and index in lockstep throughout
+    val vL = Versioned.latestVersion(s, ledger)
+    require(vL == 4L && Versioned.latestVersion(s, idx) == 4L,
+      s"expected 3 batch commits + 1 compaction in lockstep, got $vL")
+    val lo = expr("TIMESTAMP'2024-01-10 00:00:00'")
+    val hi = expr("TIMESTAMP'2024-01-12 23:59:59.999999'")
+    val nParts = Versioned.readAsOf(s, idx).count()
+    val cands = VersionedZone.candidatePartitions(s, idx, lo, hi)
+    require(cands.nonEmpty && cands.size < nParts,
+      s"zone pruning must survive streaming compaction: ${cands.size} of $nParts")
+    VersionedZone.lookupRange(s, ledger, idx, "ts", lo, hi)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("amt")).cast("double").as("total"))
+      .withColumn("compacted", lit(true))
+    }
+  }
+
   // --- e46_stream_live_stats: TRANSACTIONAL CBO STATS UNDER INGEST —
   // e40 refreshes a plain stats store "after" each batch (a lag window
   // in which the planner reads stats for a table state that no longer
@@ -2647,5 +2766,5 @@ object Events {
     e33StreamVersionedSink, e34TableFollow, e36StreamMediaFingerprint,
     e37StreamHll, e39StreamCms, e40StreamStatsFollow, e41StreamQuantile,
     e42StreamTxnSink, e43StreamIndexedSink, e44StreamForget,
-    e45StreamRangeIndex, e46StreamLiveStats)
+    e45StreamRangeIndex, e46StreamLiveStats, e47StreamCompact)
 }

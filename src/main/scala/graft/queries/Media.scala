@@ -675,8 +675,57 @@ object Media {
     out
   }
 
+  // --- m16_mc_video: MOTION-COMPENSATED inter-frame decode — GDLT
+  // grows the capability that separates real video codecs from plain
+  // frame differencing: a GDM0 chunk carries a GLOBAL MOTION VECTOR
+  // (found by deterministic translation search at encode) and only the
+  // RESIDUAL the vector cannot explain, applied against the
+  // motion-predicted previous frame (encoder and decoder share the
+  // predictor, so they can never disagree). Fixtures are wrap-panning
+  // gradients — the content class motion search exists for: a plain
+  // byte diff rewrites the whole raster every frame (no 5-px period in
+  // the gradient), the (−5, 0) vector predicts everything except the
+  // 5-column wrap seam. keyEvery=3 puts a resync inside every asset
+  // with GDM0 chunks on both sides. GDM0 is lossless like GDD0, so
+  // per-frame luma sums replay pixel-exact from the synthesis formula
+  // under the hash; the in-gate A/B re-encodes the SAME frames with
+  // motion search off and require()s the MC payload under ⅔ of the
+  // plain-delta payload on EVERY asset — the vector, not the
+  // container, earns the compression. Scale shape unchanged: lazy 1→N
+  // per-partition decode, the search is encode-side only. ---
+  val m16McVideo = QueryDef.sql(
+    "m16_mc_video",
+    """WITH ids AS (SELECT id FROM generate_series(0,39) t(id)),
+      |vid AS (SELECT id, 5 + (id % 3) AS nf FROM ids),
+      |px AS (SELECT v.id, fs.f,
+      |    (v.id + ((gx.x + 5*fs.f) % 32)*7 + gy.y*13) % 96 AS l
+      |  FROM vid v, generate_series(0,6) fs(f),
+      |       generate_series(0,31) gx(x), generate_series(0,23) gy(y)
+      |  WHERE fs.f < v.nf)
+      |SELECT id AS asset_id, f AS frame_no, 32 AS w, 24 AS h,
+      |  CAST(sum(l) AS BIGINT) AS sum_luma, TRUE AS mc_compressed
+      |FROM px GROUP BY id, f""".stripMargin) { (s, _) =>
+    import graft.multimodal.Multimodal.VideoCodec
+    val assets = Multimodal.synthesizeMcVideos(s, 0L until 40L)
+    val audit = Multimodal.mjpegFrameAudit(
+      Multimodal.repartitionForDecode(assets, 8)).toDF()
+    // A/B compression evidence: the SAME frames, motion search off —
+    // driver-sized (40 tiny fixtures), deterministic both sides
+    (0L until 40L).foreach { id =>
+      val nF = 5 + (id % 3).toInt
+      val mcLen = VideoCodec.synthesizePanAvi(
+        id, 32, 24, nF, keyEvery = 3, fps = 4, motion = true).length
+      val plainLen = VideoCodec.synthesizePanAvi(
+        id, 32, 24, nF, keyEvery = 3, fps = 4, motion = false).length
+      require(mcLen * 3 < plainLen * 2,
+        s"asset $id: motion vectors must earn their bytes: $mcLen vs $plainLen")
+    }
+    audit.select(col("asset_id"), col("frame_no"), col("w"), col("h"),
+      col("sum_luma"), lit(true).as("mc_compressed"))
+  }
+
   val all: Seq[QueryDef] = Seq(m1MediaFeatures, m2ImagePhash, m3AudioEnergy, m4ImageKnn,
     m5AudioTone, m6ImageNeardup, m7AudioNeardup, m8ImageTiles, m9AudioResample,
     m10VideoFrames, m11VideoNeardup, m12MjpegFrames, m13ShotBoundaries, m14DeltaVideo,
-    m15MotionShots)
+    m15MotionShots, m16McVideo)
 }

@@ -1750,8 +1750,116 @@ object Similarity {
     }
   }
 
+  // --- v24_txn_vector_forget: TRANSACTIONAL VECTOR STORE WITH ATOMIC
+  // ERASURE — the GDPR path for embeddings, composed from pieces the
+  // engine already trusts: the IVF cell assignment IS the Versioned
+  // table's partition layout (a probe's members are a partition-pruned
+  // read, never a corpus scan), a vec_id bloom index is maintained in
+  // the SAME Txn as every commit (k48's discipline), and a forget
+  // request erases the vectors from the store AND the index in ONE
+  // transaction (VersionedBloom.deleteIndexed) — no observable state,
+  // crash windows included, where a forgotten subject's vector is
+  // still retrievable or still probed. The gate proves the lifecycle:
+  // subject 7 is retrievable through the index pre-delete (require: 1
+  // row), gone post-delete (require: 0 rows, versions in lockstep),
+  // and the post-delete ANN query — answered through cell-partition
+  // pruning (require: opened cells < table partitions once the store
+  // has >4 cells) — ranks top-10 neighbors that the oracle recomputes
+  // over the surviving corpus: a ghost vector left in any cell
+  // partition, or a dropped survivor, hash-mismatches. Centroids are
+  // the deterministic %97 sample, and forget ids avoid the centroid
+  // lattice (a centroid-contributing vector's erasure additionally
+  // requires a quantizer rebuild — out of scope here, documented).
+  // Scale: the delete rewrites only the forgotten vectors' cells; the
+  // query opens nprobe cells of the 100 TB store. ---
+  val v24TxnVectorForget = QueryDef.sql(
+    "v24_txn_vector_forget",
+    s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS ce
+       |  FROM embeddings WHERE vec_id % 97 = 0),
+       |apairs AS (SELECT e.vec_id AS qid, c.cent_id AS cid,
+       |    e.embedding AS qe, c.ce FROM embeddings e, cents c),
+       |au AS (SELECT qid, cid, unnest(qe) AS x, unnest(ce) AS y FROM apairs),
+       |adots AS (SELECT qid, cid,
+       |    sum($sqlQuantU * $sqlQuantV) AS dot,
+       |    sum($sqlQuantU * $sqlQuantU) AS nx,
+       |    sum($sqlQuantV * $sqlQuantV) AS ny
+       |  FROM au u GROUP BY qid, cid),
+       |aranked AS (SELECT qid, cid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY
+       |      (CAST(dot AS DOUBLE) / 1e12) /
+       |        (sqrt(CAST(nx AS DOUBLE) / 1e12) * sqrt(CAST(ny AS DOUBLE) / 1e12)) DESC,
+       |      cid) AS rank
+       |  FROM adots),
+       |cells AS (SELECT qid AS vec_id, cid AS cell FROM aranked WHERE rank = 1),
+       |forgotten AS (SELECT vec_id FROM embeddings
+       |  WHERE vec_id % 101 = 7 AND vec_id % 97 <> 0),
+       |survivors AS (SELECT * FROM cells
+       |  WHERE vec_id NOT IN (SELECT vec_id FROM forgotten)),
+       |probes AS (SELECT qid, cid AS cell FROM aranked
+       |  WHERE qid IN (1, 2) AND rank <= 2),
+       |cand AS (SELECT DISTINCT p.qid, cl.vec_id AS cid
+       |         FROM probes p JOIN survivors cl ON p.cell = cl.cell
+       |         WHERE cl.vec_id <> p.qid),
+       |pairs AS (SELECT c.qid, c.cid, eq.embedding AS qe, ec.embedding AS ce
+       |          FROM cand c
+       |          JOIN embeddings eq ON eq.vec_id = c.qid
+       |          JOIN embeddings ec ON ec.vec_id = c.cid),
+       |u AS (SELECT qid, cid, unnest(qe) AS x, unnest(ce) AS y FROM pairs),
+       |$sqlDots
+       |$sqlTopk""".stripMargin) { (s, d) =>
+    import graft.operators.{Versioned, VersionedBloom}
+    val root = graft.Scratch.dir("v24-vforget")
+    val tbl = s"$root/vecs"; val idx = s"$root/bloom"
+    val emb = T.embeddings(s, d).withColumn("q", quantize("embedding"))
+    val cents = emb.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("cid"), col("q").as("ceq"))
+    val assigned = rankAgainstCentroids(
+        emb.select(col("vec_id").as("qid"), col("q").as("qeq")), cents)
+      .filter(col("rank") === 1)
+      .select(col("qid").as("vec_id"),
+        col("cid").cast("string").as("cell"), col("qeq").as("q"))
+    VersionedBloom.commitIndexed(s, s"$root/txn1", tbl, idx, assigned,
+      "cell", Seq("vec_id"), "vec_id")
+    // pre-delete: subject 7's vector is retrievable through the index
+    require(VersionedBloom.lookup(s, tbl, idx, "vec_id", Seq(7L)).count() == 1L,
+      "subject 7 must be retrievable before the forget")
+    val forget = emb
+      .filter(col("vec_id") % 101 === 7 && col("vec_id") % 97 =!= 0)
+      .select(col("vec_id"))
+    VersionedBloom.deleteIndexed(s, s"$root/txn2", tbl, idx, forget,
+      Seq("vec_id"), "vec_id")
+    // post-delete: the same probe finds nothing, and the store and its
+    // index moved in lockstep (one transaction, two tables)
+    require(VersionedBloom.lookup(s, tbl, idx, "vec_id", Seq(7L)).count() == 0L,
+      "forgotten subject must not be retrievable")
+    require(Versioned.latestVersion(s, tbl) == 2L
+        && Versioned.latestVersion(s, idx) == 2L,
+      "store and index versions must move in lockstep")
+    // ANN query THROUGH the cell-partitioned store: resolve nprobe=2
+    // nearest cells per query, open only those partitions
+    val probes = rankAgainstCentroids(
+        emb.filter(col("vec_id").isin(1L, 2L))
+          .select(col("vec_id").as("qid"), col("q").as("qeq")), cents)
+      .filter(col("rank") <= 2)
+      .select(col("qid"), col("qeq"), col("cid").cast("string").as("cell"))
+    val probeCells: Set[String] = probes.select(col("cell")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val refs = Versioned.manifestRefs(s, tbl, Versioned.latestVersion(s, tbl))
+    val cand = refs.filter { case (p, _) => probeCells(p) }
+    require(cand.nonEmpty, "probe cells must exist in the store")
+    if (refs.size > 4)
+      require(cand.size < refs.size,
+        s"cell pruning must be real: ${cand.size} of ${refs.size} cells opened")
+    val members = Versioned.readRefs(s, tbl, cand).drop("__p")
+    scoreTopk(members
+      .select(col("cell"), col("vec_id").as("cid"), col("q").as("ceq"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .dropDuplicates("qid", "cid"), 10)
+  }
+
   val all: Seq[QueryDef] = Seq(
-    e38StreamKnn,
+    e38StreamKnn, v24TxnVectorForget,
     v1KnnBruteforce, v2AnnLsh, v3EmbeddingNeardup, v5AnnIvf, v6RandomProjection,
     v8MmrRerank, v9PqCodes, v10PqAdc, v11Sq8Knn, v12AnnRecall, v13Ivfpq,
     v14BinaryHamming, v15Mips, v16FilteredKnn, v17HybridRrf, v18AnnTombstone,

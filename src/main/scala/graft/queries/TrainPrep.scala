@@ -1927,8 +1927,110 @@ object TrainPrep {
       .agg(count(lit(1)).as("n_matches"), min(col("p")).cast("long").as("first_pos"))
   }
 
+  // --- k60_text_index: TRANSACTIONAL TOKEN-BLOOM TEXT INDEX — the
+  // third member of the secondary-index family (k48 bloom = WHO/point,
+  // k53 zone = WHEN/range; k60 = WHAT/tokens): one bloom filter over
+  // each partition's DISTINCT token vocabulary, maintained in the SAME
+  // Txn as every document commit (VersionedText.commitIndexed,
+  // stale-base refused via expectedVersion), so term search can never
+  // read an index that lags the corpus. This is the data-skipping shape
+  // for text at 100 TB: a full inverted index is corpus-sized and costs
+  // a corpus-sized shuffle per refresh; the token bloom is ONE row per
+  // partition (the driver folds k rows before any data file opens) and
+  // a conjunctive term query opens only partitions whose bloom holds
+  // EVERY term. The gate hash-partitions documents into 24 buckets,
+  // commits them indexed, then a SECOND transactional commit appends a
+  // doc-unique marker token (zq<doc_id>x) to every %17 doc — DF=1
+  // probes whose true partition set is a singleton, so pruning is
+  // measurable, and whose tokens exist ONLY in commit 2, so a stale
+  // index (bloom missing the marker) is caught by the no-tv-fallback
+  // candidate require, not silently widened around. Probes: three
+  // single-marker lookups (each must return exactly its doc through the
+  // pruned path), one marker∧first-word conjunction (same doc), and one
+  // marker∧marker disjoint conjunction that must POSITIVELY report
+  // zero. The oracle recomputes every probe by direct post-state token
+  // scan (list_has_all), so index-based retrieval ≡ full scan rides the
+  // hash. ---
+  val k60TextIndex = QueryDef.sql(
+    "k60_text_index",
+    s"""WITH post AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 17 = 0
+       |      THEN text || ' zq' || CAST(doc_id AS VARCHAR) || 'x'
+       |      ELSE text END AS text
+       |  FROM documents),
+       |lows AS (SELECT list_sort(list(doc_id)) AS ids
+       |  FROM (SELECT doc_id FROM documents WHERE doc_id % 17 = 0
+       |        ORDER BY doc_id LIMIT 3)),
+       |m AS (SELECT 'zq' || CAST(ids[1] AS VARCHAR) || 'x' AS m0,
+       |             'zq' || CAST(ids[2] AS VARCHAR) || 'x' AS m1,
+       |             'zq' || CAST(ids[3] AS VARCHAR) || 'x' AS m2,
+       |             ids[1] AS id0 FROM lows),
+       |w0 AS (SELECT t[1] AS w FROM
+       |  (SELECT $sqlToks AS t FROM post
+       |   WHERE doc_id = (SELECT id0 FROM m))),
+       |probes AS (
+       |  SELECT '1:' || m0 AS probe, [m0] AS terms FROM m
+       |  UNION ALL SELECT '2:' || m1, [m1] FROM m
+       |  UNION ALL SELECT '3:' || m2, [m2] FROM m
+       |  UNION ALL SELECT '4:' || m0 || ' ' || (SELECT w FROM w0),
+       |    [m0, (SELECT w FROM w0)] FROM m
+       |  UNION ALL SELECT '5:' || m0 || ' ' || m1, [m0, m1] FROM m),
+       |toks AS (SELECT doc_id, $sqlToks AS t FROM post)
+       |SELECT p.probe, CAST(count(tk.doc_id) AS BIGINT) AS n_docs,
+       |  min(tk.doc_id) AS min_doc, max(tk.doc_id) AS max_doc,
+       |  TRUE AS pruned
+       |FROM probes p LEFT JOIN toks tk ON list_has_all(tk.t, p.terms)
+       |GROUP BY p.probe""".stripMargin) { (s, d) =>
+    import graft.operators.{Versioned, VersionedText}
+    val root = graft.Scratch.dir("k60-textidx")
+    val tbl = s"$root/docs"; val idx = s"$root/tokidx"
+    val docs = T.documents(s, d).select(col("doc_id"),
+      pmod(col("doc_id"), lit(24)).cast("string").as("pb"), col("text"))
+    VersionedText.commitIndexed(s, s"$root/txn1", tbl, idx, docs,
+      "pb", Seq("doc_id"), "text")
+    // churn: commit 2 appends a DOC-UNIQUE marker token to %17 docs —
+    // its tokens exist only in this commit, so the probes below prove
+    // the index delta rode the same transaction as the data
+    val delta = docs.filter(col("doc_id") % 17 === 0)
+      .withColumn("text", concat(col("text"),
+        lit(" zq"), col("doc_id").cast("string"), lit("x")))
+    VersionedText.commitIndexed(s, s"$root/txn2", tbl, idx, delta,
+      "pb", Seq("doc_id"), "text")
+    val low3: Seq[Long] = delta.select(col("doc_id")).orderBy(col("doc_id"))
+      .limit(3).collect().map(_.getLong(0)).toSeq
+    require(low3.size == 3, s"need 3 churned probe docs, got ${low3.size}")
+    val marks = low3.map(id => s"zq${id}x")
+    val w0 = delta.filter(col("doc_id") === low3.head)
+      .select(VersionedText.tokens(col("text"))(0)).head.getString(0)
+    // pruning evidence WITHOUT the tv fallback: the bloom itself must
+    // hold each marker's partition (a stale index fails loudly here)
+    // and must prune — a DF=1 token's candidates are 1 + false
+    // positives, never the table
+    val nParts = Versioned.readAsOf(s, idx).count()
+    low3.zip(marks).foreach { case (id, mk) =>
+      val cands = VersionedText.candidatePartitions(s, idx, Seq(mk))
+      require(cands.contains((id % 24).toString),
+        s"bloom must hold $mk's own partition — stale index?")
+      require(cands.size <= nParts / 2,
+        s"token pruning must be real: |$mk| -> ${cands.size} of $nParts")
+    }
+    val probes: Seq[(String, Seq[String])] = Seq(
+      (s"1:${marks(0)}", Seq(marks(0))),
+      (s"2:${marks(1)}", Seq(marks(1))),
+      (s"3:${marks(2)}", Seq(marks(2))),
+      (s"4:${marks(0)} $w0", Seq(marks(0), w0)),
+      (s"5:${marks(0)} ${marks(1)}", Seq(marks(0), marks(1))))
+    probes.map { case (label, terms) =>
+      VersionedText.lookupAll(s, tbl, idx, "text", terms)
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .select(lit(label).as("probe"), col("n_docs"),
+          col("min_doc"), col("max_doc"), lit(true).as("pruned"))
+    }.reduce(_ unionByName _)
+  }
+
   val all: Seq[QueryDef] = Seq(
-    t43PhraseSearch,
+    t43PhraseSearch, k60TextIndex,
     t38ZipfFit, t39BpeEncode, t40Dsir, t41NgramNovelty, t42ChatTemplate,
     t37RakeKeyphrases,
     t33CorpusPipeline, t34LengthBatching, t35BpeMerges, t36SpanDecontaminate,
