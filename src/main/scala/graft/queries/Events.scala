@@ -1804,7 +1804,7 @@ object Events {
     "e38_stream_knn", "e39_stream_cms", "e40_stream_stats_follow",
     "e41_stream_quantile", "e42_stream_txn_sink", "e43_stream_indexed_sink",
     "e44_stream_forget", "e45_stream_range_index", "e46_stream_live_stats",
-    "e47_stream_compact")
+    "e47_stream_compact", "e48_stream_text_index")
 
   // --- e40_stream_stats_follow: STATS THAT FOLLOW THE TABLE — e33
   // lands a stream into the store; e40 keeps the OPTIMIZER FEED current
@@ -2545,6 +2545,98 @@ object Events {
     }
   }
 
+  // --- e48_stream_text_index: STREAMING INGEST WITH A LIVE TOKEN
+  // INDEX — the WHAT counterpart of e43's WHO (bloom) and e45's WHEN
+  // (zone): every micro-batch lands hash-partitioned documents AND the
+  // affected partitions' recomputed token blooms in one stamped Txn
+  // (VersionedText.commitIndexed), so term search is answerable THROUGH
+  // THE INDEX after every batch — a corpus being ingested is searchable
+  // with no refresh-lag state at any point. Docs carry a doc-unique
+  // marker token (zq<doc_id>x, DF=1 — measurable pruning regardless of
+  // which round-robin slice arrived first); MID-INGEST the gate picks
+  // the smallest doc already landed, probes its marker, and require()s
+  // both retrieval (exactly that doc, through the pruned path) and the
+  // pruning bound (candidates ≤ half the partitions). After the drain,
+  // three fixed markers probe through the index; the oracle recomputes
+  // every probe by direct token scan over the same marked corpus — a
+  // missed batch, a replayed batch, or a bloom missing its batch's
+  // tokens all hash-mismatch. Scale: each batch rewrites only its
+  // partitions' blooms; a probe folds k index rows before any data
+  // file opens. ---
+  val e48StreamTextIndex = QueryDef.sql(
+    "e48_stream_text_index",
+    s"""WITH marked AS (SELECT doc_id,
+       |    text || ' zq' || CAST(doc_id AS VARCHAR) || 'x' AS text
+       |  FROM documents),
+       |probes AS (SELECT 'zq0x' AS probe UNION ALL SELECT 'zq1x'
+       |  UNION ALL SELECT 'zq2x'),
+       |toks AS (SELECT doc_id,
+       |    string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ') AS t
+       |  FROM marked)
+       |SELECT p.probe, CAST(count(tk.doc_id) AS BIGINT) AS n_docs,
+       |  min(tk.doc_id) AS min_doc, TRUE AS indexed
+       |FROM probes p LEFT JOIN toks tk ON list_contains(tk.t, p.probe)
+       |GROUP BY p.probe""".stripMargin) { (s, d) =>
+    withStatePartitions(s, 4) {
+    import graft.operators.{Txn, Versioned, VersionedText}
+    val root = graft.Scratch.dir("e48-textsink")
+    val feed = s"$root/feed"; val ckpt = s"$root/ckpt"
+    val ledger = s"$root/docs"; val idx = s"$root/tokidx"
+    val docs = T.documents(s, d).select(col("doc_id"),
+      pmod(col("doc_id"), lit(16)).cast("string").as("pb"),
+      concat(col("text"), lit(" zq"), col("doc_id").cast("string"), lit("x"))
+        .as("text"))
+    docs.repartition(3).write.parquet(feed)
+    val stream = s.readStream
+      .schema("doc_id BIGINT, pb STRING, text STRING")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(feed)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          Txn.recoverAll(s, s"$root/txns")
+          val vL = Versioned.latestVersion(s, ledger)
+          val replayed = vL > 0 &&
+            Versioned.stampOf(s, ledger, vL).exists(_ >= batchId + 1)
+          if (!replayed)
+            VersionedText.commitIndexed(s, s"$root/txns/txn-$batchId", ledger,
+              idx, batch, "pb", Seq("doc_id"), "text",
+              stamp = Some(batchId + 1))
+          // MID-INGEST: the landed corpus is searchable through the
+          // index right now — probe the smallest landed doc's marker
+          val low = Versioned.readAsOf(s, ledger)
+            .agg(min(col("doc_id"))).collect()(0).getLong(0)
+          val mk = s"zq${low}x"
+          val nParts = Versioned.readAsOf(s, idx).count()
+          val cands = VersionedText.candidatePartitions(s, idx, Seq(mk))
+          require(cands.nonEmpty && cands.size <= math.max(1L, nParts / 2),
+            s"mid-ingest token pruning must be real: |$mk| -> " +
+              s"${cands.size} of $nParts")
+          val hits = VersionedText.lookupAll(s, ledger, idx, "text", Seq(mk))
+            .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+          require(hits == Seq(low),
+            s"mid-ingest probe $mk must retrieve exactly doc $low, got $hits")
+          ()
+        }
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(Versioned.latestVersion(s, ledger) >= 2,
+      "multi-batch run must commit multiple transactions")
+    require(Versioned.latestVersion(s, ledger) ==
+        Versioned.latestVersion(s, idx),
+      "corpus and token index must move in lockstep")
+    Seq("zq0x", "zq1x", "zq2x").map { mk =>
+      VersionedText.lookupAll(s, ledger, idx, "text", Seq(mk))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+        .select(lit(mk).as("probe"), col("n_docs"), col("min_doc"),
+          lit(true).as("indexed"))
+    }.reduce(_ unionByName _)
+    }
+  }
+
   // --- e46_stream_live_stats: TRANSACTIONAL CBO STATS UNDER INGEST —
   // e40 refreshes a plain stats store "after" each batch (a lag window
   // in which the planner reads stats for a table state that no longer
@@ -2766,5 +2858,6 @@ object Events {
     e33StreamVersionedSink, e34TableFollow, e36StreamMediaFingerprint,
     e37StreamHll, e39StreamCms, e40StreamStatsFollow, e41StreamQuantile,
     e42StreamTxnSink, e43StreamIndexedSink, e44StreamForget,
-    e45StreamRangeIndex, e46StreamLiveStats, e47StreamCompact)
+    e45StreamRangeIndex, e46StreamLiveStats, e47StreamCompact,
+    e48StreamTextIndex)
 }

@@ -1233,8 +1233,84 @@ object Graphs {
         abs(col("warm_scaled") - col("cold_scaled")).as("disagreement_units"))
   }
 
+  // --- g23_scc: STRONGLY CONNECTED COMPONENTS — the g-family's first
+  // DIRECTED-reachability decomposition (g-CC via label prop answers
+  // "some path exists"; SCC requires paths BOTH ways, which no single
+  // propagation decides). The graph is the part-bucket PURCHASE-FLOW
+  // digraph: for each customer, consecutive orders (by date, key)
+  // contribute an edge between the orders' representative part buckets
+  // (min partkey mod 24) — "bought u then v". Edges are kept only
+  // within a LAYER (bucket mod 4) or one layer forward (0→1→2→3, no
+  // wrap), so cross-layer flow is provably acyclic and the SCC
+  // structure is non-trivial at EVERY scale factor: cycles live inside
+  // layers, the layer chain never collapses into one giant component
+  // (the fate of any unconstrained dense transition graph). The 24-
+  // bucket domain is what makes the ORACLE exact: DuckDB replays the
+  // same edges and decides mutual reachability by recursive transitive
+  // closure — tractable at 24 nodes, impossible at raw-part
+  // cardinality. Spark-side the decomposition is operators.Scc:
+  // iterative forward–backward min-label settle-and-remove, every
+  // inner round one Θ(E) equi-join + partial-agg min, labels staged
+  // between rounds (the LabelProp discipline) — the shape that holds
+  // when the edge list is 100 TB even though this gate's node domain
+  // is bucketed for oracle tractability. require()s: ≥2 components and
+  // a non-trivial (size ≥ 2) component — the decomposition is real,
+  // not vacuously all-singletons or one blob. ---
+  val g23Scc = QueryDef.sql(
+    "g23_scc",
+    """WITH rep AS (SELECT l_orderkey AS k, CAST(min(l_partkey) % 24 AS BIGINT) AS b
+      |  FROM lineitem GROUP BY l_orderkey),
+      |seq AS (SELECT o.o_custkey AS c, o.o_orderdate AS d, o.o_orderkey AS k, r.b
+      |  FROM orders o JOIN rep r ON r.k = o.o_orderkey),
+      |nxt AS (SELECT b AS u, lead(b) OVER (PARTITION BY c ORDER BY d, k) AS v
+      |  FROM seq),
+      |edges AS (SELECT DISTINCT u, v FROM nxt
+      |  WHERE v IS NOT NULL AND v <> u
+      |    AND (v % 4 = u % 4 OR (u % 4 < 3 AND v % 4 = u % 4 + 1))),
+      |nodes AS (SELECT u AS n FROM edges UNION SELECT v FROM edges),
+      |reach AS MATERIALIZED (
+      |  WITH RECURSIVE r(a, z) AS (
+      |    SELECT u, v FROM edges
+      |    UNION
+      |    SELECT r.a, e.v FROM r JOIN edges e ON e.u = r.z)
+      |  SELECT a, z FROM r),
+      |mutual AS (SELECT r1.a AS x, r1.z AS y FROM reach r1
+      |  JOIN reach r2 ON r1.a = r2.z AND r1.z = r2.a),
+      |ids AS (SELECT n.n AS node,
+      |    CAST(least(n.n, coalesce(min(m.y), n.n)) AS BIGINT) AS scc_id
+      |  FROM nodes n LEFT JOIN mutual m ON m.x = n.n GROUP BY n.n),
+      |sz AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS scc_size
+      |  FROM ids GROUP BY scc_id)
+      |SELECT i.node, i.scc_id, s.scc_size FROM ids i
+      |JOIN sz s ON s.scc_id = i.scc_id""".stripMargin) { (s, d) =>
+    import graft.operators.Scc
+    val rep = T.lineitem(s, d).groupBy(col("l_orderkey").as("k"))
+      .agg((min(col("l_partkey")) % 24).cast("long").as("b"))
+    val seq = T.orders(s, d)
+      .join(rep, col("o_orderkey") === col("k"))
+      .select(col("o_custkey").as("c"), col("o_orderdate").as("d"),
+        col("o_orderkey").as("ok"), col("b"))
+    val w = Window.partitionBy(col("c")).orderBy(col("d"), col("ok"))
+    val edges = seq.withColumn("nb", lead(col("b"), 1).over(w))
+      .filter(col("nb").isNotNull && col("nb") =!= col("b"))
+      .filter(col("nb") % 4 === col("b") % 4 ||
+        (col("b") % 4 < 3 && col("nb") % 4 === col("b") % 4 + 1))
+      .select(col("b").as("u"), col("nb").as("v")).distinct()
+    val scc = Scc.strongComponents(edges)
+    val sizes = scc.groupBy(col("scc_id")).agg(count(lit(1)).as("scc_size"))
+    val out = scc.join(sizes, Seq("scc_id"))
+      .select(col("node"), col("scc_id"), col("scc_size"))
+    val (nScc, maxSz) = {
+      val r = sizes.agg(count(lit(1)), max(col("scc_size"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    require(nScc >= 2 && maxSz >= 2,
+      s"decomposition must be non-trivial: $nScc components, max size $maxSz")
+    out
+  }
+
   val all: Seq[QueryDef] = Seq(
-    g22IncrementalPagerank,
+    g23Scc, g22IncrementalPagerank,
     g21TemporalReach,
     g1Pagerank, g2TriangleCount, g3LabelProp, g4ShortestPath, g5Assortativity,
     g6LinkPredict, g7NeighborhoodJaccard, g8KCore, g9PersonalizedPr, g10Hits,
