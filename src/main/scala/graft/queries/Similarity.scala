@@ -1466,6 +1466,250 @@ object Similarity {
     }
   }
 
+  // --- v25_hnsw_insert: INCREMENTAL GRAPH-ANN GROWTH — the lifecycle
+  // step v22 lacks: production vector stores append continuously, and
+  // rebuilding the navigable graph per batch is a corpus-sized job. The
+  // standard recipe (every HNSW implementation's insert): a NEWCOMER
+  // beam-searches the EXISTING graph for its top-K nearest, then links
+  // bidirectionally to them — the frozen graph never recomputes, the
+  // append costs one beam walk per new vector, and a periodic rebuild
+  // (v22) folds the accreted links back in. The gate holds out the
+  // %251 lottery vectors, builds the v22 NSW graph on the remainder,
+  // batch-inserts the newcomers (each links only to pre-existing
+  // nodes — the bulk-append discipline that keeps inserts order-free
+  // and oracle-replayable), then runs the standard 5-query beam over
+  // the UPDATED graph: recall@10 ≥ 0.9 is require()d against exact
+  // brute force over the FULL corpus (newcomers included — a walk that
+  // cannot reach inserted vectors fails the floor), and a Spark-side
+  // searchability probe walks each newcomer's own vector under a
+  // pseudo query id and require()s the newcomer itself comes back at
+  // rank 1 (reachability through its fresh links, not luck). The
+  // oracle replays construction, every insert beam, and the query walk
+  // — ~25 materialized stages, all deterministic. Scale: one beam per
+  // insert (never a corpus scan), adjacency grows by 2K edges per
+  // newcomer, and the search path is v22's unchanged. ---
+  val v25HnswInsert: QueryDef = {
+    val K = 20; val E = 4; val B = 32; val R = 8; val DESCENT = 3
+    def sqlDescent(r: Int): String =
+      s"""und${r - 1} AS MATERIALIZED (SELECT v, c FROM knn${r - 1}
+         |  UNION SELECT c AS v, v AS c FROM knn${r - 1}),
+         |cand$r AS MATERIALIZED (SELECT v, c FROM und${r - 1}
+         |  UNION SELECT a.v, b.c FROM und${r - 1} a JOIN und${r - 1} b ON b.v = a.c
+         |  WHERE b.c <> a.v),
+         |knn$r AS MATERIALIZED (SELECT v, c, cosine FROM (
+         |  SELECT s.v, s.c, ac.cosine,
+         |    row_number() OVER (PARTITION BY s.v ORDER BY ac.cosine DESC, s.c) AS rk
+         |  FROM cand$r s JOIN allcos ac ON ac.v = s.v AND ac.c = s.c) t
+         |  WHERE rk <= $K)""".stripMargin
+    def sqlBeam(pfx: String, adjName: String)(r: Int): String =
+      s"""${pfx}beam${r - 1} AS (SELECT qid, cid FROM (
+         |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
+         |  FROM ${pfx}seen${r - 1}) t WHERE rk <= $B),
+         |${pfx}seen$r AS MATERIALIZED (SELECT qid, cid, cosine FROM ${pfx}seen${r - 1}
+         |  UNION SELECT b.qid, a.c AS cid, ac.cosine
+         |  FROM ${pfx}beam${r - 1} b JOIN $adjName a ON a.v = b.cid
+         |  JOIN allcos ac ON ac.v = b.qid AND ac.c = a.c
+         |  WHERE a.c <> b.qid)""".stripMargin
+    QueryDef.sql(
+      "v25_hnsw_insert",
+      s"""WITH $sqlSigns,
+         |$sqlBuckets,
+         |qv AS MATERIALIZED (SELECT vec_id, dim,
+         |    CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS qx
+         |  FROM uv),
+         |nrm AS MATERIALIZED (SELECT vec_id, sum(qx*qx) AS n2 FROM qv GROUP BY vec_id),
+         |allcos AS MATERIALIZED (
+         |  SELECT a.vec_id AS v, b.vec_id AS c,
+         |    (CAST(sum(a.qx * b.qx) AS DOUBLE) / 1e12) /
+         |      (sqrt(CAST(min(na.n2) AS DOUBLE) / 1e12) * sqrt(CAST(min(nb.n2) AS DOUBLE) / 1e12)) AS cosine
+         |  FROM qv a JOIN qv b ON b.dim = a.dim AND b.vec_id <> a.vec_id
+         |  JOIN nrm na ON na.vec_id = a.vec_id
+         |  JOIN nrm nb ON nb.vec_id = b.vec_id
+         |  GROUP BY a.vec_id, b.vec_id),
+         |old AS (SELECT vec_id FROM embeddings WHERE vec_id % 251 <> 3),
+         |nv AS (SELECT vec_id FROM embeddings WHERE vec_id % 251 = 3),
+         |bko AS (SELECT b.vec_id, b.bucket FROM buckets b JOIN old o USING (vec_id)),
+         |ro AS MATERIALIZED (SELECT vec_id,
+         |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+         |  FROM old),
+         |nn AS (SELECT count(*) AS n FROM old),
+         |ring0 AS (SELECT a.vec_id AS v, b.vec_id AS c
+         |  FROM ro a CROSS JOIN nn JOIN ro b ON b.rn = a.rn % nn.n + 1),
+         |ring AS MATERIALIZED (SELECT v, c FROM ring0 UNION SELECT c AS v, v AS c FROM ring0),
+         |seed AS MATERIALIZED (
+         |  SELECT a.vec_id AS v, b.vec_id AS c FROM bko a
+         |  JOIN bko b ON b.bucket = a.bucket AND b.vec_id <> a.vec_id
+         |  UNION SELECT v, c FROM ring),
+         |knn0 AS MATERIALIZED (SELECT v, c, cosine FROM (
+         |  SELECT s.v, s.c, ac.cosine,
+         |    row_number() OVER (PARTITION BY s.v ORDER BY ac.cosine DESC, s.c) AS rk
+         |  FROM seed s JOIN allcos ac ON ac.v = s.v AND ac.c = s.c) t WHERE rk <= $K),
+         |${(1 to DESCENT).map(sqlDescent).mkString(",\n")},
+         |adjo AS MATERIALIZED (SELECT v, c FROM knn$DESCENT
+         |  UNION SELECT c AS v, v AS c FROM knn$DESCENT
+         |  UNION SELECT v, c FROM ring),
+         |ent AS (SELECT vec_id FROM ro WHERE rn <= $E),
+         |iseen0 AS MATERIALIZED (SELECT q.vec_id AS qid, e.vec_id AS cid, ac.cosine
+         |  FROM nv q CROSS JOIN ent e
+         |  JOIN allcos ac ON ac.v = q.vec_id AND ac.c = e.vec_id),
+         |${(1 to R).map(sqlBeam("i", "adjo")).mkString(",\n")},
+         |newtop AS MATERIALIZED (SELECT qid AS v, cid AS c FROM (
+         |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
+         |  FROM iseen$R) t WHERE rk <= $K),
+         |adj AS MATERIALIZED (SELECT v, c FROM adjo
+         |  UNION SELECT v, c FROM newtop
+         |  UNION SELECT c AS v, v AS c FROM newtop),
+         |qs AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 5),
+         |seen0 AS MATERIALIZED (SELECT q.qid, e.vec_id AS cid, ac.cosine
+         |  FROM qs q CROSS JOIN ent e
+         |  JOIN allcos ac ON ac.v = q.qid AND ac.c = e.vec_id
+         |  WHERE e.vec_id <> q.qid),
+         |${(1 to R).map(sqlBeam("", "adj")).mkString(",\n")},
+         |walk AS (SELECT qid, cid, cosine, rank FROM (
+         |  SELECT qid, cid, cosine,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+         |  FROM seen$R) t WHERE rank <= 10),
+         |ex AS (SELECT qid, cid FROM (
+         |  SELECT v AS qid, c AS cid,
+         |    row_number() OVER (PARTITION BY v ORDER BY cosine DESC, c) AS rk
+         |  FROM allcos WHERE v < 5) t WHERE rk <= 10),
+         |h AS (SELECT w.qid, CAST(count(e.cid) AS BIGINT) AS hits FROM walk w
+         |  LEFT JOIN ex e ON e.qid = w.qid AND e.cid = w.cid GROUP BY w.qid)
+         |SELECT w.qid, w.cid, w.cosine, w.rank,
+         |  CAST(h.hits AS DOUBLE) / 10 AS recall_at_10
+         |FROM walk w JOIN h ON h.qid = w.qid""".stripMargin) { (s, d) =>
+      val stage = graft.Scratch.dir("v25-hnsw-ins")
+      val emb = T.embeddings(s, d).withColumn("q", quantize("embedding"))
+      val isNew = col("vec_id") % 251 === 3
+      val embO = emb.filter(!isNew)
+      val embN = emb.filter(isNew)
+      val vecs = emb.select(col("vec_id"), col("q")) // FULL corpus scoring
+      val nOld = embO.count()
+      require(embN.count() >= 2, "need newcomers to insert")
+      def scorePairs(pairs: DataFrame): DataFrame = pairs
+        .join(vecs.select(col("vec_id").as("v"), col("q").as("qeq")), Seq("v"))
+        .join(vecs.select(col("vec_id").as("c"), col("q").as("ceq")), Seq("c"))
+        .withColumn("dot", dotQ("qeq", "ceq"))
+        .withColumn("nx", dotQ("qeq", "qeq"))
+        .withColumn("ny", dotQ("ceq", "ceq"))
+        .withColumn("cosine", cosine)
+        .select(col("v"), col("c"), col("cosine"))
+      def topKOf(scored: DataFrame, k: Int): DataFrame = scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("v")).orderBy(col("cosine").desc, col("c"))))
+        .filter(col("rk") <= k).drop("rk")
+      // v22's construction, over the PRE-INSERT corpus only
+      val ro = embO.select(col("vec_id"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
+      val ring0 = ro.as("a").join(ro.as("b"),
+          col("b.rn") === (col("a.rn") % nOld) + 1)
+        .select(col("a.vec_id").as("v"), col("b.vec_id").as("c"))
+      val ring = ring0.union(ring0.select(col("c").as("v"), col("v").as("c"))).distinct()
+      val bk = bucketed(embO, "q").select(col("vec_id"), col("bucket"))
+      val seed = bk.as("a").join(bk.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("v"), col("b.vec_id").as("c"))
+        .union(ring).distinct()
+      topKOf(scorePairs(seed), K).write.mode("overwrite").parquet(s"$stage/knn0")
+      (1 to DESCENT).foreach { r =>
+        val knn = s.read.parquet(s"$stage/knn${r - 1}").select(col("v"), col("c"))
+        val und = knn.union(knn.select(col("c").as("v"), col("v").as("c"))).distinct()
+        val cand = und.union(
+            und.as("a").join(und.as("b"), col("b.v") === col("a.c"))
+              .filter(col("b.c") =!= col("a.v"))
+              .select(col("a.v").as("v"), col("b.c").as("c")))
+          .distinct()
+        topKOf(scorePairs(cand), K).write.mode("overwrite").parquet(s"$stage/knn$r")
+      }
+      val knnF = s.read.parquet(s"$stage/knn$DESCENT").select(col("v"), col("c"))
+      knnF.union(knnF.select(col("c").as("v"), col("v").as("c")))
+        .union(ring).distinct()
+        .write.mode("overwrite").parquet(s"$stage/adjo")
+      val adjO = s.read.parquet(s"$stage/adjo")
+      val entries = ro.filter(col("rn") <= E).select(col("vec_id").as("cid"))
+      def walkBeam(queries: DataFrame, adj: DataFrame, tag: String,
+          excludeSelf: Boolean): DataFrame = {
+        def scoreVsQuery(idPairs: DataFrame): DataFrame = idPairs
+          .join(vecs.select(col("vec_id").as("cid"), col("q").as("ceq")), Seq("cid"))
+          .join(broadcast(queries), Seq("qid"))
+          .withColumn("dot", dotQ("qeq", "ceq"))
+          .withColumn("nx", dotQ("qeq", "qeq"))
+          .withColumn("ny", dotQ("ceq", "ceq"))
+          .withColumn("cosine", cosine)
+          .select(col("qid"), col("cid"), col("cosine"))
+        val s0 = queries.select(col("qid")).crossJoin(broadcast(entries))
+        scoreVsQuery(if (excludeSelf) s0.filter(col("cid") =!= col("qid")) else s0)
+          .write.mode("overwrite").parquet(s"$stage/$tag-seen0")
+        (1 to R).foreach { r =>
+          val seen = s.read.parquet(s"$stage/$tag-seen${r - 1}")
+          val beam = seen.withColumn("rk", row_number().over(
+              Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))))
+            .filter(col("rk") <= B).select(col("qid"), col("cid"))
+          val expand = beam.join(adj, beam("cid") === adj("v"))
+            .select(col("qid"), adj("c").as("cid")).distinct()
+            .filter(col("cid") =!= col("qid"))
+          val fresh = expand.join(seen.select(col("qid"), col("cid")),
+            Seq("qid", "cid"), "left_anti")
+          seen.unionByName(scoreVsQuery(fresh))
+            .write.mode("overwrite").parquet(s"$stage/$tag-seen$r")
+        }
+        s.read.parquet(s"$stage/$tag-seen$R")
+      }
+      // INSERT: each newcomer beam-searches the frozen graph, links to
+      // its top-K — bulk-append (links target pre-existing nodes only)
+      val insQ = embN.select(col("vec_id").as("qid"), col("q").as("qeq"))
+      val insSeen = walkBeam(insQ, adjO, "ins", excludeSelf = true)
+      val newTop = insSeen.withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))))
+        .filter(col("rk") <= K)
+        .select(col("qid").as("v"), col("cid").as("c"))
+      adjO.unionByName(newTop)
+        .unionByName(newTop.select(col("c").as("v"), col("v").as("c")))
+        .distinct()
+        .write.mode("overwrite").parquet(s"$stage/adj2")
+      val adj2 = s.read.parquet(s"$stage/adj2")
+      // QUERY over the grown graph: standard 5 queries + a pseudo query
+      // per newcomer (its own vector under a shifted id, so the self-
+      // exclusion never hides it) — the searchability probe
+      val stdQ = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("q").as("qeq"))
+      val pseudoQ = embN.select((col("vec_id") + 10000000L).as("qid"),
+        col("q").as("qeq"))
+      val seenF = walkBeam(stdQ.unionByName(pseudoQ), adj2, "qry",
+        excludeSelf = true)
+      val top1 = seenF.filter(col("qid") >= 10000000L)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))))
+        .filter(col("rk") === 1)
+        .select(col("qid"), col("cid")).collect()
+        .map(r => (r.getLong(0) - 10000000L) -> r.getLong(1)).toMap
+      require(top1.nonEmpty && top1.forall { case (nvId, got) => got == nvId },
+        s"every inserted vector must be retrievable at rank 1 by its own " +
+          s"vector, got $top1")
+      val walkStd = seenF.filter(col("qid") < 5)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))))
+        .filter(col("rank") <= 10)
+      // recall floor vs exact brute force over the FULL corpus —
+      // newcomers count: a walk that cannot reach them fails here
+      val exact = scoreTopk(
+        vecs.select(col("vec_id").as("cid"), col("q").as("ceq"))
+          .crossJoin(broadcast(stdQ))
+          .filter(col("cid") =!= col("qid")), 10)
+        .select(col("qid"), col("cid"))
+      val hits = walkStd.select(col("qid"), col("cid"))
+        .join(exact.withColumn("hit", lit(1)), Seq("qid", "cid"), "left")
+        .groupBy(col("qid")).agg(count(col("hit")).as("hits"))
+      val hitRows = hits.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      require(hitRows.size == 5 && hitRows.valuesIterator.forall(_ >= 9L),
+        s"post-insert recall@10 must hold >= 0.9 on every query, got $hitRows")
+      walkStd.join(hits, Seq("qid"))
+        .select(col("qid"), col("cid"), col("cosine"), col("rank"),
+          (col("hits").cast("double") / 10).as("recall_at_10"))
+    }
+  }
+
   // --- c6_knn_classifier: k-NEAREST-NEIGHBOR classification (k = 5,
   // majority vote) — the non-parametric classifier completing the
   // supervised tier (c3 Bayes counts, c4 stump, c5 linear, v7 nearest
@@ -1864,6 +2108,6 @@ object Similarity {
     v8MmrRerank, v9PqCodes, v10PqAdc, v11Sq8Knn, v12AnnRecall, v13Ivfpq,
     v14BinaryHamming, v15Mips, v16FilteredKnn, v17HybridRrf, v18AnnTombstone,
     v19RangeSearch, v20KnnGraph, v21LateInteraction, v22Hnsw,
-    v23FilteredAdaptive, c6KnnClassifier,
+    v23FilteredAdaptive, v25HnswInsert, c6KnnClassifier,
     c7ClassifierEval)
 }
