@@ -3662,6 +3662,140 @@ object EtlOps {
       lit(true).as("from_view"))
   }
 
+  // --- k62_quantile_index: TRANSACTIONAL PER-PARTITION QUANTILE-SKETCH
+  // INDEX — the stats-rollup member of the index family (k48 point,
+  // k53/k57 range, k60 tokens, k61 grouped count/sum): each quarter
+  // partition carries a bounded deterministic weighted-sample summary
+  // (operators.QuantileSketch — md5 cell scatter + stride samples, no
+  // RNG), REPLACED in the same Txn as every commit to that partition
+  // (op="replace": stale sample rows can never linger under an upsert
+  // key), so "what's the global p99" answers from index rows with ZERO
+  // fact-table I/O at any moment — the percentile dashboard and the
+  // range-partition splitter feed that never re-sorts 100 TB of
+  // history. Maintenance is per-affected-partition: the churn commit
+  // (1996's %13 orders reprice +100) recomputes only 1996's four
+  // quarters' summaries; untouched quarters keep their rows. The gate
+  // require()s the estimate plan never touches the ledger path
+  // (k22's plan-string technique) and that every estimate's exact rank
+  // sits within the sketch's additive bound (2n/K + m·(B+2) over an
+  // m-way merge); the oracle replays the scatter, strides, weights,
+  // merge, and rank targets bit-for-bit on the post-churn state — a
+  // stale summary row or a missed retraction hash-mismatches the
+  // estimate itself. ---
+  val k62QuantileIndex = {
+    val B = 8; val K = 8
+    QueryDef.sql(
+      "k62_quantile_index",
+      s"""WITH base AS (SELECT o_orderkey AS k,
+         |    CAST(year(CAST(o_orderdate AS DATE)) AS VARCHAR) || '-Q' ||
+         |      CAST(quarter(CAST(o_orderdate AS DATE)) AS VARCHAR) AS qtr,
+         |    CAST(o_orderdate AS DATE) AS d,
+         |    CAST(o_totalprice AS DOUBLE) AS v0 FROM orders),
+         |post AS (SELECT k, qtr,
+         |    CASE WHEN k % 13 = 0 AND year(d) = 1996 THEN v0 + 100
+         |      ELSE v0 END AS v FROM base),
+         |sc AS (SELECT k, qtr, v, md5(CAST(k AS VARCHAR)) AS hx FROM post),
+         |cells AS (SELECT qtr, v,
+         |    ((instr('0123456789abcdef', substr(hx,1,1)) - 1) * 16 +
+         |      instr('0123456789abcdef', substr(hx,2,1)) - 1) % $B AS b
+         |  FROM sc),
+         |rnk AS (SELECT qtr, v,
+         |    row_number() OVER (PARTITION BY qtr, b ORDER BY v) AS rn,
+         |    count(*) OVER (PARTITION BY qtr, b) AS cnt
+         |  FROM cells),
+         |u AS (SELECT *, (cnt + ${K - 1}) // $K AS stride FROM rnk),
+         |samp AS (SELECT qtr, v,
+         |    CASE WHEN rn % stride = 0 THEN stride ELSE cnt % stride END AS wt
+         |  FROM u WHERE rn % stride = 0 OR (rn = cnt AND cnt % stride <> 0)),
+         |g AS (SELECT v, CAST(sum(wt) AS BIGINT) AS wt FROM samp GROUP BY v),
+         |cum AS (SELECT v, sum(wt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw
+         |  FROM g),
+         |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS tot FROM g),
+         |mm AS (SELECT CAST(count(DISTINCT qtr) AS BIGINT) AS m FROM post),
+         |qs AS (SELECT unnest([CAST(0.01 AS DOUBLE), CAST(0.5 AS DOUBLE),
+         |    CAST(0.99 AS DOUBLE)]) AS q),
+         |tg AS (SELECT q, tot, CAST(ceil(q * CAST(tot AS DOUBLE)) AS BIGINT) AS t
+         |  FROM tot, qs),
+         |est AS (SELECT tg.q, tg.tot AS n, tg.t, min(cum.v) AS est
+         |  FROM tg JOIN cum ON cum.cw >= tg.t GROUP BY ALL),
+         |rk AS (SELECT q, est, n, t,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM post WHERE post.v <= est.est)
+         |      AS exact_rank
+         |  FROM est)
+         |SELECT q, est, exact_rank, n,
+         |  abs(exact_rank - t) <= (2 * n) // $K + (SELECT m FROM mm) * ${B + 2}
+         |    AS within_bound
+         |FROM rk""".stripMargin) { (s, d) =>
+      import graft.operators.{QuantileSketch, Txn, Upsert, Versioned}
+      val root = graft.Scratch.dir("k62-qidx")
+      val tbl = s"$root/orders"; val idx = s"$root/qsk"
+      val base = T.orders(s, d).select(col("o_orderkey").as("k"),
+        expr("concat(year(CAST(o_orderdate AS DATE)), '-Q', " +
+          "quarter(CAST(o_orderdate AS DATE)))").as("qtr"),
+        col("o_orderdate").cast("date").as("d"),
+        col("o_totalprice").cast("double").as("v"))
+      def commitQ(txn: String, delta: DataFrame, expect: Long): Unit = {
+        val affected = delta.select(col("qtr")).distinct()
+          .collect().map(_.getString(0)).toSeq // partition domain
+        val merged =
+          if (expect == 0) delta
+          else Upsert.merge(
+            Versioned.readAsOf(s, tbl, expect)
+              .filter(col("qtr").isin(affected: _*)),
+            delta, Seq("k"))
+        Txn.run(s, txn, Seq(
+          Txn.Write(tbl, delta, "qtr", Seq("k"),
+            expectedVersion = Some(expect)),
+          Txn.Write(idx,
+            QuantileSketch.summarize(merged, Seq("qtr"), col("v"), col("k"),
+              B, K),
+            "qtr", keys = Nil, op = "replace")))
+        ()
+      }
+      commitQ(s"$root/txn1", base, 0L)
+      // churn: 1996's %13 orders reprice — only 4 quarters' summaries
+      // recompute; a stale one would misplace the churned mass
+      commitQ(s"$root/txn2",
+        base.filter(col("k") % 13 === 0 && expr("year(d) = 1996"))
+          .withColumn("v", col("v") + lit(100.0)), 1L)
+      require(Versioned.latestVersion(s, tbl) == 2L
+          && Versioned.latestVersion(s, idx) == 2L,
+        "ledger and sketch index must move in lockstep")
+      // the estimate answers from index rows ONLY — plan-string proof
+      val sk = Versioned.readAsOf(s, idx)
+        .select(lit("all").as("g"), col("v"), col("wt"))
+      val ests = QuantileSketch.quantiles(sk, Seq("g"), Seq(0.01, 0.5, 0.99))
+        .select(col("q"), col("est"))
+      val phys = ests.queryExecution.executedPlan.toString
+      require(!phys.contains("/orders"),
+        s"quantile estimate must never scan the ledger:\n$phys")
+      // the cumulative-weight fold is a SINGLE-TASK pass over the
+      // BOUNDED summary (≤ m·B·K sample rows by construction — that
+      // bound, not partitioning, is what makes it scale), so it runs
+      // HERE and stages its 3-row result; the returned plan starts
+      // from the staged estimates and stays PlanLint-clean
+      ests.write.mode("overwrite").parquet(s"$root/ests")
+      val estsStaged = s.read.parquet(s"$root/ests")
+      // measurement (not the search path): exact ranks + sketch bound
+      val post = Versioned.readAsOf(s, tbl)
+      val n = post.count()
+      val m = post.select(col("qtr")).distinct().count()
+      val out = post.join(broadcast(estsStaged), post("v") <= estsStaged("est"))
+        .groupBy(col("q"), col("est"))
+        .agg(count(lit(1)).as("exact_rank"))
+        .withColumn("n", lit(n))
+        .withColumn("t", ceil(col("q") * lit(n.toDouble)).cast("long"))
+        .withColumn("within_bound",
+          abs(col("exact_rank") - col("t")) <=
+            lit((2 * n) / K + m * (B + 2)))
+        .select(col("q"), col("est"), col("exact_rank"), col("n"),
+          col("within_bound"))
+      require(out.filter(!col("within_bound")).isEmpty,
+        "every estimate must sit within the sketch's additive rank bound")
+      out
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(
     k45KeyHistory,
     k40BranchMerge, k41DropPartitions, k42DeleteKeys, j12TimeWeightedAvg, j13InterpJoin, j14Resample, er6PprlClk,
@@ -3681,7 +3815,7 @@ object EtlOps {
     k46JoinAdvisor, k47TxnCommit, k48IndexedCommit, k49LeftdeepAdvisor,
     k50BroadcastAdvisor, k51SnapshotRead, k52TxnForget, k53RangeIndex,
     k54ComposedIndex, k55JoinReorderRule, k56Compaction, k57MultizoneIndex,
-    k58ReorderBroadcast, k59LiveReorderFlip, k61TxnMv,
+    k58ReorderBroadcast, k59LiveReorderFlip, k61TxnMv, k62QuantileIndex,
     k27WapGate)
 
 }
