@@ -77,8 +77,22 @@ object Scc {
       live.select(col("u").as("n")).unionByName(live.select(col("v").as("n")))
         .distinct(),
       s"$root/nodes=0")
-    if (remaining.isEmpty) // no non-self edges ⇒ nothing to decompose
-      return remaining.select(col("n").as("node"), col("n").as("scc_id"))
+    // a node whose ONLY edges are self-loops never enters the min-label
+    // rounds (self-edges are filtered above), but it IS a legitimate
+    // singleton SCC — it reaches itself both ways — so it joins the
+    // result directly instead of silently dropping out. Staged PLAINLY
+    // (not through a chain): the result frame reads it after every
+    // round table has been superseded and reaped.
+    val selfOnly = {
+      val so = edges0.select(col("u").as("n"))
+        .unionByName(edges0.select(col("v").as("n"))).distinct()
+        .join(remaining, Seq("n"), "left_anti")
+        .select(col("n").as("node"), col("n").as("scc_id"))
+      so.write.mode("overwrite").parquet(s"$root/selfonly")
+      spark.read.parquet(s"$root/selfonly")
+    }
+    if (remaining.isEmpty) // no non-self edges ⇒ only self-loop singletons
+      return selfOnly
     var acc: DataFrame = null
     var round = 1
     while (round <= maxRounds) {
@@ -95,7 +109,7 @@ object Scc {
       remaining = nodeChain.stage(
         remaining.join(acc.select(col("node").as("n")), Seq("n"), "left_anti"),
         s"$root/nodes=$round")
-      if (remaining.isEmpty) return acc
+      if (remaining.isEmpty) return acc.unionByName(selfOnly)
       live = edgeChain.stage(
         live.join(remaining.select(col("n").as("u")), Seq("u"), "left_semi")
           .join(remaining.select(col("n").as("v")), Seq("v"), "left_semi"),

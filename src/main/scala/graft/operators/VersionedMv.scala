@@ -103,8 +103,13 @@ object VersionedMv {
   }
 
   /** The view, finished: (groupCols, n, total, avg) — k rows, zero
-    * base-table I/O. */
+    * base-table I/O. A group FULLY evacuated by upsert churn (every
+    * key moved elsewhere) persists in the MV table as an (n=0, s=0)
+    * row — the incremental delta has nothing to delete with — so the
+    * read filters zero-count rows: a recomputed GROUP BY aggregate has
+    * no empty groups, and the contract is view reads ≡ recomputation. */
   def read(spark: SparkSession, mvPath: String, groupCols: Seq[String]): DataFrame =
     Versioned.readAsOf(spark, mvPath)
+      .filter(col("n") =!= 0)
       .select((groupCols.map(col) :+ col("n") :+ col("s")): _*)
 }

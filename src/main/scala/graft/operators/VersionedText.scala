@@ -52,8 +52,8 @@ object VersionedText {
 
   /** The index rows for `delta`'s affected partitions as they will
     * stand AFTER the commit: token-bloom positions over merge(affected
-    * partitions AS OF `asOfVersion`, delta) — (pval, n_docs, n_positions,
-    * bloom, tv), keyed and partitioned by pval. Same base-pinning
+    * partitions AS OF `asOfVersion`, delta) — (pval, n_terms, bloom,
+    * tv), keyed and partitioned by pval. Same base-pinning
     * contract as [[VersionedBloom.indexDelta]]: callers that commit the
     * result MUST pin `asOfVersion` and pass the same version as the
     * table write's `expectedVersion` (see [[commitIndexed]]) — a

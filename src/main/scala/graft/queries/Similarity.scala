@@ -100,6 +100,35 @@ object Similarity {
       .select(col("qid"), col("cid"), col("cosine"), col("rank"))
   }
 
+  /** Global md5-order rank (`rn` = row_number over `(md5(vec_id),
+    * vec_id)`), built DISTRIBUTED: a partition-less window would sort
+    * the whole corpus in one task (the v22/v25 scale-killer flagged in
+    * round 10). Instead the two-hex md5 PREFIX buckets the rows — a
+    * prefix of the order key, so bucket boundaries respect the global
+    * order and the resulting rank is bit-identical to the single-window
+    * formulation (the DuckDB oracles replay exactly that) — each of the
+    * ≤256 buckets ranks in parallel under a partitioned window, and the
+    * per-bucket offsets are a 256-row driver fold broadcast back. At
+    * 100 TB every task sorts ~1/256 of the corpus; nothing global. */
+  private def md5Rank(df: DataFrame): DataFrame = {
+    val h = df.select(col("vec_id"),
+        md5(col("vec_id").cast("string")).as("h"))
+      .withColumn("bkt", substring(col("h"), 1, 2))
+    val local = h.withColumn("lrn", row_number().over(
+      Window.partitionBy(col("bkt")).orderBy(col("h"), col("vec_id"))))
+    val counts = local.groupBy(col("bkt")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    require(counts.nonEmpty && counts.length <= 256,
+      s"md5Rank needs a non-empty frame within 256 buckets, got ${counts.length}")
+    val offsets = counts.scanLeft(("", 0L)) {
+      case ((_, acc), (b, c)) => (b, acc + c)
+    }.sliding(2).map { case Array((_, off), (b, _)) => (b, off) }.toSeq
+    val offDf = broadcast(
+      df.sparkSession.createDataFrame(offsets).toDF("bkt", "off"))
+    local.join(offDf, Seq("bkt"))
+      .select(col("vec_id"), (col("off") + col("lrn")).as("rn"))
+  }
+
   /** Attach LSH `bucket` (int id) to a frame holding quantized array `q`:
     * 8 hyperplane projections against constant ±1 sign vectors (exact
     * integer sums), bucket = the 8-bit sign pattern. One codegen'd
@@ -1381,10 +1410,10 @@ object Similarity {
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("v")).orderBy(col("cosine").desc, col("c"))))
         .filter(col("rk") <= k).drop("rk")
-      // construction: LSH-bucket seeds + md5 hash ring, then NN-descent
-      val ro = emb.select(col("vec_id"))
-        .withColumn("rn", row_number().over(
-          Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
+      // construction: LSH-bucket seeds + md5 hash ring (distributed
+      // rank — see md5Rank; identical order to the oracle's single
+      // row_number), then NN-descent
+      val ro = md5Rank(emb)
       val ring0 = ro.as("a").join(ro.as("b"),
           col("b.rn") === (col("a.rn") % n) + 1)
         .select(col("a.vec_id").as("v"), col("b.vec_id").as("c"))
@@ -1599,9 +1628,8 @@ object Similarity {
           Window.partitionBy(col("v")).orderBy(col("cosine").desc, col("c"))))
         .filter(col("rk") <= k).drop("rk")
       // v22's construction, over the PRE-INSERT corpus only
-      val ro = embO.select(col("vec_id"))
-        .withColumn("rn", row_number().over(
-          Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
+      // (distributed md5 rank — identical order to the oracle's window)
+      val ro = md5Rank(embO)
       val ring0 = ro.as("a").join(ro.as("b"),
           col("b.rn") === (col("a.rn") % nOld) + 1)
         .select(col("a.vec_id").as("v"), col("b.vec_id").as("c"))

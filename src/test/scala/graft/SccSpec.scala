@@ -46,9 +46,9 @@ class SccSpec extends SparkSpec {
 
   test("self-loops and duplicate edges are harmless") {
     val got = sccOf(Seq((1L, 1L), (1L, 2L), (1L, 2L), (2L, 1L), (3L, 3L)))
-    // node 3 only has a self-loop: it drops out of the non-self edge
-    // set entirely (no edges ⇒ no membership question to answer)
-    assert(got === Map(1L -> 1L, 2L -> 1L))
+    // node 3 only has a self-loop: it never enters the min-label rounds
+    // but is a legitimate singleton SCC (it reaches itself both ways)
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
   }
 
   test("matches a brute-force decomposition on a seeded random digraph") {

@@ -67,6 +67,20 @@ class VersionedMvSpec extends SparkSpec {
     assert(view(mv).exists(_._1 == "brand_new"))
   }
 
+  test("a group FULLY evacuated by churn vanishes from the view") {
+    val (root, tbl, mv, base) = fixture()
+    // move EVERY g2 key to g0: the MV table keeps a (g2, 0, 0.00) row
+    // (the incremental delta cannot delete), but the view contract is
+    // reads ≡ recomputed aggregates — and a recomputed GROUP BY has no
+    // empty groups, so read() must filter the zero-count row out
+    val delta = base.filter(col("g") === "g2").withColumn("g", lit("g0"))
+    VersionedMv.commitWithMv(spark, s"$root/tx2", tbl, mv, delta,
+      "part", Seq("k"), Seq("g"), "v")
+    assert(!view(mv).exists(_._1 == "g2"),
+      "fully-evacuated group must not read back as a phantom row")
+    assert(view(mv) === recompute(tbl))
+  }
+
   test("the view read scans exactly the group rows, never the base") {
     val (_, _, mv, _) = fixture()
     val df = VersionedMv.read(spark, mv, Seq("g"))

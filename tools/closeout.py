@@ -3,7 +3,15 @@
 latency breaches (dev tooling, driver-side python).
 
 Usage: python3 tools/closeout.py [--repo <dir>] [--curr <bench.json>]
-       [--factor 1.4] [--min-secs 0.5]
+       [--factor 1.4] [--min-secs 0.5] [--drift-cap 1.2] [--ceiling 12]
+
+Three gates, all of which must pass:
+  1. stepwise budgets vs the LATEST committed full record;
+  2. the same budgets vs the previous ROUND's committed record (the
+     compound-drift anchor — stepwise re-baselining can't launder a
+     cumulative 1.6x);
+  3. an absolute per-query ceiling (default 12 s): any query above it
+     needs a committed {"<query>": {"ceiling": "<note>"}} waiver.
 
 1. Picks the budget baseline: the LATEST committed FULL builder record
    (tools/bench_history/r{N}_builder_full*.json — every registered
@@ -62,42 +70,39 @@ def latest_full_record(repo):
     return best
 
 
-def main(argv):
-    args, opts = latency_guard.parse_args(argv, __doc__)
-    if args:
-        raise SystemExit(__doc__)
-    repo = opts.get("--repo", os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    curr_path = opts.get("--curr", os.path.join(repo, "target", "bench_full.json"))
-    factor = float(opts.get("--factor", "1.4"))
-    min_secs = float(opts.get("--min-secs", "0.5"))
+def prev_round_anchor(repo):
+    """The previous ROUND's committed full record — the compound-drift
+    anchor. Stepwise continuation close-outs within a round re-baseline
+    to each other (r10 ran 349→359→367→368), which let a query drift
+    1.6x across steps with every single step passing; anchoring every
+    close-out to the last record committed by a PRIOR round makes the
+    cumulative drift visible no matter how many steps this round runs.
+    Current round = latest driver BENCH_r{N}.json's N + 1 (the driver
+    writes BENCH at round end), so the anchor is the newest full record
+    with round <= N."""
+    drv = latest_driver_bench(repo)
+    if drv is None:
+        return None
+    curr_round = int(re.fullmatch(r"BENCH_r(\d+)\.json", drv).group(1)) + 1
+    hist = os.path.join(repo, "tools", "bench_history")
+    if not os.path.isdir(hist):
+        return None
+    best, best_key = None, (-1, -1)
+    for f in os.listdir(hist):
+        m = re.fullmatch(r"r(\d+)_builder_full(\d+)\.json", f)
+        if m and int(m.group(1)) < curr_round and \
+                (int(m.group(1)), int(m.group(2))) > best_key:
+            best, best_key = f, (int(m.group(1)), int(m.group(2)))
+    return best
 
-    full_name = latest_full_record(repo)
-    if full_name is not None:
-        prev_name = full_name
-        prev_path = os.path.join(repo, "tools", "bench_history", full_name)
-    else:
-        prev_name = latest_driver_bench(repo)
-        if prev_name is None:
-            print("INFO no bench baseline yet — nothing to guard")
-            return 0
-        prev_path = os.path.join(repo, prev_name)
-    if not os.path.exists(curr_path):
-        print(f"FAIL current bench {curr_path} missing — run graft.Bench first")
-        return 1
-    prev = latency_guard.load(prev_path)
-    curr = latency_guard.load(curr_path)
-    print(f"== close-out guard: {prev_name} -> {curr_path}")
-    breaches, _, _, _ = latency_guard.compute(prev, curr, factor, min_secs)
+
+def check_breaches(prev, curr, prev_name, factor, min_secs, explained,
+                   exp_path, drift_cap):
+    breaches, _, _, _ = latency_guard.compute(prev, curr, factor, min_secs,
+                                              drift_cap)
     common = len(set(prev["queries"]) & set(curr["queries"]))
     print(f"== budgets checked for {common} common queries "
           f"({len(prev['queries'])} in baseline, {len(curr['queries'])} current)")
-
-    explained = {}
-    exp_path = os.path.join(repo, "tools", "bench_history", "explained.json")
-    if os.path.exists(exp_path):
-        with open(exp_path) as f:
-            explained = json.load(f)
-
     unexplained = []
     for name, p, c, r, drift in sorted(breaches, key=lambda b: -b[3]):
         e = explained.get(name)
@@ -109,15 +114,92 @@ def main(argv):
             print(f"FAIL {name}: {p:.2f}s -> {c:.2f}s ({r:.2f}x, "
                   f"local sentinel drift {drift:.2f}x) — {why}")
             unexplained.append(name)
+    return len(breaches), unexplained
+
+
+def main(argv):
+    args, opts = latency_guard.parse_args(argv, __doc__)
+    if args:
+        raise SystemExit(__doc__)
+    repo = opts.get("--repo", os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    curr_path = opts.get("--curr", os.path.join(repo, "target", "bench_full.json"))
+    factor = float(opts.get("--factor", "1.4"))
+    min_secs = float(opts.get("--min-secs", "0.5"))
+    # sentinel normalization cap: a box-load excuse may forgive at most
+    # 1.2x — a 1.6x query drift can no longer ride a hot sentinel sample
+    # (round 10's e20/e11/e15/g20 compound-drift loophole)
+    drift_cap = float(opts.get("--drift-cap", "1.2"))
+    # absolute per-query ceiling: a NEW gate landing above it needs an
+    # explicit committed waiver at birth, not at the next round's autopsy
+    ceiling = float(opts.get("--ceiling", "12.0"))
+
+    if not os.path.exists(curr_path):
+        print(f"FAIL current bench {curr_path} missing — run graft.Bench first")
+        return 1
+    curr = latency_guard.load(curr_path)
+    explained = {}
+    exp_path = os.path.join(repo, "tools", "bench_history", "explained.json")
+    if os.path.exists(exp_path):
+        with open(exp_path) as f:
+            explained = json.load(f)
+
+    total_breaches, unexplained = 0, []
+
+    # gate 1: stepwise baseline — the latest committed full record
+    full_name = latest_full_record(repo)
+    if full_name is not None:
+        prev_name = full_name
+        prev_path = os.path.join(repo, "tools", "bench_history", full_name)
+    else:
+        prev_name = latest_driver_bench(repo)
+        if prev_name is None:
+            print("INFO no bench baseline yet — nothing to guard")
+            return 0
+        prev_path = os.path.join(repo, prev_name)
+    prev = latency_guard.load(prev_path)
+    print(f"== close-out guard (stepwise): {prev_name} -> {curr_path}")
+    n, un = check_breaches(prev, curr, prev_name, factor, min_secs,
+                           explained, exp_path, drift_cap)
+    total_breaches += n
+    unexplained += un
+
+    # gate 2: round anchor — the previous ROUND's committed full record,
+    # so stepwise re-baselining can't launder compound drift
+    anchor_name = prev_round_anchor(repo)
+    if anchor_name is not None and anchor_name != prev_name:
+        anchor = latency_guard.load(
+            os.path.join(repo, "tools", "bench_history", anchor_name))
+        print(f"== close-out guard (round anchor): {anchor_name} -> {curr_path}")
+        n, un = check_breaches(anchor, curr, anchor_name, factor, min_secs,
+                               explained, exp_path, drift_cap)
+        total_breaches += n
+        unexplained += un
+
+    # gate 3: absolute ceiling — every query, not just regressions
+    over = sorted(((q, s) for q, s in curr["queries"].items() if s > ceiling),
+                  key=lambda x: -x[1])
+    for q, s in over:
+        e = explained.get(q)
+        if e and e.get("ceiling"):
+            print(f"WAIVED {q}: {s:.2f}s over {ceiling:.0f}s ceiling — "
+                  f"{e['ceiling']}")
+        else:
+            print(f"FAIL {q}: {s:.2f}s exceeds the {ceiling:.0f}s per-query "
+                  f"ceiling — no 'ceiling' waiver in explained.json")
+            unexplained.append(q)
+    print(f"== ceiling check: {len(over)} of {len(curr['queries'])} queries "
+          f"above {ceiling:.0f}s")
+
+    unexplained = sorted(set(unexplained))
     if unexplained:
         print(f"\n== ROUND SUMMARY REFUSED: {len(unexplained)} unexplained "
               f"breach(es): {', '.join(unexplained)}")
         print(f"Reclaim each, or commit an A/B note to {exp_path} "
-              f"with baseline={prev_name!r}.")
+              f"naming the exact baseline (or a 'ceiling' waiver).")
         return 1
-    n = len(breaches)
-    print(f"== close-out clean: {n} breach(es), all explained"
-          if n else "== close-out clean: no breaches")
+    print(f"== close-out clean: {total_breaches} budget breach(es) + "
+          f"{len(over)} ceiling exceedance(s), all explained"
+          if total_breaches or over else "== close-out clean: no breaches")
     return 0
 
 

@@ -101,12 +101,13 @@ def _local_sentinel(doc, name):
     return min(ss) if ss else None
 
 
-def compute(prev, curr, factor=1.4, min_secs=0.5):
+def compute(prev, curr, factor=1.4, min_secs=0.5, drift_cap=1.2):
     """Returns (breaches, improved, new, absent). Each breach is
     (name, prev_s, curr_s, ratio, drift_used). Budgets are normalized
     per query by the LOCAL sentinel ratio (see _local_sentinel), capped
-    at [1, 2] — a >2x local move means the samples aren't comparable;
-    absorb 2x and let the rest surface."""
+    at [1, drift_cap] — round 10 showed a 2.0 cap lets a hot sentinel
+    sample forgive a 1.6x query drift, so the cap defaults to 1.2: box
+    noise may excuse at most 20%, the rest must be reclaimed or A/B'd."""
     pq, cq = prev["queries"], curr["queries"]
     breaches, improved = [], []
     for name in sorted(set(pq) & set(cq)):
@@ -116,7 +117,7 @@ def compute(prev, curr, factor=1.4, min_secs=0.5):
         sp, sc = _local_sentinel(prev, name), _local_sentinel(curr, name)
         drift = 1.0
         if sp and sc:
-            drift = min(2.0, max(1.0, sc / sp))
+            drift = min(drift_cap, max(1.0, sc / sp))
         if c > p * factor * drift:
             breaches.append((name, p, c, c / p, drift))
         elif c < p / factor:
