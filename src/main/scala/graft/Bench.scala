@@ -85,6 +85,17 @@ object Bench {
       "\"" + f + "\":" + xs.map(v => f"$v%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
 
+    // per-query ceiling readout (stderr — the stdout JSON line is
+    // size-budgeted): every query whose min-of-N exceeds the absolute
+    // ceiling is named HERE, at measurement time, so a new gate that
+    // lands heavy needs its committed waiver at birth — closeout.py
+    // enforces the same ceiling against explained.json
+    val ceiling = sys.env.getOrElse("SPARK_GRAFT_CEILING_SECS", "12").toDouble
+    results.filter(_._2 > ceiling).sortBy(-_._2).foreach { case (n, v) =>
+      System.err.println(f"[bench] CEILING $n: $v%.2f s exceeds the " +
+        f"$ceiling%.0f s per-query ceiling — waive in explained.json or reclaim")
+    }
+
     val total = results.map(_._2).sum
     // batch vs streaming subtotals: the 13 true-streaming queries carry
     // fixed per-microbatch checkpoint/state-store drain cost, so the

@@ -139,9 +139,33 @@ object Scratch {
     private val live = scala.collection.mutable.Queue.empty[String]
 
     /** Write `df` to `path`, read it back, and drop any chain entry
-      * older than `window` rounds. */
-    def stage(df: org.apache.spark.sql.DataFrame, path: String): org.apache.spark.sql.DataFrame = {
-      df.write.mode("overwrite").parquet(path)
+      * older than `window` rounds.
+      *
+      * Every stage is PLAN-LINTED before it executes
+      * ([[graft.plans.PlanLint.assertStagedScales]]): the registry-wide
+      * lint sees only returned frames, and round 10 proved a
+      * scale-killer can hide behind a staged write. A deliberately
+      * bounded single-task fold must declare its bound —
+      * `boundedRows > 0` skips the partition-less-window rule and
+      * instead verifies (via an Observation riding the write, no extra
+      * job) that the staged row count honors the declared bound. */
+    def stage(
+        df: org.apache.spark.sql.DataFrame,
+        path: String,
+        boundedRows: Long = 0L): org.apache.spark.sql.DataFrame = {
+      if (boundedRows <= 0L) {
+        graft.plans.PlanLint.assertStagedScales(df)
+        df.write.mode("overwrite").parquet(path)
+      } else {
+        val obs = org.apache.spark.sql.Observation()
+        df.observe(obs, org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("rows"))
+          .write.mode("overwrite").parquet(path)
+        val n = obs.get("rows").asInstanceOf[Long]
+        require(n <= boundedRows,
+          s"stage($path) declared boundedRows=$boundedRows but wrote $n rows — " +
+            "the single-task fold this bound was meant to cap is unbounded")
+      }
       live.enqueue(path)
       while (live.size > window) cleanup(spark, live.dequeue())
       spark.read.parquet(path)

@@ -21,9 +21,10 @@ import org.apache.spark.sql.functions._
   * repeats. Progress is guaranteed: the live subgraph's minimum id is
   * always its own fwd and bwd minimum, so its SCC settles every round.
   *
-  * Scale shape: every inner propagation round is one equi-join
-  * (edges ⋈ labels, hash-partitioned — never a nested loop) plus a
-  * partial-aggregated min; labels stage to parquet between rounds so
+  * Scale shape: every inner propagation round is one equi-join per
+  * direction (edges ⋈ labels, hash-partitioned — never a nested loop)
+  * plus a partial-aggregated min, with BOTH directions fused into one
+  * staged round table; labels stage to parquet between rounds so
   * round r never re-executes rounds 1..r−1's lineage (the LabelProp /
   * PageRank discipline). Labels are monotone non-increasing, so
   * convergence is a one-row sum comparison per round. Outer rounds are
@@ -34,27 +35,52 @@ import org.apache.spark.sql.functions._
   */
 object Scc {
 
-  /** (n, lbl): min id reachable along `edges` (u→v ⇒ u can see v's
-    * label) from each node of `nodes`, to fixpoint. */
-  private def minLabel(
+  /** (n, lbl, blbl): min id reachable FORWARD along `edges` (u→v ⇒ u
+    * sees v's label) and BACKWARD (v sees u's) from each node of
+    * `nodes`, both directions to fixpoint in the SAME round loop — one
+    * staged label table and one convergence probe per round instead of
+    * two independent fixpoints. The per-round fixed cost (stage write,
+    * lineage-truncating read-back, one-row sum fold) dominates the
+    * tiny per-round data at moderate diameters, and the joint loop
+    * runs max(depth_fwd, depth_bwd) rounds rather than their sum, so
+    * fusing halves the round I/O without touching the Θ(E)-per-round
+    * join shape either direction had alone. */
+  private def minLabels(
       nodes: DataFrame, edges: DataFrame, stage: String, maxInner: Int): DataFrame = {
     val spark = nodes.sparkSession
     val chain = new graft.Scratch.RoundChain(spark)
-    var lab = chain.stage(nodes.select(col("n"), col("n").as("lbl")),
+    // convergence probe rides the staged-write job itself (Observation
+    // over the write action) — a separate read-back-and-sum job per
+    // round would double the round count's fixed job cost
+    def stageObserved(df: DataFrame, path: String): (DataFrame, (Long, Long)) = {
+      val obs = org.apache.spark.sql.Observation()
+      val staged = chain.stage(
+        df.observe(obs, sum(col("lbl")).as("sf"), sum(col("blbl")).as("sb")),
+        path)
+      val m = obs.get
+      (staged, (m("sf").asInstanceOf[Long], m("sb").asInstanceOf[Long]))
+    }
+    var (lab, prev) = stageObserved(
+      nodes.select(col("n"), col("n").as("lbl"), col("n").as("blbl")),
       s"$stage/round=0")
-    var prevSum = lab.agg(sum(col("lbl"))).collect()(0).getLong(0)
     var r = 1
     while (r <= maxInner) {
-      val viaEdge = edges
+      val viaF = edges
         .join(lab.select(col("n").as("v"), col("lbl").as("nl")), Seq("v"))
-        .groupBy(col("u").as("n")).agg(min(col("nl")).as("cand"))
-      val nxt = lab.join(viaEdge, Seq("n"), "left_outer")
+        .groupBy(col("u").as("n")).agg(min(col("nl")).as("candF"))
+      val viaB = edges
+        .join(lab.select(col("n").as("u"), col("blbl").as("bl")), Seq("u"))
+        .groupBy(col("v").as("n")).agg(min(col("bl")).as("candB"))
+      val nxt = lab
+        .join(viaF, Seq("n"), "left_outer")
+        .join(viaB, Seq("n"), "left_outer")
         .select(col("n"),
-          least(col("lbl"), coalesce(col("cand"), col("lbl"))).as("lbl"))
-      lab = chain.stage(nxt, s"$stage/round=$r")
-      val s = lab.agg(sum(col("lbl"))).collect()(0).getLong(0)
-      if (s == prevSum) return lab // monotone ⇒ equal sum ⇒ fixpoint
-      prevSum = s; r += 1
+          least(col("lbl"), coalesce(col("candF"), col("lbl"))).as("lbl"),
+          least(col("blbl"), coalesce(col("candB"), col("blbl"))).as("blbl"))
+      val (lab2, s) = stageObserved(nxt, s"$stage/round=$r")
+      lab = lab2
+      if (s == prev) return lab // both monotone ⇒ equal sums ⇒ fixpoint
+      prev = s; r += 1
     }
     throw new IllegalStateException(
       s"min-label propagation did not converge in $maxInner rounds — " +
@@ -96,20 +122,22 @@ object Scc {
     var acc: DataFrame = null
     var round = 1
     while (round <= maxRounds) {
-      val fwd = minLabel(remaining, live, s"$root/fwd=$round", maxInner = 64)
-      val bwd = minLabel(remaining,
-        live.select(col("v").as("u"), col("u").as("v")),
-        s"$root/bwd=$round", maxInner = 64)
-      val settledNow = fwd.join(bwd.withColumnRenamed("lbl", "blbl"), Seq("n"))
+      val labels = minLabels(remaining, live, s"$root/lbl=$round", maxInner = 64)
+      val settledNow = labels
         .filter(col("lbl") === col("blbl"))
         .select(col("n").as("node"), col("lbl").as("scc_id"))
       acc = accChain.stage(
         if (acc == null) settledNow else acc.unionByName(settledNow),
         s"$root/acc=$round")
+      // the emptiness probe rides the staged write (Observation), not
+      // a separate read-back count job
+      val obsN = org.apache.spark.sql.Observation()
       remaining = nodeChain.stage(
-        remaining.join(acc.select(col("node").as("n")), Seq("n"), "left_anti"),
+        remaining.join(acc.select(col("node").as("n")), Seq("n"), "left_anti")
+          .observe(obsN, count(lit(1)).as("c")),
         s"$root/nodes=$round")
-      if (remaining.isEmpty) return acc.unionByName(selfOnly)
+      if (obsN.get("c").asInstanceOf[Long] == 0L)
+        return acc.unionByName(selfOnly)
       live = edgeChain.stage(
         live.join(remaining.select(col("n").as("u")), Seq("u"), "left_semi")
           .join(remaining.select(col("n").as("v")), Seq("v"), "left_semi"),

@@ -86,7 +86,15 @@ object Txn {
 
   private final case class Intent(
       table: String, partCol: String, keys: Seq[String], version: Long,
-      delta: String, stamp: Option[Long], op: String)
+      delta: String, stamp: Option[Long], op: String,
+      affected: Option[Seq[String]] = None)
+
+  /** Decode an intent's `affected=` value (URL-encoded, comma-joined
+    * partition values; empty value = empty set, absent line = unknown —
+    * pre-affected-set coordinator logs fall back to the distinct job). */
+  private def parseAffected(v: Option[String]): Option[Seq[String]] =
+    v.map(_.split(",").toSeq.filter(_.nonEmpty)
+      .map(java.net.URLDecoder.decode(_, "UTF-8")))
 
   // intent record: one field per line (paths/columns never hold \n);
   // table + version lead so even a truncated record still identifies
@@ -122,7 +130,8 @@ object Txn {
       Intent(kv("table"), kv("partCol"),
         kv("keys").split(",").toSeq.filter(_.nonEmpty), kv("version").toLong,
         kv("delta"), kv.get("stamp").map(_.toLong),
-        kv.getOrElse("op", "upsert")) // pre-op coordinator logs are upserts
+        kv.getOrElse("op", "upsert"), // pre-op coordinator logs are upserts
+        parseAffected(kv.get("affected")))
     }
 
   /** Run `writes` as one atomic transaction coordinated through
@@ -166,7 +175,27 @@ object Txn {
               "committed or reserved in between; re-read and retry")
       }
       val dp = deltaPath(dir, i)
-      w.delta.write.parquet(dp)
+      // upsert/replace deltas: the affected-partition set rides the
+      // staging write itself (an Observation over collect_set(__p) —
+      // zero extra jobs, zero extra files) and is recorded in the
+      // intent, so apply never runs the distinct-collect job commitAt
+      // would otherwise need. (Partitioning the staged delta instead
+      // was measured SLOWER: a wide commit fans the stage into
+      // partitions × tasks small files.) Delete deltas are key frames
+      // with no partition column — staged flat, no affected set.
+      val affectedLine =
+        if (w.op == "delete") { w.delta.write.parquet(dp); "" }
+        else {
+          val obs = org.apache.spark.sql.Observation()
+          w.delta
+            .withColumn("__p",
+              org.apache.spark.sql.functions.col(w.partCol).cast("string"))
+            .observe(obs, org.apache.spark.sql.functions.collect_set(
+              org.apache.spark.sql.functions.col("__p")).as("ps"))
+            .write.parquet(dp)
+          val ps = obs.get("ps").asInstanceOf[scala.collection.Seq[String]]
+          "affected=" + ps.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",") + "\n"
+        }
       if (w.op == "delete") {
         // the would-empty-the-table refusal fires BEFORE the _COMMIT
         // decision point: emptying a table is almost always a caller
@@ -195,8 +224,11 @@ object Txn {
       writeIntent(spark, dir, i,
         s"table=${w.table}\nversion=$v\npartCol=${w.partCol}\n" +
           s"keys=${w.keys.mkString(",")}\ndelta=$dp\nop=${w.op}\n" +
+          affectedLine +
           w.stamp.fold("")(t => s"stamp=$t\n"), overwrite = true)
-      Intent(w.table, w.partCol, w.keys, v, dp, w.stamp, w.op)
+      Intent(w.table, w.partCol, w.keys, v, dp, w.stamp, w.op,
+        parseAffected(if (affectedLine.isEmpty) None
+          else Some(affectedLine.stripPrefix("affected=").trim)))
     }
     catch { case e: Throwable => rollback(spark, dir); throw e }
   }
@@ -367,12 +399,20 @@ object Txn {
           Versioned.deleteKeysAt(spark, in.table, spark.read.parquet(in.delta),
             in.keys, in.stamp, in.version, prior, mintIfEmpty = true,
             allowEmptyTable = true)
-        else if (in.op == "replace")
-          Versioned.replacePartitionsAt(spark, in.table,
-            spark.read.parquet(in.delta), in.partCol, in.stamp, in.version, prior)
-        else
-          Versioned.commitAt(spark, in.table, spark.read.parquet(in.delta),
-            in.partCol, in.keys, in.stamp, in.version, prior)
+        else {
+          // affected partitions from the intent record (captured by an
+          // Observation during prepare's staging write; None = an old
+          // coordinator log — fall back to commitAt's distinct-collect)
+          val hint = in.affected
+          if (in.op == "replace")
+            Versioned.replacePartitionsAt(spark, in.table,
+              spark.read.parquet(in.delta), in.partCol, in.stamp, in.version,
+              prior, affectedHint = hint)
+          else
+            Versioned.commitAt(spark, in.table, spark.read.parquet(in.delta),
+              in.partCol, in.keys, in.stamp, in.version, prior,
+              affectedHint = hint)
+        }
       }
       Versioned.reapSpentReservations(spark, in.table, in.version)
     }

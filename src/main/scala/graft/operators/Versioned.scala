@@ -181,6 +181,85 @@ object Versioned {
   }
 
   /** Retained versions (committed manifests still on disk), ascending. */
+  // ---- driver-side manifest I/O -------------------------------------
+  // A manifest is k rows of metadata; production table formats read and
+  // write their log on the COORDINATOR, not through cluster jobs (Delta
+  // reads _delta_log driver-side, Iceberg its manifest lists). Routing
+  // these k-row files through spark.read/df.write cost 1–2 scheduler
+  // round-trips (~100 ms each on an idle cluster) per commit, per
+  // time-travel resolution, and per replay-stamp check — measured as a
+  // double-digit share of every transactional gate. Parquet stays the
+  // format (schema `pval STRING, gen BIGINT[, stamp BIGINT]`), so
+  // manifests written by either path read by either path, and
+  // spark.read.parquet still opens one for debugging.
+
+  /** Write manifest version `v` = `entries` (+ constant `stamp`) as a
+    * single parquet file plus the `_SUCCESS` commit marker, entirely
+    * driver-side. Overwrite-idempotent (crash retry rewrites in place);
+    * `_SUCCESS` creation remains the atomic commit point. */
+  private def writeManifest(
+      spark: SparkSession, path: String, v: Long,
+      entries: Seq[(String, Long)], stamp: Option[Long]): Long = {
+    import org.apache.parquet.example.data.simple.SimpleGroup
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.schema.MessageTypeParser
+    val dirStr = manifestPath(path, v)
+    val dir = new Path(dirStr)
+    val fs = fsOf(spark, dirStr)
+    fs.delete(dir, true)
+    fs.mkdirs(dir)
+    val schema = MessageTypeParser.parseMessageType(
+      if (stamp.isDefined)
+        "message manifest { required binary pval (UTF8); required int64 gen; optional int64 stamp; }"
+      else
+        "message manifest { required binary pval (UTF8); required int64 gen; }")
+    val conf =
+      new org.apache.hadoop.conf.Configuration(spark.sparkContext.hadoopConfiguration)
+    GroupWriteSupport.setSchema(schema, conf)
+    val w = ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(new Path(dir, "part-00000.parquet"), conf))
+      .withConf(conf).withType(schema)
+      .build()
+    try entries.foreach { case (p, g) =>
+      val grp = new SimpleGroup(schema)
+      grp.add("pval", p)
+      grp.add("gen", g)
+      stamp.foreach(t => grp.add("stamp", t))
+      w.write(grp)
+    } finally w.close()
+    fs.create(new Path(dir, "_SUCCESS"), true).close() // commit point
+    v
+  }
+
+  /** Read one manifest directory driver-side: (pval, gen, stamp?). */
+  private def readManifestRows(
+      spark: SparkSession, dirStr: String): Seq[(String, Long, Option[Long])] = {
+    import org.apache.parquet.example.data.Group
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val fs = fsOf(spark, dirStr)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val out = Seq.newBuilder[(String, Long, Option[Long])]
+    fs.listStatus(new Path(dirStr)).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach { f =>
+        val r = ParquetReader.builder(new GroupReadSupport(), f)
+          .withConf(conf).build()
+        try {
+          var g: Group = r.read()
+          while (g != null) {
+            val hasStamp = g.getType.containsField("stamp") &&
+              g.getFieldRepetitionCount("stamp") > 0
+            out += ((g.getString("pval", 0), g.getLong("gen", 0),
+              if (hasStamp) Some(g.getLong("stamp", 0)) else None))
+            g = r.read()
+          }
+        } finally r.close()
+      }
+    out.result()
+  }
+
   private[graft] def retainedVersions(spark: SparkSession, path: String): Seq[Long] = {
     val fs = fsOf(spark, path)
     val dir = new Path(manifestDir(path))
@@ -242,10 +321,8 @@ object Versioned {
   }
 
   private[graft] def manifestRefs(spark: SparkSession, path: String, v: Long): Seq[(String, Long)] =
-    spark.read.parquet(manifestPath(path, v))
-      .select(col("pval"), col("gen"))
-      .collect() // k rows: one per partition — driver-sized by design
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // k rows: one per partition — driver-side read by design
+    readManifestRows(spark, manifestPath(path, v)).map(r => (r._1, r._2))
 
   /** Commit `delta` as the next version: merge-by-key into each affected
     * partition, carry every other partition's manifest entry forward.
@@ -412,13 +489,15 @@ object Versioned {
       keys: Seq[String],
       stamp: Option[Long],
       next: Long,
-      prior: Seq[(String, Long)]): Long = {
+      prior: Seq[(String, Long)],
+      affectedHint: Option[Seq[String]] = None): Long = {
     val tagged = delta.withColumn("__p", col(partCol).cast("string"))
     // distinct partition values of the delta: bounded by the partition
     // domain (the same driver-side affected-set Upsert's partitioned
-    // path uses), never by |delta|
-    val affected: Seq[String] =
-      tagged.select(col("__p")).distinct().collect().map(_.getString(0)).toSeq
+    // path uses), never by |delta|. A caller that already knows the set
+    // (Txn's partitioned staged deltas) passes it and skips the job.
+    val affected: Seq[String] = affectedHint.getOrElse(
+      tagged.select(col("__p")).distinct().collect().map(_.getString(0)).toSeq)
     val affectedSet = affected.toSet
 
     val affectedRefs = prior.filter { case (p, _) => affectedSet(p) }
@@ -431,15 +510,10 @@ object Versioned {
 
     val carried = prior.filterNot { case (p, _) => affectedSet(p) }
     val entries = carried ++ affected.map(_ -> next)
-    import spark.implicits._
     // tiny (one row per partition); the _SUCCESS of this write commits.
     // The stamp rides as a constant column — absent column in old
-    // manifests = unstamped (schema-tolerant readers below).
-    val manifest0 = entries.toDF("pval", "gen")
-    stamp.fold(manifest0)(t => manifest0.withColumn("stamp", lit(t)))
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(manifestPath(path, next))
-    next
+    // manifests = unstamped (stamp-tolerant readers below).
+    writeManifest(spark, path, next, entries, stamp)
   }
 
   /** Constraint-CHECKED commit — Delta's CHECK / NOT NULL enforcement
@@ -704,14 +778,9 @@ object Versioned {
     val entries = carried ++ affected.filter(survivors).map(_ -> next)
     require(entries.nonEmpty || allowEmptyTable,
       s"deleteKeys would empty $path — refuse (drop the table instead)")
-    import spark.implicits._
     // entries may be EMPTY here (allowEmptyTable): the zero-row manifest
     // is the explicit empty-table state — committed like any other
-    val manifest0 = entries.toDF("pval", "gen")
-    stamp.fold(manifest0)(t => manifest0.withColumn("stamp", lit(t)))
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(manifestPath(path, next))
-    next
+    writeManifest(spark, path, next, entries, stamp)
   }
 
   /** REPLACE the delta's partitions VERBATIM as the next version — no
@@ -730,22 +799,18 @@ object Versioned {
       partCol: String,
       stamp: Option[Long],
       next: Long,
-      prior: Seq[(String, Long)]): Long = {
+      prior: Seq[(String, Long)],
+      affectedHint: Option[Seq[String]] = None): Long = {
     val tagged = delta.withColumn("__p", col(partCol).cast("string"))
-    val affected: Seq[String] =
-      tagged.select(col("__p")).distinct().collect().map(_.getString(0)).toSeq
+    val affected: Seq[String] = affectedHint.getOrElse(
+      tagged.select(col("__p")).distinct().collect().map(_.getString(0)).toSeq)
     val affectedSet = affected.toSet
     tagged.repartition(col("__p"))
       .write.mode(SaveMode.Overwrite).partitionBy("__p")
       .parquet(s"${genRoot(path)}/__gen=$next")
     val carried = prior.filterNot { case (p, _) => affectedSet(p) }
     val entries = carried ++ affected.map(_ -> next)
-    import spark.implicits._
-    val manifest0 = entries.toDF("pval", "gen")
-    stamp.fold(manifest0)(t => manifest0.withColumn("stamp", lit(t)))
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(manifestPath(path, next))
-    next
+    writeManifest(spark, path, next, entries, stamp)
   }
 
   /** Data-file census of version `v` (default latest): (partitions,
@@ -867,12 +932,7 @@ object Versioned {
     val entries = carried ++ affected.filter(survivors).map(_ -> next)
     require(entries.nonEmpty,
       s"commitMerge would empty $path — refuse (drop the table instead)")
-    import spark.implicits._
-    val manifest0 = entries.toDF("pval", "gen")
-    stamp.fold(manifest0)(t => manifest0.withColumn("stamp", lit(t)))
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(manifestPath(path, next))
-    next
+    writeManifest(spark, path, next, entries, stamp)
   }
 
   /** Drop whole partitions as a NEW VERSION — `ALTER TABLE … DROP
@@ -892,20 +952,24 @@ object Versioned {
     val kept = prior.filterNot { case (p, _) => drop(p) }
     require(kept.nonEmpty,
       s"dropPartitions would empty $path — refuse (drop the table instead)")
-    val next = cur + 1
-    import spark.implicits._
-    kept.toDF("pval", "gen").coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(manifestPath(path, next))
-    next
+    writeManifest(spark, path, cur + 1, kept, None)
   }
 
   /** The logical stamp version `v` was committed with, if any. */
-  def stampOf(spark: SparkSession, path: String, v: Long): Option[Long] = {
-    val m = spark.read.parquet(manifestPath(path, v))
-    if (!m.columns.contains("stamp")) None
-    else m.select(col("stamp")).limit(1).collect().headOption
-      .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
-  }
+  def stampOf(spark: SparkSession, path: String, v: Long): Option[Long] =
+    readManifestRows(spark, manifestPath(path, v)).headOption.flatMap(_._3)
+
+  /** The maximum commit stamp over every retained version — the
+    * replay-check primitive the streaming sinks (e42–e48 discipline)
+    * fold per micro-batch: "has any version committed with stamp ≥ s?"
+    * Probing [[stampOf]] the latest version alone silently lies when
+    * the head is an unstamped maintenance commit (compaction); this
+    * folds every retained manifest, driver-side, zero jobs. */
+  def maxStamp(spark: SparkSession, path: String): Option[Long] =
+    retainedVersions(spark, path)
+      .flatMap(v => readManifestRows(spark, manifestPath(path, v))
+        .headOption.flatMap(_._3))
+      .maxOption
 
   /** Read the table AS OF logical stamp `s`: the newest retained version
     * whose commit stamp is ≤ `s` (Delta's `TIMESTAMP AS OF`, but on the
@@ -1004,10 +1068,7 @@ object Versioned {
     try reg.write(s"$dst\n$v0".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally reg.close()
 
-    import spark.implicits._
-    refs.toDF("pval", "gen").coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(manifestPath(dst, v0))
-    v0
+    writeManifest(spark, dst, v0, refs, None)
   }
 
   /** Localize every partition of the LATEST version that still serves
@@ -1040,9 +1101,7 @@ object Versioned {
       org.apache.hadoop.fs.FileUtil.copy(srcFs, from, fs, to, false, conf)
     }
     val entries = local ++ shared.map { case (p, _) => (p, next) }
-    import spark.implicits._
-    entries.toDF("pval", "gen").coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(manifestPath(path, next))
+    writeManifest(spark, path, next, entries, None)
     // fully independent now? release the source-side retention pin so
     // the source's expire stops holding generations for this clone.
     // (Older retained clone versions may still share — only a clone
@@ -1250,9 +1309,6 @@ object Versioned {
         srcFs, new Path(s"$src/data/__p=$p"),
         dstFs, new Path(partDir(dst, p, 1L)), false, true, conf)
     }
-    import spark.implicits._
-    pvals.map(p => (p, 1L)).toDF("pval", "gen").coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(manifestPath(dst, 1L))
-    1L
+    writeManifest(spark, dst, 1L, pvals.map(p => (p, 1L)), None)
   }
 }

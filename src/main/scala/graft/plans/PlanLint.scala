@@ -49,6 +49,40 @@ object PlanLint {
         s"plan has ${fatal.size} scale-killer(s):\n${fatal.mkString("\n")}")
   }
 
+  /** Fatal gate for STAGED intermediate writes (`Scratch.RoundChain
+    * .stage` and friends). The registry-wide sweep lints only each
+    * query's RETURNED frame — round 10's graph-ANN ring built a
+    * partition-less global window, staged it to scratch, and the sweep
+    * never saw it. This gate lints the plan a stage is about to
+    * EXECUTE. It reads the ANALYZED plan (already computed for the
+    * write — no second optimizer pass per iterative round), so it
+    * additionally treats an all-FOLDABLE partition spec (e.g.
+    * `Window.partitionBy(lit("all"))`, which the optimizer folds to an
+    * empty spec) as partition-less. Bounded single-task folds are
+    * allowed only through the staging API's explicit `boundedRows`
+    * assertion, which is verified against the written row count. */
+  def assertStagedScales(df: DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    val out = Seq.newBuilder[Finding]
+    def walk(p: LogicalPlan): Unit = {
+      p match {
+        case w: Window if w.partitionSpec.isEmpty || w.partitionSpec.forall(_.foldable) =>
+          out += Finding("fatal", "partition-less-window", "Window",
+            "staged plan funnels every row into ONE window task (empty or " +
+              "constant PARTITION BY); stage a distributed formulation, or " +
+              "assert a row bound via stage(..., boundedRows = n)")
+        case _ =>
+      }
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+    }
+    walk(df.queryExecution.analyzed)
+    val fatal = out.result()
+    if (fatal.nonEmpty)
+      throw new IllegalStateException(
+        s"staged plan has ${fatal.size} scale-killer(s):\n${fatal.mkString("\n")}")
+  }
+
   /** Human-readable report (all severities). */
   def report(df: DataFrame): String = {
     val fs = lint(df)

@@ -3796,6 +3796,78 @@ object EtlOps {
     }
   }
 
+  // --- k63_bitmap_index: TRANSACTIONAL BITMAP INDEX for
+  // low-cardinality predicates — the last member of the secondary-index
+  // family (bloom=WHO/point, zone=WHEN/range, text=WHAT/tokens,
+  // quantile=HOW-MUCH/rank; bitmap=WHICH-KIND/category), composing with
+  // k54's intersection. Ledger: quarter-partitioned orders (~27
+  // partitions) carrying a CATEGORY column: month tags, with December
+  // as 'holiday' — a category physically localized in the Q4 quarters,
+  // the correlation a bitmap index discovers through DATA, not the
+  // partition key. Per partition the index holds ONE long: two hashed
+  // bit positions per distinct category (VersionedBitmap.BitExpr). A
+  // second commit flags the %7 orders of Q1-1997 as 'flagged' —
+  // category churn whose index delta rewrites only that quarter's row.
+  // The gate require()s: 'holiday' candidates = exactly the Q4
+  // partitions (< nParts/2), 'flagged' candidates = exactly ONE
+  // partition, and the final aggregates answer through the
+  // bitmap-pruned path; the oracle recomputes both categories from raw
+  // orders — a bitmap missing a commit's categories (false negative)
+  // or a pruned read dropping rows hash-mismatches. Scale: the probe
+  // folds k longs; the read opens only admitted quarters. ---
+  val k63BitmapIndex = QueryDef.sql(
+    "k63_bitmap_index",
+    """WITH base AS (SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS d,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS amt,
+      |    CASE WHEN month(CAST(o_orderdate AS DATE)) = 12 THEN 'holiday'
+      |         ELSE 'm' || CAST(month(CAST(o_orderdate AS DATE)) AS VARCHAR)
+      |    END AS cat
+      |  FROM orders),
+      |post AS (SELECT k, d, amt,
+      |    CASE WHEN k % 7 = 0 AND d >= DATE '1997-01-01'
+      |           AND d <= DATE '1997-03-31' THEN 'flagged' ELSE cat END AS cat
+      |  FROM base),
+      |probes AS (SELECT 'holiday' AS cat UNION ALL SELECT 'flagged'),
+      |agg AS (SELECT cat, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(amt) AS DOUBLE) AS total
+      |  FROM post WHERE cat IN ('holiday', 'flagged') GROUP BY cat)
+      |SELECT p.cat, coalesce(agg.n, 0) AS n, agg.total, TRUE AS pruned
+      |FROM probes p LEFT JOIN agg ON agg.cat = p.cat""".stripMargin) { (s, d) =>
+    import graft.operators.{Versioned, VersionedBitmap}
+    val root = graft.Scratch.dir("k63-bitmap")
+    val tbl = s"$root/orders"; val idx = s"$root/bm"
+    val base = T.orders(s, d).select(col("o_orderkey").as("k"),
+      expr("concat(year(CAST(o_orderdate AS DATE)), '-Q', " +
+        "quarter(CAST(o_orderdate AS DATE)))").as("qtr"),
+      col("o_orderdate").cast("date").as("d"),
+      col("o_totalprice").cast("decimal(12,2)").as("amt"))
+      .withColumn("cat", when(month(col("d")) === 12, lit("holiday"))
+        .otherwise(concat(lit("m"), month(col("d")).cast("string"))))
+    VersionedBitmap.commitIndexed(s, s"$root/txn1", tbl, idx, base,
+      "qtr", Seq("k"), "cat")
+    // category churn: a small delta re-tags one quarter's %7 orders —
+    // the index rewrite is localized to that quarter's row
+    val delta = base.filter(col("k") % 7 === 0 &&
+        col("d") >= lit("1997-01-01").cast("date") &&
+        col("d") <= lit("1997-03-31").cast("date"))
+      .withColumn("cat", lit("flagged"))
+    VersionedBitmap.commitIndexed(s, s"$root/txn2", tbl, idx, delta,
+      "qtr", Seq("k"), "cat")
+    val nParts = Versioned.readAsOf(s, idx).count()
+    val candsH = VersionedBitmap.candidatePartitions(s, idx, lit("holiday"))
+    val candsF = VersionedBitmap.candidatePartitions(s, idx, lit("flagged"))
+    require(candsH.nonEmpty && candsH.size * 2 < nParts,
+      s"'holiday' must localize to the Q4 quarters: ${candsH.size} of $nParts")
+    require(candsF.size == 1,
+      s"'flagged' lives in exactly one quarter, got ${candsF.mkString(",")}")
+    import s.implicits._
+    Seq("holiday", "flagged").map { c =>
+      VersionedBitmap.lookupEq(s, tbl, idx, "cat", lit(c))
+        .agg(count(lit(1)).as("n"), sum(col("amt")).cast("double").as("total"))
+        .select(lit(c).as("cat"), col("n"), col("total"), lit(true).as("pruned"))
+    }.reduce(_ unionByName _)
+  }
+
   val all: Seq[QueryDef] = Seq(
     k45KeyHistory,
     k40BranchMerge, k41DropPartitions, k42DeleteKeys, j12TimeWeightedAvg, j13InterpJoin, j14Resample, er6PprlClk,
@@ -3816,6 +3888,6 @@ object EtlOps {
     k50BroadcastAdvisor, k51SnapshotRead, k52TxnForget, k53RangeIndex,
     k54ComposedIndex, k55JoinReorderRule, k56Compaction, k57MultizoneIndex,
     k58ReorderBroadcast, k59LiveReorderFlip, k61TxnMv, k62QuantileIndex,
-    k27WapGate)
+    k63BitmapIndex, k27WapGate)
 
 }

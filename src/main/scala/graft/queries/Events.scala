@@ -26,6 +26,31 @@ object Events {
     * done here for the fixture's volume. The operator graph — watermarks,
     * join conditions, sink semantics — is unchanged by this setting.
     */
+  /** Shared 3-slice event feed for the transactional-sink gates
+    * (e42/e43/e45/e46/e47): each used to land its own projection of
+    * the same filtered events as a private 3-file feed — one full
+    * events scan + round-robin shuffle + write PER GATE, identical
+    * cohort structure every time. One SUPERSET feed (all six columns)
+    * lands once per (application × sf dir) under Scratch.cache and
+    * every gate streams its own column subset off it (a file-source
+    * user schema projects from a wider parquet schema). Slice
+    * semantics are unchanged: same filtered row set, same 3
+    * round-robin files, every batch still touches every day/type.
+    * Gates' ledgers commit only their declared columns, so committed
+    * state and the oracles are untouched. */
+  private def sharedEventFeed(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val (path, landed) = graft.Scratch.cache(s,
+      "events-feed3-" + d.replaceAll("[^A-Za-z0-9._-]", "-"))
+    if (!landed)
+      T.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"), col("ts"),
+          col("value").cast("decimal(10,2)").as("amt"))
+        .repartition(3) // 3 feed files → 3 micro-batches → 3 transactions
+        .write.mode("overwrite").parquet(path)
+    path
+  }
+
   private def withStatePartitions[A](s: org.apache.spark.sql.SparkSession, n: Int)(
       body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
@@ -2175,13 +2200,9 @@ object Events {
     withStatePartitions(s, 4) {
     import graft.operators.{Txn, Versioned}
     val root = graft.Scratch.dir("e42-txnsink")
-    val feed = s"$root/feed"; val ckpt = s"$root/ckpt"
+    val ckpt = s"$root/ckpt"
     val ledger = s"$root/ledger"; val summary = s"$root/summary"
-    T.events(s, d).filter(col("value").isNotNull)
-      .select(col("event_id"), col("event_type"),
-        col("value").cast("decimal(10,2)").as("amt"))
-      .repartition(3) // 3 feed files → 3 micro-batches → 3 transactions
-      .write.parquet(feed)
+    val feed = sharedEventFeed(s, d) // 3 slices → 3 micro-batch txns
     val stream = s.readStream
       .schema("event_id BIGINT, event_type STRING, amt DECIMAL(10,2)")
       .option("maxFilesPerTrigger", 1)
@@ -2285,12 +2306,12 @@ object Events {
     withStatePartitions(s, 4) {
     import graft.operators.{Versioned, VersionedBloom}
     val root = graft.Scratch.dir("e43-idxsink")
-    val feed = s"$root/feed"; val ckpt = s"$root/ckpt"
+    val ckpt = s"$root/ckpt"
     val ledger = s"$root/ledger"; val idx = s"$root/idx"
     val ev = T.events(s, d).filter(col("value").isNotNull)
       .select(col("event_id"), col("event_type"), col("user_id"),
         col("value").cast("decimal(10,2)").as("amt"))
-    ev.repartition(3).write.parquet(feed)
+    val feed = sharedEventFeed(s, d)
     val stream = s.readStream
       .schema("event_id BIGINT, event_type STRING, user_id BIGINT, amt DECIMAL(10,2)")
       .option("maxFilesPerTrigger", 1)
@@ -2367,12 +2388,9 @@ object Events {
     withStatePartitions(s, 4) {
     import graft.operators.{Txn, Versioned, VersionedZone}
     val root = graft.Scratch.dir("e45-zonesink")
-    val feed = s"$root/feed"; val ckpt = s"$root/ckpt"
+    val ckpt = s"$root/ckpt"
     val ledger = s"$root/ledger"; val idx = s"$root/idx"
-    val ev = T.events(s, d).filter(col("value").isNotNull)
-      .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
-        col("ts"), col("value").cast("decimal(10,2)").as("amt"))
-    ev.repartition(3).write.parquet(feed)
+    val feed = sharedEventFeed(s, d)
     val stream = s.readStream
       .schema("event_id BIGINT, day STRING, ts TIMESTAMP, amt DECIMAL(10,2)")
       .option("maxFilesPerTrigger", 1)
@@ -2382,29 +2400,32 @@ object Events {
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          // e43's restart + replay discipline: idx sorts before ledger,
-          // so the ledger (applied last) carrying the stamp proves the
-          // whole txn applied
+          // e43's restart + replay discipline — one-job stamp fold
+          // (Versioned.maxStamp) instead of a per-version manifest probe
           Txn.recoverAll(s, s"$root/txns")
-          val vL = Versioned.latestVersion(s, ledger)
-          val replayed = vL > 0 &&
-            Versioned.stampOf(s, ledger, vL).exists(_ >= batchId + 1)
+          val replayed =
+            Versioned.maxStamp(s, ledger).exists(_ >= batchId + 1)
           if (!replayed)
             VersionedZone.commitIndexed(s, s"$root/txns/txn-$batchId", ledger,
               idx, batch, "day", Seq("event_id"), "ts",
               stamp = Some(batchId + 1))
-          // MID-INGEST probe between transactions: the window is live
-          // and correctly bounded right now, not just after the drain
-          val cands = VersionedZone.candidatePartitions(s, idx, lo, hi)
-          require(cands.nonEmpty && cands.size <= 3,
-            s"mid-ingest zone candidates must stay within the 3 probe " +
-              s"days, got ${cands.size}")
-          val prunedN = VersionedZone.lookupRange(s, ledger, idx, "ts", lo, hi)
-            .count()
-          val scanN = Versioned.readAsOf(s, ledger)
-            .filter(col("ts") >= lo && col("ts") <= hi).count()
-          require(prunedN == scanN,
-            s"mid-ingest pruned read must equal full scan: $prunedN vs $scanN")
+          // MID-INGEST probe between transactions: after batch 1's
+          // commit — with a batch still to come — the window is live
+          // and correctly bounded right now, not just after the drain.
+          // One mid-stream probe point carries the full liveness claim;
+          // probing every batch re-proves it at 3x the drain cost.
+          if (batchId == 1L) {
+            val cands = VersionedZone.candidatePartitions(s, idx, lo, hi)
+            require(cands.nonEmpty && cands.size <= 3,
+              s"mid-ingest zone candidates must stay within the 3 probe " +
+                s"days, got ${cands.size}")
+            val prunedN = VersionedZone.lookupRange(s, ledger, idx, "ts", lo, hi)
+              .count()
+            val scanN = Versioned.readAsOf(s, ledger)
+              .filter(col("ts") >= lo && col("ts") <= hi).count()
+            require(prunedN == scanN,
+              s"mid-ingest pruned read must equal full scan: $prunedN vs $scanN")
+          }
           ()
         }
       }
@@ -2463,19 +2484,18 @@ object Events {
     withStatePartitions(s, 4) {
     import graft.operators.{Txn, Versioned, VersionedZone}
     val root = graft.Scratch.dir("e47-streamcompact")
-    val feed = s"$root/feed"; val ckpt = s"$root/ckpt"
+    val ckpt = s"$root/ckpt"
     val ledger = s"$root/ledger"; val idx = s"$root/idx"
-    val ev = T.events(s, d).filter(col("value").isNotNull)
-      .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
-        col("ts"), col("value").cast("decimal(10,2)").as("amt"))
     // round-robin slices: every batch touches every day, so day
     // partitions fragment batch over batch — the compaction fixture
-    ev.repartition(3).write.parquet(feed)
+    val feed = sharedEventFeed(s, d)
     def fingerprintAt(v: Long): (Long, Long) = {
-      val df = Versioned.readAsOf(s, ledger, v)
-      (df.count(),
-        df.select(xxhash64(col("event_id"), col("day"), col("ts"),
-          col("amt")).as("h")).agg(expr("bit_xor(h)")).collect()(0).getLong(0))
+      // count + xor-fold in ONE aggregate pass (one job, not two)
+      val r = Versioned.readAsOf(s, ledger, v)
+        .select(xxhash64(col("event_id"), col("day"), col("ts"),
+          col("amt")).as("h"))
+        .agg(count(lit(1)), expr("bit_xor(h)")).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     val stream = s.readStream
       .schema("event_id BIGINT, day STRING, ts TIMESTAMP, amt DECIMAL(10,2)")
@@ -2485,11 +2505,12 @@ object Events {
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           Txn.recoverAll(s, s"$root/txns")
-          // replay check scans ALL versions' stamps: a compaction
-          // version carries none, so "latest stamp" would lie here
-          val vL = Versioned.latestVersion(s, ledger)
-          val replayed = (1L to vL).exists(v =>
-            Versioned.stampOf(s, ledger, v).exists(_ >= batchId + 1))
+          // replay check over ALL versions' stamps in one manifest
+          // fold: a compaction version carries none, so "latest stamp"
+          // would lie here — and a per-version probe pays O(versions)
+          // jobs per batch
+          val replayed =
+            Versioned.maxStamp(s, ledger).exists(_ >= batchId + 1)
           if (!replayed)
             VersionedZone.commitIndexed(s, s"$root/txns/txn-$batchId", ledger,
               idx, batch, "day", Seq("event_id"), "ts",
@@ -2595,27 +2616,30 @@ object Events {
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           Txn.recoverAll(s, s"$root/txns")
-          val vL = Versioned.latestVersion(s, ledger)
-          val replayed = vL > 0 &&
-            Versioned.stampOf(s, ledger, vL).exists(_ >= batchId + 1)
+          val replayed =
+            Versioned.maxStamp(s, ledger).exists(_ >= batchId + 1)
           if (!replayed)
             VersionedText.commitIndexed(s, s"$root/txns/txn-$batchId", ledger,
               idx, batch, "pb", Seq("doc_id"), "text",
               stamp = Some(batchId + 1))
           // MID-INGEST: the landed corpus is searchable through the
           // index right now — probe the smallest landed doc's marker
-          val low = Versioned.readAsOf(s, ledger)
-            .agg(min(col("doc_id"))).collect()(0).getLong(0)
-          val mk = s"zq${low}x"
-          val nParts = Versioned.readAsOf(s, idx).count()
-          val cands = VersionedText.candidatePartitions(s, idx, Seq(mk))
-          require(cands.nonEmpty && cands.size <= math.max(1L, nParts / 2),
-            s"mid-ingest token pruning must be real: |$mk| -> " +
-              s"${cands.size} of $nParts")
-          val hits = VersionedText.lookupAll(s, ledger, idx, "text", Seq(mk))
-            .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
-          require(hits == Seq(low),
-            s"mid-ingest probe $mk must retrieve exactly doc $low, got $hits")
+          // at the mid-stream point (batch 1 committed, one to come);
+          // one probe point carries the liveness claim at 1/3 the cost
+          if (batchId == 1L) {
+            val low = Versioned.readAsOf(s, ledger)
+              .agg(min(col("doc_id"))).collect()(0).getLong(0)
+            val mk = s"zq${low}x"
+            val nParts = Versioned.readAsOf(s, idx).count()
+            val cands = VersionedText.candidatePartitions(s, idx, Seq(mk))
+            require(cands.nonEmpty && cands.size <= math.max(1L, nParts / 2),
+              s"mid-ingest token pruning must be real: |$mk| -> " +
+                s"${cands.size} of $nParts")
+            val hits = VersionedText.lookupAll(s, ledger, idx, "text", Seq(mk))
+              .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+            require(hits == Seq(low),
+              s"mid-ingest probe $mk must retrieve exactly doc $low, got $hits")
+          }
           ()
         }
       }
@@ -2645,10 +2669,11 @@ object Events {
   // NDV registers) in ONE stamped Txn (VersionedStats.commitWithStats),
   // so there is NO observable state — crash windows included — where
   // the table and the stats the CBO reads disagree. The gate makes the
-  // stats LIVE consumers real: between transactions it require()s the
-  // stats-row total equals the table's exact count and the merged-
-  // register NDV tracks the exact distinct count within HLL tolerance,
-  // and it records the k50 broadcast advice (fits-the-budget refusal)
+  // stats LIVE consumers real: at the mid-stream point (batch 1
+  // committed, a batch still to come) it require()s the stats-row
+  // total equals the table's exact count and the merged-register NDV
+  // tracks the exact distinct count within HLL tolerance, and it
+  // records the k50 broadcast advice (fits-the-budget refusal)
   // after every batch — the advice FLIPS mid-ingest ('broadcast' while
   // the table is under half the feed, 'shuffle' once it grows past it),
   // which is deterministic for 3 round-robin slices regardless of file
@@ -2671,14 +2696,13 @@ object Events {
     withStatePartitions(s, 4) {
     import graft.operators.{Txn, Versioned, VersionedStats}
     val root = graft.Scratch.dir("e46-livestats")
-    val feed = s"$root/feed"; val ckpt = s"$root/ckpt"
+    val feed = sharedEventFeed(s, d); val ckpt = s"$root/ckpt"
     // stats path sorts BEFORE the ledger: Txn applies in sorted-table
     // order, so the ledger carrying the batch stamp proves the whole
     // txn (stats included) applied — e43's replay discipline
     val ledger = s"$root/ledger"; val stats = s"$root/a_stats"
     val ev = T.events(s, d).filter(col("value").isNotNull)
       .select(col("event_id"), col("event_type"), col("user_id"))
-    ev.repartition(3).write.parquet(feed)
     val total = ev.count()
     val budget = total / 2 // the broadcast row budget the advisor enforces
     require(total > 12, s"flip arithmetic needs a real feed, got $total rows")
@@ -2691,29 +2715,33 @@ object Events {
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           Txn.recoverAll(s, s"$root/txns")
-          val vL = Versioned.latestVersion(s, ledger)
-          val replayed = vL > 0 &&
-            Versioned.stampOf(s, ledger, vL).exists(_ >= batchId + 1)
+          val replayed =
+            Versioned.maxStamp(s, ledger).exists(_ >= batchId + 1)
           if (!replayed)
             VersionedStats.commitWithStats(s, s"$root/txns/txn-$batchId",
               ledger, stats, batch, "event_type", Seq("event_id"),
               cols = Seq("event_id", "user_id"), stamp = Some(batchId + 1))
-          // LIVE invariants between transactions: the stats the planner
-          // would read RIGHT NOW describe exactly the committed table.
-          // NDV via the small-range-corrected consumer — user_id's
-          // cardinality (~150) sits below the linear-counting switch,
-          // where the raw (oracle-replayable) formula is biased high
           val st = VersionedStats.read(s, stats)
-          val exactRows = Versioned.readAsOf(s, ledger).count()
-          val statsRows = VersionedStats.totalRows(st)
-          require(statsRows == exactRows,
-            s"mid-ingest stats rows $statsRows != table rows $exactRows")
-          val ndvEst = VersionedStats.ndvGlobalCorrected(st, "user_id")
-          val ndvExact = Versioned.readAsOf(s, ledger)
-            .select(col("user_id")).distinct().count()
-          require(ndvExact > 0 &&
-            math.abs(ndvEst - ndvExact) / ndvExact <= 0.15,
-            s"mid-ingest NDV estimate $ndvEst drifted from exact $ndvExact")
+          // LIVE invariants between transactions, proved at the
+          // mid-stream point (batch 1 committed, a batch still to
+          // come): the stats the planner would read RIGHT NOW describe
+          // exactly the committed table. NDV via the small-range-
+          // corrected consumer — user_id's cardinality (~150) sits
+          // below the linear-counting switch, where the raw (oracle-
+          // replayable) formula is biased high. The per-batch ADVICE
+          // fold below stays on every batch — the flip is the result.
+          if (batchId == 1L) {
+            val exactRows = Versioned.readAsOf(s, ledger).count()
+            val statsRows = VersionedStats.totalRows(st)
+            require(statsRows == exactRows,
+              s"mid-ingest stats rows $statsRows != table rows $exactRows")
+            val ndvEst = VersionedStats.ndvGlobalCorrected(st, "user_id")
+            val ndvExact = Versioned.readAsOf(s, ledger)
+              .select(col("user_id")).distinct().count()
+            require(ndvExact > 0 &&
+              math.abs(ndvEst - ndvExact) / ndvExact <= 0.15,
+              s"mid-ingest NDV estimate $ndvEst drifted from exact $ndvExact")
+          }
           advices(batchId) = VersionedStats.broadcastAdvice(st, budget)
           ()
         }

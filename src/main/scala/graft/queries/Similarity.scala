@@ -109,8 +109,12 @@ object Similarity {
     * formulation (the DuckDB oracles replay exactly that) — each of the
     * ≤256 buckets ranks in parallel under a partitioned window, and the
     * per-bucket offsets are a 256-row driver fold broadcast back. At
-    * 100 TB every task sorts ~1/256 of the corpus; nothing global. */
-  private def md5Rank(df: DataFrame): DataFrame = {
+    * 100 TB every task sorts ~1/256 of the corpus; nothing global.
+    * The result is STAGED to `stagePath` and read back: callers use
+    * the rank several times (ring self-join twice, entry lottery), and
+    * re-executing the shuffle+window lineage per use would pay the
+    * distribution cost thrice for one rank. */
+  private def md5Rank(df: DataFrame, stagePath: String): DataFrame = {
     val h = df.select(col("vec_id"),
         md5(col("vec_id").cast("string")).as("h"))
       .withColumn("bkt", substring(col("h"), 1, 2))
@@ -127,6 +131,8 @@ object Similarity {
       df.sparkSession.createDataFrame(offsets).toDF("bkt", "off"))
     local.join(offDf, Seq("bkt"))
       .select(col("vec_id"), (col("off") + col("lrn")).as("rn"))
+      .write.mode("overwrite").parquet(stagePath)
+    df.sparkSession.read.parquet(stagePath)
   }
 
   /** Attach LSH `bucket` (int id) to a frame holding quantized array `q`:
@@ -1413,7 +1419,7 @@ object Similarity {
       // construction: LSH-bucket seeds + md5 hash ring (distributed
       // rank — see md5Rank; identical order to the oracle's single
       // row_number), then NN-descent
-      val ro = md5Rank(emb)
+      val ro = md5Rank(emb, s"$stage/ro")
       val ring0 = ro.as("a").join(ro.as("b"),
           col("b.rn") === (col("a.rn") % n) + 1)
         .select(col("a.vec_id").as("v"), col("b.vec_id").as("c"))
@@ -1629,7 +1635,7 @@ object Similarity {
         .filter(col("rk") <= k).drop("rk")
       // v22's construction, over the PRE-INSERT corpus only
       // (distributed md5 rank — identical order to the oracle's window)
-      val ro = md5Rank(embO)
+      val ro = md5Rank(embO, s"$stage/ro")
       val ring0 = ro.as("a").join(ro.as("b"),
           col("b.rn") === (col("a.rn") % nOld) + 1)
         .select(col("a.vec_id").as("v"), col("b.vec_id").as("c"))

@@ -116,6 +116,48 @@ class ScratchSpec extends SparkSpec {
     }
   }
 
+  test("stage() lints the staged plan: a hidden partition-less window is fatal") {
+    val root = Files.createTempDirectory("scratch-root-lint").toString
+    withRoot(root) {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val df = spark.range(100).toDF("id")
+      val chain = new Scratch.RoundChain(spark)
+      val planted = df.withColumn("rn",
+        row_number().over(Window.orderBy(col("id"))))
+      val e = intercept[IllegalStateException] {
+        chain.stage(planted, s"${Scratch.dir(spark, "lint")}/x")
+      }
+      assert(e.getMessage.contains("partition-less-window"))
+      // a CONSTANT partition spec folds to the same single task — also fatal
+      val folded = df.withColumn("rn",
+        row_number().over(Window.partitionBy(lit("all")).orderBy(col("id"))))
+      intercept[IllegalStateException] {
+        chain.stage(folded, s"${Scratch.dir(spark, "lint")}/y")
+      }
+    }
+  }
+
+  test("stage() boundedRows admits a declared single-task fold and verifies the bound") {
+    val root = Files.createTempDirectory("scratch-root-bound").toString
+    withRoot(root) {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val chain = new Scratch.RoundChain(spark)
+      val fold = spark.range(64).toDF("id").withColumn("rn",
+        row_number().over(Window.orderBy(col("id"))))
+      // declared bound holds: staged and readable
+      val staged = chain.stage(fold, s"${Scratch.dir(spark, "bnd")}/ok",
+        boundedRows = 100L)
+      assert(staged.count() === 64L)
+      // declared bound violated: the row-count verification fires
+      val e = intercept[IllegalArgumentException] {
+        chain.stage(fold, s"${Scratch.dir(spark, "bnd")}/bad", boundedRows = 10L)
+      }
+      assert(e.getMessage.contains("boundedRows=10"))
+    }
+  }
+
   test("eager cleanup deletes a staging dir") {
     val root = Files.createTempDirectory("scratch-root-cl").toString
     withRoot(root) {
