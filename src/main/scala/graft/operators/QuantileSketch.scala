@@ -177,4 +177,37 @@ object QuantileSketch {
       .groupBy((group :+ "q").map(col): _*)
       .agg(min(col("v")).as("est"))
   }
+
+  /** GLOBAL (group-less) quantile estimates off a summary, computed
+    * DRIVER-SIDE. A summary is sketch-sized BY CONSTRUCTION (≤
+    * partitions × (maxSamples + 2) weighted rows), so the group-less
+    * cumulative fold is a single task no matter where it runs —
+    * through [[quantiles]] with a constant group it additionally plans
+    * a partition-less window (the optimizer folds the constant away),
+    * which is both the scale-lint's fatal pattern and a WARN flood.
+    * This is metadata-scale math: collect the value-merged summary
+    * once (`maxRows`-guarded so a data-sized frame fails loudly
+    * instead of OOMing the driver), fold cumulative weights exactly as
+    * [[quantiles]] does (smallest v whose cumulative weight reaches
+    * ⌈q·W⌉), return (q, est) pairs. */
+  def quantilesGlobal(
+      summary: DataFrame,
+      qs: Seq[Double],
+      maxRows: Int = 1 << 20): Seq[(Double, Double)] = {
+    val rows = summary.groupBy(col("v")).agg(sum(col("wt")).as("wt"))
+      .orderBy(col("v"))
+      .limit(maxRows + 1)
+      .collect().map(r => (r.getDouble(0), r.getLong(1)))
+    require(rows.length <= maxRows,
+      s"quantilesGlobal collected more than $maxRows summary rows — " +
+        "this fold is for sketch-sized summaries, not data frames")
+    val tot = rows.iterator.map(_._2).sum
+    qs.map { q =>
+      val t = math.max(1L, math.ceil(q * tot.toDouble).toLong)
+      var cw = 0L
+      val est = rows.find { case (_, w) => cw += w; cw >= t }
+      require(est.nonEmpty, s"empty summary — no estimate for q=$q")
+      (q, est.get._1)
+    }
+  }
 }

@@ -3762,20 +3762,20 @@ object EtlOps {
           && Versioned.latestVersion(s, idx) == 2L,
         "ledger and sketch index must move in lockstep")
       // the estimate answers from index rows ONLY — plan-string proof
-      val sk = Versioned.readAsOf(s, idx)
-        .select(lit("all").as("g"), col("v"), col("wt"))
-      val ests = QuantileSketch.quantiles(sk, Seq("g"), Seq(0.01, 0.5, 0.99))
-        .select(col("q"), col("est"))
-      val phys = ests.queryExecution.executedPlan.toString
+      // on the index read, then a DRIVER-SIDE cumulative fold
+      // (QuantileSketch.quantilesGlobal): the summary is ≤ m·(B+2)
+      // rows by construction, so the group-less fold is metadata-scale
+      // math — folding it through a cluster window planned a
+      // partition-less WindowExec (one task anyway, plus the lint's
+      // fatal pattern); the fold result is a 3-row local relation
+      val sk = Versioned.readAsOf(s, idx).select(col("v"), col("wt"))
+      val phys = sk.queryExecution.executedPlan.toString
       require(!phys.contains("/orders"),
         s"quantile estimate must never scan the ledger:\n$phys")
-      // the cumulative-weight fold is a SINGLE-TASK pass over the
-      // BOUNDED summary (≤ m·B·K sample rows by construction — that
-      // bound, not partitioning, is what makes it scale), so it runs
-      // HERE and stages its 3-row result; the returned plan starts
-      // from the staged estimates and stays PlanLint-clean
-      ests.write.mode("overwrite").parquet(s"$root/ests")
-      val estsStaged = s.read.parquet(s"$root/ests")
+      import s.implicits._
+      val estsStaged = broadcast(
+        QuantileSketch.quantilesGlobal(sk, Seq(0.01, 0.5, 0.99))
+          .toDF("q", "est"))
       // measurement (not the search path): exact ranks + sketch bound
       val post = Versioned.readAsOf(s, tbl)
       val n = post.count()
