@@ -36,6 +36,12 @@ object Components {
       .select(col("id"), col("id").as("lbl"))
     var converged = false
     var iter = 0
+    // labels are MONOTONE non-increasing (least() per node), so an
+    // unchanged label SUM is the fixpoint — one aggregate per round
+    // instead of the old next⋈labels changed-count, which re-executed
+    // BOTH lineages through an extra join every round (Scc's probe
+    // argument)
+    var prevSum: Option[Long] = None
     // window 1: a restage supersedes the previous restage (eagerly freed)
     val chain = new graft.Scratch.RoundChain(spark)
     while (!converged && iter < maxIters) {
@@ -45,12 +51,12 @@ object Components {
       val next = labels
         .join(nbrMin.select(col("a").as("id"), col("nlbl")), Seq("id"), "left_outer")
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      val changed = next.select(col("id"), col("lbl").as("nl"))
-        .join(labels, Seq("id"))
-        .filter(col("nl") =!= col("lbl")).count()
+      val sumRow = next.agg(sum(col("lbl"))).collect()(0)
+      val s = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0) // empty = fixpoint
       labels = next
       iter += 1
-      converged = changed == 0
+      converged = prevSum.contains(s) || sumRow.isNullAt(0)
+      prevSum = Some(s)
       if (!converged && iter % restageEvery == 0) stagePath.foreach { p =>
         labels = chain.stage(labels, s"$p/labels-$iter") // flat lineage onward
       }
