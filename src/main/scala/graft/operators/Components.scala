@@ -17,8 +17,8 @@ import org.apache.spark.sql.functions._
   * O(log n)). Each round is one join + one aggregate on (id, lbl) pairs
   * — never on the corpus. Callers should pass a *materialized* edge
   * frame (e.g. staged to parquet): iterations re-execute the edge
-  * lineage, and `restageEvery` guards label-lineage depth for
-  * high-diameter graphs by round-tripping labels through `stagePath`.
+  * lineage; labels round-trip through staged parquet every round, so
+  * label lineage stays flat at any diameter.
   */
 object Components {
 
@@ -27,9 +27,9 @@ object Components {
   def connectedComponents(
       edges0: DataFrame,
       maxIters: Int = 50,
-      restageEvery: Int = 10,
       stagePath: Option[String] = None): DataFrame = {
     val spark = edges0.sparkSession
+    val stage = stagePath.getOrElse(graft.Scratch.dir(spark, "cc-rounds"))
     val edges = edges0.select(col("a"), col("b"))
       .unionByName(edges0.select(col("b").as("a"), col("a").as("b")))
     var labels = edges.select(col("a").as("id")).distinct()
@@ -37,12 +37,15 @@ object Components {
     var converged = false
     var iter = 0
     // labels are MONOTONE non-increasing (least() per node), so an
-    // unchanged label SUM is the fixpoint — one aggregate per round
-    // instead of the old next⋈labels changed-count, which re-executed
-    // BOTH lineages through an extra join every round (Scc's probe
-    // argument)
+    // unchanged label SUM is the fixpoint — and the sum rides the
+    // staged write itself (Observation over the write action, Scc's
+    // probe discipline): ONE job per round, lineage flat every round.
+    // The old shape ran a separate read-back aggregate per round that
+    // re-executed the whole unstaged label lineage since the last
+    // restage — at local[32]'s ~110 ms fixed job cost the probe job,
+    // not the label data, dominated every shallow-graph round.
     var prevSum: Option[Long] = None
-    // window 1: a restage supersedes the previous restage (eagerly freed)
+    // window 1: each staged round supersedes the previous (eagerly freed)
     val chain = new graft.Scratch.RoundChain(spark)
     while (!converged && iter < maxIters) {
       val nbrMin = edges
@@ -51,15 +54,14 @@ object Components {
       val next = labels
         .join(nbrMin.select(col("a").as("id"), col("nlbl")), Seq("id"), "left_outer")
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-      val sumRow = next.agg(sum(col("lbl"))).collect()(0)
-      val s = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0) // empty = fixpoint
-      labels = next
+      val obs = org.apache.spark.sql.Observation()
+      labels = chain.stage(
+        next.observe(obs, sum(col("lbl")).as("s")), s"$stage/labels-${iter + 1}")
+      val sAny = obs.get("s")
+      val s = if (sAny == null) 0L else sAny.asInstanceOf[Long] // empty = fixpoint
       iter += 1
-      converged = prevSum.contains(s) || sumRow.isNullAt(0)
+      converged = prevSum.contains(s) || sAny == null
       prevSum = Some(s)
-      if (!converged && iter % restageEvery == 0) stagePath.foreach { p =>
-        labels = chain.stage(labels, s"$p/labels-$iter") // flat lineage onward
-      }
     }
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
@@ -88,15 +90,18 @@ object Components {
     val edges = stage(
       edges0.select(col("a"), col("b"))
         .unionByName(edges0.select(col("b").as("a"), col("a").as("b"))), "edges")
-    // window 2: the convergence probe reads round i−1 after round i
-    // lands; the staged `edges` frame is NOT on the chain (referenced
-    // every round)
-    val chain = new graft.Scratch.RoundChain(spark, window = 2)
+    // window 1: each staged round supersedes the previous; the staged
+    // `edges` frame is NOT on the chain (referenced every round). The
+    // convergence probe (labels monotone ⇒ unchanged sum = fixpoint)
+    // rides each round's staged write as an Observation — no separate
+    // compare-to-previous join job per round.
+    val chain = new graft.Scratch.RoundChain(spark)
     var labels = chain.stage(
       edges.select(col("a").as("id")).distinct()
         .select(col("id"), col("id").as("lbl")), s"$stagePath/labels-0")
     var iter = 0
     var converged = false
+    var prevSum: Option[Long] = None
     while (!converged && iter < maxIters) {
       // neighbor-min step (as in connectedComponents)
       val nbrMin = edges
@@ -111,10 +116,13 @@ object Components {
         .join(prop.select(col("id").as("lbl"), col("lbl").as("ll")).as("y"),
           Seq("lbl"), "left_outer")
         .select(col("id"), least(col("lbl"), coalesce(col("ll"), col("lbl"))).as("lbl"))
-      val staged = chain.stage(next, s"$stagePath/labels-${iter + 1}")
-      converged = staged.join(labels.select(col("id"), col("lbl").as("prev")), Seq("id"))
-        .filter(col("lbl") =!= col("prev")).isEmpty
-      labels = staged
+      val obs = org.apache.spark.sql.Observation()
+      labels = chain.stage(
+        next.observe(obs, sum(col("lbl")).as("s")), s"$stagePath/labels-${iter + 1}")
+      val sAny = obs.get("s")
+      val s = if (sAny == null) 0L else sAny.asInstanceOf[Long] // empty = fixpoint
+      converged = prevSum.contains(s) || sAny == null
+      prevSum = Some(s)
       iter += 1
     }
     labels.select(col("id"), col("lbl").as("cluster_id"))

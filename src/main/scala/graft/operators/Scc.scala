@@ -106,17 +106,25 @@ object Scc {
     // a node whose ONLY edges are self-loops never enters the min-label
     // rounds (self-edges are filtered above), but it IS a legitimate
     // singleton SCC — it reaches itself both ways — so it joins the
-    // result directly instead of silently dropping out. Staged PLAINLY
-    // (not through a chain): the result frame reads it after every
-    // round table has been superseded and reaped.
-    val selfOnly = {
-      val so = edges0.select(col("u").as("n"))
-        .unionByName(edges0.select(col("v").as("n"))).distinct()
+    // result directly instead of silently dropping out. Derived from
+    // the SELF-LOOP edges alone (u = v ⇒ one leg suffices — no second
+    // full edges0 scan) minus the live node set; a count Observation
+    // rides the write so the common zero-singleton case skips the
+    // result union entirely. Staged PLAINLY (not through a chain): the
+    // result frame reads it after every round table has been
+    // superseded and reaped.
+    val (selfOnly, nSelfOnly) = {
+      val obs = org.apache.spark.sql.Observation()
+      edges0.filter(col("u") === col("v"))
+        .select(col("u").as("n")).distinct()
         .join(remaining, Seq("n"), "left_anti")
         .select(col("n").as("node"), col("n").as("scc_id"))
-      so.write.mode("overwrite").parquet(s"$root/selfonly")
-      spark.read.parquet(s"$root/selfonly")
+        .observe(obs, count(lit(1)).as("c"))
+        .write.mode("overwrite").parquet(s"$root/selfonly")
+      (spark.read.parquet(s"$root/selfonly"), obs.get("c").asInstanceOf[Long])
     }
+    def withSelfOnly(df: DataFrame): DataFrame =
+      if (nSelfOnly == 0L) df else df.unionByName(selfOnly)
     if (remaining.isEmpty) // no non-self edges ⇒ only self-loop singletons
       return selfOnly
     var acc: DataFrame = null
@@ -137,7 +145,7 @@ object Scc {
           .observe(obsN, count(lit(1)).as("c")),
         s"$root/nodes=$round")
       if (obsN.get("c").asInstanceOf[Long] == 0L)
-        return acc.unionByName(selfOnly)
+        return withSelfOnly(acc)
       live = edgeChain.stage(
         live.join(remaining.select(col("n").as("u")), Seq("u"), "left_semi")
           .join(remaining.select(col("n").as("v")), Seq("v"), "left_semi"),

@@ -91,7 +91,13 @@ object Txn {
 
   /** Decode an intent's `affected=` value (URL-encoded, comma-joined
     * partition values; empty value = empty set, absent line = unknown —
-    * pre-affected-set coordinator logs fall back to the distinct job). */
+    * pre-affected-set coordinator logs fall back to the distinct job).
+    * Dropping empty tokens is unambiguous ONLY because prepare refuses
+    * deltas whose partition value is NULL or the empty string (see the
+    * degenerate-pval guard in prepareAll) — without that refusal the
+    * encoding conflates "empty set" with "the set containing ''", and
+    * the hint would silently diverge from commitAt's distinct-collect
+    * fallback for exactly those rows. */
   private def parseAffected(v: Option[String]): Option[Seq[String]] =
     v.map(_.split(",").toSeq.filter(_.nonEmpty)
       .map(java.net.URLDecoder.decode(_, "UTF-8")))
@@ -186,13 +192,31 @@ object Txn {
       val affectedLine =
         if (w.op == "delete") { w.delta.write.parquet(dp); "" }
         else {
+          import org.apache.spark.sql.functions.{col => c, collect_set, count, lit, when}
           val obs = org.apache.spark.sql.Observation()
           w.delta
-            .withColumn("__p",
-              org.apache.spark.sql.functions.col(w.partCol).cast("string"))
-            .observe(obs, org.apache.spark.sql.functions.collect_set(
-              org.apache.spark.sql.functions.col("__p")).as("ps"))
+            .withColumn("__p", c(w.partCol).cast("string"))
+            // degenerate-pval guard, riding the same staging write:
+            // collect_set silently DROPS a NULL pval and the comma
+            // encoding cannot represent the empty string, so a delta
+            // row carrying either would make the affected hint diverge
+            // from commitAt's distinct-collect fallback — the new
+            // generation's manifest would carry the prior entry for
+            // that partition forward while its delta rows vanish
+            // (silent row loss). Such rows are a caller bug everywhere
+            // downstream too (Versioned partitions by the value);
+            // refuse them HERE, before the _COMMIT decision point,
+            // while refusing still means presumed abort.
+            .observe(obs,
+              collect_set(c("__p")).as("ps"),
+              count(when(c("__p").isNull || c("__p") === "", lit(1))).as("bad"))
             .write.parquet(dp)
+          if (obs.get("bad").asInstanceOf[Long] > 0L)
+            throw new IllegalArgumentException(
+              s"transaction write on ${w.table}: delta contains rows whose " +
+                s"partition column ${w.partCol} is NULL or empty-string — " +
+                "unrepresentable in the affected-partition hint and unsupported " +
+                "by the partition layout; fix the delta's partition values")
           val ps = obs.get("ps").asInstanceOf[scala.collection.Seq[String]]
           "affected=" + ps.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",") + "\n"
         }

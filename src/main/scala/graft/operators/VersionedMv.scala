@@ -107,9 +107,46 @@ object VersionedMv {
     * key moved elsewhere) persists in the MV table as an (n=0, s=0)
     * row — the incremental delta has nothing to delete with — so the
     * read filters zero-count rows: a recomputed GROUP BY aggregate has
-    * no empty groups, and the contract is view reads ≡ recomputation. */
+    * no empty groups, and the contract is view reads ≡ recomputation.
+    * The dead rows themselves are reclaimed by [[compact]]'s sweep. */
   def read(spark: SparkSession, mvPath: String, groupCols: Seq[String]): DataFrame =
     Versioned.readAsOf(spark, mvPath)
       .filter(col("n") =!= 0)
       .select((groupCols.map(col) :+ col("n") :+ col("s")): _*)
+
+  /** MV MAINTENANCE: physically SWEEP evacuated groups, then compact
+    * fragmentation. [[read]] filters (n=0) rows correctly, but without
+    * a sweep every group ever evacuated leaves a dead row in the MV
+    * table FOREVER — at churny-100-TB timescales the view degrades
+    * toward the history of its group domain rather than its current
+    * size. The sweep is the index family's own transactional delete
+    * (staged-swap: affected partitions rewritten as a fresh generation,
+    * fully-emptied partitions leave the manifest — a replace could
+    * never drop those, its manifest carries unlisted partitions
+    * forward), keyed by the zero rows' group columns; a reader pinned
+    * to a prior version still sees the old layout. A second Txn then
+    * re-lands fragmented partitions one-file-per-partition
+    * ([[Versioned.compactPartitions]]). Returns the committed
+    * (table → version) map — empty when the MV is already clean and
+    * compact. An MV whose EVERY group evacuated inherits delete's
+    * would-empty-the-table refusal (the empty view is a drop, not a
+    * sweep). */
+  def compact(
+      spark: SparkSession,
+      txnDir: String,
+      mvPath: String,
+      groupCols: Seq[String],
+      minFiles: Int = 2): Map[String, Long] = {
+    val gcols = groupCols.map(col)
+    val zeros = Versioned.readAsOf(spark, mvPath)
+      .filter(col("n") === 0)
+      .select(gcols: _*)
+    val swept =
+      if (zeros.isEmpty) Map.empty[String, Long]
+      else Txn.run(spark, s"$txnDir/sweep", Seq(
+        Txn.Write(mvPath, zeros, partCol = groupCols.head, keys = groupCols,
+          op = "delete")))
+    swept ++ Versioned.compactPartitions(
+      spark, s"$txnDir/files", mvPath, groupCols.head, minFiles)
+  }
 }

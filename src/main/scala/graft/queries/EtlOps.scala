@@ -541,7 +541,7 @@ object EtlOps {
       pairs.select(col("ka").as("a"), col("kb").as("b"))
         .write.mode("overwrite").parquet(tmp)
       graft.operators.Components.connectedComponents(
-          s.read.parquet(tmp), restageEvery = 1, stagePath = Some(s"$tmp/labels"))
+          s.read.parquet(tmp), stagePath = Some(s"$tmp/labels"))
         .write.mode("overwrite").parquet(stage)
     }
     s.read.parquet(stage)

@@ -2397,6 +2397,11 @@ object Events {
       .parquet(feed)
     val lo = expr("TIMESTAMP'2024-01-10 00:00:00'")
     val hi = expr("TIMESTAMP'2024-01-12 23:59:59.999999'")
+    // the mid-ingest probe hides behind batchId == 1 inside the
+    // non-empty guard: if the middle slice ever lands empty (feed
+    // regeneration, sf change) the liveness claim would pass VACUOUSLY
+    // — so the probe records that it ran and the drain require()s it
+    val probeFired = new java.util.concurrent.atomic.AtomicBoolean(false)
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
@@ -2415,6 +2420,7 @@ object Events {
           // One mid-stream probe point carries the full liveness claim;
           // probing every batch re-proves it at 3x the drain cost.
           if (batchId == 1L) {
+            probeFired.set(true)
             val cands = VersionedZone.candidatePartitions(s, idx, lo, hi)
             require(cands.nonEmpty && cands.size <= 3,
               s"mid-ingest zone candidates must stay within the 3 probe " +
@@ -2433,6 +2439,8 @@ object Events {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    require(probeFired.get,
+      "mid-ingest probe never fired — the middle feed slice must be non-empty")
     require(Versioned.latestVersion(s, ledger) >= 2,
       "multi-batch run must commit multiple transactions")
     val lockstep =
@@ -2501,6 +2509,9 @@ object Events {
       .schema("event_id BIGINT, day STRING, ts TIMESTAMP, amt DECIMAL(10,2)")
       .option("maxFilesPerTrigger", 1)
       .parquet(feed)
+    // e45's discipline: the mid-stream compaction must PROVABLY run —
+    // an empty middle slice would skip it and pass the gate vacuously
+    val probeFired = new java.util.concurrent.atomic.AtomicBoolean(false)
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
@@ -2516,6 +2527,7 @@ object Events {
               idx, batch, "day", Seq("event_id"), "ts",
               stamp = Some(batchId + 1))
           if (batchId == 1L) {
+            probeFired.set(true)
             // MID-STREAM maintenance: compact under a pinned reader
             val vPin = Versioned.latestVersion(s, ledger)
             val pinned = fingerprintAt(vPin)
@@ -2549,6 +2561,8 @@ object Events {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    require(probeFired.get,
+      "mid-stream compaction never fired — the middle feed slice must be non-empty")
     // 3 batches + 1 compaction, table and index in lockstep throughout
     val vL = Versioned.latestVersion(s, ledger)
     require(vL == 4L && Versioned.latestVersion(s, idx) == 4L,
@@ -2612,6 +2626,8 @@ object Events {
       .schema("doc_id BIGINT, pb STRING, text STRING")
       .option("maxFilesPerTrigger", 1)
       .parquet(feed)
+    // e45's discipline: prove the mid-ingest probe actually ran
+    val probeFired = new java.util.concurrent.atomic.AtomicBoolean(false)
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
@@ -2627,6 +2643,7 @@ object Events {
           // at the mid-stream point (batch 1 committed, one to come);
           // one probe point carries the liveness claim at 1/3 the cost
           if (batchId == 1L) {
+            probeFired.set(true)
             val low = Versioned.readAsOf(s, ledger)
               .agg(min(col("doc_id"))).collect()(0).getLong(0)
             val mk = s"zq${low}x"
@@ -2647,6 +2664,8 @@ object Events {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    require(probeFired.get,
+      "mid-ingest probe never fired — the middle feed slice must be non-empty")
     require(Versioned.latestVersion(s, ledger) >= 2,
       "multi-batch run must commit multiple transactions")
     require(Versioned.latestVersion(s, ledger) ==
@@ -2711,6 +2730,8 @@ object Events {
       .schema("event_id BIGINT, event_type STRING, user_id BIGINT")
       .option("maxFilesPerTrigger", 1)
       .parquet(feed)
+    // e45's discipline: prove the mid-ingest invariants actually ran
+    val probeFired = new java.util.concurrent.atomic.AtomicBoolean(false)
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
@@ -2731,6 +2752,7 @@ object Events {
           // replayable) formula is biased high. The per-batch ADVICE
           // fold below stays on every batch — the flip is the result.
           if (batchId == 1L) {
+            probeFired.set(true)
             val exactRows = Versioned.readAsOf(s, ledger).count()
             val statsRows = VersionedStats.totalRows(st)
             require(statsRows == exactRows,
@@ -2750,6 +2772,8 @@ object Events {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    require(probeFired.get,
+      "mid-ingest probe never fired — the middle feed slice must be non-empty")
     require(Versioned.latestVersion(s, ledger) >= 2,
       "multi-batch run must commit multiple transactions")
     require(Versioned.latestVersion(s, ledger) ==

@@ -1008,7 +1008,7 @@ object Graphs {
       .write.mode("overwrite").parquet(s"$stage/edges")
     graft.operators.Components.connectedComponents(
         s.read.parquet(s"$stage/edges"),
-        restageEvery = 1, stagePath = Some(s"$stage/labels"))
+        stagePath = Some(s"$stage/labels"))
       .select(col("id").as("vec_id"), col("cluster_id"))
   }
 

@@ -320,7 +320,7 @@ object TextDedup {
     // re-executing the deepening join lineage twice per iteration
     graft.operators.Components.connectedComponents(
         edges,
-        restageEvery = 1, stagePath = Some(s"$stage/labels"))
+        stagePath = Some(s"$stage/labels"))
       .select(col("id").as("doc_id"), col("cluster_id"),
         (col("id") === col("cluster_id")).as("survivor"))
   }

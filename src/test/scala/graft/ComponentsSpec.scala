@@ -9,9 +9,8 @@ class ComponentsSpec extends SparkSpec {
   import spark.implicits._
 
   private def cc(edges: Seq[(Long, Long)],
-      stage: Option[String] = None, restageEvery: Int = 10): Map[Long, Long] =
-    Components.connectedComponents(
-      edges.toDF("a", "b"), stagePath = stage, restageEvery = restageEvery)
+      stage: Option[String] = None): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("a", "b"), stagePath = stage)
       .as[(Long, Long)].collect().toMap
 
   test("transitive chain collapses without a direct edge") {
@@ -43,8 +42,8 @@ class ComponentsSpec extends SparkSpec {
 
   test("long path converges through periodic label restaging") {
     val stage = java.nio.file.Files.createTempDirectory("cc-stage").toString
-    val path = (1L until 12L).map(i => (i, i + 1)) // diameter 11 > restageEvery
-    val labels = cc(path, stage = Some(stage), restageEvery = 3)
+    val path = (1L until 12L).map(i => (i, i + 1)) // deep chain: many staged rounds
+    val labels = cc(path, stage = Some(stage))
     assert(labels.values.toSet === Set(1L), "one component, min-id label")
     assert(labels.keySet === (1L to 12L).toSet)
   }

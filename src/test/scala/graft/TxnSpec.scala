@@ -69,6 +69,32 @@ class TxnSpec extends SparkSpec {
     assert(Txn.recover(spark, s"$root/t2") === "noop")
   }
 
+  test("a delta with NULL or empty-string partition values is refused at prepare") {
+    val root = newRoot()
+    val a = s"$root/ledger"
+    Txn.run(spark, s"$root/t1", Seq(Txn.Write(a, ledger(10), "part", Seq("k"))))
+    // NULL pval: collect_set drops it, so the affected hint would
+    // silently omit the partition — prepare must bounce instead
+    val nullPart = Seq((100L, null.asInstanceOf[String], 1L),
+      (101L, "p1", 2L)).toDF("k", "part", "amount")
+    val e1 = intercept[IllegalArgumentException] {
+      Txn.run(spark, s"$root/t2", Seq(Txn.Write(a, nullPart, "part", Seq("k"))))
+    }
+    assert(e1.getMessage.contains("NULL or empty-string"))
+    // empty-string pval: unrepresentable in the comma-joined encoding
+    // (conflates empty set with {''}) — same refusal
+    val emptyPart = Seq((102L, "", 3L)).toDF("k", "part", "amount")
+    val e2 = intercept[IllegalArgumentException] {
+      Txn.run(spark, s"$root/t3", Seq(Txn.Write(a, emptyPart, "part", Seq("k"))))
+    }
+    assert(e2.getMessage.contains("NULL or empty-string"))
+    // both refusals are presumed-abort: no version minted, slots released
+    assert(Versioned.latestVersion(spark, a) === 1L)
+    val v = Versioned.commitCas(spark, a, ledger(5, bump = 2L), "part", Seq("k"),
+      waitMs = 2000L)
+    assert(v === 2L)
+  }
+
   test("crash after _COMMIT with one table applied: recover rolls forward") {
     val root = newRoot()
     val a = s"$root/ledger"; val b = s"$root/summary"

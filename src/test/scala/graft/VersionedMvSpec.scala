@@ -81,6 +81,28 @@ class VersionedMvSpec extends SparkSpec {
     assert(view(mv) === recompute(tbl))
   }
 
+  test("compact sweeps the evacuated group's zero row physically") {
+    val (root, tbl, mv, base) = fixture()
+    val delta = base.filter(col("g") === "g2").withColumn("g", lit("g0"))
+    VersionedMv.commitWithMv(spark, s"$root/tx2", tbl, mv, delta,
+      "part", Seq("k"), Seq("g"), "v")
+    // before the sweep the dead row is physically present (read-filtered)
+    val rawBefore = Versioned.readAsOf(spark, mv)
+      .filter(col("n") === 0).count()
+    assert(rawBefore === 1L, "evacuation must leave exactly one zero row")
+    val viewBefore = view(mv)
+    val committed = VersionedMv.compact(spark, s"$root/tx-sweep", mv, Seq("g"))
+    assert(committed.contains(mv), "the sweep must commit a new MV version")
+    // physically gone: the RAW table (no read filter) has no zero row
+    assert(Versioned.readAsOf(spark, mv).filter(col("n") === 0).isEmpty,
+      "zero row must be physically swept, not just read-filtered")
+    // and reads are unchanged, still equal to recomputation
+    assert(view(mv) === viewBefore)
+    assert(view(mv) === recompute(tbl))
+    // idempotent: a second compact on the clean view commits nothing new
+    assert(VersionedMv.compact(spark, s"$root/tx-sweep2", mv, Seq("g")).isEmpty)
+  }
+
   test("the view read scans exactly the group rows, never the base") {
     val (_, _, mv, _) = fixture()
     val df = VersionedMv.read(spark, mv, Seq("g"))

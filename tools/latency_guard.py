@@ -101,14 +101,41 @@ def _local_sentinel(doc, name):
     return min(ss) if ss else None
 
 
+def n_passes(doc):
+    """Measured-pass count of a bench record: the explicit "passes"
+    field (round 12+), else the sentinel series length (one pass-head
+    sentinel is appended per measured pass, so older records are
+    inferable), else None."""
+    p = doc.get("passes")
+    if isinstance(p, int) and p > 0:
+        return p
+    ss = doc.get("sentinel_secs")
+    return len(ss) if ss else None
+
+
 def compute(prev, curr, factor=1.4, min_secs=0.5, drift_cap=1.2):
     """Returns (breaches, improved, new, absent). Each breach is
     (name, prev_s, curr_s, ratio, drift_used). Budgets are normalized
     per query by the LOCAL sentinel ratio (see _local_sentinel), capped
     at [1, drift_cap] — round 10 showed a 2.0 cap lets a hot sentinel
     sample forgive a 1.6x query drift, so the cap defaults to 1.2: box
-    noise may excuse at most 20%, the rest must be reclaimed or A/B'd."""
+    noise may excuse at most 20%, the rest must be reclaimed or A/B'd.
+
+    Min-of-N bias: a record's per-query value is the MIN over its
+    measured passes, so fewer passes read systematically slower —
+    min-of-1 is stochastically >= min-of-3 on the same box. When the
+    current record ran fewer passes than the baseline (the round-12
+    driver protocol is warmup + ONE pass while committed baselines are
+    min-of-3), the budget widens 10% per missing pass: on this box's
+    observed ~±40% wall noise, each additional sample lowers the
+    expected min by roughly that order. The correction applies only in
+    the fewer-passes direction — a 3-pass run gets no extra headroom
+    against a 1-pass baseline."""
     pq, cq = prev["queries"], curr["queries"]
+    pn, cn = n_passes(prev), n_passes(curr)
+    bias = 1.0
+    if pn and cn and cn < pn:
+        bias = 1.1 ** (pn - cn)
     breaches, improved = [], []
     for name in sorted(set(pq) & set(cq)):
         p, c = pq[name], cq[name]
@@ -118,7 +145,7 @@ def compute(prev, curr, factor=1.4, min_secs=0.5, drift_cap=1.2):
         drift = 1.0
         if sp and sc:
             drift = min(drift_cap, max(1.0, sc / sp))
-        if c > p * factor * drift:
+        if c > p * factor * drift * bias:
             breaches.append((name, p, c, c / p, drift))
         elif c < p / factor:
             improved.append((name, p, c))
