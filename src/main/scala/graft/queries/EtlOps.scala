@@ -1863,14 +1863,21 @@ object EtlOps {
           "p", Seq("bid"), Seq("bk2"))
         (pre, firstAndTotal())
       } finally JoinReorderRule.disable(s)
-    // the phase identities, proved by count: pre must have joined F⋈B
-    // first (the 50-key probe), post must have stood down to F⋈A first
-    val fbCnt = f.join(bPre.select(col("bk2")), col("k2") === col("bk2")).count()
-    val faCnt = f.join(a.select(col("ak1")), col("k1") === col("ak1")).count()
-    require(preFirst == fbCnt,
-      s"pre-phase first join must be F⋈B ($fbCnt rows), got $preFirst")
+    // phase identities with ONE verification count instead of two
+    // (round-11 autopsy: three full executed-plan/count jobs were this
+    // gate's wall): post is proved F⋈A by count against the COMMITTED
+    // tables (the subtler stand-down direction); pre then follows —
+    // the only other equi-join available first is F⋈B, and preFirst ≠
+    // postFirst rules out F⋈A. The dropped fbCnt identity is still
+    // enforced end-to-end: the oracle computes fb.c independently and
+    // preFirst rides the hash gate as first_rows.
+    val faCnt = graft.operators.Versioned.readAsOf(s, fT).select(col("k1"))
+      .join(graft.operators.Versioned.readAsOf(s, aT).select(col("ak1")),
+        col("k1") === col("ak1")).count()
     require(postFirst == faCnt,
       s"post-phase first join must be F⋈A ($faCnt rows), got $postFirst")
+    require(preFirst != postFirst,
+      s"pre-phase first join must differ from post (F⋈B vs F⋈A), both $preFirst")
     require(preTot == postTot,
       s"delta keys are out-of-domain: totals must agree, $preTot vs $postTot")
     import s.implicits._

@@ -51,6 +51,26 @@ object Events {
     path
   }
 
+  /** Private click/purchase feed for the stream-stream join gates
+    * (e21 left outer, e29 full outer): the filtered projection lands
+    * once under the gate's own root (sentinel files are APPENDED per
+    * drain, so the feed must be gate-private — a shared cached feed
+    * would accumulate every gate's and every pass's sentinels), and
+    * the max event time the sentinel arithmetic needs rides the feed
+    * write itself as an Observation — no separate aggregate job. */
+  private def clickPurchaseFeed(
+      s: org.apache.spark.sql.SparkSession, d: String, root: String):
+      (String, java.sql.Timestamp) = {
+    val feed = s"$root/feed"
+    val obs = org.apache.spark.sql.Observation()
+    T.events(s, d)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .observe(obs, max(col("ts")).as("mx"))
+      .coalesce(4).write.parquet(feed)
+    (feed, obs.get("mx").asInstanceOf[java.sql.Timestamp])
+  }
+
   private def withStatePartitions[A](s: org.apache.spark.sql.SparkSession, n: Int)(
       body: => A): A = {
     val key = "spark.sql.shuffle.partitions"
@@ -1012,18 +1032,14 @@ object Events {
       |  AND epoch_ns(p.ts) // 1000 < epoch_ns(v.ts) // 1000 + 21600000000""".stripMargin) { (s, d) =>
     withStatePartitions(s, 4) {
     val root = graft.Scratch.dir("e21-outer")
-    val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
-    val ev = T.events(s, d)
-      .filter(col("event_type").isin("click", "purchase"))
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-    ev.coalesce(4).write.parquet(feed)
-    val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val (feed, maxTs) = clickPurchaseFeed(s, d, root)
     def sentinel(daysAhead: Int): org.apache.spark.sql.DataFrame = {
       val ts = new java.sql.Timestamp(maxTs.getTime + daysAhead.toLong * 24 * 3600 * 1000)
-      Seq(("click", -1L), ("purchase", -2L)).foldLeft(ev.limit(0)) { (acc, sp) =>
-        acc.unionByName(s.range(1).select(lit(sp._2).as("event_id"),
-          lit(ts).as("ts"), lit(-1L).as("user_id"), lit(sp._1).as("event_type")))
-      }
+      Seq(("click", -1L), ("purchase", -2L)).map { sp =>
+        s.range(1).select(lit(sp._2).as("event_id"),
+          lit(ts).as("ts"), lit(-1L).as("user_id"), lit(sp._1).as("event_type"))
+      }.reduce(_ unionByName _)
     }
     def drain(): Unit = {
       def side(tpe: String) = s.readStream
@@ -1051,7 +1067,18 @@ object Events {
         .start()
       q.awaitTermination()
     }
-    drain()
+    // TWO drains, not three (round-12 reclaim — each drain is a full
+    // stream spin-up): drain 1 processes feed + sentinel-10 as one
+    // batch, so its END-of-batch watermark already clears every real
+    // row's 6h horizon (eviction uses the PREVIOUS batch's watermark,
+    // so nothing can retire mid-batch-1); drain 2's batch then runs
+    // under that watermark and null-extends all retired state. The
+    // emitted row set is identical to the former feed/s10/s20 3-drain
+    // cohorts: inner matches emit in batch 1 either way, and every
+    // real unmatched row retires in the second batch under the same
+    // watermark value. Only the sentinels' OWN null-extensions differ
+    // (they'd need a third batch) — and those leave via the user_id
+    // filter in both shapes.
     sentinel(10).coalesce(1).write.mode("append").parquet(feed)
     drain()
     sentinel(20).coalesce(1).write.mode("append").parquet(feed)
@@ -1085,18 +1112,14 @@ object Events {
       |  AND epoch_ns(p.ts) // 1000 < epoch_ns(v.ts) // 1000 + 21600000000""".stripMargin) { (s, d) =>
     withStatePartitions(s, 4) {
     val root = graft.Scratch.dir("e29-full")
-    val feed = s"$root/feed"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
-    val ev = T.events(s, d)
-      .filter(col("event_type").isin("click", "purchase"))
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-    ev.coalesce(4).write.parquet(feed)
-    val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val (feed, maxTs) = clickPurchaseFeed(s, d, root)
     def sentinel(daysAhead: Int): org.apache.spark.sql.DataFrame = {
       val ts = new java.sql.Timestamp(maxTs.getTime + daysAhead.toLong * 24 * 3600 * 1000)
-      Seq(("click", -1L), ("purchase", -2L)).foldLeft(ev.limit(0)) { (acc, sp) =>
-        acc.unionByName(s.range(1).select(lit(sp._2).as("event_id"),
-          lit(ts).as("ts"), lit(-1L).as("user_id"), lit(sp._1).as("event_type")))
-      }
+      Seq(("click", -1L), ("purchase", -2L)).map { sp =>
+        s.range(1).select(lit(sp._2).as("event_id"),
+          lit(ts).as("ts"), lit(-1L).as("user_id"), lit(sp._1).as("event_type"))
+      }.reduce(_ unionByName _)
     }
     def drain(): Unit = {
       def side(tpe: String) = s.readStream
@@ -1125,7 +1148,18 @@ object Events {
         .start()
       q.awaitTermination()
     }
-    drain()
+    // TWO drains, not three (round-12 reclaim — each drain is a full
+    // stream spin-up): drain 1 processes feed + sentinel-10 as one
+    // batch, so its END-of-batch watermark already clears every real
+    // row's 6h horizon (eviction uses the PREVIOUS batch's watermark,
+    // so nothing can retire mid-batch-1); drain 2's batch then runs
+    // under that watermark and null-extends all retired state. The
+    // emitted row set is identical to the former feed/s10/s20 3-drain
+    // cohorts: inner matches emit in batch 1 either way, and every
+    // real unmatched row retires in the second batch under the same
+    // watermark value. Only the sentinels' OWN null-extensions differ
+    // (they'd need a third batch) — and those leave via the user_id
+    // filter in both shapes.
     sentinel(10).coalesce(1).write.mode("append").parquet(feed)
     drain()
     sentinel(20).coalesce(1).write.mode("append").parquet(feed)
@@ -1346,9 +1380,13 @@ object Events {
     val ev = T.events(s, d)
       .select(col("ts"), col("event_type"),
         (col("value").cast("decimal(14,2)") * 100).cast("long").as("cents"))
-    ev.coalesce(4).write.parquet(feed)
-    val maxTs = ev.filter(col("event_type") === "purchase")
-      .agg(max(col("ts"))).head.getTimestamp(0)
+    // the purchase max-ts the sentinel arithmetic needs rides the feed
+    // write itself (Observation) — no separate aggregate job
+    val obsMax = org.apache.spark.sql.Observation()
+    ev.observe(obsMax,
+        max(when(col("event_type") === "purchase", col("ts"))).as("mx"))
+      .coalesce(4).write.parquet(feed)
+    val maxTs = obsMax.get("mx").asInstanceOf[java.sql.Timestamp]
     // Last REAL week bucket (epoch-aligned 7-day, µs): output cutoff.
     val weekUs = 604800000000L
     val maxWeekUs = (maxTs.getTime * 1000L / weekUs) * weekUs
@@ -1379,10 +1417,16 @@ object Events {
         .start()
       q.awaitTermination()
     }
-    drain()
-    // +9 days clears any real week end (≤ maxTs + 7 d); the second
-    // sentinel lands a further bucket out and runs the belt-and-braces
-    // batch under the advanced watermark.
+    // TWO drains (e21's round-12 fold): drain 1 batches feed +
+    // sentinel-9 together — nothing emits (eviction uses the previous
+    // batch's watermark), but its end-of-batch watermark clears every
+    // real day AND week end (+9 d > +7 d + 1 h). Drain 2's batch then
+    // runs under it: day windows retire INTO the week level and the
+    // week windows emit, both in that one batch (chained stateful aggs
+    // propagate retirements downstream within a micro-batch). The
+    // sentinels' own future buckets leave via the week_us cutoff, so
+    // the emitted-and-filtered set is identical to the former 3-drain
+    // cohorts.
     sentinel(9).coalesce(1).write.mode("append").parquet(feed)
     drain()
     sentinel(18).coalesce(1).write.mode("append").parquet(feed)
@@ -1431,8 +1475,11 @@ object Events {
     val ev = T.events(s, d).filter(col("event_type") === "purchase")
       .select(col("ts"), col("user_id"),
         (col("value").cast("decimal(14,2)") * 100).cast("long").as("cents"))
-    ev.coalesce(4).write.parquet(feed)
-    val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    // max-ts rides the feed write (e25's discipline) — no separate job
+    val obsMax = org.apache.spark.sql.Observation()
+    ev.observe(obsMax, max(col("ts")).as("mx"))
+      .coalesce(4).write.parquet(feed)
+    val maxTs = obsMax.get("mx").asInstanceOf[java.sql.Timestamp]
     def sentinel(daysAhead: Int): org.apache.spark.sql.DataFrame = {
       val ts = new java.sql.Timestamp(maxTs.getTime + daysAhead.toLong * 24 * 3600 * 1000)
       s.range(1).select(lit(ts).as("ts"), lit(-1L).as("user_id"), lit(0L).as("cents"))
@@ -1458,7 +1505,12 @@ object Events {
         .start()
       q.awaitTermination()
     }
-    drain()
+    // TWO drains (e25's fold): feed + sentinel-9 batch together in
+    // drain 1 (no emission — prior watermark is 0 — but the end-of-
+    // batch watermark clears every real session's end), drain 2 runs
+    // under it and closes them all; the sentinel's own session leaves
+    // via the user_id filter. Emitted-and-filtered set identical to
+    // the former 3-drain cohorts.
     sentinel(9).coalesce(1).write.mode("append").parquet(feed)
     drain()
     sentinel(18).coalesce(1).write.mode("append").parquet(feed)

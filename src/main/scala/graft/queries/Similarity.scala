@@ -113,8 +113,10 @@ object Similarity {
     * The result is STAGED to `stagePath` and read back: callers use
     * the rank several times (ring self-join twice, entry lottery), and
     * re-executing the shuffle+window lineage per use would pay the
-    * distribution cost thrice for one rank. */
-  private def md5Rank(df: DataFrame, stagePath: String): DataFrame = {
+    * distribution cost thrice for one rank. Returns the corpus count
+    * too — the bucket fold already knows it, so callers' ring modulo
+    * arithmetic costs no separate count() job. */
+  private def md5Rank(df: DataFrame, stagePath: String): (DataFrame, Long) = {
     val h = df.select(col("vec_id"),
         md5(col("vec_id").cast("string")).as("h"))
       .withColumn("bkt", substring(col("h"), 1, 2))
@@ -132,7 +134,7 @@ object Similarity {
     local.join(offDf, Seq("bkt"))
       .select(col("vec_id"), (col("off") + col("lrn")).as("rn"))
       .write.mode("overwrite").parquet(stagePath)
-    df.sparkSession.read.parquet(stagePath)
+    (df.sparkSession.read.parquet(stagePath), counts.map(_._2).sum)
   }
 
   /** Attach LSH `bucket` (int id) to a frame holding quantized array `q`:
@@ -1324,7 +1326,14 @@ object Similarity {
   // by node id, the walk state is queries × beam rows; every round
   // restages to scratch parquet (Components' discipline). ---
   val v22Hnsw: QueryDef = {
-    val K = 20; val E = 4; val B = 32; val R = 8; val DESCENT = 3
+    // R/DESCENT are the suite-cost dial (every round is one staged job
+    // at ~0.5 s fixed local cost; data volume is irrelevant at sf0.1):
+    // rounds were cut 8→6 / 3→2 in round 12 WITH the recall floor still
+    // require()d at ≥ 0.9 per query on both fixture SFs — the floor,
+    // not the round count, is the gate's claim. At 100 TB rounds scale
+    // O(log n) (graph navigability), so a production walk dials R up
+    // with corpus growth; the shape per round is unchanged.
+    val K = 20; val E = 4; val B = 32; val R = 6; val DESCENT = 2
     def sqlDescent(r: Int): String =
       s"""und${r - 1} AS MATERIALIZED (SELECT v, c FROM knn${r - 1}
          |  UNION SELECT c AS v, v AS c FROM knn${r - 1}),
@@ -1403,7 +1412,6 @@ object Similarity {
       val stage = graft.Scratch.dir("v22-hnsw")
       val emb = T.embeddings(s, d).withColumn("q", quantize("embedding"))
       val vecs = emb.select(col("vec_id"), col("q"))
-      val n = vecs.count()
       def scorePairs(pairs: DataFrame): DataFrame = pairs
         .join(vecs.select(col("vec_id").as("v"), col("q").as("qeq")), Seq("v"))
         .join(vecs.select(col("vec_id").as("c"), col("q").as("ceq")), Seq("c"))
@@ -1419,7 +1427,7 @@ object Similarity {
       // construction: LSH-bucket seeds + md5 hash ring (distributed
       // rank — see md5Rank; identical order to the oracle's single
       // row_number), then NN-descent
-      val ro = md5Rank(emb, s"$stage/ro")
+      val (ro, n) = md5Rank(emb, s"$stage/ro")
       val ring0 = ro.as("a").join(ro.as("b"),
           col("b.rn") === (col("a.rn") % n) + 1)
         .select(col("a.vec_id").as("v"), col("b.vec_id").as("c"))
@@ -1458,11 +1466,19 @@ object Similarity {
         .withColumn("cosine", cosine)
         .select(col("qid"), col("cid"), col("cosine"))
       val entries = ro.filter(col("rn") <= E).select(col("vec_id").as("cid"))
+      // FRESH-ONLY round staging: seen(r) = seen0 ∪ fresh1 ∪ … ∪ freshr
+      // with each round writing ONLY its newly-visited scored rows to
+      // its own parquet dir, and `seen` read as the multi-path scan of
+      // all rounds so far. Rewriting the full cumulative seen table
+      // every round paid O(visited) write per round for rows that never
+      // change; the anti-join already makes rounds disjoint, so the
+      // union of the round dirs IS the seen set, bit-identically.
+      val seenParts = scala.collection.mutable.ArrayBuffer(s"$stage/seen0")
       scoreVsQuery(queries.select(col("qid")).crossJoin(broadcast(entries))
           .filter(col("cid") =!= col("qid")))
-        .write.mode("overwrite").parquet(s"$stage/seen0")
+        .write.mode("overwrite").parquet(seenParts.head)
       (1 to R).foreach { r =>
-        val seen = s.read.parquet(s"$stage/seen${r - 1}")
+        val seen = s.read.parquet(seenParts.toSeq: _*)
         val beam = seen.withColumn("rk", row_number().over(
             Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))))
           .filter(col("rk") <= B).select(col("qid"), col("cid"))
@@ -1471,10 +1487,10 @@ object Similarity {
           .filter(col("cid") =!= col("qid"))
         val fresh = expand.join(seen.select(col("qid"), col("cid")),
           Seq("qid", "cid"), "left_anti")
-        seen.unionByName(scoreVsQuery(fresh))
-          .write.mode("overwrite").parquet(s"$stage/seen$r")
+        scoreVsQuery(fresh).write.mode("overwrite").parquet(s"$stage/seen$r")
+        seenParts += s"$stage/seen$r"
       }
-      val seenF = s.read.parquet(s"$stage/seen$R")
+      val seenF = s.read.parquet(seenParts.toSeq: _*)
       // recall vs exact brute force (the measurement, not the search
       // path — v12's discipline), pinned per query
       val exact = scoreTopk(
@@ -1524,7 +1540,14 @@ object Similarity {
   // insert (never a corpus scan), adjacency grows by 2K edges per
   // newcomer, and the search path is v22's unchanged. ---
   val v25HnswInsert: QueryDef = {
-    val K = 20; val E = 4; val B = 32; val R = 8; val DESCENT = 3
+    // same suite-cost dial as v22 (R 8→6, DESCENT 3→2 in round 12):
+    // v25 pays TWO walks (insert + query), so the cut lands twice; the
+    // recall floor and the per-newcomer rank-1 searchability probe
+    // below stay the enforced claims. The INSERT walk runs shorter
+    // (RI=4): an insert only needs its top-K link set, and link
+    // quality is exactly what the searchability probe and the full-
+    // corpus recall floor (newcomers included) measure downstream.
+    val K = 20; val E = 4; val B = 32; val R = 6; val RI = 4; val DESCENT = 2
     def sqlDescent(r: Int): String =
       s"""und${r - 1} AS MATERIALIZED (SELECT v, c FROM knn${r - 1}
          |  UNION SELECT c AS v, v AS c FROM knn${r - 1}),
@@ -1587,10 +1610,10 @@ object Similarity {
          |iseen0 AS MATERIALIZED (SELECT q.vec_id AS qid, e.vec_id AS cid, ac.cosine
          |  FROM nv q CROSS JOIN ent e
          |  JOIN allcos ac ON ac.v = q.vec_id AND ac.c = e.vec_id),
-         |${(1 to R).map(sqlBeam("i", "adjo")).mkString(",\n")},
+         |${(1 to RI).map(sqlBeam("i", "adjo")).mkString(",\n")},
          |newtop AS MATERIALIZED (SELECT qid AS v, cid AS c FROM (
          |  SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rk
-         |  FROM iseen$R) t WHERE rk <= $K),
+         |  FROM iseen$RI) t WHERE rk <= $K),
          |adj AS MATERIALIZED (SELECT v, c FROM adjo
          |  UNION SELECT v, c FROM newtop
          |  UNION SELECT c AS v, v AS c FROM newtop),
@@ -1619,7 +1642,6 @@ object Similarity {
       val embO = emb.filter(!isNew)
       val embN = emb.filter(isNew)
       val vecs = emb.select(col("vec_id"), col("q")) // FULL corpus scoring
-      val nOld = embO.count()
       require(embN.count() >= 2, "need newcomers to insert")
       def scorePairs(pairs: DataFrame): DataFrame = pairs
         .join(vecs.select(col("vec_id").as("v"), col("q").as("qeq")), Seq("v"))
@@ -1635,7 +1657,7 @@ object Similarity {
         .filter(col("rk") <= k).drop("rk")
       // v22's construction, over the PRE-INSERT corpus only
       // (distributed md5 rank — identical order to the oracle's window)
-      val ro = md5Rank(embO, s"$stage/ro")
+      val (ro, nOld) = md5Rank(embO, s"$stage/ro")
       val ring0 = ro.as("a").join(ro.as("b"),
           col("b.rn") === (col("a.rn") % nOld) + 1)
         .select(col("a.vec_id").as("v"), col("b.vec_id").as("c"))
@@ -1663,7 +1685,7 @@ object Similarity {
       val adjO = s.read.parquet(s"$stage/adjo")
       val entries = ro.filter(col("rn") <= E).select(col("vec_id").as("cid"))
       def walkBeam(queries: DataFrame, adj: DataFrame, tag: String,
-          excludeSelf: Boolean): DataFrame = {
+          excludeSelf: Boolean, rounds: Int = R): DataFrame = {
         def scoreVsQuery(idPairs: DataFrame): DataFrame = idPairs
           .join(vecs.select(col("vec_id").as("cid"), col("q").as("ceq")), Seq("cid"))
           .join(broadcast(queries), Seq("qid"))
@@ -1672,11 +1694,16 @@ object Similarity {
           .withColumn("ny", dotQ("ceq", "ceq"))
           .withColumn("cosine", cosine)
           .select(col("qid"), col("cid"), col("cosine"))
+        // v22's fresh-only round staging: each round writes only its
+        // newly-visited scored rows; `seen` is the multi-path scan of
+        // the rounds so far (disjoint by the anti-join, so the union
+        // of round dirs is the seen set bit-identically)
+        val seenParts = scala.collection.mutable.ArrayBuffer(s"$stage/$tag-seen0")
         val s0 = queries.select(col("qid")).crossJoin(broadcast(entries))
         scoreVsQuery(if (excludeSelf) s0.filter(col("cid") =!= col("qid")) else s0)
-          .write.mode("overwrite").parquet(s"$stage/$tag-seen0")
-        (1 to R).foreach { r =>
-          val seen = s.read.parquet(s"$stage/$tag-seen${r - 1}")
+          .write.mode("overwrite").parquet(seenParts.head)
+        (1 to rounds).foreach { r =>
+          val seen = s.read.parquet(seenParts.toSeq: _*)
           val beam = seen.withColumn("rk", row_number().over(
               Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))))
             .filter(col("rk") <= B).select(col("qid"), col("cid"))
@@ -1685,15 +1712,15 @@ object Similarity {
             .filter(col("cid") =!= col("qid"))
           val fresh = expand.join(seen.select(col("qid"), col("cid")),
             Seq("qid", "cid"), "left_anti")
-          seen.unionByName(scoreVsQuery(fresh))
-            .write.mode("overwrite").parquet(s"$stage/$tag-seen$r")
+          scoreVsQuery(fresh).write.mode("overwrite").parquet(s"$stage/$tag-seen$r")
+          seenParts += s"$stage/$tag-seen$r"
         }
-        s.read.parquet(s"$stage/$tag-seen$R")
+        s.read.parquet(seenParts.toSeq: _*)
       }
       // INSERT: each newcomer beam-searches the frozen graph, links to
       // its top-K — bulk-append (links target pre-existing nodes only)
       val insQ = embN.select(col("vec_id").as("qid"), col("q").as("qeq"))
-      val insSeen = walkBeam(insQ, adjO, "ins", excludeSelf = true)
+      val insSeen = walkBeam(insQ, adjO, "ins", excludeSelf = true, rounds = RI)
       val newTop = insSeen.withColumn("rk", row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))))
         .filter(col("rk") <= K)
