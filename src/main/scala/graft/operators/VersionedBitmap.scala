@@ -159,4 +159,69 @@ object VersionedBitmap {
       else Versioned.readRefs(spark, tablePath, cand).drop("__p")
     base.filter(col(valCol) === value)
   }
+
+  /** The FULL index-family composition — point ∧ range ∧ category in
+    * one pruned read ([[VersionedBloom.lookupKeysInRange]]'s point∧range
+    * extended by the bitmap): resolve the table's CURRENT manifest and
+    * open ONLY partitions that pass ALL THREE probes — bloom
+    * may-hold-key, zone range-overlap, bitmap may-hold-category — with
+    * each per-partition verdict independently falling back to "open it"
+    * when that index's row is stale (tv ≠ manifest generation) or
+    * missing, so a mid-transaction reader stays exact per index. The
+    * exact residual filter then runs on the admitted files alone;
+    * equals full-scan-and-filter by construction. k64's gate proves
+    * the triple intersection prunes strictly below every two-index
+    * composition on data where each index rules out different
+    * partitions. */
+  def lookupEqKeysInRange(
+      spark: SparkSession,
+      tablePath: String,
+      bloomIdxPath: String,
+      zoneIdxPath: String,
+      bitmapIdxPath: String,
+      keyCol: String,
+      keys: Seq[Long],
+      valCol: String,
+      lo: Column,
+      hi: Column,
+      catCol: String,
+      catValue: Column,
+      bits: Int = 1 << 16): DataFrame = {
+    import spark.implicits._
+    val refs = Versioned
+      .manifestRefs(spark, tablePath, Versioned.latestVersion(spark, tablePath))
+    def tvOf(idx: DataFrame): Map[String, Long] =
+      idx.select(col("pval"), col("tv")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bIdx = Versioned.readAsOf(spark, bloomIdxPath)
+    val probes = keys.toDF("k")
+      .select(array(BloomIndex.positions(col("k"), bits): _*).as("ps"))
+    val bMatch: Set[String] = bIdx.crossJoin(broadcast(probes))
+      .filter(expr("forall(ps, p -> array_contains(bloom, p))"))
+      .select(col("pval")).distinct().collect().map(_.getString(0)).toSet
+    val bTv = tvOf(bIdx)
+    val zIdx = Versioned.readAsOf(spark, zoneIdxPath)
+    val zMatch: Set[String] = zIdx
+      .filter(!(col("max_v") < lo || col("min_v") > hi))
+      .select(col("pval")).distinct().collect().map(_.getString(0)).toSet
+    val zTv = tvOf(zIdx)
+    val mRows = Versioned.readAsOf(spark, bitmapIdxPath)
+      .select(col("pval"), col("bm"), col("tv"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bit = probeBit(spark, catValue)
+    val cand = refs.filter { case (p, g) =>
+      (bMatch(p) || !bTv.get(p).contains(g)) &&
+        (zMatch(p) || !zTv.get(p).contains(g)) &&
+        (mRows.get(p) match {
+          case Some((bm, tv)) => (bm & bit) == bit || tv != g
+          case None => true
+        })
+    }
+    val base =
+      if (cand.isEmpty)
+        Versioned.readAsOf(spark, tablePath).limit(0).drop("__p")
+      else Versioned.readRefs(spark, tablePath, cand).drop("__p")
+    base.filter(col(keyCol).isin(keys: _*) && col(valCol) >= lo &&
+      col(valCol) <= hi && col(catCol) === catValue)
+  }
 }

@@ -2184,16 +2184,73 @@ object EtlOps {
   // --- k54_composed_index: COMPOSED point∧range pruning — "customer
   // X's orders in 1996": the bloom index answers WHO (point key), the
   // zone index answers WHEN (value range), and their candidate sets
-  // INTERSECT before any data file opens; both indexes are maintained
-  // with the table in ONE three-write transaction (table + bloom delta
-  // + zone delta under a single _COMMIT — Txn is N-table, not
-  // pairwise), so neither can lag the other or the data. The gate
+  // INTERSECT before any data file opens; the indexes are maintained
+  // with the table in ONE multi-write transaction (table + bloom +
+  // zone + bitmap deltas under a single _COMMIT — Txn is N-table, not
+  // pairwise; the fixture is shared with k64, landed once per app),
+  // so no index can lag another or the data. The gate
   // probes the 3 lowest customers over calendar-1996 through the
   // composed path with a left join (a customer with no 1996 orders
   // positively reports 0), and require()s that the intersection prunes
   // below BOTH single-index candidate sets and the partition count.
   // Scale: each index is k rows; the composed read opens only
   // quarters-in-range that may hold the customer. ---
+  /** SHARED composed-index fixture for k54 and k64: the quarter-
+    * partitioned orders ledger with its bloom (ck), zone (d), and
+    * bitmap (cat) indexes, ALL FOUR landed in one transaction under a
+    * deterministic Scratch.cache path — landed once per (application ×
+    * dataset) and read by both gates, the e-feed/co-purchase input-
+    * staging discipline applied to committed warehouse state: round-11
+    * review flagged per-gate 3-commit fixtures as the suite's growth
+    * driver, so a new composition gate REUSES the existing committed
+    * table instead of re-standing its own. Returns (table, bloom,
+    * zone, bitmap) paths. The category column tags each order with its
+    * month, December as 'holiday' — the low-cardinality dimension the
+    * bitmap index prunes on. */
+  private def composedIndexFixture(
+      s: org.apache.spark.sql.SparkSession, d: String):
+      (String, String, String, String) = {
+    import graft.operators.{Txn, VersionedBitmap, VersionedBloom, VersionedZone}
+    val (root, landed) = graft.Scratch.cache(s,
+      "k54-composed-fixture-v1-" + Integer.toHexString(d.hashCode))
+    val tbl = s"$root/orders"
+    val bIdx = s"$root/bloom"; val zIdx = s"$root/zone"; val mIdx = s"$root/bm"
+    if (!landed) {
+      // cache() signals landed via a root _SUCCESS marker — a plain
+      // df.write drops one automatically, but this artifact is FOUR
+      // committed tables under the root, so the marker is planted
+      // explicitly after the Txn, and a half-landed root (a previous
+      // process killed mid-Txn: tables exist, no marker) is wiped
+      // first — retrying the Txn against leftover versions would
+      // conflict forever on expectedVersion = 0
+      graft.Scratch.cleanup(s, root)
+      val base = T.orders(s, d).select(col("o_orderkey").as("k"),
+        expr("concat(year(CAST(o_orderdate AS DATE)), '-Q', " +
+          "quarter(CAST(o_orderdate AS DATE)))").as("qtr"),
+        col("o_custkey").as("ck"),
+        col("o_orderdate").cast("date").as("d"),
+        col("o_totalprice").cast("decimal(12,2)").as("amt"))
+        .withColumn("cat", when(month(col("d")) === 12, lit("holiday"))
+          .otherwise(concat(lit("m"), month(col("d")).cast("string"))))
+      // ONE transaction, FOUR tables: the ledger and all three indexes
+      Txn.run(s, s"$root/txn1", Seq(
+        Txn.Write(tbl, base, "qtr", Seq("k"), expectedVersion = Some(0L)),
+        Txn.Write(bIdx,
+          VersionedBloom.indexDelta(s, tbl, base, "qtr", Seq("k"), "ck",
+            asOfVersion = 0L), "pval", Seq("pval")),
+        Txn.Write(zIdx,
+          VersionedZone.indexDelta(s, tbl, base, "qtr", Seq("k"), "d",
+            asOfVersion = 0L), "pval", Seq("pval")),
+        Txn.Write(mIdx,
+          VersionedBitmap.indexDelta(s, tbl, base, "qtr", Seq("k"), "cat",
+            asOfVersion = 0L), "pval", Seq("pval"))))
+      val marker = new org.apache.hadoop.fs.Path(root, "_SUCCESS")
+      marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .create(marker, true).close()
+    }
+    (tbl, bIdx, zIdx, mIdx)
+  }
+
   val k54ComposedIndex = QueryDef.sql(
     "k54_composed_index",
     """WITH base AS (SELECT o_orderkey AS k, o_custkey AS ck,
@@ -2207,26 +2264,11 @@ object EtlOps {
       |SELECT p.ck AS o_custkey, coalesce(agg.n, 0) AS n_orders,
       |  coalesce(agg.total, CAST(0 AS DOUBLE)) AS total, TRUE AS composed
       |FROM probes p LEFT JOIN agg ON agg.ck = p.ck""".stripMargin) { (s, d) =>
-    import graft.operators.{Txn, Versioned, VersionedBloom, VersionedZone}
-    val root = graft.Scratch.dir("k54-composed")
-    val tbl = s"$root/orders"
-    val bIdx = s"$root/bloom"; val zIdx = s"$root/zone"
-    val base = T.orders(s, d).select(col("o_orderkey").as("k"),
-      expr("concat(year(CAST(o_orderdate AS DATE)), '-Q', " +
-        "quarter(CAST(o_orderdate AS DATE)))").as("qtr"),
-      col("o_custkey").as("ck"),
-      col("o_orderdate").cast("date").as("d"),
-      col("o_totalprice").cast("decimal(12,2)").as("amt"))
-    // ONE transaction, THREE tables: the ledger and both of its indexes
-    Txn.run(s, s"$root/txn1", Seq(
-      Txn.Write(tbl, base, "qtr", Seq("k"), expectedVersion = Some(0L)),
-      Txn.Write(bIdx,
-        VersionedBloom.indexDelta(s, tbl, base, "qtr", Seq("k"), "ck",
-          asOfVersion = 0L), "pval", Seq("pval")),
-      Txn.Write(zIdx,
-        VersionedZone.indexDelta(s, tbl, base, "qtr", Seq("k"), "d",
-          asOfVersion = 0L), "pval", Seq("pval"))))
-    val probes: Seq[Long] = base.select(col("ck")).distinct()
+    import graft.operators.{Versioned, VersionedBloom, VersionedZone}
+    // shared fixture: table + bloom + zone + bitmap in ONE transaction
+    // (landed once per app; k64 reuses the same committed state)
+    val (tbl, bIdx, zIdx, _) = composedIndexFixture(s, d)
+    val probes: Seq[Long] = Versioned.readAsOf(s, tbl).select(col("ck")).distinct()
       .orderBy(col("ck")).limit(3).collect().map(_.getLong(0)).toSeq
     val lo = expr("DATE'1996-01-01'"); val hi = expr("DATE'1996-12-31'")
     // pruning evidence: the composition must beat both single indexes
@@ -3875,6 +3917,91 @@ object EtlOps {
     }.reduce(_ unionByName _)
   }
 
+  // --- k64_triple_index: the FULL index-family composition — point
+  // (bloom: WHO) ∧ range (zone: WHEN) ∧ bitmap (category: WHICH-KIND)
+  // candidate sets intersecting before any data file opens, over k54's
+  // SHARED committed fixture (no new fixture commit — round-11 review:
+  // compose onto existing state, don't re-stand a 3-commit table per
+  // gate). The probe is data-engineered so every index genuinely rules
+  // out partitions the other two admit: the customer is the lowest ck
+  // with a Dec-1995 order, NO 1996-Q4 order, a December order in some
+  // other year, and ≥2 distinct order-quarters inside the range
+  // [1995-07-01, 1996-12-31] — so zone keeps 6 quarters, zone∧bitmap
+  // keeps the two Decembers, zone∧bloom keeps ≥2 of the customer's
+  // quarters, bitmap∧bloom keeps ≥2 of the customer's Decembers, and
+  // the triple keeps exactly 1995-Q4. The gate require()s the triple
+  // STRICTLY below each two-index intersection and the answer rides
+  // the composed pruned read; the oracle recomputes the probe choice
+  // and the aggregate from raw orders. Scale: three k-row index folds,
+  // then exactly the files every index admits. ---
+  val k64TripleIndex = QueryDef.sql(
+    "k64_triple_index",
+    """WITH base AS (SELECT o_orderkey AS k, o_custkey AS ck,
+      |    CAST(o_orderdate AS DATE) AS d,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS amt FROM orders),
+      |cand AS (
+      |  SELECT ck FROM base GROUP BY ck
+      |  HAVING sum(CASE WHEN d >= DATE '1995-12-01' AND d <= DATE '1995-12-31'
+      |               THEN 1 ELSE 0 END) > 0
+      |     AND sum(CASE WHEN d >= DATE '1996-10-01' AND d <= DATE '1996-12-31'
+      |               THEN 1 ELSE 0 END) = 0
+      |     AND sum(CASE WHEN month(d) = 12 AND year(d) <> 1995
+      |               THEN 1 ELSE 0 END) > 0
+      |     AND count(DISTINCT CASE WHEN d >= DATE '1995-07-01'
+      |               AND d <= DATE '1996-12-31'
+      |               THEN year(d) * 10 + quarter(d) END) >= 2),
+      |probe AS (SELECT min(ck) AS ck FROM cand),
+      |r AS (SELECT b.* FROM base b JOIN probe p ON b.ck = p.ck
+      |  WHERE b.d >= DATE '1995-07-01' AND b.d <= DATE '1996-12-31'
+      |    AND month(b.d) = 12)
+      |SELECT p.ck AS o_custkey, CAST(count(r.k) AS BIGINT) AS n_orders,
+      |  CAST(coalesce(sum(r.amt), 0) AS DOUBLE) AS total, TRUE AS triple_pruned
+      |FROM probe p LEFT JOIN r ON r.ck = p.ck
+      |GROUP BY p.ck""".stripMargin) { (s, d) =>
+    import graft.operators.{Versioned, VersionedBitmap, VersionedBloom, VersionedZone}
+    val (tbl, bIdx, zIdx, mIdx) = composedIndexFixture(s, d)
+    val lo = expr("DATE'1995-07-01'"); val hi = expr("DATE'1996-12-31'")
+    // probe choice replayed from the committed table (one aggregate
+    // job) — the same arithmetic the oracle runs on raw orders
+    val probe: Long = Versioned.readAsOf(s, tbl)
+      .groupBy(col("ck"))
+      .agg(
+        sum(when(col("d").between(lit("1995-12-01").cast("date"),
+          lit("1995-12-31").cast("date")), 1).otherwise(0)).as("dec95"),
+        sum(when(col("d").between(lit("1996-10-01").cast("date"),
+          lit("1996-12-31").cast("date")), 1).otherwise(0)).as("q496"),
+        sum(when(month(col("d")) === 12 && year(col("d")) =!= 1995, 1)
+          .otherwise(0)).as("decOther"),
+        countDistinct(when(col("d").between(lit("1995-07-01").cast("date"),
+          lit("1996-12-31").cast("date")),
+          year(col("d")) * 10 + quarter(col("d")))).as("qtrsInRange"))
+      .filter(col("dec95") > 0 && col("q496") === 0 &&
+        col("decOther") > 0 && col("qtrsInRange") >= 2)
+      .agg(min(col("ck"))).collect()(0).getLong(0)
+    // pruning evidence: the TRIPLE intersection must be strictly below
+    // EVERY two-index intersection (each index rules out partitions
+    // the other two admit — the composition's whole point)
+    val nParts = Versioned.readAsOf(s, zIdx).count()
+    val zC = VersionedZone.candidatePartitions(s, zIdx, lo, hi).toSet
+    val bC = VersionedBloom.candidatePartitions(s, bIdx, Seq(probe)).toSet
+    val mC = VersionedBitmap.candidatePartitions(s, mIdx, lit("holiday")).toSet
+    val i3 = zC & bC & mC
+    require(i3.nonEmpty && i3.size < (zC & bC).size &&
+      i3.size < (zC & mC).size && i3.size < (bC & mC).size &&
+      i3.size < nParts,
+      s"triple intersection must prune strictly below every pair: " +
+        s"|z∧b|=${(zC & bC).size} |z∧m|=${(zC & mC).size} " +
+        s"|b∧m|=${(bC & mC).size} |z∧b∧m|=${i3.size} of $nParts")
+    import s.implicits._
+    VersionedBitmap.lookupEqKeysInRange(s, tbl, bIdx, zIdx, mIdx,
+        "ck", Seq(probe), "d", lo, hi, "cat", lit("holiday"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("amt")).cast("double").as("total"))
+      .select(lit(probe).as("o_custkey"), col("n_orders"),
+        coalesce(col("total"), lit(0.0)).as("total"),
+        lit(true).as("triple_pruned"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     k45KeyHistory,
     k40BranchMerge, k41DropPartitions, k42DeleteKeys, j12TimeWeightedAvg, j13InterpJoin, j14Resample, er6PprlClk,
@@ -3895,6 +4022,6 @@ object EtlOps {
     k50BroadcastAdvisor, k51SnapshotRead, k52TxnForget, k53RangeIndex,
     k54ComposedIndex, k55JoinReorderRule, k56Compaction, k57MultizoneIndex,
     k58ReorderBroadcast, k59LiveReorderFlip, k61TxnMv, k62QuantileIndex,
-    k63BitmapIndex, k27WapGate)
+    k63BitmapIndex, k64TripleIndex, k27WapGate)
 
 }
