@@ -190,21 +190,24 @@ object VersionedBitmap {
     import spark.implicits._
     val refs = Versioned
       .manifestRefs(spark, tablePath, Versioned.latestVersion(spark, tablePath))
-    def tvOf(idx: DataFrame): Map[String, Long] =
-      idx.select(col("pval"), col("tv")).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val bIdx = Versioned.readAsOf(spark, bloomIdxPath)
-    val probes = keys.toDF("k")
-      .select(array(BloomIndex.positions(col("k"), bits): _*).as("ps"))
-    val bMatch: Set[String] = bIdx.crossJoin(broadcast(probes))
-      .filter(expr("forall(ps, p -> array_contains(bloom, p))"))
-      .select(col("pval")).distinct().collect().map(_.getString(0)).toSet
-    val bTv = tvOf(bIdx)
-    val zIdx = Versioned.readAsOf(spark, zoneIdxPath)
-    val zMatch: Set[String] = zIdx
-      .filter(!(col("max_v") < lo || col("min_v") > hi))
-      .select(col("pval")).distinct().collect().map(_.getString(0)).toSet
-    val zTv = tvOf(zIdx)
+    // one k-row collect per index: match verdict + freshness tag
+    // together (lookup's round-12 discipline)
+    val bRows = Versioned.readAsOf(spark, bloomIdxPath)
+      .crossJoin(broadcast(keys.toDF("k")
+        .select(array(BloomIndex.positions(col("k"), bits): _*).as("ps"))))
+      .select(col("pval"), col("tv"),
+        expr("forall(ps, p -> array_contains(bloom, p))").as("m"))
+      .collect()
+    val bMatch: Set[String] = bRows.filter(_.getBoolean(2)).map(_.getString(0)).toSet
+    val bTv: Map[String, Long] = bRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val zRows = Versioned.readAsOf(spark, zoneIdxPath)
+      .select(col("pval"), col("tv"),
+        (!(col("max_v") < lo || col("min_v") > hi)).as("m"))
+      .collect()
+    // NULL verdict (all-NULL partition) = unmatched — conservative
+    val zMatch: Set[String] =
+      zRows.filter(r => !r.isNullAt(2) && r.getBoolean(2)).map(_.getString(0)).toSet
+    val zTv: Map[String, Long] = zRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     val mRows = Versioned.readAsOf(spark, bitmapIdxPath)
       .select(col("pval"), col("bm"), col("tv"))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

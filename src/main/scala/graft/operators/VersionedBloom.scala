@@ -166,21 +166,24 @@ object VersionedBloom {
     import spark.implicits._
     val refs = Versioned
       .manifestRefs(spark, tablePath, Versioned.latestVersion(spark, tablePath))
-    def tvOf(idx: DataFrame): Map[String, Long] =
-      idx.select(col("pval"), col("tv")).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val bIdx = Versioned.readAsOf(spark, bloomIdxPath)
-    val probes = keys.toDF("k")
-      .select(array(BloomIndex.positions(col("k"), bits): _*).as("ps"))
-    val bMatch: Set[String] = bIdx.crossJoin(broadcast(probes))
-      .filter(expr("forall(ps, p -> array_contains(bloom, p))"))
-      .select(col("pval")).distinct().collect().map(_.getString(0)).toSet
-    val bTv = tvOf(bIdx)
-    val zIdx = Versioned.readAsOf(spark, zoneIdxPath)
-    val zMatch: Set[String] = zIdx
-      .filter(!(col("max_v") < lo || col("min_v") > hi))
-      .select(col("pval")).distinct().collect().map(_.getString(0)).toSet
-    val zTv = tvOf(zIdx)
+    // one k-row collect per index: match verdict + freshness tag
+    // together (lookup's round-12 discipline)
+    val bRows = Versioned.readAsOf(spark, bloomIdxPath)
+      .crossJoin(broadcast(keys.toDF("k")
+        .select(array(BloomIndex.positions(col("k"), bits): _*).as("ps"))))
+      .select(col("pval"), col("tv"),
+        expr("forall(ps, p -> array_contains(bloom, p))").as("m"))
+      .collect()
+    val bMatch: Set[String] = bRows.filter(_.getBoolean(2)).map(_.getString(0)).toSet
+    val bTv: Map[String, Long] = bRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val zRows = Versioned.readAsOf(spark, zoneIdxPath)
+      .select(col("pval"), col("tv"),
+        (!(col("max_v") < lo || col("min_v") > hi)).as("m"))
+      .collect()
+    // NULL verdict (all-NULL partition) = unmatched — conservative
+    val zMatch: Set[String] =
+      zRows.filter(r => !r.isNullAt(2) && r.getBoolean(2)).map(_.getString(0)).toSet
+    val zTv: Map[String, Long] = zRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     val cand = refs.filter { case (p, g) =>
       (bMatch(p) || !bTv.get(p).contains(g)) &&
         (zMatch(p) || !zTv.get(p).contains(g))
@@ -238,24 +241,29 @@ object VersionedBloom {
       .select(col("__p")).distinct().collect().map(_.getString(0)).toSeq
     val affectedPred =
       if (affected.isEmpty) lit(false) else col("__p").isin(affected: _*)
-    val survivors = state.filter(affectedPred)
+    import spark.implicits._
+    // ONE aggregate covers surviving AND fully-emptied partitions: a
+    // null-pos seed row per affected partition keeps emptied pvals in
+    // the group domain (count/collect_set ignore nulls, so a seed
+    // contributes entries=0 and an empty bloom). The former shape
+    // derived the survivor aggregate TWICE — once directly, once under
+    // an anti-join computing the emptied set — re-reading every
+    // affected partition's data per derivation.
+    val zeroSeed = affected.toDF("pval")
+      .select(col("pval"), lit(null).cast("long").as("pos"))
+    val idxRows = state.filter(affectedPred)
       .join(rm, keyCols, "left_anti")
       .select(col("__p").as("pval"),
         explode(array(BloomIndex.positions(col(keyCol), bits): _*)).as("pos"))
+      .unionByName(zeroSeed)
       .groupBy(col("pval"))
-      .agg(count(lit(1)).as("entries"),
+      .agg(count(col("pos")).as("entries"),
         sort_array(collect_set(col("pos"))).as("bloom"))
       .withColumn("tv", lit(base + 1)) // lookup's freshness tag
-    import spark.implicits._
-    val emptied = affected.toDF("pval")
-      .join(survivors.select(col("pval")), Seq("pval"), "left_anti")
-      .select(col("pval"), lit(0L).as("entries"),
-        array().cast("array<bigint>").as("bloom"), lit(base + 1).as("tv"))
     Txn.run(spark, txnDir, Seq(
       Txn.Write(tablePath, rm, partCol = "", keys = keyCols, stamp,
         expectedVersion = Some(base), op = "delete"),
-      Txn.Write(indexPath, survivors.unionByName(emptied),
-        "pval", Seq("pval"), stamp)))
+      Txn.Write(indexPath, idxRows, "pval", Seq("pval"), stamp)))
   }
 
   /** The partitions that MAY hold at least one of `keys` (all k hash
@@ -301,16 +309,19 @@ object VersionedBloom {
     import spark.implicits._
     val refs = Versioned
       .manifestRefs(spark, tablePath, Versioned.latestVersion(spark, tablePath))
-    val idx = Versioned.readAsOf(spark, indexPath)
-    val probes = keys.toDF("k")
-      .select(array(BloomIndex.positions(col("k"), bits): _*).as("ps"))
-    val matched: Set[String] = idx
-      .crossJoin(broadcast(probes))
-      .filter(expr("forall(ps, p -> array_contains(bloom, p))"))
-      .select(col("pval")).distinct()
-      .collect().map(_.getString(0)).toSet
-    val tv: Map[String, Long] = idx.select(col("pval"), col("tv"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ONE k-row collect carries both the match verdicts and the
+    // freshness tags (two separate collects paid the index scan's
+    // fixed job cost twice for the same k rows)
+    val idxRows = Versioned.readAsOf(spark, indexPath)
+      .crossJoin(broadcast(keys.toDF("k")
+        .select(array(BloomIndex.positions(col("k"), bits): _*).as("ps"))))
+      .select(col("pval"), col("tv"),
+        expr("forall(ps, p -> array_contains(bloom, p))").as("m"))
+      .collect()
+    val matched: Set[String] =
+      idxRows.filter(_.getBoolean(2)).map(_.getString(0)).toSet
+    val tv: Map[String, Long] =
+      idxRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     val cand = refs.filter { case (pval, gen) =>
       matched(pval) || !tv.get(pval).contains(gen)
     }

@@ -170,14 +170,17 @@ object VersionedText {
       bits: Int = DefaultBits): DataFrame = {
     val refs = Versioned
       .manifestRefs(spark, tablePath, Versioned.latestVersion(spark, tablePath))
-    val idx = Versioned.readAsOf(spark, indexPath)
     val ps = probePositions(spark, terms, bits)
-    val matched: Set[String] = idx
-      .filter(ps.map(p => array_contains(col("bloom"), p)).reduce(_ && _))
-      .select(col("pval")).distinct()
-      .collect().map(_.getString(0)).toSet
-    val tv: Map[String, Long] = idx.select(col("pval"), col("tv"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // one k-row collect: match verdict + freshness tag together (two
+    // collects paid the index scan's fixed job cost twice)
+    val idxRows = Versioned.readAsOf(spark, indexPath)
+      .select(col("pval"), col("tv"),
+        ps.map(p => array_contains(col("bloom"), p)).reduce(_ && _).as("m"))
+      .collect()
+    val matched: Set[String] =
+      idxRows.filter(_.getBoolean(2)).map(_.getString(0)).toSet
+    val tv: Map[String, Long] =
+      idxRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     val cand = refs.filter { case (pval, gen) =>
       matched(pval) || !tv.get(pval).contains(gen)
     }

@@ -181,13 +181,17 @@ object VersionedZone {
     require(preds.nonEmpty, "need at least one range predicate")
     val refs = Versioned
       .manifestRefs(spark, tablePath, Versioned.latestVersion(spark, tablePath))
-    val idx = Versioned.readAsOf(spark, indexPath)
-    val matched: Set[String] = idx
-      .filter(preds.map { case (c, lo, hi) => intersects(c, lo, hi) }.reduce(_ && _))
-      .select(col("pval")).distinct()
-      .collect().map(_.getString(0)).toSet
-    val tv: Map[String, Long] = idx.select(col("pval"), col("tv"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // one k-row collect: match verdict + freshness tag together (two
+    // collects paid the index scan's fixed job cost twice)
+    val idxRows = Versioned.readAsOf(spark, indexPath)
+      .select(col("pval"), col("tv"),
+        preds.map { case (c, lo, hi) => intersects(c, lo, hi) }
+          .reduce(_ && _).as("m"))
+      .collect()
+    val matched: Set[String] =
+      idxRows.filter(r => !r.isNullAt(2) && r.getBoolean(2)).map(_.getString(0)).toSet
+    val tv: Map[String, Long] =
+      idxRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     val cand = refs.filter { case (pval, gen) =>
       matched(pval) || !tv.get(pval).contains(gen)
     }
@@ -231,13 +235,18 @@ object VersionedZone {
       hi: Column): DataFrame = {
     val refs = Versioned
       .manifestRefs(spark, tablePath, Versioned.latestVersion(spark, tablePath))
-    val idx = Versioned.readAsOf(spark, indexPath)
-    val matched: Set[String] = idx
-      .filter(!(col("max_v") < lo || col("min_v") > hi))
-      .select(col("pval")).distinct()
-      .collect().map(_.getString(0)).toSet
-    val tv: Map[String, Long] = idx.select(col("pval"), col("tv"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // one k-row collect: match verdict + freshness tag together (two
+    // collects paid the index scan's fixed job cost twice); a NULL
+    // verdict (all-NULL partition) reads as unmatched, exactly as the
+    // former filter() dropped it — conservative either way
+    val idxRows = Versioned.readAsOf(spark, indexPath)
+      .select(col("pval"), col("tv"),
+        (!(col("max_v") < lo || col("min_v") > hi)).as("m"))
+      .collect()
+    val matched: Set[String] =
+      idxRows.filter(r => !r.isNullAt(2) && r.getBoolean(2)).map(_.getString(0)).toSet
+    val tv: Map[String, Long] =
+      idxRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     val cand = refs.filter { case (pval, gen) =>
       matched(pval) || !tv.get(pval).contains(gen)
     }
