@@ -10,28 +10,32 @@ package graft
   * so intra-query persist() calls are paid honestly, and the cache is
   * cleared after each query so persisted frames can't serve a later one.
   *
-  * Protocol shape (round 12): the DRIVER-facing default is warmup + ONE
-  * measured pass. Rounds 10 and 11 both ended rc 124 (timeout, no
-  * record): at 369 registered queries a 665 s suite x (warmup + 2
-  * measured) ~= 2,000 s of execution plus ~900 s sbt/compile/fixture
-  * overhead overruns the ~2,400 s driver window that the r08/r09 runs
-  * (444 s suites) fit in. Warmup + 1 fits with margin; min-of-N for
-  * N >= 2 remains the BUILDER's close-out protocol via
-  * SPARK_GRAFT_PASSES (the committed full records in
-  * tools/bench_history are min-of-3). The emitted JSON records
-  * "passes" so the close-out guard can correct for the min-of-N bias
-  * when a 1-pass record is compared against a 3-pass baseline.
+  * Protocol shape (round 12): the DRIVER-facing default is
+  * MEASURE-FIRST — no separate warmup pass; two measured passes with
+  * the per-query MIN. Rounds 10 and 11 both ended rc 124 (timeout, no
+  * record), and the first round-12 dry run showed the other failure
+  * mode: a full unmeasured warmup burned ~800 s of the wall budget on
+  * a degraded box and the record landed with 114 queries uncovered.
+  * Measure-first makes COVERAGE the thing the budget protects: pass 1
+  * (cold — it doubles as the warmup, landing caches and JIT) covers
+  * the whole registry early in the budget, pass 2 (warm) re-measures
+  * for quality, and the min per query keeps warm-sample fidelity. If
+  * the budget dies mid-pass-2, the cold pass-1 samples stand for the
+  * tail — full coverage either way, slightly colder numbers, never a
+  * missing record. The BUILDER's close-out protocol stays
+  * SPARK_GRAFT_WARMUP=full SPARK_GRAFT_PASSES=3 (the committed full
+  * records in tools/bench_history are full-warmup min-of-3); the
+  * emitted JSON records "passes" so the close-out guard can correct
+  * for the min-of-N bias across protocols.
   *
-  * Wall-budget guard: even the 1-pass protocol can overrun if the box
-  * degrades mid-run (r11 measured a 7.4x sentinel swing within one
-  * run). SPARK_GRAFT_WALL_BUDGET_SECS (default 1,450 — the driver
-  * window minus observed sbt overhead, with margin) bounds execution
-  * time from main() entry: the warmup pass stops warming at 55% of
-  * budget, and the measured pass skips any query whose warmup-derived
-  * estimate no longer fits, emitting the PARTIAL record with an
-  * explicit "covered"/"uncovered" field instead of being killed
-  * mid-write with no record at all. A partial record with a coverage
-  * flag beats rc 124 + parsed: null.
+  * Wall-budget guard: SPARK_GRAFT_WALL_BUDGET_SECS (default 1,450 —
+  * the driver window minus observed sbt overhead, with margin) bounds
+  * execution time from main() entry: a full warmup (when requested)
+  * stops warming at 55% of budget, and every measured pass skips any
+  * query whose estimate (min of its own prior samples, else 1.2x the
+  * running median) no longer fits, emitting the PARTIAL record with
+  * explicit "covered"/"uncovered" fields instead of being killed
+  * mid-write with no record at all.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -73,23 +77,29 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.registry.map(_.name).filter(n => only.forall(_.contains(n)))
 
-    // Warmup pass (JIT + page cache), unmeasured but TIMED: the per-query
-    // warmup seconds are the estimates the wall-budget guard uses to
-    // decide whether the next measured query still fits. Warming stops at
-    // 55% of budget so a degraded box still leaves room for one measured
-    // pass over most of the registry (a query measured cold pays its own
-    // JIT — slightly pessimistic, but covered beats absent).
-    val warmupSecs = scala.collection.mutable.Map.empty[String, Double]
-    var coldQueries = 0
-    names.foreach { n =>
-      if (elapsed() < wallBudget * 0.55) warmupSecs(n) = materialize(n)
-      else coldQueries += 1
-    }
-    if (coldQueries > 0)
-      System.err.println(f"[bench] wall budget: warmup stopped with " +
-        f"$coldQueries queries unwarmed (${elapsed()}%.0f s elapsed)")
+    // Per-query estimates for the wall-budget guard: the min of a
+    // query's own prior samples (warmup or earlier passes), updated
+    // after every measurement — in the driver's no-warmup default,
+    // pass 1 populates the estimates pass 2's budget checks use.
+    val estimates = scala.collection.mutable.Map.empty[String, Double]
+    def recordEst(n: String, v: Double): Unit =
+      estimates(n) = math.min(v, estimates.getOrElse(n, Double.MaxValue))
 
-    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "1").toInt
+    // Optional FULL unmeasured warmup (builder close-out protocol:
+    // SPARK_GRAFT_WARMUP=full) — budget-guarded at 55% so a degraded
+    // box still leaves room for the measured passes.
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "none") == "full") {
+      var coldQueries = 0
+      names.foreach { n =>
+        if (elapsed() < wallBudget * 0.55) recordEst(n, materialize(n))
+        else coldQueries += 1
+      }
+      if (coldQueries > 0)
+        System.err.println(f"[bench] wall budget: warmup stopped with " +
+          f"$coldQueries queries unwarmed (${elapsed()}%.0f s elapsed)")
+    }
+
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
     sentinel() // sentinel warmup (JIT the range/sum codegen)
     val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
     // PER-FAMILY sentinels: one pass-head sentinel cannot normalize
@@ -105,16 +115,16 @@ object Bench {
     val famSentinels = scala.collection.mutable.LinkedHashMap[String,
       scala.collection.mutable.ArrayBuffer[Double]]()
     // A query is measured only if its estimate still fits the wall
-    // budget (cold queries estimate 1.2x warmup-median; measured-pass
+    // budget (unsampled queries estimate 1.2x the running median;
     // skips are recorded as uncovered). The filter is re-evaluated per
     // query per pass, so a mid-run slowdown truncates coverage instead
     // of truncating the RECORD.
     def estimate(n: String): Double = {
-      val med = if (warmupSecs.isEmpty) 2.0 else {
-        val xs = warmupSecs.values.toSeq.sorted
+      val med = if (estimates.isEmpty) 2.0 else {
+        val xs = estimates.values.toSeq.sorted
         xs(xs.size / 2)
       }
-      warmupSecs.getOrElse(n, med * 1.2) * 1.2
+      estimates.getOrElse(n, med * 1.2) * 1.2
     }
     val passes = (1 to nPasses).map { _ =>
       sentinels += sentinel()
@@ -122,8 +132,11 @@ object Bench {
         famSentinels.getOrElseUpdate(f,
           scala.collection.mutable.ArrayBuffer.empty[Double]) += sentinel()
         names.filter(famOf(_) == f).flatMap { n =>
-          if (elapsed() + estimate(n) <= wallBudget) Some(n -> materialize(n))
-          else None
+          if (elapsed() + estimate(n) <= wallBudget) {
+            val v = materialize(n)
+            recordEst(n, v)
+            Some(n -> v)
+          } else None
         }
       }.toMap
     }
