@@ -126,9 +126,101 @@ object Bench {
       }
       estimates.getOrElse(n, med * 1.2) * 1.2
     }
-    val passes = (1 to nPasses).map { _ =>
+    val ceiling = sys.env.getOrElse("SPARK_GRAFT_CEILING_SECS", "12").toDouble
+
+    /** Emit the record for the passes completed SO FAR — called after
+      * EVERY pass, not just the last: the driver's parser takes the
+      * last parseable line from the log tail, so if the process is
+      * killed between passes (wall-budget arithmetic can't see the
+      * driver's outer timeout), the best-so-far record already sits in
+      * the tail and on disk instead of nothing at all. The final
+      * emission naturally wins as the last line. */
+    def emit(passes: Seq[Map[String, Double]], isFinal: Boolean): Unit = {
+      val results = names.flatMap { n =>
+        val vs = passes.flatMap(_.get(n))
+        if (vs.nonEmpty) Some(n -> vs.min) else None
+      }
+      val covered = results.map(_._1).toSet
+      val uncovered = names.filterNot(covered)
+      if (isFinal && uncovered.nonEmpty)
+        System.err.println(s"[bench] wall budget: ${uncovered.size} queries " +
+          s"UNCOVERED (emitting partial record): ${uncovered.mkString(",")}")
+      // which pass (1-based) produced each query's min — the guard pairs
+      // it with that pass's family sentinel for local normalization
+      val minPass = results.map { case (n, v) =>
+        n -> (passes.indexWhere(_.get(n).contains(v)) + 1)
+      }.toMap
+      val sentinelJson = sentinels.map(v => f"$v%.3f").mkString("[", ",", "]")
+      val famSentJson = famSentinels.map { case (f, xs) =>
+        "\"" + f + "\":" + xs.map(v => f"$v%.3f").mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      // per-query ceiling readout (stderr, final emission only): every
+      // query whose min-of-N exceeds the absolute ceiling is named at
+      // measurement time, so a new gate that lands heavy needs its
+      // committed waiver at birth — closeout.py enforces the same
+      // ceiling against explained.json
+      if (isFinal)
+        results.filter(_._2 > ceiling).sortBy(-_._2).foreach { case (n, v) =>
+          System.err.println(f"[bench] CEILING $n: $v%.2f s exceeds the " +
+            f"$ceiling%.0f s per-query ceiling — waive in explained.json or reclaim")
+        }
+      val total = results.map(_._2).sum
+      // batch vs streaming subtotals: the true-streaming queries carry
+      // fixed per-microbatch checkpoint/state-store drain cost, so the
+      // round-over-round plan-quality signal is batch_total, not the mix
+      val streamTotal = results
+        .collect { case (n, v) if queries.Events.streamingNames(n) => v }.sum
+      val batchTotal = total - streamTotal
+      // per-family subtotals (prefix before the first digit): the
+      // round-over-round signal one level finer than batch/stream
+      val famTotals = results
+        .groupBy { case (n, _) => n.takeWhile(!_.isDigit) }
+        .map { case (f, xs) => f -> xs.map(_._2).sum }
+        .toSeq.sortBy(_._1)
+      val fams = famTotals.map { case (f, v) => "\"" + f + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      // coverage + protocol fields: "passes" lets the guard correct the
+      // min-of-N bias when this record is compared against a min-of-3
+      // baseline; "covered"/"registered" make a wall-budget-truncated
+      // record self-describing (the driver's parse sees a valid record
+      // with an explicit gap, not a killed process)
+      val coverage =
+        s""","passes":${passes.size},"covered":${results.size},"registered":${names.size}"""
+      def line(entries: Seq[(String, Double)], extra: String): String = {
+        val qs = entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+          .mkString("{", ",", "}")
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","batch_total":$batchTotal%.3f,"stream_total":$streamTotal%.3f$coverage,"sentinel_secs":$sentinelJson,"sentinel_by_family":$famSentJson,"families":$fams$extra,"queries":$qs,"sf":"$sfDir"}"""
+      }
+      // The full per-query record goes to a FILE, not the log: the
+      // harness keeps only a ~2000-byte log tail, and a full-registry
+      // JSON line (~12 KB) printed before the compact one would leave a
+      // truncated fragment at the tail's head shadowing the parseable
+      // line.
+      val minPassJson = results.map { case (n, _) => "\"" + n + "\":" + minPass(n) }
+        .mkString("{", ",", "}")
+      val uncoveredJson = uncovered.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val fullPath = java.nio.file.Paths.get("target", "bench_full.json")
+      java.nio.file.Files.createDirectories(fullPath.getParent)
+      java.nio.file.Files.write(fullPath,
+        (line(results, s""","min_pass":$minPassJson,"uncovered":$uncoveredJson""") + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // stdout gets ONE compact line per pass sized to survive the
+      // 2000-byte log tail alongside sbt's trailing [success] line: the
+      // slowest queries are kept (they carry the optimization signal);
+      // the omitted fast ones are summarized by count + total.
+      val budget = 900 // families + per-family sentinels share the tail
+      val bySlowest = results.sortBy(-_._2)
+      val kept = bySlowest
+        .scanLeft(("", 0.0, 60)) { case ((_, _, acc), (k, v)) => (k, v, acc + k.length + 15) }
+        .drop(1).takeWhile(_._3 <= budget).map(t => (t._1, t._2))
+        .sortBy(_._1)
+      println(line(kept, s""","n_queries":${results.size}"""))
+    }
+
+    val done = scala.collection.mutable.ArrayBuffer.empty[Map[String, Double]]
+    (1 to nPasses).foreach { p =>
       sentinels += sentinel()
-      famOrder.flatMap { f =>
+      done += famOrder.flatMap { f =>
         famSentinels.getOrElseUpdate(f,
           scala.collection.mutable.ArrayBuffer.empty[Double]) += sentinel()
         names.filter(famOf(_) == f).flatMap { n =>
@@ -139,91 +231,8 @@ object Bench {
           } else None
         }
       }.toMap
+      emit(done.toSeq, isFinal = p == nPasses)
     }
-    val results = names.flatMap { n =>
-      val vs = passes.flatMap(_.get(n))
-      if (vs.nonEmpty) Some(n -> vs.min) else None
-    }
-    val covered = results.map(_._1).toSet
-    val uncovered = names.filterNot(covered)
-    if (uncovered.nonEmpty)
-      System.err.println(s"[bench] wall budget: ${uncovered.size} queries " +
-        s"UNCOVERED (emitting partial record): ${uncovered.mkString(",")}")
-    // which pass (1-based) produced each query's min — the guard pairs
-    // it with that pass's family sentinel for local normalization
-    val minPass = results.map { case (n, v) =>
-      n -> (passes.indexWhere(_.get(n).contains(v)) + 1)
-    }.toMap
-    val sentinelJson = sentinels.map(v => f"$v%.3f").mkString("[", ",", "]")
-    val famSentJson = famSentinels.map { case (f, xs) =>
-      "\"" + f + "\":" + xs.map(v => f"$v%.3f").mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-
-    // per-query ceiling readout (stderr — the stdout JSON line is
-    // size-budgeted): every query whose min-of-N exceeds the absolute
-    // ceiling is named HERE, at measurement time, so a new gate that
-    // lands heavy needs its committed waiver at birth — closeout.py
-    // enforces the same ceiling against explained.json
-    val ceiling = sys.env.getOrElse("SPARK_GRAFT_CEILING_SECS", "12").toDouble
-    results.filter(_._2 > ceiling).sortBy(-_._2).foreach { case (n, v) =>
-      System.err.println(f"[bench] CEILING $n: $v%.2f s exceeds the " +
-        f"$ceiling%.0f s per-query ceiling — waive in explained.json or reclaim")
-    }
-
-    val total = results.map(_._2).sum
-    // batch vs streaming subtotals: the 13 true-streaming queries carry
-    // fixed per-microbatch checkpoint/state-store drain cost, so the
-    // round-over-round plan-quality signal is batch_total, not the mix
-    val streamTotal = results
-      .collect { case (n, v) if queries.Events.streamingNames(n) => v }.sum
-    val batchTotal = total - streamTotal
-    // per-family subtotals (prefix before the first digit: a, q, sql, j,
-    // k, p, t, d, v, c, e, er, g, m, dq): the round-over-round signal at
-    // one level finer than batch/stream — a regression inside one family
-    // is visible even when the totals wash out
-    val famTotals = results
-      .groupBy { case (n, _) => n.takeWhile(!_.isDigit) }
-      .map { case (f, xs) => f -> xs.map(_._2).sum }
-      .toSeq.sortBy(_._1)
-    val fams = famTotals.map { case (f, v) => "\"" + f + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    // coverage + protocol fields: "passes" lets the guard correct the
-    // min-of-N bias when this record is compared against a min-of-3
-    // baseline; "covered"/"registered" make a wall-budget-truncated
-    // record self-describing (the driver's parse sees a valid record
-    // with an explicit gap, not a killed process)
-    val coverage =
-      s""","passes":$nPasses,"covered":${results.size},"registered":${names.size}"""
-    def line(entries: Seq[(String, Double)], extra: String): String = {
-      val qs = entries.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-        .mkString("{", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","batch_total":$batchTotal%.3f,"stream_total":$streamTotal%.3f$coverage,"sentinel_secs":$sentinelJson,"sentinel_by_family":$famSentJson,"families":$fams$extra,"queries":$qs,"sf":"$sfDir"}"""
-    }
-    // The full per-query record goes to a FILE, not the log: the harness
-    // keeps only a ~2000-byte log tail, and a 171-query JSON line (~6 KB)
-    // printed before the compact one would leave a truncated JSON
-    // fragment at the tail's head that can shadow the parseable line.
-    val minPassJson = results.map { case (n, _) => "\"" + n + "\":" + minPass(n) }
-      .mkString("{", ",", "}")
-    val uncoveredJson = uncovered.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fullPath = java.nio.file.Paths.get("target", "bench_full.json")
-    java.nio.file.Files.createDirectories(fullPath.getParent)
-    java.nio.file.Files.write(fullPath,
-      (line(results, s""","min_pass":$minPassJson,"uncovered":$uncoveredJson""") + "\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // stdout gets ONE compact line sized to survive the 2000-byte log
-    // tail alongside sbt's trailing [success] line: the slowest queries
-    // are kept (they carry the optimization signal); the omitted fast
-    // ones are summarized by count + total. min_pass lives only in the
-    // full file; sentinel_by_family (~15 families x nPasses, ~400 B)
-    // earns its tail space — the guard can't normalize without it.
-    val budget = 900 // families + per-family sentinels share the tail
-    val bySlowest = results.sortBy(-_._2)
-    val kept = bySlowest
-      .scanLeft(("", 0.0, 60)) { case ((_, _, acc), (k, v)) => (k, v, acc + k.length + 15) }
-      .drop(1).takeWhile(_._3 <= budget).map(t => (t._1, t._2))
-      .sortBy(_._1)
-    println(line(kept, s""","n_queries":${results.size}"""))
     spark.stop()
   }
 }
