@@ -115,7 +115,14 @@ object Similarity {
     * re-executing the shuffle+window lineage per use would pay the
     * distribution cost thrice for one rank. Returns the corpus count
     * too — the bucket fold already knows it, so callers' ring modulo
-    * arithmetic costs no separate count() job. */
+    * arithmetic costs no separate count() job.
+    *
+    * Parallelism dial: the two-hex prefix caps the rank at 256 tasks —
+    * ample for any corpus whose PER-BUCKET sort fits a task (≈ tens of
+    * millions of rows per bucket); at true 100 TB vector counts, widen
+    * the prefix to three hex chars (4,096 buckets) — the construction
+    * is prefix-length-agnostic, only the `substring` length and the
+    * bucket-count require() change. */
   private def md5Rank(df: DataFrame, stagePath: String): (DataFrame, Long) = {
     val h = df.select(col("vec_id"),
         md5(col("vec_id").cast("string")).as("h"))
