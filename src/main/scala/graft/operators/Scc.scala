@@ -77,7 +77,26 @@ object Scc {
         .select(col("n"),
           least(col("lbl"), coalesce(col("candF"), col("lbl"))).as("lbl"),
           least(col("blbl"), coalesce(col("candB"), col("blbl"))).as("blbl"))
-      val (lab2, s) = stageObserved(nxt, s"$stage/round=$r")
+      // POINTER JUMP through the PREVIOUS staged round (path halving,
+      // directed-sound): lbl(u) is by invariant a node u REACHES, so
+      // anything THAT node reaches, u reaches too — folding lab's
+      // label of lbl(u) in (and symmetrically lab's back-label of
+      // blbl(u), a node that reaches u) is monotone, stays inside the
+      // reachable/reaching set, and roughly doubles the propagation
+      // horizon per round: the fixpoint (min over the full set, the
+      // value the oracle checks) is unchanged while round counts drop
+      // from diameter toward its logarithm. Joining against `lab` —
+      // a staged parquet scan — rather than `nxt` keeps the round at
+      // ONE job with no subtree recomputation.
+      val jumped = nxt
+        .join(lab.select(col("n").as("lbl"), col("lbl").as("jf")),
+          Seq("lbl"), "left_outer")
+        .join(lab.select(col("n").as("blbl"), col("blbl").as("jb")),
+          Seq("blbl"), "left_outer")
+        .select(col("n"),
+          least(col("lbl"), coalesce(col("jf"), col("lbl"))).as("lbl"),
+          least(col("blbl"), coalesce(col("jb"), col("blbl"))).as("blbl"))
+      val (lab2, s) = stageObserved(jumped, s"$stage/round=$r")
       lab = lab2
       if (s == prev) return lab // both monotone ⇒ equal sums ⇒ fixpoint
       prev = s; r += 1
